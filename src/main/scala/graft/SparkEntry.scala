@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Graft, QueryDef}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in [[queries]] is an implemented operator from SURVEY §2 (or a
+  * training-data-pipeline operator); [[oracleSql]] carries the DuckDB
+  * equivalent for the driver's differential correctness gate.
+  */
 object SparkEntry {
+
+  /** Registry of all verifiable operators, assembled per domain. */
+  def registry: Seq[QueryDef] =
+    graft.queries.CoreQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.configure(spark)
+    registry.head.fn(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      Graft.configure(s); q.fn(s, dir)
+    }).toMap
+
+  /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). */
+  def oracleSql: Map[String, String] =
+    registry.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session conventions shared by every entry point (Verify, Bench, tests).
+  *
+  * Scale notes (designed for ~100 TB on a 1000-executor cluster, tested on
+  * local[32]): shuffle partition count comes from the environment rather than
+  * Spark's 200 default; AQE is on so runtime coalescing / skew-join splitting
+  * re-plans per stage; broadcast threshold stays at Spark's default so dim
+  * tables (region/nation/supplier at any SF) broadcast instead of shuffling.
+  */
+object Graft {
+  /** Apply engine conventions to an already-built session. */
+  def configure(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read as raw Long nanos and convert in Tables.events.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def local(cores: Int = 32): SparkSession = configure(
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate())
+}
+
+/** Readers for the driver-provided parquet corpus (TESTDATA.md). */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def rd(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame     = rd("region")
+  def nation: DataFrame     = rd("nation")
+  def customer: DataFrame   = rd("customer")
+  def supplier: DataFrame   = rd("supplier")
+  def part: DataFrame       = rd("part")
+  def orders: DataFrame     = rd("orders")
+  def lineitem: DataFrame   = rd("lineitem")
+
+  /** events.ts is nanosecond-precision parquet; Spark reads it as Long
+    * nanos (nanosAsLong). Truncate to microseconds — exactly what DuckDB
+    * does when it surfaces the same column — so both engines see identical
+    * timestamp values.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = rd("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents: DataFrame  = rd("documents")
+  def embeddings: DataFrame = rd("embeddings")
+}
+
+/** One verifiable operator: a DataFrame program plus (when SQL-expressible)
+  * a DuckDB oracle producing identical column names and values. Rows are
+  * deterministically ordered on both sides so the driver's hash compare is
+  * stable regardless of its own sort behavior.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
