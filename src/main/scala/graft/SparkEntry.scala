@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Registry of all verifiable operators, assembled per domain. */
   def registry: Seq[QueryDef] =
-    graft.queries.CoreQueries.all
+    graft.queries.CoreQueries.all ++
+      graft.queries.CompareQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.Canonical
+import graft.operators.{ChunkPlanner, DataCompare, Perturb}
+
+/** The data_compare / chunking operator family (SURVEY §2: A1-A4, J1/J4,
+  * P1-P3, A7, U3) as verifiable queries. The DuckDB oracles rebuild the
+  * same perturbed "target database" (Perturb.DstSql) and the same
+  * canonical row strings, so every checksum/diff/repair value is checked
+  * end to end.
+  */
+object CompareQueries {
+
+  /** Range chunk id — floor(key / width): a static range partitioning both
+    * engines compute identically (the planner's approxQuantile variant is
+    * covered by ScalaTest; its bounds are estimate-dependent and thus not
+    * oracle-reproducible).
+    */
+  private val chunkWidth = 4096
+  private def chunkId(key: Column): Column =
+    floor(key / chunkWidth).cast("long")
+  private val chunkIdSql = s"CAST(FLOOR(l_orderkey / $chunkWidth) AS BIGINT)"
+
+  /** SQL twin of Canonical.rowString over Perturb.CompareCols. */
+  private val rowStrSql =
+    """concat_ws('|',
+      |  coalesce(l_orderkey::VARCHAR, '0'),
+      |  coalesce(l_linenumber::VARCHAR, '0'),
+      |  coalesce(CAST(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT) AS VARCHAR), '0'),
+      |  coalesce(CAST(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT) AS VARCHAR), '0'),
+      |  coalesce(l_returnflag, '0'),
+      |  coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'), '0'))""".stripMargin
+
+  private def md5SumsSql(prefix: String = "") = (0 until 4).map { i =>
+    s"SUM(('0x' || substr(md5(rowstr), ${i * 8 + 1}, 8))::BIGINT) AS ${prefix}md5_$i"
+  }.mkString(",\n  ")
+
+  private def src(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.select(Perturb.CompareCols.map(col): _*)
+  private def dst(s: SparkSession, dir: String): DataFrame =
+    Perturb.perturbedLineitem(Tables(s, dir).lineitem)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A7/O3: equi-depth chunk bounds (ntile = the deterministic twin of
+    // bucket synthesis, utils/structure/bucket.go:228-258).
+    QueryDef.sql(
+      "q10_chunk_plan",
+      """SELECT chunk_id, COUNT(*) AS n_rows, MIN(l_orderkey) AS lo_key, MAX(l_orderkey) AS hi_key
+        |FROM (SELECT l_orderkey,
+        |        ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk_id
+        |      FROM lineitem) t
+        |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy("l_orderkey", "l_linenumber")
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), ntile(32).over(w).as("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("lo_key"), max("l_orderkey").as("hi_key"))
+        .orderBy("chunk_id")
+    },
+
+    // A1: DATABASE_ROWS method — per-chunk counts on both sides, one scan
+    // per side, O(chunks) join.
+    QueryDef.sql(
+      "q11_compare_count",
+      s"""WITH dst AS (${Perturb.DstSql}),
+         |s AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         |d AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt FROM dst GROUP BY 1)
+         |SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+         |  coalesce(s.cnt, 0) AS src_cnt, coalesce(d.cnt, 0) AS dst_cnt,
+         |  CASE WHEN coalesce(s.cnt,0) = coalesce(d.cnt,0) THEN 'EQUAL' ELSE 'DIFF' END AS status
+         |FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id
+         |ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      val sc = src(s, dir).groupBy(chunkId(col("l_orderkey")).as("chunk_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val dc = dst(s, dir).groupBy(chunkId(col("l_orderkey")).as("chunk_id"))
+        .agg(count(lit(1)).as("cnt"))
+      sc.as("s").join(dc.as("d"), Seq("chunk_id"), "full_outer")
+        .select(col("chunk_id"),
+          coalesce(col("s.cnt"), lit(0L)).as("src_cnt"),
+          coalesce(col("d.cnt"), lit(0L)).as("dst_cnt"),
+          when(coalesce(col("s.cnt"), lit(0L)) === coalesce(col("d.cnt"), lit(0L)), "EQUAL")
+            .otherwise("DIFF").as("status"))
+        .orderBy("chunk_id")
+    },
+
+    // A2: DATABASE_MD5 method — 4×8-hex-slice sums per chunk
+    // (data_compare_row.go:1527-1552), partial-aggregated map-side.
+    QueryDef.sql(
+      "q12_compare_md5",
+      s"""SELECT chunk_id, COUNT(*) AS cnt,
+         |  ${md5SumsSql()}
+         |FROM (SELECT $chunkIdSql AS chunk_id, $rowStrSql AS rowstr FROM lineitem) t
+         |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      val df  = src(s, dir)
+      val row = Canonical.rowString(df, Perturb.CompareCols)
+      df.groupBy(chunkId(col("l_orderkey")).as("chunk_id"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.Checksums.md5SplitSums(row): _*)
+        .orderBy("chunk_id")
+    },
+
+    // A2+U3: chunk status classification across src/dst — the compare
+    // pipeline's chunk verdict table.
+    QueryDef.sql(
+      "q13_compare_chunks",
+      s"""WITH dst AS (${Perturb.DstSql}),
+         |s AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt, ${md5SumsSql()}
+         |      FROM (SELECT *, $rowStrSql AS rowstr FROM lineitem) GROUP BY chunk_id),
+         |d AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt, ${md5SumsSql()}
+         |      FROM (SELECT *, $rowStrSql AS rowstr FROM dst) GROUP BY chunk_id)
+         |SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+         |  coalesce(s.cnt, 0) AS src_cnt, coalesce(d.cnt, 0) AS dst_cnt,
+         |  CASE WHEN s.cnt IS NULL THEN 'DST_ONLY'
+         |       WHEN d.cnt IS NULL THEN 'SRC_ONLY'
+         |       WHEN s.cnt = d.cnt AND s.md5_0 = d.md5_0 AND s.md5_1 = d.md5_1
+         |            AND s.md5_2 = d.md5_2 AND s.md5_3 = d.md5_3 THEN 'EQUAL'
+         |       ELSE 'DIFF' END AS status
+         |FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id
+         |ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      DataCompare.compareChunks(
+        src(s, dir), dst(s, dir), chunkId(col("l_orderkey")), Perturb.CompareCols)
+        .orderBy("chunk_id")
+    },
+
+    // J1/U1: multiset row diff via exceptAll, rescans restricted to the
+    // mismatched chunks (broadcast semi join) — identical result to the
+    // oracle's unrestricted EXCEPT ALL because equal chunks diff to ∅.
+    QueryDef.sql(
+      "q14_row_diff",
+      s"""WITH dst AS (${Perturb.DstSql}),
+         |sp AS (SELECT * FROM lineitem_cols EXCEPT ALL SELECT * FROM dst),
+         |dp AS (SELECT * FROM dst EXCEPT ALL SELECT * FROM lineitem_cols)
+         |SELECT * FROM (
+         |  SELECT 'ADD' AS side, * FROM sp UNION ALL SELECT 'DEL' AS side, * FROM dp)
+         |ORDER BY side, l_orderkey, l_linenumber, l_quantity"""
+        .stripMargin
+        .replace("lineitem_cols",
+          s"(SELECT ${Perturb.CompareCols.mkString(", ")} FROM lineitem)")) { (s, dir) =>
+      val chunks = DataCompare.compareChunks(
+        src(s, dir), dst(s, dir), chunkId(col("l_orderkey")), Perturb.CompareCols)
+        .where(col("status") =!= "EQUAL")
+      val diff = DataCompare.rowDiff(
+        src(s, dir), dst(s, dir), Perturb.CompareCols,
+        chunkId = Some(chunkId(col("l_orderkey"))),
+        mismatchedChunks = Some(chunks))
+      diff.select((col("side") +: Perturb.CompareCols.map(col)): _*)
+        .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // J4: repair statement generation from the diff rows
+    // (data_compare_row.go:1289-1340, processor_translate_mysql.go:70-95).
+    QueryDef.sql(
+      "q15_repair_sql",
+      s"""WITH dst AS (${Perturb.DstSql}),
+         |li AS (SELECT ${Perturb.CompareCols.mkString(", ")} FROM lineitem),
+         |sp AS (SELECT * FROM li EXCEPT ALL SELECT * FROM dst),
+         |dp AS (SELECT * FROM dst EXCEPT ALL SELECT * FROM li),
+         |diff AS (SELECT 'ADD' AS side, * FROM sp UNION ALL SELECT 'DEL' AS side, * FROM dp),
+         |canon AS (SELECT side,
+         |  coalesce(l_orderkey::VARCHAR,'0') AS v1, coalesce(l_linenumber::VARCHAR,'0') AS v2,
+         |  coalesce(CAST(CAST(FLOOR(l_quantity*10000.0) AS BIGINT) AS VARCHAR),'0') AS v3,
+         |  coalesce(CAST(CAST(FLOOR(l_extendedprice*10000.0) AS BIGINT) AS VARCHAR),'0') AS v4,
+         |  coalesce(l_returnflag,'0') AS v5,
+         |  coalesce(strftime(l_shipdate,'%Y-%m-%d %H:%M:%S.%f'),'0') AS v6
+         | FROM diff)
+         |SELECT side, CASE WHEN side = 'ADD' THEN
+         |  'INSERT INTO lineitem (l_orderkey,l_linenumber,l_quantity,l_extendedprice,l_returnflag,l_shipdate) VALUES ('
+         |    || '''' || v1 || ''',''' || v2 || ''',''' || v3 || ''',''' || v4 || ''',''' || v5 || ''',''' || v6 || ''')'
+         |  ELSE
+         |  'DELETE FROM lineitem WHERE '
+         |    || 'l_orderkey=''' || v1 || ''' AND l_linenumber=''' || v2 || ''' AND l_quantity=''' || v3
+         |    || ''' AND l_extendedprice=''' || v4 || ''' AND l_returnflag=''' || v5 || ''' AND l_shipdate=''' || v6 || ''''
+         |  END AS stmt
+         |FROM canon ORDER BY side, stmt""".stripMargin) { (s, dir) =>
+      val diff = DataCompare.rowDiff(src(s, dir), dst(s, dir), Perturb.CompareCols)
+      DataCompare.repairSql(diff, "lineitem", Perturb.CompareCols)
+        .orderBy("side", "stmt")
+    },
+
+    // U3: table rollup — equal_chunks vs chunk_totals verdict
+    // (data_compare_task.go:640-744).
+    QueryDef.sql(
+      "q16_table_summary",
+      s"""WITH dst AS (${Perturb.DstSql}),
+         |s AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt, ${md5SumsSql()}
+         |      FROM (SELECT *, $rowStrSql AS rowstr FROM lineitem) GROUP BY chunk_id),
+         |d AS (SELECT $chunkIdSql AS chunk_id, COUNT(*) AS cnt, ${md5SumsSql()}
+         |      FROM (SELECT *, $rowStrSql AS rowstr FROM dst) GROUP BY chunk_id),
+         |st AS (SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+         |    coalesce(s.cnt,0) AS src_cnt, coalesce(d.cnt,0) AS dst_cnt,
+         |    CASE WHEN s.cnt IS NULL THEN 'DST_ONLY' WHEN d.cnt IS NULL THEN 'SRC_ONLY'
+         |         WHEN s.cnt = d.cnt AND s.md5_0 = d.md5_0 AND s.md5_1 = d.md5_1
+         |              AND s.md5_2 = d.md5_2 AND s.md5_3 = d.md5_3 THEN 'EQUAL'
+         |         ELSE 'DIFF' END AS status
+         |  FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id)
+         |SELECT COUNT(*) AS chunk_totals,
+         |  SUM(CASE WHEN status = 'EQUAL' THEN 1 ELSE 0 END) AS equal_chunks,
+         |  SUM(src_cnt) AS src_rows, SUM(dst_cnt) AS dst_rows,
+         |  CASE WHEN SUM(CASE WHEN status='EQUAL' THEN 1 ELSE 0 END) = COUNT(*)
+         |       THEN 'EQUAL' ELSE 'NOT_EQUAL' END AS table_status
+         |FROM st""".stripMargin) { (s, dir) =>
+      DataCompare.tableSummary(
+        DataCompare.compareChunks(
+          src(s, dir), dst(s, dir), chunkId(col("l_orderkey")), Perturb.CompareCols))
+    },
+
+    // P1/P2: canonicalizing projection incl. the NULL-sentinel convention
+    // (NVL(c,'0') with empty-string ≠ NULL, processor_common_oracle.go:133).
+    QueryDef.sql(
+      "q17_canonical_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_returnflag END, '0') AS c_flag,
+        |  coalesce(CAST(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT) AS VARCHAR), '0') AS c_qty,
+        |  coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'), '0') AS c_shipdate,
+        |  upper(md5(l_returnflag)) AS c_hash
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.StringType
+      val li = Tables(s, dir).lineitem
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Canonical.canonical(
+          when(col("l_orderkey") % 10 === 0, lit(null).cast(StringType))
+            .otherwise(col("l_returnflag")), StringType).as("c_flag"),
+        Canonical.canonical(col("l_quantity"), org.apache.spark.sql.types.DoubleType).as("c_qty"),
+        Canonical.canonical(col("l_shipdate"), li.schema("l_shipdate").dataType).as("c_shipdate"),
+        upper(md5(col("l_returnflag"))).as("c_hash"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A3/A4: CRC32 chunk checksums with uint32 wraparound — DuckDB has no
+    // crc32, so this is a rows-only contract check; exact-value coverage
+    // lives in ChecksumSpec (ScalaTest).
+    QueryDef.rowsOnly("q18_compare_crc32") { (s, dir) =>
+      val df  = src(s, dir)
+      val row = Canonical.rowString(df, Perturb.CompareCols)
+      df.groupBy(chunkId(col("l_orderkey")).as("chunk_id"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.Checksums.crc32WrapSum(row).as("crc32"))
+        .orderBy("chunk_id")
+    },
+  )
+}
