@@ -14,7 +14,9 @@ object SparkEntry {
   /** Registry of all verifiable operators, assembled per domain. */
   def registry: Seq[QueryDef] =
     graft.queries.CoreQueries.all ++
-      graft.queries.CompareQueries.all
+      graft.queries.CompareQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.EmbeddingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines, at 100 TB shape:
+  *
+  *  - exact: one groupBy on a content fingerprint — single shuffle keyed
+  *    on the hash, map-side combined;
+  *  - MinHash + LSH: shingle → one md5 per shingle → k derived min-hashes
+  *    (Broder) → band buckets → candidate pairs only where a band
+  *    collides. The cross-document comparison is a self-equi-join on
+  *    (band, bucket), so cost follows collisions, never n²;
+  *  - SimHash: 16-bit sign-aggregated fingerprint; near-dup = small
+  *    Hamming distance, blocked by bucket before pairing;
+  *  - n-gram Jaccard: exact verification join, run only on LSH candidates.
+  *
+  * All hashes are md5-derived (portable — DuckDB oracles rebuild them).
+  */
+object Dedup {
+
+  /** Exact dedup groups: content fingerprint → keeper (min id) + count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(normText(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Per-document MinHash signature: k derived hashes over character
+    * shingles; returns (id, m0..m{k-1}).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 8, numHashes: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(normText(col(textCol)), shingleLen)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("md"))
+      .select(col("doc_id"),
+        conv(substring(col("md"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("md"), 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L)).as("b"))
+    sh.groupBy("doc_id")
+      .agg(
+        min(derivedHash(col("a"), col("b"), 0)).as("m0"),
+        (1 until numHashes).map(i => min(derivedHash(col("a"), col("b"), i)).as(s"m$i")): _*)
+  }
+
+  /** LSH band explosion: signature rows → (doc_id, band, bucket_key). */
+  def lshBands(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { bIdx =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}").cast("string"))
+      sig.select(col("doc_id"), lit(bIdx).as("band"), concat_ws("_", keyCols: _*).as("bucket"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs (the expensive
+    * join runs only on the candidate set).
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 8): DataFrame = {
+    val shd = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(normText(col(textCol)), shingleLen)).as("sh"))
+      .distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shd.as("a"), col("d1") === col("a.doc_id"))
+      .join(shd.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_inter"),
+        (col("n1") + col("n2") - col("n_inter")).as("n_union"),
+        floor(lit(100000.0) * col("n_inter") / (col("n1") + col("n2") - col("n_inter")))
+          .cast("long").as("jaccard_scaled"))
+  }
+
+  /** 16-bit SimHash per document: per-bit ±1 sums over token hashes
+    * (frequency-weighted — duplicate tokens count), sign → bit. Bit ops
+    * use `div`/`pow` arithmetic so the same formula runs on any engine.
+    */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("tok"))
+      .select(col("doc_id"), hash16(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h div CAST(pow(2.0, b) AS BIGINT)) % 2") === 1, 1L)
+        .otherwise(-1L)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2.0, b) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Blocked by the
+    * top byte of the fingerprint before pairing so the join is bucketed,
+    * not n² (near-dups share high bits with probability ∝ similarity).
+    */
+  def simhashPairs(sim: DataFrame, maxDist: Int = 3): DataFrame = {
+    val blocked = sim.withColumn("blk", expr("simhash div 256"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Scale design: the brute-force path is one narrow scan with a
+  * codegen'd fold per row (no explode, no shuffle except the final top-k,
+  * which TakeOrdered handles in O(k) per partition). The ANN path buckets
+  * vectors by random-hyperplane signs (8-bit LSH) so the candidate join is
+  * an equi-join on bucket — at 10^9 vectors the probe touches ~1/256 of
+  * the corpus per bucket, and bucket assignment is embarrassingly parallel.
+  *
+  * Determinism: float math is done on ×10^6 floor-scaled integers, so any
+  * engine (the DuckDB oracle included) reproduces dot products and cosine
+  * ranks bit-for-bit; hyperplane signs are md5-derived from (plane, dim)
+  * indices — no RNG state.
+  */
+object Similarity {
+
+  val Dim = 64
+  val Scale = 1000000.0
+
+  /** Element scaled to an exact integer: floor(x · 10^6). */
+  private def sInt(x: Column): Column =
+    floor(x.cast("double") * lit(Scale)).cast("long")
+
+  /** Exact scaled dot product of two float-array columns. */
+  def scaledDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => sInt(x) * sInt(y)), lit(0L), (acc, v) => acc + v)
+
+  /** Scaled cosine: floor(10^6 · dot / (‖a‖·‖b‖)), all from exact ints. */
+  def cosineScaled(a: Column, b: Column): Column =
+    floor(lit(Scale) * scaledDot(a, b).cast("double") /
+      (sqrt(scaledDot(a, a).cast("double")) * sqrt(scaledDot(b, b).cast("double"))))
+      .cast("long")
+
+  /** Brute-force top-k by cosine against one query vector (broadcast
+    * cross join of a single row — no shuffle of the corpus).
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
+    embeddings.crossJoin(broadcast(query.select(col("embedding").as("qv"))))
+      .select(col("vec_id"), cosineScaled(col("embedding"), col("qv")).as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Deterministic ±1 hyperplane signs: sign(plane j, dim i) from
+    * md5("j_i") — identical to the SQL twin
+    * ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2.
+    */
+  def hyperplaneSigns(numPlanes: Int = 8): Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, Dim) { (j, i) =>
+      val hex = md.digest(s"${j}_${i + 1}".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex, 16) % 2 == 1) 1 else -1
+    }
+  }
+
+  /** LSH bucket id (0..2^planes-1) for an embedding column: bit j set iff
+    * the scaled dot with hyperplane j is positive. The sign vectors are
+    * array literals — the whole bucket assignment stays inside whole-stage
+    * codegen with zero joins.
+    */
+  def lshBucket(emb: Column, numPlanes: Int = 8): Column = {
+    val signs = hyperplaneSigns(numPlanes)
+    (0 until numPlanes).map { j =>
+      val signArr = array(signs(j).map(s => lit(s.toLong)): _*)
+      val dot = aggregate(zip_with(emb, signArr, (x, s) => sInt(x) * s), lit(0L), (a, v) => a + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: restrict to the query's LSH bucket, then exact cosine. */
+  def annTopK(embeddings: DataFrame, query: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+    val q = query.select(col("embedding").as("qv"),
+      lshBucket(col("embedding"), numPlanes).as("qbucket"))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        cosineScaled(col("embedding"), col("qv")).as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: bucket-mates with cosine above a
+    * scaled threshold (the dedup-by-embedding path).
+    */
+  def nearDupPairs(embeddings: DataFrame, minCosScaled: Long, numPlanes: Int = 8): DataFrame = {
+    val b = embeddings.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        cosineScaled(col("x.embedding"), col("y.embedding")).as("cos_scaled"))
+      .where(col("cos_scaled") >= minCosScaled)
+  }
+}

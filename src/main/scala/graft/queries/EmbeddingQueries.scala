@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.{Multimodal, Similarity}
+
+/** Embedding similarity search + multimodal plumbing (training-data
+  * pipeline ops). Float math runs on ×10^6 floor-scaled integers so the
+  * DuckDB oracle reproduces dot products, cosine ranks and LSH buckets
+  * exactly — see Similarity's scaladoc for the scale story.
+  */
+object EmbeddingQueries {
+
+  /** Oracle CTE: per-vector scaled elements (1-based dim index). */
+  private val evSql =
+    """ev AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      |       FROM embeddings, generate_series(1, 64) t(i))""".stripMargin
+
+  /** Oracle CTE chain: md5-derived hyperplane signs → per-plane dots →
+    * 8-bit LSH bucket per vector (requires `em(vec_id, embedding)`).
+    */
+  private val bucketSql =
+    """hp AS (SELECT j, i,
+      |    CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 2))::INT % 2 = 1
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM generate_series(0, 7) t1(j), generate_series(1, 64) t2(i)),
+      |evb AS (SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      |        FROM em, generate_series(1, 64) t(i)),
+      |dots AS (SELECT vec_id, j, SUM(s * x) AS d
+      |         FROM evb JOIN hp USING (i) GROUP BY vec_id, j),
+      |buck AS (SELECT vec_id,
+      |    SUM(CASE WHEN d > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Scaled-cosine SQL from the three integer dots. */
+  private def cosSql(dxy: String, dxx: String, dyy: String): String =
+    s"CAST(FLOOR(1000000.0 * CAST($dxy AS DOUBLE) / " +
+      s"(sqrt(CAST($dxx AS DOUBLE)) * sqrt(CAST($dyy AS DOUBLE)))) AS BIGINT)"
+
+  /** Near-dup fixture: every 37th vector duplicated under a new id. */
+  private val dupSql =
+    """em AS (SELECT vec_id, embedding FROM embeddings
+      |       UNION ALL
+      |       SELECT vec_id + 100000 AS vec_id, embedding
+      |       FROM embeddings WHERE vec_id % 37 = 0)""".stripMargin
+
+  private def dupVectors(e: DataFrame): DataFrame =
+    e.select("vec_id", "embedding").unionAll(
+      e.where(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k against one query vector — the exact
+    // baseline every ANN variant is judged against.
+    QueryDef.sql(
+      "q29_embedding_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |ev2 AS (SELECT e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, q, generate_series(1, 64) t(i)),
+         |d AS (SELECT vec_id, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM ev2 GROUP BY vec_id)
+         |SELECT vec_id, ${cosSql("dxy", "dxx", "dyy")} AS cos_scaled
+         |FROM d ORDER BY cos_scaled DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), 20)
+    },
+
+    // LSH-bucketed ANN: candidates from the query's random-hyperplane
+    // bucket, exact cosine within.
+    QueryDef.sql(
+      "q30_ann_lsh",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings),
+         |$bucketSql,
+         |q AS (SELECT e.embedding AS qv, b.bucket AS qb
+         |      FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id WHERE e.vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |  FROM embeddings e JOIN buck bk ON e.vec_id = bk.vec_id
+         |  JOIN q ON bk.bucket = q.qb),
+         |ev2 AS (SELECT c.vec_id, c.bucket, i,
+         |    CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM cand c, q, generate_series(1, 64) t(i)),
+         |d AS (SELECT vec_id, bucket, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM ev2 GROUP BY vec_id, bucket)
+         |SELECT vec_id, bucket, ${cosSql("dxy", "dxx", "dyy")} AS cos_scaled
+         |FROM d ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.annTopK(e, e.where(col("vec_id") === 0), 10)
+    },
+
+    // Embedding near-dup pairs: LSH bucket-mates above a cosine threshold
+    // (seeded exact duplicates guarantee hits).
+    QueryDef.sql(
+      "q31_embedding_neardup",
+      s"""WITH $dupSql,
+         |$bucketSql,
+         |bkt AS (SELECT em.vec_id, em.embedding, b.bucket
+         |        FROM em JOIN buck b ON em.vec_id = b.vec_id),
+         |pairs AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
+         |    x.embedding AS e1, y.embedding AS e2
+         |  FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |ev2 AS (SELECT v1, v2, i,
+         |    CAST(FLOOR(CAST(e1[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pairs, generate_series(1, 64) t(i)),
+         |d AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM ev2 GROUP BY v1, v2)
+         |SELECT v1, v2, ${cosSql("dxy", "dxx", "dyy")} AS cos_scaled
+         |FROM d
+         |WHERE ${cosSql("dxy", "dxx", "dyy")} >= 999000
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      Similarity.nearDupPairs(dupVectors(Tables(s, dir).embeddings), 999000L)
+        .orderBy("v1", "v2")
+    },
+
+    // Multimodal plumbing: opaque binary payloads + typed metadata; the
+    // decode step is a deterministic stub (see Multimodal.decodeFeatures)
+    // running through the real mapPartitions batch path.
+    QueryDef.sql(
+      "q32_multimodal",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
+        |  (octet_length(encode(text)) % 640) + 1 AS width,
+        |  (octet_length(encode(text)) % 480) + 1 AS height,
+        |  octet_length(encode(text)) // 1000 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bin = Multimodal.asBinary(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.decodeFeatures(s, bin).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("content_hash"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"))
+        .orderBy("doc_id")
+    },
+  )
+}

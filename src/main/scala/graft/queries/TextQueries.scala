@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (exact dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard, language-ID, quality scoring, token counting,
+  * fingerprinting). Each oracle rebuilds the identical md5-derived hashes
+  * in DuckDB, so signatures/pairs/scores are value-checked, not just
+  * row-counted.
+  */
+object TextQueries {
+
+  /** SQL twin of TextFunctions.normText. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Near-dup fixture: every 29th doc re-appears with its first 20 chars
+    * cut — guarantees LSH-findable pairs (the corpus itself is random
+    * soup with no natural near-dups). SQL twin below, Spark twin next.
+    */
+  private val nearDupSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+       |FROM documents WHERE doc_id % 29 = 0""".stripMargin
+
+  private def nearDupDocs(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionAll(
+      docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text")))
+
+  /** Exact-dup fixture: every 31st doc duplicated verbatim. */
+  private val exactDupSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0""".stripMargin
+
+  private def exactDupDocs(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionAll(
+      docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+
+  /** Shared oracle CTE: MinHash signatures (8 hashes, 8-char shingles)
+    * over the near-dup-seeded corpus — Broder derivation (a + i·b) mod
+    * 2^32 from one md5 per shingle.
+    */
+  private val sigSql =
+    s"""docs AS ($nearDupSql),
+       |nrm AS (SELECT doc_id, $normSql AS nt FROM docs),
+       |sh AS (SELECT doc_id,
+       |         unnest([substr(nt, i, 8) for i in generate_series(1, greatest(len(nt) - 7, 1))]) AS sh
+       |       FROM nrm),
+       |ab AS (SELECT doc_id,
+       |         ('0x' || substr(md5(sh), 1, 8))::BIGINT AS a,
+       |         (('0x' || substr(md5(sh), 9, 8))::BIGINT | 1) AS b
+       |       FROM sh),
+       |sig AS (SELECT doc_id,
+       |${(0 until 8).map(i => s"  MIN((a + $i * b) % 4294967296) AS m$i").mkString(",\n")}
+       |  FROM ab GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokenization over normalized text.
+    QueryDef.sql(
+      "q20_token_count",
+      s"""SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(tokens(normText(col("text")))).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: n-gram/stopword marker scoring with a fixed-precedence
+    // argmax — the deterministic heuristic shape of fasttext-style LID.
+    QueryDef.sql(
+      "q21_lang_id",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(regexp_extract_all(nt, '\\b(the|of|and)\\b')) AS s_en,
+         |  len(regexp_extract_all(nt, '\\b(der|die|das|und)\\b')) AS s_de,
+         |  len(regexp_extract_all(nt, '\\b(el|la|los|de)\\b')) AS s_es,
+         |  len(regexp_extract_all(nt, '\\b(le|les|des|une)\\b')) AS s_fr
+         | FROM nrm)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))").cast("long").as("s_en"),
+          expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))").cast("long").as("s_de"),
+          expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))").cast("long").as("s_es"),
+          expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))").cast("long").as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / punctuation / stopword-ratio heuristics,
+    // ratios floor-scaled for cross-engine determinism.
+    QueryDef.sql(
+      "q22_quality_score",
+      s"""WITH nrm AS (SELECT doc_id, n_chars, $normSql AS nt FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  len(string_split(nt, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(nt, '[.!?,;:]')) AS n_punct,
+         |  len(regexp_extract_all(nt, '\\b(the|a|of|and|to|in)\\b')) AS n_stop
+         | FROM nrm)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+         |  CAST(FLOOR(10000.0 * n_stop / n_tokens) AS BIGINT) AS stop_ratio_scaled,
+         |  CAST(FLOOR(100.0 * n_chars / n_tokens) AS BIGINT) AS chars_per_token_scaled
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"), normText(col("text")).as("nt"))
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens(col("nt"))).cast("long").as("n_tokens"),
+          expr("size(regexp_extract_all(nt, '[.!?,;:]', 0))").cast("long").as("n_punct"),
+          expr("size(regexp_extract_all(nt, '\\\\b(the|a|of|and|to|in)\\\\b', 0))").cast("long").as("n_stop"))
+        .withColumn("stop_ratio_scaled",
+          floor(lit(10000.0) * col("n_stop") / col("n_tokens")).cast("long"))
+        .withColumn("chars_per_token_scaled",
+          floor(lit(100.0) * col("n_chars") / col("n_tokens")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: whole-content md5 + rolling-hash winnow
+    // (min 8-shingle hash — the winnowing primitive).
+    QueryDef.sql(
+      "q23_fingerprint",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest([substr(nt, i, 8) for i in generate_series(1, greatest(len(nt) - 7, 1))]) AS sh
+         |       FROM nrm),
+         |w AS (SELECT doc_id, MIN(('0x' || substr(md5(sh), 1, 8))::BIGINT) AS winnow
+         |      FROM sh GROUP BY doc_id)
+         |SELECT n.doc_id, md5(n.nt) AS fp, w.winnow
+         |FROM nrm n JOIN w ON n.doc_id = w.doc_id ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val nrm = Tables(s, dir).documents
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+      val w = nrm
+        .select(col("doc_id"), explode(shingles(col("nt"), 8)).as("sh"))
+        .groupBy("doc_id").agg(min(hash32(col("sh"))).as("winnow"))
+      nrm.join(w, Seq("doc_id"))
+        .select(col("doc_id"), md5(col("nt")).as("fp"), col("winnow"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: content-hash groups with keeper choice (min id).
+    QueryDef.sql(
+      "q24_dedup_exact",
+      s"""WITH docs AS ($exactDupSql)
+         |SELECT md5($normSql) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+         |FROM docs GROUP BY fp ORDER BY fp""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(exactDupDocs(Tables(s, dir).documents), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    // MinHash signatures (8×32-bit, Broder derivation) per document.
+    QueryDef.sql(
+      "q25_minhash_sig",
+      s"""WITH $sigSql
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashSignatures(nearDupDocs(Tables(s, dir).documents), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // LSH candidate pairs: 4 bands × 2 rows — docs sharing any band bucket.
+    QueryDef.sql(
+      "q26_minhash_pairs",
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig)
+         |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashSignatures(nearDupDocs(Tables(s, dir).documents), "doc_id", "text")
+      Dedup.minhashCandidates(sig).orderBy("d1", "d2")
+    },
+
+    // Exact n-gram Jaccard verification of the LSH candidates.
+    QueryDef.sql(
+      "q27_ngram_jaccard",
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.d1
+         |  JOIN shd b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2)
+         |SELECT c.d1, c.d2, coalesce(i.n_inter, 0) AS n_inter,
+         |  na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
+         |  CAST(FLOOR(100000.0 * coalesce(i.n_inter, 0) / (na.n + nb.n - coalesce(i.n_inter, 0))) AS BIGINT) AS jaccard_scaled
+         |FROM cand c
+         |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |JOIN sizes na ON na.doc_id = c.d1
+         |JOIN sizes nb ON nb.doc_id = c.d2
+         |ORDER BY c.d1, c.d2""".stripMargin) { (s, dir) =>
+      val docs = nearDupDocs(Tables(s, dir).documents)
+      val sig  = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sig)
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text")
+        .select("d1", "d2", "n_inter", "n_union", "jaccard_scaled")
+        .orderBy("d1", "d2")
+    },
+
+    // 16-bit SimHash fingerprints (sign-aggregated token hashes).
+    QueryDef.sql(
+      "q28_simhash",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash16(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+  )
+}
