@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.CoreQueries.all ++
       graft.queries.CompareQueries.all ++
       graft.queries.TextQueries.all ++
-      graft.queries.EmbeddingQueries.all
+      graft.queries.EmbeddingQueries.all ++
+      graft.queries.StructQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Data migration sinks/sources (SURVEY S5/S6, §3.2):
+  *
+  *  - CSV export with the reference's option matrix (separator, quote,
+  *    escape-backslash, NULL token, header — `csv_migrate_row.go:161-219`,
+  *    value formatting `database/oracle/data_migrate.go:845-1010`);
+  *  - safe-mode apply (`REPLACE INTO` semantics,
+  *    `stmt_migrate_row.go:206-303`): key-based delete+insert, idempotent
+  *    under replay — the batch wins, unmatched target rows survive.
+  *
+  * As one lazy plan: read → canonical projection → partitioned write; the
+  * reference's chunk×thread pipeline collapses into Spark partitioning.
+  */
+object Migrate {
+
+  final case class CsvOptions(
+      sep: String = ",",
+      quote: String = "\"",
+      escape: String = "\\",
+      nullValue: String = "NULL",
+      header: Boolean = true,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def writeCsv(df: DataFrame, dir: String, o: CsvOptions = CsvOptions()): Unit =
+    df.write.mode("overwrite")
+      .option("sep", o.sep).option("quote", o.quote).option("escape", o.escape)
+      .option("nullValue", o.nullValue).option("header", o.header.toString)
+      .option("timestampFormat", o.timestampFormat)
+      .option("timestampNTZFormat", o.timestampFormat)
+      .csv(dir)
+
+  def readCsv(spark: SparkSession, dir: String, schema: StructType,
+      o: CsvOptions = CsvOptions()): DataFrame =
+    spark.read.schema(schema)
+      .option("sep", o.sep).option("quote", o.quote).option("escape", o.escape)
+      .option("nullValue", o.nullValue).option("header", o.header.toString)
+      .option("timestampFormat", o.timestampFormat)
+      .option("timestampNTZFormat", o.timestampFormat)
+      .csv(dir)
+
+  /** Safe-mode upsert: REPLACE INTO ≡ anti-join out the batch's keys, then
+    * append the batch. Replay-safe: applying the same batch twice is a
+    * no-op the second time.
+    */
+  def safeModeApply(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(batch.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(batch)
+}

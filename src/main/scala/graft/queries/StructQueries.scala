@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.{Migrate, StructMigrate}
+
+/** Struct migrate/compare, data-scan profiling, assess aggregations, and
+  * migrate sinks (SURVEY §2.1 S5/S6, §2.4 A5/A6, §2.7 U2).
+  */
+object StructQueries {
+
+  /** Oracle-ish source catalog fixture — one row per column, covering the
+    * NUMBER ladder, character, LOB, temporal and binary rules.
+    */
+  private val srcCatalogRows: Seq[(String, String, String, Option[Long], Option[Long])] = Seq(
+    ("t1", "amount",  "NUMBER",       Some(12L), Some(2L)),
+    ("t1", "bf",      "BINARY_FLOAT", None,      None),
+    ("t1", "big",     "NUMBER",       Some(24L), Some(0L)),
+    ("t1", "code",    "CHAR",         Some(300L), None),
+    ("t1", "created", "DATE",         None,      None),
+    ("t1", "doc",     "CLOB",         None,      None),
+    ("t1", "flag",    "CHAR",         Some(1L),  None),
+    ("t1", "free",    "NUMBER",       None,      None),
+    ("t1", "id",      "NUMBER",       Some(10L), Some(0L)),
+    ("t1", "img",     "BLOB",         None,      None),
+    ("t1", "med",     "NUMBER",       Some(6L),  Some(0L)),
+    ("t1", "name",    "VARCHAR2",     Some(50L), None),
+    ("t1", "ratio",   "FLOAT",        None,      None),
+    ("t1", "rawc",    "RAW",          Some(16L), None),
+    ("t1", "tiny",    "NUMBER",       Some(2L),  Some(0L)),
+    ("t1", "ts6",     "TIMESTAMP(6)", None,      Some(6L)),
+    ("t1", "ts9",     "TIMESTAMP(9)", None,      Some(9L)),
+    ("t1", "xml",     "XMLTYPE",      None,      None))
+
+  private def sqlValues(rows: Seq[(String, String, String, Option[Long], Option[Long])]): String =
+    rows.map { case (t, c, d, p, s) =>
+      val ps = p.map(_.toString).getOrElse("NULL")
+      val ss = s.map(_.toString).getOrElse("NULL")
+      s"('$t','$c','$d',$ps,$ss)"
+    }.mkString(",\n  ")
+
+  private def catalogDf(s: SparkSession,
+      rows: Seq[(String, String, String, Option[Long], Option[Long])]): DataFrame = {
+    import s.implicits._
+    rows.toDF("table_name", "column_name", "data_type", "data_precision", "data_scale")
+  }
+
+  /** SQL twin of StructMigrate.mapOracleType. */
+  private val mapTypeSql =
+    """CASE WHEN data_type = 'NUMBER' AND data_precision IS NULL THEN 'DECIMAL(65,30)'
+      |     WHEN data_type = 'NUMBER' AND coalesce(data_scale, 0) > 0
+      |          THEN 'DECIMAL(' || least(data_precision, 65) || ',' || least(coalesce(data_scale,0), 30) || ')'
+      |     WHEN data_type = 'NUMBER' AND data_precision < 3 THEN 'TINYINT'
+      |     WHEN data_type = 'NUMBER' AND data_precision < 5 THEN 'SMALLINT'
+      |     WHEN data_type = 'NUMBER' AND data_precision < 9 THEN 'INT'
+      |     WHEN data_type = 'NUMBER' AND data_precision < 19 THEN 'BIGINT'
+      |     WHEN data_type = 'NUMBER' THEN 'DECIMAL(' || data_precision || ',0)'
+      |     WHEN data_type IN ('VARCHAR2','NVARCHAR2') THEN 'VARCHAR(' || data_precision || ')'
+      |     WHEN data_type = 'CHAR' AND data_precision > 255 THEN 'VARCHAR(' || data_precision || ')'
+      |     WHEN data_type = 'CHAR' THEN 'CHAR(' || data_precision || ')'
+      |     WHEN data_type IN ('CLOB','NCLOB','LONG') THEN 'LONGTEXT'
+      |     WHEN data_type IN ('BLOB','LONG RAW') THEN 'LONGBLOB'
+      |     WHEN data_type = 'RAW' THEN 'VARBINARY(' || data_precision || ')'
+      |     WHEN data_type = 'DATE' THEN 'DATETIME'
+      |     WHEN data_type LIKE 'TIMESTAMP%' THEN 'DATETIME(' || least(coalesce(data_scale,0), 6) || ')'
+      |     WHEN data_type = 'BINARY_FLOAT' THEN 'FLOAT'
+      |     WHEN data_type IN ('FLOAT','BINARY_DOUBLE') THEN 'DOUBLE'
+      |     ELSE 'TEXT' END""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // struct_migrate: Oracle→MySQL-compat type translation + DDL render
+    // (database/mapping/oracle.go:64-160 rules as data-parallel exprs).
+    QueryDef.sql(
+      "q40_struct_migrate",
+      s"""WITH cat(table_name, column_name, data_type, data_precision, data_scale) AS (VALUES
+         |  ${sqlValues(srcCatalogRows)})
+         |SELECT table_name, column_name, data_type,
+         |  $mapTypeSql AS target_type,
+         |  '`' || column_name || '` ' || $mapTypeSql AS ddl
+         |FROM cat ORDER BY table_name, column_name""".stripMargin) { (s, dir) =>
+      StructMigrate.migrate(catalogDf(s, srcCatalogRows))
+        .select("table_name", "column_name", "data_type", "target_type", "ddl")
+        .orderBy("table_name", "column_name")
+    },
+
+    // struct_compare: catalog diff → ADDED/DROPPED/TYPE_CHANGED + ALTER
+    // text (struct_compare_table.go:45-1035 classes).
+    QueryDef.sql(
+      "q41_struct_compare", {
+        val dstRows = srcCatalogRows
+          .filterNot(_._2 == "ratio")                                   // dst lost a column
+          .map { case r @ (t, c, _, p, sc) =>
+            if (c == "amount") (t, c, "VARCHAR2", p, sc) else r }       // dst changed a type
+          .:+(("t1", "extra", "VARCHAR2", Some(10L), None: Option[Long])) // dst gained a column
+        s"""WITH src(table_name, column_name, data_type, data_precision, data_scale) AS (VALUES
+           |  ${sqlValues(srcCatalogRows)}),
+           |dst(table_name, column_name, data_type, data_precision, data_scale) AS (VALUES
+           |  ${sqlValues(dstRows)})
+           |SELECT coalesce(s.table_name, d.table_name) AS table_name,
+           |  coalesce(s.column_name, d.column_name) AS column_name,
+           |  s.data_type AS src_type, d.data_type AS dst_type,
+           |  CASE WHEN d.column_name IS NULL THEN 'ADDED'
+           |       WHEN s.column_name IS NULL THEN 'DROPPED'
+           |       WHEN s.data_type <> d.data_type THEN 'TYPE_CHANGED'
+           |       ELSE 'SAME' END AS diff,
+           |  CASE WHEN d.column_name IS NULL THEN
+           |         'ALTER TABLE ' || s.table_name || ' ADD COLUMN ' || s.column_name || ' ' || s.data_type
+           |       WHEN s.column_name IS NULL THEN
+           |         'ALTER TABLE ' || d.table_name || ' DROP COLUMN ' || d.column_name
+           |       WHEN s.data_type <> d.data_type THEN
+           |         'ALTER TABLE ' || s.table_name || ' MODIFY ' || s.column_name || ' ' || s.data_type
+           |       ELSE '' END AS alter_sql
+           |FROM src s FULL OUTER JOIN dst d
+           |  ON s.table_name = d.table_name AND s.column_name = d.column_name
+           |ORDER BY table_name, column_name""".stripMargin
+      }) { (s, dir) =>
+      val dstRows = srcCatalogRows
+        .filterNot(_._2 == "ratio")
+        .map { case r @ (t, c, _, p, sc) =>
+          if (c == "amount") (t, c, "VARCHAR2", p, sc) else r }
+        .:+(("t1", "extra", "VARCHAR2", Some(10L), None: Option[Long]))
+      StructMigrate.compareCatalogs(catalogDf(s, srcCatalogRows), catalogDf(s, dstRows))
+        .orderBy("table_name", "column_name")
+    },
+
+    // data_scan: NUMBER-class profiling over a deterministic modulo
+    // "sample" (S3 + A5's classifier, data_scan_rule.go:150-168).
+    QueryDef.sql(
+      "q42_data_scan",
+      """WITH sample AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+        |u AS (SELECT 'l_quantity' AS col_name, l_quantity AS v FROM sample
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM sample
+        |  UNION ALL SELECT 'l_discount', l_discount FROM sample)
+        |SELECT col_name,
+        |  CASE WHEN v IS NULL THEN 'NULL'
+        |       WHEN v = floor(v) AND abs(v) <= 9.0e18 THEN 'BIGINT'
+        |       WHEN v = floor(v) THEN 'DECIMAL_INT'
+        |       ELSE 'DECIMAL_POINT' END AS category,
+        |  COUNT(*) AS n
+        |FROM u GROUP BY col_name, category ORDER BY col_name, category""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .where(col("l_orderkey") % 10 === 0)
+        .selectExpr("stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount) AS (col_name, v)")
+        .withColumn("category",
+          when(col("v").isNull, "NULL")
+            .when(col("v") === floor(col("v")) && abs(col("v")) <= lit(9.0e18), "BIGINT")
+            .when(col("v") === floor(col("v")), "DECIMAL_INT")
+            .otherwise("DECIMAL_POINT"))
+        .groupBy("col_name", "category").agg(count(lit(1)).as("n"))
+        .orderBy("col_name", "category")
+    },
+
+    // assess: TOP-N tables by rows across the whole corpus (A6/T4,
+    // database/assess_migrate.go:32-35).
+    QueryDef.sql(
+      "q43_assess_tables", {
+        val tables = Seq("lineitem", "orders", "customer", "part", "supplier",
+          "nation", "region", "events", "documents", "embeddings")
+        tables.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_rows FROM $t")
+          .mkString("SELECT * FROM (\n", "\nUNION ALL ", ")\nORDER BY n_rows DESC, tbl")
+      }) { (s, dir) =>
+      val t = Tables(s, dir)
+      Seq(
+        "lineitem" -> t.lineitem, "orders" -> t.orders, "customer" -> t.customer,
+        "part" -> t.part, "supplier" -> t.supplier, "nation" -> t.nation,
+        "region" -> t.region, "events" -> t.events, "documents" -> t.documents,
+        "embeddings" -> t.embeddings)
+        .map { case (n, df) => df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("tbl"), col("n_rows")) }
+        .reduce(_ unionAll _)
+        .orderBy(col("n_rows").desc, col("tbl"))
+    },
+
+    // assess: per-group screens (identifier-length / distinct-type /
+    // size-sum checks — the over-limit screens of assess_migrate.go).
+    QueryDef.sql(
+      "q44_assess_screens",
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  SUM(CASE WHEN length(p_name) > 15 THEN 1 ELSE 0 END) AS n_long_names,
+        |  SUM(CAST(FLOOR(p_retailprice * 100.0) AS BIGINT)) AS sum_price_cents,
+        |  COUNT(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      Tables(s, dir).part
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(length(col("p_name")) > 15, 1L).otherwise(0L)).as("n_long_names"),
+          sum(floor(col("p_retailprice") * 100.0).cast("long")).as("sum_price_cents"),
+          countDistinct("p_type").as("n_types"))
+        .orderBy("p_brand")
+    },
+
+    // csv_migrate round trip (S5, FIXTURES §F7): write with the reference
+    // option matrix, read back with schema — values must survive exactly.
+    QueryDef.sql(
+      "q45_csv_roundtrip",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') AS l_shipdate_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      val src  = Tables(s, dir).lineitem.select(cols.map(col): _*)
+      val tmp  = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      Migrate.writeCsv(src, tmp)
+      Migrate.readCsv(s, tmp, src.schema)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("l_shipdate_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // safe-mode REPLACE INTO (S6): key-based delete+insert, applied TWICE
+    // — idempotence means the double-apply equals the oracle's single one.
+    QueryDef.sql(
+      "q46_safe_mode",
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus, o_totalprice + 1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |applied AS (
+        |  SELECT t.* FROM tgt t LEFT JOIN batch b ON t.o_orderkey = b.o_orderkey
+        |  WHERE b.o_orderkey IS NULL
+        |  UNION ALL SELECT * FROM batch)
+        |SELECT * FROM applied ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val batch = o.where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("R").as("o_orderstatus"), (col("o_totalprice") + 1).as("o_totalprice"))
+      val once  = Migrate.safeModeApply(o, batch, Seq("o_orderkey"))
+      val twice = Migrate.safeModeApply(once, batch, Seq("o_orderkey"))
+      twice.orderBy("o_orderkey")
+    },
+  )
+}
