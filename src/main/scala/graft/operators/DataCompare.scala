@@ -29,14 +29,23 @@ import graft.functions.{Canonical, Checksums}
   */
 object DataCompare {
 
-  /** Per-chunk (count, crc32-wrap-sum, 4×md5-split-sum) in one pass. */
+  /** Per-chunk (count, crc32-wrap-sum, 4×md5-split-sum) in one pass.
+    * The canonical row string and its md5 are materialized in a projection
+    * BEFORE the aggregate — otherwise each of the 6 aggregate expressions
+    * re-evaluates the concat/format/digest chain per row (no CSE across
+    * aggregate expressions).
+    */
   def chunkChecksums(df: DataFrame, chunkId: Column, cols: Seq[String]): DataFrame = {
-    val row = Canonical.rowString(df, cols)
-    df.groupBy(chunkId.as("chunk_id"))
+    val prepared = df
+      .select(chunkId.as("chunk_id"), Canonical.rowString(df, cols).as("__row"))
+      .select(col("chunk_id"), col("__row"), md5(col("__row")).as("__md5"))
+    prepared.groupBy("chunk_id")
       .agg(
         count(lit(1)).as("cnt"),
-        Checksums.crc32WrapSum(row).as("crc32") +:
-          Checksums.md5SplitSums(row): _*)
+        (sum(crc32(col("__row"))) % lit(4294967296L)).as("crc32") +:
+          (0 until 4).map { i =>
+            sum(conv(substring(col("__md5"), i * 8 + 1, 8), 16, 10).cast("long")).as(s"md5_$i")
+          }: _*)
   }
 
   /** Chunk status table: full-outer join of the two sides' checksum rows,
@@ -60,7 +69,13 @@ object DataCompare {
   }
 
   /** Multiset row diff (J1): rows to add to dst (src∖dst) and rows to
-    * delete from dst (dst∖src), duplicate-count aware via exceptAll.
+    * delete from dst (dst∖src), duplicate-count aware. This is the
+    * reference's `Cmp` sv−dv arithmetic (`data_compare_row.go:2137-2152`)
+    * distributed: ONE count-aggregate per side and ONE full-outer join
+    * produce both directions — half the shuffles of exceptAll×2, and the
+    * aggregate collapses rows map-side before the shuffle. Rows with a
+    * count delta are re-expanded |sv−dv| times, so the result is
+    * multiset-identical to (src EXCEPT ALL dst) ∪ (dst EXCEPT ALL src).
     * `mismatchedChunks` restricts the rescan (left-semi on chunk_id).
     */
   def rowDiff(
@@ -77,9 +92,15 @@ object DataCompare {
       case _ => df
     }
     val s = restrict(src).select(cols.map(col): _*)
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__sv"))
     val d = restrict(dst).select(cols.map(col): _*)
-    s.exceptAll(d).withColumn("side", lit("ADD"))
-      .unionAll(d.exceptAll(s).withColumn("side", lit("DEL")))
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dv"))
+    s.join(d, cols, "full_outer")
+      .withColumn("__delta", coalesce(col("__sv"), lit(0L)) - coalesce(col("__dv"), lit(0L)))
+      .where(col("__delta") =!= 0L)
+      .withColumn("side", when(col("__delta") > 0, "ADD").otherwise("DEL"))
+      .withColumn("__dup", explode(sequence(lit(1L), abs(col("__delta")))))
+      .select(cols.map(col) :+ col("side"): _*)
   }
 
   /** Repair statement generation (J4, `data_compare_row.go:1289-1340`):

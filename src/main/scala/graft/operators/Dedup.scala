@@ -31,7 +31,13 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 8, numHashes: Int = 8): DataFrame = {
-    val sh = docs
+    // documents arrive as few fat input splits; spread rows BEFORE the
+    // ~300× shingle explode so the fan-out parallelizes (at any scale, a
+    // high-fanout flatMap wants its input repartitioned first). The
+    // partition count is explicit — AQE would coalesce a small pre-explode
+    // input back to one partition and serialize the fan-out.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = docs.repartition(n, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(shingles(normText(col(textCol)), shingleLen)).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("md"))
@@ -56,7 +62,9 @@ object Dedup {
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
   def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(sig, numHashes, rowsPerBand)
+    // the band union references the signature relation 2·bands times —
+    // cache it or the whole shingle→md5→min pipeline recomputes per branch
+    val bands = lshBands(sig.cache(), numHashes, rowsPerBand)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -69,10 +77,12 @@ object Dedup {
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 8): DataFrame = {
-    val shd = docs
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shd = docs.repartition(n, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(shingles(normText(col(textCol)), shingleLen)).as("sh"))
       .distinct()
+      .cache() // referenced three times below (sizes + both join sides)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(shd.as("a"), col("d1") === col("a.doc_id"))
@@ -94,7 +104,7 @@ object Dedup {
     * use `div`/`pow` arithmetic so the same formula runs on any engine.
     */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    docs.repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("tok"))
       .select(col("doc_id"), hash16(col("tok")).as("h"))

@@ -150,7 +150,7 @@ object TextQueries {
          |FROM nrm n JOIN w ON n.doc_id = w.doc_id ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
       val nrm = Tables(s, dir).documents
         .select(col("doc_id"), normText(col("text")).as("nt"))
-      val w = nrm
+      val w = nrm.repartition(32, col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("nt"), 8)).as("sh"))
         .groupBy("doc_id").agg(min(hash32(col("sh"))).as("winnow"))
       nrm.join(w, Seq("doc_id"))
@@ -223,7 +223,7 @@ object TextQueries {
          |ORDER BY c.d1, c.d2""".stripMargin) { (s, dir) =>
       val docs = nearDupDocs(Tables(s, dir).documents)
       val sig  = Dedup.minhashSignatures(docs, "doc_id", "text")
-      val cand = Dedup.minhashCandidates(sig)
+      val cand = Dedup.minhashCandidates(sig).cache()
       Dedup.jaccardVerify(cand, docs, "doc_id", "text")
         .select("d1", "d2", "n_inter", "n_union", "jaccard_scaled")
         .orderBy("d1", "d2")

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Graft, Tables}
+import graft.functions.TextFunctions._
+
+/** Ad-hoc stage profiler for the MinHash pipeline (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = Tables(spark, dir).documents
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+
+    val n = 32
+    val base = docs.repartition(n, col("doc_id"))
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+    time("norm only")(base.count())
+    val sh = base.select(col("doc_id"), explode(shingles(col("nt"), 8)).as("sh"))
+    time("explode shingles")(sh.count())
+    val md = sh.select(col("doc_id"), md5(col("sh")).as("md"))
+    time("md5")(md.agg(count(col("md"))).head().getLong(0))
+    val ab = md.select(col("doc_id"),
+      conv(substring(col("md"), 1, 8), 16, 10).cast("long").as("a"),
+      conv(substring(col("md"), 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L)).as("b"))
+    time("conv a/b")(ab.agg(count(col("a"))).head().getLong(0))
+    val sig = ab.groupBy("doc_id").agg(
+      min(derivedHash(col("a"), col("b"), 0)).as("m0"),
+      (1 until 8).map(i => min(derivedHash(col("a"), col("b"), i)).as(s"m$i")): _*)
+    time("full sig")(sig.count())
+    time("full sig again")(sig.count())
+
+    // the exact q25 shape: union-seeded docs through the library path
+    val seeded = docs.select("doc_id", "text").unionAll(
+      docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text")))
+    val q25 = graft.operators.Dedup.minhashSignatures(seeded, "doc_id", "text")
+    time("q25 library sig")(q25.count())
+    time("q25 ordered")(q25.orderBy("doc_id").count())
+    spark.stop()
+  }
+}
