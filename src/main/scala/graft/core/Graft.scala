@@ -21,6 +21,7 @@ object Graft {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as raw Long nanos and convert in Tables.events.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftFunctions.register(spark) // native exprs (scaled_dot)
     spark
   }
 

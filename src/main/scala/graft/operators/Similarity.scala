@@ -28,8 +28,19 @@ object Similarity {
   private def sInt(x: Column): Column =
     floor(x.cast("double") * lit(Scale)).cast("long")
 
-  /** Exact scaled dot product of two float-array columns. */
+  /** Exact scaled dot product of two float-array columns — the native
+    * fused-loop Catalyst expression (graft.plans.GraftFunctions); the
+    * declarative twin below is its semantic spec.
+    */
   def scaledDot(a: Column, b: Column): Column =
+    graft.plans.GraftFunctions.scaledDot(a, b)
+
+  /** Declarative twin of [[scaledDot]] (higher-order built-ins only):
+    * allocates a zipped array and runs two lambdas per element — kept as
+    * the reference implementation VectorExpressionsSpec checks the native
+    * expression against.
+    */
+  def scaledDotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => sInt(x) * sInt(y)), lit(0L), (acc, v) => acc + v)
 
   /** Scaled cosine: floor(10^6 · dot / (‖a‖·‖b‖)), all from exact ints. */

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graftshims.GraftShims
+
+/** Registration surface for graft's native Catalyst expressions.
+  *
+  *  - `GraftExtensions` plugs into a builder via
+  *    `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`;
+  *  - `GraftFunctions.register(spark)` injects into an already-built
+  *    session (the driver owns session construction in this harness);
+  *  - `GraftFunctions.scaledDot(a, b)` is the typed Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftShims.scaledDotDescriptor)
+}
+
+object GraftFunctions {
+
+  /** Idempotently register `scaled_dot` on a live session (SQL callers:
+    * `SELECT scaled_dot(a, b)`).
+    */
+  def register(spark: SparkSession): Unit = GraftShims.registerScaledDot(spark)
+
+  /** Native scaled dot product as a Column. */
+  def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)
+}

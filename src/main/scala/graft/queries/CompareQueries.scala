@@ -245,5 +245,57 @@ object CompareQueries {
           graft.functions.Checksums.crc32WrapSum(row).as("crc32"))
         .orderBy("chunk_id")
     },
+
+    // P4: user compare-condition/where-range appended to the chunk
+    // predicate (data_compare_rule.go:674-708) — both filters reach the
+    // parquet scan as PushedFilters.
+    QueryDef.sql(
+      "q19_where_range",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey >= 4096 AND l_orderkey < 12288
+        |  AND l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .where(col("l_orderkey") >= 4096 && col("l_orderkey") < 12288) // chunk range
+        .where(col("l_quantity") > 30 && col("l_returnflag") === "R")  // user range
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P8: abnormal-data seek — after a chunk mismatch the reference
+    // rescans with DUMP()-style ASCII probes per column to locate garbled
+    // bytes (data_compare_scan.go:420-690). Native form: non-ASCII probe
+    // columns over the text corpus.
+    QueryDef.sql(
+      "q33_abnormal_seek",
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN regexp_matches(text, '[^\x00-\x7f]') THEN 1 ELSE 0 END) AS n_nonascii_docs,
+        |  SUM(len(regexp_extract_all(text, '[^\x00-\x7f]'))) AS n_nonascii_chars,
+        |  SUM(CASE WHEN text LIKE '%?%' THEN 1 ELSE 0 END) AS n_replacement_marks
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").rlike("[^\\x00-\\x7f]"), 1L).otherwise(0L)).as("n_nonascii_docs"),
+          sum(expr("size(regexp_extract_all(text, '[^\\\\x00-\\\\x7f]', 0))").cast("long")).as("n_nonascii_chars"),
+          sum(when(col("text").contains("?"), 1L).otherwise(0L)).as("n_replacement_marks"))
+        .orderBy("source")
+    },
+
+    // W1: in-bucket random-N sampling — ROW_NUMBER() OVER (ORDER BY
+    // random) ≤ limit (database/oracle/data_compare.go:283-330). Seeded
+    // rand() is Spark-deterministic but not DuckDB-reproducible ⇒
+    // rows-only contract check.
+    QueryDef.rowsOnly("q34_sample_window") { (s, dir) =>
+      val w = Window.partitionBy(chunkId(col("l_orderkey"))).orderBy(rand(42), col("l_orderkey"))
+      Tables(s, dir).lineitem
+        .select(chunkId(col("l_orderkey")).as("chunk_id"),
+          col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 5)
+        .orderBy("chunk_id", "rn")
+    },
   )
 }

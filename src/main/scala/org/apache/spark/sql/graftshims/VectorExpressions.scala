@@ -1,0 +1,81 @@
+package org.apache.spark.sql.graftshims
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expression for the embedding hot loop: the ×10^6
+  * floor-scaled integer dot product of two float vectors (see
+  * graft.operators.Similarity for the determinism rationale).
+  *
+  * The declarative form — `aggregate(zip_with(a, b, …))` — materializes an
+  * intermediate array and evaluates two lambda closures per element; this
+  * expression runs one fused primitive loop over the two `ArrayData`
+  * buffers (no boxing, no allocation) in both interpreted and
+  * whole-stage-codegen paths. Lives under org.apache.spark.sql.* only
+  * because `AbstractDataType`/`ExpressionUtils` are private[sql]; the
+  * public API is graft.plans.GraftFunctions.
+  */
+case class ScaledDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "scaled_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(x.getFloat(i).toDouble * 1000000.0).toLong *
+        math.floor(y.getFloat(i).toDouble * 1000000.0).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) java.lang.Math.floor(((double) $x.getFloat($i)) * 1000000.0))
+         |        * ((long) java.lang.Math.floor(((double) $y.getFloat($i)) * 1000000.0));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** private[sql] access points used by graft.plans.GraftFunctions. */
+object GraftShims {
+
+  val scaledDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("scaled_dot"),
+    new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),
+    (args: Seq[Expression]) => ScaledDotProduct(args(0), args(1)))
+
+  def registerScaledDot(spark: SparkSession): Unit = {
+    val (id, info, builder) = scaledDotDescriptor
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+
+  def scaledDotColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(ScaledDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
