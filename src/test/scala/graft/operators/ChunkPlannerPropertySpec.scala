@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** FIXTURES.md §F3 property: generated key columns ⇒ chunk predicates are
+  * pairwise disjoint and their union covers the table exactly once; plus
+  * the §7.3.3 commutativity property of the wrapping CRC32 sum.
+  * (Raw ScalaCheck generators with fixed seeds — the scalatest bridge
+  * artifact is not in the offline cache.)
+  */
+class ChunkPlannerPropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: chunks partition arbitrary int keysets exactly once") {
+    val genCase = for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(-100000, 100000))
+      n    <- Gen.chooseNum(1, 12)
+    } yield (keys, n)
+    samples(genCase, 15).foreach { case (keys, n) =>
+      import spark.implicits._
+      val df = keys.toDF("k").cache()
+      val chunks = ChunkPlanner.plan(df, "k", n)
+      val counts = chunks.map(c => df.where(c.predicate(col("k"))).count())
+      assert(counts.sum == keys.size,
+        s"union must cover every row once (got ${counts.sum}/${keys.size}, n=$n)")
+      // disjointness: the chunk-id column assigns each row to exactly one
+      // chunk, and that assignment agrees with the predicates
+      val ids = df.select(ChunkPlanner.chunkIdColumn(col("k"), chunks).as("cid"))
+        .groupBy("cid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      chunks.foreach { c =>
+        assert(ids.getOrElse(c.id, 0L) == df.where(c.predicate(col("k"))).count())
+      }
+      df.unpersist()
+    }
+  }
+
+  test("property: crc32 wrap-sum is row-order independent (§7.3.3)") {
+    val genRows = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    samples(genRows, 10).foreach { rows =>
+      import spark.implicits._
+      val fwd = rows.toDF("s").agg(graft.functions.Checksums.crc32WrapSum(col("s"))).head().getLong(0)
+      val rev = new scala.util.Random(7).shuffle(rows).toDF("s")
+        .agg(graft.functions.Checksums.crc32WrapSum(col("s"))).head().getLong(0)
+      assert(fwd == rev)
+      assert(fwd >= 0 && fwd < (1L << 32))
+    }
+  }
+}
