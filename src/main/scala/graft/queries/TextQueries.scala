@@ -229,6 +229,59 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // SimHash near-dup pairs: Hamming ≤ 3 within top-byte blocks over the
+    // exact-dup-seeded corpus (duplicates ⇒ hamming 0, guaranteed hits).
+    QueryDef.sql(
+      "q35_simhash_pairs",
+      s"""WITH docs AS ($exactDupSql),
+         |nrm AS (SELECT doc_id, $normSql AS nt FROM docs),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sim)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM blk x JOIN blk y ON x.blk = y.blk AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sim = Dedup.simhash16(exactDupDocs(Tables(s, dir).documents), "doc_id", "text")
+      Dedup.simhashPairs(sim, 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+
+    // Corpus-cleaning pipeline composition: quality filter → exact-dedup
+    // keeper join → per-source stats — the end-to-end shape of a training
+    // data preparation job.
+    QueryDef.sql(
+      "q36_corpus_clean",
+      s"""WITH nrm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
+         |q AS (SELECT doc_id, source, nt, len(string_split(nt, ' ')) AS n_tokens
+         |      FROM nrm),
+         |flt AS (SELECT * FROM q WHERE n_tokens >= 20),
+         |keep AS (SELECT md5(nt) AS fp, MIN(doc_id) AS keep_id FROM flt GROUP BY fp),
+         |clean AS (SELECT f.doc_id, f.source, f.n_tokens
+         |  FROM flt f JOIN keep k ON f.doc_id = k.keep_id)
+         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+         |  CAST(FLOOR(100.0 * SUM(n_tokens) / COUNT(*)) AS BIGINT) AS avg_tokens_scaled
+         |FROM clean GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val nrm = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), normText(col("text")).as("nt"))
+        .withColumn("n_tokens", size(tokens(col("nt"))).cast("long"))
+      val flt  = nrm.where(col("n_tokens") >= 20)
+      val keep = flt.groupBy(md5(col("nt")).as("fp")).agg(min(col("doc_id")).as("keep_id"))
+      flt.join(keep, flt("doc_id") === keep("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          floor(lit(100.0) * sum(col("n_tokens")) / count(lit(1))).cast("long").as("avg_tokens_scaled"))
+        .orderBy("source")
+    },
+
     // 16-bit SimHash fingerprints (sign-aggregated token hashes).
     QueryDef.sql(
       "q28_simhash",
