@@ -211,6 +211,28 @@ object StructQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // JSON sink/source round trip — second file format for the migrate
+    // family (schema-on-read with explicit timestamp formats).
+    QueryDef.sql(
+      "q47_json_roundtrip",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') AS l_shipdate_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      val src  = Tables(s, dir).lineitem.select(cols.map(col): _*)
+      val tmp  = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+      val fmt  = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      src.write.mode("overwrite")
+        .option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
+        .json(tmp)
+      s.read.schema(src.schema)
+        .option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
+        .json(tmp)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          date_format(col("l_shipdate"), fmt).as("l_shipdate_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // safe-mode REPLACE INTO (S6): key-based delete+insert, applied TWICE
     // — idempotence means the double-apply equals the oracle's single one.
     QueryDef.sql(
