@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.operators.{DataCompare, ProgressCounters}
+
+/** Scale sanity check: run the full compare pipeline on an N-million-row
+  * synthetic pair (default 10M — ~17× the sf0.1 lineitem) and report
+  * wall-clock, rows/s, chunk counts, and shuffle volume. The synthetic
+  * pair is deterministic (spark.range-derived, same perturbation classes
+  * as Perturb). `sbt "runMain graft.tools.ScaleCheck [millions]"`.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val millions = args.headOption.map(_.toInt).getOrElse(10)
+    val n = millions * 1000000L
+    val spark = Graft.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.range(n).select(
+      col("id").as("k"),
+      (col("id") % 7).cast("int").as("line"),
+      (col("id") % 9973 / 100.0).as("qty"),
+      concat(lit("flag_"), (col("id") % 3)).as("flag"))
+    val src = base
+    val dst = base.where(col("k") % 997 =!= 0)
+      .withColumn("qty", when(col("k") % 991 === 0, col("qty") + 1).otherwise(col("qty")))
+      .unionAll(base.where(col("k") % 983 === 0))
+    val cols = Seq("k", "line", "qty", "flag")
+    val cid  = floor(col("k") / 262144).cast("long") // ~256k-row chunks
+
+    val pc = ProgressCounters.attach(spark)
+    val t0 = System.nanoTime()
+    val status = DataCompare.compareChunks(src, dst, cid, cols).cache()
+    val nChunks = status.count()
+    val nBad = status.where(col("status") =!= "EQUAL").count()
+    val t1 = System.nanoTime()
+    val diff = DataCompare.rowDiff(src, dst, cols,
+      Some(cid), Some(status.where(col("status") =!= "EQUAL")))
+    val nDiff = diff.count()
+    val t2 = System.nanoTime()
+    org.apache.spark.graftshims.ListenerShim.waitUntilEmpty(spark.sparkContext, 30000)
+    val s = pc.snapshot()
+
+    val checkSec = (t1 - t0) / 1e9
+    val diffSec  = (t2 - t1) / 1e9
+    println(f"""{"scenario":"uniform","rows":${2 * n},"chunks":$nChunks,"mismatched_chunks":$nBad,"diff_rows":$nDiff,""" +
+      f""""checksum_sec":$checkSec%.2f,"diff_sec":$diffSec%.2f,""" +
+      f""""checksum_rows_per_sec":${(2 * n / checkSec).toLong},""" +
+      f""""shuffle_bytes":${s.shuffleBytes},"tasks":${s.tasks}}""")
+
+    // clustered corruption: damage confined to one key range — the
+    // realistic partial-failure case where restricting the rescan to
+    // mismatched chunks pays (only ~1 of the chunks is re-read)
+    val dst2 = base.where(!(col("k").between(1000000L, 1100000L) && col("k") % 10 === 0))
+    val t3 = System.nanoTime()
+    val status2 = DataCompare.compareChunks(src, dst2, cid, cols).cache()
+    val bad2 = status2.where(col("status") =!= "EQUAL")
+    val nBad2 = bad2.count()
+    val t4 = System.nanoTime()
+    val nDiff2 = DataCompare.rowDiff(src, dst2, cols, Some(cid), Some(bad2)).count()
+    val t5 = System.nanoTime()
+    println(f"""{"scenario":"clustered","chunks":$nChunks,"mismatched_chunks":$nBad2,"diff_rows":$nDiff2,""" +
+      f""""checksum_sec":${(t4 - t3) / 1e9}%.2f,"restricted_diff_sec":${(t5 - t4) / 1e9}%.2f}""")
+    spark.stop()
+  }
+}
