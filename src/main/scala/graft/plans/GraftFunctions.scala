@@ -13,16 +13,23 @@ import org.apache.spark.sql.graftshims.GraftShims
   *  - `GraftFunctions.scaledDot(a, b)` is the typed Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftShims.scaledDotDescriptor)
+    ext.injectOptimizerRule(_ => RewriteScaledDot)
+  }
 }
 
 object GraftFunctions {
 
-  /** Idempotently register `scaled_dot` on a live session (SQL callers:
-    * `SELECT scaled_dot(a, b)`).
+  /** Idempotently register `scaled_dot` + the rewrite rule on a live
+    * session (SQL callers: `SELECT scaled_dot(a, b)`).
     */
-  def register(spark: SparkSession): Unit = GraftShims.registerScaledDot(spark)
+  def register(spark: SparkSession): Unit = {
+    GraftShims.registerScaledDot(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteScaledDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteScaledDot
+  }
 
   /** Native scaled dot product as a Column. */
   def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)

@@ -34,6 +34,20 @@ class VectorExpressionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("optimizer rule rewrites the declarative pattern to scaled_dot") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir).embeddings.limit(100)
+    val declarative = e.select(
+      Similarity.scaledDotDeclarative(col("embedding"), col("embedding")).as("d"))
+    val optimized = declarative.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("scaled_dot"),
+      s"expected ScaledDotProduct in optimized plan:\n$optimized")
+    // rewritten plan still computes the same values as the native API
+    val native = e.select(Similarity.scaledDot(col("embedding"), col("embedding")).as("d"))
+    assert(declarative.collect().map(_.getLong(0)).toSeq ==
+      native.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("interpreted eval agrees with codegen") {
     val e = Tables(spark, sfDir).embeddings.limit(50).cache()
     val withCodegen = e.select(Similarity.scaledDot(col("embedding"), col("embedding")).as("d"))
