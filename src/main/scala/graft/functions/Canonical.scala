@@ -50,6 +50,24 @@ object Canonical {
     coalesce(rendered, lit(NullSentinel))
   }
 
+  /** Decimal rendered like shopspring `decimal.String()` (SURVEY §7.3.2):
+    * plain notation, trailing fractional zeros stripped, no trailing dot —
+    * `12.5000` → "12.5", `3.00` → "3", `-0.10` → "-0.1". Built from
+    * Spark's plain decimal text + two regex passes (codegen'd, no UDF).
+    */
+  def decimalText(c: Column): Column = {
+    val s = c.cast(StringType)
+    regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+  }
+
+  /** Garbled-character repair (SURVEY P7, `garbled-char-replace`,
+    * `database/oracle/data_migrate.go:959-1005`): replace Unicode
+    * replacement chars (the residue of a failed charset conversion) with
+    * a caller-chosen token.
+    */
+  def garbledReplace(c: Column, replacement: String): Column =
+    regexp_replace(c, "�", replacement)
+
   /** Canonical one-string-per-row rendering of a projection: the compare
     * row string fed to MD5/CRC32 checksums (SURVEY A2-A4). The reference
     * concatenates raw (`StringSplicingSymbol`, data_compare_rule.go:626-650);
