@@ -143,13 +143,20 @@ object CompareQueries {
         .stripMargin
         .replace("lineitem_cols",
           s"(SELECT ${Perturb.CompareCols.mkString(", ")} FROM lineitem)")) { (s, dir) =>
-      val chunks = DataCompare.compareChunks(
+      // mismatched chunk ids are O(chunks) metadata — collect them and turn
+      // each into a PUSHABLE key-range predicate (dynamic-partition-pruning
+      // shape): the rescan then reads only the mismatched key ranges'
+      // row groups instead of semi-joining the full scan. Equal chunks diff
+      // to ∅, so the result is identical to the unrestricted EXCEPT ALL.
+      val mismatched = DataCompare.compareChunks(
         src(s, dir), dst(s, dir), chunkId(col("l_orderkey")), Perturb.CompareCols)
         .where(col("status") =!= "EQUAL")
+        .select("chunk_id").collect().map(_.getLong(0))
+      val pred = mismatched
+        .map(c => col("l_orderkey") >= c * chunkWidth && col("l_orderkey") < (c + 1) * chunkWidth)
+        .reduceOption(_ || _).getOrElse(lit(false))
       val diff = DataCompare.rowDiff(
-        src(s, dir), dst(s, dir), Perturb.CompareCols,
-        chunkId = Some(chunkId(col("l_orderkey"))),
-        mismatchedChunks = Some(chunks))
+        src(s, dir).where(pred), dst(s, dir).where(pred), Perturb.CompareCols)
       diff.select((col("side") +: Perturb.CompareCols.map(col)): _*)
         .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity")
     },
