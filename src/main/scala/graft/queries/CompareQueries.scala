@@ -139,7 +139,7 @@ object CompareQueries {
          |dp AS (SELECT * FROM dst EXCEPT ALL SELECT * FROM lineitem_cols)
          |SELECT * FROM (
          |  SELECT 'ADD' AS side, * FROM sp UNION ALL SELECT 'DEL' AS side, * FROM dp)
-         |ORDER BY side, l_orderkey, l_linenumber, l_quantity"""
+         |ORDER BY side, l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate"""
         .stripMargin
         .replace("lineitem_cols",
           s"(SELECT ${Perturb.CompareCols.mkString(", ")} FROM lineitem)")) { (s, dir) =>
@@ -158,7 +158,8 @@ object CompareQueries {
       val diff = DataCompare.rowDiff(
         src(s, dir).where(pred), dst(s, dir).where(pred), Perturb.CompareCols)
       diff.select((col("side") +: Perturb.CompareCols.map(col)): _*)
-        .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
     },
 
     // J4: repair statement generation from the diff rows
