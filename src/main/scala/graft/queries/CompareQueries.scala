@@ -226,6 +226,8 @@ object CompareQueries {
       """SELECT l_orderkey, l_linenumber,
         |  coalesce(CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_returnflag END, '0') AS c_flag,
         |  coalesce(CAST(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT) AS VARCHAR), '0') AS c_qty,
+        |  regexp_replace(regexp_replace(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS VARCHAR),
+        |    '(\.\d*?)0+$', '\1'), '\.$', '') AS c_dec,
         |  coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'), '0') AS c_shipdate,
         |  upper(md5(l_returnflag)) AS c_hash
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
@@ -237,6 +239,7 @@ object CompareQueries {
           when(col("l_orderkey") % 10 === 0, lit(null).cast(StringType))
             .otherwise(col("l_returnflag")), StringType).as("c_flag"),
         Canonical.canonical(col("l_quantity"), org.apache.spark.sql.types.DoubleType).as("c_qty"),
+        Canonical.decimalText(col("l_quantity").cast("decimal(12,4)")).as("c_dec"),
         Canonical.canonical(col("l_shipdate"), li.schema("l_shipdate").dataType).as("c_shipdate"),
         upper(md5(col("l_returnflag"))).as("c_hash"))
         .orderBy("l_orderkey", "l_linenumber")
