@@ -28,14 +28,29 @@ object Dedup {
 
   /** Per-document MinHash signature: k derived hashes over character
     * shingles; returns (id, m0..m{k-1}).
+    *
+    * Uses the native MinHashSignature expression — the whole signature is
+    * one in-row loop, a pure PROJECTION: no shingle explode, no groupBy,
+    * no shuffle. [[minhashSignaturesAgg]] is the declarative twin it is
+    * spec-checked against. The explicit repartition only spreads the few
+    * fat input splits across cores.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 8, numHashes: Int = 8): DataFrame = {
-    // documents arrive as few fat input splits; spread rows BEFORE the
-    // ~300× shingle explode so the fan-out parallelizes (at any scale, a
-    // high-fanout flatMap wants its input repartitioned first). The
-    // partition count is explicit — AQE would coalesce a small pre-explode
-    // input back to one partition and serialize the fan-out.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sig = graft.plans.GraftFunctions.minhashSignature(
+      shingles(normText(col(textCol)), shingleLen), numHashes)
+    docs.repartition(n, col(idCol))
+      .select(col(idCol).as("doc_id") +:
+        (0 until numHashes).map(i => element_at(sig, i + 1).as(s"m$i")): _*)
+  }
+
+  /** Declarative twin of [[minhashSignatures]] (higher-order built-ins:
+    * explode → md5/conv → groupBy k-way min) — kept as the semantic spec
+    * and the shape an external SQL engine reproduces.
+    */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 8, numHashes: Int = 8): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = docs.repartition(n, col(idCol))
       .select(col(idCol).as("doc_id"),

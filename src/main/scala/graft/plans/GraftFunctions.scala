@@ -33,4 +33,8 @@ object GraftFunctions {
 
   /** Native scaled dot product as a Column. */
   def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)
+
+  /** Native k-way MinHash signature of a shingle-array Column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    GraftShims.minhashColumn(shingles, numHashes)
 }

@@ -233,6 +233,23 @@ object StructQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ORC sink/source round trip — third columnar format for the migrate
+    // family (ORC keeps native timestamp types, no format options needed).
+    QueryDef.sql(
+      "q52_orc_roundtrip",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') AS l_shipdate_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      val src  = Tables(s, dir).lineitem.select(cols.map(col): _*)
+      val tmp  = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      src.write.mode("overwrite").orc(tmp)
+      s.read.schema(src.schema).orc(tmp)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("l_shipdate_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // safe-mode REPLACE INTO (S6): key-based delete+insert, applied TWICE
     // — idempotence means the double-apply equals the oracle's single one.
     QueryDef.sql(

@@ -1,0 +1,72 @@
+package org.apache.spark.sql.graftshims
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Native MinHash signature: given the shingle array of one document,
+  * compute all k Broder-derived min-hashes in ONE in-row loop —
+  * md5 per shingle, (a + i·b) mod 2^32 derivation, running minima.
+  *
+  * Versus the declarative pipeline (explode → md5/conv projection →
+  * groupBy(doc).agg(k mins)) this turns an S-row shuffle (S = total
+  * shingles, ~300× the document count) into a pure projection with NO
+  * shuffle at all — the signature never leaves the row. Bit-identical to
+  * the SQL/declarative form: same md5, same hex-slice parsing, same
+  * derivation (see Dedup.minhashSignaturesAgg, the semantic spec).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graftshims.MinHashImpl.compute($x, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashImpl {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val Mod = 4294967296L // 2^32
+
+  /** Java-callable from generated code (static forwarder). */
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = digest.get()
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) {
+        md.reset()
+        val d = md.digest(sh.getBytes)
+        // first 8 hex chars = first 4 bytes (big-endian unsigned)
+        val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        // hex chars 9-16 = bytes 4-7, forced odd
+        val b = (((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) | ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) | 1L
+        var j = 0
+        while (j < k) {
+          val h = (a + j * b) % Mod
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -78,4 +78,7 @@ object GraftShims {
 
   def scaledDotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(ScaledDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minhashColumn(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
 }
