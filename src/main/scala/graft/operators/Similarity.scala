@@ -97,6 +97,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around deterministic centroids (every `centroidEvery`-th vector —
+    * reproducible without iterative k-means), assign each vector to its
+    * max-cosine centroid, and at query time probe only the `nProbe`
+    * nearest cells with the exact ranking.
+    *
+    * Scale shape: assignment is a broadcast cross join of the (tiny)
+    * centroid set against the corpus with the native scaled_dot per pair —
+    * embarrassingly parallel, one pass; the probe reads |corpus|·nProbe/C
+    * vectors. The cell table would be written once and reused across
+    * queries in production.
+    */
+  def ivfAssignments(embeddings: DataFrame, centroidEvery: Int, numPlanes: Int = 0): DataFrame = {
+    val centroids = embeddings.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosineScaled(col("embedding"), col("cemb")).as("ccos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k for one query vector: probe the query's nProbe nearest
+    * cells, exact scaled-cosine rank within.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+      centroidEvery: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssignments(embeddings, centroidEvery)
+    val centroids = embeddings.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val probeCells = query.select(col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qv"), col("cid"), cosineScaled(col("qv"), col("cemb")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(nProbe)
+    assigned.join(broadcast(probeCells), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        cosineScaled(col("embedding"), col("qv")).as("cos_scaled"))
+      .orderBy(col("cos_scaled").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: bucket-mates with cosine above a
     * scaled threshold (the dedup-by-embedding path).
     */

@@ -118,6 +118,37 @@ object EmbeddingQueries {
         .orderBy("v1", "v2")
     },
 
+    // IVF ANN: deterministic centroids (every 25th vector), Voronoi cell
+    // assignment by max cosine, query probes its 2 nearest cells.
+    QueryDef.sql(
+      "q55_ann_ivf",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |              FROM embeddings WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid, ${cosSql("dxy", "dxx", "dyy")} AS ccos FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |probe AS (SELECT cid FROM pc WHERE vec_id = 0 ORDER BY ccos DESC, cid LIMIT 2),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT a.vec_id, a.cell FROM asg a JOIN probe p ON a.cell = p.cid),
+         |fe AS (SELECT cand.vec_id, cand.cell, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q, generate_series(1, 64) t(i)),
+         |fd AS (SELECT vec_id, cell, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM fe GROUP BY vec_id, cell)
+         |SELECT vec_id, cell, ${cosSql("dxy", "dxx", "dyy")} AS cos_scaled
+         |FROM fd ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopK(e, e.where(col("vec_id") === 0), 10, 25, 2)
+    },
+
     // Multimodal plumbing: opaque binary payloads + typed metadata; the
     // decode step is a deterministic stub (see Multimodal.decodeFeatures)
     // running through the real mapPartitions batch path.
