@@ -48,6 +48,31 @@ object DataCompare {
           }: _*)
   }
 
+  /** Fast internal chunk screen: per-chunk (count, wrapping sum of
+    * xxhash64 over the raw columns) on both sides, returning the ids of
+    * mismatched chunks. Unlike [[chunkChecksums]] this renders no
+    * canonical strings and runs no md5 — xxhash64 works on the raw column
+    * bytes inside codegen — so it is the cheap first pass when the caller
+    * only needs WHICH chunks differ (the reportable md5/crc32 checksums
+    * are a separate, user-facing method). Long-overflow wraps identically
+    * on both sides of the comparison, so the screen is exact: a chunk
+    * passes iff count and hash-sum both match.
+    */
+  def fastMismatchedChunkIds(
+      src: DataFrame, dst: DataFrame, chunkId: Column, cols: Seq[String]): Array[Long] = {
+    def screen(df: DataFrame): DataFrame =
+      // hash reduced to 32 bits pre-sum: the aggregate stays far from Long
+      // overflow (ANSI mode throws on wrap) at any realistic chunk size
+      df.select(chunkId.as("chunk_id"),
+          (xxhash64(cols.map(col): _*) % lit(4294967296L)).as("__h"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("cnt"), sum(col("__h")).as("hsum"))
+    screen(src).as("s").join(screen(dst).as("d"), Seq("chunk_id"), "full_outer")
+      .where(col("s.cnt").isNull || col("d.cnt").isNull ||
+        col("s.cnt") =!= col("d.cnt") || col("s.hsum") =!= col("d.hsum"))
+      .select("chunk_id").collect().map(_.getLong(0))
+  }
+
   /** Chunk status table: full-outer join of the two sides' checksum rows,
     * classified EQUAL / DIFF / SRC_ONLY / DST_ONLY (U3 rollup input).
     */

@@ -92,25 +92,30 @@ object Dedup {
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 8): DataFrame = {
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val shd = docs.repartition(n, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(normText(col(textCol)), shingleLen)).as("sh"))
+    // Only documents that appear in some candidate pair need their shingle
+    // sets — restrict with a broadcast semi-join on the candidate id set,
+    // so verification cost follows |candidates|, not corpus size.
+    //
+    // Each doc's DISTINCT shingle set stays an in-row ARRAY (no explode):
+    // per-pair intersection is `array_intersect` inside codegen. The
+    // explode alternative builds a |pairs|×|shingles/doc| intermediate
+    // (36M rows at sf0.1's 134k-pair clusters) and shuffles it twice;
+    // this shape joins 2 small set-tables to the pair list and does the
+    // set work row-local.
+    val candIds = candidates.select(col("d1").as(idCol))
+      .unionAll(candidates.select(col("d2").as(idCol)))
       .distinct()
-      .cache() // referenced three times below (sizes + both join sides)
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shd.as("a"), col("d1") === col("a.doc_id"))
-      .join(shd.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    val sets = docs
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        array_distinct(shingles(normText(col(textCol)), shingleLen)).as("shs"))
     candidates
-      .join(inter, Seq("d1", "d2"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), Seq("d2"))
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .select(col("d1"), col("d2"), col("n_inter"),
-        (col("n1") + col("n2") - col("n_inter")).as("n_union"),
-        floor(lit(100000.0) * col("n_inter") / (col("n1") + col("n2") - col("n_inter")))
+        (size(col("s1")) + size(col("s2")) - col("n_inter")).as("n_union"),
+        floor(lit(100000.0) * col("n_inter") / (size(col("s1")) + size(col("s2")) - col("n_inter")))
           .cast("long").as("jaccard_scaled"))
   }
 

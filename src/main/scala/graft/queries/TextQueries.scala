@@ -148,13 +148,15 @@ object TextQueries {
          |      FROM sh GROUP BY doc_id)
          |SELECT n.doc_id, md5(n.nt) AS fp, w.winnow
          |FROM nrm n JOIN w ON n.doc_id = w.doc_id ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
-      val nrm = Tables(s, dir).documents
+      // winnow = min(hash32(shingle)) = lane 0 of the Broder family
+      // (a + 0·b = a = hash32), so the native MinHashSignature expression
+      // computes it as a pure in-row loop: no explode, no groupBy, no join.
+      val sig = graft.plans.GraftFunctions.minhashSignature(
+        shingles(col("nt"), 8), 1)
+      Tables(s, dir).documents
         .select(col("doc_id"), normText(col("text")).as("nt"))
-      val w = nrm.repartition(32, col("doc_id"))
-        .select(col("doc_id"), explode(shingles(col("nt"), 8)).as("sh"))
-        .groupBy("doc_id").agg(min(hash32(col("sh"))).as("winnow"))
-      nrm.join(w, Seq("doc_id"))
-        .select(col("doc_id"), md5(col("nt")).as("fp"), col("winnow"))
+        .select(col("doc_id"), md5(col("nt")).as("fp"),
+          element_at(sig, 1).as("winnow"))
         .orderBy("doc_id")
     },
 

@@ -44,6 +44,24 @@ object Profile {
     val q25 = graft.operators.Dedup.minhashSignatures(seeded, "doc_id", "text")
     time("q25 library sig")(q25.count())
     time("q25 ordered")(q25.orderBy("doc_id").count())
+
+    // q26/q27 decomposition: bands, self-join, candidate-restricted verify
+    import graft.operators.Dedup
+    val sigC = q25.cache()
+    time("sig cached")(sigC.count())
+    val bands = Dedup.lshBands(sigC)
+    time("bands union")(bands.count())
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    time("band self-join")(cand.count())
+    val candD = cand.distinct().cache()
+    time("candidates distinct")(candD.count())
+    time("jaccard verify")(
+      Dedup.jaccardVerify(candD, seeded, "doc_id", "text").count())
+    time("jaccard verify again")(
+      Dedup.jaccardVerify(candD, seeded, "doc_id", "text").count())
     spark.stop()
   }
 }
