@@ -65,12 +65,21 @@ object Dedup {
         (1 until numHashes).map(i => min(derivedHash(col("a"), col("b"), i)).as(s"m$i")): _*)
   }
 
-  /** LSH band explosion: signature rows → (doc_id, band, bucket_key). */
+  /** LSH band explosion: signature rows → (doc_id, band, bucket_key).
+    * The bucket key is a single long — rowsPerBand 32-bit lanes packed
+    * with a mixing multiplier — so the band self-join hashes/compares one
+    * primitive instead of building per-row strings.
+    */
   def lshBands(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { bIdx =>
-      val keyCols = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}").cast("string"))
-      sig.select(col("doc_id"), lit(bIdx).as("band"), concat_ws("_", keyCols: _*).as("bucket"))
+      val lanes = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
+      // (k0 << 32) ^ k1 packs two 32-bit lanes injectively into one long
+      // (shifts don't throw under ANSI). Only exact for rowsPerBand ≤ 2 —
+      // more lanes would shift the first out of the word.
+      require(rowsPerBand <= 2, "long-packed bucket keys support ≤2 rows/band")
+      val bucket = lanes.reduceLeft((a, b) => shiftleft(a, 32).bitwiseXOR(b))
+      sig.select(col("doc_id"), lit(bIdx).as("band"), bucket.as("bucket"))
     }
     bands.reduce(_ unionAll _)
   }
