@@ -141,5 +141,150 @@ object ExtendedQueries {
           countDistinct(col("doc_id")).as("ndv_exact"))
         .orderBy("source")
     },
+
+    // Repetition metrics (Gopher-style quality rules): per-doc fraction of
+    // tokens taken by the most frequent token, and duplicate-bigram
+    // fraction. Two-level aggregation — (doc, token) counts collapse
+    // map-side before the per-doc rollup, so the shuffle carries
+    // |doc×vocab|, not |tokens|.
+    QueryDef.sql(
+      "q61_repetition",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+         |tstats AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+         |           MAX(c) AS top_count FROM tc GROUP BY doc_id),
+         |t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrm),
+         |bg AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |                     for i in generate_series(1, len(tk)-1)]) AS bigram FROM t),
+         |bc AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_dbg
+         |       FROM bg GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_tokens, s.n_distinct, s.top_count,
+         |  CAST(FLOOR(10000.0 * s.top_count / s.n_tokens) AS BIGINT) AS top_token_frac_scaled,
+         |  CAST(FLOOR(10000.0 * (b.n_bigrams - b.n_dbg) / b.n_bigrams) AS BIGINT) AS dup_bigram_frac_scaled
+         |FROM tstats s JOIN bc b ON s.doc_id = b.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val nrm = Tables(s, dir).documents
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+      val tc = nrm
+        .select(col("doc_id"), explode(tokens(col("nt"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tstats = tc.groupBy("doc_id").agg(
+        sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_count"))
+      val bc = nrm
+        .select(col("doc_id"), expr(
+          "zip_with(slice(split(nt,' '), 1, size(split(nt,' '))-1)," +
+            " slice(split(nt,' '), 2, size(split(nt,' '))-1)," +
+            " (x, y) -> concat(x, ' ', y))").as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))
+      tstats.join(bc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+          floor(lit(10000.0) * col("top_count") / col("n_tokens")).cast("long")
+            .as("top_token_frac_scaled"),
+          floor(lit(10000.0) * (col("n_bigrams") - col("n_dbg")) / col("n_bigrams")).cast("long")
+            .as("dup_bigram_frac_scaled"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified sampling: fixed-size per-stratum sample (20 docs per
+    // source), selection order given by a portable content hash so every
+    // engine — and every rerun — picks the same rows. The window sorts
+    // within strata only; at 100 TB each stratum sorts independently
+    // after one shuffle on the stratum key.
+    QueryDef.sql(
+      "q62_stratified_sample",
+      """WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, hk,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, doc_id, hk, rn FROM r WHERE rn <= 20
+        |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 20)
+        .select("source", "doc_id", "hk", "rn")
+        .orderBy("source", "rn")
+    },
+
+    // PII/URL redaction: regex scrubbing of emails, URLs and long digit
+    // runs. The corpus has no natural PII, so every 13th doc gets a
+    // deterministic synthetic injection in BOTH twins; the output carries
+    // match counts and an md5 of the redacted text (small, value-checked).
+    // Pure projection — scales as a map-only pass.
+    QueryDef.sql(
+      "q63_redaction",
+      """WITH seeded AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      text || ' contact user' || doc_id::VARCHAR ||
+        |      '@example.com or https://host/p/' || doc_id::VARCHAR ||
+        |      ' id 1234567' || doc_id::VARCHAR
+        |    ELSE text END AS t
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_url,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+        |  FROM seeded)
+        |SELECT doc_id, n_email, n_url, redacted_md5 FROM red
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // [.] instead of \. — dodges the Spark-unescapes / DuckDB-doesn't
+      // backslash asymmetry in SQL string literals
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or https://host/p/"), col("doc_id").cast("string"),
+              lit(" id 1234567"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("t"))
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(t, '$emailRe', 0))").cast("long").as("n_email"),
+          expr(s"size(regexp_extract_all(t, '$urlRe', 0))").cast("long").as("n_url"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+            "[0-9]{6,}", "<NUM>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding int8 quantization + norm stats: per-vector min/max range,
+    // exact squared L2 (on ×10^6 floor-scaled ints), and the checksum of
+    // the affine-quantized int8 vector — all integer arithmetic, so both
+    // engines agree bit-for-bit. In-row transform, no shuffle.
+    QueryDef.sql(
+      "q64_embedding_quant",
+      """WITH ev AS (SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |st AS (SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx, SUM(x*x) AS ssq FROM ev GROUP BY vec_id)
+        |SELECT s.vec_id, s.mn, s.mx, s.ssq,
+        |  (SELECT SUM(((e.x - s.mn) * 254) // (s.mx - s.mn) - 127)
+        |   FROM ev e WHERE e.vec_id = s.vec_id) AS qsum
+        |FROM st s ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      val xs = expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0D) AS BIGINT))")
+      Tables(s, dir).embeddings
+        .select(col("vec_id"), xs.as("xs"))
+        .select(col("vec_id"),
+          array_min(col("xs")).as("mn"),
+          array_max(col("xs")).as("mx"),
+          expr("aggregate(xs, 0L, (acc, v) -> acc + v * v)").as("ssq"),
+          col("xs"))
+        .select(col("vec_id"), col("mn"), col("mx"), col("ssq"),
+          expr("aggregate(transform(xs, v -> ((v - mn) * 254) div (mx - mn) - 127)," +
+            " 0L, (acc, q) -> acc + q)").as("qsum"))
+        .orderBy("vec_id")
+    },
   )
 }
