@@ -286,5 +286,69 @@ object ExtendedQueries {
             " 0L, (acc, q) -> acc + q)").as("qsum"))
         .orderBy("vec_id")
     },
+
+    // SCD2 interval build: each user's event stream becomes validity
+    // intervals [valid_from, valid_to) via lead() — the
+    // slowly-changing-dimension shape every warehouse load needs. One
+    // shuffle on user_id, per-group sort, no self-join.
+    QueryDef.sql(
+      "q65_scd2",
+      """SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+        |  CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_scaled,
+        |  ROW_NUMBER() OVER w AS version
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss"),
+            lit("current")).as("valid_to"),
+          floor(col("value") * lit(10000.0)).cast("long").as("value_scaled"),
+          row_number().over(w).cast("long").as("version"))
+        .orderBy("user_id", "version")
+    },
+
+    // Schema-drift union: two table versions with different column sets
+    // combined by NAME (missing columns null-filled) — the schema
+    // evolution read path of a long-lived dataset. unionByName is pure
+    // plan surgery: no shuffle, scans stay pruned to each side's columns.
+    QueryDef.sql(
+      "q66_schema_drift",
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_name, p_brand, NULL::VARCHAR AS p_type, NULL::INTEGER AS p_size
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT p_partkey, p_name, p_type, p_size FROM part WHERE p_partkey % 2 = 1)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).part
+      val v1 = p.where(col("p_partkey") % 2 === 0)
+        .select("p_partkey", "p_name", "p_brand")
+      val v2 = p.where(col("p_partkey") % 2 === 1)
+        .select("p_partkey", "p_name", "p_type", "p_size")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy("p_partkey")
+    },
+
+    // Equi-width histogram (A7-adjacent profiling): fixed-width value
+    // buckets with count + exact scaled bounds per bucket — the
+    // data_scan-style distribution profile as one groupBy.
+    QueryDef.sql(
+      "q67_histogram",
+      """WITH b AS (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bucket")
+    },
   )
 }
