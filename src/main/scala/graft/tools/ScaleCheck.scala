@@ -63,6 +63,29 @@ object ScaleCheck {
     val t5 = System.nanoTime()
     println(f"""{"scenario":"clustered","chunks":$nChunks,"mismatched_chunks":$nBad2,"diff_rows":$nDiff2,""" +
       f""""checksum_sec":${(t4 - t3) / 1e9}%.2f,"restricted_diff_sec":${(t5 - t4) / 1e9}%.2f}""")
+
+    // LSH dedup at scale: synthetic corpus (docs/8 distinct texts, so
+    // every text occurs ~8× ⇒ guaranteed LSH clusters) through
+    // signature → band → candidate-pair. Signatures are a projection
+    // (native expression, no shuffle); candidates are a band equi-join
+    // whose cost follows collisions. nDocs defaults to millions/10 M.
+    val nDocs = math.max(n / 10, 100000L)
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 12).map(i =>
+          concat(lit(s"w${i}_"), pmod(expr("id div 8") * 31 + lit(i), lit(99991)))): _*).as("text"))
+    val t6 = System.nanoTime()
+    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val nSig = sig.count()
+    val t7 = System.nanoTime()
+    val cand = graft.operators.Dedup.minhashCandidates(
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    val nCand = cand.count()
+    val t8 = System.nanoTime()
+    println(f"""{"scenario":"lsh_dedup","docs":$nSig,"candidate_pairs":$nCand,""" +
+      f""""signature_sec":${(t7 - t6) / 1e9}%.2f,"candidates_sec":${(t8 - t7) / 1e9}%.2f,""" +
+      f""""sig_docs_per_sec":${(nSig / ((t7 - t6) / 1e9)).toLong}}""")
     spark.stop()
   }
 }
