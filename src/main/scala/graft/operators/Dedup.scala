@@ -133,6 +133,17 @@ object Dedup {
     * use `div`/`pow` arithmetic so the same formula runs on any engine.
     */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // native expression: the fingerprint is one in-row loop over the
+    // token array — a pure projection, no explode and no shuffle.
+    // [[simhash16Agg]] is the declarative twin it is spec-checked against.
+    docs.select(col(idCol).as("doc_id"),
+      graft.plans.GraftFunctions.simhash16(tokens(normText(col(textCol)))).as("simhash"))
+
+  /** Declarative twin of [[simhash16]] (explode tokens → explode bit
+    * positions → sign sums) — kept as the semantic spec and the shape an
+    * external SQL engine reproduces.
+    */
+  def simhash16Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("tok"))

@@ -37,4 +37,7 @@ object GraftFunctions {
   /** Native k-way MinHash signature of a shingle-array Column. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     GraftShims.minhashColumn(shingles, numHashes)
+
+  /** Native 16-bit SimHash fingerprint of a token-array Column. */
+  def simhash16(tokens: Column): Column = GraftShims.simhashColumn(tokens)
 }

@@ -81,4 +81,7 @@ object GraftShims {
 
   def minhashColumn(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
+
+  def simhashColumn(tokens: Column): Column =
+    ExpressionUtils.column(SimHash16(ExpressionUtils.expression(tokens)))
 }
