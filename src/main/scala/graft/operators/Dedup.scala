@@ -156,6 +156,42 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("CAST(pow(2.0, b) AS BIGINT)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Connected components over an undirected pair list (d1, d2) — the
+    * clustering step of corpus dedup: near-dup PAIRS become duplicate
+    * GROUPS, each labeled by its minimum member id (the canonical
+    * keeper).
+    *
+    * Min-label propagation: every vertex starts as its own label; each
+    * round pulls the minimum label across neighbors; fixpoint after
+    * diameter rounds (LSH clusters are near-cliques, so 2-3 rounds in
+    * practice). Each round is one shuffle join + one aggregate;
+    * `localCheckpoint` cuts the growing lineage so round N's plan does
+    * not replay rounds 1..N-1 — the standard iterative-DataFrame shape.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val pulled = sym.join(labels, sym("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = pulled.as("n").join(labels.as("o"), Seq("v"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels = pulled
+      i += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Blocked by the
     * top byte of the fingerprint before pairing so the join is bucketed,
     * not n² (near-dups share high bits with probability ∝ similarity).

@@ -333,6 +333,46 @@ object ExtendedQueries {
         .orderBy("p_partkey")
     },
 
+    // Dedup clustering: connected components over the MinHash-LSH
+    // candidate graph — pairs become duplicate groups labeled by their
+    // minimum member (the canonical keeper), plus group size. Spark side
+    // is iterative min-label propagation (one shuffle join per round,
+    // fixpoint ≈ graph diameter); the oracle is the same fixpoint via a
+    // recursive-CTE transitive closure.
+    QueryDef.sql(
+      "q68_dedup_clusters",
+      s"""WITH RECURSIVE ${TextQueries.sigSql},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+         |        UNION SELECT d2, d1 FROM cand),
+         |reach(v, w) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+         |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+         |         FROM reach GROUP BY v)
+         |SELECT c.doc_id, c.component, n.n_members
+         |FROM comp c
+         |JOIN (SELECT component, COUNT(*) AS n_members
+         |      FROM comp GROUP BY component) n USING (component)
+         |ORDER BY c.component, c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val cand = graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+      val comp = graft.operators.Dedup.connectedComponents(cand)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("n_members"))
+        .orderBy("component", "doc_id")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.

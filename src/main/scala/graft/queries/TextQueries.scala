@@ -23,13 +23,13 @@ object TextQueries {
     * cut — guarantees LSH-findable pairs (the corpus itself is random
     * soup with no natural near-dups). SQL twin below, Spark twin next.
     */
-  private val nearDupSql =
+  private[queries] val nearDupSql =
     s"""SELECT doc_id, text FROM documents
        |UNION ALL
        |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
        |FROM documents WHERE doc_id % 29 = 0""".stripMargin
 
-  private def nearDupDocs(docs: DataFrame): DataFrame =
+  private[queries] def nearDupDocs(docs: DataFrame): DataFrame =
     docs.select("doc_id", "text").unionAll(
       docs.where(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -50,7 +50,7 @@ object TextQueries {
     * over the near-dup-seeded corpus — Broder derivation (a + i·b) mod
     * 2^32 from one md5 per shingle.
     */
-  private val sigSql =
+  private[queries] val sigSql =
     s"""docs AS ($nearDupSql),
        |nrm AS (SELECT doc_id, $normSql AS nt FROM docs),
        |sh AS (SELECT doc_id,
