@@ -50,4 +50,18 @@ object Migrate {
   def safeModeApply(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
     target.join(batch.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(batch)
+
+  /** Bucketed table write: hash-bucket + sort the data by the join key at
+    * write time so every later equi-join/aggregation on that key is
+    * SHUFFLE-FREE — the per-bucket layout replaces the exchange. This is
+    * the 100 TB pattern for fact tables joined repeatedly on the same key
+    * (the reference's chunk co-location, persisted). Requires a table
+    * catalog (`saveAsTable`); BucketedJoinSpec asserts the shuffle-free
+    * plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

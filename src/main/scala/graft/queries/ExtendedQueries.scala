@@ -373,6 +373,84 @@ object ExtendedQueries {
         .orderBy("component", "doc_id")
     },
 
+    // Funnel analysis: per-user ordered progression view → click →
+    // purchase with a 24-hour conversion window per stage, counted by
+    // deepest stage reached. Stage timestamps come from conditional
+    // min-aggregates + windowed joins — no self-joins on raw events, no
+    // window functions.
+    QueryDef.sql(
+      "q69_funnel",
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.t_view
+        |    AND e.ts <= s.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       WHEN s.t_view IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  COUNT(*) AS n_users
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id
+        |GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val sv = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val cl = ev.where(col("event_type") === "click")
+        .join(sv, Seq("user_id"))
+        .where(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val py = ev.where(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .where(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_buy"))
+      sv.join(cl.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+        .join(py.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+        .select(
+          when(col("has_p").isNotNull, 3L)
+            .when(col("has_c").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+
+    // Weighted mixture sampling: per-source keep-rates (the dataset-mixing
+    // step of corpus assembly) decided by a portable content hash —
+    // deterministic, rerun-stable, and a pure filter (no shuffle).
+    QueryDef.sql(
+      "q70_mixture_sample",
+      """WITH w AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS r,
+        |    (CAST(substr(source, 4) AS BIGINT) * 5) % 90 + 10 AS keep_pct
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+        |FROM w WHERE r < keep_pct
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(concat(lit("mix_"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100).as("r"),
+          (expr("CAST(substring(source, 4) AS BIGINT)") * 5 % 90 + 10).as("keep_pct"))
+        .where(col("r") < col("keep_pct"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
+        .orderBy("source")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
