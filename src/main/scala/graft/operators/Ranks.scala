@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the scalable replacement for
+  * `Window.orderBy(keys)` with no partitionBy, which pulls the WHOLE
+  * dataset through one task (the single worst anti-scale pattern; fine at
+  * 600k rows, fatal at 100 TB).
+  *
+  * Shape: range-repartition on the keys (so partition i holds keys all ≤
+  * partition i+1's), count rows per partition (parts-sized metadata to
+  * the driver), broadcast the cumulative offsets back, and add each row's
+  * within-partition row_number. Every step is distributed; the only
+  * global object is the parts-length offset array.
+  *
+  * Result is identical to the global window whenever the key tuple is
+  * unique (rank is then independent of partition boundary placement, so
+  * range-sampling nondeterminism cannot leak into the output).
+  */
+object Ranks {
+
+  /** Adds a 1-based dense global rank by `keys` as column `out`. */
+  def withGlobalRank(df: DataFrame, keys: Seq[String], out: String = "rank",
+      parts: Int = 32): DataFrame = {
+    val keyCols = keys.map(col)
+    val staged = df
+      .repartitionByRange(parts, keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // partition assignment must not recompute between passes
+    val counts = staged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)(_ + counts(_))).toMap
+    val offsetExpr = pids.foldRight(lit(0L): Column) { (p, acc) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy("__pid").orderBy(keyCols: _*)
+    staged
+      .withColumn(out, (offsetExpr + row_number().over(w)).cast("long"))
+      .drop("__pid")
+  }
+
+  /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n
+    * rows: the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    * matching SQL NTILE.
+    */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = n % k
+    if (q == 0) return rank.cast("long") // fewer rows than buckets: one row each
+    val cut = r * (q + 1) // rows covered by the big buckets
+    when(rank <= cut, ((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(lit(r) + ((rank - 1 - cut) / q).cast("long") + 1)
+  }
+}

@@ -56,9 +56,16 @@ object CompareQueries {
         |        ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk_id
         |      FROM lineitem) t
         |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      Tables(s, dir).lineitem
-        .select(col("l_orderkey"), ntile(32).over(w).as("chunk_id"))
+      // NOT Window.orderBy(keys).ntile — that funnels every row through
+      // ONE task. Distributed twin: range-repartitioned global rank
+      // (Ranks.withGlobalRank) + exact NTILE arithmetic; identical result
+      // since (orderkey, linenumber) is unique. RanksSpec pins parity
+      // with the single-partition window.
+      val li = Tables(s, dir).lineitem.select("l_orderkey", "l_linenumber")
+      val n = li.count()
+      graft.operators.Ranks.withGlobalRank(li, Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"),
+          graft.operators.Ranks.ntileFromRank(col("rank"), n, 32).as("chunk_id"))
         .groupBy("chunk_id")
         .agg(count(lit(1)).as("n_rows"),
           min("l_orderkey").as("lo_key"), max("l_orderkey").as("hi_key"))

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed global rank + NTILE arithmetic must match the
+  * single-partition window exactly (on unique key tuples).
+  */
+class RanksSpec extends SparkSpec {
+
+  test("withGlobalRank + ntileFromRank equal the global window ntile") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+    val n = li.count()
+    val keys = Seq("l_orderkey", "l_linenumber")
+
+    val distributed = Ranks.withGlobalRank(li, keys, parts = 7)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rank"),
+        Ranks.ntileFromRank(col("rank"), n, 32).as("tile"))
+    val w = Window.orderBy(keys.map(col): _*)
+    val global = li.select(col("l_orderkey"), col("l_linenumber"),
+      row_number().over(w).cast("long").as("rank"),
+      ntile(32).over(w).cast("long").as("tile"))
+
+    assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
+  }
+
+  test("ntileFromRank handles fewer rows than buckets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("rank")
+    val tiles = df.select(Ranks.ntileFromRank(col("rank"), 3L, 32).as("t"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(tiles == Seq(1L, 2L, 3L))
+  }
+}
