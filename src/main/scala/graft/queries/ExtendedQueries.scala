@@ -451,6 +451,66 @@ object ExtendedQueries {
         .orderBy("source")
     },
 
+    // Semi-structured extraction: JSON props column → typed field, then
+    // aggregate by it. `get_json_object` evaluates inside codegen; at
+    // scale prefer from_json once into a struct column over repeated
+    // per-field parses.
+    QueryDef.sql(
+      "q71_json_extract",
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type, k_mod ORDER BY event_type, k_mod""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .groupBy("event_type", "k_mod").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "k_mod")
+    },
+
+    // Unpivot (melt): wide per-part numeric columns → long (attr, value)
+    // rows — the inverse of q51's pivot. Spark's stack() generator ≡
+    // DuckDB UNPIVOT; both stay map-only ahead of the final sort.
+    QueryDef.sql(
+      "q72_unpivot",
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |         CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS price_cents
+        |  FROM part)
+        |UNPIVOT (val FOR attr IN (size, price_cents))
+        |ORDER BY p_partkey, attr""".stripMargin) { (s, dir) =>
+      Tables(s, dir).part
+        .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+          floor(col("p_retailprice") * lit(100.0)).cast("long").as("price_cents"))
+        .select(col("p_partkey"),
+          expr("stack(2, 'size', size, 'price_cents', price_cents) AS (attr, val)"))
+        .orderBy("p_partkey", "attr")
+    },
+
+    // Referential-integrity scan: orphan detection via anti-join on both
+    // directions of a key relationship — the data-quality screen every
+    // migration signs off with. Anti-joins broadcast the smaller distinct
+    // key set; counts collapse to one row.
+    QueryDef.sql(
+      "q73_orphans",
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val (li, ord, cust) = (t.lineitem, t.orders, t.customer)
+      val orphanLi = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").count()
+      val childless = ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti").count()
+      val orphanOrd = ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((orphanLi, childless, orphanOrd))
+        .toDF("orphan_lineitems", "childless_orders", "orphan_orders")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
