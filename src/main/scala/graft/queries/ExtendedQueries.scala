@@ -511,6 +511,33 @@ object ExtendedQueries {
         .toDF("orphan_lineitems", "childless_orders", "orphan_orders")
     },
 
+    // Exact percentiles (quantile_cont): linear interpolation over sorted
+    // integer cents — pos = p·(n−1) and lower + frac·(upper−lower) are
+    // the same IEEE-double steps in both engines, so even the interpolated
+    // values compare exactly. Spark's percentile() is the exact (sort-
+    // based) aggregate, not the approximate sketch.
+    QueryDef.sql(
+      "q74_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.5)  AS p50,
+        |  quantile_cont(cents, 0.75) AS p75,
+        |  quantile_cont(cents, 0.99) AS p99
+        |FROM (SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(cents, 0.25D)").as("p25"),
+          expr("percentile(cents, 0.5D)").as("p50"),
+          expr("percentile(cents, 0.75D)").as("p75"),
+          expr("percentile(cents, 0.99D)").as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
