@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed global ranking — the scalable replacement for
@@ -21,14 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Adds a 1-based dense global rank by `keys` as column `out`. */
+  /** Adds a 1-based dense global rank by `keys` as column `out`.
+    *
+    * After `sortWithinPartitions`, `monotonically_increasing_id()` is
+    * (partitionId << 33) + local row index in that sorted order — the
+    * zipWithIndex trick in pure SQL. So the local row number needs NO
+    * window (and no second shuffle): one range shuffle, one in-partition
+    * sort, then a cached metadata pass for the 32-row offset table.
+    */
   def withGlobalRank(df: DataFrame, keys: Seq[String], out: String = "rank",
       parts: Int = 32): DataFrame = {
     val keyCols = keys.map(col)
     val staged = df
       .repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // partition assignment must not recompute between passes
+      .withColumn("__lrn", monotonically_increasing_id() % (1L << 33))
+      .cache() // both passes must see one partition/row assignment
     val counts = staged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
@@ -36,10 +44,9 @@ object Ranks {
     val offsetExpr = pids.foldRight(lit(0L): Column) { (p, acc) =>
       when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
     }
-    val w = Window.partitionBy("__pid").orderBy(keyCols: _*)
     staged
-      .withColumn(out, (offsetExpr + row_number().over(w)).cast("long"))
-      .drop("__pid")
+      .withColumn(out, (offsetExpr + col("__lrn") + 1L).cast("long"))
+      .drop("__pid", "__lrn")
   }
 
   /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n

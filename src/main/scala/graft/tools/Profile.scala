@@ -62,6 +62,21 @@ object Profile {
       Dedup.jaccardVerify(candD, seeded, "doc_id", "text").count())
     time("jaccard verify again")(
       Dedup.jaccardVerify(candD, seeded, "doc_id", "text").count())
+
+    // q10 decomposition: distributed rank stages on lineitem
+    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_linenumber")
+    time("li count")(li.count())
+    val staged = li.repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", monotonically_increasing_id() % (1L << 33))
+    time("range+sort (uncached)")(staged.count())
+    val cached = staged.cache()
+    time("cache materialize")(cached.count())
+    time("pid counts")(cached.groupBy("__pid").count().count())
+    time("ranked agg")(graft.operators.Ranks
+      .withGlobalRank(li, Seq("l_orderkey", "l_linenumber"))
+      .groupBy().count().head().getLong(0))
     spark.stop()
   }
 }
