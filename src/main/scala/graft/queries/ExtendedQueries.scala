@@ -538,6 +538,44 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    // Incremental aggregate maintenance (materialized-view upkeep): a
+    // CDC batch of inserts/deletes merges into a persisted per-customer
+    // aggregate as signed deltas — one small-batch aggregate + one
+    // outer-merge join, never a base-table rescan. The oracle recomputes
+    // from scratch over (base ∖ deletes) ∪ inserts and must agree
+    // exactly; groups whose count reaches 0 disappear.
+    QueryDef.sql(
+      "q75_incremental_agg",
+      """WITH dels AS (SELECT * FROM orders WHERE o_orderkey % 89 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |               o_totalprice * 2 AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 97 = 0),
+        |eff AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 89 <> 0
+        |        UNION ALL SELECT o_custkey, o_totalprice FROM ins)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+        |FROM eff GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val ord = Tables(s, dir).orders
+      val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+      // the persisted aggregate (stand-in for the stored MV)
+      val oldAgg = ord.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("total_cents"))
+      // CDC batch: deletes of every 89th order, inserts derived from every 97th
+      val dels = ord.where(col("o_orderkey") % 89 === 0)
+        .select(col("o_custkey"), lit(-1L).as("dn"), (-cents).as("dc"))
+      val ins = ord.where(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey"), lit(1L).as("dn"),
+          floor(col("o_totalprice") * lit(2.0) * lit(100.0)).cast("long").as("dc"))
+      val delta = dels.unionAll(ins)
+        .groupBy("o_custkey").agg(sum("dn").as("dn"), sum("dc").as("dc"))
+      oldAgg.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("total_cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        .where(col("n_orders") > 0)
+        .orderBy("o_custkey")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
