@@ -576,6 +576,64 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    // GROUPING/GROUPING_ID over grouping sets: distinguishes "NULL
+    // because aggregated away" from data NULLs — the piece that makes
+    // multi-level reports (q5's shape) unambiguous. Same bit order in
+    // both engines: grouping_id = (grouping(f) << 1) | grouping(s).
+    QueryDef.sql(
+      "q76_grouping_id",
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_flag,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // Time-weighted aggregation: each event's value is held until the
+    // user's next event; weights are whole seconds from exact microsecond
+    // arithmetic, products and sums stay in BIGINT, and the final ratio is
+    // integer division — every step engine-exact. One window pass for
+    // lead(), one groupBy.
+    QueryDef.sql(
+      "q77_time_weighted",
+      """WITH seq AS (SELECT user_id,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+        |    (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |     - epoch_us(ts)) // 1000000 AS dt_s
+        |  FROM events),
+        |agg AS (SELECT user_id, SUM(v * dt_s) AS swv, SUM(dt_s) AS sw
+        |        FROM seq WHERE dt_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, swv, sw, (swv * 100) // sw AS twa_scaled
+        |FROM agg ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir).events
+        .select(col("user_id"),
+          floor(col("value") * lit(100.0)).cast("long").as("v"),
+          // `div`, not `/`: Column./ is double division and its rounding
+          // can disagree with DuckDB's integer `//` at quotient boundaries
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("dt_us"))
+        .where(col("dt_us").isNotNull)
+        .select(col("user_id"), col("v"), expr("dt_us div 1000000").as("dt_s"))
+        .groupBy("user_id")
+        .agg(sum(col("v") * col("dt_s")).as("swv"), sum("dt_s").as("sw"))
+        .select(col("user_id"), col("swv"), col("sw"),
+          expr("(swv * 100) div sw").as("twa_scaled"))
+        .orderBy("user_id")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
