@@ -29,7 +29,15 @@ object Ranks {
     * sort, then a cached metadata pass for the 32-row offset table.
     */
   def withGlobalRank(df: DataFrame, keys: Seq[String], out: String = "rank",
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32): DataFrame =
+    withGlobalRankAndTotal(df, keys, out, parts)._1
+
+  /** As [[withGlobalRank]], also returning the total row count — free
+    * metadata from the per-partition counts, saving callers (e.g. NTILE)
+    * a separate full-scan count().
+    */
+  def withGlobalRankAndTotal(df: DataFrame, keys: Seq[String], out: String = "rank",
+      parts: Int = 32): (DataFrame, Long) = {
     val keyCols = keys.map(col)
     val staged = df
       .repartitionByRange(parts, keyCols: _*)
@@ -44,9 +52,10 @@ object Ranks {
     val offsetExpr = pids.foldRight(lit(0L): Column) { (p, acc) =>
       when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
     }
-    staged
+    val ranked = staged
       .withColumn(out, (offsetExpr + col("__lrn") + 1L).cast("long"))
       .drop("__pid", "__lrn")
+    (ranked, counts.values.sum)
   }
 
   /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n

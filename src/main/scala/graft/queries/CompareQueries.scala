@@ -62,8 +62,9 @@ object CompareQueries {
       // since (orderkey, linenumber) is unique. RanksSpec pins parity
       // with the single-partition window.
       val li = Tables(s, dir).lineitem.select("l_orderkey", "l_linenumber")
-      val n = li.count()
-      graft.operators.Ranks.withGlobalRank(li, Seq("l_orderkey", "l_linenumber"))
+      val (ranked, n) = graft.operators.Ranks
+        .withGlobalRankAndTotal(li, Seq("l_orderkey", "l_linenumber"))
+      ranked
         .select(col("l_orderkey"),
           graft.operators.Ranks.ntileFromRank(col("rank"), n, 32).as("chunk_id"))
         .groupBy("chunk_id")
