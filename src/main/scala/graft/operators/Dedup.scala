@@ -173,8 +173,11 @@ object Dedup {
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
+    // initialization folds in round 1: every vertex appears as src in the
+    // symmetric edge list, so min(self, neighbors) is one aggregate
+    var labels = sym.groupBy(col("src").as("v"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("v"), least(col("v"), col("__mn")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
