@@ -634,6 +634,28 @@ object ExtendedQueries {
         .orderBy("user_id")
     },
 
+    // Lexicographic multi-column chunk range (SURVEY P3, Range.ToString):
+    // [(lo1,lo2), (hi1,hi2)) over a compound key — the predicate shape
+    // the reference generates for multi-column chunk bounds, here built
+    // by ChunkPlanner.lexRange and checked against DuckDB's native
+    // row-value comparison. The OR-of-ANDs expansion stays pushable.
+    QueryDef.sql(
+      "q78_lex_range",
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem
+        |WHERE (l_orderkey > 5000 OR (l_orderkey = 5000 AND l_linenumber >= 3))
+        |  AND (l_orderkey < 5100 OR (l_orderkey = 5100 AND l_linenumber < 2))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import graft.operators.ChunkPlanner
+      val keys = Seq(col("l_orderkey"), col("l_linenumber").cast("long"))
+      val pred = ChunkPlanner.lexRange(keys,
+        Seq(lit(5000L), lit(3L)), Seq(lit(5100L), lit(2L)))
+      Tables(s, dir).lineitem
+        .where(pred)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
