@@ -656,6 +656,37 @@ object ExtendedQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Explicit window frames: 3-row moving sum (ROWS BETWEEN 2 PRECEDING
+    // AND CURRENT ROW) plus FIRST_VALUE over the partition — the frame
+    // grammar beyond default RANGE windows. Integer cents keep the moving
+    // sum engine-exact.
+    QueryDef.sql(
+      "q79_window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_cents,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val moving = base.rowsBetween(-2, Window.currentRow)
+      val upToHere = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum("cents").over(moving).as("moving3_cents"),
+          first("o_orderkey").over(base).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(upToHere).as("second_order"),
+          col("o_orderdate"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
