@@ -687,6 +687,29 @@ object ExtendedQueries {
         .drop("o_orderdate")
     },
 
+    // Per-dimension embedding statistics (posexplode — the generator with
+    // index): corpus-wide min/max/mean per vector dimension, the
+    // diagnostic pass before normalization/quantization decisions. The
+    // explode fans |corpus|×64 rows into a 64-group aggregate that
+    // collapses map-side.
+    QueryDef.sql(
+      "q80_dim_stats",
+      """WITH ev AS (SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i))
+        |SELECT i AS dim, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n,
+        |  SUM(x) // COUNT(*) AS mean_scaled
+        |FROM ev GROUP BY i ORDER BY dim""".stripMargin) { (s, dir) =>
+      Tables(s, dir).embeddings
+        .select(posexplode(expr(
+          "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0D) AS BIGINT))"))
+          .as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+        .groupBy("dim")
+        .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"),
+          expr("sum(x) div count(*)").as("mean_scaled"))
+        .orderBy("dim")
+    },
+
     // Equi-width histogram (A7-adjacent profiling): fixed-width value
     // buckets with count + exact scaled bounds per bucket — the
     // data_scan-style distribution profile as one groupBy.
