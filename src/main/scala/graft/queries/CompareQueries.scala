@@ -36,8 +36,10 @@ object CompareQueries {
       |  coalesce(l_returnflag, '0'),
       |  coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'), '0'))""".stripMargin
 
+  // CAST(SUM(..) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT, which the
+  // driver's hash treats as a distinct (decimal) type from Spark's int64.
   private def md5SumsSql(prefix: String = "") = (0 until 4).map { i =>
-    s"SUM(('0x' || substr(md5(rowstr), ${i * 8 + 1}, 8))::BIGINT) AS ${prefix}md5_$i"
+    s"CAST(SUM(('0x' || substr(md5(rowstr), ${i * 8 + 1}, 8))::BIGINT) AS BIGINT) AS ${prefix}md5_$i"
   }.mkString(",\n  ")
 
   private def src(s: SparkSession, dir: String): DataFrame =
@@ -222,8 +224,8 @@ object CompareQueries {
          |         ELSE 'DIFF' END AS status
          |  FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id)
          |SELECT COUNT(*) AS chunk_totals,
-         |  SUM(CASE WHEN status = 'EQUAL' THEN 1 ELSE 0 END) AS equal_chunks,
-         |  SUM(src_cnt) AS src_rows, SUM(dst_cnt) AS dst_rows,
+         |  CAST(SUM(CASE WHEN status = 'EQUAL' THEN 1 ELSE 0 END) AS BIGINT) AS equal_chunks,
+         |  CAST(SUM(src_cnt) AS BIGINT) AS src_rows, CAST(SUM(dst_cnt) AS BIGINT) AS dst_rows,
          |  CASE WHEN SUM(CASE WHEN status='EQUAL' THEN 1 ELSE 0 END) = COUNT(*)
          |       THEN 'EQUAL' ELSE 'NOT_EQUAL' END AS table_status
          |FROM st""".stripMargin) { (s, dir) =>
@@ -295,9 +297,9 @@ object CompareQueries {
       "q33_abnormal_seek",
       """SELECT source,
         |  COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN regexp_matches(text, '[^\x00-\x7f]') THEN 1 ELSE 0 END) AS n_nonascii_docs,
-        |  SUM(len(regexp_extract_all(text, '[^\x00-\x7f]'))) AS n_nonascii_chars,
-        |  SUM(CASE WHEN text LIKE '%?%' THEN 1 ELSE 0 END) AS n_replacement_marks
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[^\x00-\x7f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^\x00-\x7f]'))) AS BIGINT) AS n_nonascii_chars,
+        |  CAST(SUM(CASE WHEN text LIKE '%?%' THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_marks
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       Tables(s, dir).documents
         .groupBy("source")

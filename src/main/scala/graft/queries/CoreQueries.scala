@@ -166,8 +166,8 @@ object CoreQueries {
         |  FROM e),
         |g AS (
         |  SELECT user_id, ts,
-        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM s)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start

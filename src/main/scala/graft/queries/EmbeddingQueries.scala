@@ -31,7 +31,7 @@ object EmbeddingQueries {
       |dots AS (SELECT vec_id, j, SUM(s * x) AS d
       |         FROM evb JOIN hp USING (i) GROUP BY vec_id, j),
       |buck AS (SELECT vec_id,
-      |    SUM(CASE WHEN d > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS bucket
+      |    CAST(SUM(CASE WHEN d > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   /** Scaled-cosine SQL from the three integer dots. */

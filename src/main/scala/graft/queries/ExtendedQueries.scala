@@ -83,8 +83,8 @@ object ExtendedQueries {
       "q58_window_running",
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
-        |  SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_cents,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents,
         |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |FROM orders ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
@@ -108,7 +108,7 @@ object ExtendedQueries {
     QueryDef.sql(
       "q59_correlated",
       """SELECT p.p_brand, COUNT(*) AS n_small,
-        |  SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents
+        |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE CAST(FLOOR(l.l_quantity * 10000.0) AS BIGINT) * 5 *
         |   (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -152,7 +152,7 @@ object ExtendedQueries {
       s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
          |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
          |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
-         |tstats AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+         |tstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
          |           MAX(c) AS top_count FROM tc GROUP BY doc_id),
          |t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrm),
          |bg AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
@@ -268,9 +268,10 @@ object ExtendedQueries {
       """WITH ev AS (SELECT vec_id, i,
         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
         |  FROM embeddings, generate_series(1, 64) t(i)),
-        |st AS (SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx, SUM(x*x) AS ssq FROM ev GROUP BY vec_id)
+        |st AS (SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx,
+        |       CAST(SUM(x*x) AS BIGINT) AS ssq FROM ev GROUP BY vec_id)
         |SELECT s.vec_id, s.mn, s.mx, s.ssq,
-        |  (SELECT SUM(((e.x - s.mn) * 254) // (s.mx - s.mn) - 127)
+        |  (SELECT CAST(SUM(((e.x - s.mn) * 254) // (s.mx - s.mn) - 127) AS BIGINT)
         |   FROM ev e WHERE e.vec_id = s.vec_id) AS qsum
         |FROM st s ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
       val xs = expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0D) AS BIGINT))")
@@ -553,7 +554,7 @@ object ExtendedQueries {
         |eff AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 89 <> 0
         |        UNION ALL SELECT o_custkey, o_totalprice FROM ins)
         |SELECT o_custkey, COUNT(*) AS n_orders,
-        |  SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM eff GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       val ord = Tables(s, dir).orders
       val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
@@ -613,7 +614,8 @@ object ExtendedQueries {
         |    (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |     - epoch_us(ts)) // 1000000 AS dt_s
         |  FROM events),
-        |agg AS (SELECT user_id, SUM(v * dt_s) AS swv, SUM(dt_s) AS sw
+        |agg AS (SELECT user_id, CAST(SUM(v * dt_s) AS BIGINT) AS swv,
+        |               CAST(SUM(dt_s) AS BIGINT) AS sw
         |        FROM seq WHERE dt_s IS NOT NULL GROUP BY user_id)
         |SELECT user_id, swv, sw, (swv * 100) // sw AS twa_scaled
         |FROM agg ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -663,8 +665,8 @@ object ExtendedQueries {
     QueryDef.sql(
       "q79_window_frames",
       """SELECT o_custkey, o_orderkey,
-        |  SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents,
         |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
         |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order
@@ -697,7 +699,7 @@ object ExtendedQueries {
       """WITH ev AS (SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
         |  FROM embeddings, generate_series(1, 64) t(i))
         |SELECT i AS dim, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n,
-        |  SUM(x) // COUNT(*) AS mean_scaled
+        |  CAST(SUM(x) AS BIGINT) // COUNT(*) AS mean_scaled
         |FROM ev GROUP BY i ORDER BY dim""".stripMargin) { (s, dir) =>
       Tables(s, dir).embeddings
         .select(posexplode(expr(

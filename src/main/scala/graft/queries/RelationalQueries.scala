@@ -31,7 +31,7 @@ object RelationalQueries {
     QueryDef.sql(
       "q49_rollup",
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
       Tables(s, dir).orders

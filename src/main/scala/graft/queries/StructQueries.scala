@@ -179,8 +179,8 @@ object StructQueries {
     QueryDef.sql(
       "q44_assess_screens",
       """SELECT p_brand, COUNT(*) AS n_parts,
-        |  SUM(CASE WHEN length(p_name) > 15 THEN 1 ELSE 0 END) AS n_long_names,
-        |  SUM(CAST(FLOOR(p_retailprice * 100.0) AS BIGINT)) AS sum_price_cents,
+        |  CAST(SUM(CASE WHEN length(p_name) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_names,
+        |  CAST(SUM(CAST(FLOOR(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  COUNT(DISTINCT p_type) AS n_types
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
       Tables(s, dir).part

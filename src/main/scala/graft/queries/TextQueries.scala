@@ -269,7 +269,7 @@ object TextQueries {
          |keep AS (SELECT md5(nt) AS fp, MIN(doc_id) AS keep_id FROM flt GROUP BY fp),
          |clean AS (SELECT f.doc_id, f.source, f.n_tokens
          |  FROM flt f JOIN keep k ON f.doc_id = k.keep_id)
-         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(FLOOR(100.0 * SUM(n_tokens) / COUNT(*)) AS BIGINT) AS avg_tokens_scaled
          |FROM clean GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val nrm = Tables(s, dir).documents
@@ -294,7 +294,7 @@ object TextQueries {
          |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
          |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b)
          |SELECT doc_id,
-         |  SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+         |  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.simhash16(Tables(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")

@@ -40,6 +40,20 @@ for name, sql in sorted(oracles.items()):
     ocols, scols = sorted(oracle.column_names), sorted(spark.column_names)
     if ocols != scols:
         print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); fails += 1; continue
+    # The driver's hash distinguishes value TYPES: DuckDB sum(BIGINT) returns
+    # HUGEINT (→ decimal128/Decimal), which never hash-matches Spark's int64
+    # even when values are numerically equal. Flag any type-kind mismatch.
+    def kind(t):
+        t = str(t)
+        if 'decimal' in t: return 'decimal'
+        if t.startswith(('int', 'uint')): return 'int'
+        if t in ('float', 'double', 'halffloat'): return 'float'
+        return t
+    tybad = [(c, str(oracle.schema.field(c).type), str(spark.schema.field(c).type))
+             for c in ocols
+             if kind(oracle.schema.field(c).type) != kind(spark.schema.field(c).type)]
+    if tybad:
+        print(f"FAIL {name}: type-kind mismatch {tybad}"); fails += 1; continue
     od = oracle.select(ocols).to_pylist()
     sd = spark.select(scols).to_pylist()
     if len(od) != len(sd):
