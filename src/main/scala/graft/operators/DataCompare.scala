@@ -70,7 +70,9 @@ object DataCompare {
     screen(src).as("s").join(screen(dst).as("d"), Seq("chunk_id"), "full_outer")
       .where(col("s.cnt").isNull || col("d.cnt").isNull ||
         col("s.cnt") =!= col("d.cnt") || col("s.hsum") =!= col("d.hsum"))
-      .select("chunk_id").collect().map(_.getLong(0))
+      // cast: callers may pass an IntegerType chunk-id column (e.g. int
+      // literals from a planner), which getLong would ClassCastException on
+      .select(col("chunk_id").cast("long")).collect().map(_.getLong(0))
   }
 
   /** Chunk status table: full-outer join of the two sides' checksum rows,
@@ -116,12 +118,23 @@ object DataCompare {
           .drop("__chunk")
       case _ => df
     }
+    // sides carry disjoint column names (src/dst often share lineage, and
+    // DataFrame-apply disambiguation trips the ambiguous-self-join check)
     val s = restrict(src).select(cols.map(col): _*)
       .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__sv"))
+      .select(cols.map(c => col(c).as(s"__s_$c")) :+ col("__sv"): _*)
     val d = restrict(dst).select(cols.map(col): _*)
       .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dv"))
-    s.join(d, cols, "full_outer")
-      .withColumn("__delta", coalesce(col("__sv"), lit(0L)) - coalesce(col("__dv"), lit(0L)))
+      .select(cols.map(c => col(c).as(s"__d_$c")) :+ col("__dv"): _*)
+    // <=> per column, NOT the Seq[String] join: groupBy treats NULLs as
+    // equal, so the join must too (the reference compares NVL(c,'0')
+    // renderings) — a null-unsafe join would re-emit identical null-bearing
+    // rows as spurious ADD+DEL pairs.
+    val joined = s.join(d,
+      cols.map(c => col(s"__s_$c") <=> col(s"__d_$c")).reduce(_ && _), "full_outer")
+    joined
+      .select(cols.map(c => coalesce(col(s"__s_$c"), col(s"__d_$c")).as(c)) :+
+        (coalesce(col("__sv"), lit(0L)) - coalesce(col("__dv"), lit(0L))).as("__delta"): _*)
       .where(col("__delta") =!= 0L)
       .withColumn("side", when(col("__delta") > 0, "ADD").otherwise("DEL"))
       .withColumn("__dup", explode(sequence(lit(1L), abs(col("__delta")))))

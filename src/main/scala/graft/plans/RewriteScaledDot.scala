@@ -19,22 +19,33 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
   */
 object RewriteScaledDot extends Rule[LogicalPlan] {
 
-  /** FLOOR(CAST(x AS DOUBLE) * 1000000.0) over a lambda var, with or
-    * without a (redundant, optimizer-stripped) outer BIGINT cast.
+  /** FLOOR(CAST(x AS DOUBLE) * 1000000.0) over a FLOAT lambda variable,
+    * with or without a (redundant, optimizer-stripped) outer BIGINT cast —
+    * returns the variable's exprId. Only the float form may match:
+    * [[ScaledDotProduct]] reads elements via getFloat, so rewriting an
+    * array<double> zip_with (bare DoubleType variable) would misread the
+    * ArrayData buffer. Running post-analysis, no cast gets re-inserted.
     */
-  private def isScaledElement(e: Expression): Boolean = e match {
-    case Cast(inner, LongType, _, _) => isScaledElement(inner)
-    case Floor(Multiply(inner, Literal(1000000.0, DoubleType), _)) =>
-      inner match {
-        case Cast(v: NamedLambdaVariable, DoubleType, _, _) => v.dataType == FloatType
-        case v: NamedLambdaVariable                         => v.dataType == DoubleType
-        case _                                              => false
-      }
-    case _ => false
+  private def scaledVarId(e: Expression): Option[ExprId] = e match {
+    case Cast(inner, LongType, _, _) => scaledVarId(inner)
+    case Floor(Multiply(Cast(v: NamedLambdaVariable, DoubleType, _, _),
+                        Literal(1000000.0, DoubleType), _)) if v.dataType == FloatType =>
+      Some(v.exprId)
+    case _ => None
   }
 
+  /** The multiply must consume the LambdaFunction's own two DISTINCT
+    * arguments (by exprId), one on each side — else (x, y) -> f(x)*f(x)
+    * or a lambda over captured outer variables would wrongly match.
+    */
   private def isScaledMultiply(f: Expression): Boolean = f match {
-    case LambdaFunction(Multiply(lx, ly, _), _, _) => isScaledElement(lx) && isScaledElement(ly)
+    case LambdaFunction(Multiply(lx, ly, _), Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _)
+        if a.exprId != b.exprId =>
+      (scaledVarId(lx), scaledVarId(ly)) match {
+        case (Some(i), Some(j)) =>
+          (i == a.exprId && j == b.exprId) || (i == b.exprId && j == a.exprId)
+        case _ => false
+      }
     case _ => false
   }
 

@@ -33,6 +33,19 @@ object CdcPipeline {
     *    flushes sorted (`event.go:744-757`) and checkpoint advances
     *    (ST7 — Spark's checkpointLocation persists the state).
     */
+  /** Processing rank at equal commitTs: all DML/DDL strictly before
+    * RESOLVED/HEARTBEAT. The raw queryType string must not be the
+    * tie-break — lexicographically "UPDATE" > "RESOLVED", which would
+    * process an equal-ts UPDATE after the checkpoint advanced and silently
+    * drop it as obsolete, while INSERT/DELETE (< "RESOLVED") flushed. The
+    * reference buffers in arrival order and flushes everything ≤ resolvedTs
+    * (consumer.go:617-646), so DML at exactly the resolved ts is included.
+    */
+  private def kindRank(queryType: String): Int = queryType match {
+    case "RESOLVED" | "HEARTBEAT" => 1
+    case _                        => 0
+  }
+
   def flushOnResolved(
       table: String,
       events: Iterator[ChangeEvent],
@@ -41,7 +54,7 @@ object CdcPipeline {
     val group = new EventGroup(st0.buffer)
     var checkpoint = st0.checkpointTs
     val out = Seq.newBuilder[FlushedEvent]
-    events.toSeq.sortBy(e => (e.commitTs, e.queryType, e.key)).foreach { e =>
+    events.toSeq.sortBy(e => (e.commitTs, kindRank(e.queryType), e.queryType, e.key)).foreach { e =>
       e.queryType match {
         case "RESOLVED" | "HEARTBEAT" => // HEARTBEAT advances checkpoint w/o data (ST10)
           if (e.commitTs > checkpoint) {

@@ -27,10 +27,20 @@ case class ScaledDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "scaled_dot"
 
+  // Result is NULL on length mismatch (see nullSafeEval), independent of
+  // input nullability.
+  override def nullable: Boolean = true
+
+  /** Mismatched lengths yield NULL — matching the declarative twin, where
+    * zip_with null-pads the shorter array and `acc + null` nulls the
+    * aggregate. Silent truncation would let the RewriteScaledDot rewrite
+    * change results.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -47,13 +57,17 @@ case class ScaledDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((long) java.lang.Math.floor(((double) $x.getFloat($i)) * 1000000.0))
-         |        * ((long) java.lang.Math.floor(((double) $y.getFloat($i)) * 1000000.0));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((long) java.lang.Math.floor(((double) $x.getFloat($i)) * 1000000.0))
+         |          * ((long) java.lang.Math.floor(((double) $y.getFloat($i)) * 1000000.0));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -36,6 +36,26 @@ class DataCompareSpec extends SparkSpec {
       == (Nil, Seq(1 -> "a")))
   }
 
+  test("rowDiff treats NULLs as equal, like groupBy and exceptAll") {
+    import spark.implicits._
+    // identical multisets containing NULLs in key and value columns: the
+    // join must be null-safe (<=>) or these surface as spurious ADD+DEL
+    val withNulls = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None), (None, None))
+    val df1 = withNulls.toDF("k", "v")
+    val df2 = withNulls.reverse.toDF("k", "v")
+    assert(rowDiff(df1, df2, Seq("k", "v")).count() == 0,
+      "identical null-bearing multisets must diff to empty")
+    // a genuine one-sided null row still reports, with its nulls intact
+    val df3 = (withNulls :+ ((None: Option[Int], Some("extra")))).toDF("k", "v")
+    val d = rowDiff(df3, df1, Seq("k", "v")).collect()
+    assert(d.length == 1 && d.head.getString(2) == "ADD" &&
+      d.head.isNullAt(0) && d.head.getString(1) == "extra")
+    // parity with exceptAll on a null-bearing asymmetric case
+    val ea = df3.exceptAll(df1).collect().map(r => (r.isNullAt(0), Option(r.getString(1))))
+    assert(ea.toSeq == Seq((true, Some("extra"))))
+  }
+
   test("compare pipeline end-to-end on perturbed lineitem") {
     val li  = Tables(spark, sfDir).lineitem
     val src = li.select(Perturb.CompareCols.map(col): _*)

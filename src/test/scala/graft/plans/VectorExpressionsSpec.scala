@@ -48,6 +48,42 @@ class VectorExpressionsSpec extends SparkSpec {
       native.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("length mismatch yields NULL, matching the declarative twin") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT scaled_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT))) AS native,
+        |  aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(1.0 AS FLOAT)),
+        |      (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)
+        |              * CAST(FLOOR(CAST(y AS DOUBLE) * 1000000.0D) AS BIGINT)),
+        |    0L, (acc, v) -> acc + v) AS decl""".stripMargin).head()
+    assert(df.isNullAt(0), "native must be NULL on length mismatch")
+    assert(df.isNullAt(1), "declarative twin is NULL on length mismatch")
+  }
+
+  test("rewrite does NOT fire on array<double> or non-argument lambdas") {
+    GraftFunctions.register(spark)
+    // double-element arrays: ScaledDotProduct reads floats — must not match
+    val doublePlan = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D),
+        |      (x, y) -> CAST(FLOOR(x * 1000000.0D) AS BIGINT)
+        |              * CAST(FLOOR(y * 1000000.0D) AS BIGINT)),
+        |    0L, (acc, v) -> acc + v) AS d""".stripMargin)
+    assert(!doublePlan.queryExecution.optimizedPlan.toString.contains("scaled_dot"),
+      "array<double> form must not rewrite")
+    // (x, y) -> f(x)*f(x): both factors bind the SAME variable — must not match
+    val sameVar = spark.sql(
+      """SELECT aggregate(zip_with(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)),
+        |      (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)
+        |              * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)),
+        |    0L, (acc, v) -> acc + v) AS d""".stripMargin)
+    assert(!sameVar.queryExecution.optimizedPlan.toString.contains("scaled_dot"),
+      "x*x over one lambda variable must not rewrite")
+    // the double form still computes its own (un-rewritten) value correctly
+    assert(doublePlan.head().getLong(0) == 1000000L * 3000000L + 2000000L * 4000000L)
+  }
+
   test("interpreted eval agrees with codegen") {
     val e = Tables(spark, sfDir).embeddings.limit(50).cache()
     val withCodegen = e.select(Similarity.scaledDot(col("embedding"), col("embedding")).as("d"))

@@ -71,6 +71,18 @@ class CdcPipelineSpec extends SparkSpec {
     assert(out2.map(_.event.commitTs) == Seq(2L))
   }
 
+  test("DML at exactly the resolved ts flushes, for every DML kind") {
+    // "UPDATE" > "RESOLVED" lexicographically: a queryType-string sort
+    // would process the UPDATE after the checkpoint advanced and drop it.
+    // kindRank places all DML before RESOLVED at equal commitTs.
+    val out = runStream(Seq(Seq(
+      dml(5, "INSERT", "k1"), dml(5, "UPDATE", "k2"), dml(5, "DELETE", "k3"),
+      resolved(5))))
+    assert(out.map(_.event.queryType).sorted == Seq("DELETE", "INSERT", "UPDATE"),
+      s"all three equal-ts DML kinds must flush, got $out")
+    assert(out.forall(_.resolvedTs == 5))
+  }
+
   test("per-table isolation: flush of one table leaves others buffered") {
     val out = runStream(Seq(Seq(
       dml(1, "INSERT", "a", table = "t1"),
