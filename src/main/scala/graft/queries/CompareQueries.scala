@@ -311,15 +311,28 @@ object CompareQueries {
     },
 
     // W1: in-bucket random-N sampling — ROW_NUMBER() OVER (ORDER BY
-    // random) ≤ limit (database/oracle/data_compare.go:283-330). Seeded
-    // rand() is Spark-deterministic but not DuckDB-reproducible ⇒
-    // rows-only contract check.
-    QueryDef.rowsOnly("q34_sample_window") { (s, dir) =>
-      val w = Window.partitionBy(chunkId(col("l_orderkey"))).orderBy(rand(42), col("l_orderkey"))
+    // random) ≤ limit (database/oracle/data_compare.go:283-330). The
+    // "random" order is a portable md5-derived key (the reference's
+    // DBMS_RANDOM only needs an arbitrary-but-uniform order), so the
+    // sample is engine-reproducible and fully oracle-checked; a seeded
+    // rand(42) variant lives in RanksSpec for the non-portable path.
+    QueryDef.sql(
+      "q34_sample_window",
+      s"""SELECT chunk_id, l_orderkey, l_linenumber, rn FROM (
+         |  SELECT $chunkIdSql AS chunk_id, l_orderkey, l_linenumber,
+         |    ROW_NUMBER() OVER (PARTITION BY $chunkIdSql
+         |      ORDER BY ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 8))::BIGINT,
+         |               l_orderkey, l_linenumber) AS rn
+         |  FROM lineitem) t
+         |WHERE rn <= 5 ORDER BY chunk_id, rn""".stripMargin) { (s, dir) =>
+      val rkey = conv(substring(md5(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10).cast("long")
+      val w = Window.partitionBy(chunkId(col("l_orderkey")))
+        .orderBy(rkey, col("l_orderkey"), col("l_linenumber"))
       Tables(s, dir).lineitem
         .select(chunkId(col("l_orderkey")).as("chunk_id"),
           col("l_orderkey"), col("l_linenumber"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .where(col("rn") <= 5)
         .orderBy("chunk_id", "rn")
     },

@@ -133,12 +133,22 @@ object ExtendedQueries {
     // fixed rsd next to the exact answer. Spark's HLL++ and DuckDB's HLL
     // differ by construction, so this is rows-only; ApproxNdvSpec pins the
     // relative error at sf0.01 instead.
-    QueryDef.rowsOnly("q60_approx_ndv") { (s, dir) =>
+    // Spark's HLL++ and DuckDB's HLL differ by construction, so the
+    // approximate count itself can't hash-match; the oracle instead pins
+    // the exact NDV and asserts the approximation landed within 5× the
+    // requested rsd (0.02) — a drifting sketch now fails the gate.
+    QueryDef.sql(
+      "q60_approx_ndv",
+      """SELECT source, COUNT(DISTINCT doc_id) AS ndv_exact, TRUE AS approx_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       Tables(s, dir).documents
         .groupBy("source")
         .agg(
           approx_count_distinct(col("doc_id"), 0.02).as("ndv_approx"),
           countDistinct(col("doc_id")).as("ndv_exact"))
+        .select(col("source"), col("ndv_exact"),
+          (abs(col("ndv_approx") - col("ndv_exact")) <=
+            col("ndv_exact") * lit(0.10)).as("approx_ok"))
         .orderBy("source")
     },
 
