@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.StructQueries.all ++
       graft.queries.RelationalQueries.all ++
       graft.queries.TemporalQueries.all ++
-      graft.queries.ExtendedQueries.all
+      graft.queries.ExtendedQueries.all ++
+      graft.queries.BenchmarkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
