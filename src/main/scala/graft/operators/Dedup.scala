@@ -118,9 +118,17 @@ object Dedup {
       .join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol).as("doc_id"),
         array_distinct(shingles(normText(col(textCol)), shingleLen)).as("shs"))
+    // Both joins below shuffle the IDENTICAL `sets` subplan hash-partitioned
+    // on doc_id — keeping the plan byte-identical (same aliases, join
+    // conditions instead of per-side renames) lets Spark reuse the first
+    // join's exchange for the second (ReusedExchange), so the shingle-set
+    // computation runs once, not twice.
+    val a = sets.as("a")
+    val b = sets.as("b")
     candidates
-      .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), Seq("d2"))
+      .join(a, col("a.doc_id") === col("d1"))
+      .join(b, col("b.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), col("a.shs").as("s1"), col("b.shs").as("s2"))
       .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .select(col("d1"), col("d2"), col("n_inter"),
         (size(col("s1")) + size(col("s2")) - col("n_inter")).as("n_union"),
@@ -182,14 +190,20 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val pulled = sym.join(labels, sym("src") === labels("v"))
+      // one checkpointed step carries BOTH the new label and the
+      // changed-vs-old flag, so convergence detection is a tiny aggregate
+      // over the already-materialized step — not a second join job that
+      // recomputes the propagation
+      val step = sym.join(labels, sym("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
         .unionAll(labels)
         .groupBy("v").agg(min("lbl").as("lbl"))
+        .as("n").join(labels.as("o"), Seq("v"))
+        .select(col("v"), col("n.lbl").as("lbl"),
+          (col("n.lbl") =!= col("o.lbl")).cast("long").as("__chg"))
         .localCheckpoint()
-      changed = pulled.as("n").join(labels.as("o"), Seq("v"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
-      labels = pulled
+      changed = step.agg(sum("__chg")).head().getLong(0)
+      labels = step.select("v", "lbl")
       i += 1
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("component"))
