@@ -60,16 +60,19 @@ object DataCompare {
     */
   def fastMismatchedChunkIds(
       src: DataFrame, dst: DataFrame, chunkId: Column, cols: Seq[String]): Array[Long] = {
-    def screen(df: DataFrame): DataFrame =
+    // tagged union: src rows carry +1, dst rows −1; per chunk, the signed
+    // count and signed hash-sum are BOTH zero iff the sides' (count, sum)
+    // pairs match. ONE aggregate over the union — map-side partial agg
+    // collapses each side to O(chunks) before the single shuffle; no join.
+    def tagged(df: DataFrame, tag: Int): DataFrame =
       // hash reduced to 32 bits pre-sum: the aggregate stays far from Long
       // overflow (ANSI mode throws on wrap) at any realistic chunk size
-      df.select(chunkId.as("chunk_id"),
-          (xxhash64(cols.map(col): _*) % lit(4294967296L)).as("__h"))
-        .groupBy("chunk_id")
-        .agg(count(lit(1)).as("cnt"), sum(col("__h")).as("hsum"))
-    screen(src).as("s").join(screen(dst).as("d"), Seq("chunk_id"), "full_outer")
-      .where(col("s.cnt").isNull || col("d.cnt").isNull ||
-        col("s.cnt") =!= col("d.cnt") || col("s.hsum") =!= col("d.hsum"))
+      df.select(chunkId.as("chunk_id"), lit(tag.toLong).as("__t"),
+        (xxhash64(cols.map(col): _*) % lit(4294967296L)).as("__h"))
+    tagged(src, 1).unionAll(tagged(dst, -1))
+      .groupBy("chunk_id")
+      .agg(sum(col("__t")).as("dcnt"), sum(col("__t") * col("__h")).as("dhsum"))
+      .where(col("dcnt") =!= 0L || col("dhsum") =!= 0L)
       // cast: callers may pass an IntegerType chunk-id column (e.g. int
       // literals from a planner), which getLong would ClassCastException on
       .select(col("chunk_id").cast("long")).collect().map(_.getLong(0))
@@ -118,23 +121,15 @@ object DataCompare {
           .drop("__chunk")
       case _ => df
     }
-    // sides carry disjoint column names (src/dst often share lineage, and
-    // DataFrame-apply disambiguation trips the ambiguous-self-join check)
-    val s = restrict(src).select(cols.map(col): _*)
-      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__sv"))
-      .select(cols.map(c => col(c).as(s"__s_$c")) :+ col("__sv"): _*)
-    val d = restrict(dst).select(cols.map(col): _*)
-      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__dv"))
-      .select(cols.map(c => col(c).as(s"__d_$c")) :+ col("__dv"): _*)
-    // <=> per column, NOT the Seq[String] join: groupBy treats NULLs as
-    // equal, so the join must too (the reference compares NVL(c,'0')
-    // renderings) — a null-unsafe join would re-emit identical null-bearing
-    // rows as spurious ADD+DEL pairs.
-    val joined = s.join(d,
-      cols.map(c => col(s"__s_$c") <=> col(s"__d_$c")).reduce(_ && _), "full_outer")
-    joined
-      .select(cols.map(c => coalesce(col(s"__s_$c"), col(s"__d_$c")).as(c)) :+
-        (coalesce(col("__sv"), lit(0L)) - coalesce(col("__dv"), lit(0L))).as("__delta"): _*)
+    // tagged union, ONE aggregate: src rows carry +1, dst rows −1, and
+    // sum(tag) grouped by the full column tuple IS the Cmp sv−dv delta —
+    // no per-side count aggregates and no full-outer join (half the
+    // shuffles; grouping treats NULLs as equal, matching the reference's
+    // NVL(c,'0') rendering, with no null-safe-join subtlety to get wrong).
+    val tagged = restrict(src).select(cols.map(col) :+ lit(1L).as("__t"): _*)
+      .unionAll(restrict(dst).select(cols.map(col) :+ lit(-1L).as("__t"): _*))
+    tagged
+      .groupBy(cols.map(col): _*).agg(sum(col("__t")).as("__delta"))
       .where(col("__delta") =!= 0L)
       .withColumn("side", when(col("__delta") > 0, "ADD").otherwise("DEL"))
       .withColumn("__dup", explode(sequence(lit(1L), abs(col("__delta")))))
