@@ -58,6 +58,39 @@ object Ranks {
     (ranked, counts.values.sum)
   }
 
+  /** Distributed running (cumulative) sum of `value` in global `keys`
+    * order — the prefix-sum twin of [[withGlobalRank]]. Same shape:
+    * range-repartition on the keys, per-partition sums to the driver
+    * (parts-sized metadata), broadcast cumulative offsets back, and an
+    * in-partition window adds the local prefix. The window partitions by
+    * the physical partition id, so no task sees more than one partition's
+    * rows — never the single-task global window. Exact when the key tuple
+    * is unique (same caveat as withGlobalRank).
+    */
+  def withRunningTotal(df: DataFrame, keys: Seq[String], value: Column,
+      out: String = "running", parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val staged = df
+      .withColumn("__v", value.cast("long"))
+      .repartitionByRange(parts, keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache() // both passes must see one partition assignment
+    val sums = staged.groupBy("__pid")
+      .agg(sum(col("__v")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = sums.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)(_ + sums(_))).toMap
+    val offsetExpr = pids.foldRight(lit(0L): Column) { (p, acc) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn(out, offsetExpr + sum(col("__v")).over(w))
+      .drop("__v", "__pid")
+  }
+
   /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n
     * rows: the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
     * matching SQL NTILE.

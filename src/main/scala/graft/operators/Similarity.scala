@@ -142,6 +142,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup: vectors are clustered into IVF cells
+    * (deterministic centroids), and within each cell a vector is REMOVED
+    * iff some smaller-id cell-mate has cosine ≥ `minCosScaled` with it.
+    * Returns per-vector (vec_id, cell, removed). The pairwise step is
+    * cell-local — cost follows Σ|cell|², never corpus², and cells are
+    * independent tasks; the pruned corpus is the `removed = false` side.
+    */
+  def semDedup(embeddings: DataFrame, centroidEvery: Int, minCosScaled: Long): DataFrame = {
+    val asg = ivfAssignments(embeddings, centroidEvery)
+    val removed = asg.as("x").join(asg.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .where(cosineScaled(col("x.embedding"), col("y.embedding")) >= minCosScaled)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("__rm", lit(true))
+    asg.select("vec_id", "cell")
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), coalesce(col("__rm"), lit(false)).as("removed"))
+  }
+
   /** Embedding near-duplicate pairs: bucket-mates with cosine above a
     * scaled threshold (the dedup-by-embedding path).
     */

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.{Ranks, Similarity}
+
+/** Corpus-statistics operators a training-data pipeline runs between
+  * hygiene and training: TF-IDF term weighting, bigram-LM fluency
+  * scoring (the KenLM-perplexity-filter shape with engine-portable
+  * integer arithmetic), context-window sequence packing via distributed
+  * prefix sums, and SemDeDup-style semantic dedup over IVF cells.
+  *
+  * Determinism conventions: every "probability"/"weight" is an exact
+  * integer — `(10^k · num) div den` integer division instead of floats
+  * or ln() (whose last-ulp rounding is not guaranteed to agree across
+  * engines); counts stay BIGINT end to end.
+  */
+object CorpusQueries {
+
+  /** SQL twin of TextFunctions.normText. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TF-IDF: term frequency per (doc, term), document frequency per term
+    // over the FULL corpus, idf as integer-division scaling, and each
+    // sampled doc's top term by tf·idf (ties broken lexicographically).
+    // Scale shape: df(term) is a map-side-combined count over the distinct
+    // (doc, term) pairs; only the scored sample joins against it; the
+    // argmax is a per-doc window (partitioned — never a global sort).
+    QueryDef.sql(
+      "q93_tfidf",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM nrm),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT t.doc_id, t.term, t.tf, d.dft,
+         |         t.tf * ((1000000 * n.n) // d.dft) AS tfidf
+         |       FROM tf t JOIN dfreq d USING (term), n
+         |       WHERE t.doc_id % 25 = 0)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(dft AS BIGINT) AS dft,
+         |       CAST(tfidf AS BIGINT) AS tfidf
+         |FROM sc
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val n = docs.count() // corpus size: parts-free driver metadata
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(normText(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      tf.where(col("doc_id") % 25 === 0)
+        .join(dfreq, Seq("term"))
+        .withColumn("tfidf", col("tf") * expr(s"${1000000L * n}L div dft"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("doc_id", "term", "tf", "dft", "tfidf")
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM fluency scoring — the perplexity-filter shape: train
+    // bigram/unigram counts on the whole corpus (two map-side-combined
+    // aggregates), score each sampled doc by the mean scaled conditional
+    // probability (10^6·c2(w1 w2)) div c1(w1) of its bigrams. Integer
+    // division replaces log-prob sums so any engine reproduces the exact
+    // score; the LM tables join on their natural keys (shuffle joins —
+    // the vocabulary of a 100 TB corpus does not broadcast).
+    QueryDef.sql(
+      "q94_bigram_lm",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrm),
+         |bgl AS (SELECT doc_id,
+         |          unnest([tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)]) AS bigram
+         |        FROM t),
+         |bg AS (SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram FROM bgl),
+         |unl AS (SELECT unnest(tk) AS w FROM t),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM unl GROUP BY w),
+         |lm AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+         |sc AS (SELECT b.doc_id, (1000000 * lm.c2) // uni.c1 AS p
+         |       FROM bg b JOIN lm USING (bigram) JOIN uni ON uni.w = b.w1
+         |       WHERE b.doc_id % 25 = 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_scaled
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = Tables(s, dir).documents
+        .select(col("doc_id"), tokens(normText(col("text"))).as("tk"))
+      val bg = tk.select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bigram))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val lm = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      bg.where(col("doc_id") % 25 === 0)
+        .join(lm, Seq("bigram"))
+        .join(uni, col("w") === col("w1"))
+        .select(col("doc_id"), expr("(1000000L * c2) div c1").as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p) div count(1)").as("avg_p_scaled"))
+        .orderBy("doc_id")
+    },
+
+    // Context-window sequence packing: documents are laid into 2048-token
+    // bins by cumulative token count in doc_id order — the distributed
+    // prefix sum (Ranks.withRunningTotal: range repartition + per-
+    // partition offsets) replaces the single-task global window, so
+    // packing scales out; bins close within ±1 doc of the exact greedy
+    // boundary, which is the standard distributed-packing contract.
+    QueryDef.sql(
+      "q95_seq_packing",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tk AS (SELECT doc_id, len(string_split(nt, ' ')) AS n_tok FROM nrm),
+         |cum AS (SELECT doc_id, n_tok,
+         |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tk),
+         |b AS (SELECT doc_id, n_tok, CAST((c - n_tok) // 2048 AS BIGINT) AS bin FROM cum)
+         |SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val nTok = Tables(s, dir).documents
+        .select(col("doc_id"), size(tokens(normText(col("text")))).cast("long").as("n_tok"))
+      Ranks.withRunningTotal(nTok, Seq("doc_id"), col("n_tok"), "c")
+        .select(col("doc_id"), col("n_tok"),
+          expr("(c - n_tok) div 2048").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    },
+
+    // SemDeDup: IVF-cell clustering (deterministic centroids, every 25th
+    // vector) + within-cell cosine threshold — a vector is removed iff a
+    // smaller-id cell-mate is ≥ 0.99 cosine-similar. The dup fixture
+    // re-appends every 37th vector, so each clone lands in its source's
+    // cell and is pruned; pair cost is Σ|cell|², never corpus².
+    QueryDef.sql(
+      "q96_semdedup",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |       UNION ALL
+         |       SELECT vec_id + 100000 AS vec_id, embedding
+         |       FROM embeddings WHERE vec_id % 37 = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM em WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM em e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid,
+         |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |      (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+         |  FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.cell
+         |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pp AS (SELECT pr.v1, pr.v2, i,
+         |    CAST(FLOOR(CAST(e1.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pr JOIN em e1 ON e1.vec_id = pr.v1 JOIN em e2 ON e2.vec_id = pr.v2,
+         |       generate_series(1, 64) t(i)),
+         |pdd AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |        FROM pp GROUP BY v1, v2),
+         |rm AS (SELECT DISTINCT v2 AS vec_id FROM pdd
+         |       WHERE CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |         (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) >= 990000)
+         |SELECT a.cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM asg a LEFT JOIN rm ON a.vec_id = rm.vec_id
+         |GROUP BY a.cell ORDER BY a.cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val dup = e.select("vec_id", "embedding").unionAll(
+        e.where(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(dup, 25, 990000L)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
+        .orderBy("cell")
+    })
+}

@@ -27,6 +27,22 @@ class RanksSpec extends SparkSpec {
     assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
   }
 
+  test("withRunningTotal equals the global-window cumulative sum") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("v", col("l_quantity").cast("long"))
+    val keys = Seq("l_orderkey", "l_linenumber")
+
+    val distributed = Ranks.withRunningTotal(li, keys, col("v"), "c", parts = 7)
+      .select("l_orderkey", "l_linenumber", "c")
+    val w = Window.orderBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = li.select(col("l_orderkey"), col("l_linenumber"),
+      sum(col("v")).over(w).as("c"))
+
+    assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
+  }
+
   test("ntileFromRank handles fewer rows than buckets") {
     val s = spark
     import s.implicits._
