@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.all ++
       graft.queries.BenchmarkQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.CorpusQueries.all
+      graft.queries.CorpusQueries.all ++
+      graft.queries.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -59,6 +59,15 @@ object Migrate {
     * catalog (`saveAsTable`); BucketedJoinSpec asserts the shuffle-free
     * plan.
     */
+  /** Hive-style partitioned parquet layout — the 100 TB fact-table
+    * organization: scans with a partition-column predicate read only the
+    * matching directories (PartitionFilters, no data IO for pruned
+    * partitions), and joins against a filtered dim trigger dynamic
+    * partition pruning (PartitionPruningSpec asserts both plans).
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)

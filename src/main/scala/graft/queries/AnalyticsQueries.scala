@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Analytic-SQL depth beyond the reference's surface: time-interval
+  * window frames, moment statistics (corr/covar/stddev) from exact
+  * integer sums, and one-pass arg-max aggregation.
+  *
+  * Float policy (see graft-engine conventions): moment statistics are
+  * usually float-summed and therefore engine-divergent; here every sum
+  * runs over floor-scaled integers in DECIMAL(38,0)/HUGEINT (exact), and
+  * only the FINAL scalar formula — written with the identical expression
+  * tree on both engines — drops to IEEE double, where *, /, sqrt are
+  * correctly rounded and thus bit-reproducible.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Time-interval window frame: per-user trailing-10-minute event count
+    // and exact scaled-value sum (RANGE BETWEEN 600s PRECEDING AND
+    // CURRENT ROW over epoch micros). Partitioned by user — one shuffle,
+    // per-user sorts, never a global window; peers at equal ts are in
+    // both engines' frames by RANGE semantics, so ties cannot diverge.
+    QueryDef.sql(
+      "q97_interval_frame",
+      """SELECT event_id, user_id, n_10m, CAST(sum_10m AS BIGINT) AS sum_10m FROM (
+        |  SELECT event_id, user_id,
+        |    COUNT(*) OVER w AS n_10m, SUM(v) OVER w AS sum_10m
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |          CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("v"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-600000000L, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_10m"), sum(col("v")).over(w).as("sum_10m"))
+        .orderBy("event_id")
+    },
+
+    // Moment statistics per group from exact sums: Pearson correlation,
+    // population covariance and stddevs of (quantity, extendedprice) in
+    // cents. ONE map-side-combined aggregate per group computes the five
+    // power sums exactly (DECIMAL(38,0) ≡ HUGEINT — no float
+    // accumulation, no ordering sensitivity); the closed-form results are
+    // evaluated from those sums with the same double expression both
+    // engines round identically.
+    QueryDef.sql(
+      "q98_moment_stats",
+      """WITH sc AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |      FROM sc GROUP BY flag)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(1000000.0 * CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+        |    AS corr_scaled,
+        |  CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS covar_pop,
+        |  CAST(FLOOR(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1000.0) AS BIGINT)
+        |    AS std_x_scaled,
+        |  CAST(FLOOR(sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / CAST(n AS DOUBLE) * 1000.0) AS BIGINT)
+        |    AS std_y_scaled
+        |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val sc = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_quantity") * 100).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      sc.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("flag"), col("n"),
+          floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .cast("long").as("corr_scaled"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("n").cast("double") / col("n").cast("double")).cast("long").as("covar_pop"),
+          floor(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+            col("n").cast("double") * lit(1000.0)).cast("long").as("std_x_scaled"),
+          floor(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")) /
+            col("n").cast("double") * lit(1000.0)).cast("long").as("std_y_scaled"))
+        .orderBy("flag")
+    },
+
+    // One-pass arg-max per group (no window, no self-join): per nation,
+    // the supplier with the highest account balance. The ordering value
+    // is a single BIGINT composite (cents ⊕ suppkey) so max_by/arg_max is
+    // total — unique key ⇒ deterministic on any engine.
+    QueryDef.sql(
+      "q99_argmax",
+      """WITH k AS (SELECT s_nationkey,
+        |    s_name, s_suppkey, s_acctbal,
+        |    CAST(FLOOR(s_acctbal * 100) AS BIGINT) * 100000 + s_suppkey AS ord
+        |  FROM supplier)
+        |SELECT s_nationkey,
+        |  arg_max(s_name, ord) AS best_name,
+        |  arg_max(s_suppkey, ord) AS best_suppkey,
+        |  CAST(max(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_bal_cents,
+        |  COUNT(*) AS n_suppliers
+        |FROM k GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val k = Tables(s, dir).supplier.select(
+        col("s_nationkey"), col("s_name"), col("s_suppkey"),
+        (floor(col("s_acctbal") * 100).cast("long") * 100000 + col("s_suppkey")).as("ord"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+      k.groupBy("s_nationkey")
+        .agg(max_by(col("s_name"), col("ord")).as("best_name"),
+          max_by(col("s_suppkey"), col("ord")).as("best_suppkey"),
+          max(col("bal_cents")).as("max_bal_cents"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy("s_nationkey")
+    },
+
+    // Partitioned-layout roundtrip: orders written as a Hive-style
+    // partitioned parquet table (the 100 TB fact organization), read back
+    // with a partition predicate — the filter prunes whole directories
+    // (PartitionFilters; PartitionPruningSpec asserts the plan) so the
+    // scan does zero IO for the other priorities. Oracle = the same
+    // aggregate over the unpartitioned source.
+    QueryDef.sql(
+      "q100_partitioned_scan",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_scan"
+      graft.operators.Migrate.writePartitioned(
+        Tables(s, dir).orders, tmp, Seq("o_orderpriority"))
+      s.read.parquet(tmp)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    })
+}
