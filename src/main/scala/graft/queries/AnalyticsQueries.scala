@@ -146,5 +146,37 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
         .orderBy("o_orderstatus")
+    },
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE, executed natively by
+    // Catalyst's recursion operator): walk a synthetic supplier hierarchy
+    // (parent(k) = k div 7) from the root, counting nodes and summing
+    // balances per depth. The same recursive SQL runs on both engines —
+    // the iterative-join loop the engine unrolls is the declarative twin
+    // of Dedup.connectedComponents' hand-rolled label propagation.
+    QueryDef.sql(
+      "q101_recursive_cte",
+      """WITH RECURSIVE h(k, depth) AS (
+        |  SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 0
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.depth + 1
+        |  FROM supplier s JOIN h ON s.s_suppkey // 7 = h.k AND s.s_suppkey <> h.k)
+        |SELECT depth, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key,
+        |  CAST(SUM(bal) AS BIGINT) AS bal_cents
+        |FROM h JOIN (SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS bal
+        |             FROM supplier) b ON b.s_suppkey = h.k
+        |GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+      Tables(s, dir).supplier.createOrReplaceTempView("supplier")
+      s.sql(
+        """WITH RECURSIVE h(k, depth) AS (
+          |  SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 0
+          |  UNION ALL
+          |  SELECT s.s_suppkey, h.depth + 1
+          |  FROM supplier s JOIN h ON s.s_suppkey div 7 = h.k AND s.s_suppkey <> h.k)
+          |SELECT depth, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key,
+          |  SUM(bal) AS bal_cents
+          |FROM h JOIN (SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS bal
+          |             FROM supplier) b ON b.s_suppkey = h.k
+          |GROUP BY depth ORDER BY depth""".stripMargin)
     })
 }
