@@ -185,5 +185,32 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
         .orderBy("cell")
+    },
+
+    // Inverted-index construction: term → sorted posting list of the docs
+    // containing it (the search-index build step). Distinct (doc, term)
+    // pairs collapse map-side; posting lists materialize as in-row sorted
+    // arrays per term — state per reducer is one term's postings, and the
+    // emitted index row is the '|'-joined rendering (portable to any
+    // engine's hash compare). Top 30 terms by document frequency.
+    QueryDef.sql(
+      "q102_inverted_index",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM nrm),
+         |dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE len(term) > 0),
+         |idx AS (SELECT term, COUNT(*) AS df,
+         |          array_to_string(list(doc_id ORDER BY doc_id), '|') AS postings
+         |        FROM dt GROUP BY term)
+         |SELECT term, CAST(df AS BIGINT) AS df, postings
+         |FROM idx ORDER BY df DESC, term LIMIT 30""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(normText(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list(col("doc_id"))), "|").as("postings"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(30)
     })
 }
