@@ -212,5 +212,36 @@ object CorpusQueries {
           array_join(sort_array(collect_list(col("doc_id"))), "|").as("postings"))
         .orderBy(col("df").desc, col("term"))
         .limit(30)
+    },
+
+    // Term co-occurrence (market-basket shape): among terms appearing in
+    // ≥ 8 documents, count document-level pair co-occurrences. The
+    // frequent-term screen is a broadcast semi-join that prunes the pair
+    // blow-up BEFORE the doc-level self-join — pair cost follows
+    // Σ(frequent terms per doc)², the FP-growth-style bound, not vocab².
+    QueryDef.sql(
+      "q103_cooccurrence",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM nrm),
+         |dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE len(term) > 0),
+         |freq AS (SELECT term FROM dt GROUP BY term HAVING COUNT(*) >= 8),
+         |fdt AS (SELECT doc_id, term FROM dt JOIN freq USING (term)),
+         |pairs AS (SELECT a.term AS t1, b.term AS t2
+         |          FROM fdt a JOIN fdt b ON a.doc_id = b.doc_id AND a.term < b.term)
+         |SELECT t1, t2, COUNT(*) AS n_docs
+         |FROM pairs GROUP BY t1, t2 ORDER BY n_docs DESC, t1, t2 LIMIT 40""".stripMargin) { (s, dir) =>
+      val dt = Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(normText(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+      val freq = dt.groupBy("term").agg(count(lit(1)).as("__df"))
+        .where(col("__df") >= 8).select("term")
+      val fdt = dt.join(broadcast(freq), Seq("term"), "left_semi")
+      fdt.as("a").join(fdt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+        .limit(40)
     })
 }
