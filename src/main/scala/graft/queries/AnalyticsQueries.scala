@@ -178,5 +178,55 @@ object AnalyticsQueries {
           |FROM h JOIN (SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS bal
           |             FROM supplier) b ON b.s_suppkey = h.k
           |GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // Ranking-function family over partitioned windows: RANK / DENSE_RANK
+    // / PERCENT_RANK / CUME_DIST per market segment on exact cents.
+    // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    // double divisions of exact integers — correctly rounded identically
+    // on any engine, so even the float columns hash-match. One shuffle on
+    // the partition key; ties are real (cents collide) and every ranking
+    // mode's tie semantics are exercised.
+    QueryDef.sql(
+      "q104_rank_family",
+      """SELECT c_mktsegment, c_custkey, bal_cents,
+        |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |  CAST(FLOOR(1000000.0 * PERCENT_RANK() OVER w) AS BIGINT) AS prank_scaled,
+        |  CAST(FLOOR(1000000.0 * CUME_DIST() OVER w) AS BIGINT) AS cume_scaled
+        |FROM (SELECT c_mktsegment, c_custkey,
+        |        CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer) t
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents)
+        |ORDER BY c_mktsegment, bal_cents, c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("bal_cents")
+      Tables(s, dir).customer
+        .select(col("c_mktsegment"), col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("bal_cents"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          floor(lit(1000000.0) * percent_rank().over(w)).cast("long").as("prank_scaled"),
+          floor(lit(1000000.0) * cume_dist().over(w)).cast("long").as("cume_scaled"))
+        .orderBy("c_mktsegment", "bal_cents", "c_custkey")
+    },
+
+    // Per-key map aggregation rendered portably: each user's event-type
+    // histogram as a sorted "type:count|..." string. Two-level aggregate
+    // (both map-side combined) + an in-row render — the grouped-map shape
+    // without engine-specific map types in the output contract.
+    QueryDef.sql(
+      "q105_typed_map",
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || n::VARCHAR, '|' ORDER BY event_type) AS type_counts,
+        |  CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_list(
+            concat(col("event_type"), lit(":"), col("n")))), "|").as("type_counts"),
+          sum(col("n")).as("n_events"))
+        .orderBy("user_id")
     })
 }
