@@ -66,7 +66,12 @@ object Migrate {
     * partition pruning (PartitionPruningSpec asserts both plans).
     */
   def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+    // repartition on the partition columns first: without it every task
+    // writes a sliver into every partition directory (tasks × partitions
+    // small files — the classic 100 TB lake pathology); with it each
+    // partition's rows are clustered into whole files
+    df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")
