@@ -71,8 +71,12 @@ object DataCompare {
         (xxhash64(cols.map(col): _*) % lit(4294967296L)).as("__h"))
     tagged(src, 1).unionAll(tagged(dst, -1))
       .groupBy("chunk_id")
-      .agg(sum(col("__t")).as("dcnt"), sum(col("__t") * col("__h")).as("dhsum"))
-      .where(col("dcnt") =!= 0L || col("dhsum") =!= 0L)
+      // decimal(38,0) accumulator: a degenerate whole-table "chunk" (O5
+      // stats-missing fallback) can hold billions of rows, where a long
+      // sum of ±2^32-bounded hashes would overflow (ANSI mode throws)
+      .agg(sum(col("__t")).as("dcnt"),
+        sum((col("__t") * col("__h")).cast("decimal(38,0)")).as("dhsum"))
+      .where(col("dcnt") =!= 0L || col("dhsum") =!= lit(0L).cast("decimal(38,0)"))
       // cast: callers may pass an IntegerType chunk-id column (e.g. int
       // literals from a planner), which getLong would ClassCastException on
       .select(col("chunk_id").cast("long")).collect().map(_.getLong(0))
