@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful processing on the Spark 4 `transformWithState`
   * API — the modern successor of `flatMapGroupsWithState` that
@@ -50,5 +50,71 @@ object StatefulOps {
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(
         new RunningTotals, TimeMode.None(), OutputMode.Update(), enc)
+  }
+
+  /** [[CdcPipeline.flushOnResolved]] on the typed-state API: the per-table
+    * DML buffer is a ListState (append-only between flushes — no
+    * rewrite-the-whole-blob per batch, unlike GroupState), the checkpoint
+    * ts a ValueState. Semantics are identical to the flatMapGroupsWithState
+    * twin: DML ≤ checkpoint dropped as obsolete, RESOLVED/HEARTBEAT at ts
+    * flushes the buffer's ≤-ts prefix sorted and advances the checkpoint,
+    * DML at exactly the resolved ts is included (kind-rank ordering).
+    */
+  class ResolvedFlush extends StatefulProcessor[String, ChangeEvent, CdcPipeline.FlushedEvent] {
+    @transient private var buffer: ListState[ChangeEvent] = _
+    @transient private var ckpt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[ChangeEvent](
+        "buffer", Encoders.product[ChangeEvent], TTLConfig.NONE)
+      ckpt = getHandle.getValueState[Long]("ckpt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def kindRank(queryType: String): Int = queryType match {
+      case "RESOLVED" | "HEARTBEAT" => 1
+      case _                        => 0
+    }
+
+    override def handleInputRows(
+        table: String,
+        rows: Iterator[ChangeEvent],
+        timerValues: TimerValues): Iterator[CdcPipeline.FlushedEvent] = {
+      val group = new EventGroup(if (buffer.exists()) buffer.get().toSeq else Nil)
+      var checkpoint = if (ckpt.exists()) ckpt.get() else Long.MinValue
+      val out = Seq.newBuilder[CdcPipeline.FlushedEvent]
+      rows.toSeq.sortBy(e => (e.commitTs, kindRank(e.queryType), e.queryType, e.key)).foreach { e =>
+        e.queryType match {
+          case "RESOLVED" | "HEARTBEAT" =>
+            if (e.commitTs > checkpoint) {
+              val flushed = group.resolvedFlush(e.commitTs)
+              out ++= flushed.zipWithIndex.map { case (f, i) =>
+                CdcPipeline.FlushedEvent(f, e.commitTs, i)
+              }
+              checkpoint = e.commitTs
+            }
+          case _ if e.isDml || e.queryType == "DDL" =>
+            if (e.commitTs > checkpoint) group.append(e)
+          case _ => ()
+        }
+      }
+      // the store rejects empty list puts — clear() is the empty encoding
+      if (group.buffered.isEmpty) buffer.clear()
+      else buffer.put(group.buffered.toArray)
+      ckpt.update(checkpoint)
+      out.result().iterator
+    }
+  }
+
+  /** Wires [[ResolvedFlush]] over a decoded CDC event stream, keyed by
+    * table — the transformWithState twin of
+    * [[CdcPipeline.resolvedFlushStream]].
+    */
+  def resolvedFlushStream(
+      spark: SparkSession, events: Dataset[ChangeEvent]): Dataset[CdcPipeline.FlushedEvent] = {
+    implicit val enc = Encoders.product[CdcPipeline.FlushedEvent]
+    events
+      .groupByKey(_.tableName)(Encoders.STRING)
+      .transformWithState(
+        new ResolvedFlush, TimeMode.None(), OutputMode.Append(), enc)
   }
 }

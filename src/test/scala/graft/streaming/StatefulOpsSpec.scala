@@ -41,4 +41,46 @@ class StatefulOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ResolvedFlush matches the flatMapGroupsWithState twin's semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def dml(ts: Long, op: String, k: String): ChangeEvent =
+      ChangeEvent("db", "t", op, ts, 0, Map("id" -> k), Map("id" -> k), "")
+    def resolved(ts: Long): ChangeEvent =
+      ChangeEvent("db", "t", "RESOLVED", ts, 0, Map.empty, Map.empty, "")
+
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ChangeEvent]
+    val q = StatefulOps.resolvedFlushStream(s, input.toDS())
+      .writeStream.format("memory").queryName("tws_cdc_out").outputMode("append").start()
+    try {
+      // buffered until RESOLVED; equal-ts UPDATE must flush (kind rank)
+      input.addData(Seq(dml(5, "INSERT", "k1"), dml(3, "INSERT", "k2"), dml(8, "UPDATE", "k1")))
+      q.processAllAvailable()
+      assert(s.table("tws_cdc_out").count() == 0)
+
+      input.addData(Seq(dml(6, "UPDATE", "k3"), resolved(6)))
+      q.processAllAvailable()
+      val f1 = s.table("tws_cdc_out").as[CdcPipeline.FlushedEvent].collect()
+        .sortBy(_.seq).map(f => (f.event.commitTs, f.event.queryType)).toSeq
+      assert(f1 == Seq((3L, "INSERT"), (5L, "INSERT"), (6L, "UPDATE")))
+
+      // obsolete replay ≤ checkpoint 6 dropped; ts 8 buffered survivor flushes
+      input.addData(Seq(dml(3, "INSERT", "k2"), resolved(10)))
+      q.processAllAvailable()
+      val all = s.table("tws_cdc_out").as[CdcPipeline.FlushedEvent].collect()
+        .map(f => (f.resolvedTs, f.event.commitTs)).toSet
+      assert(all == Set((6L, 3L), (6L, 5L), (6L, 6L), (10L, 8L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
