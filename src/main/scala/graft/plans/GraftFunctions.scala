@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftShims.scaledDotDescriptor)
     ext.injectOptimizerRule(_ => RewriteScaledDot)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshims.TopKStrategy)
   }
 }
 
@@ -29,7 +30,18 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteScaledDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteScaledDot
+    if (!spark.experimental.extraStrategies.contains(org.apache.spark.sql.graftshims.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ org.apache.spark.sql.graftshims.TopKStrategy
   }
+
+  /** Exact top-k rows per group via the native two-phase operator
+    * (bounded per-group heaps on both sides of the shuffle — see
+    * org.apache.spark.sql.graftshims.TopKPerGroup).
+    */
+  def topKPerGroup(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      orderCol: String, k: Int, descending: Boolean = true): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshims.TopKApi.topKPerGroup(df, groupCols, orderCol, k, descending)
 
   /** Native scaled dot product as a Column. */
   def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)

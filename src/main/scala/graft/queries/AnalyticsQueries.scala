@@ -228,5 +228,30 @@ object AnalyticsQueries {
             concat(col("event_type"), lit(":"), col("n")))), "|").as("type_counts"),
           sum(col("n")).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // Native top-k-per-group: the custom LogicalPlan + Strategy +
+    // two-phase SparkPlan (bounded per-group heaps on BOTH sides of the
+    // shuffle — the exchange carries ≤ k rows per group per map
+    // partition, never the full table; TopKPerGroupSpec asserts the plan).
+    // Top-3 customers by balance per market segment; ordering key is
+    // cents ⊕ custkey, unique so every engine agrees.
+    QueryDef.sql(
+      "q106_native_topk",
+      """SELECT c_mktsegment, c_custkey, bal_cents FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS ord
+        |  FROM customer) t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY ord DESC) <= 3
+        |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).customer.select(
+        col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        (floor(col("c_acctbal") * 100).cast("long") * 10000000 + col("c_custkey")).as("ord"))
+      graft.plans.GraftFunctions
+        .topKPerGroup(base, Seq("c_mktsegment"), "ord", 3)
+        .select("c_mktsegment", "c_custkey", "bal_cents")
+        .orderBy(col("c_mktsegment"), col("bal_cents").desc, col("c_custkey"))
     })
 }
