@@ -253,5 +253,27 @@ object AnalyticsQueries {
         .topKPerGroup(base, Seq("c_mktsegment"), "ord", 3)
         .select("c_mktsegment", "c_custkey", "bal_cents")
         .orderBy(col("c_mktsegment"), col("bal_cents").desc, col("c_custkey"))
+    },
+
+    // Semi-structured VARIANT ingestion (Spark 4 VariantType): the JSON
+    // props column is parsed once into the binary variant encoding and
+    // fields are extracted with typed paths — the open-schema event
+    // payload shape; vs get_json_object (q71) the parse is not repeated
+    // per extraction. Oracle uses DuckDB's JSON extraction on the same
+    // column.
+    QueryDef.sql(
+      "q107_variant",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
     })
 }
