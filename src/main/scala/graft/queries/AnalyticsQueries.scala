@@ -275,5 +275,42 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // Fuzzy entity matching: blocked edit-distance join over part names
+    // with seeded single-char typos (every 7th part re-appears with
+    // position 4 replaced). Blocking on (3-char prefix, exact length)
+    // bounds the candidate pairs — the Levenshtein verify runs only
+    // inside blocks, the entity-resolution analogue of LSH-then-verify;
+    // an unblocked n² distance join would never survive 100 TB.
+    QueryDef.sql(
+      "q108_fuzzy_match",
+      """WITH base AS (SELECT p_partkey AS k, p_name AS n FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 100000, substr(p_name, 1, 3) || 'x' || substr(p_name, 5)
+        |  FROM part WHERE p_partkey % 7 = 0 AND len(p_name) >= 5),
+        |blocked AS (SELECT k, n, substr(n, 1, 3) AS pfx, len(n) AS ln FROM base)
+        |SELECT b.k AS clone_k, b.n AS clone_name,
+        |  COUNT(*) AS n_matches, MIN(a.k) AS first_match
+        |FROM blocked a JOIN blocked b
+        |  ON a.pfx = b.pfx AND a.ln = b.ln AND a.k < b.k
+        |WHERE b.k >= 100000 AND levenshtein(a.n, b.n) = 1
+        |GROUP BY b.k, b.n ORDER BY clone_k""".stripMargin) { (s, dir) =>
+      val part = Tables(s, dir).part
+      val base = part.select(col("p_partkey").as("k"), col("p_name").as("n"))
+        .unionAll(part
+          .where(col("p_partkey") % 7 === 0 && length(col("p_name")) >= 5)
+          .select((col("p_partkey") + 100000).as("k"),
+            concat(substring(col("p_name"), 1, 3), lit("x"),
+              expr("substring(p_name, 5)")).as("n")))
+      val blocked = base.select(col("k"), col("n"),
+        substring(col("n"), 1, 3).as("pfx"), length(col("n")).as("ln"))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.pfx") === col("b.pfx") && col("a.ln") === col("b.ln") &&
+            col("a.k") < col("b.k"))
+        .where(col("b.k") >= 100000 && levenshtein(col("a.n"), col("b.n")) === 1)
+        .groupBy(col("b.k").as("clone_k"), col("b.n").as("clone_name"))
+        .agg(count(lit(1)).as("n_matches"), min(col("a.k")).as("first_match"))
+        .orderBy("clone_k")
     })
 }
