@@ -105,6 +105,71 @@ object StatefulOps {
     }
   }
 
+  /** Event-time session tracking with TIMERS: each key's open session
+    * (start, end, count) lives in a ValueState; every batch re-arms an
+    * event-time timer at session end + gap, and when the WATERMARK passes
+    * it, handleExpiredTimer emits the closed session and clears state —
+    * sessions close on stream-time progress, with no input row needed for
+    * the closing key. The session_window aggregation (StreamOps) is the
+    * declarative twin; this is the arbitrary-logic tier (e.g. per-session
+    * emit-on-close side effects) with the same bounded-state guarantee.
+    */
+  final case class Session(startMs: Long, endMs: Long, count: Long)
+
+  class TimedSessions(gapMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var session: ValueState[Session] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[Session](
+        "session", Encoders.product[Session], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      var st = if (session.exists()) session.get() else Session(Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { case (_, ts) =>
+        st = Session(math.min(st.startMs, ts), math.max(st.endMs, ts), st.count + 1)
+      }
+      session.update(st)
+      // re-arm: one timer at the current session's close time (stale
+      // timers for earlier ends are deleted — at most one live timer/key)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(st.endMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Long, Long, Long)] = {
+      // the timer only fires once the watermark passed session end + gap;
+      // a row arriving later than that would be late data by definition
+      val st = session.get()
+      session.clear()
+      Iterator.single((key, st.startMs, st.endMs, st.count))
+    }
+  }
+
+  /** Wires [[TimedSessions]] over (key, eventTimeMs) rows. The stream
+    * must carry a watermarked event-time column named `eventTime`
+    * (TimestampType) for TimeMode.EventTime to drive the timers.
+    */
+  def timedSessions(events: Dataset[(String, java.sql.Timestamp)], gapMs: Long)
+      : Dataset[(String, Long, Long, Long)] = {
+    implicit val enc = Encoders.product[(String, Long, Long, Long)]
+    events
+      .toDF("k", "eventTime")
+      .withWatermark("eventTime", "0 seconds")
+      .as[(String, java.sql.Timestamp)](Encoders.product[(String, java.sql.Timestamp)])
+      .map(r => (r._1, r._2.getTime))(Encoders.product[(String, Long)])
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(
+        new TimedSessions(gapMs), TimeMode.EventTime(), OutputMode.Append(), enc)
+  }
+
   /** Wires [[ResolvedFlush]] over a decoded CDC event stream, keyed by
     * table — the transformWithState twin of
     * [[CdcPipeline.resolvedFlushStream]].

@@ -42,6 +42,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("TimedSessions closes sessions via event-time timers on watermark advance") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(sec: Int): java.sql.Timestamp = new java.sql.Timestamp(base + sec * 1000L)
+
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StatefulOps.timedSessions(input.toDS(), gapMs = 60000L)
+      .toDF("k", "start_ms", "end_ms", "n").writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // session a: two events 30s apart; no close yet (watermark behind)
+      input.addData(Seq(("a", ts(0)), ("a", ts(30))))
+      q.processAllAvailable()
+      assert(s.table("sess_out").count() == 0)
+
+      // an event 5 minutes later advances the watermark past a's
+      // end + gap; the timer fires in the following batch
+      input.addData(Seq(("b", ts(300))))
+      q.processAllAvailable()
+      input.addData(Seq(("b", ts(301))))
+      q.processAllAvailable()
+      val closed = s.table("sess_out").as[(String, Long, Long, Long)].collect().toSet
+      assert(closed.exists(r => r._1 == "a" && r._4 == 2L &&
+        r._3 - r._2 == 30000L), s"expected closed session for a, got $closed")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ResolvedFlush matches the flatMapGroupsWithState twin's semantics") {
     val s = spark
     import s.implicits._
