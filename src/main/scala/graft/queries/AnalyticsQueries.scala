@@ -312,5 +312,26 @@ object AnalyticsQueries {
         .groupBy(col("b.k").as("clone_k"), col("b.n").as("clone_name"))
         .agg(count(lit(1)).as("n_matches"), min(col("a.k")).as("first_match"))
         .orderBy("clone_k")
+    },
+
+    // DSv2 chunked source read: the reference's chunk IS the
+    // InputPartition (graft.sources.ChunkedRangeSource), and the k-range
+    // predicate prunes whole chunks at PLANNING time — this filtered
+    // aggregate plans exactly 3 of 25 chunks (ChunkedRangeSourceSpec
+    // asserts partition counts). Oracle rebuilds the same deterministic
+    // rows from DuckDB's range().
+    QueryDef.sql(
+      "q109_chunk_source",
+      """SELECT CAST(k // 4096 AS BIGINT) AS chunk, COUNT(*) AS n,
+        |  CAST(SUM((k * 2654435761) % 997) AS BIGINT) AS vsum
+        |FROM (SELECT range AS k FROM range(20480, 32768))
+        |GROUP BY chunk ORDER BY chunk""".stripMargin) { (s, dir) =>
+      s.read.format("graft.sources.ChunkedRangeSource")
+        .option("start", "0").option("end", "102400").option("chunkSize", "4096")
+        .load()
+        .where(col("k") >= 20480 && col("k") < 32768)
+        .groupBy(expr("k div 4096").as("chunk"))
+        .agg(count(lit(1)).as("n"), sum("v").as("vsum"))
+        .orderBy("chunk")
     })
 }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 source where the reference's CHUNK is Spark's
+  * InputPartition (SURVEY §2.1 S1/S2: chunked table scan): the key range
+  * [start, end) splits into `chunkSize`-wide chunks, one InputPartition
+  * each, and key-range predicates PRUNE WHOLE CHUNKS at planning time —
+  * the planner-level twin of `DBMS_PARALLEL_EXECUTE` chunking plus the
+  * resume path's only-failed-chunks restriction (O9).
+  *
+  * Rows are `(k, v)` with `v = (k · 2654435761) % 997` — a deterministic
+  * formula any engine reproduces, so reads are oracle-checkable.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.ChunkedRangeSource")
+  *   .option("start", 0).option("end", 1000000).option("chunkSize", 4096)
+  *   .load().where($"k" >= 8192 && $"k" < 16384)   // scans exactly 2 chunks
+  * }}}
+  */
+class ChunkedRangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChunkedRangeSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ChunkedRangeTable(
+      properties.getOrDefault("start", "0").toLong,
+      properties.getOrDefault("end", "0").toLong,
+      properties.getOrDefault("chunksize", "4096").toLong)
+}
+
+object ChunkedRangeSource {
+  val Schema: StructType =
+    StructType(Seq(StructField("k", LongType, false), StructField("v", LongType, false)))
+  def valueOf(k: Long): Long = (k * 2654435761L) % 997L
+}
+
+final class ChunkedRangeTable(start: Long, end: Long, chunkSize: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"chunked_range($start,$end,$chunkSize)"
+  override def schema(): StructType = ChunkedRangeSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChunkedRangeScanBuilder(start, end, chunkSize)
+}
+
+/** Accepts k-range filters; everything else stays with Spark. */
+final class ChunkedRangeScanBuilder(start: Long, end: Long, chunkSize: Long)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var lo = start
+  private var hi = end
+  private var pushed = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThanOrEqual("k", _: Long) | GreaterThan("k", _: Long) |
+           LessThan("k", _: Long) | LessThanOrEqual("k", _: Long) |
+           org.apache.spark.sql.sources.EqualTo("k", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("k", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("k", v: Long)        => lo = math.max(lo, v + 1)
+      case LessThan("k", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("k", v: Long)    => hi = math.min(hi, v + 1)
+      case org.apache.spark.sql.sources.EqualTo("k", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    rest // residual filters Spark must still apply
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ChunkedRangeScan(start, lo, hi, chunkSize)
+}
+
+final class ChunkedRangeScan(tableStart: Long, lo: Long, hi: Long, chunkSize: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = ChunkedRangeSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ChunkedRangeScan(lo=$lo, hi=$hi, chunkSize=$chunkSize)"
+
+  /** One InputPartition per surviving chunk: chunks wholly outside
+    * [lo, hi) are pruned here, at planning time — they produce no task.
+    * Chunk boundaries stay aligned to the TABLE's origin so pruning
+    * commutes with predicates (the same rows land in the same chunk no
+    * matter the filter).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val firstChunk = (lo - tableStart) / chunkSize
+    val lastChunk = (hi - 1 - tableStart) / chunkSize
+    (firstChunk to lastChunk).map { c =>
+      val cLo = tableStart + c * chunkSize
+      ChunkPartition(math.max(cLo, lo), math.min(cLo + chunkSize, hi)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
+}
+
+final case class ChunkPartition(lo: Long, hi: Long) extends InputPartition
+
+object ChunkReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChunkPartition]
+    new PartitionReader[InternalRow] {
+      private var k = p.lo - 1
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      override def next(): Boolean = { k += 1; k < p.hi }
+      override def get(): InternalRow = {
+        row.update(0, k)
+        row.update(1, ChunkedRangeSource.valueOf(k))
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
