@@ -31,11 +31,15 @@ class ChunkedRangeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChunkedRangeSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // properties arrive case-preserved — normalize so option("chunkSize")
+    // and option("chunksize") both resolve
+    val opts = new CaseInsensitiveStringMap(properties)
     new ChunkedRangeTable(
-      properties.getOrDefault("start", "0").toLong,
-      properties.getOrDefault("end", "0").toLong,
-      properties.getOrDefault("chunksize", "4096").toLong)
+      opts.getLong("start", 0L),
+      opts.getLong("end", 0L),
+      opts.getLong("chunksize", 4096L))
+  }
 }
 
 object ChunkedRangeSource {

@@ -146,7 +146,9 @@ object StatefulOps {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[(String, Long, Long, Long)] = {
       // the timer only fires once the watermark passed session end + gap;
-      // a row arriving later than that would be late data by definition
+      // a row arriving later than that would be late data by definition.
+      // Guard: a stale timer can outlive a cleared/emitted session.
+      if (!session.exists()) return Iterator.empty
       val st = session.get()
       session.clear()
       Iterator.single((key, st.startMs, st.endMs, st.count))

@@ -76,9 +76,12 @@ final case class TopKPerGroupExec(
         val ordAny = boundOrder.eval(row)
         if (ordAny != null) {
           val ord = ordAny.asInstanceOf[Long]
-          val key = groupProj(row)
-          val heap = heaps.getOrElseUpdate(key.copy(),
-            mutable.PriorityQueue.empty[(Long, UnsafeRow)](headFirst))
+          val key = groupProj(row) // reused buffer: copy only on insert
+          val heap = heaps.getOrElse(key, {
+            val h = mutable.PriorityQueue.empty[(Long, UnsafeRow)](headFirst)
+            heaps.put(key.copy(), h)
+            h
+          })
           val better = heap.size < kB ||
             (if (desc) ord > heap.head._1 else ord < heap.head._1)
           if (better) {

@@ -34,6 +34,13 @@ class ChunkedRangeSourceSpec extends SparkSpec {
     })
   }
 
+  test("chunkSize option is honored regardless of key casing") {
+    val df = spark.read.format("graft.sources.ChunkedRangeSource")
+      .option("start", "0").option("end", "10000").option("chunkSize", "1000")
+      .load()
+    assert(df.rdd.getNumPartitions == 10, s"got ${df.rdd.getNumPartitions}")
+  }
+
   test("residual filters still apply on top of pruned chunks") {
     val df = table.where(col("k") >= 4096 && col("k") < 8192 && col("v") === 0L)
     val rows = df.collect()
