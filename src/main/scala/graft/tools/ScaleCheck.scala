@@ -86,6 +86,38 @@ object ScaleCheck {
     println(f"""{"scenario":"lsh_dedup","docs":$nSig,"candidate_pairs":$nCand,""" +
       f""""signature_sec":${(t7 - t6) / 1e9}%.2f,"candidates_sec":${(t8 - t7) / 1e9}%.2f,""" +
       f""""sig_docs_per_sec":${(nSig / ((t7 - t6) / 1e9)).toLong}}""")
+
+    // native top-k-per-group vs the window row_number filter at scale:
+    // 1000 groups over 2n rows, k=5, unique ordering key. The native
+    // operator's partial phase caps the exchange at k rows per group per
+    // map partition; the window shuffles and sorts everything.
+    graft.plans.GraftFunctions.register(spark)
+    val grouped = spark.range(2 * n).select(
+      (col("id") % 1000).as("g"),
+      col("id").as("ord"))
+    val t9 = System.nanoTime()
+    val nNative = graft.plans.GraftFunctions
+      .topKPerGroup(grouped, Seq("g"), "ord", 5).count()
+    val t10 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("ord").desc)
+    val nWindow = grouped.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).count()
+    val t11 = System.nanoTime()
+    println(f"""{"scenario":"topk_per_group","rows":${2 * n},"groups":1000,"k":5,""" +
+      f""""native_rows":$nNative,"native_sec":${(t10 - t9) / 1e9}%.2f,""" +
+      f""""window_rows":$nWindow,"window_sec":${(t11 - t10) / 1e9}%.2f}""")
+
+    // distributed prefix sum at scale (range repartition + offsets +
+    // partition-local window) — the global-window alternative would
+    // single-task the whole set
+    val t12 = System.nanoTime()
+    val cum = graft.operators.Ranks.withRunningTotal(
+      spark.range(2 * n).select(col("id").as("k"), (col("id") % 97).as("v")),
+      Seq("k"), col("v"), "c")
+    val sumMax = cum.agg(max("c")).collect().head.getLong(0)
+    val t13 = System.nanoTime()
+    println(f"""{"scenario":"prefix_sum","rows":${2 * n},"final_total":$sumMax,""" +
+      f""""sec":${(t13 - t12) / 1e9}%.2f,"rows_per_sec":${(2 * n / ((t13 - t12) / 1e9)).toLong}}""")
     spark.stop()
   }
 }
