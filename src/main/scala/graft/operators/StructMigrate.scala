@@ -52,6 +52,41 @@ object StructMigrate {
       .otherwise(lit("TEXT"))
   }
 
+  /** PostgreSQL→MySQL-compatible type mapping, the reference's third
+    * source dialect (`database/mapping/postgresql.go` rules re-expressed):
+    * int2/int4/int8→SMALLINT/INT/BIGINT; numeric(p,s)→DECIMAL capped
+    * (65,30), bare numeric→DECIMAL(65,30); varchar(n)/bpchar(n) keep
+    * length (bpchar>255→VARCHAR); text→LONGTEXT; bytea→LONGBLOB;
+    * float4/float8→FLOAT/DOUBLE; bool→TINYINT(1); date→DATE;
+    * timestamp/timestamptz(s)→DATETIME(min(s,6)); uuid→CHAR(36);
+    * json/jsonb→JSON.
+    */
+  def mapPostgresType(dt: Column, p: Column, s: Column): Column = {
+    val precision = coalesce(p, lit(-1L))
+    val scale     = coalesce(s, lit(0L))
+    when(dt === "int2" || dt === "smallint", lit("SMALLINT"))
+      .when(dt === "int4" || dt === "integer", lit("INT"))
+      .when(dt === "int8" || dt === "bigint", lit("BIGINT"))
+      .when((dt === "numeric" || dt === "decimal") && precision === -1L, lit("DECIMAL(65,30)"))
+      .when(dt === "numeric" || dt === "decimal",
+        concat(lit("DECIMAL("), least(precision, lit(65L)), lit(","), least(scale, lit(30L)), lit(")")))
+      .when(dt === "varchar" || dt === "character varying",
+        concat(lit("VARCHAR("), precision, lit(")")))
+      .when((dt === "bpchar" || dt === "character") && precision > 255L,
+        concat(lit("VARCHAR("), precision, lit(")")))
+      .when(dt === "bpchar" || dt === "character", concat(lit("CHAR("), precision, lit(")")))
+      .when(dt === "text", lit("LONGTEXT"))
+      .when(dt === "bytea", lit("LONGBLOB"))
+      .when(dt === "float4" || dt === "real", lit("FLOAT"))
+      .when(dt === "float8" || dt === "double precision", lit("DOUBLE"))
+      .when(dt === "bool" || dt === "boolean", lit("TINYINT(1)"))
+      .when(dt === "date", lit("DATE"))
+      .when(dt.startsWith("timestamp"), concat(lit("DATETIME("), least(scale, lit(6L)), lit(")")))
+      .when(dt === "uuid", lit("CHAR(36)"))
+      .when(dt === "json" || dt === "jsonb", lit("JSON"))
+      .otherwise(lit("TEXT"))
+  }
+
   /** Translate a catalog DataFrame (table_name, column_name, data_type,
     * data_precision, data_scale, ordinal) and render per-column DDL.
     */

@@ -272,5 +272,60 @@ object StructQueries {
       val twice = Migrate.safeModeApply(once, batch, Seq("o_orderkey"))
       twice.orderBy("o_orderkey")
     },
+
+    // struct_migrate, PostgreSQL source dialect: the PG catalog ladder
+    // (int2/int4/int8, numeric caps, bpchar/varchar, bytea, timestamptz,
+    // uuid, jsonb) translated to MySQL-compatible target types — the
+    // reference's third mapping table as a Column expression.
+    QueryDef.sql(
+      "q110_struct_pg",
+      """WITH cat(table_name, column_name, data_type, data_precision, data_scale) AS (VALUES
+        |  ('t2','id','int8',NULL,NULL), ('t2','qty','int4',NULL,NULL),
+        |  ('t2','tiny','int2',NULL,NULL), ('t2','amount','numeric',14,4),
+        |  ('t2','free','numeric',NULL,NULL), ('t2','name','varchar',80,NULL),
+        |  ('t2','code','bpchar',3,NULL), ('t2','bigchar','bpchar',300,NULL),
+        |  ('t2','doc','text',NULL,NULL), ('t2','blob','bytea',NULL,NULL),
+        |  ('t2','ratio','float4',NULL,NULL), ('t2','precise','float8',NULL,NULL),
+        |  ('t2','ok','bool',NULL,NULL), ('t2','d','date',NULL,NULL),
+        |  ('t2','ts','timestamptz',NULL,9), ('t2','uid','uuid',NULL,NULL),
+        |  ('t2','payload','jsonb',NULL,NULL), ('t2','weird','tsvector',NULL,NULL))
+        |SELECT table_name, column_name, data_type,
+        |  CASE WHEN data_type IN ('int2','smallint') THEN 'SMALLINT'
+        |       WHEN data_type IN ('int4','integer') THEN 'INT'
+        |       WHEN data_type IN ('int8','bigint') THEN 'BIGINT'
+        |       WHEN data_type IN ('numeric','decimal') AND data_precision IS NULL THEN 'DECIMAL(65,30)'
+        |       WHEN data_type IN ('numeric','decimal')
+        |            THEN 'DECIMAL(' || least(data_precision, 65) || ',' || least(coalesce(data_scale,0), 30) || ')'
+        |       WHEN data_type IN ('varchar','character varying') THEN 'VARCHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('bpchar','character') AND data_precision > 255 THEN 'VARCHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('bpchar','character') THEN 'CHAR(' || data_precision || ')'
+        |       WHEN data_type = 'text' THEN 'LONGTEXT'
+        |       WHEN data_type = 'bytea' THEN 'LONGBLOB'
+        |       WHEN data_type IN ('float4','real') THEN 'FLOAT'
+        |       WHEN data_type IN ('float8','double precision') THEN 'DOUBLE'
+        |       WHEN data_type IN ('bool','boolean') THEN 'TINYINT(1)'
+        |       WHEN data_type = 'date' THEN 'DATE'
+        |       WHEN data_type LIKE 'timestamp%' THEN 'DATETIME(' || least(coalesce(data_scale,0), 6) || ')'
+        |       WHEN data_type = 'uuid' THEN 'CHAR(36)'
+        |       WHEN data_type IN ('json','jsonb') THEN 'JSON'
+        |       ELSE 'TEXT' END AS target_type
+        |FROM cat ORDER BY table_name, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cat = Seq(
+        ("t2", "id", "int8", None, None), ("t2", "qty", "int4", None, None),
+        ("t2", "tiny", "int2", None, None), ("t2", "amount", "numeric", Some(14L), Some(4L)),
+        ("t2", "free", "numeric", None, None), ("t2", "name", "varchar", Some(80L), None),
+        ("t2", "code", "bpchar", Some(3L), None), ("t2", "bigchar", "bpchar", Some(300L), None),
+        ("t2", "doc", "text", None, None), ("t2", "blob", "bytea", None, None),
+        ("t2", "ratio", "float4", None, None), ("t2", "precise", "float8", None, None),
+        ("t2", "ok", "bool", None, None), ("t2", "d", "date", None, None),
+        ("t2", "ts", "timestamptz", None, Some(9L)), ("t2", "uid", "uuid", None, None),
+        ("t2", "payload", "jsonb", None, None), ("t2", "weird", "tsvector", None, None))
+        .toDF("table_name", "column_name", "data_type", "data_precision", "data_scale")
+      cat.select(col("table_name"), col("column_name"), col("data_type"),
+          StructMigrate.mapPostgresType(
+            col("data_type"), col("data_precision"), col("data_scale")).as("target_type"))
+        .orderBy("table_name", "column_name")
+    },
   )
 }
