@@ -55,6 +55,11 @@ object Ranks {
     val ranked = staged
       .withColumn(out, (offsetExpr + col("__lrn") + 1L).cast("long"))
       .drop("__pid", "__lrn")
+      // materialize under the cached partition assignment, then release
+      // the intermediate cache — it would otherwise pin executor memory
+      // for the rest of the session
+      .localCheckpoint(true)
+    staged.unpersist(false)
     (ranked, counts.values.sum)
   }
 
@@ -76,8 +81,10 @@ object Ranks {
       .repartitionByRange(parts, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
       .cache() // both passes must see one partition assignment
+    // coalesce: a range partition whose every value casts to NULL would
+    // otherwise sum to NULL and NPE on getLong
     val sums = staged.groupBy("__pid")
-      .agg(sum(col("__v")).as("s")).collect()
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = sums.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)(_ + sums(_))).toMap
@@ -86,9 +93,12 @@ object Ranks {
     }
     val w = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    staged
+    val result = staged
       .withColumn(out, offsetExpr + sum(col("__v")).over(w))
       .drop("__v", "__pid")
+      .localCheckpoint(true) // see withGlobalRankAndTotal: release the cache
+    staged.unpersist(false)
+    result
   }
 
   /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n

@@ -70,11 +70,23 @@ object StructMigrate {
       .when((dt === "numeric" || dt === "decimal") && precision === -1L, lit("DECIMAL(65,30)"))
       .when(dt === "numeric" || dt === "decimal",
         concat(lit("DECIMAL("), least(precision, lit(65L)), lit(","), least(scale, lit(30L)), lit(")")))
-      .when(dt === "varchar" || dt === "character varying",
+      // length-less varchar/bpchar (NULL precision) are unbounded in PG —
+      // the reference's character ladder sends them to the TEXT family,
+      // never VARCHAR(NULL) (postgresql.go:199-224: VARCHAR ≤16382,
+      // MEDIUMTEXT ≤4194303, LONGTEXT above; CHAR ≤255, VARCHAR ≤16382,
+      // LONGTEXT above)
+      .when((dt === "varchar" || dt === "character varying") && precision === -1L, lit("LONGTEXT"))
+      .when((dt === "varchar" || dt === "character varying") && precision <= 16382L,
         concat(lit("VARCHAR("), precision, lit(")")))
-      .when((dt === "bpchar" || dt === "character") && precision > 255L,
+      .when((dt === "varchar" || dt === "character varying") && precision <= 4194303L,
+        lit("MEDIUMTEXT"))
+      .when(dt === "varchar" || dt === "character varying", lit("LONGTEXT"))
+      .when((dt === "bpchar" || dt === "character") && precision === -1L, lit("LONGTEXT"))
+      .when((dt === "bpchar" || dt === "character") && precision <= 255L,
+        concat(lit("CHAR("), precision, lit(")")))
+      .when((dt === "bpchar" || dt === "character") && precision <= 16382L,
         concat(lit("VARCHAR("), precision, lit(")")))
-      .when(dt === "bpchar" || dt === "character", concat(lit("CHAR("), precision, lit(")")))
+      .when(dt === "bpchar" || dt === "character", lit("LONGTEXT"))
       .when(dt === "text", lit("LONGTEXT"))
       .when(dt === "bytea", lit("LONGBLOB"))
       .when(dt === "float4" || dt === "real", lit("FLOAT"))

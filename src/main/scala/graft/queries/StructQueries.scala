@@ -283,7 +283,10 @@ object StructQueries {
         |  ('t2','id','int8',NULL,NULL), ('t2','qty','int4',NULL,NULL),
         |  ('t2','tiny','int2',NULL,NULL), ('t2','amount','numeric',14,4),
         |  ('t2','free','numeric',NULL,NULL), ('t2','name','varchar',80,NULL),
+        |  ('t2','note','varchar',NULL,NULL), ('t2','huge','varchar',20000,NULL),
+        |  ('t2','mega','varchar',9999999,NULL), ('t2','anyc','bpchar',NULL,NULL),
         |  ('t2','code','bpchar',3,NULL), ('t2','bigchar','bpchar',300,NULL),
+        |  ('t2','hugec','bpchar',20000,NULL),
         |  ('t2','doc','text',NULL,NULL), ('t2','blob','bytea',NULL,NULL),
         |  ('t2','ratio','float4',NULL,NULL), ('t2','precise','float8',NULL,NULL),
         |  ('t2','ok','bool',NULL,NULL), ('t2','d','date',NULL,NULL),
@@ -296,9 +299,14 @@ object StructQueries {
         |       WHEN data_type IN ('numeric','decimal') AND data_precision IS NULL THEN 'DECIMAL(65,30)'
         |       WHEN data_type IN ('numeric','decimal')
         |            THEN 'DECIMAL(' || least(data_precision, 65) || ',' || least(coalesce(data_scale,0), 30) || ')'
-        |       WHEN data_type IN ('varchar','character varying') THEN 'VARCHAR(' || data_precision || ')'
-        |       WHEN data_type IN ('bpchar','character') AND data_precision > 255 THEN 'VARCHAR(' || data_precision || ')'
-        |       WHEN data_type IN ('bpchar','character') THEN 'CHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('varchar','character varying') AND data_precision IS NULL THEN 'LONGTEXT'
+        |       WHEN data_type IN ('varchar','character varying') AND data_precision <= 16382 THEN 'VARCHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('varchar','character varying') AND data_precision <= 4194303 THEN 'MEDIUMTEXT'
+        |       WHEN data_type IN ('varchar','character varying') THEN 'LONGTEXT'
+        |       WHEN data_type IN ('bpchar','character') AND data_precision IS NULL THEN 'LONGTEXT'
+        |       WHEN data_type IN ('bpchar','character') AND data_precision <= 255 THEN 'CHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('bpchar','character') AND data_precision <= 16382 THEN 'VARCHAR(' || data_precision || ')'
+        |       WHEN data_type IN ('bpchar','character') THEN 'LONGTEXT'
         |       WHEN data_type = 'text' THEN 'LONGTEXT'
         |       WHEN data_type = 'bytea' THEN 'LONGBLOB'
         |       WHEN data_type IN ('float4','real') THEN 'FLOAT'
@@ -315,7 +323,10 @@ object StructQueries {
         ("t2", "id", "int8", None, None), ("t2", "qty", "int4", None, None),
         ("t2", "tiny", "int2", None, None), ("t2", "amount", "numeric", Some(14L), Some(4L)),
         ("t2", "free", "numeric", None, None), ("t2", "name", "varchar", Some(80L), None),
+        ("t2", "note", "varchar", None, None), ("t2", "huge", "varchar", Some(20000L), None),
+        ("t2", "mega", "varchar", Some(9999999L), None), ("t2", "anyc", "bpchar", None, None),
         ("t2", "code", "bpchar", Some(3L), None), ("t2", "bigchar", "bpchar", Some(300L), None),
+        ("t2", "hugec", "bpchar", Some(20000L), None),
         ("t2", "doc", "text", None, None), ("t2", "blob", "bytea", None, None),
         ("t2", "ratio", "float4", None, None), ("t2", "precise", "float8", None, None),
         ("t2", "ok", "bool", None, None), ("t2", "d", "date", None, None),

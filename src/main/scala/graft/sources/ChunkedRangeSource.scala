@@ -74,12 +74,19 @@ final class ChunkedRangeScanBuilder(start: Long, end: Long, chunkSize: Long)
       case _ => false
     }
     accepted.foreach {
+      // v+1 at Long.MaxValue overflows to MinValue — guard the extremes:
+      // k > MAX admits nothing (empty range); k <= MAX admits everything
+      // (no-op); k == MAX is empty because end is exclusive and <= MAX,
+      // so lo = MAX with hi <= MAX yields the empty range correctly.
       case GreaterThanOrEqual("k", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("k", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("k", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
       case LessThan("k", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("k", v: Long)    => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("k", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case org.apache.spark.sql.sources.EqualTo("k", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case _ => ()
     }
     pushed = accepted

@@ -69,16 +69,20 @@ final case class TopKPerGroupExec(
       val boundOrder = BindReferences.bindReference(orderExprB, childOutput)
       // per group: a bounded heap keeping the k best rows. For descending
       // (k largest) the heap's head is the smallest kept value — evict it
-      // when a better row arrives; ascending mirrors with negated keys.
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, UnsafeRow)]]
-      val headFirst = Ordering.by[(Long, UnsafeRow), Long](p => if (desc) -p._1 else p._1)
+      // when a better row arrives; ascending mirrors with a reversed
+      // ordering (never negation: -Long.MinValue overflows back to itself).
+      // Payloads stay InternalRow — rows are only copied and passed
+      // through, so no UnsafeRow assumption on the child's row format.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, InternalRow)]]
+      val byKey = Ordering.by[(Long, InternalRow), Long](_._1)
+      val headFirst = if (desc) byKey.reverse else byKey
       iter.foreach { row =>
         val ordAny = boundOrder.eval(row)
         if (ordAny != null) {
           val ord = ordAny.asInstanceOf[Long]
           val key = groupProj(row) // reused buffer: copy only on insert
           val heap = heaps.getOrElse(key, {
-            val h = mutable.PriorityQueue.empty[(Long, UnsafeRow)](headFirst)
+            val h = mutable.PriorityQueue.empty[(Long, InternalRow)](headFirst)
             heaps.put(key.copy(), h)
             h
           })
@@ -86,7 +90,7 @@ final case class TopKPerGroupExec(
             (if (desc) ord > heap.head._1 else ord < heap.head._1)
           if (better) {
             if (heap.size == kB) heap.dequeue()
-            heap.enqueue((ord, row.copy().asInstanceOf[UnsafeRow]))
+            heap.enqueue((ord, row.copy()))
           }
         }
       }

@@ -43,6 +43,20 @@ class RanksSpec extends SparkSpec {
     assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
   }
 
+  test("withRunningTotal survives partitions whose every value is NULL") {
+    // regression: an all-NULL partition summed to NULL and NPE'd on the
+    // driver-side getLong
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i, if (i <= 50) null else s"$i"))
+      .toDF("k", "x")
+    val out = Ranks.withRunningTotal(df, Seq("k"), col("x").cast("long"), "c", parts = 7)
+    assert(out.count() == 100)
+    // rows past the NULL prefix carry the real prefix sum
+    val last = out.where(col("k") === 100).collect().head.getAs[Long]("c")
+    assert(last == (51 to 100).map(_.toLong).sum, s"got $last")
+  }
+
   test("ntileFromRank handles fewer rows than buckets") {
     val s = spark
     import s.implicits._

@@ -35,6 +35,29 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("Long.MinValue/MaxValue ordering keys are handled in both directions") {
+    // regression: the heap ordering used key negation, and
+    // -Long.MinValue overflows back to Long.MinValue — a row with that
+    // key was treated as maximal inside the descending heap
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Long.MinValue), (1, -5L), (1, 0L), (1, 7L), (1, Long.MaxValue),
+      (2, Long.MinValue), (2, Long.MinValue + 1), (2, Long.MaxValue - 1), (2, Long.MaxValue))
+      .toDF("g", "ord")
+    for (desc <- Seq(true, false)) {
+      val native = GraftFunctions
+        .topKPerGroup(df, Seq("g"), "ord", 2, descending = desc)
+        .select("g", "ord")
+      val w = Window.partitionBy("g")
+        .orderBy(if (desc) col("ord").desc else col("ord").asc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).select("g", "ord")
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+        s"mismatch for descending=$desc: got ${native.collect().mkString(",")}")
+    }
+  }
+
   test("k larger than every group returns all rows") {
     val df = supplier
     val native = GraftFunctions

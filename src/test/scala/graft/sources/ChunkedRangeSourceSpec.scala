@@ -41,6 +41,14 @@ class ChunkedRangeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 10, s"got ${df.rdd.getNumPartitions}")
   }
 
+  test("Long.MaxValue bounds don't overflow the pushdown arithmetic") {
+    // regression: v + 1 at Long.MaxValue wrapped to Long.MinValue,
+    // wrongly pruning everything (<=) or nothing (>)
+    assert(table.where(col("k") <= Long.MaxValue).count() == 100000)
+    assert(table.where(col("k") > Long.MaxValue).count() == 0)
+    assert(table.where(col("k") === Long.MaxValue).count() == 0)
+  }
+
   test("residual filters still apply on top of pruned chunks") {
     val df = table.where(col("k") >= 4096 && col("k") < 8192 && col("v") === 0L)
     val rows = df.collect()
