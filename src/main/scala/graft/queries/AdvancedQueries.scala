@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Round-3 capability batch: CUBE totals, higher-order array functions,
+  * interval-overlap join (bucketized, never n²), as-of join with a
+  * staleness tolerance, Benford digit profiling, calendar-spine
+  * densification, weekly cohort retention, and span-granularity exact
+  * dedup (the 8-word rolling-window flavor of training-data dedup).
+  *
+  * Scale discipline (local[32] now, 1000 executors later):
+  * - the interval join expands each interval to its ≤5 covered days and
+  *   equi-joins on the day — cost follows actual overlaps, never |A|×|B|;
+  * - span dedup explodes ≤92 spans/doc and counts distinct docs per span
+  *   in one hash aggregate;
+  * - the date spine derives its bounds in-plan (no driver collect) and
+  *   left-joins daily aggregates that AQE broadcasts;
+  * - every floating aggregate uses the floor-scaled-integer convention so
+  *   the DuckDB differential gate is exact.
+  */
+object AdvancedQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // CUBE over (status, priority): all four grouping combinations in one
+    // pass (partial aggregation handles the expansion map-side). NULL
+    // grouping slots render as 'ALL' so ordering cannot diverge on
+    // engine-specific NULL sort order.
+    QueryDef.sql(
+      "q111_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("cents"))
+        .orderBy("status", "priority")
+    },
+
+    // Higher-order array functions: per-order sorted quantity vector, then
+    // transform (map), filter, and aggregate (fold) entirely in-row — the
+    // array never leaves the row, so the only shuffle is the initial
+    // groupBy. DuckDB's list lambdas are the oracle twins.
+    QueryDef.sql(
+      "q112_hof_arrays",
+      """WITH arr AS (
+        |  SELECT l_orderkey,
+        |    list(CAST(floor(l_quantity) AS BIGINT) ORDER BY CAST(floor(l_quantity) AS BIGINT)) AS q
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(list_sum(list_transform(q, x -> x * 2)) AS BIGINT) AS dbl_sum,
+        |  CAST(len(list_filter(q, x -> x >= 25)) AS BIGINT) AS n_big,
+        |  CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
+        |FROM arr ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qv"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list("qv")).as("q"))
+        .select(col("l_orderkey"),
+          expr("aggregate(transform(q, x -> x * 2), 0L, (a, x) -> a + x)").as("dbl_sum"),
+          expr("CAST(size(filter(q, x -> x >= 25)) AS BIGINT)").as("n_big"),
+          expr("array_max(q)").as("q_max"))
+        .orderBy("l_orderkey")
+    },
+
+    // Interval-overlap join: orders become [start, start + k%5+1 days)
+    // intervals; set A (k%7=0) against set B (k%11=0). Each interval
+    // explodes to its covered days (bounded fanout ≤ 5) and pairs meet on
+    // an equi-joined day column; a pair is counted exactly once, at the
+    // first shared day (greatest of the two starts) — the standard
+    // bucketized range join that scales with overlaps, not |A|×|B|. The
+    // oracle is the plain theta join.
+    QueryDef.sql(
+      "q113_interval_join",
+      """WITH iv AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 + 1 AS INTEGER) AS e
+        |  FROM orders),
+        |a AS (SELECT * FROM iv WHERE k % 7 = 0),
+        |b AS (SELECT * FROM iv WHERE k % 11 = 0)
+        |SELECT a.k AS a_key, count(*) AS n_overlap
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e AND a.k <> b.k
+        |GROUP BY a.k ORDER BY a.k""".stripMargin) { (s, dir) =>
+      val iv = Tables(s, dir).orders.select(
+        col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 5 + 1).cast("int")).as("e"))
+      def days(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("day", explode(sequence(col("s"), date_sub(col("e"), 1))))
+      val a = days(iv.where(col("k") % 7 === 0))
+        .select(col("k").as("a_key"), col("s").as("a_s"), col("e").as("a_e"), col("day"))
+      val b = days(iv.where(col("k") % 11 === 0))
+        .select(col("k").as("b_key"), col("s").as("b_s"), col("day"))
+      a.join(b, Seq("day"))
+        .where(col("a_key") =!= col("b_key") &&
+          col("day") === greatest(col("a_s"), col("b_s")))
+        .groupBy("a_key").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("a_key")
+    },
+
+    // As-of join with tolerance: each click picks the latest view by the
+    // same user at-or-before it, but only within 1 hour. One union +
+    // per-user window carry (a single shuffle on user_id) instead of an
+    // inequality join; the oracle IS the inequality join + argmax, which
+    // is fine at oracle scale and independent of the impl strategy.
+    QueryDef.sql(
+      "q114_asof_tolerance",
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, CAST(max(v.us) AS BIGINT) AS view_us
+        |FROM c JOIN v ON c.user_id = v.user_id AND v.us <= c.us AND c.us - v.us <= 3600000000
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      val tagged = ev.where(col("event_type").isin("click", "view"))
+        .withColumn("is_click", (col("event_type") === "click").cast("int"))
+      // views sort before a click at the same microsecond ⇒ v.us <= c.us
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("view_us", max(when(col("is_click") === 0, col("us"))).over(w))
+        .where(col("is_click") === 1 && col("view_us").isNotNull &&
+          col("us") - col("view_us") <= 3600000000L)
+        .select(col("event_id"), col("view_us"))
+        .orderBy("event_id")
+    },
+
+    // Benford first-digit profile of order totals — the data-scan/assess
+    // flavor of distribution profiling. One hash aggregate over 9 digit
+    // groups; the permille share divides integers (count × 1000 over the
+    // window total), so the result is exact on both engines.
+    QueryDef.sql(
+      "q115_benford",
+      """WITH g AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT digit, n, CAST((1000 * n) // SUM(n) OVER () AS BIGINT) AS permille
+        |FROM g ORDER BY digit""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("permille", expr("CAST((1000 * n) div sum(n) OVER () AS BIGINT)"))
+        .orderBy("digit")
+    },
+
+    // Calendar-spine densification (gap fill): every day in the orders
+    // date range appears, zero-filled when no orders landed on it. The
+    // spine bounds come from an in-plan min/max aggregate — no driver
+    // collect — and the daily aggregate side is small enough that AQE
+    // broadcasts the join at any SF.
+    QueryDef.sql(
+      "q116_date_spine",
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n, 0) AS n, CAST(coalesce(d.cents, 0) AS BIGINT) AS cents
+        |FROM spine s LEFT JOIN daily d USING (day) ORDER BY s.day""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val spine = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .orderBy("day")
+    },
+
+    // Weekly cohort retention: cohort = a user's first active ISO week;
+    // for each (cohort, week offset) count the distinct users still
+    // active. Two hash aggregates plus one join on user_id — the
+    // product-analytics matrix at corpus scale.
+    QueryDef.sql(
+      "q117_retention",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id)
+        |SELECT c.cw AS cohort_week,
+        |  CAST(date_diff('day', c.cw, a.wk) // 7 AS BIGINT) AS offset_weeks,
+        |  count(DISTINCT a.user_id) AS users
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val act = Tables(s, dir).events
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min("wk").as("cw"))
+      act.join(coh, Seq("user_id"))
+        .groupBy(col("cw").as("cohort_week"),
+          expr("CAST(datediff(wk, cw) div 7 AS BIGINT)").as("offset_weeks"))
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+
+    // Span-granularity exact dedup (Lee et al. flavor): every 8-word
+    // rolling window of every document, top duplicated spans by distinct
+    // document count. The spans stay in-row until one explode (≤ 92
+    // spans/doc, bounded by document length), then a distinct + one hash
+    // aggregate; top-20 is TakeOrdered, never a global sort.
+    QueryDef.sql(
+      "q118_span_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |sp AS (SELECT DISTINCT doc_id, span FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS span FROM w)),
+        |g AS (SELECT span, count(*) AS ndocs FROM sp GROUP BY span HAVING count(*) > 1)
+        |SELECT span, ndocs FROM g ORDER BY ndocs DESC, span LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 8)
+      val sp = w.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("span"))
+        .distinct()
+      sp.groupBy("span").agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") > 1)
+        .orderBy(col("ndocs").desc, col("span"))
+        .limit(20)
+    },
+  )
+}
