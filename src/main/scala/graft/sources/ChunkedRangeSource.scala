@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,12 +59,19 @@ final class ChunkedRangeTable(start: Long, end: Long, chunkSize: Long)
     new ChunkedRangeScanBuilder(start, end, chunkSize)
 }
 
-/** Accepts k-range filters; everything else stays with Spark. */
+/** Accepts k-range filters and column pruning; everything else stays
+  * with Spark. A projection of only `k` (or only `v`) narrows the rows
+  * the readers materialize — the DSv2 twin of parquet ReadSchema pruning.
+  */
 final class ChunkedRangeScanBuilder(start: Long, end: Long, chunkSize: Long)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
+  private var required: StructType = ChunkedRangeSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -94,15 +101,15 @@ final class ChunkedRangeScanBuilder(start: Long, end: Long, chunkSize: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChunkedRangeScan(start, lo, hi, chunkSize)
+  override def build(): Scan = new ChunkedRangeScan(start, lo, hi, chunkSize, required)
 }
 
-final class ChunkedRangeScan(tableStart: Long, lo: Long, hi: Long, chunkSize: Long)
-    extends Scan with Batch {
-  override def readSchema(): StructType = ChunkedRangeSource.Schema
+final class ChunkedRangeScan(tableStart: Long, lo: Long, hi: Long, chunkSize: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ChunkedRangeScan(lo=$lo, hi=$hi, chunkSize=$chunkSize)"
+    s"ChunkedRangeScan(lo=$lo, hi=$hi, chunkSize=$chunkSize, cols=${required.fieldNames.mkString(",")})"
 
   /** One InputPartition per surviving chunk: chunks wholly outside
     * [lo, hi) are pruned here, at planning time — they produce no task.
@@ -120,21 +127,26 @@ final class ChunkedRangeScan(tableStart: Long, lo: Long, hi: Long, chunkSize: Lo
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkReaderFactory(required.fieldNames)
 }
 
 final case class ChunkPartition(lo: Long, hi: Long) extends InputPartition
 
-object ChunkReaderFactory extends PartitionReaderFactory {
+final case class ChunkReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChunkPartition]
     new PartitionReader[InternalRow] {
       private var k = p.lo - 1
-      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
       override def next(): Boolean = { k += 1; k < p.hi }
       override def get(): InternalRow = {
-        row.update(0, k)
-        row.update(1, ChunkedRangeSource.valueOf(k))
+        // emit only the pruned schema, in its requested order
+        var i = 0
+        while (i < fields.length) {
+          row.update(i, if (fields(i) == "k") k else ChunkedRangeSource.valueOf(k))
+          i += 1
+        }
         row
       }
       override def close(): Unit = ()

@@ -41,6 +41,16 @@ class ChunkedRangeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 10, s"got ${df.rdd.getNumPartitions}")
   }
 
+  test("column pruning reaches the scan: projecting v reads only v") {
+    val df = table.select("v")
+    val leafOutput = df.queryExecution.sparkPlan.collectLeaves().head.output.map(_.name)
+    assert(leafOutput == Seq("v"), s"scan should emit only v, got $leafOutput")
+    // pruned rows still carry the right values
+    val sums = df.agg(sum("v")).collect().head.getLong(0)
+    val expect = (0L until 100000L).map(ChunkedRangeSource.valueOf).sum
+    assert(sums == expect)
+  }
+
   test("Long.MaxValue bounds don't overflow the pushdown arithmetic") {
     // regression: v + 1 at Long.MaxValue wrapped to Long.MinValue,
     // wrongly pruning everything (<=) or nothing (>)

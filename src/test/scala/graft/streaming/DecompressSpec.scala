@@ -39,6 +39,33 @@ class DecompressSpec extends SparkSpec {
     assert(ev.queryType == "INSERT" && ev.uniqKeys == Map("id" -> "k"))
   }
 
+  test("gzip payload decodes through the event pipeline") {
+    val s = spark
+    import s.implicits._
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(json.getBytes("UTF-8")); gz.close()
+    val raw = Seq(bos.toByteArray).toDF("value")
+      .select(Decompress.payload(col("value"), "gzip").as("value"))
+    val ev = ChangeEvent.decode(s, raw).head()
+    assert(ev.queryType == "INSERT" && ev.commitTs == 7L)
+  }
+
+  test("zlib payload decodes through the event pipeline") {
+    val s = spark
+    import s.implicits._
+    val deflater = new java.util.zip.Deflater()
+    val src = json.getBytes("UTF-8")
+    deflater.setInput(src); deflater.finish()
+    val buf = new Array[Byte](src.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val raw = Seq(buf.take(n)).toDF("value")
+      .select(Decompress.payload(col("value"), "zlib").as("value"))
+    val ev = ChangeEvent.decode(s, raw).head()
+    assert(ev.queryType == "INSERT" && ev.uniqKeys == Map("id" -> "k"))
+  }
+
   test("codec 'none' passes payloads through untouched") {
     val s = spark
     import s.implicits._
