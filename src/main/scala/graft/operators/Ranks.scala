@@ -101,6 +101,44 @@ object Ranks {
     result
   }
 
+  /** Distributed EXCLUSIVE prefix minimum of `value` in global `keys`
+    * order (each row sees the min over all strictly-preceding rows;
+    * Long.MaxValue when none) — the prefix-min sibling of
+    * [[withRunningTotal]], and the engine's skyline/dominance primitive.
+    * Same shape: range repartition, per-partition mins to the driver
+    * (parts-sized metadata), broadcast exclusive prefixes back, and an
+    * in-partition window with a `(unbounded preceding, 1 preceding)`
+    * frame — no task ever sees more than one partition.
+    */
+  def withPrefixMin(df: DataFrame, keys: Seq[String], value: Column,
+      out: String = "prefix_min", parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val staged = df
+      .withColumn("__v", value.cast("long"))
+      .repartitionByRange(parts, keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache() // both passes must see one partition assignment
+    val mins = staged.groupBy("__pid")
+      .agg(coalesce(min(col("__v")), lit(Long.MaxValue)).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = mins.keys.toSeq.sorted
+    // exclusive: partition p sees the min over partitions strictly before it
+    val prefixes = pids.zip(pids.scanLeft(Long.MaxValue)((acc, p) => math.min(acc, mins(p)))).toMap
+    val prefixExpr = pids.foldRight(lit(Long.MaxValue): Column) { (p, acc) =>
+      when(col("__pid") === p, lit(prefixes(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val result = staged
+      .withColumn(out,
+        least(coalesce(min(col("__v")).over(w), lit(Long.MaxValue)), prefixExpr))
+      .drop("__v", "__pid")
+      .localCheckpoint(true) // see withGlobalRankAndTotal: release the cache
+    staged.unpersist(false)
+    result
+  }
+
   /** Exact NTILE(k) bucket (1-based) from a 1-based global rank over n
     * rows: the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
     * matching SQL NTILE.

@@ -161,6 +161,43 @@ object Similarity {
       .select(col("vec_id"), col("cell"), coalesce(col("__rm"), lit(false)).as("removed"))
   }
 
+  /** Recall@k audit of the LSH ANN against the exact brute force, per
+    * query vector: hits = |ANN top-k ∩ exact top-k|, recall in permille.
+    *
+    * Scale shape: the exact ground truth inherently needs a full
+    * corpus × queries pass, so the audit runs it ONCE (broadcast query
+    * set, native scaled_dot per pair) and ranks both candidate sets from
+    * that single pass with the native bounded-heap top-k-per-group
+    * operator — never a per-query global sort. The ordering key packs
+    * (cosine, ¬vec_id) into one long so ties break toward the smaller id,
+    * matching every other ranking in the engine.
+    */
+  def annRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftshims.TopKApi
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), numPlanes).as("qbucket"))
+    val scored = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        cosineScaled(col("embedding"), col("qv")).as("cs"),
+        (col("bucket") === col("qbucket")).as("in_bucket"))
+      // pack (cos, ¬vec_id) into one ordering long: cos ≤ 10^6 in
+      // magnitude, vec_id < 2^32 ⇒ |ord| < 2^52
+      .withColumn("ord", col("cs") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+    val bf = TopKApi.topKPerGroup(scored, Seq("qid"), "ord", k)
+      .select(col("qid"), col("vec_id"))
+    val ann = TopKApi.topKPerGroup(scored.where(col("in_bucket")), Seq("qid"), "ord", k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val hits = bf.join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_permille", expr(s"CAST(hits * 1000 div $k AS BIGINT)"))
+      .orderBy("qid")
+  }
+
   /** Embedding near-duplicate pairs: bucket-mates with cosine above a
     * scaled threshold (the dedup-by-embedding path).
     */

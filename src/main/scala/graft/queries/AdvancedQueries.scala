@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
+import graft.operators.Ranks
 
 /** Round-3 capability batch: CUBE totals, higher-order array functions,
   * interval-overlap join (bucketized, never n²), as-of join with a
@@ -231,6 +232,61 @@ object AdvancedQueries {
         .where(col("ndocs") > 1)
         .orderBy(col("ndocs").desc, col("span"))
         .limit(20)
+    },
+
+    // Skyline (Pareto frontier): orders maximizing price while minimizing
+    // date; a point survives iff no point has both ≥ price and ≤ date
+    // (strict in one). The engine reduces to per-price min-date and runs
+    // the distributed EXCLUSIVE prefix-min sweep (Ranks.withPrefixMin —
+    // range repartition + broadcast partition prefixes, never the
+    // single-task global window); the oracle is the quadratic NOT EXISTS
+    // dominance check, deliberately a different algorithm.
+    QueryDef.sql(
+      "q119_skyline",
+      """WITH pts AS (SELECT DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) AS p,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT p, d FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.p >= a.p AND b.d <= a.d AND (b.p > a.p OR b.d < a.d))
+        |ORDER BY p DESC, d""".stripMargin) { (s, dir) =>
+      val pts = Tables(s, dir).orders
+        .where(col("o_orderkey") % 10 === 0)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("p"),
+          unix_date(to_date(col("o_orderdate"))).as("dd"))
+        .groupBy("p").agg(min("dd").as("dd"))
+      // prefix-min over strictly HIGHER prices ⇒ ascending key -p
+      val swept = Ranks.withPrefixMin(
+        pts.withColumn("negp", -col("p")), Seq("negp"), col("dd"), "pmin", parts = 8)
+      swept.where(col("dd") < col("pmin"))
+        .select(col("p"), date_from_unix_date(col("dd").cast("int")).as("d"))
+        .orderBy(col("p").desc, col("d"))
+    },
+
+    // Gaps-and-islands: consecutive-day activity streaks per user via the
+    // day-minus-row_number grouping trick; per-user windows only (one
+    // shuffle on user_id), then two hash aggregates.
+    QueryDef.sql(
+      "q120_streaks",
+      """WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM ad),
+        |i AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ad = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      ad.withColumn("grp",
+          datediff(col("day"), to_date(lit("2024-01-01"))).cast("long")
+            - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_streaks"),
+          max("len").as("longest"), sum("len").as("active_days"))
+        .orderBy("user_id")
     },
   )
 }

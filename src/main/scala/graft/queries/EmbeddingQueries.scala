@@ -149,6 +149,42 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") === 0), 10, 25, 2)
     },
 
+    // ANN quality audit: recall@10 of the LSH bucket search against the
+    // exact brute force, per query vector — the metric that justifies an
+    // ANN's bucket width. One corpus×queries exact pass feeds BOTH
+    // rankings (native bounded-heap top-k per query, never a global
+    // sort); the oracle recomputes everything relationally.
+    QueryDef.sql(
+      "q121_ann_recall",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings),
+         |$bucketSql,
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 125 = 0),
+         |pe AS (SELECT q.qid, e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, qs q, generate_series(1, 64) t(i)),
+         |d AS (SELECT qid, vec_id, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM pe GROUP BY qid, vec_id),
+         |c AS (SELECT qid, vec_id, ${cosSql("dxy", "dxx", "dyy")} AS cs FROM d),
+         |bf AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |    FROM c) WHERE rn <= 10),
+         |qb AS (SELECT qs.qid, b.bucket FROM qs JOIN buck b ON qs.qid = b.vec_id),
+         |annc AS (SELECT c.qid, c.vec_id, c.cs
+         |  FROM c JOIN buck bk ON c.vec_id = bk.vec_id
+         |  JOIN qb ON qb.qid = c.qid AND bk.bucket = qb.bucket),
+         |ann AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |    FROM annc) WHERE rn <= 10),
+         |h AS (SELECT bf.qid, count(*) AS hits FROM bf
+         |      JOIN ann ON bf.qid = ann.qid AND bf.vec_id = ann.vec_id GROUP BY bf.qid)
+         |SELECT qs.qid, coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) * 1000 // 10 AS BIGINT) AS recall_permille
+         |FROM qs LEFT JOIN h ON qs.qid = h.qid ORDER BY qs.qid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.annRecall(e, e.where(col("vec_id") % 125 === 0), 10)
+    },
+
     // Multimodal plumbing: opaque binary payloads + typed metadata; the
     // decode step is a deterministic stub (see Multimodal.decodeFeatures)
     // running through the real mapPartitions batch path.

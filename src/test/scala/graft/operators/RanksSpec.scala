@@ -43,6 +43,22 @@ class RanksSpec extends SparkSpec {
     assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
   }
 
+  test("withPrefixMin equals the global-window exclusive prefix min") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+      .withColumn("v", (col("l_orderkey") * 7 + col("l_linenumber")) % 1000)
+    val keys = Seq("l_orderkey", "l_linenumber")
+
+    val distributed = Ranks.withPrefixMin(li, keys, col("v"), "m", parts = 7)
+      .select("l_orderkey", "l_linenumber", "m")
+    val w = Window.orderBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val global = li.select(col("l_orderkey"), col("l_linenumber"),
+      coalesce(min(col("v").cast("long")).over(w), lit(Long.MaxValue)).as("m"))
+
+    assert(distributed.exceptAll(global).isEmpty && global.exceptAll(distributed).isEmpty)
+  }
+
   test("withRunningTotal survives partitions whose every value is NULL") {
     // regression: an all-NULL partition summed to NULL and NPE'd on the
     // driver-side getLong
