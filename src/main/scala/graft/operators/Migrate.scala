@@ -51,6 +51,34 @@ object Migrate {
     target.join(batch.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(batch)
 
+  /** Full MERGE semantics without a table format: source rows carry an
+    * `opCol` — matched 'D' deletes the target row, any other matched op
+    * updates it (source values win), unmatched source rows insert, and
+    * untouched target rows pass through. One full-outer shuffle join on
+    * the keys (AQE skew-splits it); the SQL-equivalent is
+    * `MERGE INTO t USING s ON keys WHEN MATCHED AND op='D' THEN DELETE
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.
+    * Source and target must share the non-key value columns; `op` is
+    * dropped from the result.
+    */
+  def mergeApply(target: DataFrame, source: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
+    require(valueCols.forall(source.columns.contains),
+      s"source must carry target's value columns ${valueCols.mkString(",")}")
+    val t = target.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__t", lit(true))
+    val sCols = keys.map(col) ++ valueCols.map(c => col(c).as(s"__s_$c")) :+ col(opCol).as("__op")
+    val s = source.select(sCols: _*).withColumn("__s", lit(true))
+    t.join(s, keys, "full_outer")
+      .where(!(coalesce(col("__t"), lit(false)) && coalesce(col("__s"), lit(false)) &&
+        col("__op") === "D"))
+      // unmatched 'D' ops are no-ops, not inserts
+      .where(coalesce(col("__t"), lit(false)) || col("__op") =!= "D")
+      .select((keys.map(col) ++ valueCols.map(c =>
+        when(col("__s").isNotNull, col(s"__s_$c")).otherwise(col(c)).as(c))): _*)
+  }
+
   /** Bucketed table write: hash-bucket + sort the data by the join key at
     * write time so every later equi-join/aggregation on that key is
     * SHUFFLE-FREE — the per-bucket layout replaces the exchange. This is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.operators.Ranks
+import graft.operators.{Migrate, Ranks}
 
 /** Round-3 capability batch: CUBE totals, higher-order array functions,
   * interval-overlap join (bucketized, never n²), as-of join with a
@@ -287,6 +287,69 @@ object AdvancedQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n_streaks"),
           max("len").as("longest"), sum("len").as("active_days"))
         .orderBy("user_id")
+    },
+
+    // Full MERGE semantics (WHEN MATCHED AND op='D' DELETE / WHEN MATCHED
+    // UPDATE SET * / WHEN NOT MATCHED INSERT *) as one full-outer join —
+    // Migrate.mergeApply. The source batch updates every 50th order,
+    // deletes every 200th, and inserts fresh keys; the oracle spells the
+    // same decision table out with CASE over the joined sides.
+    QueryDef.sql(
+      "q122_merge",
+      """WITH tgt AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |src AS (
+        |  SELECT k, CASE WHEN k % 200 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         'X' AS st, cents + 1000 AS cents FROM tgt WHERE k % 50 = 0
+        |  UNION ALL
+        |  SELECT 9000000 + k AS k, 'I' AS op, 'N' AS st, CAST(777 AS BIGINT) AS cents
+        |  FROM tgt WHERE k % 1000 = 0),
+        |m AS (SELECT coalesce(t.k, s.k) AS k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END AS st,
+        |    CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END AS cents,
+        |    t.k IS NOT NULL AS matched, s.op AS op
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k)
+        |SELECT k, st, cents FROM m
+        |WHERE NOT (matched AND coalesce(op = 'D', false))
+        |  AND (matched OR coalesce(op <> 'D', false))
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val tgt = Tables(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val src = tgt.where(col("k") % 50 === 0)
+        .select(col("k"),
+          when(col("k") % 200 === 0, "D").otherwise("U").as("op"),
+          lit("X").as("st"), (col("cents") + 1000).as("cents"))
+        .unionByName(tgt.where(col("k") % 1000 === 0)
+          .select((col("k") + 9000000).as("k"), lit("I").as("op"),
+            lit("N").as("st"), lit(777L).as("cents")))
+      Migrate.mergeApply(tgt, src, Seq("k")).orderBy("k")
+    },
+
+    // Native session_window sessionization in BATCH mode (the streaming
+    // operator's batch twin): Spark merges events closer than the gap
+    // into one session group — no lag/cumsum scaffolding. The oracle IS
+    // the lag-gap-island construction, deliberately a different
+    // algorithm; the ≥-gap break matches session_window's half-open
+    // [start, last+gap) semantics.
+    QueryDef.sql(
+      "q123_session_window",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+        .orderBy("user_id", "session_start_us")
     },
   )
 }
