@@ -186,9 +186,14 @@ object Similarity {
       // pack (cos, ¬vec_id) into one ordering long: cos ≤ 10^6 in
       // magnitude, vec_id < 2^32 ⇒ |ord| < 2^52
       .withColumn("ord", col("cs") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
-    val bf = TopKApi.topKPerGroup(scored, Seq("qid"), "ord", k)
+    // ONE pass over the corpus×queries scores: top-k per (qid, in_bucket)
+    // collapses the expensive side to ≤ 2k rows/query; the ANN ranking is
+    // the in-bucket half verbatim, the exact ranking re-ranks the 2k
+    // survivors (top-k of a union of per-group top-ks is exact).
+    val grouped = TopKApi.topKPerGroup(scored, Seq("qid", "in_bucket"), "ord", k)
+    val bf = TopKApi.topKPerGroup(grouped, Seq("qid"), "ord", k)
       .select(col("qid"), col("vec_id"))
-    val ann = TopKApi.topKPerGroup(scored.where(col("in_bucket")), Seq("qid"), "ord", k)
+    val ann = grouped.where(col("in_bucket"))
       .select(col("qid").as("aqid"), col("vec_id").as("avid"))
     val hits = bf.join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
