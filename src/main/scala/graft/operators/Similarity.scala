@@ -203,6 +203,71 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Product-quantization codes: the vector splits into `m` subvectors of
+    * `d` dims; each maps to the nearest (scaled-integer L2²) of `k`
+    * codewords in that subspace, ties to the smaller code. The codebook is
+    * driver-side metadata (m·k·d longs — like chunk bounds), baked in as a
+    * nested array literal, so encoding is a PURE PROJECTION: no join, no
+    * shuffle, embarrassingly parallel over the corpus. Returns array<long>
+    * of `m` codes.
+    */
+  def pqCodes(emb: Column, cb: Array[Array[Array[Long]]]): Column = {
+    val m = cb.length; val k = cb(0).length; val d = cb(0)(0).length
+    val cbLit = array(cb.map(mArr => array(mArr.map(cArr =>
+      array(cArr.map(lit(_)): _*)): _*)): _*)
+    transform(sequence(lit(0), lit(m - 1)), mi =>
+      aggregate(
+        sequence(lit(0), lit(k - 1)),
+        struct(lit(-1L).as("c"), lit(Long.MaxValue).as("dist")),
+        (acc, c) => {
+          val d2 = aggregate(sequence(lit(0), lit(d - 1)), lit(0L), (a, i) => {
+            val x = sInt(element_at(emb, mi * d + i + 1))
+            val y = element_at(element_at(element_at(cbLit, mi + 1), c + 1), i + 1)
+            a + (x - y) * (x - y)
+          })
+          when(d2 < acc.getField("dist"),
+            struct(c.cast("long").as("c"), d2.as("dist"))).otherwise(acc)
+        },
+        acc => acc.getField("c")))
+  }
+
+  /** PQ/ADC top-k: asymmetric distance computation — the query's exact
+    * distance to every codeword (an m×k table, computed once on the
+    * driver) is summed over each corpus vector's codes. The scan reads
+    * only the code arrays (m bytes of signal per vector instead of the
+    * full embedding — at 10^9 vectors this is the difference between
+    * scanning 32 GB and 256 GB), and scoring is an in-row fold over the
+    * broadcast-literal table.
+    */
+  def pqTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+      codebookEvery: Int = 31, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val d = Dim / m
+    def scaled(f: Float): Long = math.floor(f.toDouble * Scale).toLong
+    // codebook: the m-th subvector of the 16 deterministic training
+    // vectors (vec_id = c · codebookEvery) — reproducible without k-means
+    val trainRows = embeddings
+      .where(col("vec_id") % codebookEvery === 0 && col("vec_id") < codebookEvery.toLong * nCodes)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(trainRows.length == nCodes, s"expected $nCodes training vectors, got ${trainRows.length}")
+    val cb = Array.tabulate(m, nCodes, d)((mi, c, i) => scaled(trainRows(c)(mi * d + i)))
+    // ADC table: exact scaled-L2² of the query to every codeword
+    val qv = query.select("embedding").head().getSeq[Float](0).toArray.map(scaled)
+    val dt = Array.tabulate(m, nCodes) { (mi, c) =>
+      (0 until d).map(i => { val diff = qv(mi * d + i) - cb(mi)(c)(i); diff * diff }).sum
+    }
+    val dtLit = array(dt.map(row => array(row.map(lit(_)): _*)): _*)
+    val codes = pqCodes(col("embedding"), cb)
+    embeddings
+      .select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (a, mi) =>
+          a + element_at(element_at(dtLit, mi + 1),
+            element_at(col("codes"), mi + 1).cast("int") + 1)).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: bucket-mates with cosine above a
     * scaled threshold (the dedup-by-embedding path).
     */

@@ -149,6 +149,37 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") === 0), 10, 25, 2)
     },
 
+    // Product quantization + ADC: each vector compresses to 8 sub-codes
+    // against a deterministic 16-codeword codebook per subspace
+    // (training vectors = every 31st id — reproducible without k-means);
+    // the query scores candidates by summing its precomputed exact
+    // distance to each assigned codeword. Encoding is a pure projection
+    // (codebook baked in as literals); the oracle rebuilds codes and the
+    // distance table relationally.
+    QueryDef.sql(
+      "q124_pq_adc",
+      """WITH cb AS (
+        |  SELECT CAST(vec_id // 31 AS BIGINT) AS c, m, i,
+        |    CAST(FLOOR(CAST(embedding[m*8 + i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+        |  FROM embeddings, generate_series(0, 7) tm(m), generate_series(1, 8) ti(i)
+        |  WHERE vec_id % 31 = 0 AND vec_id < 496),
+        |vs AS (
+        |  SELECT vec_id, m, i,
+        |    CAST(FLOOR(CAST(embedding[m*8 + i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(0, 7) tm(m), generate_series(1, 8) ti(i)),
+        |l2 AS (SELECT vs.vec_id, vs.m, cb.c, SUM((x - y) * (x - y)) AS d2
+        |       FROM vs JOIN cb ON vs.m = cb.m AND vs.i = cb.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM l2) WHERE rn = 1),
+        |qdt AS (SELECT m, c, d2 FROM l2 WHERE vec_id = 0),
+        |adc AS (SELECT v.vec_id, CAST(SUM(q.d2) AS BIGINT) AS adc_dist
+        |        FROM codes v JOIN qdt q ON v.m = q.m AND v.c = q.c GROUP BY 1)
+        |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopK(e, e.where(col("vec_id") === 0), 10)
+    },
+
     // ANN quality audit: recall@10 of the LSH bucket search against the
     // exact brute force, per query vector — the metric that justifies an
     // ANN's bucket width. One corpus×queries exact pass feeds BOTH
