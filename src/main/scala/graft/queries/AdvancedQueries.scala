@@ -351,5 +351,33 @@ object AdvancedQueries {
         .select("user_id", "session_start_us", "n_events")
         .orderBy("user_id", "session_start_us")
     },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
+    // BUILDING customer): the same SQL text runs on both engines — Spark's
+    // DecorrelateInnerQuery rewrites the per-row limit into a ranked join
+    // (no driver loop, no per-customer query), DuckDB executes the lateral
+    // directly. A third algorithmic route to top-k-per-group next to the
+    // window filter (q3/q104) and the native operator (q106).
+    QueryDef.sql(
+      "q125_lateral",
+      """SELECT c.c_custkey, o.k, o.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, k LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, cents DESC, k""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("customer")
+      t.orders.createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.k, o.cents
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders WHERE o_custkey = c.c_custkey
+          |  ORDER BY cents DESC, k LIMIT 2) o
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c.c_custkey, cents DESC, k""".stripMargin)
+    },
   )
 }

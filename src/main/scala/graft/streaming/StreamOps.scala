@@ -94,4 +94,18 @@ object StreamOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
       "inner")
   }
+
+  /** Stream-static enrichment join: an unbounded stream against a bounded
+    * dimension. The static side broadcasts (it is re-read per micro-batch,
+    * picking up dim updates between batches), the stream side keeps NO
+    * join state — the cheapest join on a stream, and the CDC-apply path's
+    * schema/dim lookup. `how` may be "inner" or "left_outer" (stream side
+    * preserved).
+    */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      how: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), keys, how)
 }

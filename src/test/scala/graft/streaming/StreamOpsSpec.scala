@@ -103,6 +103,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithStatic joins each micro-batch against the broadcast dim") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val events = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.enrichWithStatic(
+      events.toDF().toDF("ts", "user"), dim, Seq("user"), "left_outer")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      events.addData(Seq((ts(0), 1L), (ts(1), 2L), (ts(2), 3L)))
+      q.processAllAvailable()
+      val got = s.table("enrich_out").select(col("user"), col("tier"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches the batch join on the same data") {
     val s = spark
     import s.implicits._
