@@ -213,6 +213,15 @@ object Similarity {
     */
   def pqCodes(emb: Column, cb: Array[Array[Array[Long]]]): Column = {
     val m = cb.length; val k = cb(0).length; val d = cb(0)(0).length
+    graft.plans.GraftFunctions.pqEncode(emb, cb.flatten.flatten, m, k, d)
+  }
+
+  /** Declarative HOF twin of [[pqCodes]] — the semantic spec the native
+    * expression is checked against (PQEncodeSpec); interpreted lambdas,
+    * ~60× slower at scale.
+    */
+  def pqCodesDeclarative(emb: Column, cb: Array[Array[Array[Long]]]): Column = {
+    val m = cb.length; val k = cb(0).length; val d = cb(0)(0).length
     val cbLit = array(cb.map(mArr => array(mArr.map(cArr =>
       array(cArr.map(lit(_)): _*)): _*)): _*)
     transform(sequence(lit(0), lit(m - 1)), mi =>

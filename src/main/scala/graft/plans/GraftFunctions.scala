@@ -52,4 +52,10 @@ object GraftFunctions {
 
   /** Native 16-bit SimHash fingerprint of a token-array Column. */
   def simhash16(tokens: Column): Column = GraftShims.simhashColumn(tokens)
+
+  /** Native PQ encoder (fused loop nest over a flattened (m,k,d)-major
+    * codebook); the declarative HOF twin is Similarity.pqCodesDeclarative.
+    */
+  def pqEncode(emb: Column, codebook: Array[Long], m: Int, k: Int, d: Int): Column =
+    GraftShims.pqEncodeColumn(emb, codebook, m, k, d)
 }

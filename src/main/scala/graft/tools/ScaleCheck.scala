@@ -118,6 +118,31 @@ object ScaleCheck {
     val t13 = System.nanoTime()
     println(f"""{"scenario":"prefix_sum","rows":${2 * n},"final_total":$sumMax,""" +
       f""""sec":${(t13 - t12) / 1e9}%.2f,"rows_per_sec":${(2 * n / ((t13 - t12) / 1e9)).toLong}}""")
+
+    // distributed exclusive prefix-min (the skyline/dominance sweep) —
+    // same two-pass shape as prefix_sum
+    val t14 = System.nanoTime()
+    val pm = graft.operators.Ranks.withPrefixMin(
+      spark.range(2 * n).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 1000003L).as("v")),
+      Seq("k"), col("v"), "m")
+    val nAboveMin = pm.where(col("m") === 0L).count()
+    val t15 = System.nanoTime()
+    println(f"""{"scenario":"prefix_min","rows":${2 * n},"rows_after_global_min":$nAboveMin,""" +
+      f""""sec":${(t15 - t14) / 1e9}%.2f,"rows_per_sec":${(2 * n / ((t15 - t14) / 1e9)).toLong}}""")
+
+    // PQ encode + ADC at scale: synthetic 64-dim float vectors; encoding
+    // is a pure projection over the literal codebook (no shuffle), the
+    // ADC rank reads only the 8 codes per vector
+    val nVec = math.max(n / 10, 100000L)
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> CAST((pmod(id * 37 + i * 101, 2000) - 1000) / 1000.0D AS FLOAT))").as("embedding"))
+    val t16 = System.nanoTime()
+    val pq = graft.operators.Similarity.pqTopK(vecs, vecs.where(col("vec_id") === 0), 10)
+    val nPq = pq.count()
+    val t17 = System.nanoTime()
+    println(f"""{"scenario":"pq_adc","vectors":$nVec,"topk_rows":$nPq,""" +
+      f""""sec":${(t17 - t16) / 1e9}%.2f,"vecs_per_sec":${(nVec / ((t17 - t16) / 1e9)).toLong}}""")
     spark.stop()
   }
 }

@@ -98,4 +98,7 @@ object GraftShims {
 
   def simhashColumn(tokens: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(tokens)))
+
+  def pqEncodeColumn(emb: Column, codebook: Array[Long], m: Int, k: Int, d: Int): Column =
+    ExpressionUtils.column(PQEncode(ExpressionUtils.expression(emb), codebook, m, k, d))
 }
