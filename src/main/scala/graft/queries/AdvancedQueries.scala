@@ -379,5 +379,48 @@ object AdvancedQueries {
           |WHERE c.c_mktsegment = 'BUILDING'
           |ORDER BY c.c_custkey, cents DESC, k""".stripMargin)
     },
+
+    // Ordered-set string aggregation (LISTAGG ... WITHIN GROUP, new in
+    // Spark 4): per region, the nation names in name order — Spark's
+    // listagg vs DuckDB's ordered string_agg.
+    QueryDef.sql(
+      "q126_listagg",
+      """SELECT r.r_name AS region, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY region""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.region.createOrReplaceTempView("region")
+      t.nation.createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT r.r_name AS region,
+          |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+          |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name ORDER BY region""".stripMargin)
+    },
+
+    // Safe ingestion casts: TRY_CAST turns unparseable values into NULL
+    // instead of failing the job — the dirty-feed tolerance every
+    // migration pipeline needs. Same literal matrix on both engines.
+    QueryDef.sql(
+      "q127_try_cast",
+      """WITH raw(id, s) AS (VALUES
+        |  (1, '42'), (2, 'abc'), (3, ''), (4, '-5'), (5, '007'),
+        |  (6, '2024-01-31'), (7, '2024-02-30'), (8, 'not-a-date'), (9, NULL), (10, '99999999999999999999'))
+        |SELECT id, s,
+        |  TRY_CAST(s AS BIGINT) AS as_int,
+        |  CASE WHEN id BETWEEN 6 AND 9 THEN TRY_CAST(s AS DATE) END AS as_date
+        |FROM raw ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq((1, "42"), (2, "abc"), (3, ""), (4, "-5"), (5, "007"),
+        (6, "2024-01-31"), (7, "2024-02-30"), (8, "not-a-date"),
+        (9, null), (10, "99999999999999999999"))
+        .toDF("id", "s")
+        .select(col("id"), col("s"),
+          expr("TRY_CAST(s AS BIGINT)").as("as_int"),
+          // date casts only on the date-shaped rows: Spark's string→date
+          // accepts bare-year forms ('42' → 0042-01-01) that DuckDB rejects
+          when(col("id").between(6, 9), expr("TRY_CAST(s AS DATE)")).as("as_date"))
+        .orderBy("id")
+    },
   )
 }
