@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computations as dataframe joins — the Pregel-style
+  * shape where each superstep is (edges ⋈ ranks) → groupBy(dst): one
+  * shuffle per iteration, never a driver-side adjacency structure.
+  * Deterministic across engines: every quantity is a ×10^6 scaled BIGINT
+  * and every division is integer division, so a SQL oracle unrolling the
+  * same iterations reproduces the ranks bit-for-bit.
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank with damping 0.85 over `edges(src, dst)`
+    * (assumed distinct). Node set = src ∪ dst; dangling nodes contribute
+    * nothing (standard simplification). Rank is ×10^6 scaled:
+    * r₀ = 10^6 div N;  rₜ₊₁(v) = 150000 div N +
+    * (850000 · Σ_{(u,v)∈E} (rₜ(u) div outdeg(u))) div 10^6.
+    * Returns (n, r). The node count stays in-plan (broadcast one-row
+    * aggregate) — no driver collect.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val params = nodes.agg(count(lit(1)).as("nn"))
+    var r = nodes.crossJoin(broadcast(params))
+      .select(col("n"), expr("CAST(1000000 div nn AS BIGINT)").as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(r, e("src") === r("n"))
+        .join(deg, "src")
+        .groupBy(col("dst").as("cn"))
+        .agg(sum(expr("r div outdeg")).as("s"))
+      r = nodes.crossJoin(broadcast(params))
+        .join(contrib, col("n") === col("cn"), "left_outer")
+        .select(col("n"),
+          (expr("CAST(150000 div nn AS BIGINT)") +
+            expr("CAST((850000 * coalesce(s, 0L)) div 1000000 AS BIGINT)")).as("r"))
+      i += 1
+    }
+    r
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.operators.{Migrate, Ranks}
+import graft.operators.{Graphs, Migrate, Ranks}
 
 /** Round-3 capability batch: CUBE totals, higher-order array functions,
   * interval-overlap join (bucketized, never n²), as-of join with a
@@ -421,6 +421,53 @@ object AdvancedQueries {
           // accepts bare-year forms ('42' → 0042-01-01) that DuckDB rejects
           when(col("id").between(6, 9), expr("TRY_CAST(s AS DATE)")).as("as_date"))
         .orderBy("id")
+    },
+
+    // Fixed-iteration PageRank over the nation trade graph (supplier
+    // nation → customer nation across lineitem/orders — the TPC-H Q7 join
+    // shape produces the edges). Each superstep is edges ⋈ ranks →
+    // groupBy(dst): one shuffle per iteration, Pregel-as-joins, no driver
+    // adjacency. All arithmetic is ×10^6 scaled integer division, so the
+    // oracle unrolling the same three supersteps matches exactly.
+    QueryDef.sql(
+      "q128_pagerank",
+      """WITH e AS MATERIALIZED (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey),
+        |nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |params AS MATERIALIZED (SELECT count(*) AS nn FROM nodes),
+        |r0 AS MATERIALIZED (SELECT n, CAST(1000000 // nn AS BIGINT) AS r FROM nodes CROSS JOIN params),
+        |s1 AS MATERIALIZED (SELECT e.dst AS n, SUM(r0.r // d.outdeg) AS s
+        |       FROM e JOIN r0 ON e.src = r0.n JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS MATERIALIZED (SELECT nodes.n, CAST(150000 // nn + (850000 * coalesce(s1.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM nodes CROSS JOIN params LEFT JOIN s1 ON nodes.n = s1.n),
+        |s2 AS MATERIALIZED (SELECT e.dst AS n, SUM(r1.r // d.outdeg) AS s
+        |       FROM e JOIN r1 ON e.src = r1.n JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS MATERIALIZED (SELECT nodes.n, CAST(150000 // nn + (850000 * coalesce(s2.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM nodes CROSS JOIN params LEFT JOIN s2 ON nodes.n = s2.n),
+        |s3 AS MATERIALIZED (SELECT e.dst AS n, SUM(r2.r // d.outdeg) AS s
+        |       FROM e JOIN r2 ON e.src = r2.n JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS MATERIALIZED (SELECT nodes.n, CAST(150000 // nn + (850000 * coalesce(s3.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM nodes CROSS JOIN params LEFT JOIN s3 ON nodes.n = s3.n)
+        |SELECT nt.n_name AS nation, r3.r AS rank_scaled
+        |FROM r3 JOIN nation nt ON r3.n = nt.n_nationkey
+        |ORDER BY rank_scaled DESC, nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .distinct()
+      Graphs.pageRank(edges, 3)
+        .join(t.nation, col("n") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("nation"))
     },
   )
 }
