@@ -99,6 +99,37 @@ object StructMigrate {
       .otherwise(lit("TEXT"))
   }
 
+  /** Catalog DataFrame derived from a Spark schema — the engine-native
+    * struct_migrate source when the input is parquet rather than a DB
+    * catalog: (table_name, column_name, data_type, ordinal) with
+    * data_type as Spark's simpleString ("bigint", "decimal(12,2)", ...).
+    */
+  def catalogOf(spark: org.apache.spark.sql.SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    schema.fields.zipWithIndex.toSeq
+      .map { case (f, i) => (table, f.name, f.dataType.simpleString, i) }
+      .toDF("table_name", "column_name", "data_type", "ordinal")
+  }
+
+  /** Spark simpleString type → MySQL-compatible DDL type (the parquet →
+    * MySQL leg of the mapping family).
+    */
+  def mapSparkType(dt: Column): Column =
+    when(dt === "bigint", lit("BIGINT"))
+      .when(dt === "int", lit("INT"))
+      .when(dt === "smallint", lit("SMALLINT"))
+      .when(dt === "tinyint", lit("TINYINT"))
+      .when(dt === "double", lit("DOUBLE"))
+      .when(dt === "float", lit("FLOAT"))
+      .when(dt === "boolean", lit("TINYINT(1)"))
+      .when(dt === "string", lit("LONGTEXT"))
+      .when(dt === "binary", lit("LONGBLOB"))
+      .when(dt === "date", lit("DATE"))
+      .when(dt === "timestamp" || dt === "timestamp_ntz", lit("DATETIME(6)"))
+      .when(dt.startsWith("decimal"), upper(dt))
+      .otherwise(lit("TEXT"))
+
   /** Translate a catalog DataFrame (table_name, column_name, data_type,
     * data_precision, data_scale, ordinal) and render per-column DDL.
     */

@@ -56,4 +56,64 @@ class TaskRunnerSpec extends SparkSpec {
     val qty = prof.find(_.getAs[String]("column_name") == "l_extendedprice").get
     assert(qty.getAs[Long]("decimal_point") > 0)
   }
+
+  test("struct_migrate renders CREATE DDL from the parquet schema") {
+    val dir = s"$tmp/structm"
+    TaskRunner.structMigrate(spark, Map(
+      "src" -> s"$sfDir/orders.parquet", "out" -> dir, "table" -> "orders"))
+    val ddl = Files.readString(Paths.get(s"$dir/ddl.sql"))
+    assert(ddl.startsWith("CREATE TABLE `orders`"))
+    assert(ddl.contains("`o_orderkey` BIGINT") && ddl.contains("`o_totalprice` DOUBLE"))
+    assert(ddl.contains("`o_orderstatus` LONGTEXT") && ddl.contains("`o_orderdate` DATETIME(6)"))
+  }
+
+  test("struct_compare emits ALTER suggestions for schema drift") {
+    import org.apache.spark.sql.functions._
+    val dir = s"$tmp/structc"
+    val drifted = s"$tmp/orders_drifted"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .drop("o_orderpriority")
+      .withColumn("o_channel", lit("web"))
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+      .write.mode("overwrite").parquet(drifted)
+    TaskRunner.structCompare(spark, Map(
+      "src" -> s"$sfDir/orders.parquet", "dst" -> drifted, "out" -> dir,
+      "table" -> "orders"))
+    val alter = Files.readString(Paths.get(s"$dir/alter.sql"))
+    assert(alter.contains("ADD COLUMN o_orderpriority"))   // missing in dst
+    assert(alter.contains("DROP COLUMN o_channel"))        // extra in dst
+    assert(alter.contains("MODIFY o_orderkey"))            // bigint vs string
+  }
+
+  test("stmt_migrate safe-mode applies idempotently; assess and cdc_apply run") {
+    import org.apache.spark.sql.functions._
+    // stmt_migrate plain copy
+    TaskRunner.stmtMigrate(spark, Map(
+      "src" -> s"$sfDir/region.parquet", "out" -> s"$tmp/stmt",
+      "cols" -> "r_regionkey,r_name"))
+    assert(spark.read.parquet(s"$tmp/stmt/migrated").count() == 5)
+
+    // assess inventory
+    TaskRunner.assess(spark, Map(
+      "src" -> s"$sfDir/customer.parquet", "out" -> s"$tmp/assess"))
+    val a = spark.read.parquet(s"$tmp/assess/assess").collect()
+    assert(a.length == spark.read.parquet(s"$sfDir/customer.parquet").columns.length)
+    assert(a.forall(_.getAs[Long]("rows") > 0))
+
+    // cdc_apply MERGE semantics
+    val tgt = s"$tmp/cdc_target"; val ev = s"$tmp/cdc_events"
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .select(col("r_regionkey").as("k"), col("r_name").as("v"))
+      .write.mode("overwrite").parquet(tgt)
+    val s = spark
+    import s.implicits._
+    Seq((0L, "U", "EDITED"), (1L, "D", ""), (99L, "I", "NEW"))
+      .toDF("k", "op", "v").write.mode("overwrite").parquet(ev)
+    TaskRunner.cdcApply(spark, Map(
+      "dst" -> tgt, "events" -> ev, "keys" -> "k", "out" -> s"$tmp/cdc"))
+    val applied = spark.read.parquet(s"$tmp/cdc/applied")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(applied(0L) == "EDITED" && !applied.contains(1L) && applied(99L) == "NEW")
+    assert(applied.size == 5) // 5 regions - 1 delete + 1 insert
+  }
 }
