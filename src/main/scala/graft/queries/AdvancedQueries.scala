@@ -469,5 +469,74 @@ object AdvancedQueries {
         .select(col("n_name").as("nation"), col("r").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("nation"))
     },
+
+    // Aggregate FILTER clause: conditional aggregation without CASE
+    // scaffolding — one pass computes per-status counts and sums side by
+    // side. Identical SQL text on both engines.
+    QueryDef.sql(
+      "q129_agg_filter",
+      """SELECT o_orderpriority AS priority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority AS priority,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f
+          |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin)
+    },
+
+    // Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate counts (min / difference of multiplicities) — the
+    // bag-semantics siblings of q50's distinct set ops.
+    QueryDef.sql(
+      "q130_setops_all",
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+        |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+        |e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
+        |UNION ALL
+        |SELECT 'except_all' AS op, k, count(*) AS n FROM e GROUP BY k
+        |ORDER BY op, k""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val a = o.where(col("o_orderkey") % 2 === 0).select(col("o_custkey").as("k"))
+      val b = o.where(col("o_orderkey") % 3 === 0).select(col("o_custkey").as("k"))
+      val i = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("k"), col("n"))
+      val e = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("k"), col("n"))
+      i.unionAll(e).orderBy("op", "k")
+    },
+
+    // Forward fill (LOCF): per-user event values carried over NULL gaps
+    // with last_value(... IGNORE NULLS) — the time-series densification
+    // primitive. NULL gaps are seeded deterministically so both engines
+    // fill the same holes; per-user windows only, one shuffle.
+    QueryDef.sql(
+      "q131_locf",
+      """WITH e AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM e ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(floor(col("value") * 100).cast("long")).as("v"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    },
   )
 }
