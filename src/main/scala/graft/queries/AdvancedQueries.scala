@@ -538,5 +538,40 @@ object AdvancedQueries {
           last(col("v"), ignoreNulls = true).over(w).as("filled"))
         .orderBy("event_id")
     },
+
+    // Hopping (sliding) windows in batch: native window(ts, 10m, 5m)
+    // assigns every event to its two overlapping windows; the oracle
+    // derives the same two hop starts arithmetically. Epoch-aligned on
+    // both engines.
+    QueryDef.sql(
+      "q132_hopping",
+      """WITH e AS (SELECT epoch_us(ts) AS us, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT ((us // 300000000) - k) * 300000000 AS ws, v
+        |      FROM e CROSS JOIN generate_series(0, 1) t(k))
+        |SELECT ws, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+        |FROM h GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("sv"))
+        .select(unix_micros(col("w.start")).as("ws"), col("n"), col("sv"))
+        .orderBy("ws")
+    },
+
+    // Bitmap-accelerated exact distinct: Spark 4's bitmap aggregate
+    // family (bucket → construct → count) computes COUNT(DISTINCT)
+    // without the distinct shuffle of raw values — bitmaps combine
+    // map-side. The oracle is the plain COUNT(DISTINCT).
+    QueryDef.sql(
+      "q133_bitmap_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_type, CAST(sum(bitmap_count(b)) AS BIGINT) AS n_users
+          |FROM (SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+          |        bitmap_construct_agg(bitmap_bit_position(user_id)) AS b
+          |      FROM events GROUP BY event_type, bitmap_bucket_number(user_id))
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
   )
 }
