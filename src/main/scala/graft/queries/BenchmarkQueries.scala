@@ -169,6 +169,46 @@ object BenchmarkQueries {
         .limit(50)
     },
 
+    // TPC-H Q7 shape (volume shipping): cross-nation trade volume by
+    // supplier nation × customer nation × ship year. The fact table
+    // streams once through four broadcast dimension joins (nation twice
+    // under different aliases); revenue is floor-scaled cents so the
+    // double product (price · (1-discount)) crosses engines exactly.
+    QueryDef.sql(
+      "q134_tpch_q7",
+      """WITH v AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey  = c_custkey
+        |  JOIN supplier ON l_suppkey  = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_nationkey <> n2.n_nationkey)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM v GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where(col("n1_key") =!= col("n2_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("volume_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // Bloom-filter semi-join reduction (BloomPrune): lineitem is pruned by
     // a sketch of the urgent orders' keys before the join, so the join's
     // fact-side input is ~|urgent lineitems| + fpp false positives instead
