@@ -209,6 +209,70 @@ object BenchmarkQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // TPC-H Q21 shape (waiting suppliers): lines are "late" when shipped
+    // more than 90 days after the order date; count, per supplier, the
+    // late lines on multi-supplier orders where NO other supplier was
+    // late — the correlated EXISTS + NOT EXISTS pair, expressed as
+    // semi/anti joins on the engine side (no correlated re-execution).
+    QueryDef.sql(
+      "q135_tpch_q21",
+      """WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM l l1 JOIN supplier s ON l1.sk = s.s_suppkey
+        |WHERE l1.is_late
+        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.is_late)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val l = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("is_late"))
+      val l1 = l.where(col("is_late"))
+      val others = l.select(col("ok").as("o_ok"), col("sk").as("o_sk"))
+      val othersLate = l.where(col("is_late"))
+        .select(col("ok").as("o_ok"), col("sk").as("o_sk"))
+      l1
+        .join(others, col("o_ok") === col("ok") && col("o_sk") =!= col("sk"), "left_semi")
+        .join(othersLate, col("o_ok") === col("ok") && col("o_sk") =!= col("sk"), "left_anti")
+        .join(t.supplier, col("sk") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 shape (global-customer sentiment): customers with balance
+    // above the positive-balance average and no RECENT order (none since
+    // 1999 — the corpus has no order-less customers), grouped by a
+    // key-derived segment. Scalar aggregate subquery (broadcast one-row
+    // cross join) + anti join; the average is exact integer division of
+    // cents.
+    QueryDef.sql(
+      "q136_tpch_q22",
+      """WITH c AS (SELECT c_custkey, c_custkey % 10 AS seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |a AS (SELECT (sum(cents) // count(*)) AS avg_cents FROM c WHERE cents > 0)
+        |SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM c CROSS JOIN a
+        |WHERE c.cents > a.avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_custkey"), (col("c_custkey") % 10).as("seg"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val a = c.where(col("cents") > 0)
+        .agg(expr("sum(cents) div count(*)").as("avg_cents"))
+      c.crossJoin(broadcast(a))
+        .where(col("cents") > col("avg_cents"))
+        .join(t.orders.where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("seg")
+    },
+
     // Bloom-filter semi-join reduction (BloomPrune): lineitem is pruned by
     // a sketch of the urgent orders' keys before the join, so the join's
     // fact-side input is ~|urgent lineitems| + fpp false positives instead
