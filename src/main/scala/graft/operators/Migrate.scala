@@ -51,6 +51,29 @@ object Migrate {
     target.join(batch.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(batch)
 
+  /** Change-data capture between two snapshots — the inverse of
+    * [[mergeApply]]: full-outer join on the keys comparing the value
+    * columns, emitting one event row per difference with `op` ∈
+    * {'I' (new key), 'D' (key gone), 'U' (values changed)}. Unchanged
+    * rows produce nothing. `mergeApply(old, changeCapture(old, new), keys)`
+    * reconstructs `new` exactly.
+    */
+  def changeCapture(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf.select((keys ++ valueCols).map(col): _*).withColumn("__o", lit(true))
+    val n = newDf.select((keys.map(col) ++ valueCols.map(c => col(c).as(s"__n_$c"))): _*)
+      .withColumn("__n", lit(true))
+    val changed = valueCols.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__o").isNull, "I")
+          .when(col("__n").isNull, "D")
+          .when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select(((keys.map(col) :+ col("op")) ++
+        valueCols.map(c => coalesce(col(s"__n_$c"), col(c)).as(c))): _*)
+  }
+
   /** Full MERGE semantics without a table format: source rows carry an
     * `opCol` — matched 'D' deletes the target row, any other matched op
     * updates it (source values win), unmatched source rows insert, and

@@ -573,5 +573,68 @@ object AdvancedQueries {
           |      FROM events GROUP BY event_type, bitmap_bucket_number(user_id))
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
+
+    // Z-order (Morton) interleaving of two key columns — the multi-column
+    // data-layout technique: files sorted by z-value cluster BOTH keys,
+    // so min/max skipping prunes on either predicate. The 16-bit
+    // interleave is a pure projection (identical shift/mask arithmetic on
+    // both engines); the query ranks the first 100 curve positions.
+    QueryDef.sql(
+      "q137_zorder",
+      s"""WITH z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |    ${(0 until 16).map(i =>
+               s"(((l_partkey % 65536) >> $i) & 1) * ${1L << (2 * i)} + " +
+               s"(((l_suppkey % 65536) >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")} AS zval
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_partkey, l_suppkey, CAST(zval AS BIGINT) AS zval
+         |FROM z ORDER BY zval, l_orderkey, l_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val zval = (0 until 16).map { i =>
+        (shiftright(col("l_partkey") % 65536, i).bitwiseAND(1)) * lit(1L << (2 * i)) +
+          (shiftright(col("l_suppkey") % 65536, i).bitwiseAND(1)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          zval.cast("long").as("zval"))
+        .orderBy("zval", "l_orderkey", "l_partkey")
+        .limit(100)
+    },
+
+    // Change-data capture between snapshots — the inverse of q122's MERGE:
+    // diff two versions of a table into an I/U/D event feed
+    // (Migrate.changeCapture; one full-outer join, null-safe value
+    // compare). Applying the feed back onto the old snapshot reconstructs
+    // the new one — the spec asserts that round trip; here the oracle
+    // recomputes the diff relationally.
+    QueryDef.sql(
+      "q138_change_capture",
+      """WITH oldv AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |newv AS (
+        |  SELECT k, CASE WHEN k % 40 = 0 THEN 'X' ELSE st END AS st,
+        |         CASE WHEN k % 64 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM oldv WHERE k % 100 <> 0
+        |  UNION ALL
+        |  SELECT 9000000 + k AS k, 'N' AS st, CAST(123 AS BIGINT) AS cents
+        |  FROM oldv WHERE k % 500 = 0)
+        |SELECT coalesce(n.k, o.k) AS k,
+        |  CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+        |       WHEN n.st <> o.st OR n.cents <> o.cents THEN 'U' END AS op,
+        |  coalesce(n.st, o.st) AS st, coalesce(n.cents, o.cents) AS cents
+        |FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+        |WHERE (o.k IS NULL) OR (n.k IS NULL) OR n.st <> o.st OR n.cents <> o.cents
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val oldv = Tables(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val newv = oldv.where(col("k") % 100 =!= 0)
+        .select(col("k"),
+          when(col("k") % 40 === 0, "X").otherwise(col("st")).as("st"),
+          when(col("k") % 64 === 0, col("cents") + 5).otherwise(col("cents")).as("cents"))
+        .unionByName(oldv.where(col("k") % 500 === 0)
+          .select((col("k") + 9000000).as("k"), lit("N").as("st"), lit(123L).as("cents")))
+      Migrate.changeCapture(oldv, newv, Seq("k"))
+        .select("k", "op", "st", "cents")
+        .orderBy("k")
+    },
   )
 }

@@ -43,4 +43,22 @@ class MergeApplyPropertySpec extends SparkSpec {
       assert(got == expect, s"target=$target0 ops=$ops")
     }
   }
+
+  test("property: changeCapture fed to mergeApply reconstructs the new snapshot") {
+    val genPair = for {
+      oldM <- Gen.mapOf(Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 99L)))
+      newM <- Gen.mapOf(Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 99L)))
+    } yield (oldM, newM)
+
+    samples(genPair, 15).foreach { case (oldM, newM) =>
+      val s = spark
+      import s.implicits._
+      val oldDf = oldM.toSeq.toDF("k", "v")
+      val newDf = newM.toSeq.toDF("k", "v")
+      val events = Migrate.changeCapture(oldDf, newDf, Seq("k"))
+      val applied = Migrate.mergeApply(oldDf, events, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(applied == newM, s"old=$oldM new=$newM events=${events.collect().toSeq}")
+    }
+  }
 }
