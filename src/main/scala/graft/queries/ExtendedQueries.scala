@@ -739,5 +739,51 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("bucket")
     },
+
+    // Collocation mining (PMI-style association): bigrams whose observed
+    // frequency beats the independence expectation — scored as the
+    // integer ratio nxy·N·1000 / (nx·ny) (no log, so the rank is exact
+    // cross-engine). Two hash aggregates + a broadcast-sized unigram
+    // join; the min-support screen keeps the join output bounded.
+    QueryDef.sql(
+      "q139_collocations",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |t AS (SELECT string_split(nt, ' ') AS tk FROM nrm),
+         |bg AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+         |                     for i in generate_series(1, len(tk)-1)]) AS bigram
+         |       FROM t),
+         |ug AS (SELECT unnest(tk) AS w FROM t),
+         |bc AS (SELECT bigram, count(*) AS nxy FROM bg GROUP BY bigram),
+         |uc AS (SELECT w, count(*) AS n FROM ug GROUP BY w),
+         |tot AS (SELECT count(*) AS nb FROM bg),
+         |j AS (SELECT b.bigram, b.nxy, ux.n AS nx, uy.n AS ny
+         |      FROM bc b
+         |      JOIN uc ux ON split_part(b.bigram, ' ', 1) = ux.w
+         |      JOIN uc uy ON split_part(b.bigram, ' ', 2) = uy.w
+         |      WHERE b.nxy >= 5)
+         |SELECT bigram, nxy, CAST((nxy * nb * 1000) // (nx * ny) AS BIGINT) AS pmi_ratio_scaled
+         |FROM j CROSS JOIN tot
+         |ORDER BY pmi_ratio_scaled DESC, bigram LIMIT 30""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.{normText, tokens}
+      val t = Tables(s, dir).documents
+        .select(tokens(normText(col("text"))).as("tk"))
+      val bg = t.select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+          " (x, y) -> concat(x, ' ', y))")).as("bigram"))
+      val ug = t.select(explode(col("tk")).as("w"))
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("nxy"))
+      val uc = ug.groupBy("w").agg(count(lit(1)).as("n"))
+      val tot = bg.agg(count(lit(1)).as("nb"))
+      bc.where(col("nxy") >= 5)
+        .join(uc.select(col("w").as("wx"), col("n").as("nx")),
+          split_part(col("bigram"), lit(" "), lit(1)) === col("wx"))
+        .join(uc.select(col("w").as("wy"), col("n").as("ny")),
+          split_part(col("bigram"), lit(" "), lit(2)) === col("wy"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("nxy"),
+          expr("CAST((nxy * nb * 1000) div (nx * ny) AS BIGINT)").as("pmi_ratio_scaled"))
+        .orderBy(col("pmi_ratio_scaled").desc, col("bigram"))
+        .limit(30)
+    },
   )
 }
