@@ -143,6 +143,22 @@ object ScaleCheck {
     val t17 = System.nanoTime()
     println(f"""{"scenario":"pq_adc","vectors":$nVec,"topk_rows":$nPq,""" +
       f""""sec":${(t17 - t16) / 1e9}%.2f,"vecs_per_sec":${(nVec / ((t17 - t16) / 1e9)).toLong}}""")
+
+    // CDC circle at scale: capture the diff between two 2n-row snapshots
+    // (1% updates, 0.1% deletes, 0.1% inserts), then MERGE-apply it back —
+    // two full-outer shuffle joins end to end
+    val oldSnap = spark.range(2 * n).select(col("id").as("k"), (col("id") % 9973).as("v"))
+    val newSnap = oldSnap.where(col("k") % 997 =!= 0)
+      .withColumn("v", when(col("k") % 101 === 0, col("v") + 1).otherwise(col("v")))
+      .unionAll(spark.range(100000).select((col("id") + 10 * n).as("k"), lit(7L).as("v")))
+    val t18 = System.nanoTime()
+    val feed = graft.operators.Migrate.changeCapture(oldSnap, newSnap, Seq("k"))
+    val nEvents = feed.count()
+    val t19 = System.nanoTime()
+    val nApplied = graft.operators.Migrate.mergeApply(oldSnap, feed, Seq("k")).count()
+    val t20 = System.nanoTime()
+    println(f"""{"scenario":"cdc_circle","rows":${2 * n},"events":$nEvents,"applied_rows":$nApplied,""" +
+      f""""capture_sec":${(t19 - t18) / 1e9}%.2f,"apply_sec":${(t20 - t19) / 1e9}%.2f}""")
     spark.stop()
   }
 }
