@@ -636,5 +636,29 @@ object AdvancedQueries {
         .select("k", "op", "st", "cents")
         .orderBy("k")
     },
+
+    // Deterministic train/val/test assignment (80/10/10): the split is a
+    // pure function of the document id via the portable md5-derived hash,
+    // so it is stable across runs, engines, and cluster sizes — no
+    // sampling state, no shuffle beyond the count. The per-source matrix
+    // verifies the proportions land where the hash sends them.
+    QueryDef.sql(
+      "q140_train_split",
+      """WITH d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 8))::BIGINT % 1000 AS h
+        |  FROM documents),
+        |s AS (SELECT source,
+        |    CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT source, split, count(*) AS n
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("_split"))), 1, 8),
+        16, 10).cast("long") % 1000
+      Tables(s, dir).documents
+        .select(col("source"),
+          when(h < 800, "train").when(h < 900, "val").otherwise("test").as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
   )
 }
