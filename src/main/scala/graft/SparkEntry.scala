@@ -22,6 +22,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.all ++
       graft.queries.ExtendedQueries.all ++
       graft.queries.BenchmarkQueries.all ++
+      graft.queries.TpchQueries.all ++
+      graft.queries.StatsQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.CorpusQueries.all ++
       graft.queries.AnalyticsQueries.all ++
