@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Ordered-set / statistical aggregate completeness: discrete quantiles,
+  * deterministic mode, linear-regression aggregates, width_bucket
+  * histograms, windowed COUNT DISTINCT, and the bool/bit aggregate family.
+  *
+  * Cross-engine float discipline (same as q98): anything that accumulates
+  * floating point goes through exact integer/DECIMAL(38,0) power sums, and
+  * the closed-form result is either floor-scaled to BIGINT or a single
+  * double expression both engines evaluate identically. Mode ties are
+  * broken deterministically (max count, then min value) — the builtin
+  * `mode()` of either engine is unspecified under ties, so both sides
+  * compute the same argmax explicitly.
+  */
+object StatsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Ordered-set aggregates per event type: interpolated median
+    // (quantile_cont convention — exact .0/.5 doubles on integer cents,
+    // identical across engines), discrete p25/p75 (the value at 0-based
+    // sorted index floor((n-1)*q) — DuckDB's quantile_disc convention),
+    // and deterministic mode of a derived category. The discrete quantile
+    // runs distributed: one window pass per group computes row_number +
+    // count, a filter keeps the two index rows — no per-group collect.
+    // DuckDB's quantile_disc convention (probed) is 1-based index
+    // ceil(n·q) of the sorted multiset.
+    QueryDef.sql(
+      "q152_ordered_set",
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS cents
+        |  FROM events),
+        |q AS (SELECT event_type, median(cents) AS med,
+        |        quantile_disc(cents, 0.25) AS p25d, quantile_disc(cents, 0.75) AS p75d
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT event_type, cents % 7 AS cat, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, MAX(n) AS mx FROM c GROUP BY 1),
+        |md AS (SELECT c.event_type, MIN(cat) AS mode_cat
+        |       FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.mx GROUP BY 1)
+        |SELECT q.event_type, med, p25d, p75d, mode_cat
+        |FROM q JOIN md ON q.event_type = md.event_type
+        |ORDER BY q.event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(1000000.0)).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val ranked = e.select(col("event_type"), col("cents"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      def idx(q: Double): Column = ceil(col("n") * lit(q))
+      val disc = ranked
+        .where(col("rn") === idx(0.25) || col("rn") === idx(0.75))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === idx(0.25), col("cents"))).as("p25d"),
+          min(when(col("rn") === idx(0.75), col("cents"))).as("p75d"))
+      val med = e.groupBy("event_type").agg(expr("percentile(cents, 0.5D)").as("med"))
+      val counts = e.groupBy(col("event_type"), (col("cents") % 7).as("cat"))
+        .agg(count(lit(1)).as("n"))
+      val mx = counts.groupBy(col("event_type").as("m_et")).agg(max("n").as("mx"))
+      val mode = counts
+        .join(mx, col("event_type") === col("m_et") && col("n") === col("mx"))
+        .groupBy("event_type").agg(min("cat").as("mode_cat"))
+      med.join(disc, "event_type").join(mode, "event_type")
+        .select("event_type", "med", "p25d", "p75d", "mode_cat")
+        .orderBy("event_type")
+    },
+
+    // Linear-regression aggregate family (regr_slope / regr_intercept /
+    // regr_r2 semantics) from exact DECIMAL(38,0) power sums — one
+    // map-side-combined pass, closed forms floor-scaled so both engines
+    // agree bit-for-bit. r2 is computed as slope · (Sxy_c / Syy_c) — two
+    // exact-ratio divisions and one multiply — to avoid squaring the
+    // 38-digit numerator.
+    QueryDef.sql(
+      "q153_regr_family",
+      """WITH sc AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |      FROM sc GROUP BY flag)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(1000000.0 * CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_scaled,
+        |  CAST(FLOOR(100.0 * CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS intercept_scaled,
+        |  CAST(FLOOR(1000000.0 *
+        |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT)
+        |    AS r2_ppm
+        |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val sc = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      val m = sc.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      val numxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val numInt = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+      m.select(col("flag"), col("n"),
+          floor(lit(1000000.0) * numxy / denx).cast("long").as("slope_scaled"),
+          floor(lit(100.0) * numInt / denx).cast("long").as("intercept_scaled"),
+          floor(lit(1000000.0) * (numxy / denx) * (numxy / deny)).cast("long").as("r2_ppm"))
+        .orderBy("flag")
+    },
+
+    // width_bucket histogram of order totals: Spark's native width_bucket
+    // expression; the oracle replicates its arithmetic
+    // (floor((v-lo)/((hi-lo)/n))+1 with under/overflow buckets 0 and n+1)
+    // — verified identical at every fixture SF. One map-side-combined
+    // groupBy, the classic profiling scan.
+    QueryDef.sql(
+      "q154_width_bucket",
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |       WHEN o_totalprice >= 600000.0 THEN 9
+        |       ELSE CAST(FLOOR(o_totalprice / (600000.0 / 8)) AS BIGINT) + 1 END AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(8L))
+          .as("bucket"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
+    },
+
+    // Windowed COUNT DISTINCT: running number of distinct event types per
+    // user in event order. Spark has no DISTINCT window aggregate — the
+    // engine side runs size(collect_set() OVER w), which keeps the per-key
+    // distinct set bounded (|event types|, small by construction) inside
+    // the window state. The sampled user set keeps the dump small; the
+    // window itself partitions by user — fully parallel.
+    QueryDef.sql(
+      "q155_window_distinct",
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_types
+        |FROM events WHERE user_id % 29 = 0
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .where(col("user_id") % 29 === 0)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // bool_and / bool_or / bit_and / bit_or / bit_xor per group — the
+    // screening-aggregate family (every one is map-side combinable; at
+    // 100 TB these run as one pass like any sum).
+    QueryDef.sql(
+      "q156_bool_bit_aggs",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  bool_and(cents >= 0) AS all_nonneg,
+        |  bool_or(cents % 1000 = 0) AS any_round,
+        |  bit_and(cents) AS band, bit_or(cents) AS bor, bit_xor(cents) AS bxor
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(bool_and(col("cents") >= 0).as("all_nonneg"),
+          bool_or(col("cents") % 1000 === 0).as("any_round"),
+          bit_and(col("cents")).as("band"),
+          bit_or(col("cents")).as("bor"),
+          bit_xor(col("cents")).as("bxor"))
+        .orderBy("event_type")
+    })
+}
