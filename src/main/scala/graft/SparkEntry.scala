@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.BenchmarkQueries.all ++
       graft.queries.TpchQueries.all ++
       graft.queries.StatsQueries.all ++
+      graft.queries.TrainingQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.CorpusQueries.all ++
       graft.queries.AnalyticsQueries.all ++

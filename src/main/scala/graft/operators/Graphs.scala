@@ -42,4 +42,30 @@ object Graphs {
     }
     r
   }
+
+  /** Bounded-depth BFS from the minimum source node of `edges(src, dst)`
+    * (pass a symmetrized edge list for undirected graphs). Returns
+    * (n, hop) for every node reached within `maxHops` supersteps; the
+    * root is in-plan (broadcast one-row MIN aggregate, no driver
+    * collect). Each superstep is one join + distinct + anti-join — the
+    * frontier expansion shape whose cost follows the frontier, never
+    * |V|²; unreached nodes are simply absent (the caller left-joins the
+    * node set if it needs them).
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val root = e.agg(min(col("src")).as("root"))
+    var visited = broadcast(root).select(col("root").as("n"), lit(0L).as("hop"))
+    var frontier = visited.select("n")
+    var i = 1
+    while (i <= maxHops) {
+      val next = e.join(frontier, e("src") === frontier("n"), "left_semi")
+        .select(col("dst").as("n")).distinct()
+        .join(visited.select(col("n").as("v_n")), col("n") === col("v_n"), "left_anti")
+      frontier = next
+      visited = visited.union(next.select(col("n"), lit(i.toLong).as("hop")))
+      i += 1
+    }
+    visited
+  }
 }

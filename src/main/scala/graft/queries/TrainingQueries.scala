@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.Graphs
+
+/** Training-data pipeline depth: cross-set n-gram decontamination,
+  * content-defined chunking, graph structure mining (triangles, BFS),
+  * deterministic pseudonymization, and temperature-scaled mixture
+  * weights. All randomness-free: selection and hashing go through the
+  * portable md5-derived hash (both engines rebuild it bit-for-bit), and
+  * every ratio is scaled-integer division.
+  */
+object TrainingQueries {
+
+  /** Portable md5-derived 32-bit hash of a string column (see Dedup):
+    * first 8 hex chars of md5 as a BIGINT. DuckDB twin:
+    * ('0x' || substr(md5(x), 1, 8))::BIGINT.
+    */
+  private def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The co-order part graph: parts appearing together in ≥2 orders.
+    * Self-equi-join on the order key (cost follows lines-per-order, never
+    * |lineitem|²), count-filtered so the edge set stays sparse at every
+    * SF.
+    */
+  private def partEdges(t: Tables) = {
+    val li = t.lineitem.select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+    a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select("u", "v")
+  }
+
+  private val partEdgesSql =
+    """p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Eval-set decontamination by 5-word n-gram overlap (the Dolma/Lee
+    // et al. recipe, distinct from q91's substring probe): the eval split
+    // (doc_id % 97) contributes its distinct grams, the train side joins
+    // on the gram — a hash equi-join that scales to any eval-set size
+    // (q91's broadcast probe caps at driver memory). Gram generation is
+    // an in-row HOF (transform over a sequence), no cross join.
+    // Production hashes the grams; the oracle-checked form joins the gram
+    // text so both engines build identical keys.
+    QueryDef.sql(
+      "q157_ngram_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS gram
+        |      FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+        |FROM tr JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id ORDER BY n_shared_grams DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+            .as("gram"))
+      val ev = g.where(col("doc_id") % 97 === 0).select("gram").distinct()
+      val tr = g.where(col("doc_id") % 97 =!= 0).distinct()
+      tr.join(ev, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("n_shared_grams").desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // Content-defined chunking (rolling-boundary document splitting): a
+    // word is a chunk boundary when its portable hash ≡ 0 (mod 16), so
+    // boundaries depend only on local content — insertions shift bytes
+    // but not distant boundaries (the CDC property backup/dedup systems
+    // rely on). chunk_id is a running boundary count (window sum over the
+    // PRECEDING frame); two hash aggregations produce per-doc chunk
+    // stats. Everything partitions by doc_id — embarrassingly parallel.
+    QueryDef.sql(
+      "q158_cdc_chunking",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, i, CASE WHEN ('0x' || substr(md5(ws[CAST(i AS BIGINT)]), 1, 8))::BIGINT % 16 = 0
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)),
+        |k AS (SELECT doc_id, i,
+        |        COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM t),
+        |sz AS (SELECT doc_id, chunk_id, COUNT(*) AS n FROM k GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(MAX(n) AS BIGINT) AS max_chunk_words,
+        |  CAST(SUM(n) AS BIGINT) AS n_words
+        |FROM sz GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documents
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"),
+          when(phash(col("col")) % 16 === 0, 1L).otherwise(0L).as("brk"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.select(col("doc_id"),
+          coalesce(sum(col("brk")).over(w), lit(0L)).as("chunk_id"))
+        .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), max("n").as("max_chunk_words"),
+          sum("n").as("n_words"))
+        .orderBy("doc_id")
+    },
+
+    // Triangle counting over the co-order part graph — the closed-triplet
+    // join: e(u,v) ⋈ e(v,w) ⋈ e(u,w) with u<v<w canonical orientation, so
+    // each triangle counts exactly once and the join never materializes a
+    // direction-squared blowup. The weight-≥2 screen keeps the edge set
+    // sparse (probed: ~2.5-4k edges at every fixture SF); at 100 TB the
+    // same screen is the standard degeneracy cut before triangle joins.
+    QueryDef.sql(
+      "q159_triangles",
+      s"""WITH $partEdgesSql
+         |SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_edges,
+         |  CAST((SELECT COUNT(*) FROM p e1
+         |        JOIN p e2 ON e1.v = e2.u
+         |        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
+      val e = partEdges(Tables(s, dir)).cache()
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val cnt = e.agg(count(lit(1)).as("n_edges"))
+      val out = cnt.crossJoin(tri).select(col("n_edges"), col("n_triangles"))
+      out
+    },
+
+    // Bounded-depth BFS over the same graph (symmetrized), rooted at the
+    // minimum part key: per-hop frontier sizes for hops 0-3. Each
+    // superstep is join + distinct + anti-join — cost follows the
+    // frontier. The oracle unrolls the same three expansions with NOT IN
+    // screens.
+    QueryDef.sql(
+      "q160_bfs_frontiers",
+      s"""WITH $partEdgesSql,
+         |e AS MATERIALIZED (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |d0 AS MATERIALIZED (SELECT MIN(u) AS n FROM e),
+         |d1 AS MATERIALIZED (SELECT DISTINCT e.v AS n FROM e JOIN d0 ON e.u = d0.n
+         |      WHERE e.v NOT IN (SELECT n FROM d0)),
+         |d2 AS MATERIALIZED (SELECT DISTINCT e.v AS n FROM e JOIN d1 ON e.u = d1.n
+         |      WHERE e.v NOT IN (SELECT n FROM d0 UNION SELECT n FROM d1)),
+         |d3 AS MATERIALIZED (SELECT DISTINCT e.v AS n FROM e JOIN d2 ON e.u = d2.n
+         |      WHERE e.v NOT IN (SELECT n FROM d0 UNION SELECT n FROM d1 UNION SELECT n FROM d2))
+         |SELECT hop, n_nodes FROM (
+         |  SELECT CAST(0 AS BIGINT) AS hop, CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_nodes
+         |  UNION ALL SELECT 1, (SELECT COUNT(*) FROM d1)
+         |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM d2)
+         |  UNION ALL SELECT 3, (SELECT COUNT(*) FROM d3)) f
+         |ORDER BY hop""".stripMargin) { (s, dir) =>
+      val p = partEdges(Tables(s, dir))
+      val sym = p.union(p.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val sizes = Graphs.bfsHops(sym, maxHops = 3)
+        .groupBy("hop").agg(count(lit(1)).as("n"))
+      // Emit every hop level even when a frontier is empty (sparse-graph
+      // SFs exhaust the component early) — matches the oracle's 0 rows.
+      s.range(4).select(col("id").as("hop"))
+        .join(sizes, Seq("hop"), "left_outer")
+        .select(col("hop"), coalesce(col("n"), lit(0L)).as("n_nodes"))
+        .orderBy("hop")
+    },
+
+    // Deterministic pseudonymization: salted-md5 token per customer name,
+    // a pure projection (re-running it on any engine or any day yields
+    // the same token — referential integrity across pseudonymized tables
+    // is preserved for free). The collision audit rides along as a
+    // broadcast one-row aggregate: distinct names must equal distinct
+    // tokens.
+    QueryDef.sql(
+      "q161_pseudonymize",
+      """WITH m AS (SELECT c_custkey,
+        |    'user_' || substr(md5(c_name || ':salt42'), 1, 12) AS pseudo
+        |  FROM customer),
+        |chk AS (SELECT CAST(COUNT(DISTINCT c_custkey) - COUNT(DISTINCT pseudo) AS BIGINT)
+        |    AS n_collisions FROM m)
+        |SELECT c_custkey, pseudo, n_collisions
+        |FROM m CROSS JOIN chk WHERE c_custkey % 37 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val m = Tables(s, dir).customer
+        .select(col("c_custkey"),
+          concat(lit("user_"), substring(md5(concat(col("c_name"), lit(":salt42"))), 1, 12))
+            .as("pseudo"))
+      val chk = m.agg((countDistinct(col("c_custkey")) - countDistinct(col("pseudo")))
+        .as("n_collisions"))
+      m.crossJoin(broadcast(chk))
+        .where(col("c_custkey") % 37 === 0)
+        .select("c_custkey", "pseudo", "n_collisions")
+        .orderBy("c_custkey")
+    },
+
+    // Temperature-scaled mixture weights (the multi-source sampling step
+    // of corpus assembly): per-source sampling shares ∝ n^(1/2) — the
+    // α = 0.5 temperature that upweights small sources. sqrt is
+    // IEEE-exact in both engines; the weights floor-scale to BIGINT
+    // before the ppm normalization, so shares and the 100k-doc budget
+    // allocation are exact integer arithmetic end to end.
+    QueryDef.sql(
+      "q162_temperature_mix",
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT source, n,
+        |        CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c),
+        |t AS (SELECT SUM(w) AS tw FROM s)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, w AS weight_scaled,
+        |  CAST(w * 1000000 // tw AS BIGINT) AS share_ppm,
+        |  CAST((w * 1000000 // tw) * 100000 // 1000000 AS BIGINT) AS budget_docs
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir).documents.groupBy("source").agg(count(lit(1)).as("n"))
+      val sw = c.select(col("source"), col("n").as("n_docs"),
+        floor(sqrt(col("n").cast("double")) * 1000).cast("long").as("weight_scaled"))
+      val t = sw.agg(sum("weight_scaled").as("tw"))
+      sw.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("weight_scaled"),
+          expr("weight_scaled * 1000000L div tw").as("share_ppm"),
+          expr("(weight_scaled * 1000000L div tw) * 100000L div 1000000L").as("budget_docs"))
+        .orderBy("source")
+    })
+}
