@@ -185,5 +185,100 @@ object StatsQueries {
           bit_or(col("cents")).as("bor"),
           bit_xor(col("cents")).as("bxor"))
         .orderBy("event_type")
+    },
+
+    // Mergeable-sketch NDV rollup (Apache DataSketches HLL via Spark 4's
+    // hll_sketch_agg / hll_union_agg): per-group user sketches union into
+    // the global NDV WITHOUT rescanning the fact — the re-aggregation
+    // property that matters at 100 TB (q60's approx_count_distinct can't
+    // roll up). The gate pins each estimate inside ±5% of the exact
+    // count computed alongside; the oracle carries the exact counts and
+    // TRUE.
+    QueryDef.sql(
+      "q163_hll_rollup",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val per = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          expr("hll_sketch_agg(user_id)").as("sk"))
+      val bound = (est: Column, exact: Column) =>
+        abs(est - exact) <= greatest(lit(1L), (exact * lit(5)) / lit(100))
+      val perOut = per.select(col("event_type"), col("n_exact"),
+        bound(expr("hll_sketch_estimate(sk)"), col("n_exact")).as("hll_ok"))
+      val allExact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      val allOut = per.agg(expr("hll_union_agg(sk)").as("u"))
+        .crossJoin(broadcast(allExact))
+        .select(lit("ALL").as("event_type"), col("n_exact"),
+          bound(expr("hll_sketch_estimate(u)"), col("n_exact")).as("hll_ok"))
+      perOut.unionByName(allOut).orderBy("event_type")
+    },
+
+    // Time-series gap fill with linear interpolation: per-user hourly
+    // value series densified over an in-plan spine (no driver collect),
+    // missing hours interpolated between the bracketing observations.
+    // The carry of (previous value, previous hour) and (next value, next
+    // hour) is last/first IGNORE NULLS over PRECEDING/FOLLOWING frames —
+    // one window pass each way; the interpolation itself divides exact
+    // integers as doubles and floors, avoiding the floor-vs-truncate
+    // integer-division divergence on negative slopes.
+    QueryDef.sql(
+      "q164_linear_interpolate",
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 29 = 0),
+        |v AS (SELECT user_id, h, CAST(SUM(cents) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM v GROUP BY 1),
+        |spine AS (SELECT user_id, h0 + i AS h
+        |          FROM b, UNNEST(generate_series(0, h1 - h0)) AS t(i)),
+        |j AS (SELECT s.user_id, s.h, v.v FROM spine s
+        |      LEFT JOIN v ON s.user_id = v.user_id AND s.h = v.h),
+        |f AS (SELECT user_id, h, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h, CAST(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + CAST(FLOOR(CAST((nv - pv) * (h - ph) AS DOUBLE)
+        |                        / CAST(nh - ph AS DOUBLE)) AS BIGINT) END AS BIGINT)
+        |  AS v_filled,
+        |  (v IS NULL) AS interpolated
+        |FROM f ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("user_id") % 29 === 0)
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("h"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val v = e.groupBy("user_id", "h").agg(sum("cents").as("v"))
+      val spine = v.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val j = spine.join(v, Seq("user_id", "h"), "left_outer")
+      val wp = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.select(col("user_id"), col("h"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp).as("ph"),
+          first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wf).as("nh"))
+        .select(col("user_id"), col("h"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") +
+              floor(((col("nv") - col("pv")) * (col("h") - col("ph"))).cast("double") /
+                (col("nh") - col("ph")).cast("double")).cast("long"))
+            .as("v_filled"),
+          col("v").isNull.as("interpolated"))
+        .orderBy("user_id", "h")
     })
 }

@@ -90,10 +90,14 @@ object TpchQueries {
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "ASIA")
-      val minCost = psAsia.groupBy(col("pk").as("m_pk"))
-        .agg(min(col("cost_cents")).as("m_cost"))
+      // Per-part regional minimum as a window MIN over the same pk
+      // partitioning the catalog aggregate produced — one pass, keeps
+      // ties (all suppliers at the minimum), no second aggregate + join
+      // over the catalog subtree.
+      val wMin = org.apache.spark.sql.expressions.Window.partitionBy("pk")
       psAsia
-        .join(minCost, col("pk") === col("m_pk") && col("cost_cents") === col("m_cost"))
+        .withColumn("m_cost", min(col("cost_cents")).over(wMin))
+        .where(col("cost_cents") === col("m_cost"))
         .join(t.part.where(col("p_type") === "STANDARD"), col("pk") === col("p_partkey"))
         .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
           col("cost_cents"))

@@ -130,7 +130,10 @@ object TrainingQueries {
          |  CAST((SELECT COUNT(*) FROM p e1
          |        JOIN p e2 ON e1.v = e2.u
          |        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
-      val e = partEdges(Tables(s, dir)).cache()
+      // The edge aggregate appears four times in ONE plan; Spark's
+      // ReusedExchange dedups the shuffle, so no cache (which would
+      // leak pinned blocks past the query) is needed.
+      val e = partEdges(Tables(s, dir))
       val e1 = e.select(col("u").as("a"), col("v").as("b"))
       val e2 = e.select(col("u").as("b2"), col("v").as("c"))
       val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
@@ -138,8 +141,7 @@ object TrainingQueries {
         .join(e3, col("a") === col("a3") && col("c") === col("c3"))
         .agg(count(lit(1)).as("n_triangles"))
       val cnt = e.agg(count(lit(1)).as("n_edges"))
-      val out = cnt.crossJoin(tri).select(col("n_edges"), col("n_triangles"))
-      out
+      cnt.crossJoin(broadcast(tri)).select(col("n_edges"), col("n_triangles"))
     },
 
     // Bounded-depth BFS over the same graph (symmetrized), rooted at the
