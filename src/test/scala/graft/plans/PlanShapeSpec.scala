@@ -56,4 +56,40 @@ class PlanShapeSpec extends SparkSpec {
     assert("TopKPerGroup \\(".r.findAllIn(p).size >= 2,
       "partial + final TopKPerGroup phases expected")
   }
+
+  test("q143_tpch_q6 pushes all three predicates into the parquet scan") {
+    val p = planOf("q143_tpch_q6")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"Q6's predicates must reach the reader: $pushed")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      "pure scan-aggregate: no join, no hash exchange beyond the 1-row final agg")
+  }
+
+  test("q150_tpch_q19 keeps the OR-of-ANDs as an equi-join, never a cross product") {
+    val p = planOf("q150_tpch_q19")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "disjunctive predicate must not degrade the partkey equi-join")
+  }
+
+  test("q141_tpch_q2 decorrelates: no more than the catalog + window shuffles") {
+    val p = planOf("q141_tpch_q2")
+    // window MIN reuses the pk partitioning; a second aggregate+join over
+    // the catalog subtree would show up as extra hash exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"correlated-MIN must stay one catalog pass, got $exchanges exchanges")
+  }
+
+  test("q159_triangles reuses the edge aggregate across the triple self-join") {
+    val p = planOf("q159_triangles")
+    assert(p.contains("ReusedExchange"),
+      "the edge subtree appears 4x in one plan and must dedup via ReusedExchange")
+  }
+
+  test("q157_ngram_decontaminate joins gram hashes, never a cross product") {
+    val p = planOf("q157_ngram_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay a hash equi-join on the gram")
+  }
 }
