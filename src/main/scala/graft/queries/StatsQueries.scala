@@ -280,5 +280,83 @@ object StatsQueries {
             .as("v_filled"),
           col("v").isNull.as("interpolated"))
         .orderBy("user_id", "h")
+    },
+
+    // Theta-sketch set algebra (audience overlap): |A|, |B|, |A∪B|,
+    // |A∩B|, |A∖B| of the view/purchase user sets estimated from
+    // mergeable theta sketches — at 100 TB each segment keeps one sketch
+    // and overlaps come from sketch algebra, not re-joining raw users.
+    // Every estimate is gated against the exact set sizes (semi/anti
+    // joins) computed alongside; the oracle carries the exact values and
+    // TRUE gates. Cardinalities here sit far below the sketch's exact
+    // threshold, so the ±5% gates are loose.
+    QueryDef.sql(
+      "q165_theta_setops",
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) u) AS BIGINT) AS n_union,
+        |  CAST((SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT) AS n_intersect,
+        |  CAST((SELECT COUNT(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT) AS n_diff,
+        |  TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val a = ev.where(col("event_type") === "view").select("user_id").distinct()
+      val b = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+      val sk = ev.where(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+        .agg(
+          expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_union"),
+          expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est_intersect"),
+          expr("theta_sketch_estimate(theta_difference(" +
+            "max_by(sk, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), " +
+            "max_by(sk, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)))")
+            .as("est_diff"))
+      val exact = a.agg(count(lit(1)).as("n_a")).crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.unionByName(b).distinct().agg(count(lit(1)).as("n_union")))
+        .crossJoin(a.join(b, Seq("user_id"), "left_semi").agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(a.join(b, Seq("user_id"), "left_anti").agg(count(lit(1)).as("n_diff")))
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= greatest(lit(1L), (exact * lit(5)) / lit(100))
+      exact.crossJoin(broadcast(sk))
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_intersect"), col("n_diff"),
+          ok(col("est_union"), col("n_union")).as("union_ok"),
+          ok(col("est_intersect"), col("n_intersect")).as("intersect_ok"),
+          ok(col("est_diff"), col("n_diff")).as("diff_ok"))
+    },
+
+    // Mergeable approximate top-k (Frequent Items sketch): approx_top_k
+    // over document tokens, with the accumulate/combine pair being the
+    // 100 TB path (per-partition sketches merge like any aggregate). The
+    // gate: every exact-top-10 token must appear in the sketch's top-50
+    // (near-tied tails reorder freely) with its estimate within 0.1% of
+    // the corpus size; the oracle is the exact top-10 by (count desc,
+    // token).
+    QueryDef.sql(
+      "q166_approx_topk",
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS topk_ok FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE len(tok) > 0
+        |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10)
+      val approx = toks
+        .select(expr("approx_top_k_accumulate(tok, 8192)").as("st"))
+        .select(expr("approx_top_k_estimate(approx_top_k_combine(st, 8192), 50)").as("arr"))
+        .select(explode(col("arr")).as("e"))
+        .select(col("e.item").as("a_tok"), col("e.count").as("n_approx"))
+      val totalN = toks.agg(count(lit(1)).as("total_n"))
+      // Frequent-items guarantee: estimate error ≤ εN; gate at 0.1% of
+      // the corpus token count (loose vs the sketch's bound at size 8k).
+      exact.join(approx, col("tok") === col("a_tok"), "left_outer")
+        .crossJoin(broadcast(totalN))
+        .select(col("tok"), col("n_exact"),
+          (col("n_approx").isNotNull &&
+            abs(col("n_approx") - col("n_exact")) <=
+              greatest(lit(1L), expr("total_n div 1000"))).as("topk_ok"))
+        .orderBy(col("n_exact").desc, col("tok"))
     })
 }
