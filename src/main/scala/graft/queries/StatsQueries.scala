@@ -358,5 +358,82 @@ object StatsQueries {
             abs(col("n_approx") - col("n_exact")) <=
               greatest(lit(1L), expr("total_n div 1000"))).as("topk_ok"))
         .orderBy(col("n_exact").desc, col("tok"))
+    },
+
+    // Moving median (robust smoothing): exact interpolated percentile as
+    // a WINDOW aggregate over a trailing 10-row frame — Spark evaluates
+    // the percentile aggregate per frame, DuckDB its median window; both
+    // follow the quantile_cont convention on integer cents, so the
+    // half-sums are exact doubles (q74/q152 establish the convention).
+    QueryDef.sql(
+      "q167_moving_median",
+      """SELECT user_id, event_id,
+        |  median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med_10
+        |FROM (SELECT user_id, event_id, ts,
+        |        CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+        |WHERE user_id % 29 = 0
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+      Tables(s, dir).events
+        .where(col("user_id") % 29 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"),
+          expr("percentile(cents, 0.5D)").over(w).as("med_10"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Sketch rollup along the dimension hierarchy: ONE scan of the fact
+    // builds per-nation customer sketches; region and global NDVs come
+    // from merging those sketches — never rescanning. The exact counts
+    // (computed alongside) gate every level; the oracle carries exact +
+    // TRUE. This is the 100 TB "distinct users by any rollup" pattern:
+    // sketch once, merge per query.
+    QueryDef.sql(
+      "q168_sketch_hierarchy",
+      """WITH f AS (SELECT o_custkey, n_name, r_name
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey)
+        |SELECT level, key, n_exact, TRUE AS hll_ok FROM (
+        |  SELECT 'nation' AS level, n_name AS key,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM f GROUP BY n_name
+        |  UNION ALL
+        |  SELECT 'region', r_name, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |  FROM f GROUP BY r_name
+        |  UNION ALL
+        |  SELECT 'all', '*', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM f) t
+        |ORDER BY level, key""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val f = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("o_custkey", "n_name", "r_name")
+      val perNation = f.groupBy("n_name", "r_name")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val exactRegion = f.groupBy(col("r_name").as("er_name"))
+        .agg(countDistinct(col("o_custkey")).as("er_exact"))
+      val exactAll = f.agg(countDistinct(col("o_custkey")).as("ea_exact"))
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= greatest(lit(1L), (exact * lit(5)) / lit(100))
+      val nation = perNation.select(lit("nation").as("level"), col("n_name").as("key"),
+        col("n_exact"), ok(expr("hll_sketch_estimate(sk)"), col("n_exact")).as("hll_ok"))
+      val region = perNation.groupBy("r_name")
+        .agg(expr("hll_union_agg(sk)").as("rsk"))
+        .join(exactRegion, col("r_name") === col("er_name"))
+        .select(lit("region").as("level"), col("r_name").as("key"),
+          col("er_exact").as("n_exact"),
+          ok(expr("hll_sketch_estimate(rsk)"), col("er_exact")).as("hll_ok"))
+      val all = perNation.agg(expr("hll_union_agg(sk)").as("ask"))
+        .crossJoin(broadcast(exactAll))
+        .select(lit("all").as("level"), lit("*").as("key"),
+          col("ea_exact").as("n_exact"),
+          ok(expr("hll_sketch_estimate(ask)"), col("ea_exact")).as("hll_ok"))
+      nation.unionByName(region).unionByName(all).orderBy("level", "key")
     })
 }

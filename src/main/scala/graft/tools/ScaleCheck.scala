@@ -159,6 +159,60 @@ object ScaleCheck {
     val t20 = System.nanoTime()
     println(f"""{"scenario":"cdc_circle","rows":${2 * n},"events":$nEvents,"applied_rows":$nApplied,""" +
       f""""capture_sec":${(t19 - t18) / 1e9}%.2f,"apply_sec":${(t20 - t19) / 1e9}%.2f}""")
+
+    // n-gram decontamination at scale: nDocs train docs, nDocs/1000
+    // eval docs that are exact copies of every 1000th train doc
+    // (planted contamination). The scale path joins on xxhash64 of the
+    // gram — 8-byte shuffle keys instead of ~40-byte strings; the
+    // oracle-checked q157 joins the gram text itself.
+    val trainDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"w${i}_"), pmod(col("id") * 31 + lit(i), lit(99991)))): _*).as("text"))
+    val evalDocs = spark.range(nDocs / 1000).select((col("id") * 1000).as("src_id"))
+      .join(trainDocs.withColumnRenamed("doc_id", "src_id"), "src_id")
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("*"), split(col("text"), " ").as("ws"))
+      .select(col("*"),
+        explode(expr("transform(sequence(1, size(ws) - 4), i -> xxhash64(array_join(slice(ws, i, 5), ' ')))"))
+          .as("gh"))
+    val t21 = System.nanoTime()
+    val evGrams = grams(evalDocs).select("gh").distinct()
+    val contaminated = grams(trainDocs).select("doc_id", "gh").distinct()
+      .join(evGrams, "gh")
+      .select("doc_id").distinct()
+    val nContam = contaminated.count()
+    val t22 = System.nanoTime()
+    println(f"""{"scenario":"decontaminate","train_docs":$nDocs,"eval_docs":${nDocs / 1000},""" +
+      f""""contaminated_docs":$nContam,"sec":${(t22 - t21) / 1e9}%.2f,""" +
+      f""""docs_per_sec":${(nDocs / ((t22 - t21) / 1e9)).toLong}}""")
+
+    // triangle counting at scale on a self-validating graph: edges
+    // (i,i+1) and (i,i+2) under the canonical u<v orientation give
+    // exactly nNodes-2 triangles. The triple self-join's cost follows
+    // wedges (bounded out-degree 2), never |V|²; the edge aggregate
+    // appears three times and dedups via ReusedExchange.
+    val nNodes = 2 * n
+    val tEdges = spark.range(nNodes - 1).select(col("id").as("u"), (col("id") + 1).as("v"))
+      .unionAll(spark.range(nNodes - 2).select(col("id").as("u"), (col("id") + 2).as("v")))
+    val t23 = System.nanoTime()
+    val nTri = tEdges.as("e1")
+      .join(tEdges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(tEdges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    val t24 = System.nanoTime()
+    println(f"""{"scenario":"triangles","nodes":$nNodes,"edges":${2 * nNodes - 3},""" +
+      f""""triangles":$nTri,"expected":${nNodes - 2},"sec":${(t24 - t23) / 1e9}%.2f}""")
+
+    // bounded BFS on the same graph: 3 supersteps from node 0; each
+    // superstep joins the (tiny, broadcastable) frontier against the
+    // full edge list — cost per hop is one pruned pass over edges
+    val t25 = System.nanoTime()
+    val hops = graft.operators.Graphs.bfsHops(
+      tEdges.select(col("u").as("src"), col("v").as("dst")), maxHops = 3).count()
+    val t26 = System.nanoTime()
+    println(f"""{"scenario":"bfs","nodes":$nNodes,"visited":$hops,""" +
+      f""""sec":${(t26 - t25) / 1e9}%.2f}""")
     spark.stop()
   }
 }
