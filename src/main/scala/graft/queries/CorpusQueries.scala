@@ -236,10 +236,19 @@ object CorpusQueries {
         .distinct()
       val freq = dt.groupBy("term").agg(count(lit(1)).as("__df"))
         .where(col("__df") >= 8).select("term")
-      val fdt = dt.join(broadcast(freq), Seq("term"), "left_semi")
-      fdt.as("a").join(fdt.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+      // Pair generation happens IN-ROW over each doc's sorted frequent-term
+      // set (a two-level HOF) instead of a doc-level self-join — the
+      // (doc, term) subtree is shuffled once into collect_set rather than
+      // evaluated twice as the join's two legs. Output identical: the
+      // sorted set enforces t1 < t2 and distinctness.
+      val fdocs = dt.join(broadcast(freq), Seq("term"), "left_semi")
+        .groupBy("doc_id").agg(sort_array(collect_set(col("term"))).as("ts"))
+        .where(size(col("ts")) >= 2)
+      fdocs
+        .select(explode(expr(
+          "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"))
+          .as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("t1"), col("t2"))
         .limit(40)

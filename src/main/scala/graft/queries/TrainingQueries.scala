@@ -232,5 +232,36 @@ object TrainingQueries {
           expr("weight_scaled * 1000000L div tw").as("share_ppm"),
           expr("(weight_scaled * 1000000L div tw) * 100000L div 1000000L").as("budget_docs"))
         .orderBy("source")
+    },
+
+    // Token-diversity screen via Gini impurity (1 − Σpᵢ²) per source —
+    // the integer-exact cousin of Shannon entropy (whose log makes
+    // cross-engine float drift unavoidable): gini_ppm =
+    // (N² − Σnᵢ²)·10⁶ div N², all DECIMAL(38,0)/HUGEINT arithmetic. Low
+    // values flag template/boilerplate-dominated sources. Two
+    // map-side-combined aggregations, no joins.
+    QueryDef.sql(
+      "q169_gini_diversity",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT source, t, COUNT(*) AS n FROM tok WHERE len(t) > 0 GROUP BY 1, 2),
+        |a AS (SELECT source, SUM(n) AS nn, SUM(n*n) AS s2,
+        |        COUNT(*) AS n_distinct FROM c GROUP BY 1)
+        |SELECT source, CAST(nn AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST((nn*nn - s2) * 1000000 // (nn*nn) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      Tables(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n").cast(dec)).as("nn"),
+          sum((col("n") * col("n")).cast(dec)).as("s2"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("source"), col("nn").cast("long").as("n_tokens"),
+          col("n_distinct"),
+          expr("CAST(((nn*nn - s2) * 1000000) div (nn*nn) AS BIGINT)").as("gini_ppm"))
+        .orderBy("source")
     })
 }
