@@ -263,5 +263,40 @@ object TrainingQueries {
           col("n_distinct"),
           expr("CAST(((nn*nn - s2) * 1000000) div (nn*nn) AS BIGINT)").as("gini_ppm"))
         .orderBy("source")
+    },
+
+    // Incremental JOIN-view maintenance: the per-nation revenue view over
+    // orders⋈customer is maintained from the base aggregate plus the
+    // order DELTA joined to the (static) dim — ΔA⋈B — and merged by key.
+    // The fact history is never rescanned: at 100 TB the daily increment
+    // touches |Δ| rows, not |A∪Δ|. The oracle recomputes from scratch —
+    // the IVM algebra must agree exactly (integer cents make the merge
+    // associative).
+    QueryDef.sql(
+      "q170_join_ivm",
+      """WITH f AS (
+        |  SELECT n_name, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey  = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |FROM f GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cut = to_timestamp(lit("1999-01-01"))
+      val dim = t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      def agg(orders: org.apache.spark.sql.DataFrame) = orders
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val base  = agg(t.orders.where(col("o_orderdate") < cut))   // materialized view
+      val delta = agg(t.orders.where(col("o_orderdate") >= cut))  // today's increment
+      base.select(col("n_name"), col("n_orders"), col("rev_cents"))
+        .unionByName(delta)
+        .groupBy("n_name")
+        .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
+        .orderBy("n_name")
     })
 }
