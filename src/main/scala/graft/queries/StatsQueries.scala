@@ -435,5 +435,30 @@ object StatsQueries {
           col("ea_exact").as("n_exact"),
           ok(expr("hll_sketch_estimate(ask)"), col("ea_exact")).as("hll_ok"))
       nation.unionByName(region).unionByName(all).orderBy("level", "key")
+    },
+
+    // Single-pass multi-quantile: one percentile aggregate computes the
+    // whole quantile vector (one sort/agg serves k quantiles — at 100 TB
+    // you never run k separate percentile jobs). Emitted as (q, value)
+    // rows via posexplode; values follow the quantile_cont convention on
+    // integer cents (exact doubles, q74/q152).
+    QueryDef.sql(
+      "q171_multi_quantile",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |q AS (SELECT event_type,
+        |        quantile_cont(cents, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, CAST(i AS BIGINT) AS q_idx, qs[CAST(i AS BIGINT)] AS q_value
+        |FROM q, UNNEST(generate_series(1, 5)) AS t(i)
+        |ORDER BY event_type, q_idx""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(expr("percentile(cents, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+        .select(col("event_type"), posexplode(col("qs")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("q_idx"),
+          col("col").as("q_value"))
+        .orderBy("event_type", "q_idx")
     })
 }
