@@ -95,6 +95,35 @@ object StreamOps {
       "inner")
   }
 
+  /** Streaming near-dup drop: the LSH band fingerprint is a pure
+    * PROJECTION (native MinHashSignature expression — no shuffle, no
+    * state of its own), so it composes with dropDuplicatesWithinWatermark
+    * exactly like an exact-dedup key: the first document per band bucket
+    * passes, later collisions (exact duplicates always; near-duplicates
+    * with the usual LSH probability) are dropped while the bucket is
+    * inside the watermark horizon. State is bounded by distinct buckets
+    * per horizon — the streaming-ingest form of the batch
+    * minhashCandidates pipeline.
+    */
+  def nearDupDropWithinWatermark(
+      docs: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String,
+      shingleLen: Int = 8,
+      numHashes: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sig = graft.plans.GraftFunctions.minhashSignature(
+      shingles(normText(col(textCol)), shingleLen), numHashes)
+    docs
+      .withColumn("__sig", sig)
+      .withColumn("__band",
+        expr(s"array_join(transform(slice(__sig, 1, ${numHashes / 2}), x -> CAST(x AS STRING)), '-')"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__band"))
+      .drop("__sig", "__band")
+  }
+
   /** Stream-static enrichment join: an unbounded stream against a bounded
     * dimension. The static side broadcasts (it is re-read per micro-batch,
     * picking up dim updates between batches), the stream side keeps NO

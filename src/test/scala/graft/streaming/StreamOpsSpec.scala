@@ -146,4 +146,29 @@ class StreamOpsSpec extends SparkSpec {
       assert(got == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("nearDupDropWithinWatermark drops band collisions, keeps distinct docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about distributed query engines at scale"
+    val out = StreamOps.nearDupDropWithinWatermark(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", "text")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // first occurrence of A passes; exact duplicate of A (same band) drops;
+      // B (different band) passes
+      input.addData(Seq((ts(1), 1L, textA), (ts(2), 2L, textA), (ts(3), 3L, textB)))
+      q.processAllAvailable()
+      // advance the watermark far enough to flush append-mode output
+      input.addData(Seq((ts(40), 99L, "flush marker row far in the future")))
+      q.processAllAvailable()
+      val ids = s.table("neardup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L) && !ids.contains(2L),
+        s"expected dup doc 2 dropped, got $ids")
+    } finally q.stop()
+  }
 }
