@@ -43,6 +43,23 @@ object Graphs {
     r
   }
 
+  /** Triangle count over a canonically oriented edge list `edges(u, v)`
+    * with u < v: the closed-triplet triple self-join e(a,b) ⋈ e(b,c) ⋈
+    * e(a,c), which materializes each triangle exactly once (no post-dedup,
+    * the join output cardinality IS the count). Cost follows wedges
+    * (Σ deg²), never |V|²; the edge subtree appears three times in one
+    * plan and dedups via ReusedExchange. Returns one row (n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Bounded-depth BFS from the minimum source node of `edges(src, dst)`
     * (pass a symmetrized edge list for undirected graphs). Returns
     * (n, hop) for every node reached within `maxHops` supersteps; the

@@ -134,14 +134,9 @@ object TrainingQueries {
       // ReusedExchange dedups the shuffle, so no cache (which would
       // leak pinned blocks past the query) is needed.
       val e = partEdges(Tables(s, dir))
-      val e1 = e.select(col("u").as("a"), col("v").as("b"))
-      val e2 = e.select(col("u").as("b2"), col("v").as("c"))
-      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("n_triangles"))
       val cnt = e.agg(count(lit(1)).as("n_edges"))
-      cnt.crossJoin(broadcast(tri)).select(col("n_edges"), col("n_triangles"))
+      cnt.crossJoin(broadcast(Graphs.triangleCount(e)))
+        .select(col("n_edges"), col("n_triangles"))
     },
 
     // Bounded-depth BFS over the same graph (symmetrized), rooted at the
@@ -257,7 +252,11 @@ object TrainingQueries {
         .groupBy("source", "t").agg(count(lit(1)).as("n"))
         .groupBy("source")
         .agg(sum(col("n").cast(dec)).as("nn"),
-          sum((col("n") * col("n")).cast(dec)).as("s2"),
+          // square AFTER the decimal cast: a stopword's count can exceed
+          // sqrt(Long.MaxValue) at corpus scale, and Long n*n would wrap
+          // silently in non-ANSI mode (DuckDB's SUM(n*n) promotes to
+          // HUGEINT, so the engines would diverge exactly then)
+          sum(col("n").cast(dec) * col("n").cast(dec)).as("s2"),
           count(lit(1)).as("n_distinct"))
         .select(col("source"), col("nn").cast("long").as("n_tokens"),
           col("n_distinct"),

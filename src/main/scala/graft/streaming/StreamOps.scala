@@ -111,17 +111,18 @@ object StreamOps {
       delay: String,
       textCol: String,
       shingleLen: Int = 8,
-      numHashes: Int = 8): DataFrame = {
+      bandLanes: Int = 4): DataFrame = {
+    require(bandLanes >= 1, s"bandLanes must be >= 1, got $bandLanes")
     import graft.functions.TextFunctions._
+    // compute exactly the lanes the band uses (no wasted hashes) and key
+    // on one primitive — xxhash64 of the lane array — instead of a
+    // per-row joined string (the codebase's band-key convention, see
+    // Dedup.lshBands)
     val sig = graft.plans.GraftFunctions.minhashSignature(
-      shingles(normText(col(textCol)), shingleLen), numHashes)
-    docs
-      .withColumn("__sig", sig)
-      .withColumn("__band",
-        expr(s"array_join(transform(slice(__sig, 1, ${numHashes / 2}), x -> CAST(x AS STRING)), '-')"))
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark(Seq("__band"))
-      .drop("__sig", "__band")
+      shingles(normText(col(textCol)), shingleLen), bandLanes)
+    dedupWithinWatermark(
+      docs.withColumn("__band", xxhash64(sig)), tsCol, delay, Seq("__band"))
+      .drop("__band")
   }
 
   /** Stream-static enrichment join: an unbounded stream against a bounded

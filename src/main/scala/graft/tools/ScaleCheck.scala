@@ -162,12 +162,15 @@ object ScaleCheck {
 
     // n-gram decontamination at scale: nDocs train docs, nDocs/1000
     // eval docs that are exact copies of every 1000th train doc
-    // (planted contamination). The scale path joins on xxhash64 of the
-    // gram — 8-byte shuffle keys instead of ~40-byte strings; the
-    // oracle-checked q157 joins the gram text itself.
+    // (planted contamination). Train texts use the UNMODDED id so every
+    // doc is unique (a modulus shorter than nDocs would alias docs and
+    // inflate the plant); contaminated_docs must equal exactly nDocs/1000.
+    // The scale path joins on xxhash64 of the gram — 8-byte shuffle keys
+    // instead of ~40-byte strings; the oracle-checked q157 joins the gram
+    // text itself.
     val trainDocs = spark.range(nDocs).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 12).map(i =>
-        concat(lit(s"w${i}_"), pmod(col("id") * 31 + lit(i), lit(99991)))): _*).as("text"))
+        concat(lit(s"w${i}_"), col("id") * 31 + lit(i))): _*).as("text"))
     val evalDocs = spark.range(nDocs / 1000).select((col("id") * 1000).as("src_id"))
       .join(trainDocs.withColumnRenamed("doc_id", "src_id"), "src_id")
     def grams(df: org.apache.spark.sql.DataFrame) = df
@@ -183,7 +186,8 @@ object ScaleCheck {
     val nContam = contaminated.count()
     val t22 = System.nanoTime()
     println(f"""{"scenario":"decontaminate","train_docs":$nDocs,"eval_docs":${nDocs / 1000},""" +
-      f""""contaminated_docs":$nContam,"sec":${(t22 - t21) / 1e9}%.2f,""" +
+      f""""contaminated_docs":$nContam,"expected":${nDocs / 1000},""" +
+      f""""sec":${(t22 - t21) / 1e9}%.2f,""" +
       f""""docs_per_sec":${(nDocs / ((t22 - t21) / 1e9)).toLong}}""")
 
     // triangle counting at scale on a self-validating graph: edges
@@ -195,11 +199,7 @@ object ScaleCheck {
     val tEdges = spark.range(nNodes - 1).select(col("id").as("u"), (col("id") + 1).as("v"))
       .unionAll(spark.range(nNodes - 2).select(col("id").as("u"), (col("id") + 2).as("v")))
     val t23 = System.nanoTime()
-    val nTri = tEdges.as("e1")
-      .join(tEdges.as("e2"), col("e1.v") === col("e2.u"))
-      .join(tEdges.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .count()
+    val nTri = graft.operators.Graphs.triangleCount(tEdges).head().getLong(0)
     val t24 = System.nanoTime()
     println(f"""{"scenario":"triangles","nodes":$nNodes,"edges":${2 * nNodes - 3},""" +
       f""""triangles":$nTri,"expected":${nNodes - 2},"sec":${(t24 - t23) / 1e9}%.2f}""")
