@@ -460,5 +460,67 @@ object StatsQueries {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("q_idx"),
           col("col").as("q_value"))
         .orderBy("event_type", "q_idx")
+    },
+
+    // Ratio-to-report (percent of total) at two grains in one pass:
+    // each nation's share of its region's revenue and of the global
+    // total, as window sums over the aggregated (not raw) rows — the
+    // share computation costs |nations|, not |orders|. Exact ppm.
+    QueryDef.sql(
+      "q172_ratio_to_report",
+      """WITH a AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey  = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
+        |  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS region_share_ppm,
+        |  CAST(cents * 1000000 // SUM(cents) OVER () AS BIGINT) AS global_share_ppm
+        |FROM a ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wr = Window.partitionBy("r_name")
+      val wg = Window.partitionBy()
+      a.select(col("r_name"), col("n_name"), col("cents"),
+          (col("cents") * 1000000).as("__num"),
+          sum(col("cents")).over(wr).as("__rtot"),
+          sum(col("cents")).over(wg).as("__gtot"))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("__num div __rtot").as("region_share_ppm"),
+          expr("__num div __gtot").as("global_share_ppm"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Equi-DEPTH histogram (quantile buckets) per group: ntile(8) over
+    // the window assigns near-equal row counts per bucket; output is the
+    // per-bucket count and exact value bounds. Complements q67/q154's
+    // equi-WIDTH profiles — the standard SQL ntile split rule (first
+    // n mod b buckets get the extra row) is identical cross-engine.
+    QueryDef.sql(
+      "q173_equidepth_histogram",
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT event_type, cents,
+        |        ntile(8) OVER (PARTITION BY event_type ORDER BY cents) AS bucket
+        |      FROM e)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi
+        |FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_type"), col("cents"), ntile(8).over(w).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+        .orderBy("event_type", "bucket")
     })
 }
