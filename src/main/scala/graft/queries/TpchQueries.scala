@@ -421,5 +421,57 @@ object TpchQueries {
         .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q11 shape (important stock): per-part inventory value from
+    // the ps catalog, keeping parts whose value exceeds a multiple of the
+    // GLOBAL mean — HAVING against a scalar aggregate subquery (the
+    // original's fixed global fraction empties as |parts| grows, so the
+    // threshold scales with the part count). The scalar lands as a
+    // broadcast one-row cross join; the same catalog aggregate feeds
+    // both sides (ReusedExchange under AQE).
+    QueryDef.sql(
+      "q174_tpch_q11",
+      s"""WITH $psSql,
+         |v AS (SELECT pk, SUM(cost_cents) AS value_cents FROM ps GROUP BY pk)
+         |SELECT pk, CAST(value_cents AS BIGINT) AS value_cents
+         |FROM v
+         |WHERE value_cents > (SELECT SUM(value_cents) // (COUNT(*) * 2) FROM v)
+         |ORDER BY value_cents DESC, pk""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val v = psCatalog(t).groupBy("pk")
+        .agg(sum(col("cost_cents")).as("value_cents"))
+      val total = v.agg(expr("sum(value_cents) div (count(*) * 2L)").as("threshold"))
+      v.crossJoin(broadcast(total))
+        .where(col("value_cents") > col("threshold"))
+        .select("pk", "value_cents")
+        .orderBy(col("value_cents").desc, col("pk"))
+    },
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    // order-less customers count at 0, then the distribution of counts —
+    // two cascaded aggregations. The outer join preserves the dimension
+    // side; a filter inside the join condition (priority filter) stays in
+    // the ON clause, not WHERE (the Q13 trap: WHERE would turn the outer
+    // join inner).
+    QueryDef.sql(
+      "q175_tpch_q13",
+      """WITH c AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.where(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     })
 }
