@@ -297,5 +297,36 @@ object TrainingQueries {
         .groupBy("n_name")
         .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
         .orderBy("n_name")
+    },
+
+    // Cohort transition matrix (new / retained / churned): classify every
+    // user by activity flags in two adjacent periods — ONE pass over
+    // events builds both flags as conditional aggregates (no period
+    // self-join, no set operations), then a tiny count per class. The
+    // churn screen every growth dashboard runs; at 100 TB the cost is one
+    // shuffle keyed on user.
+    QueryDef.sql(
+      "q176_churn_matrix",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN ts <  TIMESTAMP '2024-01-05' THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-30' THEN 1 ELSE 0 END) AS in_b
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE WHEN in_a = 1 AND in_b = 1 THEN 'retained'
+        |            WHEN in_a = 1 THEN 'churned'
+        |            WHEN in_b = 1 THEN 'new' ELSE 'dormant' END AS cohort,
+        |  COUNT(*) AS n_users
+        |FROM f GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, dir) =>
+      val cutA = to_timestamp(lit("2024-01-05"))
+      val cutB = to_timestamp(lit("2024-01-30"))
+      Tables(s, dir).events
+        .groupBy("user_id")
+        .agg(max(when(col("ts") < cutA, 1).otherwise(0)).as("in_a"),
+          max(when(col("ts") >= cutB, 1).otherwise(0)).as("in_b"))
+        .select(when(col("in_a") === 1 && col("in_b") === 1, "retained")
+          .when(col("in_a") === 1, "churned")
+          .when(col("in_b") === 1, "new").otherwise("dormant").as("cohort"))
+        .groupBy("cohort").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort")
     })
 }
