@@ -328,5 +328,91 @@ object TrainingQueries {
           .when(col("in_b") === 1, "new").otherwise("dormant").as("cohort"))
         .groupBy("cohort").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort")
+    },
+
+    // Conjunctive (multi-term AND) retrieval over the inverted-index
+    // relation: the query terms are the top-3 by document frequency
+    // (chosen IN-PLAN — no driver collect), every term pair intersects
+    // postings as a doc-keyed semi-join chain + HAVING count = 2. At
+    // 100 TB this is the standard search-engine AND: cost follows the
+    // shorter posting list of each pair, never the corpus.
+    QueryDef.sql(
+      "q177_postings_intersect",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE len(term) > 0),
+        |top3 AS (SELECT term FROM (
+        |  SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+        |  ORDER BY df DESC, term LIMIT 3) t),
+        |prs AS (SELECT a.term AS t1, b.term AS t2
+        |        FROM top3 a JOIN top3 b ON a.term < b.term),
+        |hits AS (SELECT p.t1, p.t2, d1.doc_id
+        |         FROM prs p
+        |         JOIN dt d1 ON d1.term = p.t1
+        |         JOIN dt d2 ON d2.term = p.t2 AND d2.doc_id = d1.doc_id)
+        |SELECT t1, t2, COUNT(*) AS n_docs,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], '|') AS first_docs
+        |FROM hits GROUP BY t1, t2 ORDER BY t1, t2""".stripMargin) { (s, dir) =>
+      val dt = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+      val top3 = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(3).select("term")
+      val prs = top3.select(col("term").as("t1"))
+        .join(top3.select(col("term").as("t2")), col("t1") < col("t2"))
+      val d1 = dt.select(col("term").as("q1"), col("doc_id"))
+      val d2 = dt.select(col("term").as("q2"), col("doc_id").as("doc2"))
+      prs
+        .join(d1, col("q1") === col("t1"))
+        .join(d2, col("q2") === col("t2") && col("doc2") === col("doc_id"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), "|")
+            .as("first_docs"))
+        .orderBy("t1", "t2")
+    },
+
+    // Local clustering coefficient over the co-order graph: per-node
+    // triangle participation vs possible wedges, 2·tri·10⁶ div
+    // (deg·(deg−1)) in exact ppm. The canonical triangle join emits each
+    // triangle once; a 3-way union attributes it to all corners — one
+    // extra aggregate over the (already sparse) triangle set, degrees
+    // from the symmetrized edge list.
+    QueryDef.sql(
+      "q178_clustering_coeff",
+      s"""WITH $partEdgesSql,
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |        FROM p e1 JOIN p e2 ON e1.v = e2.u
+         |        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pt AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT n, COUNT(*) AS tri_n FROM pt GROUP BY n),
+         |deg AS (SELECT n, COUNT(*) AS d FROM (
+         |  SELECT u AS n FROM p UNION ALL SELECT v FROM p) s GROUP BY n)
+         |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+         |  CAST(COALESCE(tc.tri_n, 0) AS BIGINT) AS n_triangles,
+         |  CAST(COALESCE(tc.tri_n, 0) * 2 * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+         |    AS coeff_ppm
+         |FROM deg LEFT JOIN tc ON deg.n = tc.n
+         |WHERE deg.d >= 2
+         |ORDER BY coeff_ppm DESC, node LIMIT 25""".stripMargin) { (s, dir) =>
+      val p = partEdges(Tables(s, dir))
+      val tri = p.select(col("u").as("a"), col("v").as("b"))
+        .join(p.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+        .join(p.select(col("u").as("a3"), col("v").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      val pt = tri.select(col("a").as("n"))
+        .unionAll(tri.select(col("b").as("n")))
+        .unionAll(tri.select(col("c").as("n")))
+      val tc = pt.groupBy("n").agg(count(lit(1)).as("tri_n"))
+      val deg = p.select(col("u").as("n")).unionAll(p.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      deg.join(tc.withColumnRenamed("n", "t_n"), col("n") === col("t_n"), "left_outer")
+        .where(col("d") >= 2)
+        .select(col("n").as("node"), col("d").as("degree"),
+          coalesce(col("tri_n"), lit(0L)).as("n_triangles"),
+          expr("coalesce(tri_n, 0L) * 2L * 1000000L div (d * (d - 1L))").as("coeff_ppm"))
+        .orderBy(col("coeff_ppm").desc, col("node"))
+        .limit(25)
     })
 }
