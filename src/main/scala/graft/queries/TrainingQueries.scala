@@ -414,5 +414,40 @@ object TrainingQueries {
           expr("coalesce(tri_n, 0L) * 2L * 1000000L div (d * (d - 1L))").as("coeff_ppm"))
         .orderBy(col("coeff_ppm").desc, col("node"))
         .limit(25)
+    },
+
+    // Pairwise segment similarity (exact Jaccard between event-type user
+    // bases): intersections come from ONE self-join on the distinct
+    // (user, type) relation — cost follows users-in-multiple-segments,
+    // never |users|² — and unions derive from the sizes
+    // (|A∪B| = |A|+|B|−|A∩B|), so no second pass. Exact ppm.
+    QueryDef.sql(
+      "q179_segment_jaccard",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+        |sz AS (SELECT t, COUNT(*) AS n FROM ut GROUP BY t),
+        |ix AS (SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_both
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        |       GROUP BY a.t, b.t)
+        |SELECT ix.t1, ix.t2, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(s1.n + s2.n - n_both AS BIGINT) AS n_union,
+        |  CAST(n_both * 1000000 // (s1.n + s2.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM ix JOIN sz s1 ON ix.t1 = s1.t JOIN sz s2 ON ix.t2 = s2.t
+        |ORDER BY t1, t2""".stripMargin) { (s, dir) =>
+      val ut = Tables(s, dir).events
+        .select(col("user_id"), col("event_type").as("t")).distinct()
+      val sz = ut.groupBy("t").agg(count(lit(1)).as("n"))
+      val ix = ut.select(col("user_id"), col("t").as("t1"))
+        .join(ut.select(col("user_id").as("u2"), col("t").as("t2")),
+          col("user_id") === col("u2") && col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+      ix
+        .join(broadcast(sz.select(col("t").as("s1_t"), col("n").as("n1"))),
+          col("t1") === col("s1_t"))
+        .join(broadcast(sz.select(col("t").as("s2_t"), col("n").as("n2"))),
+          col("t2") === col("s2_t"))
+        .select(col("t1"), col("t2"), col("n_both"),
+          (col("n1") + col("n2") - col("n_both")).as("n_union"),
+          expr("n_both * 1000000L div (n1 + n2 - n_both)").as("jaccard_ppm"))
+        .orderBy("t1", "t2")
     })
 }
