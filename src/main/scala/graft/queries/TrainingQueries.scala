@@ -449,5 +449,41 @@ object TrainingQueries {
           (col("n1") + col("n2") - col("n_both")).as("n_union"),
           expr("n_both * 1000000L div (n1 + n2 - n_both)").as("jaccard_ppm"))
         .orderBy("t1", "t2")
+    },
+
+    // FORWARD as-of: for each view event, the time to the user's next
+    // purchase (q53/q114 look backward). Engine side: one window pass per
+    // user carrying the next purchase timestamp over the strictly-
+    // following frame — one shuffle, no self-join. Oracle: a correlated
+    // scalar MIN subquery with a row-value comparison, i.e. a genuinely
+    // different algorithm, so agreement is a real differential check.
+    // (us, event_id) lexicographic order makes "next" total under
+    // timestamp ties.
+    QueryDef.sql(
+      "q180_next_event",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id % 29 = 0)
+        |SELECT v.event_id, CAST((
+        |  SELECT MIN(p.us) FROM e p
+        |  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND (p.us, p.event_id) > (v.us, v.event_id)
+        |) - v.us AS BIGINT) AS us_to_purchase
+        |FROM e v WHERE v.event_type = 'view'
+        |ORDER BY v.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("user_id") % 29 === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      // min-over-following ≡ the subquery's MIN across later purchases:
+      // a later purchase can carry a SMALLER us only under ties broken by
+      // event_id, which the lexicographic frame order handles identically
+      e.select(col("event_id"), col("event_type"), col("us"),
+          min(when(col("event_type") === "purchase", col("us"))).over(w)
+            .as("next_p_us"))
+        .where(col("event_type") === "view")
+        .select(col("event_id"), (col("next_p_us") - col("us")).as("us_to_purchase"))
+        .orderBy("event_id")
     })
 }
