@@ -5,6 +5,45 @@ import org.apache.spark.sql.SparkSession
 import graft.core.{Graft, Tables}
 
 object Bench {
+
+  /** Headline benchmark set — one representative per operator family
+    * (compare pipeline, chunk planning, TPC-H joins/aggs, dedup/LSH,
+    * embeddings/ANN, text/corpus, temporal joins, graph, sinks, skew).
+    *
+    * The driver captures only the TAIL of stdout (~2000 chars), so the
+    * single JSON line must stay short enough to survive that capture —
+    * rounds 1-3 timed the full registry and the line was truncated
+    * mid-JSON every round (BENCH_r0{1,2,3}.json all have parsed:null).
+    * ~55 entries × ~23 chars ≈ 1.3 KB leaves headroom. Set
+    * SPARK_GRAFT_BENCH_ALL=1 to time the full registry instead (local
+    * bookkeeping for BASELINE.md — not driver-parseable).
+    */
+  val headline: Seq[String] = Seq(
+    // core relational + events
+    "q1_agg", "q2_join_agg", "q3_topn", "q4_window", "q5_grouping_sets",
+    "q6_events_tumbling", "q7_events_sessionize", "q8_cdc_apply", "q9_events_dedup",
+    // compare pipeline (the reference's flagship)
+    "q10_chunk_plan", "q11_compare_count", "q12_compare_md5", "q13_compare_chunks",
+    "q14_row_diff", "q15_repair_sql", "q16_table_summary", "q17_canonical_project",
+    // TPC-H join/agg shapes
+    "q81_tpch_q3", "q82_tpch_q5", "q83_tpch_q10", "q84_tpch_q18",
+    "q134_tpch_q7", "q135_tpch_q21", "q143_tpch_q6", "q145_tpch_q9",
+    "q59_correlated", "q175_tpch_q13",
+    // dedup family
+    "q24_dedup_exact", "q25_minhash_sig", "q26_minhash_pairs", "q27_ngram_jaccard",
+    "q28_simhash", "q68_dedup_clusters", "q118_span_dedup", "q157_ngram_decontaminate",
+    // embeddings / ANN
+    "q29_embedding_topk", "q30_ann_lsh", "q31_embedding_neardup",
+    "q55_ann_ivf", "q96_semdedup", "q124_pq_adc",
+    // text / corpus
+    "q20_token_count", "q21_lang_id", "q22_quality_score", "q56_token_bpe",
+    "q57_ngram_stats", "q61_repetition", "q93_tfidf", "q94_bigram_lm",
+    // temporal / graph / scale patterns
+    "q53_asof_join", "q54_range_count", "q106_native_topk", "q122_merge",
+    "q128_pagerank", "q159_triangles", "q85_bloom_prune", "q86_salted_agg",
+    // sinks
+    "q45_csv_roundtrip", "q52_orc_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract runs local[32]; SPARK_GRAFT_CPUS only overrides
@@ -25,19 +64,25 @@ object Bench {
       .foreach(_.count())
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")
+    val names =
+      if (benchAll) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal rounding keeps the line compact: the driver captures only the
-    // tail of stdout, and a full-precision 85-query line overflowed it (round
-    // 1's BENCH parsed as null from a mid-line truncation).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // 2-decimal rounding keeps the line compact (see `headline` scaladoc)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // leading println guarantees the JSON starts at column 0 even if a
+    // logger left an unterminated line on stdout
+    println()
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

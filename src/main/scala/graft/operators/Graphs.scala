@@ -72,6 +72,9 @@ object Graphs {
   def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val root = e.agg(min(col("src")).as("root"))
+      // an empty edge list gives a single NULL MIN row — drop it so the
+      // contract ((n, hop) for reached nodes only) holds for empty graphs
+      .where(col("root").isNotNull)
     var visited = broadcast(root).select(col("root").as("n"), lit(0L).as("hop"))
     var frontier = visited.select("n")
     var i = 1

@@ -24,8 +24,8 @@ object StatsQueries {
 
     // Ordered-set aggregates per event type: interpolated median
     // (quantile_cont convention — exact .0/.5 doubles on integer cents,
-    // identical across engines), discrete p25/p75 (the value at 0-based
-    // sorted index floor((n-1)*q) — DuckDB's quantile_disc convention),
+    // identical across engines), discrete p25/p75 (the value at 1-based
+    // sorted index ceil(n·q) — DuckDB's quantile_disc convention, probed),
     // and deterministic mode of a derived category. The discrete quantile
     // runs distributed: one window pass per group computes row_number +
     // count, a filter keeps the two index rows — no per-group collect.
@@ -490,8 +490,11 @@ object StatsQueries {
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
       val wr = Window.partitionBy("r_name")
       val wg = Window.partitionBy()
+      // cents → decimal(38,0) before the ×10⁶ scaling: DuckDB's SUM promotes
+      // to HUGEINT, so the Long product would wrap silently past ~9e12 cents
+      // per nation at large SFs while the oracle stays exact (ADVICE r3).
       a.select(col("r_name"), col("n_name"), col("cents"),
-          (col("cents") * 1000000).as("__num"),
+          (col("cents").cast("decimal(38,0)") * 1000000).as("__num"),
           sum(col("cents")).over(wr).as("__rtot"),
           sum(col("cents")).over(wg).as("__gtot"))
         .select(col("r_name"), col("n_name"), col("cents"),

@@ -203,7 +203,10 @@ object TpchQueries {
             .as("nation_cents"),
           sum(col("v_cents")).as("total_cents"))
         .select(col("o_year"), col("nation_cents"), col("total_cents"),
-          expr("nation_cents * 1000000L div total_cents").as("share_ppm"))
+          // decimal(38,0) numerator: the oracle's SUM is HUGEINT-exact, so a
+          // Long cents×10⁶ product would wrap first on the Spark side
+          expr("CAST(nation_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+            .as("share_ppm"))
         .orderBy("o_year")
     },
 
@@ -299,7 +302,9 @@ object TpchQueries {
           sum(when(col("p_type") === "PROMO", c).otherwise(0L)).as("promo_cents"),
           sum(c).as("total_cents"))
         .select(col("ym"), col("promo_cents"), col("total_cents"),
-          expr("promo_cents * 1000000L div total_cents").as("promo_ppm"))
+          // decimal(38,0) numerator — same HUGEINT-parity rationale as q144
+          expr("CAST(promo_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+            .as("promo_ppm"))
         .orderBy("ym")
     },
 

@@ -224,8 +224,11 @@ object TrainingQueries {
       val t = sw.agg(sum("weight_scaled").as("tw"))
       sw.crossJoin(broadcast(t))
         .select(col("source"), col("n_docs"), col("weight_scaled"),
-          expr("weight_scaled * 1000000L div tw").as("share_ppm"),
-          expr("(weight_scaled * 1000000L div tw) * 100000L div 1000000L").as("budget_docs"))
+          // decimal(38,0) numerator: weight ~ sqrt(n)·10³ stays small, but the
+          // ×10⁶ product should match the oracle's HUGEINT exactly at any n
+          expr("CAST(weight_scaled AS DECIMAL(38,0)) * 1000000 div tw").as("share_ppm"),
+          expr("(CAST(weight_scaled AS DECIMAL(38,0)) * 1000000 div tw) * 100000L div 1000000L")
+            .as("budget_docs"))
         .orderBy("source")
     },
 

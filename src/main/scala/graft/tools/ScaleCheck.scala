@@ -175,6 +175,9 @@ object ScaleCheck {
       .join(trainDocs.withColumnRenamed("doc_id", "src_id"), "src_id")
     def grams(df: org.apache.spark.sql.DataFrame) = df
       .select(col("*"), split(col("text"), " ").as("ws"))
+      // sequence(1, size-4) DESCENDS when size < 5 (garbage grams via
+      // slice); guard so the helper stays safe for variable-length text
+      .where(size(col("ws")) >= 5)
       .select(col("*"),
         explode(expr("transform(sequence(1, size(ws) - 4), i -> xxhash64(array_join(slice(ws, i, 5), ' ')))"))
           .as("gh"))
