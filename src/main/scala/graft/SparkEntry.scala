@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.CorpusQueries.all ++
       graft.queries.AnalyticsQueries.all ++
-      graft.queries.AdvancedQueries.all
+      graft.queries.AdvancedQueries.all ++
+      graft.queries.MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.Ranks
+
+/** Analytics-mining depth: RFM segmentation (global quantile bucketing
+  * without a single-task window), BM25 relevance scoring in exact
+  * integer arithmetic, market-basket association rules
+  * (confidence/lift), and robust MAD-based outlier screens. As
+  * everywhere: every cross-engine ratio is scaled-integer division, and
+  * wide products go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so
+  * nothing wraps at any scale factor.
+  */
+object MiningQueries {
+
+  private def cents(c: Column): Column = floor(c * lit(100)).cast("long")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // RFM customer segmentation: recency/frequency/monetary quartiles.
+    // The quartile assignment is a GLOBAL ntile — on Spark that is the
+    // classic single-task-window trap, so the implementation computes a
+    // distributed global rank (range repartition + per-partition offsets,
+    // Ranks.withGlobalRank) and applies the standard SQL NTILE bucket
+    // rule (first n mod b buckets get ceil(n/b) rows) arithmetically.
+    // The (metric, custkey) rank key is unique, so ties are deterministic
+    // and both engines agree bucket-for-bucket.
+    QueryDef.sql(
+      "q181_rfm",
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate), TIMESTAMP '2001-12-31') AS r_days,
+        |    COUNT(*) AS f_orders,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey, m_cents,
+        |    ntile(4) OVER (ORDER BY r_days,   o_custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY f_orders, o_custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY m_cents,  o_custkey) AS m_q
+        |  FROM rfm)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+        |  COUNT(*) AS n_customers, CAST(SUM(m_cents) AS BIGINT) AS m_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val rfm = Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(
+          datediff(lit("2001-12-31").cast("date"), max(col("o_orderdate")))
+            .cast("long").as("r_days"),
+          count(lit(1)).as("f_orders"),
+          sum(cents(col("o_totalprice"))).as("m_cents"))
+      val (r1, n) = Ranks.withGlobalRankAndTotal(rfm, Seq("r_days", "o_custkey"), "r_rank")
+      val r2 = Ranks.withGlobalRank(r1, Seq("f_orders", "o_custkey"), "f_rank")
+      val r3 = Ranks.withGlobalRank(r2, Seq("m_cents", "o_custkey"), "m_rank")
+      // SQL NTILE(b) over n rows: the first r = n mod b buckets hold q+1
+      // rows (q = n div b), the rest hold q — as rank arithmetic.
+      val q = n / 4; val r = n % 4
+      def ntile4(rank: String): Column =
+        expr(s"CASE WHEN ($rank - 1) < ${(q + 1) * r} THEN ($rank - 1) div ${q + 1} + 1" +
+          s" ELSE ($rank - 1 - $r) div $q + 1 END")
+      r3.select(
+          (ntile4("r_rank") * 100 + ntile4("f_rank") * 10 + ntile4("m_rank"))
+            .cast("long").as("segment"),
+          col("m_cents"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("m_cents"))
+        .orderBy("segment")
+    },
+
+    // BM25 relevance scoring (k1 = 1.2, b = 0.75) for the corpus's top-5
+    // document-frequency terms, in EXACT integer arithmetic: with
+    // k1 = 6/5 and b = 3/4, multiplying the tf-saturation fraction
+    // through by 20·T (T = total corpus tokens) clears every denominator
+    //   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    //     = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    // and the log-free rational idf surrogate (N − df + ½)/(df + ½)
+    // clears to (2N − 2df + 1)/(2df + 1). Both engines evaluate one
+    // HUGEINT/DECIMAL(38,0) fraction — bit-identical, no ln() drift.
+    // Shape: one (doc, term) aggregate feeds tf, df, and dl; the top-5
+    // query terms are in-plan (no driver collect) and broadcast back.
+    QueryDef.sql(
+      "q182_bm25",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(dl) AS t_tokens, COUNT(*) AS n_docs FROM dl),
+        |qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 44 * t_tokens * tf * 1000000
+        |      // (CAST(2*df + 1 AS HUGEINT)
+        |         * (20 * t_tokens * tf + 6 * t_tokens + 18 * dl.dl * n_docs))
+        |      AS BIGINT) AS score_ppm
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(score_ppm) AS BIGINT) AS bm25_ppm
+        |FROM sc GROUP BY 1 ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val tot = dl.agg(sum("dl").as("t_tokens"), count(lit(1)).as("n_docs"))
+      val qt = dfc.orderBy(col("df").desc, col("term")).limit(5)
+      tf.join(broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * t_tokens * tf * 1000000" +
+            " div (CAST(2*df + 1 AS DECIMAL(38,0))" +
+            " * (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs))").as("score_ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("score_ppm").as("bm25_ppm"))
+        .orderBy(col("bm25_ppm").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Market-basket association rules over (order, part) baskets:
+    // support-screened co-occurrence pairs (the self-join's cost follows
+    // lines-per-order, never |lineitem|²), expanded to DIRECTED rules
+    // with exact confidence = P(b|a) and lift = P(ab)/(P(a)·P(b)) in ppm.
+    // The basket total and item counts ride as one broadcast row /
+    // a broadcast dimension — the fact is scanned once for pairs and
+    // once for counts.
+    QueryDef.sql(
+      "q183_assoc_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |       FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |rules AS (SELECT u AS antecedent, v AS consequent, n_ab FROM pr
+        |          UNION ALL
+        |          SELECT v, u, n_ab FROM pr),
+        |sc AS (SELECT antecedent, consequent, n_ab,
+        |    CAST(CAST(n_ab AS HUGEINT) * 1000000 // a.n_item AS BIGINT) AS conf_ppm,
+        |    CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |      // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT) AS lift_ppm
+        |  FROM rules
+        |  JOIN ic a ON antecedent = a.l_partkey
+        |  JOIN ic c ON consequent = c.l_partkey
+        |  CROSS JOIN tot)
+        |SELECT antecedent, consequent, n_ab, conf_ppm, lift_ppm
+        |FROM sc ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+      val tot = li.agg(countDistinct("l_orderkey").as("n_orders"))
+      val ic = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+      val pr = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      val rules = pr.select(col("u").as("antecedent"), col("v").as("consequent"), col("n_ab"))
+        .unionAll(pr.select(col("v").as("antecedent"), col("u").as("consequent"), col("n_ab")))
+      rules
+        .join(broadcast(ic.select(col("l_partkey"), col("n_item").as("n_a"))),
+          col("antecedent") === col("l_partkey")).drop("l_partkey")
+        .join(broadcast(ic.select(col("l_partkey"), col("n_item").as("n_c"))),
+          col("consequent") === col("l_partkey")).drop("l_partkey")
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          expr("CAST(n_ab AS DECIMAL(38,0)) * 1000000 div n_a").as("conf_ppm"),
+          expr("CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_c)")
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
+        .limit(20)
+    },
+
+    // Robust outlier screen via MAD (median absolute deviation) — the
+    // quality-filter cousin of q184's z-score that a heavy-tailed value
+    // column needs. Everything stays integral: medians of integers land
+    // on .0/.5 exactly (quantile_cont convention, both engines), so
+    // doubling once per median level (med×2, MAD×4) keeps every
+    // comparison in BIGINT: |x − med| > 3·MAD  ⟺  2·dev2 > 3·mad_x4
+    // where dev2 = |2x − med_x2|. Two grouped exact-percentile passes +
+    // one counting pass, each medians' 5-row result broadcast back.
+    QueryDef.sql(
+      "q184_mad_outliers",
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(median(cents) * 2 AS BIGINT) AS med_x2
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, med_x2, abs(cents * 2 - med_x2) AS dev2
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, MIN(med_x2) AS med_x2, COUNT(*) AS n_rows,
+        |         CAST(median(dev2) * 2 AS BIGINT) AS mad_x4
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, MIN(n_rows) AS n_rows, MIN(md.med_x2) AS med_x2,
+        |  MIN(mad_x4) AS mad_x4,
+        |  CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy("event_type")
+        .agg((expr("percentile(cents, 0.5D)") * 2).cast("long").as("med_x2"))
+      val d = e.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("med_x2"),
+          abs(col("cents") * 2 - col("med_x2")).as("dev2"))
+      val md = d.groupBy("event_type")
+        .agg(min("med_x2").as("med_x2"), count(lit(1)).as("n_rows"),
+          (expr("percentile(dev2, 0.5D)") * 2).cast("long").as("mad_x4"))
+      d.drop("med_x2").join(broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(min("n_rows").as("n_rows"), min("med_x2").as("med_x2"),
+          min("mad_x4").as("mad_x4"),
+          sum(when(col("dev2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    })
+}
