@@ -214,5 +214,159 @@ object MiningQueries {
           sum(when(col("dev2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // Weighted single-source shortest paths (Bellman-Ford, 3 supersteps)
+    // over the nation trade graph (q128's edge derivation, weighted:
+    // w = 10⁹ div trade-row-count, so heavy trade routes are short).
+    // Spark relaxes via join + union + MIN-regroup per superstep — one
+    // shuffle each, cost follows |frontier|·outdeg, a fixed-iteration
+    // Pregel-as-joins. The oracle walks the same graph with a bounded
+    // recursive CTE and takes MIN(dist) per node; with ≤3 hops both
+    // computations enumerate identical path sets, and integer weights
+    // make every distance exact.
+    QueryDef.sql(
+      "q185_sssp",
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        |    CAST(1000000000 // COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |p(n, d, hops) AS (
+        |  SELECT (SELECT MIN(src) FROM e), CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, p.d + e.w, p.hops + 1
+        |  FROM p JOIN e ON p.n = e.src WHERE p.hops < 3)
+        |SELECT nt.n_name AS nation, CAST(MIN(p.d) AS BIGINT) AS dist_scaled
+        |FROM p JOIN nation nt ON p.n = nt.n_nationkey
+        |GROUP BY 1 ORDER BY dist_scaled, nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), expr("1000000000L div cnt").as("w"))
+      var dist = e.agg(min("src").as("n")).select(col("n"), lit(0L).as("d"))
+      for (_ <- 1 to 3) {
+        val relax = dist.select(col("n").as("dn"), col("d").as("dd"))
+          .join(e, col("dn") === col("src"))
+          .select(col("dst").as("n"), (col("dd") + col("w")).as("d"))
+        dist = dist.union(relax).groupBy("n").agg(min("d").as("d"))
+      }
+      dist.join(broadcast(t.nation), col("n") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("d").as("dist_scaled"))
+        .orderBy("dist_scaled", "nation")
+    },
+
+    // Flesch-style readability scoring in exact integer arithmetic:
+    // words w (whitespace tokens), sentence proxy s = ceil(w/15) (the
+    // synthetic corpus has no terminal punctuation — a 15-word span
+    // stands in), syllable proxy y = vowel-run count (maximal [aeiou]+
+    // groups, the classic heuristic). The 206.835 − 1.015·w/s − 84.6·y/w
+    // formula is evaluated as ONE milli-scaled fraction
+    // (206835·s·w − 1015·w² − 84600·y·s)/(s·w) routed through
+    // DOUBLE + FLOOR (numerators < 2⁵³ are IEEE-exact; q164's
+    // negative-safe division convention). One map-only pass + one 20-row
+    // aggregate — the shape of every corpus quality screen.
+    QueryDef.sql(
+      "q186_readability",
+      """WITH d AS (SELECT source,
+        |    len(string_split(text, ' ')) AS w,
+        |    (len(string_split(text, ' ')) + 14) // 15 AS s,
+        |    len(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+        |      - len(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS y
+        |  FROM documents),
+        |sc AS (SELECT source,
+        |    CAST(FLOOR(CAST(206835 * s * w - 1015 * w * w - 84600 * y * s AS DOUBLE)
+        |      / CAST(s * w AS DOUBLE)) AS BIGINT) AS score_milli
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(score_milli) AS BIGINT) AS sum_score,
+        |  CAST(MIN(score_milli) AS BIGINT) AS min_score,
+        |  CAST(MAX(score_milli) AS BIGINT) AS max_score
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr("(size(split(text, ' ')) + 14) div 15").cast("long").as("s"),
+        (length(regexp_replace(lower(col("text")), "[aeiou]+", "#"))
+          - length(regexp_replace(lower(col("text")), "[aeiou]+", "")))
+          .cast("long").as("y"))
+      d.select(col("source"),
+          floor((col("w") * col("s") * 206835 - col("w") * col("w") * 1015
+            - col("y") * col("s") * 84600).cast("double")
+            / (col("s") * col("w")).cast("double")).cast("long").as("score_milli"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("score_milli").as("sum_score"),
+          min("score_milli").as("min_score"), max("score_milli").as("max_score"))
+        .orderBy("source")
+    },
+
+    // Sequential pattern mining: the most frequent 3-event user paths
+    // (event-type trigrams in per-user time order). Two LEADs over one
+    // (user, ts, event_id) window — a single shuffle/sort — then a
+    // map-side-combined trigram count. The (ts, event_id) ordering key
+    // is unique, so both engines see identical sequences.
+    QueryDef.sql(
+      "q187_event_paths",
+      """WITH o AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n_paths
+        |FROM o WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, e1, e2, e3 LIMIT 25""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .where(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
+    },
+
+    // Day-over-day growth per event type: LAG over the aggregated
+    // daily series (window cost = |days×types|, never |events| — the
+    // fixture's events span ~one month, so the daily grain is the one
+    // with a real prior period at every SF),
+    // growth in ppm via DOUBLE + FLOOR — growth is SIGNED, and floor
+    // division is the one integer convention the engines share for
+    // negatives (DuckDB // floors, Spark div truncates — q164's rule).
+    QueryDef.sql(
+      "q188_dod_growth",
+      """WITH m AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS ym,
+        |    COUNT(*) AS n, SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, ym, n, cents,
+        |    lag(n) OVER w AS pn, lag(cents) OVER w AS pc
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY ym))
+        |SELECT event_type, ym, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR(1000000.0 * (n - pn) / pn) AS BIGINT) AS growth_ppm,
+        |  CAST(FLOOR(1000000.0 * (cents - pc) / pc) AS BIGINT) AS cents_growth_ppm
+        |FROM g WHERE pn IS NOT NULL ORDER BY event_type, ym""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables(s, dir).events
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("ym"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("ym")
+      m.select(col("event_type"), col("ym"), col("n"), col("cents"),
+          lag("n", 1).over(w).as("pn"), lag("cents", 1).over(w).as("pc"))
+        .where(col("pn").isNotNull)
+        .select(col("event_type"), col("ym"), col("n").as("n_events"),
+          floor(lit(1000000.0) * (col("n") - col("pn")) / col("pn")).cast("long")
+            .as("growth_ppm"),
+          floor(lit(1000000.0) * (col("cents") - col("pc")) / col("pc")).cast("long")
+            .as("cents_growth_ppm"))
+        .orderBy("event_type", "ym")
     })
 }
