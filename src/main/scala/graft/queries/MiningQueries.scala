@@ -368,5 +368,124 @@ object MiningQueries {
           floor(lit(1000000.0) * (col("cents") - col("pc")) / col("pc")).cast("long")
             .as("cents_growth_ppm"))
         .orderBy("event_type", "ym")
+    },
+
+    // BPE merge training, 3 iterations — the tokenizer-building corpus
+    // op: count weighted adjacent symbol pairs over the (distinct word,
+    // count) table (exactly how real BPE trains: word counts, not the
+    // raw corpus), pick the argmax pair (count desc, pair asc — a total
+    // tie-break), splice it everywhere, repeat. Each iteration is one
+    // explode + map-side-combined SUM + a 1-row broadcast back; the
+    // merge itself is a pure projection (replace() is leftmost
+    // non-overlapping in both engines, the exact BPE splice rule). The
+    // oracle unrolls the same three iterations as chained CTEs.
+    QueryDef.sql(
+      "q189_bpe_train",
+      """WITH w0 AS (SELECT word, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1),
+        |s0 AS (SELECT array_to_string(list_filter(string_split(word, ''), c -> len(c) > 0), ' ') AS s, cnt FROM w0),
+        |x1 AS (SELECT string_split(s, ' ') AS ws, cnt FROM s0),
+        |p1 AS (SELECT pair, SUM(cnt) AS pc FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pair, cnt FROM x1)
+        |  GROUP BY 1),
+        |b1 AS (SELECT pair, pc FROM p1 ORDER BY pc DESC, pair LIMIT 1),
+        |s1 AS (SELECT replace(s, b1.pair, replace(b1.pair, ' ', '')) AS s, cnt FROM s0 CROSS JOIN b1),
+        |x2 AS (SELECT string_split(s, ' ') AS ws, cnt FROM s1),
+        |p2 AS (SELECT pair, SUM(cnt) AS pc FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pair, cnt FROM x2)
+        |  GROUP BY 1),
+        |b2 AS (SELECT pair, pc FROM p2 ORDER BY pc DESC, pair LIMIT 1),
+        |s2 AS (SELECT replace(s, b2.pair, replace(b2.pair, ' ', '')) AS s, cnt FROM s1 CROSS JOIN b2),
+        |x3 AS (SELECT string_split(s, ' ') AS ws, cnt FROM s2),
+        |p3 AS (SELECT pair, SUM(cnt) AS pc FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pair, cnt FROM x3)
+        |  GROUP BY 1),
+        |b3 AS (SELECT pair, pc FROM p3 ORDER BY pc DESC, pair LIMIT 1)
+        |SELECT it, merged, pair_count FROM (
+        |  SELECT CAST(1 AS BIGINT) AS it, pair AS merged, CAST(pc AS BIGINT) AS pair_count FROM b1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), pair, CAST(pc AS BIGINT) FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), pair, CAST(pc AS BIGINT) FROM b3)
+        |ORDER BY it""".stripMargin) { (s, dir) =>
+      val words = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var corpus = words.select(
+        expr("array_join(filter(split(word, ''), c -> c != ''), ' ')").as("s"),
+        col("cnt"))
+      def bestPair(c: org.apache.spark.sql.DataFrame) = c
+        .select(split(col("s"), " ").as("ws"), col("cnt"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+      val merges = (1 to 3).map { it =>
+        val b = bestPair(corpus)
+        val out = b.select(lit(it.toLong).as("it"), col("pair").as("merged"),
+          col("pc").as("pair_count"))
+        corpus = corpus.crossJoin(broadcast(b))
+          .select(expr("replace(s, pair, replace(pair, ' ', ''))").as("s"), col("cnt"))
+        out
+      }
+      merges.reduce(_ unionAll _).orderBy("it")
+    },
+
+    // Calendar-function surface over the order dates (quarter / ISO week
+    // / last_day / day-of-week): one map-only projection + a
+    // year×quarter aggregate. The engines' only convention gap is
+    // day-of-week numbering (Spark: Sunday=1, DuckDB: Sunday=0) —
+    // normalized to DuckDB's 0-based form.
+    QueryDef.sql(
+      "q190_datetime",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  COUNT(*) AS n_orders,
+        |  CAST(COUNT(DISTINCT weekofyear(o_orderdate)) AS BIGINT) AS n_weeks,
+        |  CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) = last_day(o_orderdate)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+        |  CAST(SUM(dayofweek(o_orderdate)) AS BIGINT) AS dow_sum
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(weekofyear(col("o_orderdate"))).as("n_weeks"),
+          sum(when(col("o_orderdate").cast("date") === last_day(col("o_orderdate")), 1L)
+            .otherwise(0L)).as("n_month_end"),
+          sum(dayofweek(col("o_orderdate")).cast("long") - 1).as("dow_sum"))
+        .orderBy("y", "q")
+    },
+
+    // String-function surface (left/right/lpad/reverse/translate/
+    // strpos/split_part/repeat) — the canonical-projection toolkit the
+    // reference's data-compare renderer leans on, exercised as one
+    // codegen'd map-only projection over a deterministic part sample.
+    QueryDef.sql(
+      "q191_strings",
+      """SELECT p_partkey,
+        |  upper(left(p_name, 5)) AS u5,
+        |  lower(right(p_name, 4)) AS l4,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(substr(p_name, 1, 6)) AS rev6,
+        |  translate(p_name, 'aeiou', '#####') AS tr,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS pa,
+        |  split_part(p_name, 'a', 1) AS head_a,
+        |  repeat('x', CAST(p_partkey % 4 AS INTEGER)) AS xs
+        |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).part
+        .where(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"),
+          upper(expr("left(p_name, 5)")).as("u5"),
+          lower(expr("right(p_name, 4)")).as("l4"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          reverse(substring(col("p_name"), 1, 6)).as("rev6"),
+          translate(col("p_name"), "aeiou", "#####").as("tr"),
+          instr(col("p_name"), "a").cast("long").as("pa"),
+          expr("split_part(p_name, 'a', 1)").as("head_a"),
+          expr("repeat('x', CAST(p_partkey % 4 AS INT))").as("xs"))
+        .orderBy("p_partkey")
     })
 }
