@@ -75,15 +75,27 @@ object CoreQueries {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      t.lineitem
+      // Pre-aggregate revenue per customer BEFORE the customer join: the
+      // second shuffle then carries |customers| partial rows instead of
+      // every lineitem row — at 100 TB that is the difference between
+      // re-shuffling the fact table and re-shuffling a dimension-sized
+      // partial. Exact: the per-row floor happens before any summation,
+      // so the regrouped integer sums are associative.
+      val perCust = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+          sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * lit(10000.0)))
+            .as("__rev4"),
+          count(lit(1)).as("__n"))
+      perCust
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
+          (sum(col("__rev4")) / lit(10000.0)).as("revenue"),
+          sum(col("__n")).as("n_items"))
         .orderBy("n_name")
     },
 
