@@ -487,5 +487,138 @@ object MiningQueries {
           expr("split_part(p_name, 'a', 1)").as("head_a"),
           expr("repeat('x', CAST(p_partkey % 4 AS INT))").as("xs"))
         .orderBy("p_partkey")
+    },
+
+    // Rolling 7-day regression slope (trailing window over the DAILY
+    // aggregated series — window cost |days×types|, never |events|):
+    // the r²-style statistic stays rational, so slope and fit emit as
+    // exact scaled-integer fractions of windowed DECIMAL(38,0)/HUGEINT
+    // power sums (q153's closed forms, windowed). x = epoch day index,
+    // y = daily cents.
+    QueryDef.sql(
+      "q192_rolling_regr",
+      """WITH d AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS x,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, x, y,
+        |    COUNT(*) OVER f AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER f AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER f AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER f AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) OVER f AS sxy
+        |  FROM d
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY x
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, x, CAST(y AS BIGINT) AS y_cents,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE FLOOR(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT)
+        |    AS slope_milli
+        |FROM w WHERE n = 7 ORDER BY event_type, x""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val d = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_seconds(date_trunc('day', ts)) div 86400").cast("long").as("x"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      val f = Window.partitionBy("event_type").orderBy("x").rowsBetween(-6, 0)
+      d.select(col("event_type"), col("x"), col("y"),
+          count(lit(1)).over(f).as("n"),
+          sum(col("x").cast(dec)).over(f).as("sx"),
+          sum(col("y").cast(dec)).over(f).as("sy"),
+          sum((col("x").cast(dec) * col("x"))).over(f).as("sxx"),
+          sum((col("x").cast(dec) * col("y"))).over(f).as("sxy"))
+        .where(col("n") === 7)
+        .select(col("event_type"), col("x"), col("y").as("y_cents"),
+          // slope is SIGNED: floor over an exact double ratio (q153's
+          // convention) — integer div/​// disagree on negatives
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise(floor(lit(1000.0)
+              * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+            .cast("long").as("slope_milli"))
+        .orderBy("event_type", "x")
+    },
+
+    // EXACT exponential smoothing (EWMA, α = ½) — the determinism trick:
+    // with a power-of-two α the recurrence s_t = (x_t + s_{t-1})/2 has
+    // the closed form s_t = num_t / 2^(t+1) where
+    // num_t = 2·x_0 + Σ_{i≥1} x_i·2^i is a plain CUMULATIVE SUM of
+    // bit-shifted daily values — one window pass over the aggregated
+    // series, and the final floor-division is exact integer arithmetic
+    // in both engines (no float accumulation drift, ever). The closed
+    // form needs a bounded horizon (shifts grow with the series index;
+    // the fixtures span 30 days at every SF) — an unbounded production
+    // series would fold a trailing ~40-row frame instead (aggregate()
+    // over collect_list: acc*2 + x — same exactness, bounded shifts).
+    QueryDef.sql(
+      "q193_ewma",
+      """WITH d AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS t
+        |  FROM d),
+        |c AS (SELECT event_type, day, x, t,
+        |    SUM(x << CAST(CASE WHEN t = 0 THEN 1 ELSE t END AS INTEGER))
+        |      OVER (PARTITION BY event_type ORDER BY t) AS num
+        |  FROM i)
+        |SELECT event_type, day, CAST(x AS BIGINT) AS x_cents,
+        |  CAST(num // (CAST(1 AS BIGINT) << CAST(t + 1 AS INTEGER)) AS BIGINT) AS ewma_cents
+        |FROM c ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).events
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val i = d.select(col("event_type"), col("day"), col("x"),
+        (row_number().over(wo) - 1).cast("long").as("t"))
+      val wc = Window.partitionBy("event_type").orderBy("t")
+      i.select(col("event_type"), col("day"), col("x"), col("t"),
+          sum(expr("CAST(shiftleft(x, CAST(CASE WHEN t = 0 THEN 1 ELSE t END AS INT)) AS DECIMAL(38,0))"))
+            .over(wc).as("num"))
+        .select(col("event_type"), col("day"), col("x").as("x_cents"),
+          expr("CAST(num div CAST(shiftleft(1L, CAST(t + 1 AS INT)) AS DECIMAL(38,0)) AS BIGINT)")
+            .as("ewma_cents"))
+        .orderBy("event_type", "day")
+    },
+
+    // Chi-square contingency screen: is event_type independent of
+    // day-of-week? Each cell's (O−E)²/E contribution stays rational —
+    // (O·T − R·C)²·10⁶ / (R·C·T) — and emits as an exact per-cell ppm
+    // BIGINT (the documented convention: cell-floored χ², so the engines
+    // agree bit-for-bit; no float expected-count drift). One contingency
+    // aggregate + broadcast marginals.
+    QueryDef.sql(
+      "q194_chi2",
+      """WITH o AS (SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, SUM(obs) AS rn FROM o GROUP BY 1),
+        |c AS (SELECT dow, SUM(obs) AS cn FROM o GROUP BY 1),
+        |t AS (SELECT SUM(obs) AS tn FROM o)
+        |SELECT o.event_type, CAST(o.dow AS BIGINT) AS dow, CAST(obs AS BIGINT) AS obs,
+        |  CAST(CAST(rn AS HUGEINT) * cn // tn AS BIGINT) AS expected_floor,
+        |  CAST((CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+        |       * (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn) * 1000000
+        |    // (CAST(rn AS HUGEINT) * cn * tn) AS BIGINT) AS chi2_cell_ppm
+        |FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+        |ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).events
+        .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val r = o.groupBy("event_type").agg(sum("obs").as("rn"))
+      val c = o.groupBy("dow").agg(sum("obs").as("cn"))
+      val t = o.agg(sum("obs").as("tn"))
+      o.join(broadcast(r), "event_type")
+        .join(broadcast(c), "dow")
+        .crossJoin(broadcast(t))
+        .select(col("event_type"), col("dow"), col("obs"),
+          expr("CAST(CAST(rn AS DECIMAL(38,0)) * cn div tn AS BIGINT)").as("expected_floor"),
+          expr("CAST((CAST(obs AS DECIMAL(38,0)) * tn - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * (CAST(obs AS DECIMAL(38,0)) * tn - CAST(rn AS DECIMAL(38,0)) * cn) * 1000000" +
+            " div (CAST(rn AS DECIMAL(38,0)) * cn * tn) AS BIGINT)").as("chi2_cell_ppm"))
+        .orderBy("event_type", "dow")
     })
 }
