@@ -216,6 +216,52 @@ object ScaleCheck {
     val t26 = System.nanoTime()
     println(f"""{"scenario":"bfs","nodes":$nNodes,"visited":$hops,""" +
       f""""sec":${(t26 - t25) / 1e9}%.2f}""")
+
+    // BM25 scoring at 1M docs (q182's shape): one (doc, term) aggregate
+    // feeds tf/df/dl, the 1-row totals and top-5 query terms broadcast
+    // back — the whole retrieval scoring pass is two shuffles over the
+    // token relation regardless of corpus size.
+    val nDocs2 = n / 10
+    val docs2 = spark.range(nDocs2).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit("t"), (col("id") * 31 + lit(i * 7)) % 997)): _*).as("text"))
+    val t27 = System.nanoTime()
+    val tok2 = docs2.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf2 = tok2.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl2 = tf2.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df2 = tf2.groupBy("term").agg(count(lit(1)).as("df"))
+    val tot2 = dl2.agg(sum("dl").as("t_tokens"), count(lit(1)).as("n_docs"))
+    val qt2 = df2.orderBy(col("df").desc, col("term")).limit(5)
+    val top2 = tf2.join(broadcast(qt2), "term").join(dl2, "doc_id")
+      .crossJoin(broadcast(tot2))
+      .select(col("doc_id"),
+        expr("CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * t_tokens * tf * 1000000" +
+          " div (CAST(2*df + 1 AS DECIMAL(38,0))" +
+          " * (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs))").as("score_ppm"))
+      .groupBy("doc_id").agg(sum("score_ppm").as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(20).count()
+    val t28 = System.nanoTime()
+    println(f"""{"scenario":"bm25","docs":$nDocs2,"topk_rows":$top2,""" +
+      f""""sec":${(t28 - t27) / 1e9}%.2f,""" +
+      f""""docs_per_sec":${(nDocs2 / ((t28 - t27) / 1e9)).toLong}}""")
+
+    // Association rules over 2n basket items (5 items/basket, q183's
+    // shape): the basket self-join emits ~4 ordered pairs per basket —
+    // cost follows items-per-basket², never |items|².
+    val items3 = spark.range(2 * n).select(
+      expr("id div 5").as("basket"),
+      pmod(col("id") * 2654435761L, lit(1000)).as("item")).distinct()
+    val t29 = System.nanoTime()
+    val a3 = items3.select(col("basket").as("bk"), col("item").as("u"))
+    val b3 = items3.select(col("basket").as("bk2"), col("item").as("v"))
+    val pr3 = a3.join(b3, col("bk") === col("bk2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    val nRules = pr3.count() * 2
+    val t30 = System.nanoTime()
+    println(f"""{"scenario":"assoc_rules","basket_rows":${2 * n},"rules":$nRules,""" +
+      f""""sec":${(t30 - t29) / 1e9}%.2f,""" +
+      f""""rows_per_sec":${(2 * n / ((t30 - t29) / 1e9)).toLong}}""")
     spark.stop()
   }
 }
