@@ -620,5 +620,117 @@ object MiningQueries {
             " * (CAST(obs AS DECIMAL(38,0)) * tn - CAST(rn AS DECIMAL(38,0)) * cn) * 1000000" +
             " div (CAST(rn AS DECIMAL(38,0)) * cn * tn) AS BIGINT)").as("chi2_cell_ppm"))
         .orderBy("event_type", "dow")
+    },
+
+    // Global percentile rank of every customer's spend — PERCENT_RANK
+    // over the whole table is the single-task-window trap (q181's
+    // sibling): the distributed global rank substitutes, and because the
+    // (m_cents, custkey) order key is unique, rank ≡ row_number ≡ SQL
+    // RANK, so pct_ppm = (rank−1)·10⁶ div (n−1) reproduces PERCENT_RANK
+    // exactly — in integer arithmetic, immune to the double-rounding
+    // edge where floor(1e6·(rank−1)/(n−1)) rounds up past the true
+    // floor.
+    QueryDef.sql(
+      "q195_global_pctrank",
+      """WITH m AS (SELECT o_custkey,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, m_cents,
+        |    row_number() OVER (ORDER BY m_cents, o_custkey) AS rk,
+        |    COUNT(*) OVER () AS n FROM m)
+        |SELECT o_custkey, CAST(m_cents AS BIGINT) AS m_cents,
+        |  CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_ppm
+        |FROM r WHERE o_custkey % 7 = 0 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val m = Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("m_cents"))
+      val (ranked, n) = Ranks.withGlobalRankAndTotal(m, Seq("m_cents", "o_custkey"), "rk")
+      ranked
+        .select(col("o_custkey"), col("m_cents"),
+          expr(s"(rk - 1) * 1000000L div ${n - 1}L").as("pct_ppm"))
+        .where(col("o_custkey") % 7 === 0)
+        .orderBy("o_custkey")
+    },
+
+    // Weighted median (quantity weighted by revenue cents) per return
+    // flag: collapse to per-(flag, qty) weight sums FIRST — the running
+    // weight then cumulates over ≤50 distinct quantities per flag, not
+    // |lineitem| rows — and pick the smallest qty whose inclusive
+    // cumulative weight reaches half the total (the lower weighted
+    // median, all in BIGINT).
+    QueryDef.sql(
+      "q196_weighted_median",
+      """WITH g AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |    SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, qty, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY qty
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g)
+        |SELECT flag, CAST(MIN(qty) AS BIGINT) AS w_median_qty,
+        |  CAST(MIN(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"))
+        .agg(sum(cents(col("l_extendedprice"))).as("w"))
+      val cw = Window.partitionBy("flag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("flag")
+      g.select(col("flag"), col("qty"), sum("w").over(cw).as("cw"), sum("w").over(tw).as("tw"))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("flag")
+        .agg(min("qty").as("w_median_qty"), min("tw").as("total_weight"))
+        .orderBy("flag")
+    },
+
+    // Two-sample Kolmogorov-Smirnov statistic (click vs view value
+    // distributions), EXACT and distributed: per distinct value the two
+    // empirical CDFs need global running counts — computed with the
+    // distributed prefix sum (range repartition + per-partition offsets,
+    // Ranks.withRunningTotal), never a single-task global window. The
+    // sup-distance clears denominators: D = max |c1·n2 − c2·n1| and
+    // d_ppm = D·10⁶ div (n1·n2) — all integer, no CDF doubles. The
+    // oracle's plain window cumsum is DuckDB-single-node-fine; the Spark
+    // side is the 100 TB shape.
+    QueryDef.sql(
+      "q197_ks_test",
+      """WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v, SUM(s1) AS c1, SUM(s2) AS c2 FROM e GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+        |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+        |  FROM g),
+        |t AS (SELECT SUM(s1) AS n1, SUM(s2) AS n2 FROM e),
+        |d AS (SELECT v, abs(k1 * n2 - k2 * n1) AS dn FROM c CROSS JOIN t)
+        |SELECT (SELECT CAST(n1 AS BIGINT) FROM t) AS n1,
+        |  (SELECT CAST(n2 AS BIGINT) FROM t) AS n2,
+        |  CAST(MIN(v) AS BIGINT) AS at_value,
+        |  CAST(CAST(MAX(dn) AS HUGEINT) * 1000000
+        |    // ((SELECT n1 FROM t) * (SELECT CAST(n2 AS HUGEINT) FROM t)) AS BIGINT) AS d_ppm
+        |FROM d WHERE dn = (SELECT MAX(dn) FROM d)""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("event_type").isin("click", "view"))
+        .select(floor(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("s1"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("s2"))
+      val g = e.groupBy("v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+      val k1 = Ranks.withRunningTotal(g, Seq("v"), col("c1"), "k1")
+      val k2 = Ranks.withRunningTotal(k1, Seq("v"), col("c2"), "k2")
+      val t = e.agg(sum("s1").as("n1"), sum("s2").as("n2"))
+      val d = k2.crossJoin(broadcast(t))
+        .select(col("v"), col("n1"), col("n2"),
+          abs(col("k1") * col("n2") - col("k2") * col("n1")).as("dn"))
+      val dmax = d.agg(max("dn").as("dmax"))
+      d.join(broadcast(dmax), col("dn") === col("dmax"))
+        .groupBy("n1", "n2")
+        .agg(min("v").as("at_value"),
+          expr("CAST(CAST(MAX(dn) AS DECIMAL(38,0)) * 1000000 div (n1 * CAST(n2 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("d_ppm"))
+        .select(col("n1"), col("n2"), col("at_value"), col("d_ppm"))
     })
 }
