@@ -54,12 +54,7 @@ object MiningQueries {
       val (r1, n) = Ranks.withGlobalRankAndTotal(rfm, Seq("r_days", "o_custkey"), "r_rank")
       val r2 = Ranks.withGlobalRank(r1, Seq("f_orders", "o_custkey"), "f_rank")
       val r3 = Ranks.withGlobalRank(r2, Seq("m_cents", "o_custkey"), "m_rank")
-      // SQL NTILE(b) over n rows: the first r = n mod b buckets hold q+1
-      // rows (q = n div b), the rest hold q — as rank arithmetic.
-      val q = n / 4; val r = n % 4
-      def ntile4(rank: String): Column =
-        expr(s"CASE WHEN ($rank - 1) < ${(q + 1) * r} THEN ($rank - 1) div ${q + 1} + 1" +
-          s" ELSE ($rank - 1 - $r) div $q + 1 END")
+      def ntile4(rank: String): Column = Ranks.ntileFromRank(col(rank), n, 4)
       r3.select(
           (ntile4("r_rank") * 100 + ntile4("f_rank") * 10 + ntile4("m_rank"))
             .cast("long").as("segment"),
