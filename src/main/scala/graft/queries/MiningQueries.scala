@@ -727,5 +727,94 @@ object MiningQueries {
           expr("CAST(CAST(MAX(dn) AS DECIMAL(38,0)) * 1000000 div (n1 * CAST(n2 AS DECIMAL(38,0))) AS BIGINT)")
             .as("d_ppm"))
         .select(col("n1"), col("n2"), col("at_value"), col("d_ppm"))
+    },
+
+    // Bottom-k sample per source — the MERGEABLE uniform sample: the k
+    // smallest portable-hash values of a partition's keys union to the
+    // k smallest of the whole set (the bottom-k sketch, the distributed
+    // answer to reservoir sampling). Runs on the native two-phase
+    // top-k-per-group operator (bounded heaps both sides of the
+    // shuffle, q106's plan) over a composite (hash, doc_id) key so ties
+    // are total; the oracle is the window row_number filter.
+    QueryDef.sql(
+      "q198_bottomk_sample",
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, doc_id, hv FROM r WHERE rn <= 5
+        |ORDER BY source, hv, doc_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val h = Tables(s, dir).documents.select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+        // composite sort key: hash in the high bits, doc_id below ties it
+        .withColumn("__k", col("hv") * lit(1L << 21) + col("doc_id"))
+      graft.plans.GraftFunctions
+        .topKPerGroup(h, Seq("source"), "__k", 5, descending = false)
+        .select(col("source"), col("doc_id"), col("hv"))
+        .orderBy("source", "hv", "doc_id")
+    },
+
+    // DAU / WAU stickiness: daily active users over trailing-7-day
+    // actives. The window runs over the DAY-GRAIN per-day user sets
+    // (|days| rows after one distinct aggregate — never a window over
+    // raw events), flattening 7 sets per row; the oracle counts each
+    // trailing range directly. Ratio in exact ppm.
+    QueryDef.sql(
+      "q199_stickiness",
+      """WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    user_id FROM events),
+        |d AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+        |w AS (SELECT a.day, COUNT(DISTINCT b.user_id) AS wau
+        |      FROM d a JOIN du b ON b.day <= a.day
+        |        AND CAST(b.day AS DATE) >= CAST(a.day AS DATE) - INTERVAL 6 DAY
+        |      GROUP BY 1)
+        |SELECT d.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+        |FROM d JOIN w USING (day) ORDER BY day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val du = Tables(s, dir).events
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .distinct()
+      val ds = du.groupBy("day")
+        .agg(collect_set(col("user_id")).as("us"), count(lit(1)).as("dau"))
+      val f = Window.orderBy("day").rowsBetween(-6, 0)
+      ds.select(col("day"), col("dau"),
+          size(array_distinct(flatten(collect_list(col("us")).over(f)))).cast("long")
+            .as("wau"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000L div wau").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+
+    // Greedy budget allocation: fund orders in (date, key) priority
+    // order until a 10%-of-total budget is exhausted — the prefix-sum-
+    // and-cut shape of every quota/packing job. The cumulative spend is
+    // the DISTRIBUTED prefix sum (range repartition + offsets), the
+    // budget a 1-row broadcast; both sides exact cents.
+    QueryDef.sql(
+      "q200_budget_alloc",
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT CAST(SUM(cents) // 10 AS BIGINT) AS budget FROM o),
+        |c AS (SELECT o_orderkey, cents,
+        |    SUM(cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM o)
+        |SELECT COUNT(*) AS n_funded, CAST(SUM(cents) AS BIGINT) AS spent_cents,
+        |  CAST(MIN(budget) AS BIGINT) AS budget_cents,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+        |FROM c CROSS JOIN b WHERE cum <= budget""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderdate"), cents(col("o_totalprice")).as("cents"))
+      val b = o.agg(expr("CAST(SUM(cents) div 10 AS BIGINT)").as("budget"))
+      val c = Ranks.withRunningTotal(o, Seq("o_orderdate", "o_orderkey"), col("cents"), "cum")
+      c.crossJoin(broadcast(b))
+        .where(col("cum") <= col("budget"))
+        .agg(count(lit(1)).as("n_funded"), sum("cents").as("spent_cents"),
+          min("budget").as("budget_cents"), max("o_orderkey").as("last_orderkey"))
     })
 }
