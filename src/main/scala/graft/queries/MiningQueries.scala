@@ -816,5 +816,135 @@ object MiningQueries {
         .where(col("cum") <= col("budget"))
         .agg(count(lit(1)).as("n_funded"), sum("cents").as("spent_cents"),
           min("budget").as("budget_cents"), max("o_orderkey").as("last_orderkey"))
+    },
+
+    // Degree distribution of the co-order part graph — the first graph
+    // profiling pass before any mining job: symmetrized degree per node
+    // from the support-screened edge list, bucketed by 5. The edge
+    // subtree is built once; both endpoint projections reuse it
+    // (ReusedExchange).
+    QueryDef.sql(
+      "q201_degree_hist",
+      """WITH p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1)
+        |SELECT CAST(d // 5 AS BIGINT) AS deg_bucket, COUNT(*) AS n_nodes,
+        |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem.select("l_orderkey", "l_partkey")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+      val p = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      val deg = p.select(col("u").as("n")).unionAll(p.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      deg.groupBy(expr("d div 5").cast("long").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min("d").as("min_deg"), max("d").as("max_deg"))
+        .orderBy("deg_bucket")
+    },
+
+    // Autocorrelation function (lags 1-5) of the global daily revenue
+    // series, EXACT: with n days and S = Σx, the centered products
+    // clear to (n·x_t − S)(n·x_{t+l} − S) — DECIMAL(38,0)/HUGEINT sums —
+    // and |r| ≤ 1 (Cauchy-Schwarz) makes the signed ppm division safe
+    // as (num·10⁶ + 2·10⁶·den) div den − 2·10⁶: the shifted numerator
+    // is never negative, so truncating div ≡ flooring // exactly. The
+    // series is the 30-row daily aggregate; the five lags are five LEAD
+    // columns over one tiny window.
+    QueryDef.sql(
+      "q202_acf",
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM d),
+        |l AS (SELECT day, x,
+        |    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2, lead(x, 3) OVER w AS x3,
+        |    lead(x, 4) OVER w AS x4, lead(x, 5) OVER w AS x5
+        |  FROM d WINDOW w AS (ORDER BY day)),
+        |c AS (SELECT CAST(n AS BIGINT) AS n,
+        |    SUM((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)) AS den,
+        |    SUM(CASE WHEN x1 IS NULL THEN 0 ELSE (CAST(n AS HUGEINT)*x - sx) * (CAST(n AS HUGEINT)*x1 - sx) END) AS n1,
+        |    SUM(CASE WHEN x2 IS NULL THEN 0 ELSE (CAST(n AS HUGEINT)*x - sx) * (CAST(n AS HUGEINT)*x2 - sx) END) AS n2,
+        |    SUM(CASE WHEN x3 IS NULL THEN 0 ELSE (CAST(n AS HUGEINT)*x - sx) * (CAST(n AS HUGEINT)*x3 - sx) END) AS n3,
+        |    SUM(CASE WHEN x4 IS NULL THEN 0 ELSE (CAST(n AS HUGEINT)*x - sx) * (CAST(n AS HUGEINT)*x4 - sx) END) AS n4,
+        |    SUM(CASE WHEN x5 IS NULL THEN 0 ELSE (CAST(n AS HUGEINT)*x - sx) * (CAST(n AS HUGEINT)*x5 - sx) END) AS n5
+        |  FROM l CROSS JOIN t GROUP BY n),
+        |u AS (SELECT lag, num, den FROM (
+        |    SELECT 1 AS lag, n1 AS num, den FROM c
+        |    UNION ALL SELECT 2, n2, den FROM c
+        |    UNION ALL SELECT 3, n3, den FROM c
+        |    UNION ALL SELECT 4, n4, den FROM c
+        |    UNION ALL SELECT 5, n5, den FROM c))
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST((num * 1000000 + 2000000 * den) // den - 2000000 AS BIGINT) AS acf_ppm
+        |FROM u ORDER BY lag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val d = Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      val t = d.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val w = Window.orderBy("day")
+      val l = d.select(
+        (Seq(col("day"), col("x")) ++
+          (1 to 5).map(i => lead(col("x"), i).over(w).as(s"x$i"))): _*)
+      val cd = l.crossJoin(broadcast(t))
+      def ctr(c: Column) = col("n").cast(dec) * c - col("sx")
+      val aggs = sum(ctr(col("x")) * ctr(col("x"))).as("den") +:
+        (1 to 5).map(i => sum(when(col(s"x$i").isNull, lit(0).cast(dec))
+          .otherwise(ctr(col("x")) * ctr(col(s"x$i")))).as(s"n$i"))
+      val c = cd.groupBy(col("n").cast("long").as("n"))
+        .agg(aggs.head, aggs.tail: _*)
+      val u = (1 to 5).map(i =>
+        c.select(lit(i.toLong).as("lag"), col(s"n$i").as("num"), col("den")))
+        .reduce(_ unionAll _)
+      u.select(col("lag"),
+          expr("CAST((num * 1000000 + 2000000 * den) div den - 2000000 AS BIGINT)")
+            .as("acf_ppm"))
+        .orderBy("lag")
+    },
+
+    // CUSUM control chart (upward-drift alarm) per event type — a
+    // NON-LINEAR recurrence (S_t = max(0, S_{t-1} + x_t − k)) no window
+    // frame can express: the bounded daily series folds IN-ROW with a
+    // HOF (aggregate / list_reduce, zero-seeded via a prepended 0), the
+    // per-prefix fold giving the running max alarm statistic. k is the
+    // per-type mean daily cents (floored). The fold is O(days²) on a
+    // ≤31-element array — constant work per group at any event volume.
+    QueryDef.sql(
+      "q203_cusum",
+      """WITH d AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, list(x ORDER BY day) AS xs,
+        |    CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM d GROUP BY 1),
+        |f AS (SELECT event_type, k,
+        |    CAST(len(xs) AS BIGINT) AS n_days,
+        |    list_transform(range(1, len(xs) + 1),
+        |      i -> list_reduce([CAST(0 AS BIGINT)] || xs[1:i],
+        |             (a, b) -> greatest(CAST(0 AS BIGINT), a + b - k))) AS ss
+        |  FROM g)
+        |SELECT event_type, n_days, k AS k_cents,
+        |  CAST(ss[CAST(n_days AS INTEGER)] AS BIGINT) AS cusum_final,
+        |  CAST(list_max(ss) AS BIGINT) AS cusum_max
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).events
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      val g = d.groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, x))), s -> s.x)").as("xs"),
+          expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").as("k"))
+      g.select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+          col("k").as("k_cents"),
+          expr("transform(sequence(1, size(xs)), i -> " +
+            "aggregate(slice(xs, 1, i), 0L, (a, b) -> greatest(0L, a + b - k)))").as("ss"))
+        .select(col("event_type"), col("n_days"), col("k_cents"),
+          expr("element_at(ss, CAST(n_days AS INT))").as("cusum_final"),
+          array_max(col("ss")).as("cusum_max"))
+        .orderBy("event_type")
     })
 }
