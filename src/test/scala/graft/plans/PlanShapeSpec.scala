@@ -92,4 +92,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "decontamination must stay a hash equi-join on the gram")
   }
+
+  test("q2_join_agg pre-aggregates per customer before the dimension joins") {
+    val p = planOf("q2_join_agg")
+    // partial+final for the per-custkey rollup AND for the nation rollup:
+    // without the pre-aggregation the plan carries only one aggregate pair
+    // and re-shuffles every lineitem row into the customer join
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected two aggregate pairs (per-cust + per-nation), got $aggs")
+  }
+
+  test("q182_bm25 broadcasts the query terms and totals, ends in a top-k") {
+    val p = planOf("q182_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not a global sort")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "the 5-term dictionary and the 1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct"), "the totals cross-join must stay broadcast-nested")
+  }
 }
