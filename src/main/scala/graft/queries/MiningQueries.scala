@@ -946,5 +946,60 @@ object MiningQueries {
           expr("element_at(ss, CAST(n_days AS INT))").as("cusum_final"),
           array_max(col("ss")).as("cusum_max"))
         .orderBy("event_type")
+    },
+
+    // LSH dedup RECALL audit (q121's twin for MinHash): ground truth =
+    // all pairs with exact shingle-Jaccard ≥ ½, built by the shingle
+    // inverted-index self-join (cost follows SHARED shingles — near-dups
+    // and hash-rare collisions — never |docs|²; any pair with J ≥ ½
+    // shares shingles, so the join loses nothing); candidates = the
+    // production 8-hash/4-band LSH pairs. The integer test
+    // 3·|∩| ≥ n1 + n2 is J ≥ ½ with the union cleared. One row out:
+    // how much the banding misses at this threshold.
+    QueryDef.sql(
+      "q204_lsh_audit",
+      s"""WITH ${TextQueries.sigSql},
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+        |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+        |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+        |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT d1, d2 FROM inter
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE 3 * ni >= s1.n + s2.n)
+        |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+        |  (SELECT COUNT(*) FROM truth JOIN cand USING (d1, d2)) AS n_hit,
+        |  CAST((SELECT COUNT(*) FROM truth JOIN cand USING (d1, d2)) * 1000000
+        |    // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions._
+      import graft.operators.Dedup
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sig)
+      val shd = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(normText(col("text")), 8))).as("sh"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shd.select(col("doc_id").as("d1"), col("sh"))
+        .join(shd.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+        .where(col("ni") * 3 >= col("n1") + col("n2"))
+        .select("d1", "d2")
+      val hit = truth.join(cand, Seq("d1", "d2"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
     })
 }
