@@ -1001,5 +1001,102 @@ object MiningQueries {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_truth"), col("n_hit"),
           expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
+    },
+
+    // 2-D density grid (hour-of-day × value band) — the heatmap/anomaly
+    // profiling scan: one map-side-combined aggregate over both bucket
+    // axes, emitted sparse (only occupied cells). Share per cell in
+    // exact ppm of the grand total (broadcast 1-row).
+    QueryDef.sql(
+      "q205_density_grid",
+      """WITH g AS (SELECT CAST(hour(ts) AS BIGINT) AS h,
+        |    CAST(FLOOR(value * 100) AS BIGINT) // 1000 AS vband, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tn FROM g)
+        |SELECT h, CAST(vband AS BIGINT) AS vband, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // tn AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY h, vband""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).events
+        .groupBy(hour(col("ts")).cast("long").as("h"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT) div 1000").as("vband"))
+        .agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").as("tn"))
+      g.crossJoin(broadcast(t))
+        .select(col("h"), col("vband"), col("n"),
+          expr("n * 1000000L div tn").as("share_ppm"))
+        .orderBy("h", "vband")
+    },
+
+    // Pareto coverage: how many top customers cover ≥80% of revenue —
+    // rank customers by spend DESCENDING (the running total's ascending
+    // key is the NEGATED cents, custkey-tied), distributed prefix sum,
+    // then count the prefix strictly below the 80% line (+1 for the
+    // crossing customer). 5·cum ≥ 4·total keeps the threshold integral.
+    QueryDef.sql(
+      "q206_pareto",
+      """WITH m AS (SELECT o_custkey,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_cust, SUM(cents) AS total FROM m),
+        |c AS (SELECT cents,
+        |    SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(SUM(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS n_top80,
+        |  CAST((SUM(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) + 1) * 1000000
+        |    // n_cust AS BIGINT) AS top80_frac_ppm
+        |FROM c CROSS JOIN t GROUP BY n_cust""".stripMargin) { (s, dir) =>
+      val m = Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        .withColumn("neg", -col("cents"))
+      val t = m.agg(count(lit(1)).as("n_cust"), sum("cents").as("total"))
+      val c = Ranks.withRunningTotal(m, Seq("neg", "o_custkey"), col("cents"), "cum")
+      c.crossJoin(broadcast(t))
+        .groupBy("n_cust")
+        .agg((sum(when(col("cum") * 5 < col("total") * 4, 1L).otherwise(0L)) + 1)
+          .as("n_top80"))
+        .select(col("n_cust"), col("n_top80"),
+          expr("n_top80 * 1000000L div n_cust").as("top80_frac_ppm"))
+    },
+
+    // SCD2 point-in-time join: each purchase enriched with the user's
+    // state AT THE PURCHASE INSTANT — the dimension-snapshot correctness
+    // op every lakehouse pipeline needs. The interval table derives from
+    // the event stream (state = last non-purchase event type, valid
+    // [event, next-event)); the PIT lookup is a user-keyed equi-join
+    // with the interval predicate applied post-join — per-user interval
+    // counts are bounded, so cost follows matches, never |facts|×|dim|.
+    QueryDef.sql(
+      "q207_pit_join",
+      """WITH st AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type <> 'purchase'),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT st.state, COUNT(*) AS n_purchases,
+        |  CAST(SUM(f.cents) AS BIGINT) AS cents
+        |FROM f JOIN st ON f.user_id = st.user_id
+        |  AND f.ts >= st.valid_from
+        |  AND (st.valid_to IS NULL OR f.ts < st.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val st = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), lead(col("ts"), 1).over(w).as("valid_to"))
+      val f = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      f.join(st, col("f_user") === col("user_id")
+          && col("f_ts") >= col("valid_from")
+          && (col("valid_to").isNull || col("f_ts") < col("valid_to")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+        .orderBy("state")
     })
 }
