@@ -1098,5 +1098,63 @@ object MiningQueries {
         .groupBy("state")
         .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
         .orderBy("state")
+    },
+
+    // EXACT set-similarity join via AllPairs/PPJoin-style PREFIX
+    // FILTERING (word-trigram sets, J ≥ ½): two sets with Jaccard ≥ t
+    // MUST collide on one of each's (n − ⌈t·n⌉ + 1) globally-RAREST
+    // elements, so the candidate join touches only prefix tokens —
+    // rare by construction — and verification is an in-row
+    // array_intersect on the candidates. Lossless: the oracle computes
+    // the same pairs the naive way (full inverted-index join), and the
+    // hash-match proves the pruning dropped nothing. The third dedup
+    // backend next to LSH (probabilistic, q26) and SimHash (q35) —
+    // exact answers at near-LSH cost on sparse-similarity corpora.
+    QueryDef.sql(
+      "q208_prefix_filter_join",
+      s"""WITH docs AS (${TextQueries.nearDupSql}),
+        |ws AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+        |  FROM docs),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM ws, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(ni AS BIGINT) AS ni,
+        |  CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE 3 * ni >= s1.n + s2.n
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions._
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val g = docs
+        .select(col("doc_id"), tokens(normText(col("text"))).as("w"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0))," +
+            " i -> concat_ws(' ', slice(w, i, 3))))")).as("g"))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfc = g.groupBy("g").agg(count(lit(1)).as("df"))
+      // prefix = the floor(n/2)+1 rarest grams of each doc (t = 1/2):
+      // any J >= 1/2 partner must share one of them
+      val ranked = g.join(dfc, "g").join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "g")))
+        .where(expr("rn <= n div 2 + 1"))
+        .select("doc_id", "g")
+      val cand = ranked.select(col("doc_id").as("d1"), col("g"))
+        .join(ranked.select(col("doc_id").as("d2"), col("g").as("g2")),
+          col("g") === col("g2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      // verify candidates in-row: the gram sets ride as sorted arrays
+      val sets = g.groupBy("doc_id").agg(sort_array(collect_set(col("g"))).as("gs"))
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("ni"),
+          size(col("gs1")).cast("long").as("n1"), size(col("gs2")).cast("long").as("n2"))
+        .where(col("ni") * 3 >= col("n1") + col("n2"))
+        .orderBy("d1", "d2")
     })
 }
