@@ -262,6 +262,36 @@ object ScaleCheck {
     println(f"""{"scenario":"assoc_rules","basket_rows":${2 * n},"rules":$nRules,""" +
       f""""sec":${(t30 - t29) / 1e9}%.2f,""" +
       f""""rows_per_sec":${(2 * n / ((t30 - t29) / 1e9)).toLong}}""")
+
+    // exact prefix-filtered set-similarity join (q208's shape) on the
+    // LSH corpus (~8 docs/cluster ⇒ ~28 true pairs per cluster): the
+    // candidate join touches only each doc's rarest trigram prefix, so
+    // exact all-pairs Jaccard stays collision-bounded at 1M docs.
+    val t31 = System.nanoTime()
+    val g8 = docs.select(col("doc_id"),
+      explode(expr("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")).as("g"))
+    val sizes8 = g8.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfc8 = g8.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked8 = g8.join(dfc8, "g").join(sizes8, "doc_id")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("df", "g")))
+      .where(expr("rn <= n div 2 + 1")).select("doc_id", "g")
+    val cand8 = ranked8.select(col("doc_id").as("d1"), col("g"))
+      .join(ranked8.select(col("doc_id").as("d2"), col("g").as("g2")),
+        col("g") === col("g2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sets8 = g8.groupBy("doc_id").agg(sort_array(collect_set(col("g"))).as("gs"))
+    val nExact = cand8
+      .join(sets8.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+      .join(sets8.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+      .where(size(array_intersect(col("gs1"), col("gs2"))) * 3
+        >= size(col("gs1")) + size(col("gs2")))
+      .count()
+    val t32 = System.nanoTime()
+    println(f"""{"scenario":"prefix_filter_join","docs":$nDocs,"exact_pairs":$nExact,""" +
+      f""""sec":${(t32 - t31) / 1e9}%.2f,""" +
+      f""""docs_per_sec":${(nDocs / ((t32 - t31) / 1e9)).toLong}}""")
     spark.stop()
   }
 }
