@@ -1156,5 +1156,84 @@ object MiningQueries {
           size(col("gs1")).cast("long").as("n1"), size(col("gs2")).cast("long").as("n2"))
         .where(col("ni") * 3 >= col("n1") + col("n2"))
         .orderBy("d1", "d2")
+    },
+
+    // Dedup canonicalization — the step that turns clusters into a DROP
+    // LIST: per near-dup component (LSH candidates → connected
+    // components, q68's machinery) keep the longest normalized text
+    // (doc_id-tied), emit every other member mapped to its canonical.
+    // The canonical pick is a one-pass max_by on the (length, −doc_id)
+    // struct; the oracle re-derives components with the recursive
+    // closure and picks via window rank. Output = exactly the rows a
+    // dedup job deletes.
+    QueryDef.sql(
+      "q209_canonicalize",
+      s"""WITH RECURSIVE ${TextQueries.sigSql},
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+        |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+        |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |sym AS (SELECT d1 AS src, d2 AS dst FROM cand UNION SELECT d2, d1 FROM cand),
+        |reach(v, w) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+        |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+        |         FROM reach GROUP BY v),
+        |lens AS (SELECT doc_id, len(nt) AS l FROM nrm),
+        |rk AS (SELECT c.doc_id, c.component,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY l DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN lens USING (doc_id)),
+        |canon AS (SELECT component, doc_id AS canonical_id FROM rk WHERE rn = 1)
+        |SELECT r.doc_id, cn.canonical_id, r.component
+        |FROM rk r JOIN canon cn USING (component) WHERE r.rn > 1
+        |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions._
+      import graft.operators.Dedup
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(docs, "doc_id", "text"))
+      val comp = Dedup.connectedComponents(cand)
+      val lens = docs.select(col("doc_id"), length(normText(col("text"))).cast("long").as("l"))
+      val withLen = comp.join(lens, "doc_id")
+      val canon = withLen.groupBy("component")
+        .agg(expr("max_by(doc_id, struct(l, -doc_id))").as("canonical_id"))
+      withLen.join(broadcast(canon), "component")
+        .where(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
+    // Integer-exact math-function surface (abs/sign/ceil/floor/mod/
+    // greatest/least/power-of-two) — one codegen'd projection over a
+    // derived signed column; every function keeps BIGINT semantics, so
+    // the engines agree bit-for-bit with no rounding-mode questions.
+    QueryDef.sql(
+      "q210_math_kitchen",
+      """SELECT p_partkey,
+        |  CAST(abs(p_partkey - 1000) AS BIGINT) AS a,
+        |  CAST(sign(p_partkey - 1000) AS BIGINT) AS sg,
+        |  CAST(ceil(CAST(p_partkey AS DOUBLE) / 7) AS BIGINT) AS cl,
+        |  CAST(floor(CAST(p_partkey AS DOUBLE) / 7) AS BIGINT) AS fl,
+        |  CAST(p_partkey % 97 AS BIGINT) AS md,
+        |  CAST(greatest(p_partkey % 13, p_partkey % 7, 3) AS BIGINT) AS gr,
+        |  CAST(least(p_partkey % 13, p_partkey % 7, 3) AS BIGINT) AS ls,
+        |  CAST(1 AS BIGINT) << CAST(p_partkey % 20 AS INTEGER) AS p2
+        |FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).part
+        .where(col("p_partkey") % 37 === 0)
+        .select(col("p_partkey"),
+          abs(col("p_partkey") - 1000).as("a"),
+          signum((col("p_partkey") - 1000).cast("double")).cast("long").as("sg"),
+          ceil(col("p_partkey").cast("double") / 7).cast("long").as("cl"),
+          floor(col("p_partkey").cast("double") / 7).cast("long").as("fl"),
+          (col("p_partkey") % 97).as("md"),
+          greatest(col("p_partkey") % 13, col("p_partkey") % 7, lit(3L)).as("gr"),
+          least(col("p_partkey") % 13, col("p_partkey") % 7, lit(3L)).as("ls"),
+          expr("shiftleft(1L, CAST(p_partkey % 20 AS INT))").as("p2"))
+        .orderBy("p_partkey")
     })
 }
