@@ -1235,5 +1235,83 @@ object MiningQueries {
           least(col("p_partkey") % 13, col("p_partkey") % 7, lit(3L)).as("ls"),
           expr("shiftleft(1L, CAST(p_partkey % 20 AS INT))").as("p2"))
         .orderBy("p_partkey")
+    },
+
+    // End-to-end corpus cleaning manifest — the whole prep pipeline as
+    // ONE verifiable query: quality screen (≥20 tokens) → exact dedup
+    // (md5 keeper) → eval-set decontamination (shared 5-gram with the
+    // doc_id%97 eval split, q157's hash-join recipe) → per-source
+    // manifest with FIRST-FAILING-STAGE drop attribution. Every stage
+    // is the production shape (map-only screens, one dedup aggregate,
+    // one gram equi-join); composing them end-to-end is what a real
+    // training-data job ships, and the oracle checks the composition,
+    // not just the parts.
+    QueryDef.sql(
+      "q211_clean_manifest",
+      """WITH nrm AS (SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM documents),
+        |q AS (SELECT doc_id, source, nt,
+        |    len(string_split(nt, ' ')) AS n_tokens,
+        |    doc_id % 97 = 0 AS is_eval FROM nrm),
+        |corp AS (SELECT * FROM q WHERE NOT is_eval),
+        |keepers AS (SELECT md5(nt) AS fp, MIN(doc_id) AS keep_id FROM corp
+        |            WHERE n_tokens >= 20 GROUP BY fp),
+        |ev_grams AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM (SELECT string_split(nt, ' ') AS ws FROM q WHERE is_eval),
+        |       UNNEST(range(1, len(ws) - 3)) AS t(i)),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |    FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM corp),
+        |         UNNEST(range(1, len(ws) - 3)) AS t(i))
+        |  JOIN ev_grams USING (gram)),
+        |lab AS (SELECT c.doc_id, c.source, c.n_tokens,
+        |    CASE WHEN c.n_tokens < 20 THEN 'quality'
+        |         WHEN k.keep_id IS NULL THEN 'dup'
+        |         WHEN ct.doc_id IS NOT NULL THEN 'contam'
+        |         ELSE 'kept' END AS st
+        |  FROM corp c
+        |  LEFT JOIN keepers k ON md5(c.nt) = k.fp AND c.doc_id = k.keep_id
+        |  LEFT JOIN contam ct ON c.doc_id = ct.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN st = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN st = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN st = 'contam' THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+        |  CAST(SUM(CASE WHEN st = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM lab GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions._
+      val q = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), normText(col("text")).as("nt"))
+        .withColumn("n_tokens", size(split(col("nt"), " ")).cast("long"))
+        .withColumn("is_eval", col("doc_id") % 97 === 0)
+      val corp = q.where(!col("is_eval"))
+      val keepers = corp.where(col("n_tokens") >= 20)
+        .groupBy(md5(col("nt")).as("fp")).agg(min("doc_id").as("keep_id"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("nt"), " ").as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
+          .as("gram"))
+      val evGrams = grams(q.where(col("is_eval"))).select("gram").distinct()
+      val contam = grams(corp).join(evGrams, "gram").select("doc_id").distinct()
+        .withColumn("is_contam", lit(true))
+      val lab = corp
+        .join(keepers,
+          md5(col("nt")) === col("fp") && col("doc_id") === col("keep_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("source"), col("n_tokens"),
+          when(col("n_tokens") < 20, "quality")
+            .when(col("keep_id").isNull, "dup")
+            .when(col("is_contam"), "contam")
+            .otherwise("kept").as("st"))
+      lab.groupBy("source")
+        .agg(sum(when(col("st") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("st") === "quality", 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("st") === "dup", 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("st") === "contam", 1L).otherwise(0L)).as("n_contam"),
+          sum(when(col("st") === "kept", col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
     })
 }
