@@ -1313,5 +1313,30 @@ object MiningQueries {
           sum(when(col("st") === "contam", 1L).otherwise(0L)).as("n_contam"),
           sum(when(col("st") === "kept", col("n_tokens")).otherwise(0L)).as("kept_tokens"))
         .orderBy("source")
+    },
+
+    // Canonical-render kitchen closing SURVEY §2.8's last vocabulary
+    // rows: RPAD zero-alignment (the reference's float column padding,
+    // processor_common_oracle.go:187-190) and interval arithmetic
+    // (NUMTODSINTERVAL seconds → make_interval, message/tidb/
+    // event.go:179-186), rendered to fixed text so the comparison is
+    // exact. Map-only, codegen'd.
+    QueryDef.sql(
+      "q212_render_kitchen",
+      """SELECT event_id,
+        |  rpad(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR), 12, '0') AS padded,
+        |  strftime(ts + to_seconds(CAST(FLOOR(value) AS INTEGER)),
+        |           '%Y-%m-%d %H:%M:%S') AS ts_plus,
+        |  strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS ts_minus_day
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .where(col("event_id") % 101 === 0)
+        .select(col("event_id"),
+          rpad(floor(col("value") * 100).cast("long").cast("string"), 12, "0").as("padded"),
+          date_format(expr("ts + make_interval(0, 0, 0, 0, 0, 0, CAST(FLOOR(value) AS INT))"),
+            "yyyy-MM-dd HH:mm:ss").as("ts_plus"),
+          date_format(expr("ts - make_interval(0, 0, 0, 1, 0, 0, 0)"),
+            "yyyy-MM-dd HH:mm:ss").as("ts_minus_day"))
+        .orderBy("event_id")
     })
 }
