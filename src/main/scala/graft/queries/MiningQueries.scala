@@ -1338,5 +1338,78 @@ object MiningQueries {
           date_format(expr("ts - make_interval(0, 0, 0, 1, 0, 0, 0)"),
             "yyyy-MM-dd HH:mm:ss").as("ts_minus_day"))
         .orderBy("event_id")
+    },
+
+    // Sliding-window actives via MERGEABLE HLL sketches — q199's
+    // billion-user path: per-day sketches union over the trailing-7-day
+    // frame (hll_union_agg as a window aggregate), so the WAU never
+    // materializes user sets; at 1e9 users/day the frame carries 7
+    // kilobyte-sized sketches instead of 7 user-ID sets. Gated against
+    // the exact trailing count (±5%, q163's convention) — the oracle
+    // recomputes the exact side and expects every gate TRUE.
+    QueryDef.sql(
+      "q213_sliding_hll",
+      """WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    user_id FROM events),
+        |d AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+        |w AS (SELECT a.day, COUNT(DISTINCT b.user_id) AS wau_exact
+        |      FROM d a JOIN du b ON b.day <= a.day
+        |        AND CAST(b.day AS DATE) >= CAST(a.day AS DATE) - INTERVAL 6 DAY
+        |      GROUP BY 1)
+        |SELECT day, CAST(wau_exact AS BIGINT) AS wau_exact, TRUE AS hll_ok
+        |FROM w ORDER BY day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val du = Tables(s, dir).events
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .distinct()
+      val ds = du.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          collect_set(col("user_id")).as("us"))
+      val f = Window.orderBy("day").rowsBetween(-6, 0)
+      ds.select(col("day"),
+          expr("hll_union_agg(sk)").over(f).as("usk"),
+          size(array_distinct(flatten(collect_list(col("us")).over(f)))).cast("long")
+            .as("wau_exact"))
+        .select(col("day"), expr("hll_sketch_estimate(usk)").as("wau_hll"),
+          col("wau_exact"))
+        .select(col("day"), col("wau_exact"),
+          (abs(col("wau_hll") - col("wau_exact"))
+            <= greatest(lit(1L), col("wau_exact") * 5 / 100)).as("hll_ok"))
+        .orderBy("day")
+    },
+
+    // Join-skew diagnostics — the pre-flight every big join wants: per
+    // candidate key column, total rows, exact NDV, the heaviest key's
+    // count and its row share (the salting decision number, q86). Three
+    // key columns profiled in three map-side-combined aggregates over
+    // one scan subtree; the heavy key via one-pass max_by.
+    QueryDef.sql(
+      "q214_skew_report",
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |c AS (SELECT key_col, k, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT key_col, SUM(n) AS total, COUNT(*) AS ndv,
+        |    MAX(n) AS max_n,
+        |    first(k ORDER BY n DESC, k) AS heavy_k
+        |  FROM c GROUP BY 1)
+        |SELECT key_col, CAST(total AS BIGINT) AS total, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(heavy_k AS BIGINT) AS heavy_key, CAST(max_n AS BIGINT) AS heavy_n,
+        |  CAST(max_n * 1000000 // total AS BIGINT) AS heavy_share_ppm
+        |FROM r ORDER BY key_col""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val p = li.select(lit("l_orderkey").as("key_col"), col("l_orderkey").as("k"))
+        .unionAll(li.select(lit("l_partkey").as("key_col"), col("l_partkey").as("k")))
+        .unionAll(li.select(lit("l_suppkey").as("key_col"), col("l_suppkey").as("k")))
+      val c = p.groupBy("key_col", "k").agg(count(lit(1)).as("n"))
+      c.groupBy("key_col")
+        .agg(sum("n").as("total"), count(lit(1)).as("ndv"),
+          max("n").as("heavy_n"),
+          expr("min_by(k, struct(-n, k))").as("heavy_key"))
+        .select(col("key_col"), col("total"), col("ndv"), col("heavy_key"),
+          col("heavy_n"),
+          expr("heavy_n * 1000000L div total").as("heavy_share_ppm"))
+        .orderBy("key_col")
     })
 }
