@@ -25,4 +25,30 @@ object Skew {
       .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"))
+
+  /** Salted equi-join for skewed probe keys: every build-side row is
+    * replicated `salts` ways (explode of a constant sequence — map-side,
+    * no shuffle of its own), every probe row picks a deterministic salt
+    * from row identity, and the join key becomes (key, salt). A hot probe
+    * key's rows then hash to `salts` distinct reducers instead of one.
+    * Cost: build side grows ×`salts` — use when the build side is modest
+    * but above the broadcast threshold, the probe side is skewed, and
+    * AQE's sort-merge skew split doesn't apply (e.g. forced shuffled-hash
+    * plans or pre-partitioned layouts it must preserve).
+    *
+    * Result columns = probe columns ++ build columns (minus the join key
+    * duplicate), exactly like `fact.join(dim, factKey === dimKey)`.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey)
+          && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt").drop(dimKey)
+  }
 }
