@@ -106,5 +106,121 @@ object ProfilingQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_c"))
         .orderBy("o_orderpriority")
+    },
+
+    // Regex-function surface (SURVEY §2.8's regexp_replace row, widened
+    // to the full family a cleaning pipeline leans on): extract / global
+    // replace / extract_all-count / rlike over a digit-augmented text.
+    // RE2 (DuckDB) has no backreferences, so patterns stay in the common
+    // subset. Map-only, codegen'd, sampled to keep the dump small.
+    QueryDef.sql(
+      "q218_regex_surface",
+      """SELECT doc_id,
+        |  regexp_extract(text || ' tok' || CAST(doc_id AS VARCHAR), '([0-9]+)', 1) AS first_num,
+        |  len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars,
+        |  regexp_matches(text, '(ll|ee|oo|ss)') AS has_double,
+        |  len(regexp_extract_all(text, '\b[a-z]{5,}\b')) AS n_long_words
+        |FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          regexp_extract(concat(col("text"), lit(" tok"), col("doc_id")),
+            "([0-9]+)", 1).as("first_num"),
+          size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+            .as("n_vowel_runs"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("n_consonant_chars"),
+          col("text").rlike("(ll|ee|oo|ss)").as("has_double"),
+          size(expr("regexp_extract_all(text, '\\\\b[a-z]{5,}\\\\b', 0)")).cast("long")
+            .as("n_long_words"))
+        .orderBy("doc_id")
+    },
+
+    // Array-function surface beyond q112's lambda HOFs: sort / distinct /
+    // element_at / slice / join / position — the in-row vocabulary for
+    // token-array feature engineering. DuckDB's list_distinct does NOT
+    // preserve first-occurrence order (probed), so every rendered form is
+    // sorted first; all outputs are scalars so the differential hash
+    // stays nested-type-free. Map-only.
+    QueryDef.sql(
+      "q219_array_surface",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE doc_id % 53 = 0)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |  list_sort(ws)[1] AS first_sorted,
+        |  list_sort(ws)[-1] AS last_sorted,
+        |  array_to_string(list_slice(list_sort(list_distinct(ws)), 2, 4), ' ') AS mid_slice,
+        |  CAST(COALESCE(list_position(list_sort(list_distinct(ws)), 'table'), 0) AS BIGINT) AS pos_table
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .where(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          element_at(array_sort(col("ws")), 1).as("first_sorted"),
+          element_at(array_sort(col("ws")), -1).as("last_sorted"),
+          array_join(slice(array_sort(array_distinct(col("ws"))), 2, 3), " ")
+            .as("mid_slice"),
+          coalesce(array_position(array_sort(array_distinct(col("ws"))), "table"),
+            lit(0L)).as("pos_table"))
+        .orderBy("doc_id")
+    },
+
+    // Last-touch attribution — the ad-analytics join every event
+    // warehouse runs: each purchase is credited to the same user's most
+    // recent view/click/signup within 24 h (else 'direct'). One window
+    // pass carries (touch ts, touch type) per user via IGNORE-NULLS
+    // last_value over the preceding frame — no purchase×touch self-join,
+    // so cost is one shuffle on user_id regardless of touch volume.
+    // Revenue floor-scaled to cents; latency summed in exact seconds.
+    QueryDef.sql(
+      "q220_attribution",
+      """WITH c AS (
+        |  SELECT event_type, ts, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT CASE WHEN touch_ts IS NOT NULL
+        |                AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+        |              THEN touch_type ELSE 'direct' END AS channel,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN touch_ts IS NOT NULL
+        |           AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+        |         THEN (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 ELSE 0 END AS lat_s
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_c,
+        |  CAST(SUM(lat_s) AS BIGINT) AS latency_s
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = Tables(s, dir).events
+        .withColumn("touch_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+        .withColumn("touch_ts",
+          last(when(col("event_type") =!= "purchase", col("ts")), true).over(w))
+        .where(col("event_type") === "purchase")
+      val attributed = col("touch_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("touch_ts")) <= 86400000000L
+      c.select(
+          when(attributed, col("touch_type")).otherwise("direct").as("channel"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          when(attributed,
+            expr("(unix_micros(ts) - unix_micros(touch_ts)) div 1000000"))
+            .otherwise(0L).as("lat_s"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_c"),
+          sum("lat_s").as("latency_s"))
+        .orderBy("channel")
     })
 }
