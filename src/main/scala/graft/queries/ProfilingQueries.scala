@@ -222,5 +222,122 @@ object ProfilingQueries {
         .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_c"),
           sum("lat_s").as("latency_s"))
         .orderBy("channel")
+    },
+
+    // Incremental corpus ingestion — the production shape of exact dedup
+    // (q24) once a corpus becomes append-only: a new batch is deduped
+    // WITHIN itself (first doc_id wins per fingerprint) and AGAINST the
+    // historical fingerprint store, without ever rescanning history text.
+    // History is fingerprints-only (md5), so at 100 TB the anti-join
+    // probe carries 16 bytes/doc; batch-internal winners come from one
+    // window over the (small) batch. Split rule: doc_id%10<8 = history.
+    QueryDef.sql(
+      "q221_incremental_ingest",
+      """WITH d AS (SELECT doc_id, source, md5(text) AS fp,
+        |             doc_id % 10 < 8 AS is_hist FROM documents),
+        |h AS (SELECT DISTINCT fp FROM d WHERE is_hist),
+        |b AS (SELECT doc_id, source, fp,
+        |        MIN(doc_id) OVER (PARTITION BY fp) AS winner
+        |      FROM d WHERE NOT is_hist),
+        |s AS (SELECT source,
+        |        CASE WHEN doc_id <> winner THEN 'dup_batch'
+        |             WHEN fp IN (SELECT fp FROM h) THEN 'dup_history'
+        |             ELSE 'ingested' END AS status
+        |      FROM b)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY source, status""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+          (col("doc_id") % 10 < 8).as("is_hist"))
+      val histFp = d.where(col("is_hist")).select("fp").distinct()
+        .withColumn("in_hist", lit(true))
+      val batch = d.where(!col("is_hist"))
+        .withColumn("winner", min("doc_id").over(Window.partitionBy("fp")))
+      batch.join(histFp, Seq("fp"), "left")
+        .select(col("source"),
+          when(col("doc_id") =!= col("winner"), "dup_batch")
+            .when(col("in_hist"), "dup_history")
+            .otherwise("ingested").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    },
+
+    // Zone-map data skipping — the file-statistics pruning every
+    // lakehouse format (Delta/Iceberg/Hudi) does before Spark ever
+    // schedules a task: per synthetic file (512 orderkeys), min/max
+    // l_shipdate zone maps; a date-range predicate then skips every file
+    // whose [min,max] misses the range. The audit column proves
+    // losslessness IN-PLAN: matching rows inside skippable files must be
+    // zero. One aggregate builds the maps; file grain bounds the output.
+    QueryDef.sql(
+      "q222_zone_map_skipping",
+      """WITH f AS (
+        |  SELECT l_orderkey // 512 AS file_id,
+        |    MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |          AND TIMESTAMP '1997-06-30 23:59:59' THEN 1 ELSE 0 END) AS n_match
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT file_id, n_rows, n_match,
+        |        hi < TIMESTAMP '1997-01-01 00:00:00'
+        |          OR lo > TIMESTAMP '1997-06-30 23:59:59' AS can_skip FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN can_skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(SUM(CASE WHEN can_skip THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+        |  CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+        |  CAST(SUM(CASE WHEN can_skip THEN n_match ELSE 0 END) AS BIGINT) AS skipped_matches
+        |FROM g""".stripMargin) { (s, dir) =>
+      val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-06-30 23:59:59"))
+      val f = Tables(s, dir).lineitem
+        .groupBy(expr("l_orderkey div 512").as("file_id"))
+        .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("can_skip", col("hi") < lo || col("lo") > hi)
+      f.agg(count(lit(1)).as("n_files"),
+          sum(when(col("can_skip"), 1L).otherwise(0L)).as("n_skipped"),
+          sum("n_rows").as("rows_total"),
+          sum(when(col("can_skip"), col("n_rows")).otherwise(0L)).as("rows_skipped"),
+          sum("n_match").as("rows_matching"),
+          sum(when(col("can_skip"), col("n_match")).otherwise(0L)).as("skipped_matches"))
+    },
+
+    // Vocabulary coverage / OOV rate — the tokenizer-fit check before
+    // training: build the global top-30 vocabulary (count desc, word asc
+    // tie-break), then measure per source what fraction of token
+    // OCCURRENCES falls outside it. Token traffic is aggregated to
+    // (source, word) grain FIRST, so the vocab probe joins word types,
+    // not token instances — at 100 TB that's the difference between
+    // joining millions and joining trillions of rows; the vocab side
+    // broadcasts. Exact ppm via BIGINT products.
+    QueryDef.sql(
+      "q223_vocab_oov",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |g AS (SELECT w, SUM(n) AS gn FROM sw GROUP BY 1),
+        |v AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY gn DESC, w) AS rk
+        |                     FROM g) WHERE rk <= 30)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE n END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE n END) * 1000000
+        |       // SUM(n) AS BIGINT) AS oov_ppm
+        |FROM sw GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sw = Tables(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      val vocab = sw.groupBy("w").agg(sum("n").as("gn"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("gn").desc, col("w"))))
+        .where(col("rk") <= 30).select("w").withColumn("in_vocab", lit(true))
+      sw.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source")
+        .agg(sum("n").as("n_tokens"),
+          sum(when(col("in_vocab"), 0L).otherwise(col("n"))).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .orderBy("source")
     })
 }

@@ -17,4 +17,22 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(salted == direct)
   }
+
+  test("salted join equals plain equi-join on a skewed probe side") {
+    import spark.implicits._
+    // 90% of probe rows share one key; build side is 50 keys
+    val fact = (1 to 20000).map(i => (if (i % 10 == 0) (i % 50).toLong else 7L, i.toLong))
+      .toDF("fk", "v").repartition(8)
+    val dim = (0 until 50).map(k => (k.toLong, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk")).drop("dk")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", salts = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+    // every (key, salt) build replica exists exactly once
+    val replicas = Skew.saltedJoin(fact.limit(0), dim, "fk", "dk", salts = 8)
+    assert(replicas.count() == 0L) // empty probe ⇒ inner join yields nothing
+  }
 }
