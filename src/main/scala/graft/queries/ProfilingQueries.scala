@@ -339,5 +339,124 @@ object ProfilingQueries {
         .select(col("source"), col("n_tokens"), col("n_oov"),
           expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
         .orderBy("source")
+    },
+
+    // Column-overlap schema matching — data discovery's join-key finder
+    // (the reference's struct_compare matches columns by NAME,
+    // struct_compare_table.go; at lake scale you match by VALUE overlap):
+    // candidate key columns from two tables are reduced to distinct
+    // (column, value) sets, one equi-join on value counts every
+    // intersection in one pass, and containment/Jaccard ppm rank the
+    // pairs. Distinct-first keeps the join on value TYPES, not rows.
+    QueryDef.sql(
+      "q224_column_match",
+      """WITH a AS (
+        |  SELECT 'l_orderkey' AS col_a, l_orderkey AS v FROM lineitem GROUP BY 1, 2
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem GROUP BY 1, 2
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT 'o_orderkey' AS col_b, o_orderkey AS v FROM orders GROUP BY 1, 2
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders GROUP BY 1, 2),
+        |sa AS (SELECT col_a, COUNT(*) AS na FROM a GROUP BY 1),
+        |sb AS (SELECT col_b, COUNT(*) AS nb FROM b GROUP BY 1),
+        |i AS (SELECT col_a, col_b, COUNT(*) AS ni FROM a JOIN b USING (v) GROUP BY 1, 2)
+        |SELECT col_a, col_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(ni AS BIGINT) AS n_common,
+        |  CAST(ni * 1000000 // (na + nb - ni) AS BIGINT) AS jaccard_ppm,
+        |  CAST(ni * 1000000 // LEAST(na, nb) AS BIGINT) AS containment_ppm
+        |FROM i JOIN sa USING (col_a) JOIN sb USING (col_b)
+        |ORDER BY jaccard_ppm DESC, col_a, col_b""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val li = t.lineitem
+      val a = li.select(lit("l_orderkey").as("col_a"), col("l_orderkey").as("v"))
+        .unionAll(li.select(lit("l_partkey").as("col_a"), col("l_partkey").as("v")))
+        .unionAll(li.select(lit("l_suppkey").as("col_a"), col("l_suppkey").as("v")))
+        .distinct()
+      val b = t.orders.select(lit("o_orderkey").as("col_b"), col("o_orderkey").as("v"))
+        .unionAll(t.orders.select(lit("o_custkey").as("col_b"), col("o_custkey").as("v")))
+        .distinct()
+      val sa = a.groupBy("col_a").agg(count(lit(1)).as("na"))
+      val sb = b.groupBy("col_b").agg(count(lit(1)).as("nb"))
+      a.join(b, "v").groupBy("col_a", "col_b").agg(count(lit(1)).as("ni"))
+        .join(broadcast(sa), "col_a").join(broadcast(sb), "col_b")
+        .select(col("col_a"), col("col_b"), col("na"), col("nb"),
+          col("ni").as("n_common"),
+          expr("ni * 1000000L div (na + nb - ni)").as("jaccard_ppm"),
+          expr("ni * 1000000L div least(na, nb)").as("containment_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("col_a"), col("col_b"))
+    },
+
+    // Physical-layout sort audit — the clustering-quality metric behind
+    // every OPTIMIZE/Z-ORDER decision: within each synthetic file
+    // (q222's grain), count adjacent l_shipdate inversions in storage
+    // order (l_orderkey, l_linenumber, l_shipdate — the fixture has
+    // duplicate (orderkey, linenumber) pairs, and suffixing the measured
+    // column makes tied prefixes locally ascending, so the count is
+    // well-defined under ANY residual tie permutation). A perfectly
+    // shipdate-clustered layout has zero; the inversion share tells you
+    // whether re-sorting buys zone-map selectivity. One window per file.
+    QueryDef.sql(
+      "q225_sort_quality",
+      """WITH v AS (
+        |  SELECT l_orderkey // 512 AS file_id,
+        |    CASE WHEN lag(l_shipdate) OVER (PARTITION BY l_orderkey // 512
+        |             ORDER BY l_orderkey, l_linenumber, l_shipdate) > l_shipdate
+        |         THEN 1 ELSE 0 END AS inv
+        |  FROM lineitem),
+        |f AS (SELECT file_id, SUM(inv) AS n_inv, COUNT(*) AS n_rows FROM v GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN n_inv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sorted_files,
+        |  CAST(SUM(n_inv) AS BIGINT) AS total_inversions,
+        |  CAST(SUM(n_inv) * 1000000 // SUM(n_rows) AS BIGINT) AS inv_ppm
+        |FROM f""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(expr("l_orderkey div 512"))
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+      val v = Tables(s, dir).lineitem
+        .select(expr("l_orderkey div 512").as("file_id"),
+          when(lag("l_shipdate", 1).over(w) > col("l_shipdate"), 1L)
+            .otherwise(0L).as("inv"))
+      v.groupBy("file_id").agg(sum("inv").as("n_inv"), count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("n_inv") === 0, 1L).otherwise(0L)).as("n_sorted_files"),
+          sum("n_inv").as("total_inversions"),
+          sum("n_rows").as("nr"))
+        .select(col("n_files"), col("n_sorted_files"), col("total_inversions"),
+          expr("total_inversions * 1000000L div nr").as("inv_ppm"))
+    },
+
+    // Per-label embedding centroids + pairwise inter-centroid distances —
+    // the cluster-health readout after any embedding refresh (which
+    // labels collapsed together, which drifted apart). Vectors are
+    // floor-scaled to exact integer micros in-row, centroids are integer
+    // divisions at (label, dim) grain, and the pairwise join runs over
+    // label×dim rows (25 labels × 64 dims — metadata-sized, never the
+    // corpus). Top-10 closest pairs by squared micro-distance.
+    QueryDef.sql(
+      "q226_centroid_pairs",
+      """WITH e AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS micros
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c AS (SELECT label, dim,
+        |        CAST(SUM(micros) AS BIGINT) // COUNT(*) AS cm FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        SUM((a.cm - b.cm) * (a.cm - b.cm)) AS d2
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2)
+        |SELECT label_a, label_b, CAST(d2 AS BIGINT) AS d2
+        |FROM p ORDER BY d2, label_a, label_b LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("micros"))
+      val c = e.groupBy("label", "dim")
+        .agg(expr("sum(micros) div count(1)").as("cm"))
+      val a = c.select(col("label").as("label_a"), col("dim"), col("cm").as("ca"))
+      val b = c.select(col("label").as("label_b"), col("dim"), col("cm").as("cb"))
+      a.join(b, a("dim") === b("dim") && col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+        .orderBy(col("d2"), col("label_a"), col("label_b"))
+        .limit(10)
     })
 }
