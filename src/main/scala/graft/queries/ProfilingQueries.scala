@@ -458,5 +458,129 @@ object ProfilingQueries {
         .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
         .orderBy(col("d2"), col("label_a"), col("label_b"))
         .limit(10)
+    },
+
+    // Batched repair-statement rendering — the reference's writer packs
+    // `batch-size` rows per INSERT (stmt_migrate_row.go:185-258, args
+    // flattened cols×batch; q15 renders one statement per row). Rows are
+    // bucketed by global rank div 5, each bucket folds its canonical
+    // tuples into ONE multi-row VALUES statement with key-ordered
+    // determinism (sorted struct collect ≡ DuckDB ordered string_agg).
+    // The global window runs AFTER the 1/997 filter — rank cost follows
+    // the repair set, never the table.
+    QueryDef.sql(
+      "q227_repair_batches",
+      """WITH r AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT rn // 5 AS batch_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  'INSERT INTO orders_repair VALUES ' || string_agg(
+        |    '(' || k || ',''' || p || ''',' || cents || ')', ',' ORDER BY k) AS stmt
+        |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = Tables(s, dir).orders
+        .where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(Window.orderBy("k")) - 1)
+      r.select(expr("rn div 5").as("batch_id"), col("k"),
+          concat(lit("("), col("k"), lit(",'"), col("p"), lit("',"),
+            col("cents"), lit(")")).as("tuple"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_rows"),
+          concat(lit("INSERT INTO orders_repair VALUES "),
+            array_join(expr("transform(sort_array(collect_list(struct(k, tuple))), x -> x.tuple)"),
+              ",")).as("stmt"))
+        .orderBy("batch_id")
+    },
+
+    // Event-time lateness profile — the measurement that sizes a
+    // streaming watermark (SURVEY §2.9 ST3: the reference's resolvedTs is
+    // exact; Spark's withWatermark needs a delay budget): replaying each
+    // user's stream in arrival order (event_id), how far behind the
+    // running event-time high-water mark does each event land? Per-user
+    // windows keep the prefix-max distributed; exact integer seconds are
+    // banded into the delay buckets an operator would pick from. The
+    // fixture's event_id is already time-ordered, so arrival order is a
+    // deterministic interleave (event_id % 7, event_id) — seven fair
+    // "partitions" racing, the standard multi-consumer reorder shape.
+    QueryDef.sql(
+      "q228_lateness_profile",
+      """WITH l AS (
+        |  SELECT user_id,
+        |    (epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id % 7, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - epoch_us(ts))
+        |      // 1000000 AS late_s
+        |  FROM events),
+        |b AS (SELECT user_id,
+        |        CASE WHEN late_s = 0 THEN 'a_ontime'
+        |             WHEN late_s <= 3600 THEN 'b_1h'
+        |             WHEN late_s <= 86400 THEN 'c_1d'
+        |             ELSE 'd_later' END AS band,
+        |        late_s FROM l)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(MAX(late_s) AS BIGINT) AS max_late_s
+        |FROM b GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("event_id % 7"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l = Tables(s, dir).events
+        .select(col("user_id"),
+          ((unix_micros(max("ts").over(w)) - unix_micros(col("ts")))
+            .divide(lit(1000000L)).cast("long")).as("late_s"))
+      // (hwm - ts) is non-negative, so double-divide + cast ≡ floor div
+      l.select(col("user_id"), col("late_s"),
+          when(col("late_s") === 0, "a_ontime")
+            .when(col("late_s") <= 3600, "b_1h")
+            .when(col("late_s") <= 86400, "c_1d")
+            .otherwise("d_later").as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          max("late_s").as("max_late_s"))
+        .orderBy("band")
+    },
+
+    // Binary-column manifest — the oracle-checked half of the multimodal
+    // path (q32 stubs decode): variable-length binary payloads (unhex of
+    // an md5 prefix) flow through BinaryType end-to-end, and the manifest
+    // aggregates byte volume, payload NDV, and a magic-byte media class
+    // per source — exactly the bookkeeping a 100 TB image/audio lake
+    // keeps per partition before any decoder runs. Map-side classify,
+    // one aggregate.
+    QueryDef.sql(
+      "q229_binary_manifest",
+      """WITH p AS (
+        |  SELECT source,
+        |    from_hex(substring(md5(text), 1, (doc_id % 12 + 2) * 2)) AS payload
+        |  FROM documents),
+        |c AS (SELECT source, payload, octet_length(payload) AS n_bytes,
+        |        CASE WHEN substring(upper(hex(payload)), 1, 1) BETWEEN '0' AND '3' THEN 'image'
+        |             WHEN substring(upper(hex(payload)), 1, 1) BETWEEN '4' AND '7' THEN 'audio'
+        |             WHEN substring(upper(hex(payload)), 1, 1) BETWEEN '8' AND 'B' THEN 'video'
+        |             ELSE 'other' END AS kind
+        |      FROM p)
+        |SELECT source, kind, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(COUNT(DISTINCT payload) AS BIGINT) AS ndv_payload
+        |FROM c GROUP BY 1, 2 ORDER BY source, kind""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).documents
+        .select(col("source"),
+          unhex(expr("substring(md5(text), 1, CAST((doc_id % 12 + 2) * 2 AS INT))"))
+            .as("payload"))
+      p.select(col("source"), col("payload"),
+          expr("octet_length(payload)").cast("long").as("n_bytes"),
+          when(substring(upper(hex(col("payload"))), 1, 1).between("0", "3"), "image")
+            .when(substring(upper(hex(col("payload"))), 1, 1).between("4", "7"), "audio")
+            .when(substring(upper(hex(col("payload"))), 1, 1).between("8", "B"), "video")
+            .otherwise("other").as("kind"))
+        .groupBy("source", "kind")
+        .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"),
+          countDistinct("payload").as("ndv_payload"))
+        .orderBy("source", "kind")
     })
 }
