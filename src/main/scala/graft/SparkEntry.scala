@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.all ++
       graft.queries.AdvancedQueries.all ++
       graft.queries.MiningQueries.all ++
-      graft.queries.ProfilingQueries.all
+      graft.queries.ProfilingQueries.all ++
+      graft.queries.PlannerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
