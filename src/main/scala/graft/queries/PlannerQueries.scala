@@ -158,6 +158,150 @@ object PlannerQueries {
             diverge(col("sh"), col("dh")))
           .select(lit("c_leaf").as("level"), col("n_nodes"), col("n_diverging")))
         .orderBy("level")
+    },
+
+    // Session-gap sensitivity sweep — the tuning run BEFORE committing a
+    // sessionization threshold (q7/q123 fix one; production picks one
+    // from this curve): per-user inter-event gaps are computed once
+    // (one window pass), then every candidate timeout is priced from the
+    // same gap distribution as conditional counts — sessions(g) =
+    // users + |gaps > g|. Four thresholds for the cost of one scan;
+    // the k-threshold sweep never re-sessionizes.
+    QueryDef.sql(
+      "q233_session_sensitivity",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |a AS (SELECT COUNT(*) AS n_events,
+        |        COUNT(DISTINCT user_id) AS n_users,
+        |        SUM(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END) AS g300,
+        |        SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS g1800,
+        |        SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS g3600,
+        |        SUM(CASE WHEN gap_us > 14400000000 THEN 1 ELSE 0 END) AS g14400
+        |      FROM g),
+        |s AS (
+        |  SELECT 300 AS timeout_s, n_users + g300 AS n_sessions, n_events FROM a
+        |  UNION ALL SELECT 1800, n_users + g1800, n_events FROM a
+        |  UNION ALL SELECT 3600, n_users + g3600, n_events FROM a
+        |  UNION ALL SELECT 14400, n_users + g14400, n_events FROM a)
+        |SELECT CAST(timeout_s AS BIGINT) AS timeout_s,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(n_events * 1000000 // n_sessions AS BIGINT) AS events_per_session_ppm
+        |FROM s ORDER BY timeout_s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = Tables(s, dir).events
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))).as("gap_us"))
+      val a = g.agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(when(col("gap_us") > 300000000L, 1L).otherwise(0L)).as("g300"),
+        sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L)).as("g1800"),
+        sum(when(col("gap_us") > 3600000000L, 1L).otherwise(0L)).as("g3600"),
+        sum(when(col("gap_us") > 14400000000L, 1L).otherwise(0L)).as("g14400"))
+      a.select(expr(
+          """stack(4,
+            |  300L, n_users + g300,
+            |  1800L, n_users + g1800,
+            |  3600L, n_users + g3600,
+            |  14400L, n_users + g14400) AS (timeout_s, n_sessions)""".stripMargin),
+          col("n_events"))
+        .select(col("timeout_s"), col("n_sessions"),
+          expr("n_events * 1000000L div n_sessions").as("events_per_session_ppm"))
+        .orderBy("timeout_s")
+    },
+
+    // Dictionary-encoding advisor — the storage-codec decision parquet
+    // writers make per column chunk, lifted to an audit: for each string
+    // column, raw bytes vs dictionary bytes (distinct values' payload +
+    // 2-byte codes) from ONE stacked scan aggregated at (column, value)
+    // grain first — value-type cardinality, not row count, prices the
+    // dictionary exactly as q223 prices the vocab probe.
+    QueryDef.sql(
+      "q234_dict_advisor",
+      """WITH st AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_qty_str', CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR)
+        |    FROM lineitem),
+        |cv AS (SELECT col_name, v, COUNT(*) AS cnt, length(v) AS len
+        |       FROM st GROUP BY 1, 2),
+        |c AS (SELECT col_name, SUM(cnt) AS n, COUNT(*) AS ndv,
+        |        SUM(cnt * len) AS raw_bytes, SUM(len) + 2 * SUM(cnt) AS dict_bytes
+        |      FROM cv GROUP BY 1)
+        |SELECT col_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(raw_bytes AS BIGINT) AS raw_bytes,
+        |  CAST(dict_bytes AS BIGINT) AS dict_bytes,
+        |  CAST((raw_bytes - dict_bytes) * 1000000 // raw_bytes AS BIGINT) AS saving_ppm
+        |FROM c ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val cv = Tables(s, dir).lineitem
+        .select(expr(
+          """stack(3,
+            |  'l_returnflag', l_returnflag,
+            |  'l_linestatus', l_linestatus,
+            |  'l_qty_str', CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS STRING))
+            |  AS (col_name, v)""".stripMargin))
+        .groupBy("col_name", "v")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("v")).cast("long"))
+      cv.groupBy("col_name")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("ndv"),
+          sum(col("cnt") * col("len")).as("raw_bytes"),
+          (sum("len") + lit(2) * sum("cnt")).as("dict_bytes"))
+        .select(col("col_name"), col("n"), col("ndv"), col("raw_bytes"),
+          col("dict_bytes"),
+          expr("(raw_bytes - dict_bytes) * 1000000L div raw_bytes").as("saving_ppm"))
+        .orderBy("col_name")
+    },
+
+    // Week-over-week trending terms — the drift readout between two
+    // corpus snapshots: term traffic (event_type × k-prop decade) is
+    // aggregated per half-month, ranked within each period, and the two
+    // rank lists meet in ONE full-outer join at term grain (the
+    // aggregates are term-sized; the fact table is scanned once).
+    // Status classifies entries of the union of both top-10s.
+    QueryDef.sql(
+      "q235_trending_terms",
+      """WITH t AS (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'w1' ELSE 'w2' END AS wk,
+        |    event_type || '_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10
+        |      AS VARCHAR) AS term,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT wk, term, n,
+        |        ROW_NUMBER() OVER (PARTITION BY wk ORDER BY n DESC, term) AS rk
+        |      FROM t),
+        |j AS (SELECT COALESCE(a.term, b.term) AS term, a.rk AS r1, b.rk AS r2
+        |      FROM (SELECT * FROM r WHERE wk = 'w1') a
+        |      FULL OUTER JOIN (SELECT * FROM r WHERE wk = 'w2') b ON a.term = b.term)
+        |SELECT term, CAST(COALESCE(r1, 0) AS BIGINT) AS r1,
+        |  CAST(COALESCE(r2, 0) AS BIGINT) AS r2,
+        |  CASE WHEN r1 IS NULL THEN 'new' WHEN r2 IS NULL THEN 'dropped'
+        |       WHEN r1 = r2 THEN 'stable' ELSE 'moved' END AS status
+        |FROM j WHERE COALESCE(r1, 99) <= 10 OR COALESCE(r2, 99) <= 10
+        |ORDER BY term""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir).events
+        .select(
+          when(col("ts") < to_timestamp(lit("2024-01-16 00:00:00")), "w1")
+            .otherwise("w2").as("wk"),
+          concat(col("event_type"), lit("_"),
+            expr("CAST(get_json_object(props, '$.k') AS LONG) div 10")).as("term"))
+        .groupBy("wk", "term").agg(count(lit(1)).as("n"))
+      val r = t.withColumn("rk",
+        row_number().over(Window.partitionBy("wk").orderBy(col("n").desc, col("term"))))
+      val w1 = r.where(col("wk") === "w1").select(col("term"), col("rk").as("r1"))
+      val w2 = r.where(col("wk") === "w2").select(col("term").as("term2"), col("rk").as("r2"))
+      w1.join(w2, col("term") === col("term2"), "full_outer")
+        .select(coalesce(col("term"), col("term2")).as("term"), col("r1"), col("r2"))
+        .where(coalesce(col("r1"), lit(99)) <= 10 || coalesce(col("r2"), lit(99)) <= 10)
+        .select(col("term"), coalesce(col("r1"), lit(0L)).cast("long").as("r1"),
+          coalesce(col("r2"), lit(0L)).cast("long").as("r2"),
+          when(col("r1").isNull, "new").when(col("r2").isNull, "dropped")
+            .when(col("r1") === col("r2"), "stable").otherwise("moved").as("status"))
+        .orderBy("term")
     })
 }
 
