@@ -42,7 +42,9 @@ object Bench {
     "q53_asof_join", "q54_range_count", "q106_native_topk", "q122_merge",
     "q128_pagerank", "q159_triangles", "q85_bloom_prune", "q86_salted_agg",
     // sinks
-    "q45_csv_roundtrip", "q52_orc_roundtrip")
+    "q45_csv_roundtrip", "q52_orc_roundtrip",
+    // round-4 profiling / planner families
+    "q215_numeric_profile", "q232_merkle_compare", "q223_vocab_oov")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
