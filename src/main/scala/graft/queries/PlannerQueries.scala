@@ -302,6 +302,125 @@ object PlannerQueries {
           when(col("r1").isNull, "new").when(col("r2").isNull, "dropped")
             .when(col("r1") === col("r2"), "stable").otherwise("moved").as("status"))
         .orderBy("term")
+    },
+
+    // Broadcast-threshold advisor — the decision Spark's planner makes
+    // from table statistics (spark.sql.autoBroadcastJoinThreshold),
+    // recomputed as an explicit audit: per dimension table, exact row
+    // count and rendered payload bytes decide broadcast vs shuffle at
+    // the default 10 MB threshold. Each table reduces map-side to one
+    // row; the union is metadata-sized. The numbers q231's join
+    // estimates pair with when picking a physical strategy.
+    QueryDef.sql(
+      "q236_broadcast_advisor",
+      """WITH t AS (
+        |  SELECT 'region' AS tbl, COUNT(*) AS n,
+        |    SUM(8 + length(r_name)) AS est_bytes FROM region
+        |  UNION ALL SELECT 'nation', COUNT(*),
+        |    SUM(16 + length(n_name)) FROM nation
+        |  UNION ALL SELECT 'supplier', COUNT(*),
+        |    SUM(24 + length(s_name)) FROM supplier
+        |  UNION ALL SELECT 'customer', COUNT(*),
+        |    SUM(24 + length(c_name) + length(c_mktsegment)) FROM customer
+        |  UNION ALL SELECT 'part', COUNT(*),
+        |    SUM(24 + length(p_name) + length(p_brand) + length(p_type)) FROM part
+        |  UNION ALL SELECT 'orders', COUNT(*),
+        |    SUM(32 + length(o_orderpriority)) FROM orders)
+        |SELECT tbl, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(est_bytes AS BIGINT) AS est_bytes,
+        |  est_bytes <= 10485760 AS broadcastable
+        |FROM t ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def prof(df: org.apache.spark.sql.DataFrame, tbl: String, bytes: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n"), sum(bytes).as("est_bytes"))
+          .select(lit(tbl).as("tbl"), col("n"), col("est_bytes"))
+      prof(t.region, "region", lit(8) + length(col("r_name")))
+        .unionAll(prof(t.nation, "nation", lit(16) + length(col("n_name"))))
+        .unionAll(prof(t.supplier, "supplier", lit(24) + length(col("s_name"))))
+        .unionAll(prof(t.customer, "customer",
+          lit(24) + length(col("c_name")) + length(col("c_mktsegment"))))
+        .unionAll(prof(t.part, "part",
+          lit(24) + length(col("p_name")) + length(col("p_brand")) + length(col("p_type"))))
+        .unionAll(prof(t.orders, "orders",
+          lit(32) + length(col("o_orderpriority"))))
+        .select(col("tbl"), col("n").as("n_rows"), col("est_bytes"),
+          (col("est_bytes") <= 10485760L).as("broadcastable"))
+        .orderBy("tbl")
+    },
+
+    // Distribution drift via total-variation distance — the feature-
+    // monitoring gate between two data windows, kept integer-exact
+    // (PSI/KL need logs; TVD = ½·Σ|p−q| doesn't): events.value is
+    // banded, both periods' band shares are computed from ONE scan
+    // (conditional counts), and per-band ppm deltas plus the TVD
+    // half-sum come out as plain BIGINTs. Band grain bounds everything
+    // after the first aggregate.
+    QueryDef.sql(
+      "q237_distribution_drift",
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS band,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n2
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM b),
+        |d AS (SELECT band, n1, n2,
+        |        ABS(n1 * 1000000 // t1 - n2 * 1000000 // t2) AS delta_ppm
+        |      FROM b, tot)
+        |SELECT band, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(delta_ppm AS BIGINT) AS delta_ppm,
+        |  CAST((SELECT SUM(delta_ppm) FROM d) // 2 AS BIGINT) AS tvd_ppm
+        |FROM d ORDER BY band""".stripMargin) { (s, dir) =>
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val b = Tables(s, dir).events
+        .groupBy(floor(col("value") / 10).cast("long").as("band"))
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"))
+      val tot = b.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      val d = b.crossJoin(broadcast(tot))
+        .select(col("band"), col("n1"), col("n2"),
+          abs(expr("n1 * 1000000L div t1") - expr("n2 * 1000000L div t2"))
+            .as("delta_ppm"))
+      val tvd = d.agg((sum("delta_ppm") / 2).cast("long").as("tvd_ppm"))
+      d.crossJoin(broadcast(tvd)).orderBy("band")
+    },
+
+    // Primary-key uniqueness audit — the PK-candidate discovery that
+    // pairs with q224's FK containment: for each candidate key (single
+    // columns and the composite the fixture ACTUALLY violates —
+    // lineitem's (orderkey, linenumber) carries duplicate pairs), exact
+    // row count vs NDV at count grain decides is_unique and prices the
+    // duplication. NDV per candidate from one distinct-aggregate each;
+    // output is candidate-sized.
+    QueryDef.sql(
+      "q238_key_uniqueness",
+      """WITH c AS (
+        |  SELECT 'orders.o_orderkey' AS candidate, COUNT(*) AS n,
+        |    COUNT(DISTINCT o_orderkey) AS ndv FROM orders
+        |  UNION ALL SELECT 'customer.c_custkey', COUNT(*),
+        |    COUNT(DISTINCT c_custkey) FROM customer
+        |  UNION ALL SELECT 'lineitem.l_orderkey', COUNT(*),
+        |    COUNT(DISTINCT l_orderkey) FROM lineitem
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+        |    COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |  UNION ALL SELECT 'events.event_id', COUNT(*),
+        |    COUNT(DISTINCT event_id) FROM events)
+        |SELECT candidate, CAST(n AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(n - ndv AS BIGINT) AS dup_rows, n = ndv AS is_unique
+        |FROM c ORDER BY candidate""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def audit(df: org.apache.spark.sql.DataFrame, id: String,
+          keys: org.apache.spark.sql.Column*) =
+        df.agg(count(lit(1)).as("n"), countDistinct(keys.head, keys.tail: _*).as("ndv"))
+          .select(lit(id).as("candidate"), col("n"), col("ndv"))
+      audit(t.orders, "orders.o_orderkey", col("o_orderkey"))
+        .unionAll(audit(t.customer, "customer.c_custkey", col("c_custkey")))
+        .unionAll(audit(t.lineitem, "lineitem.l_orderkey", col("l_orderkey")))
+        .unionAll(audit(t.lineitem, "lineitem.(l_orderkey,l_linenumber)",
+          col("l_orderkey"), col("l_linenumber")))
+        .unionAll(audit(t.events, "events.event_id", col("event_id")))
+        .select(col("candidate"), col("n").as("n_rows"), col("ndv"),
+          (col("n") - col("ndv")).as("dup_rows"), (col("n") === col("ndv")).as("is_unique"))
+        .orderBy("candidate")
     })
 }
 
