@@ -421,6 +421,133 @@ object PlannerQueries {
         .select(col("candidate"), col("n").as("n_rows"), col("ndv"),
           (col("n") - col("ndv")).as("dup_rows"), (col("n") === col("ndv")).as("is_unique"))
         .orderBy("candidate")
+    },
+
+    // SLO error-budget burn — the ops readout over the events stream:
+    // daily error share (the fixture emits literal 'error' events) and
+    // the trailing-7-day share, both as exact ppm, plus a burn flag at
+    // 2× the 210000-ppm SLO. Day-grain aggregation first, the trailing
+    // frame slides over ≤30 aggregate rows — the window never touches
+    // event grain (q213's frame discipline).
+    QueryDef.sql(
+      "q239_slo_burn",
+      """WITH d AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n, errs,
+        |        SUM(n) OVER f AS n7, SUM(errs) OVER f AS errs7
+        |      FROM d WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(errs * 1000000 // n AS BIGINT) AS day_err_ppm,
+        |  CAST(errs7 * 1000000 // n7 AS BIGINT) AS week_err_ppm,
+        |  errs7 * 1000000 // n7 > 420000 AS burn_2x
+        |FROM w ORDER BY day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+      val f = Window.orderBy("day").rowsBetween(-6, 0)
+      d.select(col("day"),
+          sum("n").over(f).as("n7"), sum("errs").over(f).as("errs7"),
+          col("n"), col("errs"))
+        .select(col("day"),
+          expr("errs * 1000000L div n").as("day_err_ppm"),
+          expr("errs7 * 1000000L div n7").as("week_err_ppm"),
+          (expr("errs7 * 1000000L div n7") > 420000L).as("burn_2x"))
+        .orderBy("day")
+    },
+
+    // Cascade-delete impact sizing — the right-to-be-forgotten estimate
+    // run BEFORE any purge: for a deletion cohort (customers with
+    // c_custkey % 101 = 0), how many orders and line items disappear and
+    // how much revenue leaves which order priority. Two semi-join hops
+    // (cohort → orders → lineitem) with the cohort broadcast down the
+    // chain; nothing is deleted, everything is priced at aggregate
+    // grain.
+    QueryDef.sql(
+      "q240_delete_impact",
+      """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+        |del_orders AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM cohort))
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines,
+        |  CAST(SUM(COALESCE(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0)) AS BIGINT)
+        |    AS revenue_c
+        |FROM del_orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cohort = t.customer.where(col("c_custkey") % 101 === 0).select("c_custkey")
+      val delOrders = t.orders
+        .join(broadcast(cohort), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderpriority")
+      delOrders
+        .join(t.lineitem.select(col("l_orderkey"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          count("l_orderkey").as("n_lines"),
+          sum(coalesce(col("cents"), lit(0L))).as("revenue_c"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Multi-touch linear attribution — q220's fairer sibling: each
+    // purchase splits its cents equally across ALL same-user touches in
+    // the prior 24 h, integer-exactly (cents div n per touch, remainder
+    // to the most recent touch so credit sums to revenue TO THE CENT).
+    // The purchase×touch pairing is an equi-join on user_id with the
+    // 24 h predicate applied in the join condition — pair volume follows
+    // touches-per-user×purchases-per-user, which activity retention
+    // bounds; a pathological power-user key would take q113's
+    // day-bucketized split or q217's salting.
+    QueryDef.sql(
+      "q241_linear_attribution",
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS pid,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+        |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |pairs AS (
+        |  SELECT p.user_id, pid, cents, channel, tts, tid
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE tts <= pts AND epoch_us(pts) - epoch_us(tts) <= 86400000000),
+        |ranked AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY pid) AS n_touch,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rk
+        |  FROM pairs),
+        |credit AS (
+        |  SELECT channel,
+        |    cents // n_touch + CASE WHEN rk = 1 THEN cents % n_touch ELSE 0 END AS cr
+        |  FROM ranked)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(cr) AS BIGINT) AS credited_c
+        |FROM credit GROUP BY 1 ORDER BY channel""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.where(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id").as("tuid"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("channel"))
+      val pairs = p.join(touches,
+        col("user_id") === col("tuid") && col("tts") <= col("pts") &&
+          unix_micros(col("pts")) - unix_micros(col("tts")) <= 86400000000L)
+      val wAll = Window.partitionBy("pid")
+      val wRank = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
+      pairs
+        .withColumn("n_touch", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .select(col("channel"),
+          (expr("cents div n_touch") +
+            when(col("rk") === 1, expr("cents % n_touch")).otherwise(0L)).as("cr"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"), sum("cr").as("credited_c"))
+        .orderBy("channel")
     })
 }
 
