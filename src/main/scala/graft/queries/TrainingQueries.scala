@@ -488,5 +488,105 @@ object TrainingQueries {
         .where(col("event_type") === "view")
         .select(col("event_id"), (col("next_p_us") - col("us")).as("us_to_purchase"))
         .orderBy("event_id")
+    },
+
+    // Token-ID dictionary build — the artifact a tokenizer ships: dense
+    // integer ids assigned to the global vocabulary by (count desc,
+    // word), with cumulative corpus coverage per id so the vocab-size
+    // cutoff is read straight off the table (q223 prices ONE cutoff;
+    // this emits the whole curve). The heavy lift is one word-count
+    // aggregate; ranking and the prefix sum run over vocabulary-sized
+    // rows (the fixture vocab is ~50 types — at 100 TB it's maybe 10⁷,
+    // still metadata next to the corpus).
+    QueryDef.sql(
+      "q242_token_ids",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS token_id,
+        |        SUM(n) OVER (ORDER BY n DESC, w ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER () AS total
+        |      FROM wc)
+        |SELECT CAST(token_id AS BIGINT) AS token_id, w, CAST(n AS BIGINT) AS n,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+        |FROM r WHERE token_id <= 40 ORDER BY token_id""".stripMargin) { (s, dir) =>
+      val wc = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("w"))
+      wc.withColumn("token_id", row_number().over(ord))
+        .withColumn("cum", sum("n").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum("n").over(Window.partitionBy()))
+        .where(col("token_id") <= 40)
+        .select(col("token_id").cast("long"), col("w"), col("n"),
+          expr("cum * 1000000L div total").as("coverage_ppm"))
+        .orderBy("token_id")
+    },
+
+    // Deterministic negative sampling — contrastive-pair generation
+    // without RNG: each anchor takes negatives at fixed prime strides on
+    // the id ring ((vec_id + 7919·j) mod N), the pairing is a plain
+    // equi-join on the ring id, and the audit counts label collisions
+    // (a "negative" sharing the anchor's label) per stride — the number
+    // that decides whether stride sampling is clean enough or needs
+    // label-aware rejection. Pure projection + one join per corpus pass.
+    QueryDef.sql(
+      "q243_negative_sampling",
+      """WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+        |a AS (SELECT vec_id, label, j,
+        |        (vec_id + 7919 * j) % cnt AS neg_id
+        |      FROM embeddings, generate_series(1, 3) t(j), n),
+        |p AS (SELECT a.j, a.label AS al, e.label AS nl
+        |      FROM a JOIN embeddings e ON e.vec_id = a.neg_id)
+        |SELECT CAST(j AS BIGINT) AS stride, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN al = nl THEN 1 ELSE 0 END) AS BIGINT) AS same_label,
+        |  CAST(SUM(CASE WHEN al = nl THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS collision_ppm
+        |FROM p GROUP BY 1 ORDER BY stride""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val n = emb.agg(count(lit(1)).as("cnt"))
+      val a = emb.select(col("vec_id"), col("label"),
+          explode(sequence(lit(1), lit(3))).as("j"))
+        .crossJoin(broadcast(n))
+        .select(col("label").as("al"), col("j"),
+          ((col("vec_id") + lit(7919) * col("j")) % col("cnt")).as("neg_id"))
+      a.join(emb.select(col("vec_id"), col("label").as("nl")),
+          col("neg_id") === col("vec_id"))
+        .groupBy(col("j").cast("long").as("stride"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("al") === col("nl"), 1L).otherwise(0L)).as("same_label"))
+        .select(col("stride"), col("n_pairs"), col("same_label"),
+          expr("same_label * 1000000L div n_pairs").as("collision_ppm"))
+        .orderBy("stride")
+    },
+
+    // Feature-hashing (hashing-trick) collision audit — before shipping
+    // a 64-bucket hashed feature space, measure what shares a slot:
+    // word types hash through the portable md5 bucket, and per bucket
+    // the audit reports type count, token traffic, and the dominant
+    // word with its share — q214's one-pass argmax at bucket grain.
+    // Everything past the word-count aggregate is vocabulary-sized.
+    QueryDef.sql(
+      "q244_feature_hashing",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
+        |b AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket, w, n FROM wc)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  first(w ORDER BY n DESC, w) AS top_word,
+        |  CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top_share_ppm
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val wc = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      wc.select(
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64).as("bucket"),
+          col("w"), col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_types"), sum("n").as("n_tokens"),
+          expr("min_by(w, struct(-n, w))").as("top_word"), max("n").as("mx"))
+        .select(col("bucket"), col("n_types"), col("n_tokens"), col("top_word"),
+          expr("mx * 1000000L div n_tokens").as("top_share_ppm"))
+        .orderBy("bucket")
     })
 }
