@@ -292,6 +292,49 @@ object ScaleCheck {
     println(f"""{"scenario":"prefix_filter_join","docs":$nDocs,"exact_pairs":$nExact,""" +
       f""""sec":${(t32 - t31) / 1e9}%.2f,""" +
       f""""docs_per_sec":${(nDocs / ((t32 - t31) / 1e9)).toLong}}""")
+
+    // Salted join under real skew: 90% of probe rows share ONE key, the
+    // build side (200k keys) is above any broadcast threshold at real
+    // payload widths. Times the plain shuffled join (AQE skew split may
+    // or may not engage depending on plan) against Skew.saltedJoin's
+    // deterministic 8-way spread; both reduce to the same aggregate.
+    val nDim = 200000L
+    val factS = spark.range(2 * n).select(
+      when(col("id") % 10 === 0, col("id") % nDim).otherwise(lit(7L)).as("fk"),
+      (col("id") % 1000).as("v"))
+    val dimS = spark.range(nDim).select(col("id").as("dk"),
+      concat(lit("name_"), col("id")).as("name"))
+    val t40 = System.nanoTime()
+    val plainAgg = factS.join(dimS, col("fk") === col("dk"))
+      .groupBy("name").agg(sum("v").as("s")).count()
+    val t41 = System.nanoTime()
+    val saltedAgg = graft.operators.Skew.saltedJoin(factS, dimS, "fk", "dk", salts = 8)
+      .groupBy("name").agg(sum("v").as("s")).count()
+    val t42 = System.nanoTime()
+    println(f"""{"scenario":"salted_join","probe_rows":${2 * n},"dim_rows":$nDim,""" +
+      f""""groups_plain":$plainAgg,"groups_salted":$saltedAgg,""" +
+      f""""plain_sec":${(t41 - t40) / 1e9}%.2f,"salted_sec":${(t42 - t41) / 1e9}%.2f}""")
+
+    // Merkle anti-entropy (q232's shape) on the 2×N compare pair: row
+    // hashes fold map-side into 1024 leaf buckets per side, one
+    // 1024-row full-outer join locates diverging subtrees. The whole
+    // tree costs two scans + a metadata-sized join — the rescan-free
+    // way to find WHERE two 100 TB replicas disagree.
+    val t50 = System.nanoTime()
+    def leaves(df: org.apache.spark.sql.DataFrame, side: String) = {
+      val rowStr = graft.functions.Canonical.rowString(df, cols)
+      df.select(
+          (conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long") % 1024).as("bucket"),
+          conv(substring(md5(rowStr), 9, 8), 16, 10).cast("long").as("rh"))
+        .groupBy("bucket").agg(sum("rh").as(side))
+    }
+    val mLeaf = leaves(src, "sh").join(leaves(dst, "dh"), Seq("bucket"), "full_outer")
+      .select(coalesce(col("sh"), lit(0L)).as("sh"), coalesce(col("dh"), lit(0L)).as("dh"))
+    val nDiverge = mLeaf.where(col("sh") =!= col("dh")).count()
+    val t51 = System.nanoTime()
+    val merkleSec = (t51 - t50) / 1e9
+    println(f"""{"scenario":"merkle","rows":${2 * n},"diverging_leaves":$nDiverge,""" +
+      f""""sec":$merkleSec%.2f,"rows_per_sec":${(2 * n / merkleSec).toLong}}""")
     spark.stop()
   }
 }
