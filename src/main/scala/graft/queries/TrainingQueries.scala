@@ -588,5 +588,160 @@ object TrainingQueries {
         .select(col("bucket"), col("n_types"), col("n_tokens"), col("top_word"),
           expr("mx * 1000000L div n_tokens").as("top_share_ppm"))
         .orderBy("bucket")
+    },
+
+    // Random-projection (Johnson-Lindenstrauss) sketch with an EXACT
+    // distortion audit: a deterministic ±1 matrix (md5 parity of
+    // (j, dim)) folds 64-dim integer-micro vectors to 8 dims, and for
+    // the stride-pair sample (q243's ring) the 64-dim and 8-dim squared
+    // distances are compared as one integer ratio —
+    // E[proj²] = 8·orig², so ratio_ppm concentrates near 10⁶. The
+    // projection is one (dim)-grain join against a 512-row matrix
+    // (broadcast); pair distances live at pair×dim grain, never
+    // corpus×corpus. PQ (q124) and IVF (q55) shrink the search; JL
+    // shrinks the vectors themselves.
+    QueryDef.sql(
+      "q245_random_projection",
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |proj AS (
+        |  SELECT j, d AS dim,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2 * 2 - 1 AS sgn
+        |  FROM generate_series(0, 7) a(j), generate_series(0, 63) b(d)),
+        |p AS (SELECT vec_id, j, SUM(sgn * m) AS pv
+        |      FROM e JOIN proj USING (dim) GROUP BY 1, 2),
+        |nn AS (SELECT COUNT(DISTINCT vec_id) AS cnt FROM e),
+        |pairs AS (SELECT vec_id AS a, (vec_id + 7919) % cnt AS b
+        |          FROM (SELECT DISTINCT vec_id FROM e) ids, nn),
+        |od AS (SELECT a, b, SUM((ea.m - eb.m) * (ea.m - eb.m)) AS d2
+        |       FROM pairs JOIN e ea ON ea.vec_id = a
+        |         JOIN e eb ON eb.vec_id = b AND eb.dim = ea.dim
+        |       GROUP BY 1, 2),
+        |pd AS (SELECT a, b, SUM((pa.pv - pb.pv) * (pa.pv - pb.pv)) AS p2
+        |       FROM pairs JOIN p pa ON pa.vec_id = a
+        |         JOIN p pb ON pb.vec_id = b AND pb.j = pa.j
+        |       GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(od.d2) AS BIGINT) AS sum_orig_d2,
+        |  CAST(SUM(pd.p2) AS BIGINT) AS sum_proj_d2,
+        |  CAST(FLOOR(1000000.0 * CAST(SUM(pd.p2) AS DOUBLE)
+        |    / (8.0 * CAST(SUM(od.d2) AS DOUBLE))) AS BIGINT) AS ratio_ppm
+        |FROM od JOIN pd USING (a, b)""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("m"))
+      val proj = s.range(8).select(col("id").as("j"))
+        .crossJoin(s.range(64).select(col("id").as("dim")))
+        .select(col("j"), col("dim"),
+          (conv(substring(md5(concat(col("j"), lit("_"), col("dim"))), 1, 8), 16, 10)
+            .cast("long") % 2 * 2 - 1).as("sgn"))
+      val p = e.join(broadcast(proj), "dim")
+        .groupBy("vec_id", "j").agg(sum(col("sgn") * col("m")).as("pv"))
+      val nn = e.select("vec_id").distinct().agg(count(lit(1)).as("cnt"))
+      val pairs = e.select("vec_id").distinct().crossJoin(broadcast(nn))
+        .select(col("vec_id").as("a"), ((col("vec_id") + 7919) % col("cnt")).as("b"))
+      val ea = e.select(col("vec_id").as("a"), col("dim"), col("m").as("ma"))
+      val eb = e.select(col("vec_id").as("b"), col("dim"), col("m").as("mb"))
+      val dec = "decimal(38,0)"
+      val od = pairs.join(ea, "a").join(eb, Seq("b", "dim"))
+        .groupBy("a", "b").agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+      val pa = p.select(col("vec_id").as("a"), col("j"), col("pv").as("pva"))
+      val pb = p.select(col("vec_id").as("b"), col("j"), col("pv").as("pvb"))
+      // per-pair squares fit a Long; the corpus-level sums (and any ×10⁶
+      // ppm product) do not — decimal(38,0) accumulators, DOUBLE+FLOOR
+      // ratio (ADVICE r3's q172 lesson; q153's closed-form precedent)
+      val pd = pairs.join(pa, "a").join(pb, Seq("b", "j"))
+        .groupBy("a", "b").agg(sum(((col("pva") - col("pvb")) * (col("pva") - col("pvb"))).cast(dec)).as("p2"))
+      od.join(pd, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d2").cast(dec)).as("so"),
+          sum("p2").as("sp"))
+        .select(col("n_pairs"), col("so").cast("long").as("sum_orig_d2"),
+          col("sp").cast("long").as("sum_proj_d2"),
+          floor(lit(1000000.0) * col("sp").cast("double")
+            / (lit(8.0) * col("so").cast("double"))).cast("long").as("ratio_ppm"))
+    },
+
+    // Per-dimension min-max feature scaling — the normalization pass
+    // before quantization or distance work (q64 quantizes per ROW; this
+    // normalizes per DIMENSION): global per-dim min/max (64 rows)
+    // broadcast back onto the corpus, every value mapped to [0, 10⁶]
+    // integer-exactly, and the output proves the contract in-plan —
+    // min_norm 0, max_norm 10⁶ per dim — plus a checksum over the
+    // normalized corpus. Two passes over the vectors, both map-side
+    // combined.
+    QueryDef.sql(
+      "q246_feature_scaling",
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |mm AS (SELECT dim, MIN(m) AS mn, MAX(m) AS mx FROM e GROUP BY 1),
+        |nrm AS (SELECT e.dim, (m - mn) * 1000000 // GREATEST(mx - mn, 1) AS v
+        |        FROM e JOIN mm ON e.dim = mm.dim)
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS min_norm, CAST(MAX(v) AS BIGINT) AS max_norm,
+        |  CAST(SUM(v) AS BIGINT) AS sum_norm
+        |FROM nrm GROUP BY 1 ORDER BY dim""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("m"))
+      val mm = e.groupBy("dim").agg(min("m").as("mn"), max("m").as("mx"))
+      e.join(broadcast(mm), "dim")
+        .select(col("dim"), expr("(m - mn) * 1000000L div greatest(mx - mn, 1L)").as("v"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), min("v").as("min_norm"), max("v").as("max_norm"),
+          sum("v").as("sum_norm"))
+        .orderBy("dim")
+    },
+
+    // Classification metrics — per-class precision/recall/F1 plus the
+    // macro average, computed from a confusion matrix that lives at
+    // class grain: a deterministic "model" (label shifted on ring
+    // positions vec_id % 7 = 0) supplies predictions, one aggregate
+    // builds per-class tp/fp/fn, and every rate is an exact ppm ratio
+    // (F1 cleared to integer form: 2·tp·10⁶ // (2·tp + fp + fn)). The
+    // eval-harness shape for any labeling job at corpus scale.
+    QueryDef.sql(
+      "q247_class_metrics",
+      """WITH pr AS (
+        |  SELECT label AS y,
+        |    (label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 10 AS yhat
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT cls, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn FROM (
+        |    SELECT y AS cls, CASE WHEN y = yhat THEN 1 ELSE 0 END AS tp, 0 AS fp,
+        |      CASE WHEN y <> yhat THEN 1 ELSE 0 END AS fn FROM pr
+        |    UNION ALL
+        |    SELECT yhat, 0, CASE WHEN y <> yhat THEN 1 ELSE 0 END, 0 FROM pr)
+        |  GROUP BY 1)
+        |SELECT CAST(cls AS BIGINT) AS cls, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tp * 1000000 // GREATEST(tp + fp, 1) AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_ppm,
+        |  CAST(2 * tp * 1000000 // GREATEST(2 * tp + fp + fn, 1) AS BIGINT) AS f1_ppm
+        |FROM c ORDER BY cls""".stripMargin) { (s, dir) =>
+      val pr = Tables(s, dir).embeddings
+        .select(col("label").cast("long").as("y"),
+          ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 10)
+            .cast("long").as("yhat"))
+      val tpRows = pr.select(col("y").as("cls"),
+        when(col("y") === col("yhat"), 1L).otherwise(0L).as("tp"),
+        lit(0L).as("fp"),
+        when(col("y") =!= col("yhat"), 1L).otherwise(0L).as("fn"))
+      val fpRows = pr.select(col("yhat").as("cls"), lit(0L).as("tp"),
+        when(col("y") =!= col("yhat"), 1L).otherwise(0L).as("fp"), lit(0L).as("fn"))
+      tpRows.unionAll(fpRows)
+        .groupBy("cls")
+        .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          expr("tp * 1000000L div greatest(tp + fp, 1L)").as("precision_ppm"),
+          expr("tp * 1000000L div greatest(tp + fn, 1L)").as("recall_ppm"),
+          expr("2 * tp * 1000000L div greatest(2 * tp + fp + fn, 1L)").as("f1_ppm"))
+        .orderBy("cls")
     })
 }
