@@ -548,6 +548,88 @@ object PlannerQueries {
         .groupBy("channel")
         .agg(count(lit(1)).as("n_credits"), sum("cr").as("credited_c"))
         .orderBy("channel")
+    },
+
+    // Layout A/B: single-dimension sort vs Z-order under zone-map
+    // pruning — the experiment behind every OPTIMIZE ZORDER BY decision,
+    // priced exactly: the same rows are assigned to 64 files under (a)
+    // a quantity-range layout and (b) a Morton interleave of quantity ×
+    // ship-day (q137's curve, q222's zone maps), and a 2-D predicate
+    // (quantity band × date range) counts files and rows each layout
+    // must scan. Single-dim is perfectly selective on quantity and
+    // blind on date; Z splits selectivity across both — the numbers say
+    // which wins for THIS predicate mix. One scan, both layouts stacked.
+    QueryDef.sql(
+      "q250_layout_ab", {
+        val zbits = (0 until 6).map(i =>
+          s"((qb >> $i) & 1) * ${1L << (2 * i + 1)} + ((db >> $i) & 1) * ${1L << (2 * i)}")
+          .mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) % 64 AS qb,
+           |    LEAST(63, GREATEST(0,
+           |      (CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT) - 9100) // 40)) AS db,
+           |    CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT) AS d,
+           |    CAST(FLOOR(l_quantity) AS BIGINT) AS q
+           |  FROM lineitem),
+           |z AS (SELECT q, d, qb AS file_q, ($zbits) // 64 AS file_z FROM base),
+           |st AS (
+           |  SELECT 'a_quantity_sort' AS layout, file_q AS file_id, q, d FROM z
+           |  UNION ALL SELECT 'b_zorder', file_z, q, d FROM z),
+           |bounds AS (
+           |  SELECT CAST(FLOOR(epoch(TIMESTAMP '1997-01-01 00:00:00') / 86400) AS BIGINT) AS dlo,
+           |    CAST(FLOOR(epoch(TIMESTAMP '1997-06-30 00:00:00') / 86400) AS BIGINT) AS dhi),
+           |f AS (
+           |  SELECT layout, file_id, COUNT(*) AS n_rows,
+           |    MIN(q) AS minq, MAX(q) AS maxq, MIN(d) AS mind, MAX(d) AS maxd,
+           |    SUM(CASE WHEN q BETWEEN 10 AND 19
+           |          AND d BETWEEN (SELECT dlo FROM bounds) AND (SELECT dhi FROM bounds)
+           |        THEN 1 ELSE 0 END) AS n_match
+           |  FROM st GROUP BY 1, 2),
+           |g AS (SELECT layout, file_id, n_rows, n_match,
+           |        maxq >= 10 AND minq <= 19
+           |          AND maxd >= (SELECT dlo FROM bounds)
+           |          AND mind <= (SELECT dhi FROM bounds) AS scanned
+           |      FROM f)
+           |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           |  CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(SUM(n_match) AS BIGINT) AS rows_matching
+           |FROM g GROUP BY 1 ORDER BY layout""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables(s, dir).lineitem.select(
+        (floor(col("l_quantity")).cast("long") % 64).as("qb"),
+        least(lit(63L), greatest(lit(0L),
+          expr("(CAST(FLOOR(unix_timestamp(l_shipdate) / 86400) AS BIGINT) - 9100) div 40")))
+          .as("db"),
+        floor(unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("d"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      val zval = (0 until 6).map { i =>
+        (shiftright(col("qb"), i).bitwiseAND(1)) * lit(1L << (2 * i + 1)) +
+          (shiftright(col("db"), i).bitwiseAND(1)) * lit(1L << (2 * i))
+      }.reduce(_ + _)
+      val z = base.select(col("q"), col("d"), col("qb").as("file_q"),
+        (zval.cast("long") / 64).cast("long").as("file_z"))
+      val st = z.select(lit("a_quantity_sort").as("layout"), col("file_q").as("file_id"),
+          col("q"), col("d"))
+        .unionAll(z.select(lit("b_zorder").as("layout"), col("file_z").as("file_id"),
+          col("q"), col("d")))
+      val dlo = floor(unix_timestamp(to_timestamp(lit("1997-01-01 00:00:00"))) / 86400)
+        .cast("long")
+      val dhi = floor(unix_timestamp(to_timestamp(lit("1997-06-30 00:00:00"))) / 86400)
+        .cast("long")
+      val f = st.groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"), min("q").as("minq"), max("q").as("maxq"),
+          min("d").as("mind"), max("d").as("maxd"),
+          sum(when(col("q").between(10, 19) && col("d").between(dlo, dhi), 1L)
+            .otherwise(0L)).as("n_match"))
+        .withColumn("scanned",
+          col("maxq") >= 10 && col("minq") <= 19 && col("maxd") >= dlo && col("mind") <= dhi)
+      f.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum("n_match").as("rows_matching"))
+        .orderBy("layout")
     })
 }
 

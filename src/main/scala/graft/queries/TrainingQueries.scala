@@ -743,5 +743,100 @@ object TrainingQueries {
           expr("tp * 1000000L div greatest(tp + fn, 1L)").as("recall_ppm"),
           expr("2 * tp * 1000000L div greatest(2 * tp + fp + fn, 1L)").as("f1_ppm"))
         .orderBy("cls")
+    },
+
+    // Retrieval-quality metrics — precision@5 and MRR over an
+    // integer-exact ranking (q121 audits ANN recall; this scores the
+    // retrieval itself): anchors (vec_id % 25 = 0) rank the whole corpus
+    // by exact micro-dot-product, relevance = label match, and both
+    // metrics clear to ppm integers (reciprocal rank as 10⁶ // rank —
+    // floor-per-query, then averaged as a second exact division). The
+    // dot products live at anchor×corpus×dim grain — the brute-force
+    // eval harness you run on a SAMPLE of anchors, sized by the anchor
+    // stride, while production serves from q55's IVF.
+    QueryDef.sql(
+      "q248_retrieval_metrics",
+      """WITH e AS (
+        |  SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |a AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+        |d AS (SELECT a.vec_id AS qid, a.label AS ql, e.vec_id AS cid,
+        |        e.label AS cl, SUM(a.m * e.m) AS dot
+        |      FROM a JOIN e ON a.dim = e.dim AND a.vec_id <> e.vec_id
+        |      GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT qid, ql, cl, dot,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk
+        |      FROM d),
+        |pq AS (SELECT qid,
+        |        SUM(CASE WHEN rk <= 5 AND ql = cl THEN 1 ELSE 0 END) AS rel5,
+        |        COALESCE(MIN(CASE WHEN ql = cl THEN rk END), 0) AS first_rel
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(rel5) * 1000000 // (5 * COUNT(*)) AS BIGINT) AS p_at_5_ppm,
+        |  CAST(SUM(CASE WHEN first_rel > 0 THEN 1000000 // first_rel ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS mrr_ppm
+        |FROM pq""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("m"))
+      val a = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"), col("dim"),
+          col("m").as("qm"))
+      val d = a.join(e, Seq("dim"))
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("ql"), col("vec_id").as("cid"), col("label").as("cl"))
+        .agg(sum(col("qm") * col("m")).as("dot"))
+      val r = d.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+      val pq = r.groupBy("qid")
+        .agg(sum(when(col("rk") <= 5 && col("ql") === col("cl"), 1L).otherwise(0L)).as("rel5"),
+          coalesce(min(when(col("ql") === col("cl"), col("rk"))), lit(0)).as("first_rel"))
+      pq.agg(count(lit(1)).as("n_queries"), sum("rel5").as("sr"),
+          sum(when(col("first_rel") > 0, expr("1000000L div first_rel"))
+            .otherwise(0L)).as("srr"))
+        .select(col("n_queries"),
+          expr("sr * 1000000L div (5 * n_queries)").as("p_at_5_ppm"),
+          expr("srr div n_queries").as("mrr_ppm"))
+    },
+
+    // Cross-source duplication matrix — corpus governance's "who copies
+    // whom": 5-word-prefix fingerprints (span grain, q118's flavor —
+    // whole-text md5 finds nothing across sources at small SFs) reduce
+    // to (fingerprint, source) pairs, one self-join at fingerprint grain
+    // counts fingerprints shared by each source pair, and overlap is
+    // priced against both sources' fingerprint inventories (q224's
+    // containment arithmetic at corpus-source grain). Join cost follows
+    // sources-per-fingerprint, never corpus².
+    QueryDef.sql(
+      "q249_source_overlap",
+      """WITH d AS (SELECT DISTINCT
+        |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS fp,
+        |    source FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        |ov AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |       FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_fps,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(shared * 1000000 // LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+        |FROM ov JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY containment_ppm DESC, src_a, src_b LIMIT 30""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(md5(array_join(slice(split(col("text"), " "), 1, 5), " ")).as("fp"),
+          col("source")).distinct()
+      val sz = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = d.select(col("fp"), col("source").as("src_a"))
+      val b = d.select(col("fp"), col("source").as("src_b"))
+      a.join(b, Seq("fp")).where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_fps"))
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_fps"), col("n_a"), col("n_b"),
+          expr("shared_fps * 1000000L div least(n_a, n_b)").as("containment_ppm"))
+        .orderBy(col("containment_ppm").desc, col("src_a"), col("src_b"))
+        .limit(30)
     })
 }
