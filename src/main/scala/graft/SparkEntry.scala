@@ -31,7 +31,10 @@ object SparkEntry {
       graft.queries.AdvancedQueries.all ++
       graft.queries.MiningQueries.all ++
       graft.queries.ProfilingQueries.all ++
-      graft.queries.PlannerQueries.all
+      graft.queries.PlannerQueries.all ++
+      graft.queries.GovernanceQueries.all ++
+      graft.queries.EvalQueries.all ++
+      graft.queries.OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
