@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.PlannerQueries.all ++
       graft.queries.GovernanceQueries.all ++
       graft.queries.EvalQueries.all ++
-      graft.queries.OpsQueries.all
+      graft.queries.OpsQueries.all ++
+      graft.queries.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
