@@ -196,5 +196,173 @@ object GovernanceQueries {
         .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l_distinct"),
           (col("n") >= 5).as("k5_ok"), (col("l_distinct") >= 3).as("l3_ok"))
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // All-column profile (assess A6 generalized past q215's numeric-only
+    // stack): every column canonicalized to text IN-ROW — keys as digits,
+    // money as cents, dates via explicit format so both engines render
+    // identically — then ONE unpivot + ONE aggregate gives n / nulls /
+    // NDV / lexicographic bounds for the whole table. k columns cost one
+    // scan, not k.
+    QueryDef.sql(
+      "q263_column_profile",
+      """WITH u AS (
+        |  SELECT col, val FROM (
+        |    SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+        |      CAST(o_custkey AS VARCHAR) AS c2,
+        |      o_orderstatus AS c3,
+        |      CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS c4,
+        |      strftime(o_orderdate, '%Y-%m-%d') AS c5
+        |    FROM orders)
+        |  UNPIVOT (val FOR col IN (c1 AS 'o_orderkey', c2 AS 'o_custkey',
+        |    c3 AS 'o_orderstatus', c4 AS 'o_totalprice_c', c5 AS 'o_orderdate'))
+        |)
+        |SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv,
+        |  MIN(val) AS min_val, MAX(val) AS max_val
+        |FROM u GROUP BY col ORDER BY col""".stripMargin) { (s, dir) =>
+      val canon = Tables(s, dir).orders.select(
+        col("o_orderkey").cast("string").as("c1"),
+        col("o_custkey").cast("string").as("c2"),
+        col("o_orderstatus").as("c3"),
+        floor(col("o_totalprice") * 100).cast("long").cast("string").as("c4"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("c5"))
+      canon.select(expr(
+          """stack(5, 'o_orderkey', c1, 'o_custkey', c2, 'o_orderstatus', c3,
+            |  'o_totalprice_c', c4, 'o_orderdate', c5) AS (col, val)""".stripMargin))
+        .groupBy("col")
+        .agg(count(lit(1)).as("n"), (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("ndv"),
+          min("val").as("min_val"), max("val").as("max_val"))
+        .orderBy("col")
+    },
+
+    // Trigram index for substring (LIKE '%…%') search — the standard
+    // pg_trgm trick, built as a relation: each document contributes its
+    // distinct character 3-grams (in-row transform, spaces included so
+    // cross-word needles work); a needle's candidates are the docs
+    // containing ALL its trigrams (equi-join + count check — cost
+    // follows posting lists, never |docs|×|needle|), then the exact LIKE
+    // verifies candidates only. Zero misses is the losslessness
+    // contract; false candidates are the index's (audited) noise.
+    QueryDef.sql(
+      "q264_trigram_like",
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+        |    FROM documents WHERE len(text) >= 3)),
+        |need(gram) AS (VALUES ('e v'), (' va')),
+        |cand AS (
+        |  SELECT doc_id FROM g JOIN need USING (gram)
+        |  GROUP BY doc_id HAVING COUNT(DISTINCT gram) = 2),
+        |truth AS (SELECT doc_id FROM documents WHERE text LIKE '%e va%')
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+        |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+        |  CAST((SELECT COUNT(*) FROM cand WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM truth)) AS BIGINT) AS false_candidates,
+        |  CAST((SELECT COUNT(*) FROM truth WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM cand)) AS BIGINT) AS missed""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val g = docs.where(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
+            .as("gram"))
+        .distinct()
+      val need = Seq("e v", " va")
+      val cand = g.where(col("gram").isin(need: _*))
+        .groupBy("doc_id").agg(countDistinct(col("gram")).as("ng"))
+        .where(col("ng") === need.length).select("doc_id")
+      val truth = docs.where(col("text").like("%e va%")).select("doc_id")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val falseC = cand.join(truth.withColumnRenamed("doc_id", "t_id"),
+          col("doc_id") === col("t_id"), "left_anti")
+        .agg(count(lit(1)).as("false_candidates"))
+      val missed = truth.join(cand.withColumnRenamed("doc_id", "c_id"),
+          col("doc_id") === col("c_id"), "left_anti")
+        .agg(count(lit(1)).as("missed"))
+      nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+        .crossJoin(broadcast(falseC)).crossJoin(broadcast(missed))
+    },
+
+    // Golden-record survivorship (MDM merge, field grain — q209's
+    // canonical pick works at ROW grain): deterministic record variants
+    // (v1-v3 with per-field nulls and one planted acctbal conflict)
+    // merge per field by "highest version wins among non-null" — a
+    // coalesce over per-version conditional MAXes, ONE aggregate, no
+    // join chain. The conflict count audits fields with >1 distinct
+    // non-null value across variants.
+    QueryDef.sql(
+      "q265_survivorship",
+      """WITH v AS (
+        |  SELECT c_custkey AS k, 1 AS ver, c_name AS name,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) END AS bal_c,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+        |      + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3, c_name, NULL, c_mktsegment
+        |  FROM customer WHERE c_custkey % 4 = 0),
+        |m AS (
+        |  SELECT k, COUNT(*) AS n_variants,
+        |    COALESCE(MAX(CASE WHEN ver = 3 THEN name END),
+        |      MAX(CASE WHEN ver = 2 THEN name END),
+        |      MAX(CASE WHEN ver = 1 THEN name END)) AS name,
+        |    COALESCE(MAX(CASE WHEN ver = 3 THEN bal_c END),
+        |      MAX(CASE WHEN ver = 2 THEN bal_c END),
+        |      MAX(CASE WHEN ver = 1 THEN bal_c END)) AS bal_c,
+        |    COALESCE(MAX(CASE WHEN ver = 3 THEN seg END),
+        |      MAX(CASE WHEN ver = 2 THEN seg END),
+        |      MAX(CASE WHEN ver = 1 THEN seg END)) AS seg,
+        |    (CASE WHEN COUNT(DISTINCT name) > 1 THEN 1 ELSE 0 END
+        |     + CASE WHEN COUNT(DISTINCT bal_c) > 1 THEN 1 ELSE 0 END
+        |     + CASE WHEN COUNT(DISTINCT seg) > 1 THEN 1 ELSE 0 END) AS n_conflicts
+        |  FROM v GROUP BY k)
+        |SELECT k AS c_custkey, CAST(n_variants AS BIGINT) AS n_variants,
+        |  name, CAST(bal_c AS BIGINT) AS bal_c, seg,
+        |  CAST(n_conflicts AS BIGINT) AS n_conflicts
+        |FROM m ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val balc = floor(col("c_acctbal") * 100).cast("long")
+      val v1 = c.select(col("c_custkey").as("k"), lit(1).as("ver"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 2 === 0, balc).as("bal_c"),
+        col("c_mktsegment").as("seg"))
+      val v2 = c.select(col("c_custkey").as("k"), lit(2).as("ver"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        (balc + when(col("c_custkey") % 7 === 0, 100L).otherwise(0L)).as("bal_c"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val v3 = c.where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("k"), lit(3).as("ver"), col("c_name").as("name"),
+          lit(null).cast("long").as("bal_c"), col("c_mktsegment").as("seg"))
+      def surv(f: String) = coalesce(
+        max(when(col("ver") === 3, col(f))),
+        max(when(col("ver") === 2, col(f))),
+        max(when(col("ver") === 1, col(f))))
+      v1.unionAll(v2).unionAll(v3)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_variants"),
+          surv("name").as("name"), surv("bal_c").as("bal_c"), surv("seg").as("seg"),
+          (when(countDistinct(col("name")) > 1, 1L).otherwise(0L)
+            + when(countDistinct(col("bal_c")) > 1, 1L).otherwise(0L)
+            + when(countDistinct(col("seg")) > 1, 1L).otherwise(0L)).as("n_conflicts"))
+        .select(col("k").as("c_custkey"), col("n_variants"), col("name"),
+          col("bal_c"), col("seg"), col("n_conflicts"))
+        .orderBy("c_custkey")
     })
 }
