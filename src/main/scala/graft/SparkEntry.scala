@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.GovernanceQueries.all ++
       graft.queries.EvalQueries.all ++
       graft.queries.OpsQueries.all ++
-      graft.queries.SketchQueries.all
+      graft.queries.SketchQueries.all ++
+      graft.queries.PrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
