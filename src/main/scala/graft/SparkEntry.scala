@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.EvalQueries.all ++
       graft.queries.OpsQueries.all ++
       graft.queries.SketchQueries.all ++
-      graft.queries.PrepQueries.all
+      graft.queries.PrepQueries.all ++
+      graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
