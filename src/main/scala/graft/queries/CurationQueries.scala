@@ -197,5 +197,168 @@ object CurationQueries {
         .select(col("word"), col("s").as("enc"),
           size(split(col("s"), " ")).as("n_tokens"))
         .orderBy("word")
+    },
+
+    // Token-budget truncation audit: every doc is clipped to its first 24
+    // whitespace tokens (the context-window budget) and each source pays a
+    // measured token-loss rate. slice + array_join keep the clip IN-ROW —
+    // a pure projection over the token array, no explode — so at 100 TB
+    // the pass is map-only and the shuffle carries one row per source.
+    QueryDef.sql(
+      "q273_token_budget_truncate",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(LEAST(len(ws), 24)) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(CASE WHEN len(ws) > 24 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(SUM(len(array_to_string(ws[1:24], ' '))) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(GREATEST(len(ws) - 24, 0)) * 1000000 // SUM(len(ws)) AS BIGINT)
+        |    AS loss_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).as("total_tokens"),
+          sum(least(size(col("ws")), lit(24))).as("kept_tokens"),
+          sum(when(size(col("ws")) > 24, 1L).otherwise(0L)).as("n_truncated"),
+          sum(length(array_join(slice(col("ws"), 1, 24), " "))).as("kept_chars"),
+          expr("sum(greatest(size(ws) - 24, 0)) * 1000000 div sum(size(ws))")
+            .as("loss_ppm"))
+        .orderBy("source")
+    },
+
+    // Mergeable quantile-sample audit (the distributed-sketch contract):
+    // each of 4 hash shards contributes every 50th order statistic of its
+    // locally-sorted run (the mergeable summary — shard-grain work, sample-
+    // sized output), the merged samples estimate the global median, and the
+    // exact median over all rows is computed alongside as audit truth. The
+    // (cents, event_id) total order makes every pick deterministic. At
+    // 100 TB only the audit side ranks the full data; production keeps the
+    // per-shard sampling whose merged summary is ~n/50 rows.
+    QueryDef.sql(
+      "q274_quantile_merge_audit",
+      """WITH e AS (
+        |  SELECT event_type, event_id, user_id % 4 AS shard,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, shard
+        |      ORDER BY cents, event_id) AS rn
+        |  FROM e),
+        |smp AS (SELECT event_type, event_id, cents FROM r WHERE rn % 50 = 0),
+        |sr AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM smp),
+        |est AS (SELECT event_type, ns, cents AS est_p50 FROM sr
+        |        WHERE k = CAST(CEIL(ns * 0.5) AS BIGINT)),
+        |xr AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |ex AS (SELECT event_type, cents AS exact_p50 FROM xr
+        |       WHERE k = CAST(CEIL(n * 0.5) AS BIGINT))
+        |SELECT est.event_type, CAST(ns AS BIGINT) AS n_samples, est_p50, exact_p50,
+        |  abs(est_p50 - exact_p50) AS abs_err
+        |FROM est JOIN ex ON est.event_type = ex.event_type
+        |ORDER BY est.event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events.select(col("event_type"), col("event_id"),
+        (col("user_id") % 4).as("shard"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val wShard = Window.partitionBy("event_type", "shard").orderBy("cents", "event_id")
+      val smp = e.withColumn("rn", row_number().over(wShard)).where(col("rn") % 50 === 0)
+      val wType = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val cType = Window.partitionBy("event_type")
+      val est = smp
+        .select(col("event_type"), col("cents"),
+          row_number().over(wType).as("k"), count(lit(1)).over(cType).as("ns"))
+        .where(col("k") === ceil(col("ns") * 0.5).cast("long"))
+        .select(col("event_type"), col("ns").as("n_samples"), col("cents").as("est_p50"))
+      val ex = e
+        .select(col("event_type"), col("cents"),
+          row_number().over(wType).as("k"), count(lit(1)).over(cType).as("n"))
+        .where(col("k") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("event_type").as("et2"), col("cents").as("exact_p50"))
+      est.join(ex, col("event_type") === col("et2"))
+        .select(col("event_type"), col("n_samples"), col("est_p50"), col("exact_p50"),
+          abs(col("est_p50") - col("exact_p50")).as("abs_err"))
+        .orderBy("event_type")
+    },
+
+    // Recency-weighted mixing: each event's sampling weight halves per week
+    // of age (weight_ppm = 10⁶ >> age_weeks — exact bit-shift halving, no
+    // floats), rolled up per event type into effective sample size and
+    // cross-type allocation shares. The weighting collapses to week-bucket
+    // grain BEFORE the weighted rollup, so the shuffle carries (type, week)
+    // counts, never event rows — the freshness-decay pass a continually
+    // refreshed 100 TB corpus reweighs on every training-mix rebuild.
+    QueryDef.sql(
+      "q275_recency_weights",
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', CAST(ts AS DATE), md) AS BIGINT) // 7 AS wk,
+        |    COUNT(*) AS n
+        |  FROM events, mx GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(SUM(n * (1000000 >> CAST(wk AS INT))) AS BIGINT) AS weighted_ppm
+        |  FROM a GROUP BY 1),
+        |g AS (SELECT SUM(weighted_ppm) AS tot FROM t)
+        |SELECT event_type, n_events, weighted_ppm,
+        |  CAST(weighted_ppm // 1000000 AS BIGINT) AS effective_n,
+        |  CAST(weighted_ppm * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM t, g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val mx = ev.agg(max(to_date(col("ts"))).as("md"))
+      val a = ev.crossJoin(broadcast(mx))
+        .groupBy(col("event_type"),
+          expr("CAST(datediff(md, CAST(ts AS DATE)) AS BIGINT) div 7").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val t = a.groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          sum(expr("n * shiftright(1000000, CAST(wk AS INT))")).as("weighted_ppm"))
+      val g = t.agg(sum(col("weighted_ppm")).as("tot"))
+      t.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n_events"), col("weighted_ppm"),
+          expr("weighted_ppm div 1000000").as("effective_n"),
+          // decimal(38,0) numerator: oracle's ×10⁶ product is HUGEINT-exact
+          expr("CAST(weighted_ppm AS DECIMAL(38,0)) * 1000000 div tot")
+            .cast("long").as("share_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Low-watermark lag profile (the reference's resolvedTs semantics,
+    // SURVEY §2.9 ST3/ST7): consumers partitioned by user hash each hold a
+    // high-water mark; the GLOBAL checkpoint is the minimum of the per-
+    // partition maxima (every commit ≤ it is complete — an exact watermark,
+    // not a heuristic), and each partition reports how far ahead it runs.
+    // One fact-grain max per partition, then an 8-row broadcast — the lag
+    // board a 1000-partition CDC pipeline renders per flush.
+    QueryDef.sql(
+      "q276_watermark_lag",
+      """WITH p AS (
+        |  SELECT user_id % 8 AS pt, MAX(epoch_us(ts)) AS mx_us, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MIN(mx_us) AS wm_us FROM p)
+        |SELECT CAST(pt AS BIGINT) AS pt, CAST(n AS BIGINT) AS n_events,
+        |  CAST(mx_us - wm_us AS BIGINT) AS ahead_us,
+        |  CASE WHEN mx_us = wm_us THEN 1 ELSE 0 END AS is_watermark_holder
+        |FROM p, g ORDER BY pt""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).events
+        .groupBy((col("user_id") % 8).as("pt"))
+        .agg(max(unix_micros(col("ts"))).as("mx_us"), count(lit(1)).as("n_events"))
+      val g = p.agg(min(col("mx_us")).as("wm_us"))
+      p.crossJoin(broadcast(g))
+        .select(col("pt"), col("n_events"),
+          (col("mx_us") - col("wm_us")).as("ahead_us"),
+          when(col("mx_us") === col("wm_us"), 1).otherwise(0).as("is_watermark_holder"))
+        .orderBy("pt")
     })
 }
