@@ -360,5 +360,209 @@ object CurationQueries {
           (col("mx_us") - col("wm_us")).as("ahead_us"),
           when(col("mx_us") === col("wm_us"), 1).otherwise(0).as("is_watermark_holder"))
         .orderBy("pt")
+    },
+
+    // Near-zero-variance feature screen: per embedding dimension, exact
+    // population variance from micro-scaled integer power sums
+    // (n·Σx² − (Σx)², all DECIMAL(38,0)/HUGEINT — a Long n·Σx² would wrap
+    // at ~40k vectors). Dead dims (variance under (0.1)² in micro² units)
+    // are dropped before training. Means route through DOUBLE+FLOOR: Σx
+    // can be negative and DuckDB's // floors while Spark's div truncates.
+    // One dim-grain aggregation — 64 output rows at any corpus size.
+    QueryDef.sql(
+      "q277_dim_variance_screen",
+      """WITH ev AS (
+        |  SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |a AS (
+        |  SELECT i, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+        |  FROM ev GROUP BY i)
+        |SELECT i, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+        |  CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro2,
+        |  CASE WHEN (n * s2 - s1 * s1) // (n * n) < 10000000000 THEN 1 ELSE 0 END
+        |    AS low_var
+        |FROM a ORDER BY i""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val ev = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
+        .select((col("p") + 1).as("i"),
+          floor(col("e").cast("double") * 1000000.0).cast("long").as("x"))
+      ev.groupBy("i")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum((col("x") * col("x")).cast(dec)).as("s2"))
+        .select(col("i"), col("n"),
+          floor(col("s1").cast("double") / col("n")).cast("long").as("mean_micro"),
+          expr(s"CAST((CAST(n AS $dec) * s2 - CAST(s1 AS $dec) * CAST(s1 AS $dec))" +
+            s" div (n * n) AS BIGINT)").as("var_micro2"),
+          expr(s"CASE WHEN CAST((CAST(n AS $dec) * s2 - CAST(s1 AS $dec) * CAST(s1 AS $dec))" +
+            s" div (n * n) AS BIGINT) < 10000000000L THEN 1 ELSE 0 END").as("low_var"))
+        .orderBy("i")
+    },
+
+    // Delta/varint encoding advisor (q234/q222's sibling): within each
+    // month partition, sorted unique order keys are gap-encoded and priced
+    // at LEB128 varint widths against the 8-byte plain layout. The LAG
+    // window is PARTITIONED by month — every partition's run is
+    // independent, so the pass parallelizes by partition at 100 TB exactly
+    // like the per-rowgroup key encoder it prices.
+    QueryDef.sql(
+      "q278_delta_encoding",
+      """WITH k AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS pt, o_orderkey AS key,
+        |    o_orderkey - lag(o_orderkey) OVER (
+        |      PARTITION BY strftime(o_orderdate, '%Y-%m') ORDER BY o_orderkey) AS delta
+        |  FROM orders),
+        |b AS (
+        |  SELECT pt,
+        |    CASE WHEN delta IS NULL THEN 8
+        |         WHEN delta < 128 THEN 1
+        |         WHEN delta < 16384 THEN 2
+        |         WHEN delta < 2097152 THEN 3
+        |         WHEN delta < 268435456 THEN 4
+        |         ELSE 8 END AS vb
+        |  FROM k)
+        |SELECT pt, COUNT(*) AS n_keys,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS plain_bytes,
+        |  CAST(SUM(vb) AS BIGINT) AS varint_bytes,
+        |  CAST(SUM(vb) * 1000000 // (COUNT(*) * 8) AS BIGINT) AS ratio_ppm
+        |FROM b GROUP BY pt ORDER BY pt""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("pt").orderBy("key")
+      Tables(s, dir).orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("pt"),
+          col("o_orderkey").as("key"))
+        .withColumn("delta", col("key") - lag(col("key"), 1).over(w))
+        .select(col("pt"),
+          when(col("delta").isNull, 8L)
+            .when(col("delta") < 128, 1L)
+            .when(col("delta") < 16384, 2L)
+            .when(col("delta") < 2097152, 3L)
+            .when(col("delta") < 268435456, 4L)
+            .otherwise(8L).as("vb"))
+        .groupBy("pt")
+        .agg(count(lit(1)).as("n_keys"),
+          (count(lit(1)) * 8).as("plain_bytes"),
+          sum(col("vb")).as("varint_bytes"),
+          expr("sum(vb) * 1000000 div (count(1) * 8)").as("ratio_ppm"))
+        .orderBy("pt")
+    },
+
+    // Late-data reprocessing cost: consumers (user-hash partitions) see
+    // events in a deterministic scrambled arrival order (event_id % 7 —
+    // q228's shape); an event arriving over 1h behind its partition's
+    // high-water mark is LATE, and every (day, event_type) partition a
+    // late event lands in must be recomputed. The one-row answer prices
+    // incremental vs full recompute: affected partitions over total. The
+    // running max parallelizes per consumer partition; the distinct-
+    // partition counts are partition-grain, not event-grain, at 100 TB.
+    QueryDef.sql(
+      "q279_late_reprocess",
+      """WITH a AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') || '|' || event_type AS part,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id % 8
+        |      ORDER BY event_id % 7, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw
+        |  FROM events),
+        |l AS (SELECT part, CASE WHEN us + 3600000000 < hw THEN 1 ELSE 0 END AS late
+        |      FROM a)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+        |  CAST(COUNT(DISTINCT CASE WHEN late = 1 THEN part END) AS BIGINT)
+        |    AS affected_parts,
+        |  CAST(COUNT(DISTINCT part) AS BIGINT) AS total_parts,
+        |  CAST(COUNT(DISTINCT CASE WHEN late = 1 THEN part END) * 1000000
+        |    // COUNT(DISTINCT part) AS BIGINT) AS reprocess_ppm
+        |FROM l""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id") % 8)
+        .orderBy(col("event_id") % 7, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .select(unix_micros(col("ts")).as("us"),
+          concat(date_format(col("ts"), "yyyy-MM-dd"), lit("|"), col("event_type"))
+            .as("part"),
+          max(unix_micros(col("ts"))).over(w).as("hw"))
+        .select(col("part"),
+          when(col("us") + 3600000000L < col("hw"), 1L).otherwise(0L).as("late"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+          expr("sum(late) * 1000000 div count(1)").as("late_ppm"),
+          countDistinct(when(col("late") === 1, col("part"))).as("affected_parts"),
+          countDistinct(col("part")).as("total_parts"),
+          expr("count(DISTINCT CASE WHEN late = 1 THEN part END) * 1000000" +
+            " div count(DISTINCT part)").as("reprocess_ppm"))
+    },
+
+    // Run-length encoding advisor (q234's dict advisor extended to RLE):
+    // low-NDV lineitem columns are priced in physical row order within
+    // 8192-key rowgroups — runs counted by LAG inside each (column,
+    // rowgroup) window, then RLE (runs × (maxlen+4)) vs dictionary
+    // (1-byte codes + dict pages) vs plain bytes, cheapest wins. Runs are
+    // counted per rowgroup exactly like the columnar writer that makes
+    // this decision, so every window partition is rowgroup-sized and the
+    // pass scales with file count, not a global sort.
+    QueryDef.sql(
+      "q280_rle_advisor",
+      """WITH base AS (
+        |  SELECT l_orderkey // 8192 AS rg, l_orderkey, l_linenumber,
+        |    l_returnflag, l_linestatus
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT rg, l_orderkey, l_linenumber, 'l_returnflag' AS colname,
+        |    l_returnflag AS v FROM base
+        |  UNION ALL
+        |  SELECT rg, l_orderkey, l_linenumber, 'l_linestatus', l_linestatus FROM base),
+        |r AS (
+        |  SELECT colname, v,
+        |    CASE WHEN lag(v) OVER (PARTITION BY colname, rg
+        |        ORDER BY l_orderkey, l_linenumber, v) IS NULL
+        |      OR lag(v) OVER (PARTITION BY colname, rg
+        |        ORDER BY l_orderkey, l_linenumber, v) <> v
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM u),
+        |s AS (
+        |  SELECT colname, COUNT(*) AS n_rows, CAST(SUM(brk) AS BIGINT) AS n_runs,
+        |    COUNT(DISTINCT v) AS ndv, MAX(len(v)) AS maxlen,
+        |    CAST(SUM(len(v)) AS BIGINT) AS plain_bytes
+        |  FROM r GROUP BY colname)
+        |SELECT colname, CAST(n_rows AS BIGINT) AS n_rows, n_runs,
+        |  CAST(ndv AS BIGINT) AS ndv, plain_bytes,
+        |  CAST(n_runs * (maxlen + 4) AS BIGINT) AS rle_bytes,
+        |  CAST(n_rows + ndv * maxlen AS BIGINT) AS dict_bytes,
+        |  CASE
+        |    WHEN n_runs * (maxlen + 4) <= n_rows + ndv * maxlen
+        |     AND n_runs * (maxlen + 4) <= plain_bytes THEN 'rle'
+        |    WHEN n_rows + ndv * maxlen <= plain_bytes THEN 'dict'
+        |    ELSE 'plain' END AS advice
+        |FROM s ORDER BY colname""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).lineitem
+        .select(expr("l_orderkey div 8192").as("rg"), col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+      val u = base.select(col("rg"), col("l_orderkey"), col("l_linenumber"),
+          lit("l_returnflag").as("colname"), col("l_returnflag").as("v"))
+        .unionAll(base.select(col("rg"), col("l_orderkey"), col("l_linenumber"),
+          lit("l_linestatus").as("colname"), col("l_linestatus").as("v")))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (q238's
+      // finding) — v itself breaks the tie so the run structure is a total
+      // order both engines agree on
+      val w = Window.partitionBy("colname", "rg")
+        .orderBy("l_orderkey", "l_linenumber", "v")
+      val r = u.select(col("colname"), col("v"),
+        when(lag(col("v"), 1).over(w).isNull || lag(col("v"), 1).over(w) =!= col("v"), 1L)
+          .otherwise(0L).as("brk"))
+      r.groupBy("colname")
+        .agg(count(lit(1)).as("n_rows"), sum(col("brk")).as("n_runs"),
+          countDistinct(col("v")).as("ndv"), max(length(col("v"))).as("maxlen"),
+          sum(length(col("v"))).as("plain_bytes"))
+        .select(col("colname"), col("n_rows"), col("n_runs"), col("ndv"),
+          col("plain_bytes"),
+          (col("n_runs") * (col("maxlen") + 4)).as("rle_bytes"),
+          (col("n_rows") + col("ndv") * col("maxlen")).as("dict_bytes"),
+          when((col("n_runs") * (col("maxlen") + 4) <= col("n_rows") + col("ndv") * col("maxlen")) &&
+               (col("n_runs") * (col("maxlen") + 4) <= col("plain_bytes")), "rle")
+            .when(col("n_rows") + col("ndv") * col("maxlen") <= col("plain_bytes"), "dict")
+            .otherwise("plain").as("advice"))
+        .orderBy("colname")
     })
 }
