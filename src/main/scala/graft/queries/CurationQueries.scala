@@ -564,5 +564,153 @@ object CurationQueries {
             .when(col("n_rows") + col("ndv") * col("maxlen") <= col("plain_bytes"), "dict")
             .otherwise("plain").as("advice"))
         .orderBy("colname")
+    },
+
+    // Bigram-novelty screen (q94 scores SEEN bigrams — this counts UNSEEN
+    // ones): the top-500 train-split bigrams (deterministic count-desc,
+    // bigram-asc tie-break) form the reference LM; each held-out doc
+    // reports what fraction of its bigrams fall outside it. High novelty =
+    // out-of-domain or garbled text; near-zero = template duplication. The
+    // LM is top-k-sized, so at 100 TB it broadcasts and the held-out pass
+    // is one map-side join — no corpus-sized shuffle.
+    QueryDef.sql(
+      "q281_lm_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bgl AS (SELECT doc_id,
+        |    unnest([tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)])
+        |      AS bigram
+        |  FROM t),
+        |lm AS (SELECT bigram FROM bgl WHERE doc_id % 25 <> 7
+        |       GROUP BY bigram ORDER BY COUNT(*) DESC, bigram LIMIT 500),
+        |hold AS (SELECT doc_id, bigram FROM bgl WHERE doc_id % 25 = 7),
+        |j AS (SELECT h.doc_id,
+        |        CASE WHEN lm.bigram IS NULL THEN 1 ELSE 0 END AS unseen
+        |      FROM hold h LEFT JOIN lm ON h.bigram = lm.bigram)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+        |  CAST(SUM(unseen) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val bgl = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+        .as("bigram"))
+      val lm = bgl.where(col("doc_id") % 25 =!= 7)
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bigram").asc).limit(500)
+        .select(col("bigram").as("lm_bigram"))
+      bgl.where(col("doc_id") % 25 === 7)
+        .join(broadcast(lm), col("bigram") === col("lm_bigram"), "left_outer")
+        .select(col("doc_id"),
+          when(col("lm_bigram").isNull, 1L).otherwise(0L).as("unseen"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+          expr("sum(unseen) * 1000000 div count(1)").as("novelty_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // Z-order vs row-major clustering audit (q250 priced zone maps — this
+    // computes REAL Morton codes): 8-bit (x, y) keys are bit-interleaved
+    // with the classic spread-mask ladder (pure integer & | << arithmetic,
+    // masks written in decimal — 3855 = 0x0F0F etc.), rows are bucketed by
+    // the top 10 Z bits vs the top 10 row-major bits, and each layout pays
+    // its summed per-bucket bounding-box area — the locality currency of
+    // 2-D data skipping. Map-only projection + one bucket-grain rollup per
+    // layout; at 100 TB this is the cheap pre-flight before rewriting a
+    // table Z-ordered.
+    QueryDef.sql(
+      "q282_zorder_cluster",
+      """WITH pts AS (
+        |  SELECT user_id % 256 AS x, CAST(FLOOR(value) AS BIGINT) % 256 AS y
+        |  FROM events),
+        |sp AS (
+        |  SELECT x, y,
+        |    ((x * 16 + x) & 3855) AS x1, ((y * 16 + y) & 3855) AS y1
+        |  FROM pts),
+        |sp2 AS (
+        |  SELECT x, y,
+        |    ((x1 * 4 + x1) & 13107) AS x2, ((y1 * 4 + y1) & 13107) AS y2
+        |  FROM sp),
+        |z AS (
+        |  SELECT x, y,
+        |    (((x2 * 2 + x2) & 21845) + 2 * ((y2 * 2 + y2) & 21845)) AS zval,
+        |    (x * 256 + y) AS rmval
+        |  FROM sp2),
+        |b AS (
+        |  SELECT 'a_zorder' AS layout, zval // 64 AS bucket, x, y FROM z
+        |  UNION ALL
+        |  SELECT 'b_rowmajor', rmval // 64, x, y FROM z),
+        |per AS (
+        |  SELECT layout, bucket, COUNT(*) AS n,
+        |    (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox
+        |  FROM b GROUP BY 1, 2)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(bbox) AS BIGINT) AS sum_bbox_area,
+        |  CAST(MAX(bbox) AS BIGINT) AS max_bbox_area
+        |FROM per GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
+      val pts = Tables(s, dir).events
+        .select((col("user_id") % 256).as("x"),
+          (floor(col("value")).cast("long") % 256).as("y"))
+      // spread-mask ladder: v|v<<k written as v*2^k + v (identical bits for
+      // disjoint masks), & with decimal mask constants
+      val z = pts
+        .withColumn("x1", expr("(x * 16 + x) & 3855"))
+        .withColumn("y1", expr("(y * 16 + y) & 3855"))
+        .withColumn("x2", expr("(x1 * 4 + x1) & 13107"))
+        .withColumn("y2", expr("(y1 * 4 + y1) & 13107"))
+        .withColumn("zval", expr("((x2 * 2 + x2) & 21845) + 2 * ((y2 * 2 + y2) & 21845)"))
+        .withColumn("rmval", expr("x * 256 + y"))
+      val b = z.select(lit("a_zorder").as("layout"), expr("zval div 64").as("bucket"),
+          col("x"), col("y"))
+        .unionAll(z.select(lit("b_rowmajor").as("layout"), expr("rmval div 64").as("bucket"),
+          col("x"), col("y")))
+      b.groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          ((max(col("x")) - min(col("x")) + 1) * (max(col("y")) - min(col("y")) + 1))
+            .as("bbox"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          sum(col("bbox")).as("sum_bbox_area"), max(col("bbox")).as("max_bbox_area"))
+        .orderBy("layout")
+    },
+
+    // Content-defined chunking (rsync/FastCDC's trick, the blob-dedup
+    // primitive): a boundary lands wherever the rolling 8-char polynomial
+    // hash ≡ 0 mod 64, so chunk edges survive insertions — unlike fixed
+    // strides (q266). The window hash and boundary count run IN-ROW as
+    // nested higher-order functions (no explode — ~8·L integer ops per
+    // doc inside codegen), and the rollup is source-grain. At 100 TB
+    // chunk fingerprints feed the exact-dedup pass at chunk, not blob,
+    // granularity.
+    QueryDef.sql(
+      "q283_cdc_chunk",
+      """WITH d AS (
+        |  SELECT source, text AS t, len(text) AS l FROM documents),
+        |b AS (
+        |  SELECT source, l,
+        |    len(list_filter(generate_series(8, l), i ->
+        |      list_reduce(list_transform(generate_series(i - 7, i),
+        |        k -> CAST(ascii(substr(t, CAST(k AS INT), 1)) AS BIGINT)),
+        |        (a, c) -> a * 31 + c) % 64 = 0)) AS n_bound
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(l) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_bound) + COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(l) // (SUM(n_bound) + COUNT(*)) AS BIGINT) AS avg_chunk_len,
+        |  CAST(MAX(n_bound) AS BIGINT) AS max_bounds
+        |FROM b GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("source"), col("text").as("t"), length(col("text")).as("l"))
+        .select(col("source"), col("l"),
+          expr("size(filter(sequence(8, l), i -> " +
+            "aggregate(sequence(i - 7, i), 0L, (a, k) -> " +
+            "a * 31 + ascii(substring(t, k, 1))) % 64 = 0))").as("n_bound"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("total_chars"),
+          (sum(col("n_bound")) + count(lit(1))).as("n_chunks"),
+          expr("sum(l) div (sum(n_bound) + count(1))").as("avg_chunk_len"),
+          max(col("n_bound")).as("max_bounds"))
+        .orderBy("source")
     })
 }
