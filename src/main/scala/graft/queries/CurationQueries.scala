@@ -712,5 +712,191 @@ object CurationQueries {
           expr("sum(l) div (sum(n_bound) + count(1))").as("avg_chunk_len"),
           max(col("n_bound")).as("max_bounds"))
         .orderBy("source")
+    },
+
+    // 2-hop neighborhood size (graph feature engineering over q201's
+    // co-purchase edges): per node, the count of distinct nodes exactly
+    // two hops away — one edge self-join on the middle node, a distinct,
+    // and an anti-join removing direct neighbors — then a degree-style
+    // histogram. The intermediate is frontier-sized (edges × avg degree),
+    // the same cost envelope as q159's triangle count; no |V|² blowup at
+    // 100 TB because every step stays keyed on node ids.
+    QueryDef.sql(
+      "q284_twohop_features",
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |h2 AS (
+        |  SELECT DISTINCT e1.u AS u, e2.v AS w
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  WHERE e2.v <> e1.u),
+        |h2x AS (
+        |  SELECT h2.u, h2.w FROM h2
+        |  LEFT JOIN e ON e.u = h2.u AND e.v = h2.w
+        |  WHERE e.u IS NULL),
+        |c AS (SELECT u, COUNT(*) AS n2 FROM h2x GROUP BY u)
+        |SELECT CAST(n2 // 10 AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
+        |  CAST(MIN(n2) AS BIGINT) AS min_n2, CAST(MAX(n2) AS BIGINT) AS max_n2
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem.select("l_orderkey", "l_partkey")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
+      val e0 = a.join(b, col("l_orderkey") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("m")).where(col("m") >= 2)
+        .select("u", "v")
+      val e = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val h2 = e.select(col("u"), col("v").as("mid"))
+        .join(e.select(col("u").as("mid2"), col("v").as("w")), col("mid") === col("mid2"))
+        .where(col("w") =!= col("u"))
+        .select("u", "w").distinct()
+      val h2x = h2.join(e.select(col("u").as("eu"), col("v").as("ev")),
+          col("u") === col("eu") && col("w") === col("ev"), "left_anti")
+      h2x.groupBy("u").agg(count(lit(1)).as("n2"))
+        .groupBy(expr("n2 div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("n2")).as("min_n2"),
+          max(col("n2")).as("max_n2"))
+        .orderBy("bucket")
+    },
+
+    // Importance-weight effective sample size: token counts as importance
+    // weights, ESS = (Σw)² / Σw² per language (Kish's formula, exact via
+    // DECIMAL(38,0)/HUGEINT squares — Σw² wraps Long first at corpus
+    // scale). ESS ≪ n flags a language whose mixture is dominated by a few
+    // heavy docs — the diagnostic run before q162's temperature mixing.
+    // One map-side-combined aggregation, language-grain output.
+    QueryDef.sql(
+      "q285_importance_ess",
+      """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS w FROM documents),
+        |a AS (SELECT lang, COUNT(*) AS n, SUM(w) AS s1, SUM(w * w) AS s2
+        |      FROM d GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(s1 AS BIGINT) AS total_tokens,
+        |  CAST((s1 * s1) // s2 AS BIGINT) AS ess,
+        |  CAST((s1 * s1) * 1000000 // (s2 * n) AS BIGINT) AS ess_ratio_ppm
+        |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      Tables(s, dir).documents
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("s1"),
+          sum((col("w") * col("w"))).as("s2"))
+        .select(col("lang"), col("n").as("n_docs"), col("s1").as("total_tokens"),
+          expr(s"CAST(CAST(s1 AS $dec) * CAST(s1 AS $dec) div s2 AS BIGINT)").as("ess"),
+          expr(s"CAST(CAST(s1 AS $dec) * CAST(s1 AS $dec) * 1000000" +
+            s" div (CAST(s2 AS $dec) * n) AS BIGINT)").as("ess_ratio_ppm"))
+        .orderBy("lang")
+    },
+
+    // Shard rebalancing plan (consistent-hash maintenance): per-shard row
+    // counts vs the balanced target (floor + remainder-to-low-shards
+    // rule), and the minimum-transfer flow between ADJACENT shards = the
+    // running prefix of surpluses (the classic transshipment identity).
+    // The windowed prefix runs over 16 shard rows — the fact-sized work
+    // is one map-side-combined count, so the plan costs one scan at any
+    // scale and the output is the mover's worklist.
+    QueryDef.sql(
+      "q286_shard_rebalance",
+      """WITH s AS (SELECT user_id % 16 AS shard, COUNT(*) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM s),
+        |a AS (SELECT shard, n,
+        |        tot // 16 + CASE WHEN shard < tot % 16 THEN 1 ELSE 0 END AS target
+        |      FROM s, t),
+        |b AS (SELECT shard, n, target, n - target AS surplus,
+        |        SUM(n - target) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM a)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(target AS BIGINT) AS target, CAST(surplus AS BIGINT) AS surplus,
+        |  CAST(cum AS BIGINT) AS flow_right, CAST(abs(cum) AS BIGINT) AS moved
+        |FROM b ORDER BY shard""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir).events
+        .groupBy((col("user_id") % 16).as("shard")).agg(count(lit(1)).as("n"))
+      val t = sh.agg(sum(col("n")).as("tot"))
+      val w = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.crossJoin(broadcast(t))
+        .select(col("shard"), col("n"),
+          (expr("tot div 16") +
+            when(col("shard") < col("tot") % 16, 1L).otherwise(0L)).as("target"))
+        .withColumn("surplus", col("n") - col("target"))
+        .withColumn("cum", sum(col("surplus")).over(w))
+        .select(col("shard"), col("n").as("n_rows"), col("target"), col("surplus"),
+          col("cum").as("flow_right"), abs(col("cum")).as("moved"))
+        .orderBy("shard")
+    },
+
+    // String-format inference (the reference's data-scan NUMBER classifier
+    // — SURVEY §2.4 A5 — in its string-column flavor): five rendered
+    // columns vote each value into date / int / decimal / text via a regex
+    // ladder, and the per-column majority (count-desc, class-asc
+    // tie-break) is the inferred type — including a deliberately mixed
+    // column whose verdict must not be fooled. One unpivoted scan,
+    // column-grain output; the regexes are codegen'd Java patterns.
+    QueryDef.sql(
+      "q287_format_inference",
+      """WITH vals AS (
+        |  SELECT 'c1_date' AS colname, strftime(o_orderdate, '%Y-%m-%d') AS v FROM orders
+        |  UNION ALL SELECT 'c2_int', CAST(o_orderkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'c3_dec',
+        |    CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '.'
+        |    || CAST(o_orderkey % 10 AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'c4_text', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'c5_mixed',
+        |    CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |         ELSE o_orderpriority END FROM orders),
+        |cl AS (
+        |  SELECT colname,
+        |    CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |         WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+        |         WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'decimal'
+        |         ELSE 'text' END AS cls
+        |  FROM vals),
+        |cnt AS (SELECT colname, cls, COUNT(*) AS n FROM cl GROUP BY 1, 2),
+        |v AS (SELECT colname, cls, n,
+        |        row_number() OVER (PARTITION BY colname ORDER BY n DESC, cls) AS rk
+        |      FROM cnt)
+        |SELECT c.colname, CAST(SUM(c.n) AS BIGINT) AS n_values,
+        |  CAST(SUM(CASE WHEN c.cls = 'date' THEN c.n ELSE 0 END) AS BIGINT) AS n_date,
+        |  CAST(SUM(CASE WHEN c.cls = 'int' THEN c.n ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(SUM(CASE WHEN c.cls = 'decimal' THEN c.n ELSE 0 END) AS BIGINT) AS n_dec,
+        |  CAST(SUM(CASE WHEN c.cls = 'text' THEN c.n ELSE 0 END) AS BIGINT) AS n_text,
+        |  MIN(w.cls) AS verdict
+        |FROM cnt c JOIN (SELECT colname, cls FROM v WHERE rk = 1) w
+        |  ON c.colname = w.colname
+        |GROUP BY c.colname ORDER BY c.colname""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val vals = o.select(lit("c1_date").as("colname"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("v"))
+        .unionAll(o.select(lit("c2_int"), col("o_orderkey").cast("string")))
+        .unionAll(o.select(lit("c3_dec"),
+          concat(floor(col("o_totalprice") * 100).cast("long").cast("string"),
+            lit("."), (col("o_orderkey") % 10).cast("string"))))
+        .unionAll(o.select(lit("c4_text"), col("o_orderpriority")))
+        .unionAll(o.select(lit("c5_mixed"),
+          when(col("o_orderkey") % 2 === 0, col("o_orderkey").cast("string"))
+            .otherwise(col("o_orderpriority"))))
+      val cl = vals.select(col("colname"),
+        when(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+          .when(col("v").rlike("^-?[0-9]+$"), "int")
+          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "decimal")
+          .otherwise("text").as("cls"))
+      val cnt = cl.groupBy("colname", "cls").agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy("colname").orderBy(col("n").desc, col("cls").asc)
+      val verdict = cnt.withColumn("rk", row_number().over(wv))
+        .where(col("rk") === 1)
+        .select(col("colname").as("vc"), col("cls").as("verdict"))
+      cnt.join(verdict, col("colname") === col("vc"))
+        .groupBy("colname")
+        .agg(sum(col("n")).as("n_values"),
+          sum(when(col("cls") === "date", col("n")).otherwise(0L)).as("n_date"),
+          sum(when(col("cls") === "int", col("n")).otherwise(0L)).as("n_int"),
+          sum(when(col("cls") === "decimal", col("n")).otherwise(0L)).as("n_dec"),
+          sum(when(col("cls") === "text", col("n")).otherwise(0L)).as("n_text"),
+          min(col("verdict")).as("verdict"))
+        .orderBy("colname")
     })
 }
