@@ -898,5 +898,157 @@ object CurationQueries {
           sum(when(col("cls") === "text", col("n")).otherwise(0L)).as("n_text"),
           min(col("verdict")).as("verdict"))
         .orderBy("colname")
+    },
+
+    // Length-bucketed batching audit: docs are banded by token length
+    // (16-token bands, capped at band 7) and each band prices its padding
+    // waste if every doc pads to the band maximum — against the single-
+    // band baseline where everything pads to the global max. The waste
+    // drop is why training loaders bucket by length. Map-only banding +
+    // one band-grain rollup; the 'z_all' row reuses the same scan shape.
+    QueryDef.sql(
+      "q288_length_batching",
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS l FROM documents),
+        |b AS (SELECT l, 'band_' || CAST(LEAST(l // 16, 7) AS VARCHAR) AS band FROM d),
+        |per AS (
+        |  SELECT band, COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS sum_l,
+        |    CAST(MAX(l) AS BIGINT) AS max_l
+        |  FROM b GROUP BY band
+        |  UNION ALL
+        |  SELECT 'z_all', COUNT(*), CAST(SUM(l) AS BIGINT), CAST(MAX(l) AS BIGINT)
+        |  FROM d)
+        |SELECT band, CAST(n AS BIGINT) AS n_docs, sum_l AS sum_tokens, max_l AS max_len,
+        |  CAST((max_l * n - sum_l) * 1000000 // (max_l * n) AS BIGINT) AS waste_ppm
+        |FROM per ORDER BY band""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(size(split(col("text"), " ")).cast("long").as("l"))
+      val banded = d
+        .groupBy(concat(lit("band_"), least(expr("l div 16"), lit(7L)).cast("string"))
+          .as("band"))
+        .agg(count(lit(1)).as("n"), sum(col("l")).as("sum_l"), max(col("l")).as("max_l"))
+      val allRow = d.agg(count(lit(1)).as("n"), sum(col("l")).as("sum_l"),
+          max(col("l")).as("max_l"))
+        .select(lit("z_all").as("band"), col("n"), col("sum_l"), col("max_l"))
+      banded.unionAll(allRow)
+        .select(col("band"), col("n").as("n_docs"), col("sum_l").as("sum_tokens"),
+          col("max_l").as("max_len"),
+          expr("(max_l * n - sum_l) * 1000000 div (max_l * n)").as("waste_ppm"))
+        .orderBy("band")
+    },
+
+    // Per-source quota enforcement: each source keeps its top-15 docs by
+    // (quality proxy = n_chars, doc_id tie-break) and reports what the
+    // policy evicts — the dominance cap run after dedup so one crawl
+    // domain can't flood the mixture. The rank window partitions by
+    // source (parallel across sources; per-source top-k is the native
+    // top-k-per-group shape q106 implements at scale).
+    QueryDef.sql(
+      "q289_source_quota",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) * 1000000
+        |    // SUM(n_chars) AS BIGINT) AS kept_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables(s, dir).documents
+        .select(col("source"), col("n_chars"), row_number().over(w).as("rk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 15, 1L).otherwise(0L)).as("kept_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("rk") <= 15, col("n_chars")).otherwise(0L)).as("kept_chars"),
+          expr("sum(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) * 1000000" +
+            " div sum(n_chars)").as("kept_ppm"))
+        .orderBy("source")
+    },
+
+    // Stable vocabulary-id evolution (q242 builds ids once — this RE-runs
+    // on a grown corpus without breaking old ids): words already in the
+    // old snapshot keep their dense rank-ids; new words append after
+    // max(old id) in lexical order. The old-id join is vocab-sized
+    // (broadcast); id stability is what lets a re-trained tokenizer read
+    // yesterday's tokenized 100 TB corpus without re-encoding it.
+    QueryDef.sql(
+      "q290_stable_vocab_ids",
+      """WITH old_w AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |old_ids AS (SELECT w, row_number() OVER (ORDER BY w) AS id FROM old_w),
+        |new_w AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+        |j AS (SELECT n.w, o.id AS old_id
+        |      FROM new_w n LEFT JOIN old_ids o ON n.w = o.w),
+        |mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM old_ids),
+        |nw AS (SELECT w, row_number() OVER (ORDER BY w) AS r FROM j
+        |       WHERE old_id IS NULL)
+        |SELECT j.w AS word, CAST(COALESCE(j.old_id, mx.m + nw.r) AS BIGINT) AS id,
+        |  CASE WHEN j.old_id IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM j LEFT JOIN nw ON j.w = nw.w CROSS JOIN mx
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      def vocab(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(split(col("text"), " ")).as("w")).distinct()
+      val docs = Tables(s, dir).documents
+      val oldIds = vocab(docs.where(col("doc_id") % 2 === 0))
+        .select(col("w").as("ow"), row_number().over(Window.orderBy("w")).as("id"))
+      val j = vocab(docs)
+        .join(broadcast(oldIds), col("w") === col("ow"), "left_outer")
+        .select(col("w"), col("id").as("old_id"))
+      val mx = oldIds.agg(coalesce(max(col("id")), lit(0)).as("m"))
+      val nw = j.where(col("old_id").isNull)
+        .select(col("w").as("nww"), row_number().over(Window.orderBy("w")).as("r"))
+      j.join(broadcast(nw), col("w") === col("nww"), "left_outer")
+        .crossJoin(broadcast(mx))
+        .select(col("w").as("word"),
+          coalesce(col("old_id"), col("m") + col("r")).cast("long").as("id"),
+          when(col("old_id").isNull, 1).otherwise(0).as("is_new"))
+        .orderBy("id")
+    },
+
+    // Position-debiased CTR (inverse-propensity weighting): view events
+    // carry a deterministic rank position and a synthetic click whose
+    // rate decays with position; IPW weight 10⁶ div p re-weights clicks
+    // so the overall CTR isn't dominated by position-1 exposure. Per-
+    // position board plus a 'z_overall' row comparing naive vs debiased
+    // CTR in exact ppm. One map-only projection + two rollups of 5 rows.
+    QueryDef.sql(
+      "q291_position_debias",
+      """WITH imp AS (
+        |  SELECT 1 + (event_id % 5) AS p,
+        |    CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % (2 + (event_id % 5)) = 0
+        |      THEN 1 ELSE 0 END AS clicked
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (SELECT p, clicked, 1000000 // p AS wt FROM imp),
+        |per AS (
+        |  SELECT 'p_' || CAST(p AS VARCHAR) AS pos, COUNT(*) AS n_imp,
+        |    CAST(SUM(clicked) AS BIGINT) AS n_clicks,
+        |    CAST(SUM(clicked) * 1000000 // COUNT(*) AS BIGINT) AS ctr_ppm
+        |  FROM w GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'z_overall', COUNT(*), CAST(SUM(clicked) AS BIGINT),
+        |    CAST(SUM(clicked * wt) * 1000000 // SUM(wt) AS BIGINT)
+        |  FROM w)
+        |SELECT pos, CAST(n_imp AS BIGINT) AS n_imp, n_clicks, ctr_ppm
+        |FROM per ORDER BY pos""".stripMargin) { (s, dir) =>
+      val imp = Tables(s, dir).events
+        .where(col("event_type") === "view")
+        .select((lit(1) + col("event_id") % 5).as("p"),
+          when(floor(col("value") * 100).cast("long") % (lit(2) + col("event_id") % 5) === 0,
+            1L).otherwise(0L).as("clicked"))
+        .withColumn("wt", expr("1000000 div p"))
+      val per = imp
+        .groupBy(concat(lit("p_"), col("p").cast("string")).as("pos"))
+        .agg(count(lit(1)).as("n_imp"), sum(col("clicked")).as("n_clicks"),
+          expr("sum(clicked) * 1000000 div count(1)").as("ctr_ppm"))
+      val overall = imp.agg(count(lit(1)).as("n_imp"), sum(col("clicked")).as("n_clicks"),
+          expr("sum(clicked * wt) * 1000000 div sum(wt)").as("ctr_ppm"))
+        .select(lit("z_overall").as("pos"), col("n_imp"), col("n_clicks"), col("ctr_ppm"))
+      per.unionAll(overall).orderBy("pos")
     })
 }
