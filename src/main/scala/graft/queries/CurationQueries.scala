@@ -610,18 +610,22 @@ object CurationQueries {
     },
 
     // Z-order vs row-major clustering audit (q250 priced zone maps — this
-    // computes REAL Morton codes): 8-bit (x, y) keys are bit-interleaved
+    // computes REAL Morton codes): 6-bit (x, y) keys are bit-interleaved
     // with the classic spread-mask ladder (pure integer & | << arithmetic,
     // masks written in decimal — 3855 = 0x0F0F etc.), rows are bucketed by
-    // the top 10 Z bits vs the top 10 row-major bits, and each layout pays
-    // its summed per-bucket bounding-box area — the locality currency of
-    // 2-D data skipping. Map-only projection + one bucket-grain rollup per
-    // layout; at 100 TB this is the cheap pre-flight before rewriting a
-    // table Z-ordered.
+    // 64-cell Z blocks vs 64-cell row-major strips, and each layout is
+    // priced by the locality currency that actually matters for 2-D data
+    // skipping: how many bucket bounding boxes an 8×8 probe square must
+    // touch, summed over a 4×4 probe grid. (Summed bbox AREA is a false
+    // currency — 1×64 row-major strips and 8×8 Z blocks tie on area; the
+    // probe count is where Z's squareness wins.) Map-only projection, one
+    // bucket-grain rollup per layout, then a 49-probe broadcast join
+    // against bucket-grain stats — at 100 TB this is the cheap pre-flight
+    // before rewriting a table Z-ordered.
     QueryDef.sql(
       "q282_zorder_cluster",
       """WITH pts AS (
-        |  SELECT user_id % 256 AS x, CAST(FLOOR(value) AS BIGINT) % 256 AS y
+        |  SELECT user_id % 64 AS x, CAST(FLOOR(value) AS BIGINT) % 64 AS y
         |  FROM events),
         |sp AS (
         |  SELECT x, y,
@@ -634,7 +638,7 @@ object CurationQueries {
         |z AS (
         |  SELECT x, y,
         |    (((x2 * 2 + x2) & 21845) + 2 * ((y2 * 2 + y2) & 21845)) AS zval,
-        |    (x * 256 + y) AS rmval
+        |    (x * 64 + y) AS rmval
         |  FROM sp2),
         |b AS (
         |  SELECT 'a_zorder' AS layout, zval // 64 AS bucket, x, y FROM z
@@ -642,16 +646,28 @@ object CurationQueries {
         |  SELECT 'b_rowmajor', rmval // 64, x, y FROM z),
         |per AS (
         |  SELECT layout, bucket, COUNT(*) AS n,
-        |    (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox
-        |  FROM b GROUP BY 1, 2)
-        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-        |  CAST(SUM(n) AS BIGINT) AS n_rows,
-        |  CAST(SUM(bbox) AS BIGINT) AS sum_bbox_area,
-        |  CAST(MAX(bbox) AS BIGINT) AS max_bbox_area
-        |FROM per GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
+        |    MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+        |  FROM b GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT 16 * i.i + 4 AS px, 16 * j.j + 4 AS py
+        |  FROM generate_series(0, 3) i(i), generate_series(0, 3) j(j)),
+        |touch AS (
+        |  SELECT p.layout, COUNT(*) AS t
+        |  FROM per p JOIN probes pr
+        |    ON p.x1 >= pr.px AND p.x0 <= pr.px + 7
+        |   AND p.y1 >= pr.py AND p.y0 <= pr.py + 7
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT layout, COUNT(*) AS n_buckets, SUM(n) AS n_rows
+        |  FROM per GROUP BY 1)
+        |SELECT a.layout, CAST(a.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(a.n_rows AS BIGINT) AS n_rows,
+        |  CAST(touch.t AS BIGINT) AS touched_buckets
+        |FROM agg a JOIN touch ON a.layout = touch.layout
+        |ORDER BY a.layout""".stripMargin) { (s, dir) =>
       val pts = Tables(s, dir).events
-        .select((col("user_id") % 256).as("x"),
-          (floor(col("value")).cast("long") % 256).as("y"))
+        .select((col("user_id") % 64).as("x"),
+          (floor(col("value")).cast("long") % 64).as("y"))
       // spread-mask ladder: v|v<<k written as v*2^k + v (identical bits for
       // disjoint masks), & with decimal mask constants
       val z = pts
@@ -660,18 +676,27 @@ object CurationQueries {
         .withColumn("x2", expr("(x1 * 4 + x1) & 13107"))
         .withColumn("y2", expr("(y1 * 4 + y1) & 13107"))
         .withColumn("zval", expr("((x2 * 2 + x2) & 21845) + 2 * ((y2 * 2 + y2) & 21845)"))
-        .withColumn("rmval", expr("x * 256 + y"))
+        .withColumn("rmval", expr("x * 64 + y"))
       val b = z.select(lit("a_zorder").as("layout"), expr("zval div 64").as("bucket"),
           col("x"), col("y"))
         .unionAll(z.select(lit("b_rowmajor").as("layout"), expr("rmval div 64").as("bucket"),
           col("x"), col("y")))
-      b.groupBy("layout", "bucket")
+      val per = b.groupBy("layout", "bucket")
         .agg(count(lit(1)).as("n"),
-          ((max(col("x")) - min(col("x")) + 1) * (max(col("y")) - min(col("y")) + 1))
-            .as("bbox"))
-        .groupBy("layout")
-        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
-          sum(col("bbox")).as("sum_bbox_area"), max(col("bbox")).as("max_bbox_area"))
+          min(col("x")).as("bx0"), max(col("x")).as("bx1"),
+          min(col("y")).as("by0"), max(col("y")).as("by1"))
+      val probes = s.range(0, 4).select(col("id").as("i"))
+        .crossJoin(s.range(0, 4).select(col("id").as("j")))
+        .select((col("i") * 16 + 4).as("px"), (col("j") * 16 + 4).as("py"))
+      val touched = per.join(broadcast(probes),
+          col("bx1") >= col("px") && col("bx0") <= col("px") + 7 &&
+          col("by1") >= col("py") && col("by0") <= col("py") + 7)
+        .groupBy(col("layout").as("tl"))
+        .agg(count(lit(1)).as("touched_buckets"))
+      per.groupBy("layout")
+        .agg(countDistinct(col("bucket")).as("n_buckets"), sum(col("n")).as("n_rows"))
+        .join(touched, col("layout") === col("tl"))
+        .select(col("layout"), col("n_buckets"), col("n_rows"), col("touched_buckets"))
         .orderBy("layout")
     },
 
@@ -799,8 +824,11 @@ object CurationQueries {
     // scale and the output is the mover's worklist.
     QueryDef.sql(
       "q286_shard_rebalance",
-      """WITH s AS (SELECT user_id % 16 AS shard, COUNT(*) AS n
-        |           FROM events GROUP BY 1),
+      """WITH s0 AS (SELECT user_id % 16 AS shard, COUNT(*) AS n
+        |            FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT g.i AS shard, COALESCE(s0.n, 0) AS n
+        |  FROM generate_series(0, 15) g(i) LEFT JOIN s0 ON s0.shard = g.i),
         |t AS (SELECT SUM(n) AS tot FROM s),
         |a AS (SELECT shard, n,
         |        tot // 16 + CASE WHEN shard < tot % 16 THEN 1 ELSE 0 END AS target
@@ -813,8 +841,13 @@ object CurationQueries {
         |  CAST(target AS BIGINT) AS target, CAST(surplus AS BIGINT) AS surplus,
         |  CAST(cum AS BIGINT) AS flow_right, CAST(abs(cum) AS BIGINT) AS moved
         |FROM b ORDER BY shard""".stripMargin) { (s, dir) =>
-      val sh = Tables(s, dir).events
-        .groupBy((col("user_id") % 16).as("shard")).agg(count(lit(1)).as("n"))
+      // seed all 16 shards: an empty shard still needs its target row in
+      // the mover's worklist (sf0.001 proved one can be empty)
+      val sh0 = Tables(s, dir).events
+        .groupBy((col("user_id") % 16).as("shard0")).agg(count(lit(1)).as("n0"))
+      val sh = s.range(16).select(col("id").as("shard"))
+        .join(broadcast(sh0), col("shard") === col("shard0"), "left_outer")
+        .select(col("shard"), coalesce(col("n0"), lit(0L)).as("n"))
       val t = sh.agg(sum(col("n")).as("tot"))
       val w = Window.orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
