@@ -335,6 +335,53 @@ object ScaleCheck {
     val merkleSec = (t51 - t50) / 1e9
     println(f"""{"scenario":"merkle","rows":${2 * n},"diverging_leaves":$nDiverge,""" +
       f""""sec":$merkleSec%.2f,"rows_per_sec":${(2 * n / merkleSec).toLong}}""")
+
+    // Content-defined chunking (q283's shape) at corpus scale: the rolling
+    // 8-char polynomial hash runs as nested in-row HOFs — ~8·L integer ops
+    // per doc inside codegen, zero explode, zero shuffle until the final
+    // source-grain rollup. Throughput should track cores × chars/sec, not
+    // doc count.
+    val nCdc = n / 10
+    val cdcDocs = spark.range(nCdc).select((col("id") % 32).as("src"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"w${i}_"), col("id") * 31 + lit(i))): _*).as("t"))
+    val t60 = System.nanoTime()
+    val cdcAgg = cdcDocs
+      .select(col("src"), length(col("t")).as("l"),
+        expr("size(filter(sequence(8, length(t)), i -> " +
+          "aggregate(sequence(i - 7, i), 0L, (a, k) -> " +
+          "a * 31 + ascii(substring(t, k, 1))) % 64 = 0))").as("nb"))
+      .groupBy("src")
+      .agg(sum("l").as("chars"), sum("nb").as("bounds"))
+      .agg(sum("chars"), sum("bounds")).head()
+    val t61 = System.nanoTime()
+    val cdcSec = (t61 - t60) / 1e9
+    println(f"""{"scenario":"cdc_chunk","docs":$nCdc,"chars":${cdcAgg.getLong(0)},""" +
+      f""""boundaries":${cdcAgg.getLong(1)},"sec":$cdcSec%.2f,""" +
+      f""""docs_per_sec":${(nCdc / cdcSec).toLong}}""")
+
+    // Bitmap set algebra (q271's shape) over a 100M-id universe: each
+    // side's distinct ids pack into 32-bit words (bit_or), one word-grain
+    // join + popcount answers |A∩B| — versus the set-semi-join baseline
+    // that shuffles id-grain rows. The two answers MUST match exactly;
+    // the bitmap side's join grain is 32× smaller.
+    val uniVerse = 100000000L
+    val setA = spark.range(n / 2).select((col("id") * 9 % uniVerse).as("uid"))
+    val setB = spark.range(n / 2).select((col("id") * 21 % uniVerse).as("uid"))
+    val t70 = System.nanoTime()
+    def words(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.distinct().groupBy(expr("uid div 32").as("wi"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(uid % 32 AS INT)))").as(side))
+    val nBoth = words(setA, "a").join(words(setB, "b"), "wi")
+      .agg(sum(expr("bit_count(a & b)"))).head().getLong(0)
+    val t71 = System.nanoTime()
+    val nBothExact = setA.distinct()
+      .join(setB.distinct(), Seq("uid"), "left_semi").count()
+    val t72 = System.nanoTime()
+    require(nBoth == nBothExact, s"bitmap $nBoth != exact $nBothExact")
+    println(f"""{"scenario":"bitmap_intersect","universe":$uniVerse,"side_rows":${n / 2},""" +
+      f""""n_both":$nBoth,"bitmap_sec":${(t71 - t70) / 1e9}%.2f,""" +
+      f""""setjoin_sec":${(t72 - t71) / 1e9}%.2f}""")
     spark.stop()
   }
 }
