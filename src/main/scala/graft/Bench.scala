@@ -43,8 +43,9 @@ object Bench {
     "q128_pagerank", "q159_triangles", "q85_bloom_prune", "q86_salted_agg",
     // sinks
     "q45_csv_roundtrip", "q52_orc_roundtrip",
-    // round-4 profiling / planner families
-    "q215_numeric_profile", "q232_merkle_compare", "q223_vocab_oov")
+    // round-4 profiling / planner / curation families
+    "q215_numeric_profile", "q232_merkle_compare", "q223_vocab_oov",
+    "q271_bitmap_intersect", "q282_zorder_cluster", "q283_cdc_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
