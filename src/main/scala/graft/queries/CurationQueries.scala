@@ -1083,5 +1083,160 @@ object CurationQueries {
           expr("sum(clicked * wt) * 1000000 div sum(wt)").as("ctr_ppm"))
         .select(lit("z_overall").as("pos"), col("n_imp"), col("n_clicks"), col("ctr_ppm"))
       per.unionAll(overall).orderBy("pos")
+    },
+
+    // Backfill-wave planner (q116's spine turned into a worklist): dates
+    // missing from the fact table (spine anti-join) are packed into
+    // 7-day backfill waves in chronological order; each wave row carries
+    // its day count and date range. The spine is date-grain (a few
+    // thousand rows even for decades), so planning costs one fact scan
+    // for the present-date set — the DAG a scheduler replays after an
+    // outage, sized so each wave is one cluster run.
+    QueryDef.sql(
+      "q292_backfill_plan",
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |             max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |            AS day FROM b),
+        |present AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+        |missing AS (
+        |  SELECT s.day, row_number() OVER (ORDER BY s.day) AS rk
+        |  FROM spine s LEFT JOIN present p ON s.day = p.day
+        |  WHERE p.day IS NULL)
+        |SELECT CAST((rk - 1) // 7 AS BIGINT) AS wave, COUNT(*) AS n_days,
+        |  CAST(MIN(day) AS VARCHAR) AS from_day, CAST(MAX(day) AS VARCHAR) AS to_day
+        |FROM missing GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val b = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      val spine = b.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val present = o.select(to_date(col("o_orderdate")).as("pday")).distinct()
+      val missing = spine
+        .join(present, col("day") === col("pday"), "left_anti")
+        .withColumn("rk", row_number().over(Window.orderBy("day")))
+      missing
+        .groupBy(expr("(rk - 1) div 7").as("wave"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("day")).cast("string").as("from_day"),
+          max(col("day")).cast("string").as("to_day"))
+        .orderBy("wave")
+    },
+
+    // Streaming-dedup state sizing: dropDuplicates under a 1-hour
+    // watermark holds every key seen in the current OR previous hour —
+    // sizing that state BEFORE deploying is this query. Distinct
+    // (hour, key) pairs project onto themselves plus hour+1 (the
+    // spillover), and the per-hour distinct count is the concurrent
+    // state-row high-water mark, reported per day as max/avg. Work is
+    // (hour, key)-grain — already deduplicated — so at 100 TB the sizing
+    // pass costs far less than the stream it protects.
+    QueryDef.sql(
+      "q293_state_sizing",
+      """WITH hk AS (
+        |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb, user_id FROM events),
+        |pairs AS (
+        |  SELECT hb, user_id FROM hk
+        |  UNION SELECT hb + 1, user_id FROM hk),
+        |st AS (SELECT hb, COUNT(*) AS state_rows FROM pairs GROUP BY 1)
+        |SELECT CAST(hb // 24 AS BIGINT) AS day_idx,
+        |  CAST(MAX(state_rows) AS BIGINT) AS max_state,
+        |  CAST(CAST(SUM(state_rows) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_state,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val hk = Tables(s, dir).events
+        .select(expr("unix_micros(ts) div 3600000000").as("hb"), col("user_id"))
+        .distinct()
+      val pairs = hk.union(hk.select((col("hb") + 1).as("hb"), col("user_id"))).distinct()
+      pairs.groupBy("hb").agg(count(lit(1)).as("state_rows"))
+        .groupBy(expr("hb div 24").as("day_idx"))
+        .agg(max(col("state_rows")).as("max_state"),
+          expr("sum(state_rows) div count(1)").as("avg_state"),
+          count(lit(1)).as("n_hours"))
+        .orderBy("day_idx")
+    },
+
+    // Hard-negative mining (q243 samples RANDOM negatives — these are the
+    // hardest): for each anchor vector, the most-similar vector with a
+    // DIFFERENT label, by exact integer-scaled cosine with (cos desc,
+    // cid) tie-break. Anchors broadcast against the corpus (q29's shape);
+    // at 100 TB the same query runs per-IVF-cell (q55) to keep the pair
+    // space bounded — the mining pass that makes contrastive training
+    // batches actually contrastive.
+    QueryDef.sql(
+      "q294_hard_negatives",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 500 = 0),
+        |c AS (SELECT vec_id AS cid, label AS clabel, embedding AS cv FROM embeddings),
+        |pd AS (
+        |  SELECT qid, qlabel, cid, clabel,
+        |    SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      * CAST(FLOOR(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS dxy,
+        |    SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      * CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS dxx,
+        |    SUM(CAST(FLOOR(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      * CAST(FLOOR(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS dyy
+        |  FROM q JOIN c ON qlabel <> clabel, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT qid, qlabel, cid, clabel,
+        |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
+        |      / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT)
+        |      AS cos_scaled
+        |  FROM pd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_scaled DESC, cid) AS rk FROM sc)
+        |SELECT qid, qlabel, cid AS hard_cid, clabel AS hard_clabel, cos_scaled
+        |FROM r WHERE rk = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val q = e.where(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("cv"))
+      val sc = c.join(broadcast(q), col("qlabel") =!= col("clabel"))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+          graft.operators.Similarity.cosineScaled(col("qv"), col("cv")).as("cos_scaled"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_scaled").desc, col("cid").asc)
+      sc.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("qid"), col("qlabel"), col("cid").as("hard_cid"),
+          col("clabel").as("hard_clabel"), col("cos_scaled"))
+        .orderBy("qid")
+    },
+
+    // Partition-spec evolution advisor (Iceberg-style): per month, the
+    // daily-partition layout is priced by its average per-day bytes
+    // (deterministic row-width model) against target file sizing — too
+    // small advises coarsening to monthly partitions, too large advises
+    // splitting to hourly, else keep daily. Month-grain output from one
+    // map-side-combined day rollup; the advice table is what a 100 TB
+    // lake's maintenance job turns into ALTER TABLE ... PARTITION BY.
+    QueryDef.sql(
+      "q295_partition_evolution",
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(32 + len(o_orderpriority)) AS BIGINT) AS b
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT month, COUNT(*) AS n_days, CAST(SUM(b) AS BIGINT) AS month_bytes,
+        |    CAST(CAST(SUM(b) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_day_bytes
+        |  FROM d GROUP BY 1)
+        |SELECT month, n_days, month_bytes, avg_day_bytes,
+        |  CASE WHEN avg_day_bytes < 4096 THEN 'coarsen_to_month'
+        |       WHEN avg_day_bytes > 65536 THEN 'split_to_hour'
+        |       ELSE 'keep_daily' END AS advice
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(lit(32) + length(col("o_orderpriority"))).as("b"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum(col("b")).as("month_bytes"),
+          expr("sum(b) div count(1)").as("avg_day_bytes"))
+        .select(col("month"), col("n_days"), col("month_bytes"), col("avg_day_bytes"),
+          when(col("avg_day_bytes") < 4096, "coarsen_to_month")
+            .when(col("avg_day_bytes") > 65536, "split_to_hour")
+            .otherwise("keep_daily").as("advice"))
+        .orderBy("month")
     })
 }
