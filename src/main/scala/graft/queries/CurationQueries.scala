@@ -1238,5 +1238,143 @@ object CurationQueries {
             .when(col("avg_day_bytes") > 65536, "split_to_hour")
             .otherwise("keep_daily").as("advice"))
         .orderBy("month")
+    },
+
+    // Quality-classifier feature assembly: the per-doc feature vector a
+    // fastText-style quality model consumes — token count, type-token
+    // ratio, stopword share, digit share, max word length — computed in
+    // ONE in-row projection (array HOFs + global-flag regex; no explode,
+    // no joins). At 100 TB this runs map-only next to the scan; the
+    // sampled doc grain keeps the oracle small while the projection is
+    // corpus-shaped.
+    QueryDef.sql(
+      "q296_quality_features",
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT) AS ttr_ppm,
+        |  CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) * 1000000
+        |    // len(ws) AS BIGINT) AS stop_ppm,
+        |  CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000
+        |    // len(text) AS BIGINT) AS digit_ppm,
+        |  CAST(list_max(list_transform(ws, w -> len(w))) AS BIGINT) AS max_word_len
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("size(array_distinct(ws)) * 1000000 div size(ws)").as("ttr_ppm"),
+          expr("size(filter(ws, w -> w = 'the' OR w = 'a')) * 1000000 div size(ws)")
+            .as("stop_ppm"),
+          expr("length(regexp_replace(text, '[^0-9]', '')) * 1000000" +
+            " div length(text)").as("digit_ppm"),
+          expr("CAST(array_max(transform(ws, w -> length(w))) AS BIGINT)")
+            .as("max_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // LSH bucket label purity (q204 audits MinHash RECALL — this audits
+    // whether hyperplane-LSH buckets preserve LABELS): each vector lands
+    // in its 8-bit signed-projection bucket (q30's md5-derived
+    // hyperplanes), each bucket elects a majority label (count-desc,
+    // label-asc tie-break), and purity = majority mass over bucket mass,
+    // rolled up by bucket-size band. High purity in big buckets means ANN
+    // candidates mostly agree with the classifier — the go/no-go audit
+    // before swapping brute-force for LSH in a labeled-retrieval path.
+    QueryDef.sql(
+      "q297_lsh_label_purity",
+      """WITH hp AS (SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 2))::INT
+        |      % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 7) t1(j), generate_series(1, 64) t2(i)),
+        |evb AS (SELECT vec_id, label, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |dots AS (SELECT vec_id, label, j, SUM(s * x) AS d
+        |         FROM evb JOIN hp USING (i) GROUP BY 1, 2, 3),
+        |buck AS (SELECT vec_id, label,
+        |    CAST(SUM(CASE WHEN d > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |bl AS (SELECT bucket, label, COUNT(*) AS n FROM buck GROUP BY 1, 2),
+        |mj AS (SELECT bucket, SUM(n) AS bn,
+        |    MAX(n) AS mx
+        |  FROM bl GROUP BY 1),
+        |band AS (
+        |  SELECT CASE WHEN bn = 1 THEN 'a_single' WHEN bn <= 4 THEN 'b_small'
+        |              ELSE 'c_large' END AS size_band, bn, mx
+        |  FROM mj)
+        |SELECT size_band, COUNT(*) AS n_buckets,
+        |  CAST(SUM(bn) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(mx) * 1000000 // SUM(bn) AS BIGINT) AS purity_ppm
+        |FROM band GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val buck = e.select(
+        graft.operators.Similarity.lshBucket(col("embedding"), 8).as("bucket"),
+        col("label"))
+      val bl = buck.groupBy("bucket", "label").agg(count(lit(1)).as("n"))
+      val mj = bl.groupBy("bucket").agg(sum(col("n")).as("bn"), max(col("n")).as("mx"))
+      mj.select(
+          when(col("bn") === 1, "a_single").when(col("bn") <= 4, "b_small")
+            .otherwise("c_large").as("size_band"),
+          col("bn"), col("mx"))
+        .groupBy("size_band")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("bn")).as("n_vecs"),
+          expr("sum(mx) * 1000000 div sum(bn)").as("purity_ppm"))
+        .orderBy("size_band")
+    },
+
+    // BPE roundtrip contract (q272's inverse): decoding each encoded word
+    // — un-merging the ladder in reverse order — must reproduce the
+    // original character sequence exactly, because BPE merges are
+    // bijective on the training alphabet. The audit reports any word
+    // whose roundtrip breaks (there must be none) plus corpus totals; the
+    // losslessness gate a tokenizer build runs before committing a merge
+    // table that will encode 100 TB.
+    QueryDef.sql(
+      "q298_bpe_roundtrip",
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (
+        |  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s
+        |  FROM words WHERE word <> ''),
+        |m AS (
+        |  SELECT word, s,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |      s, 't h', 'th'), 'e r', 'er'), 'i n', 'in'), 'o r', 'or'),
+        |      'a t', 'at'), 'th e', 'the'), 's t', 'st'), 'o w', 'ow') AS enc
+        |  FROM c),
+        |d AS (
+        |  SELECT word, s, enc,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |      enc, 'ow', 'o w'), 'st', 's t'), 'the', 'th e'), 'at', 'a t'),
+        |      'or', 'o r'), 'in', 'i n'), 'er', 'e r'), 'th', 't h') AS dec
+        |  FROM m)
+        |SELECT COUNT(*) AS n_words,
+        |  CAST(SUM(CASE WHEN dec = s THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+        |  CAST(SUM(len(string_split(enc, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS total_chars
+        |FROM d""".stripMargin) { (s, dir) =>
+      val merges = Seq("t h" -> "th", "e r" -> "er", "i n" -> "in", "o r" -> "or",
+        "a t" -> "at", "th e" -> "the", "s t" -> "st", "o w" -> "ow")
+      val chars = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "").distinct()
+        .select(col("word"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+      val enc = merges.foldLeft(chars) { case (df, (from, to)) =>
+        df.withColumn("enc",
+          expr(s"replace(${if (df.columns.contains("enc")) "enc" else "s"}, '$from', '$to')"))
+      }
+      val dec = merges.reverse.foldLeft(enc) { case (df, (from, to)) =>
+        df.withColumn("dec",
+          expr(s"replace(${if (df.columns.contains("dec")) "dec" else "enc"}, '$to', '$from')"))
+      }
+      dec.agg(count(lit(1)).as("n_words"),
+        sum(when(col("dec") === col("s"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        sum(size(split(col("enc"), " "))).as("total_tokens"),
+        sum(size(split(col("s"), " "))).as("total_chars"))
     })
 }
