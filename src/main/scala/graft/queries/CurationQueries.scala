@@ -1376,5 +1376,95 @@ object CurationQueries {
         sum(when(col("dec") === col("s"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
         sum(size(split(col("enc"), " "))).as("total_tokens"),
         sum(size(split(col("s"), " "))).as("total_chars"))
+    },
+
+    // Materialized-view staleness pricing: the MV refreshes at the start
+    // of each 7-day epoch; every later day accumulates un-refreshed base
+    // changes (the running sum WITHIN the epoch — a partitioned prefix
+    // window over the day-grain aggregate). Per epoch: peak and mean
+    // staleness in rows. This prices a refresh cadence from one fact
+    // rollup — at 100 TB the day-grain series stays a few thousand rows,
+    // and the answer is whether 7 days of drift fits the SLA.
+    QueryDef.sql(
+      "q299_mv_staleness",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS changes
+        |  FROM orders GROUP BY 1),
+        |ep AS (
+        |  SELECT day, changes,
+        |    datediff('day', DATE '1995-01-01', day) // 7 AS epoch
+        |  FROM daily),
+        |run AS (
+        |  SELECT epoch, day, changes,
+        |    SUM(changes) OVER (PARTITION BY epoch ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stale_rows
+        |  FROM ep)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_days,
+        |  CAST(SUM(changes) AS BIGINT) AS epoch_changes,
+        |  CAST(MAX(stale_rows) AS BIGINT) AS peak_stale,
+        |  CAST(CAST(SUM(stale_rows) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_stale
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("changes"))
+      val ep = daily.withColumn("epoch",
+        expr("datediff(day, DATE '1995-01-01') div 7"))
+      val w = Window.partitionBy("epoch").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ep.withColumn("stale_rows", sum(col("changes")).over(w))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_days"), sum(col("changes")).as("epoch_changes"),
+          max(col("stale_rows")).as("peak_stale"),
+          expr("sum(stale_rows) div count(1)").as("avg_stale"))
+        .orderBy("epoch")
+    },
+
+    // Column-lineage transitive closure (impact analysis, q240's metadata
+    // twin): a catalog-grain DAG of table dependencies is closed by three
+    // bounded join rounds (the DAG is 4 levels deep — same bounded-
+    // superstep shape as q185), answering "every downstream artifact a
+    // raw-table change can touch" with minimum hop distance. The relation
+    // is catalog-sized at any data scale; correctness (min-hop under the
+    // diamond) is what the oracle pins.
+    QueryDef.sql(
+      "q300_lineage_closure",
+      """WITH e(src, dst) AS (VALUES
+        |  ('raw.orders', 'stg.orders'), ('raw.customer', 'stg.customer'),
+        |  ('raw.lineitem', 'stg.lineitem'),
+        |  ('stg.orders', 'mart.daily_rev'), ('stg.customer', 'mart.daily_rev'),
+        |  ('stg.orders', 'mart.cust_360'), ('stg.customer', 'mart.cust_360'),
+        |  ('stg.lineitem', 'mart.margin'),
+        |  ('mart.daily_rev', 'bi.exec_dash'), ('mart.cust_360', 'bi.exec_dash'),
+        |  ('mart.margin', 'bi.exec_dash'), ('mart.daily_rev', 'ml.churn_feats')),
+        |h1 AS (SELECT src, dst, 1 AS hops FROM e),
+        |h2 AS (SELECT a.src, b.dst, 2 AS hops FROM h1 a JOIN e b ON a.dst = b.src),
+        |h3 AS (SELECT a.src, b.dst, 3 AS hops FROM h2 a JOIN e b ON a.dst = b.src),
+        |allh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL
+        |         SELECT * FROM h3)
+        |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM allh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Seq(
+        ("raw.orders", "stg.orders"), ("raw.customer", "stg.customer"),
+        ("raw.lineitem", "stg.lineitem"),
+        ("stg.orders", "mart.daily_rev"), ("stg.customer", "mart.daily_rev"),
+        ("stg.orders", "mart.cust_360"), ("stg.customer", "mart.cust_360"),
+        ("stg.lineitem", "mart.margin"),
+        ("mart.daily_rev", "bi.exec_dash"), ("mart.cust_360", "bi.exec_dash"),
+        ("mart.margin", "bi.exec_dash"), ("mart.daily_rev", "ml.churn_feats"))
+        .toDF("src", "dst")
+      val h1 = e.withColumn("hops", lit(1))
+      val h2 = h1.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid2"), col("dst")), col("mid") === col("mid2"))
+        .select(col("src"), col("dst"), lit(2).as("hops"))
+      val h3 = h2.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid2"), col("dst")), col("mid") === col("mid2"))
+        .select(col("src"), col("dst"), lit(3).as("hops"))
+      h1.unionAll(h2).unionAll(h3)
+        .groupBy("src", "dst")
+        .agg(min(col("hops")).cast("long").as("min_hops"),
+          count(lit(1)).as("n_paths"))
+        .orderBy("src", "dst")
     })
 }
