@@ -46,6 +46,12 @@ object GraftFunctions {
   /** Native scaled dot product as a Column. */
   def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)
 
+  /** Native popcount-of-AND over two bit-packed long-array sets. */
+  def bitmapAndCount(a: Column, b: Column): Column = GraftShims.bitmapAndCountColumn(a, b)
+
+  /** Native dense-bitmap builder from an int-id array (nWords 64-bit words). */
+  def bitmapBuild(ids: Column, nWords: Column): Column = GraftShims.bitmapBuildColumn(ids, nWords)
+
   /** Native k-way MinHash signature of a shingle-array Column. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     GraftShims.minhashColumn(shingles, numHashes)

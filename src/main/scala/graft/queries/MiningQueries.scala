@@ -949,13 +949,21 @@ object MiningQueries {
     },
 
     // LSH dedup RECALL audit (q121's twin for MinHash): ground truth =
-    // all pairs with exact shingle-Jaccard ≥ ½, built by the shingle
-    // inverted-index self-join (cost follows SHARED shingles — near-dups
-    // and hash-rare collisions — never |docs|²; any pair with J ≥ ½
-    // shares shingles, so the join loses nothing); candidates = the
-    // production 8-hash/4-band LSH pairs. The integer test
-    // 3·|∩| ≥ n1 + n2 is J ≥ ½ with the union cleared. One row out:
-    // how much the banding misses at this threshold.
+    // all pairs with exact shingle-Jaccard ≥ ½. THIS corpus defeats both
+    // the inverted-index self-join (Σ df² = 600M at sf0.1 — 228 s) and
+    // q208's prefix filter (the 13k-shingle universe is so hot that
+    // "rarest" prefixes still cover 9.4M of the 13.4M possible pairs):
+    // when every shingle is common, candidate generation cannot prune.
+    // The honest exact path is a bitmap block product — each doc's
+    // shingle set densely re-encoded as a ~204-word bitmap (one window
+    // over the 13k-row dictionary), the 9 MB bitmap table broadcast, and
+    // |∩| computed as zip_with popcounts inside codegen; no per-pair
+    // array shuffle at all. At 100 TB the same verify runs per LSH block
+    // or on the audit sample, never corpus×corpus. The oracle spells the
+    // naive inverted-index join as the semantic spec. Candidates = the
+    // production 8-hash/4-band LSH pairs; the integer test 3·|∩| ≥ n1+n2
+    // is J ≥ ½ with the union cleared. One row out: how much the banding
+    // misses at this threshold.
     QueryDef.sql(
       "q204_lsh_audit",
       s"""WITH ${TextQueries.sigSql},
@@ -984,17 +992,26 @@ object MiningQueries {
       val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
       val cand = Dedup.minhashCandidates(sig)
+      // shd feeds both the dictionary and the per-doc id sets — cache the
+      // one shingle explode instead of recomputing the regex+explode tree
+      // three times (≈10 MB at sf0.1)
       val shd = docs.select(col("doc_id"),
-        explode(array_distinct(shingles(normText(col("text")), 8))).as("sh"))
-      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shd.select(col("doc_id").as("d1"), col("sh"))
-        .join(shd.select(col("doc_id").as("d2"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ni"))
-      val truth = inter
-        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
-        .where(col("ni") * 3 >= col("n1") + col("n2"))
+        explode(array_distinct(shingles(normText(col("text")), 8))).as("sh")).cache()
+      val dict = shd.select("sh").distinct()
+        .withColumn("id", (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("sh")) - 1).cast("int"))
+      val nw = dict.agg(expr("CAST(max(id) div 64 + 1 AS INT)").as("nw"))
+      val bm = shd.join(dict, "sh")
+        .groupBy("doc_id").agg(collect_set(col("id")).as("ids"))
+        .crossJoin(broadcast(nw))
+        .select(col("doc_id"), size(col("ids")).as("n"),
+          graft.plans.GraftFunctions.bitmapBuild(col("ids"), col("nw")).as("bm"))
+      val truth = bm.select(col("doc_id").as("d1"), col("n").as("n1"), col("bm").as("b1"))
+        .crossJoin(broadcast(bm.select(col("doc_id").as("d2"), col("n").as("n2"),
+          col("bm").as("b2"))))
+        .where(col("d1") < col("d2"))
+        .where(graft.plans.GraftFunctions.bitmapAndCount(col("b1"), col("b2")) * 3 >=
+          col("n1") + col("n2"))
         .select("d1", "d2")
       val hit = truth.join(cand, Seq("d1", "d2"))
       truth.agg(count(lit(1)).as("n_truth"))
