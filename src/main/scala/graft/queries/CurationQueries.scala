@@ -1466,5 +1466,167 @@ object CurationQueries {
         .agg(min(col("hops")).cast("long").as("min_hops"),
           count(lit(1)).as("n_paths"))
         .orderBy("src", "dst")
+    },
+
+    // DDL-barrier epoch split (SURVEY §2.9 ST5 — the reference's two-phase
+    // barrier, audited as a batch): rare deterministic 'error' events act
+    // as DDL barriers; every DML event belongs to the epoch = number of
+    // barriers committed strictly before it in (commit-us, event_id)
+    // order. The barrier list is tiny and BROADCAST — each DML row counts
+    // its preceding barriers in one map-side join, no global sort. Per
+    // epoch: DML count and the commit range the flush would cover; this
+    // is exactly what the reference's flushRowChangedEventsBeforeDdl does
+    // per barrier, replayed declaratively.
+    QueryDef.sql(
+      "q301_ddl_barrier_epochs",
+      """WITH b AS (
+        |  SELECT epoch_us(ts) AS bus, event_id AS bid FROM events
+        |  WHERE event_type = 'error'
+        |    AND CAST(FLOOR(value * 100) AS BIGINT) % 97 = 0),
+        |dml AS (
+        |  SELECT epoch_us(ts) AS us, event_id FROM events
+        |  WHERE NOT (event_type = 'error'
+        |    AND CAST(FLOOR(value * 100) AS BIGINT) % 97 = 0)),
+        |tagged AS (
+        |  SELECT d.event_id, d.us,
+        |    (SELECT COUNT(*) FROM b
+        |     WHERE b.bus < d.us OR (b.bus = d.us AND b.bid < d.event_id)) AS epoch
+        |  FROM dml d)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_dml,
+        |  CAST(MIN(us) AS BIGINT) AS first_us, CAST(MAX(us) AS BIGINT) AS last_us
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val isBarrier = col("event_type") === "error" &&
+        floor(col("value") * 100).cast("long") % 97 === 0
+      val b = ev.where(isBarrier)
+        .select(unix_micros(col("ts")).as("bus"), col("event_id").as("bid"))
+      val dml = ev.where(!isBarrier)
+        .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      dml.crossJoin(broadcast(b))
+        .groupBy("event_id", "us")
+        .agg(sum(when(col("bus") < col("us") ||
+            (col("bus") === col("us") && col("bid") < col("event_id")), 1L)
+          .otherwise(0L)).as("epoch"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_dml"), min(col("us")).as("first_us"),
+          max(col("us")).as("last_us"))
+        .orderBy("epoch")
+    },
+
+    // Mergeable-histogram re-bucketing audit (q274's equi-width cousin):
+    // each hash shard builds an 8-bucket equi-width histogram over its
+    // LOCAL min/max — the realistic partial when shards can't coordinate
+    // — and the coordinator re-buckets them onto the global 8-bucket
+    // spine by proportional floor split. Estimated vs exact count per
+    // global bucket, error in ppm of total: the quantified price of
+    // merging histograms whose bounds disagree. All bucket math is
+    // shard×8-row metadata; only the two base rollups touch fact rows.
+    QueryDef.sql(
+      "q302_histogram_merge",
+      """WITH e AS (
+        |  SELECT user_id % 4 AS shard, CAST(FLOOR(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |sb AS (SELECT shard, MIN(c) AS smin, MAX(c) AS smax FROM e GROUP BY 1),
+        |g AS (SELECT MIN(c) AS gmin, MAX(c) AS gmax FROM e),
+        |loc AS (
+        |  SELECT e.shard,
+        |    LEAST(CAST((e.c - sb.smin) * 8 // (sb.smax - sb.smin + 1) AS BIGINT), 7)
+        |      AS lb, COUNT(*) AS n
+        |  FROM e JOIN sb ON e.shard = sb.shard GROUP BY 1, 2),
+        |locb AS (
+        |  SELECT l.shard, l.lb, l.n,
+        |    sb.smin + l.lb * (sb.smax - sb.smin + 1) // 8 AS lo,
+        |    sb.smin + (l.lb + 1) * (sb.smax - sb.smin + 1) // 8 AS hi
+        |  FROM loc l JOIN sb ON l.shard = sb.shard),
+        |gspine AS (
+        |  SELECT i.i AS gb,
+        |    g.gmin + i.i * (g.gmax - g.gmin + 1) // 8 AS glo,
+        |    g.gmin + (i.i + 1) * (g.gmax - g.gmin + 1) // 8 AS ghi
+        |  FROM generate_series(0, 7) i(i), g),
+        |est AS (
+        |  SELECT s.gb,
+        |    SUM(l.n * (LEAST(l.hi, s.ghi) - GREATEST(l.lo, s.glo)) // (l.hi - l.lo))
+        |      AS est_n
+        |  FROM locb l JOIN gspine s
+        |    ON LEAST(l.hi, s.ghi) > GREATEST(l.lo, s.glo)
+        |  GROUP BY 1),
+        |exact AS (
+        |  SELECT LEAST(CAST((e.c - g.gmin) * 8 // (g.gmax - g.gmin + 1) AS BIGINT), 7)
+        |      AS gb, COUNT(*) AS n
+        |  FROM e, g GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM e)
+        |SELECT x.gb, CAST(x.n AS BIGINT) AS exact_n,
+        |  CAST(COALESCE(est.est_n, 0) AS BIGINT) AS est_n,
+        |  CAST(abs(COALESCE(est.est_n, 0) - x.n) * 1000000 // tot.t AS BIGINT)
+        |    AS err_ppm
+        |FROM exact x LEFT JOIN est ON x.gb = est.gb CROSS JOIN tot
+        |ORDER BY x.gb""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select((col("user_id") % 4).as("shard"),
+          floor(col("value") * 100).cast("long").as("c"))
+      val sb = e.groupBy("shard").agg(min(col("c")).as("smin"), max(col("c")).as("smax"))
+      val g = e.agg(min(col("c")).as("gmin"), max(col("c")).as("gmax"))
+      val loc = e.join(broadcast(sb), "shard")
+        .groupBy(col("shard"),
+          least(expr("(c - smin) * 8 div (smax - smin + 1)"), lit(7L)).as("lb"))
+        .agg(count(lit(1)).as("n"))
+      val locb = loc.join(broadcast(sb), "shard")
+        .select(col("shard"), col("lb"), col("n"),
+          expr("smin + lb * (smax - smin + 1) div 8").as("lo"),
+          expr("smin + (lb + 1) * (smax - smin + 1) div 8").as("hi"))
+      val gspine = s.range(8).select(col("id").as("gb"))
+        .crossJoin(broadcast(g))
+        .select(col("gb"), expr("gmin + gb * (gmax - gmin + 1) div 8").as("glo"),
+          expr("gmin + (gb + 1) * (gmax - gmin + 1) div 8").as("ghi"))
+      val est = locb.join(broadcast(gspine),
+          least(col("hi"), col("ghi")) > greatest(col("lo"), col("glo")))
+        .groupBy("gb")
+        .agg(sum(expr("n * (LEAST(hi, ghi) - GREATEST(lo, glo)) div (hi - lo)"))
+          .as("est_n"))
+      val exact = e.crossJoin(broadcast(g))
+        .groupBy(least(expr("(c - gmin) * 8 div (gmax - gmin + 1)"), lit(7L)).as("gb"))
+        .agg(count(lit(1)).as("n"))
+      val tot = e.agg(count(lit(1)).as("t"))
+      exact.join(est, Seq("gb"), "left_outer").crossJoin(broadcast(tot))
+        .select(col("gb"), col("n").as("exact_n"),
+          coalesce(col("est_n"), lit(0L)).as("est_n"),
+          expr("abs(COALESCE(est_n, 0) - n) * 1000000 div t").as("err_ppm"))
+        .orderBy("gb")
+    },
+
+    // Pseudo-relevance-feedback query expansion (IR, q93's downstream):
+    // the seed query {spark, join} ranks docs by summed term frequency
+    // (top-10, doc_id tie-break); the top co-occurring terms in those docs
+    // — stopwords and seed terms excluded — become the expansion, weighted
+    // by their feedback-set tf. Both top-k's are tiny and the feedback
+    // join is doc_id-keyed on 10 broadcast rows; the corpus-shaped work is
+    // one (doc, term) tf aggregate, shared with any tf-idf pipeline.
+    QueryDef.sql(
+      "q303_query_expansion",
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS f FROM tf GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, SUM(f) AS score FROM tfc
+        |  WHERE term IN ('spark', 'join') GROUP BY 1),
+        |topd AS (SELECT doc_id, score FROM scored
+        |         ORDER BY score DESC, doc_id LIMIT 10),
+        |exp AS (
+        |  SELECT t.term, SUM(t.f) AS w FROM tfc t JOIN topd USING (doc_id)
+        |  WHERE t.term NOT IN ('spark', 'join', 'the', 'a') AND t.term <> ''
+        |  GROUP BY 1)
+        |SELECT term, CAST(w AS BIGINT) AS weight
+        |FROM exp ORDER BY w DESC, term LIMIT 5""".stripMargin) { (s, dir) =>
+      val tfc = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("f"))
+      val topd = tfc.where(col("term").isin("spark", "join"))
+        .groupBy("doc_id").agg(sum(col("f")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id")
+      tfc.join(broadcast(topd), "doc_id")
+        .where(!col("term").isin("spark", "join", "the", "a") && col("term") =!= "")
+        .groupBy("term").agg(sum(col("f")).as("weight"))
+        .orderBy(col("weight").desc, col("term").asc).limit(5)
     })
 }
