@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
+import graft.operators.Migrate
 
 /** Corpus-curation operators (round 4, q269+): provenance canonicalization,
   * forecast backtesting, bitmap-index set algebra, and tokenizer apply — the
@@ -1628,5 +1629,42 @@ object CurationQueries {
         .where(!col("term").isin("spark", "join", "the", "a") && col("term") =!= "")
         .groupBy("term").agg(sum(col("f")).as("weight"))
         .orderBy(col("weight").desc, col("term").asc).limit(5)
+    },
+
+    // Hostile-value CSV roundtrip (S5's escaping matrix under fire —
+    // q45 proves types survive; THIS proves the quoting/escaping rules
+    // survive adversarial content): values embedding the separator, the
+    // quote, the escape character, and the literal NULL token are written
+    // with the reference option matrix and read back. Everything must
+    // return byte-identical EXCEPT the 'NULL' string, which the nullValue
+    // token correctly turns into SQL NULL — the oracle encodes that
+    // asymmetry. This is the CSV-migrate contract a 100 TB export/import
+    // cycle rests on.
+    QueryDef.sql(
+      "q304_csv_hostile",
+      """SELECT o_orderkey AS k,
+        |  CASE o_orderkey % 6
+        |    WHEN 0 THEN 'a,b' || CAST(o_orderkey % 10 AS VARCHAR)
+        |    WHEN 1 THEN 'q"uo"te' || CAST(o_orderkey % 10 AS VARCHAR)
+        |    WHEN 2 THEN 'back\slash' || CAST(o_orderkey % 10 AS VARCHAR)
+        |    WHEN 3 THEN NULL
+        |    WHEN 4 THEN 'plain' || CAST(o_orderkey % 10 AS VARCHAR)
+        |    ELSE 'x,"y\z' || CAST(o_orderkey % 10 AS VARCHAR) END AS v
+        |FROM orders ORDER BY k""".stripMargin) { (s, dir) =>
+      val hostile = Tables(s, dir).orders.select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 6 === 0,
+            concat(lit("a,b"), (col("o_orderkey") % 10).cast("string")))
+          .when(col("o_orderkey") % 6 === 1,
+            concat(lit("q\"uo\"te"), (col("o_orderkey") % 10).cast("string")))
+          .when(col("o_orderkey") % 6 === 2,
+            concat(lit("back\\slash"), (col("o_orderkey") % 10).cast("string")))
+          .when(col("o_orderkey") % 6 === 3, lit("NULL"))
+          .when(col("o_orderkey") % 6 === 4,
+            concat(lit("plain"), (col("o_orderkey") % 10).cast("string")))
+          .otherwise(concat(lit("x,\"y\\z"), (col("o_orderkey") % 10).cast("string")))
+          .as("v"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_hostile"
+      Migrate.writeCsv(hostile, tmp)
+      Migrate.readCsv(s, tmp, hostile.schema).orderBy("k")
     })
 }
