@@ -1666,5 +1666,142 @@ object CurationQueries {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_hostile"
       Migrate.writeCsv(hostile, tmp)
       Migrate.readCsv(s, tmp, hostile.schema).orderBy("k")
+    },
+
+    // SimHash Hamming-radius sweep (the threshold-tuning evidence behind
+    // q35's radius-3 choice): EXACT pair counts at every radius 0..4,
+    // computed at CODE grain — docs collapse onto their 16-bit simhash
+    // first, radius-0 pairs are C(n,2) within a code, and cross-code
+    // pairs weight n₁·n₂ over the distinct-code self-join. The join is
+    // |codes|², not |docs|² — at 100 TB the 16-bit code table tops out at
+    // 65k rows regardless of corpus size, so the whole sweep costs one
+    // doc-grain simhash pass plus a bounded metadata join.
+    QueryDef.sql(
+      "q305_simhash_radius",
+      """WITH nrm AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |codes AS (SELECT simhash, COUNT(*) AS n FROM sim GROUP BY 1),
+        |r0 AS (SELECT 0 AS radius, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs
+        |       FROM codes),
+        |rx AS (SELECT bit_count(xor(a.simhash, b.simhash)) AS radius,
+        |         CAST(SUM(a.n * b.n) AS BIGINT) AS pairs
+        |       FROM codes a JOIN codes b ON a.simhash < b.simhash
+        |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 4 GROUP BY 1),
+        |allr AS (SELECT * FROM r0 UNION ALL SELECT * FROM rx)
+        |SELECT radius, pairs,
+        |  CAST(SUM(pairs) OVER (ORDER BY radius
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs
+        |FROM allr ORDER BY radius""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val sim = Dedup.simhash16(Tables(s, dir).documents, "doc_id", "text")
+      val codes = sim.groupBy("simhash").agg(count(lit(1)).as("n"))
+      val r0 = codes.agg(sum(expr("n * (n - 1) div 2")).as("pairs"))
+        .select(lit(0L).as("radius"), col("pairs"))
+      val rx = codes.select(col("simhash").as("s1"), col("n").as("n1"))
+        .join(codes.select(col("simhash").as("s2"), col("n").as("n2")),
+          col("s1") < col("s2"))
+        .where(expr("bit_count(s1 ^ s2) <= 4"))
+        .groupBy(expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("radius"))
+        .agg(sum(col("n1") * col("n2")).as("pairs"))
+      val w = Window.orderBy("radius")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r0.unionAll(rx)
+        .withColumn("cum_pairs", sum(col("pairs")).over(w))
+        .orderBy("radius")
+    },
+
+    // Bloom-filter sizing advisor (q260 audits ONE size — this sweeps
+    // m ∈ {504, 1008, 2016} bits and picks the smallest meeting FPR ≤ 2%):
+    // the same 3-hash/63-bit-word filter is built and probed at each size
+    // in one unioned pass, measured FPR in ppm per size, plus the advised
+    // size. The filter build is map-side bit_or at word grain; the sweep
+    // multiplies metadata (filter words), never the probe stream — the
+    // pre-deploy sizing a 100 TB semi-join pushdown (q85) runs once.
+    QueryDef.sql(
+      "q306_bloom_sizing",
+      """WITH sizes(m) AS (VALUES (504), (1008), (2016)),
+        |cust AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_member
+        |  FROM customer),
+        |ph AS (
+        |  SELECT sizes.m, k, is_member, i,
+        |    ('0x' || substr(md5(CAST(k AS VARCHAR) || ':b' || CAST(i AS VARCHAR)),
+        |      1, 8))::BIGINT % sizes.m AS h
+        |  FROM cust CROSS JOIN (VALUES (1), (2), (3)) t(i) CROSS JOIN sizes),
+        |words AS (
+        |  SELECT m, h // 63 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) AS bm
+        |  FROM ph WHERE is_member = 1 GROUP BY 1, 2),
+        |hit AS (
+        |  SELECT ph.m, ph.k, ph.is_member,
+        |    SUM(CASE WHEN words.bm IS NOT NULL AND
+        |      (words.bm & (CAST(1 AS BIGINT) << CAST(ph.h % 63 AS INTEGER))) <> 0
+        |      THEN 1 ELSE 0 END) AS nh
+        |  FROM ph LEFT JOIN words ON ph.m = words.m AND ph.h // 63 = words.w
+        |  GROUP BY 1, 2, 3),
+        |fp AS (
+        |  SELECT m,
+        |    CAST(SUM(CASE WHEN is_member = 0 AND nh = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_pos,
+        |    CAST(SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS non_members,
+        |    CAST(SUM(CASE WHEN is_member = 1 AND nh < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_neg
+        |  FROM hit GROUP BY 1),
+        |rated AS (
+        |  SELECT m, false_pos, non_members, false_neg,
+        |    CAST(false_pos * 1000000 // non_members AS BIGINT) AS fpr_ppm
+        |  FROM fp),
+        |best AS (SELECT MIN(m) AS advised_m FROM rated WHERE fpr_ppm <= 20000)
+        |SELECT CAST(rated.m AS BIGINT) AS m, false_pos, non_members, false_neg,
+        |  fpr_ppm,
+        |  CASE WHEN rated.m = best.advised_m THEN 1 ELSE 0 END AS advised
+        |FROM rated CROSS JOIN best ORDER BY m""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sizes = Seq(504, 1008, 2016).toDF("m")
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey").as("k"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("is_member"))
+      val hashes = Seq(1, 2, 3).toDF("i")
+      val ph = cust.crossJoin(broadcast(hashes)).crossJoin(broadcast(sizes))
+        .select(col("m"), col("k"), col("is_member"),
+          (expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ':b'," +
+            " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)") % col("m")).as("h"))
+      val words = ph.where(col("is_member") === 1)
+        .groupBy(col("m").as("wm"), expr("h div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(h % 63 AS INT)))").as("bm"))
+      val hit = ph.join(broadcast(words),
+          col("m") === col("wm") && expr("h div 63") === col("w"), "left_outer")
+        .groupBy("m", "k", "is_member")
+        .agg(sum(when(col("bm").isNotNull &&
+            expr("(bm & shiftleft(1L, CAST(h % 63 AS INT))) != 0"), 1L)
+          .otherwise(0L)).as("nh"))
+      val rated = hit.groupBy("m")
+        .agg(
+          sum(when(col("is_member") === 0 && col("nh") === 3, 1L).otherwise(0L))
+            .as("false_pos"),
+          sum(when(col("is_member") === 0, 1L).otherwise(0L)).as("non_members"),
+          sum(when(col("is_member") === 1 && col("nh") < 3, 1L).otherwise(0L))
+            .as("false_neg"))
+        .withColumn("fpr_ppm", expr("false_pos * 1000000 div non_members"))
+      val best = rated.where(col("fpr_ppm") <= 20000)
+        .agg(min(col("m")).as("advised_m"))
+      rated.crossJoin(broadcast(best))
+        .select(col("m").cast("long").as("m"), col("false_pos"), col("non_members"),
+          col("false_neg"), col("fpr_ppm"),
+          when(col("m") === col("advised_m"), 1).otherwise(0).as("advised"))
+        .orderBy("m")
     })
 }
