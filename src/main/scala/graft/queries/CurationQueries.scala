@@ -1803,5 +1803,156 @@ object CurationQueries {
           col("false_neg"), col("fpr_ppm"),
           when(col("m") === col("advised_m"), 1).otherwise(0).as("advised"))
         .orderBy("m")
+    },
+
+    // Neyman sampling allocation (survey-optimal stratification): each
+    // stratum's share of the 10,000-row sample budget is proportional to
+    // n_h·σ_h (σ from the exact integer variance, floor-sqrt'd), with the
+    // largest-remainder rule making the integer allocations sum EXACTLY
+    // to the budget — the deterministic twin of what proportional floor
+    // division alone can't guarantee. One fact-grain moment aggregate;
+    // everything after is stratum-grain (5 rows).
+    QueryDef.sql(
+      "q307_neyman_alloc",
+      """WITH e AS (
+        |  SELECT event_type AS h, CAST(FLOOR(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (SELECT h, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        |      FROM e GROUP BY 1),
+        |sd AS (SELECT h, n,
+        |    CAST(FLOOR(sqrt(CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE))) AS BIGINT)
+        |      AS sigma
+        |  FROM m),
+        |w AS (SELECT h, n, sigma, n * sigma AS wt FROM sd),
+        |t AS (SELECT SUM(wt) AS tw FROM w),
+        |base AS (
+        |  SELECT h, n, sigma, wt,
+        |    CAST(10000 * wt // tw AS BIGINT) AS alloc0,
+        |    CAST((10000 * wt) % tw AS BIGINT) AS rem
+        |  FROM w, t),
+        |need AS (SELECT 10000 - SUM(alloc0) AS extra FROM base),
+        |rk AS (SELECT h, n, sigma, alloc0, rem,
+        |    row_number() OVER (ORDER BY rem DESC, h) AS r
+        |  FROM base)
+        |SELECT rk.h, CAST(rk.n AS BIGINT) AS n_rows, rk.sigma,
+        |  CAST(rk.alloc0 + CASE WHEN rk.r <= need.extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk, need ORDER BY rk.h""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val m = Tables(s, dir).events
+        .select(col("event_type").as("h"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum((col("c") * col("c")).cast(dec)).as("s2"))
+      val w = m.select(col("h"), col("n"),
+          expr(s"CAST(FLOOR(sqrt(CAST((CAST(n AS $dec) * s2 - CAST(s1 AS $dec) *" +
+            s" CAST(s1 AS $dec)) div (n * n) AS DOUBLE))) AS BIGINT)").as("sigma"))
+        .withColumn("wt", col("n") * col("sigma"))
+      val t = w.agg(sum(col("wt")).as("tw"))
+      val base = w.crossJoin(broadcast(t))
+        .select(col("h"), col("n"), col("sigma"),
+          expr("10000 * wt div tw").as("alloc0"),
+          expr("(10000 * wt) % tw").as("rem"))
+      val need = base.agg((lit(10000) - sum(col("alloc0"))).as("extra"))
+      base
+        .withColumn("r", row_number().over(Window.orderBy(col("rem").desc, col("h").asc)))
+        .crossJoin(broadcast(need))
+        .select(col("h"), col("n").as("n_rows"), col("sigma"),
+          (col("alloc0") + when(col("r") <= col("extra"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy("h")
+    },
+
+    // Language-ID confusion matrix (q21's heuristic evaluated against the
+    // corpus's ground-truth lang column): per (actual, predicted) cell
+    // count and row-share ppm. The labeled corpus includes 'zh', which
+    // the 4-language marker model CANNOT predict — the matrix shows
+    // exactly where those docs land, the honest failure-mode readout a
+    // LID gate needs before filtering a 100 TB multilingual crawl.
+    QueryDef.sql(
+      "q308_langid_confusion",
+      """WITH nrm AS (SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(nt, '\b(the|of|and)\b')) AS s_en,
+        |  len(regexp_extract_all(nt, '\b(der|die|das|und)\b')) AS s_de,
+        |  len(regexp_extract_all(nt, '\b(el|la|los|de)\b')) AS s_es,
+        |  len(regexp_extract_all(nt, '\b(le|les|des|une)\b')) AS s_fr
+        | FROM nrm),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
+        |  FROM sc),
+        |cell AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |rowt AS (SELECT lang, SUM(n) AS rn FROM cell GROUP BY 1)
+        |SELECT cell.lang, cell.pred, CAST(cell.n AS BIGINT) AS n,
+        |  CAST(cell.n * 1000000 // rowt.rn AS BIGINT) AS row_share_ppm
+        |FROM cell JOIN rowt ON cell.lang = rowt.lang
+        |ORDER BY cell.lang, cell.pred""".stripMargin) { (s, dir) =>
+      val sc = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("nt"))
+        .select(col("lang"),
+          expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))").as("s_en"),
+          expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))").as("s_de"),
+          expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))").as("s_es"),
+          expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))").as("s_fr"))
+      val p = sc.select(col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("pred"))
+      val cell = p.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val rowt = cell.groupBy(col("lang").as("rl")).agg(sum(col("n")).as("rn"))
+      cell.join(broadcast(rowt), col("lang") === col("rl"))
+        .select(col("lang"), col("pred"), col("n"),
+          expr("n * 1000000 div rn").as("row_share_ppm"))
+        .orderBy("lang", "pred")
+    },
+
+    // Cohort LTV curve: customers grouped by first-order month (1995
+    // cohorts), cumulative revenue cents per cohort over the first 6
+    // months of life — the running sum is a window over the (cohort, age)
+    // aggregate, so the fact table is scanned once and the curve is
+    // cohort-grain metadata. The month arithmetic stays integral
+    // (y·12+m), immune to calendar-function drift.
+    QueryDef.sql(
+      "q309_cohort_ltv",
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |first AS (SELECT ck, MIN(om) AS cm FROM o GROUP BY 1),
+        |j AS (
+        |  SELECT first.cm, o.om - first.cm AS age, o.cents
+        |  FROM o JOIN first ON o.ck = first.ck
+        |  WHERE first.cm < 1995 * 12 + 12 AND o.om - first.cm <= 5),
+        |g AS (SELECT cm, age, CAST(SUM(cents) AS BIGINT) AS rev,
+        |        COUNT(*) AS n_orders
+        |      FROM j GROUP BY 1, 2)
+        |SELECT CAST(cm AS BIGINT) AS cohort_month, CAST(age AS BIGINT) AS age,
+        |  rev, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(SUM(rev) OVER (PARTITION BY cm ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev
+        |FROM g ORDER BY cohort_month, age""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("om"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val first = o.groupBy("ck").agg(min(col("om")).as("cm"))
+      val g = o.join(first, "ck")
+        .where(col("cm") < lit(1995 * 12 + 12) && col("om") - col("cm") <= 5)
+        .groupBy(col("cm"), (col("om") - col("cm")).as("age"))
+        .agg(sum(col("cents")).as("rev"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("cm").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cm").cast("long").as("cohort_month"), col("age").cast("long").as("age"),
+          col("rev"), col("n_orders"), sum(col("rev")).over(w).as("cum_rev"))
+        .orderBy("cohort_month", "age")
     })
 }
