@@ -1954,5 +1954,108 @@ object CurationQueries {
       g.select(col("cm").cast("long").as("cohort_month"), col("age").cast("long").as("age"),
           col("rev"), col("n_orders"), sum(col("rev")).over(w).as("cum_rev"))
         .orderBy("cohort_month", "age")
+    },
+
+    // Sample-ratio-mismatch check (the experimentation platform's smoke
+    // alarm): users hash into arms via the portable md5 split (q256's
+    // convention); a healthy 50/50 split satisfies (n_a − n_b)² ≤ 9·n —
+    // the 3σ binomial bound in pure integers. Per-day board plus the
+    // overall verdict row; a flagged day means assignment is broken and
+    // every downstream metric read is invalid. User-grain dedup, then
+    // day-grain metadata.
+    QueryDef.sql(
+      "q310_srm_check",
+      """WITH u AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 8))::BIGINT % 2
+        |      AS arm
+        |  FROM events),
+        |d AS (
+        |  SELECT strftime(day, '%Y-%m-%d') AS day,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'z_overall',
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id, arm FROM u))
+        |SELECT day, n_a, n_b,
+        |  CASE WHEN (n_a - n_b) * (n_a - n_b) > 9 * (n_a + n_b) THEN 1 ELSE 0 END
+        |    AS srm_flag
+        |FROM d ORDER BY day""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .withColumn("arm",
+          expr("CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':arm'))," +
+            " 1, 8), 16, 10) AS BIGINT) % 2"))
+      val daily = u.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      val overall = u.select("user_id", "arm").distinct()
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(lit("z_overall").as("day"), col("n_a"), col("n_b"))
+      daily.unionAll(overall)
+        .select(col("day"), col("n_a"), col("n_b"),
+          when((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+            lit(9) * (col("n_a") + col("n_b")), 1).otherwise(0).as("srm_flag"))
+        .orderBy("day")
+    },
+
+    // CUPED variance reduction (experimentation's pre-period adjustment):
+    // pre-period (first 15 days) user spend predicts post-period spend;
+    // θ = cov/var(x) in signed ppm (DOUBLE+FLOOR — the engines' integer
+    // divisions disagree on negatives), and the achieved variance
+    // reduction equals corr² — reported exactly as cov²·10⁶ div (vx·vy)
+    // with every power sum in DECIMAL(38,0) (cov² alone reaches ~10³⁰ at
+    // sf0.1; Long wraps at the first multiply). One user-grain rollup, a
+    // 5-number summary out — the pattern that decides whether an
+    // experiment needs 2 weeks or 8.
+    QueryDef.sql(
+      "q311_cuped",
+      """WITH e AS (
+        |  SELECT user_id, CAST(FLOOR(value) AS BIGINT) AS v,
+        |    CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 0 ELSE 1 END AS period
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN period = 0 THEN v ELSE 0 END) AS x,
+        |    SUM(CASE WHEN period = 1 THEN v ELSE 0 END) AS y
+        |  FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(FLOOR(CAST((n * sxy - sx * sy) AS DOUBLE) * 1000000.0
+        |    / CAST((n * sxx - sx * sx) AS DOUBLE)) AS BIGINT) AS theta_ppm,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS var_y_scaled,
+        |  CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+        |    // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+        |    AS reduction_ppm
+        |FROM m""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val u = Tables(s, dir).events
+        .select(col("user_id"), floor(col("value")).cast("long").as("v"),
+          when(dayofmonth(to_date(col("ts"))) <= 15, 0).otherwise(1).as("period"))
+        .groupBy("user_id")
+        .agg(sum(when(col("period") === 0, col("v")).otherwise(0L)).as("x"),
+          sum(when(col("period") === 1, col("v")).otherwise(0L)).as("y"))
+      u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("n").as("n_users"),
+          expr("CAST(FLOOR(CAST((n * sxy - sx * sy) AS DOUBLE) * 1000000.0" +
+            " / CAST((n * sxx - sx * sx) AS DOUBLE)) AS BIGINT)").as("theta_ppm"),
+          expr(s"CAST(CAST(n AS $dec) * syy - CAST(sy AS $dec) * CAST(sy AS $dec)" +
+            s" AS BIGINT)").as("var_y_scaled"),
+          expr(s"CAST((CAST(n AS $dec) * sxy - CAST(sx AS $dec) * CAST(sy AS $dec))" +
+            s" * (CAST(n AS $dec) * sxy - CAST(sx AS $dec) * CAST(sy AS $dec))" +
+            s" * 1000000 div ((CAST(n AS $dec) * sxx - CAST(sx AS $dec) *" +
+            s" CAST(sx AS $dec)) * (CAST(n AS $dec) * syy - CAST(sy AS $dec) *" +
+            s" CAST(sy AS $dec))) AS BIGINT)").as("reduction_ppm"))
     })
 }
