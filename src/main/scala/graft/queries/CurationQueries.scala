@@ -2057,5 +2057,136 @@ object CurationQueries {
             s" * 1000000 div ((CAST(n AS $dec) * sxx - CAST(sx AS $dec) *" +
             s" CAST(sx AS $dec)) * (CAST(n AS $dec) * syy - CAST(sy AS $dec) *" +
             s" CAST(sy AS $dec))) AS BIGINT)").as("reduction_ppm"))
+    },
+
+    // Day-of-week seasonality index: each weekday's mean daily revenue as
+    // exact ppm of the overall mean — index = (s_d · N) ·10⁶ div (n_d · S)
+    // keeps the ratio-of-means integral (no per-day float averages). The
+    // de-seasonalization divisor every daily-forecast pipeline (q270)
+    // applies first; one day-grain rollup, 7 rows out. DOW numbering is
+    // normalized to DuckDB's 0=Sunday.
+    QueryDef.sql(
+      "q312_dow_seasonality",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT dayofweek(day) AS dow, cents FROM daily),
+        |per AS (SELECT dow, COUNT(*) AS n_days, SUM(cents) AS s FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn, SUM(cents) AS ss FROM d)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS cents,
+        |  CAST(s * nn * 1000000 // (n_days * ss) AS BIGINT) AS index_ppm
+        |FROM per, tot ORDER BY dow""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val daily = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val d = daily.select((dayofweek(col("day")) - 1).cast("long").as("dow"), col("cents"))
+      val per = d.groupBy("dow").agg(count(lit(1)).as("n_days"), sum(col("cents")).as("s"))
+      val tot = d.agg(count(lit(1)).as("nn"), sum(col("cents")).as("ss"))
+      per.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("s").as("cents"),
+          // s·nn·10⁶ overflows Long at corpus scale — DECIMAL numerator
+          expr(s"CAST(CAST(s AS $dec) * nn * 1000000 div (n_days * ss) AS BIGINT)")
+            .as("index_ppm"))
+        .orderBy("dow")
+    },
+
+    // Dedup precision/recall curve with PLANTED truth (q305's sweep made
+    // actionable): the near-dup fixture plants truncated twins at
+    // doc_id+100000, so ground truth is known exactly; at each SimHash
+    // Hamming radius 0..4, recall = planted pairs recovered and
+    // precision = planted over ALL pairs inside the radius (code-grain
+    // totals — |codes|² bounded, never |docs|²). The curve is how a
+    // dedup threshold is actually chosen before a 100 TB run: radius
+    // buys recall, costs precision.
+    QueryDef.sql(
+      "q313_dedup_pr_curve",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 21) FROM documents
+        |  WHERE doc_id % 29 = 0),
+        |nrm AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM docs),
+        |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |planted AS (
+        |  SELECT bit_count(xor(a.simhash, b.simhash)) AS ham
+        |  FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 100000
+        |  WHERE a.doc_id % 29 = 0 AND a.doc_id < 100000),
+        |np AS (SELECT COUNT(*) AS n_planted FROM planted),
+        |codes AS (SELECT simhash, COUNT(*) AS n FROM sim GROUP BY 1),
+        |r0 AS (SELECT 0 AS radius, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs
+        |       FROM codes),
+        |rx AS (SELECT bit_count(xor(a.simhash, b.simhash)) AS radius,
+        |         CAST(SUM(a.n * b.n) AS BIGINT) AS pairs
+        |       FROM codes a JOIN codes b ON a.simhash < b.simhash
+        |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 4 GROUP BY 1),
+        |cum AS (
+        |  SELECT radius, SUM(pairs) OVER (ORDER BY radius
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pairs
+        |  FROM (SELECT * FROM r0 UNION ALL SELECT * FROM rx)),
+        |rr AS (SELECT i.i AS radius FROM generate_series(0, 4) i(i)),
+        |tp AS (
+        |  SELECT rr.radius,
+        |    (SELECT COUNT(*) FROM planted WHERE planted.ham <= rr.radius) AS tp
+        |  FROM rr)
+        |SELECT tp.radius, CAST(tp.tp AS BIGINT) AS tp,
+        |  CAST(COALESCE(cum.cum_pairs, 0) AS BIGINT) AS pred_pairs,
+        |  CAST(tp.tp * 1000000 // np.n_planted AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN COALESCE(cum.cum_pairs, 0) > 0
+        |    THEN tp.tp * 1000000 // cum.cum_pairs ELSE 0 END AS BIGINT)
+        |    AS precision_ppm
+        |FROM tp LEFT JOIN cum ON tp.radius = cum.radius CROSS JOIN np
+        |ORDER BY tp.radius""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val d0 = Tables(s, dir).documents
+      val docs = d0.select("doc_id", "text").unionAll(
+        d0.where(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            expr("substring(text, 21)").as("text")))
+      val sim = Dedup.simhash16(docs, "doc_id", "text").cache()
+      val planted = sim.where(col("doc_id") % 29 === 0 && col("doc_id") < 100000)
+        .select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        .join(sim.select(col("doc_id").as("d2"), col("simhash").as("h2")),
+          col("d2") === col("d1") + 100000)
+        .select(expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("ham"))
+      val np = planted.agg(count(lit(1)).as("n_planted"))
+      val codes = sim.groupBy("simhash").agg(count(lit(1)).as("n"))
+      val r0 = codes.agg(sum(expr("n * (n - 1) div 2")).as("pairs"))
+        .select(lit(0L).as("radius"), col("pairs"))
+      val rx = codes.select(col("simhash").as("s1"), col("n").as("n1"))
+        .join(codes.select(col("simhash").as("s2"), col("n").as("n2")),
+          col("s1") < col("s2"))
+        .where(expr("bit_count(s1 ^ s2) <= 4"))
+        .groupBy(expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("radius"))
+        .agg(sum(col("n1") * col("n2")).as("pairs"))
+      val w = Window.orderBy("radius")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = r0.unionAll(rx)
+        .withColumn("cum_pairs", sum(col("pairs")).over(w))
+        .select(col("radius").as("cr"), col("cum_pairs"))
+      val rr = s.range(0, 5).select(col("id").as("radius"))
+      val tp = rr.crossJoin(broadcast(planted))
+        .groupBy("radius")
+        .agg(sum(when(col("ham") <= col("radius"), 1L).otherwise(0L)).as("tp"))
+      tp.join(cum, col("radius") === col("cr"), "left_outer")
+        .crossJoin(broadcast(np))
+        .select(col("radius"), col("tp"),
+          coalesce(col("cum_pairs"), lit(0L)).as("pred_pairs"),
+          expr("tp * 1000000 div n_planted").as("recall_ppm"),
+          expr("CAST(CASE WHEN COALESCE(cum_pairs, 0) > 0" +
+            " THEN tp * 1000000 div cum_pairs ELSE 0 END AS BIGINT)")
+            .as("precision_ppm"))
+        .orderBy("radius")
     })
 }
