@@ -2188,5 +2188,90 @@ object CurationQueries {
             " THEN tp * 1000000 div cum_pairs ELSE 0 END AS BIGINT)")
             .as("precision_ppm"))
         .orderBy("radius")
+    },
+
+    // Tombstone-vacuum advisor (deletion vectors, the lake's GDPR debt):
+    // purge keys (the q240 cohort) become tombstones; each 8192-key
+    // rowgroup reports its dead-row share and is advised REWRITE above
+    // 10% — the merge-on-read → copy-on-write tipping point. The
+    // tombstone set joins at key grain once; advice is rowgroup-grain
+    // metadata, and the advised-bytes total sizes the vacuum job before
+    // it runs on 100 TB.
+    QueryDef.sql(
+      "q314_tombstone_vacuum",
+      """WITH t AS (SELECT o_orderkey AS k FROM orders WHERE o_custkey % 13 = 0),
+        |l AS (
+        |  SELECT l_orderkey // 8192 AS rg, l_orderkey,
+        |    CASE WHEN t.k IS NULL THEN 0 ELSE 1 END AS dead
+        |  FROM lineitem LEFT JOIN t ON l_orderkey = t.k),
+        |per AS (
+        |  SELECT rg, COUNT(*) AS n_rows,
+        |    CAST(SUM(dead) AS BIGINT) AS dead_rows
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(rg AS BIGINT) AS rg, CAST(n_rows AS BIGINT) AS n_rows,
+        |  dead_rows,
+        |  CAST(dead_rows * 1000000 // n_rows AS BIGINT) AS dead_ppm,
+        |  CASE WHEN dead_rows * 10 > n_rows THEN 'rewrite' ELSE 'keep' END
+        |    AS advice
+        |FROM per ORDER BY rg""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).orders
+        .where(col("o_custkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"))
+      Tables(s, dir).lineitem
+        .join(broadcast(t), col("l_orderkey") === col("k"), "left_outer")
+        .select(expr("l_orderkey div 8192").as("rg"),
+          when(col("k").isNull, 0L).otherwise(1L).as("dead"))
+        .groupBy("rg")
+        .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("dead_rows"))
+        .select(col("rg"), col("n_rows"), col("dead_rows"),
+          expr("dead_rows * 1000000 div n_rows").as("dead_ppm"),
+          when(col("dead_rows") * 10 > col("n_rows"), "rewrite")
+            .otherwise("keep").as("advice"))
+        .orderBy("rg")
+    },
+
+    // Storage-temperature tiering advisor: each part's access frequency
+    // (lineitem touches) and recency (last shipdate) map to hot / warm /
+    // cold tiers by deterministic thresholds, with per-tier part counts
+    // and line mass — the placement table a tiered lake (memory / SSD /
+    // object store) derives from the fact log. One fact-grain rollup;
+    // the tier rules are pure projection on part-grain aggregates.
+    QueryDef.sql(
+      "q315_storage_tiering",
+      """WITH p AS (
+        |  SELECT l_partkey, COUNT(*) AS freq, MAX(l_shipdate) AS last_touch
+        |  FROM lineitem GROUP BY 1),
+        |mx AS (SELECT MAX(last_touch) AS gmax FROM p),
+        |tiered AS (
+        |  SELECT l_partkey, freq,
+        |    CASE WHEN datediff('day', CAST(last_touch AS DATE), CAST(gmax AS DATE)) <= 365
+        |           AND freq >= 8 THEN 'a_hot'
+        |         WHEN datediff('day', CAST(last_touch AS DATE), CAST(gmax AS DATE)) <= 1095
+        |           THEN 'b_warm'
+        |         ELSE 'c_cold' END AS tier
+        |  FROM p, mx)
+        |SELECT tier, COUNT(*) AS n_parts,
+        |  CAST(SUM(freq) AS BIGINT) AS n_lines,
+        |  CAST(SUM(freq) * 1000000 // (SELECT SUM(freq) FROM p) AS BIGINT)
+        |    AS line_share_ppm
+        |FROM tiered GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).lineitem
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("freq"), max(col("l_shipdate")).as("last_touch"))
+      val mx = p.agg(max(col("last_touch")).as("gmax"))
+      val tiered = p.crossJoin(broadcast(mx))
+        .select(col("freq"),
+          when(datediff(to_date(col("gmax")), to_date(col("last_touch"))) <= 365 &&
+               col("freq") >= 8, "a_hot")
+            .when(datediff(to_date(col("gmax")), to_date(col("last_touch"))) <= 1095,
+              "b_warm")
+            .otherwise("c_cold").as("tier"))
+      val tot = p.agg(sum(col("freq")).as("tf"))
+      tiered.groupBy("tier")
+        .agg(count(lit(1)).as("n_parts"), sum(col("freq")).as("n_lines"))
+        .crossJoin(broadcast(tot))
+        .select(col("tier"), col("n_parts"), col("n_lines"),
+          expr("n_lines * 1000000 div tf").as("line_share_ppm"))
+        .orderBy("tier")
     })
 }
