@@ -525,5 +525,69 @@ object StatsQueries {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
         .orderBy("event_type", "bucket")
+    },
+
+    // Cramér's V association strength for two categorical pairs at once
+    // (status×priority on orders, segment×nation-band on customer).
+    // Builds on q194's exact per-cell chi² (integer ppm over OBSERVED
+    // cells — both engines omit the same empty cells, so the convention
+    // is consistent): the cell ppm values sum as integers (no double
+    // accumulation order to drift), and the only floating step is one
+    // sqrt of an exact ratio — IEEE-754 sqrt is correctly rounded, so
+    // Spark and DuckDB agree bit-for-bit. All pre-sqrt products stay
+    // < 2^53 so the doubles are exact. DECIMAL(38,0) numerators hold to
+    // tn ≈ 10⁹; beyond that pre-scale obs/rn/cn (divide by gcd of the
+    // margins) before squaring.
+    QueryDef.sql(
+      "q317_cramers_v",
+      """WITH u AS (
+        |  SELECT 'status_priority' AS pair, o_orderstatus AS x, o_orderpriority AS y
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'segment_nationband', c_mktsegment, CAST(c_nationkey % 5 AS VARCHAR)
+        |  FROM customer),
+        |o AS (SELECT pair, x, y, COUNT(*) AS obs FROM u GROUP BY 1, 2, 3),
+        |r AS (SELECT pair, x, SUM(obs) AS rn FROM o GROUP BY 1, 2),
+        |c AS (SELECT pair, y, SUM(obs) AS cn FROM o GROUP BY 1, 2),
+        |t AS (SELECT pair, SUM(obs) AS tn, COUNT(DISTINCT x) AS nr,
+        |    COUNT(DISTINCT y) AS nc FROM o GROUP BY 1),
+        |cells AS (SELECT o.pair,
+        |    (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+        |      * (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn) * 1000000
+        |      // (CAST(rn AS HUGEINT) * cn * tn) AS cell_ppm
+        |  FROM o JOIN r ON o.pair = r.pair AND o.x = r.x
+        |  JOIN c ON o.pair = c.pair AND o.y = c.y
+        |  JOIN t ON o.pair = t.pair),
+        |s AS (SELECT pair, SUM(cell_ppm) AS chi2_ppm FROM cells GROUP BY 1)
+        |SELECT s.pair, CAST(tn AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+        |  CAST(nc AS BIGINT) AS n_cols, CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+        |  CAST(FLOOR(SQRT(CAST(chi2_ppm AS DOUBLE)
+        |      / (1000000.0 * CAST(tn AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS v_ppm
+        |FROM s JOIN t ON s.pair = t.pair ORDER BY s.pair""".stripMargin) { (s, dir) =>
+      val tb = Tables(s, dir)
+      val u = tb.orders.select(lit("status_priority").as("pair"),
+          col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+        .unionAll(tb.customer.select(lit("segment_nationband").as("pair"),
+          col("c_mktsegment").as("x"), (col("c_nationkey") % 5).cast("string").as("y")))
+      val o = u.groupBy("pair", "x", "y").agg(count(lit(1)).as("obs"))
+      val r = o.groupBy("pair", "x").agg(sum("obs").as("rn"))
+      val c = o.groupBy("pair", "y").agg(sum("obs").as("cn"))
+      val t = o.groupBy("pair").agg(sum("obs").as("tn"),
+        countDistinct("x").as("nr"), countDistinct("y").as("nc"))
+      val cells = o.join(r, Seq("pair", "x")).join(c, Seq("pair", "y"))
+        .join(broadcast(t), Seq("pair"))
+        .select(col("pair"),
+          expr("CAST((CAST(obs AS DECIMAL(38,0)) * tn - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * (CAST(obs AS DECIMAL(38,0)) * tn - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * 1000000 div (CAST(rn AS DECIMAL(38,0)) * cn * tn) AS BIGINT)").as("cell_ppm"))
+      val chi = cells.groupBy("pair").agg(sum("cell_ppm").as("chi2_ppm"))
+      chi.join(broadcast(t), Seq("pair"))
+        .select(col("pair"), col("tn").as("n"), col("nr").as("n_rows"),
+          col("nc").as("n_cols"), col("chi2_ppm"),
+          expr("CAST(FLOOR(SQRT(CAST(chi2_ppm AS DOUBLE)" +
+            " / (1000000.0D * CAST(tn AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))" +
+            " * 1000000.0D) AS BIGINT)").as("v_ppm"))
+        .orderBy("pair")
     })
 }

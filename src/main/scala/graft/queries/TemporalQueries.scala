@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -54,6 +55,93 @@ object TemporalQueries {
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
       TemporalJoins.recentCount(ev, "user_id", "us", "event_id", 300000000L)
         .orderBy("event_id")
+    },
+
+    // Sweep-line interval overlap: each order is active for 1-14 days
+    // (key-derived duration); the +1/-1 delta sweep aggregates to DAY
+    // GRAIN before the global cumulative sum, so the ordered window runs
+    // over ~2.4k rows regardless of row count — the classic way max
+    // concurrency stays computable at 100 TB (never sort the raw
+    // intervals globally). A date spine fills order-free days so the
+    // running level is exact even when a day has no deltas (sf0.001 has
+    // such gaps). One scan: start/end deltas come from one explode.
+    QueryDef.sql(
+      "q316_interval_overlap",
+      """WITH iv AS (SELECT CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + CAST((o_orderkey % 14) + 1 AS INTEGER) AS e
+        |  FROM orders),
+        |deltas AS (SELECT day, SUM(d) AS net FROM (
+        |    SELECT s AS day, 1 AS d FROM iv
+        |    UNION ALL SELECT e AS day, -1 AS d FROM iv) u GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM deltas),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |conc AS (SELECT spine.day AS day, SUM(COALESCE(net, 0)) OVER (ORDER BY spine.day) AS c
+        |  FROM spine LEFT JOIN deltas ON spine.day = deltas.day)
+        |SELECT strftime(day, '%Y-%m') AS month, CAST(MAX(c) AS BIGINT) AS max_active,
+        |  CAST(arg_max(c, day) AS BIGINT) AS eom_active
+        |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val iv = Tables(s, dir).orders.select(to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          ((col("o_orderkey") % 14) + 1).cast("int")).as("e"))
+      val deltas = iv
+        .select(explode(array(
+          struct(col("s").as("day"), lit(1L).as("d")),
+          struct(col("e").as("day"), lit(-1L).as("d")))).as("x"))
+        .select(col("x.day").as("day"), col("x.d").as("d"))
+        .groupBy("day").agg(sum("d").as("net"))
+      // lo = min start (every end > its start), hi = max end — from the
+      // day-grain deltas, no second scan of orders
+      val spine = deltas.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val conc = spine.join(deltas, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("net"), lit(0L)).as("net"))
+        .withColumn("c", sum(col("net")).over(Window.orderBy("day")))
+      conc.groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(max(col("c")).as("max_active"),
+          max_by(col("c"), col("day")).as("eom_active"))
+        .orderBy("month")
+    },
+
+    // Max drawdown of the daily-revenue series per nation: running peak
+    // via an ordered window (partitioned by nation — parallel across the
+    // dimension, day-grain bounded within), drawdown in exact integer
+    // ppm (DECIMAL numerator — peak·10⁶ wraps Long past ~9e12 cents/day
+    // at large SFs), then the worst value and the FIRST day it occurred
+    // (equality join back + MIN(day) — deterministic under ties, unlike
+    // arg_max on a non-unique key).
+    QueryDef.sql(
+      "q318_drawdown",
+      """WITH daily AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |p AS (SELECT n_name, day, cents,
+        |    MAX(cents) OVER (PARTITION BY n_name ORDER BY day) AS peak FROM daily),
+        |d AS (SELECT n_name, day,
+        |    CAST(CAST(peak - cents AS HUGEINT) * 1000000 // peak AS BIGINT) AS dd_ppm
+        |  FROM p),
+        |m AS (SELECT n_name, MAX(dd_ppm) AS max_dd_ppm FROM d GROUP BY 1)
+        |SELECT m.n_name, CAST(m.max_dd_ppm AS BIGINT) AS max_dd_ppm,
+        |  MIN(d.day) AS worst_day
+        |FROM m JOIN d ON d.n_name = m.n_name AND d.dd_ppm = m.max_dd_ppm
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val p = daily.withColumn("peak",
+        max(col("cents")).over(Window.partitionBy("n_name").orderBy("day")))
+      val d = p.select(col("n_name"), col("day"),
+        expr("CAST(CAST(peak - cents AS DECIMAL(38,0)) * 1000000 div peak AS BIGINT)")
+          .as("dd_ppm"))
+      val m = d.groupBy("n_name").agg(max("dd_ppm").as("max_dd_ppm"))
+      m.join(d, Seq("n_name")).where(col("dd_ppm") === col("max_dd_ppm"))
+        .groupBy("n_name", "max_dd_ppm").agg(min("day").as("worst_day"))
+        .orderBy("n_name")
     },
   )
 }
