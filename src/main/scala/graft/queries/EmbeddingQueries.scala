@@ -234,5 +234,66 @@ object EmbeddingQueries {
           col("n_frames"))
         .orderBy("doc_id")
     },
+
+    // Matryoshka truncation audit: recall@10 of cosine ranking on the
+    // FIRST 16 dims vs the full 64-dim exact ranking, per query vector
+    // (every 25th id). One pass scores corpus×queries with BOTH cosines
+    // (the cached projection is read by two top-k passes — never
+    // recompute the dot products); per-group top-k uses the packed
+    // (cos, ¬vec_id) ordering long (q121's trick), so each ranking is
+    // one shuffle-free partial-topk aggregate, no global sorts. This is
+    // the measurement that decides whether a 100 TB corpus can serve
+    // truncated embeddings from the hot tier and keep the tail dims cold.
+    QueryDef.sql(
+      "q320_matryoshka",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 25 = 0),
+         |p AS (SELECT q.qid, e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, q, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> q.qid),
+         |d AS (SELECT qid, vec_id,
+         |    SUM(x*y) AS fxy, SUM(x*x) AS fxx, SUM(y*y) AS fyy,
+         |    SUM(CASE WHEN i <= 16 THEN x*y ELSE 0 END) AS txy,
+         |    SUM(CASE WHEN i <= 16 THEN x*x ELSE 0 END) AS txx,
+         |    SUM(CASE WHEN i <= 16 THEN y*y ELSE 0 END) AS tyy
+         |  FROM p GROUP BY 1, 2),
+         |sc AS (SELECT qid, vec_id, ${cosSql("fxy", "fxx", "fyy")} AS cf,
+         |    ${cosSql("txy", "txx", "tyy")} AS ct FROM d),
+         |rf AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS rk FROM sc),
+         |rt AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id) AS rk FROM sc),
+         |h AS (SELECT rf.qid AS qid, COUNT(*) AS hits
+         |      FROM rf JOIN rt USING (qid, vec_id)
+         |      WHERE rf.rk <= 10 AND rt.rk <= 10 GROUP BY 1)
+         |SELECT q.qid, COALESCE(hits, 0) AS hits,
+         |  COALESCE(hits, 0) * 100 AS recall_permille
+         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graftshims.TopKApi
+      val e = Tables(s, dir).embeddings
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineScaled(col("embedding"), col("qv")).as("cf"),
+          Similarity.cosineScaled(slice(col("embedding"), 1, 16),
+            slice(col("qv"), 1, 16)).as("ct"))
+        .withColumn("ordf", col("cf") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+        .withColumn("ordt", col("ct") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+        .cache()
+      val tf = TopKApi.topKPerGroup(scored, Seq("qid"), "ordf", 10)
+        .select(col("qid"), col("vec_id"))
+      val tt = TopKApi.topKPerGroup(scored, Seq("qid"), "ordt", 10)
+        .select(col("qid").as("tqid"), col("vec_id").as("tvid"))
+      val hits = tf.join(tt, col("qid") === col("tqid") && col("vec_id") === col("tvid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      q.select("qid").join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_permille", expr("hits * 100L"))
+        .orderBy("qid")
+    },
   )
 }

@@ -1428,5 +1428,77 @@ object MiningQueries {
           col("heavy_n"),
           expr("heavy_n * 1000000L div total").as("heavy_share_ppm"))
         .orderBy("key_col")
+    },
+
+    // Fellegi-Sunter record linkage: a deterministic "dirty" copy of
+    // every 3rd customer (lowercased name / +0.37 balance / shifted
+    // nation on key-derived subsets), blocked on (segment, $500 balance
+    // band) so candidate generation is an EQUI-join — the only shape that
+    // scales: pair count follows Σ|block|², never |clean|×|dirty|; at
+    // 100 TB the band narrows (or salts) to cap block size. Integer
+    // log-odds weights per field agreement, summed to a score, bucketed
+    // match / possible / non_match; n_true (same custkey) per bucket
+    // surfaces the precision/recall trade plus the blocking misses
+    // (perturbed balances that crossed a band boundary never pair).
+    // Balance bands route through DOUBLE+FLOOR: cents are signed and
+    // `div` truncates while `//` floors.
+    QueryDef.sql(
+      "q319_record_linkage",
+      """WITH clean AS (SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nat,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal, c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 6 = 0 THEN lower(c_name) ELSE c_name END AS nm,
+        |    CASE WHEN c_custkey % 15 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nat,
+        |    CAST(FLOOR((CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 0.37
+        |                     ELSE c_acctbal END) * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |cb AS (SELECT *, CAST(FLOOR(CAST(bal AS DOUBLE) / 50000.0) AS BIGINT) AS band FROM clean),
+        |db AS (SELECT *, CAST(FLOOR(CAST(bal AS DOUBLE) / 50000.0) AS BIGINT) AS band FROM dirty),
+        |pairs AS (SELECT cb.ck AS ck1, db.ck AS ck2,
+        |    (CASE WHEN cb.nm = db.nm THEN 38 ELSE -12 END)
+        |    + (CASE WHEN cb.nat = db.nat THEN 8 ELSE -6 END)
+        |    + (CASE WHEN abs(cb.bal - db.bal) <= 50 THEN 11 ELSE -9 END) AS score
+        |  FROM cb JOIN db ON cb.seg = db.seg AND cb.band = db.band),
+        |d AS (SELECT CASE WHEN score >= 40 THEN 'match'
+        |        WHEN score >= 0 THEN 'possible' ELSE 'non_match' END AS decision,
+        |    score, CASE WHEN ck1 = ck2 THEN 1 ELSE 0 END AS is_true
+        |  FROM pairs)
+        |SELECT decision, COUNT(*) AS n_pairs,
+        |  CAST(SUM(is_true) AS BIGINT) AS n_true,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val cust = Tables(s, dir).customer
+      def band(c: Column) = floor(c.cast("double") / lit(50000.0)).cast("long")
+      val clean = cust.select(col("c_custkey").as("ck1"), col("c_name").as("nm1"),
+        col("c_nationkey").as("nat1"), cents(col("c_acctbal")).as("bal1"),
+        col("c_mktsegment").as("seg"))
+        .withColumn("band", band(col("bal1")))
+      val dirty = cust.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("ck2"),
+          when(col("c_custkey") % 6 === 0, lower(col("c_name")))
+            .otherwise(col("c_name")).as("nm2"),
+          when(col("c_custkey") % 15 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("nat2"),
+          cents(when(col("c_custkey") % 9 === 0, col("c_acctbal") + 0.37)
+            .otherwise(col("c_acctbal"))).as("bal2"),
+          col("c_mktsegment").as("seg"))
+        .withColumn("band", band(col("bal2")))
+      val pairs = clean.join(dirty, Seq("seg", "band"))
+        .select(
+          (when(col("nm1") === col("nm2"), 38).otherwise(-12)
+            + when(col("nat1") === col("nat2"), 8).otherwise(-6)
+            + when(abs(col("bal1") - col("bal2")) <= 50, 11).otherwise(-9)).as("score"),
+          when(col("ck1") === col("ck2"), 1L).otherwise(0L).as("is_true"))
+      pairs
+        .select(when(col("score") >= 40, "match")
+            .when(col("score") >= 0, "possible")
+            .otherwise("non_match").as("decision"),
+          col("score").cast("long").as("score"), col("is_true"))
+        .groupBy("decision")
+        .agg(count(lit(1)).as("n_pairs"), sum("is_true").as("n_true"),
+          sum("score").as("sum_score"))
+        .orderBy("decision")
     })
 }

@@ -143,5 +143,54 @@ object TemporalQueries {
         .groupBy("n_name", "max_dd_ppm").agg(min("day").as("worst_day"))
         .orderBy("n_name")
     },
+
+    // Classical seasonal decomposition, step 1+2: centered 7-day moving
+    // average (exact integer sum over a ROWS frame on the zero-filled
+    // date spine — the spine guarantees "7 rows" means "7 calendar
+    // days") as the trend, then the per-DOW mean of the detrended ratio
+    // cents/(trend/7) as the seasonal index. q312's ratio-of-means DOW
+    // index ignores trend; this one removes it first, the textbook way.
+    // All ratios are non-negative so `div`/`//` agree; the only global
+    // window runs at day grain (~2.4k rows at any SF — same bounded-
+    // cardinality argument as q316).
+    QueryDef.sql(
+      "q321_seasonal_decompose",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |f AS (SELECT spine.day AS day, COALESCE(cents, 0) AS cents
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |w AS (SELECT day, cents,
+        |    SUM(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+        |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tn
+        |  FROM f),
+        |r AS (SELECT dayofweek(day) AS dow,
+        |    CAST(CAST(cents AS HUGEINT) * 7000000 // tsum AS BIGINT) AS ratio_ppm
+        |  FROM w WHERE tn = 7 AND tsum > 0)
+        |SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
+        |  CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_index_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val f = spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val w = f.select(col("day"), col("cents"),
+        sum("cents").over(w7).as("tsum"), count(lit(1)).over(w7).as("tn"))
+      val r = w.where(col("tn") === 7 && col("tsum") > 0)
+        .select((dayofweek(col("day")) - 1).cast("long").as("dow"),
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 7000000 div tsum AS BIGINT)")
+            .as("ratio_ppm"))
+      r.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(SUM(ratio_ppm) div COUNT(*) AS BIGINT)").as("seasonal_index_ppm"))
+        .orderBy("dow")
+    },
   )
 }
