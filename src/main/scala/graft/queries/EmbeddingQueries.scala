@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -294,6 +295,60 @@ object EmbeddingQueries {
         .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
         .withColumn("recall_permille", expr("hits * 100L"))
         .orderBy("qid")
+    },
+
+    // k-NN classifier evaluation: every 25th vector is held out and
+    // classified by the majority label of its 10 nearest neighbors
+    // (exact scaled cosine, self excluded, vote ties to the smaller
+    // label); output is the confusion matrix against the fixture's true
+    // labels. Same single-pass scoring + packed-ord top-k shape as q320
+    // — the per-query state is 10 rows regardless of corpus size, which
+    // is what makes leave-out eval affordable on a 100 TB embedding
+    // store (queries batch through one corpus scan).
+    QueryDef.sql(
+      "q323_knn_classify",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |p AS (SELECT q.qid, e.vec_id, e.label, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, q, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> q.qid),
+         |d AS (SELECT qid, vec_id, label,
+         |    SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |  FROM p GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, vec_id, label, ${cosSql("dxy", "dxx", "dyy")} AS cs FROM d),
+         |rk AS (SELECT qid, label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk FROM sc),
+         |votes AS (SELECT qid, label, COUNT(*) AS nv FROM rk WHERE rk <= 10 GROUP BY 1, 2),
+         |pred AS (SELECT qid, label AS pl FROM (
+         |    SELECT qid, label,
+         |      row_number() OVER (PARTITION BY qid ORDER BY nv DESC, label) AS r
+         |    FROM votes) v WHERE r = 1)
+         |SELECT CAST(q.tl AS BIGINT) AS true_label, CAST(pred.pl AS BIGINT) AS pred_label,
+         |  COUNT(*) AS n
+         |FROM q JOIN pred ON q.qid = pred.qid
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graftshims.TopKApi
+      val e = Tables(s, dir).embeddings
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("tl"))
+      val scored = e.crossJoin(broadcast(q.select("qid", "qv")))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          Similarity.cosineScaled(col("embedding"), col("qv")).as("cs"))
+        .withColumn("ord", col("cs") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+      val top = TopKApi.topKPerGroup(scored, Seq("qid"), "ord", 10)
+      val votes = top.groupBy("qid", "label").agg(count(lit(1)).as("nv"))
+      val wv = Window.partitionBy("qid").orderBy(col("nv").desc, col("label").asc)
+      val pred = votes.withColumn("r", row_number().over(wv)).where(col("r") === 1)
+        .select(col("qid"), col("label").as("pl"))
+      q.select("qid", "tl").join(pred, Seq("qid"))
+        .groupBy(col("tl").cast("long").as("true_label"),
+          col("pl").cast("long").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
     },
   )
 }

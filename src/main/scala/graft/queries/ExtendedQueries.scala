@@ -785,5 +785,74 @@ object ExtendedQueries {
         .orderBy(col("pmi_ratio_scaled").desc, col("bigram"))
         .limit(30)
     },
+
+    // Conversion-latency quantiles for q69's funnel: users who completed
+    // view→click→purchase contribute two latencies (view→click,
+    // click→purchase in µs); per metric the discrete p25/p50/p75 come
+    // from the distributed rank-index pattern (q152): one window pass
+    // assigns row_number + count, the quantile indices are computed in
+    // PURE INTEGER arithmetic — ceil(n·q) as (n+3) div 4, (n+1) div 2,
+    // (3n+3) div 4 — so no float rounding can disagree across engines.
+    // Ties order by (value, user_id): deterministic.
+    QueryDef.sql(
+      "q324_funnel_latency",
+      """WITH s AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.t_view
+        |    AND e.ts <= s.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'click_to_purchase' AS metric, p.user_id,
+        |    epoch_us(p.t_buy) - epoch_us(c.t_click) AS v
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT 'view_to_click', p.user_id, epoch_us(c.t_click) - epoch_us(s.t_view)
+        |  FROM p JOIN c ON p.user_id = c.user_id JOIN s ON p.user_id = s.user_id),
+        |r AS (SELECT metric, v,
+        |    row_number() OVER (PARTITION BY metric ORDER BY v, user_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY metric) AS n
+        |  FROM lat)
+        |SELECT metric, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN v END) AS BIGINT) AS p25_us,
+        |  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN v END) AS BIGINT) AS p50_us,
+        |  CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN v END) AS BIGINT) AS p75_us
+        |FROM r GROUP BY metric ORDER BY metric""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+      val sv = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val cl = ev.where(col("event_type") === "click")
+        .join(sv, Seq("user_id"))
+        .where(col("ts") > col("t_view")
+          && col("ts") <= col("t_view") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_click"), min("t_view").as("t_view"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .where(col("ts") > col("t_click")
+          && col("ts") <= col("t_click") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_buy"),
+          min("t_click").as("t_click"), min("t_view").as("t_view"))
+      val lat = pu.select(lit("click_to_purchase").as("metric"), col("user_id"),
+          (unix_micros(col("t_buy")) - unix_micros(col("t_click"))).as("v"))
+        .unionAll(pu.select(lit("view_to_click").as("metric"), col("user_id"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_view"))).as("v")))
+      val r = lat.select(col("metric"), col("v"),
+        row_number().over(Window.partitionBy("metric").orderBy("v", "user_id")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("metric")).as("n"))
+      r.groupBy("metric")
+        .agg(max("n").as("n"),
+          max(when(col("rk") === expr("(n + 3) div 4"), col("v"))).as("p25_us"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("v"))).as("p50_us"),
+          max(when(col("rk") === expr("(3 * n + 3) div 4"), col("v"))).as("p75_us"))
+        .orderBy("metric")
+    },
   )
 }

@@ -589,5 +589,74 @@ object StatsQueries {
             " / (1000000.0D * CAST(tn AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))" +
             " * 1000000.0D) AS BIGINT)").as("v_ppm"))
         .orderBy("pair")
+    },
+
+    // Hash-bootstrap confidence interval for the median of per-user
+    // spend: 32 deterministic resample replicas — each user's
+    // multiplicity in replica b comes from the portable md5 hash of
+    // (user_id, b), ≈Poisson(1) truncated to {0,1,2} — so the whole
+    // bootstrap is ONE 32× row expansion (constant replication factor:
+    // the standard cluster bootstrap; no driver loop, no RNG state).
+    // Replica medians use the distributed rank-index pattern with the
+    // integer ceil(n/2) index; the CI is the 4th/29th of the 32 sorted
+    // replica medians (= p10/p90 under the 1-based ceil convention).
+    QueryDef.sql(
+      "q325_bootstrap_ci",
+      """WITH u AS (SELECT user_id,
+        |    SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1),
+        |reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+        |m AS (SELECT u.user_id, u.cents, reps.b,
+        |    ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+        |       || CAST(reps.b AS VARCHAR)), 1, 8))::BIGINT % 4 AS h
+        |  FROM u, reps),
+        |x AS (SELECT b, cents, user_id,
+        |    unnest(generate_series(1, CASE WHEN h = 0 THEN 0
+        |                                   WHEN h = 1 THEN 2 ELSE 1 END)) AS dup
+        |  FROM m),
+        |r AS (SELECT b, cents,
+        |    row_number() OVER (PARTITION BY b ORDER BY cents, user_id, dup) AS rk,
+        |    COUNT(*) OVER (PARTITION BY b) AS n FROM x),
+        |med AS (SELECT b, MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med
+        |        FROM r GROUP BY b),
+        |mr AS (SELECT med, row_number() OVER (ORDER BY med, b) AS rk FROM med),
+        |fs AS (SELECT MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS point
+        |  FROM (SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS rk,
+        |        COUNT(*) OVER () AS n FROM u) t)
+        |SELECT (SELECT COUNT(*) FROM u) AS n_users,
+        |  CAST(32 AS BIGINT) AS n_replicas,
+        |  CAST((SELECT point FROM fs) AS BIGINT) AS median_scaled,
+        |  CAST((SELECT med FROM mr WHERE rk = 4) AS BIGINT) AS ci_lo_scaled,
+        |  CAST((SELECT med FROM mr WHERE rk = 29) AS BIGINT) AS ci_hi_scaled""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.groupBy("user_id")
+        .agg(sum(floor(col("value") * 1000000.0).cast("long")).as("cents"))
+      val reps = s.range(0, 32).select(col("id").as("b"))
+      val m = u.crossJoin(broadcast(reps))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':'," +
+            " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4"))
+        .withColumn("mult",
+          when(col("h") === 0, 0).when(col("h") === 1, 2).otherwise(1))
+        // Spark's sequence(1, 0) DESCENDS (never empty) — filter first
+        .where(col("mult") > 0)
+      val x = m.select(col("b"), col("cents"), col("user_id"),
+        explode(expr("sequence(1, mult)")).as("dup"))
+      val r = x.select(col("b"), col("cents"),
+        row_number().over(Window.partitionBy("b").orderBy("cents", "user_id", "dup")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("b")).as("n"))
+      val med = r.groupBy("b")
+        .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("cents"))).as("med"))
+      val mr = med.select(col("med"),
+        row_number().over(Window.orderBy("med", "b")).as("rk"))
+      val fr = u.select(col("cents"),
+        row_number().over(Window.orderBy("cents", "user_id")).as("rk"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val fs = fr.agg(max(when(col("rk") === expr("(n + 1) div 2"), col("cents"))).as("median_scaled"))
+      val nU = u.agg(count(lit(1)).as("n_users"))
+      nU.crossJoin(fs)
+        .crossJoin(mr.where(col("rk") === 4).select(col("med").as("ci_lo_scaled")))
+        .crossJoin(mr.where(col("rk") === 29).select(col("med").as("ci_hi_scaled")))
+        .select(col("n_users"), lit(32L).as("n_replicas"), col("median_scaled"),
+          col("ci_lo_scaled"), col("ci_hi_scaled"))
     })
 }

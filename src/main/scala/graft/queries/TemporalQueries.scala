@@ -192,5 +192,67 @@ object TemporalQueries {
           expr("CAST(SUM(ratio_ppm) div COUNT(*) AS BIGINT)").as("seasonal_index_ppm"))
         .orderBy("dow")
     },
+
+    // Bitemporal point-in-time query — the Spark answer to the
+    // reference's AS OF SCN/TIMESTAMP snapshot scans (SURVEY S1):
+    // every order carries a valid-time interval [vf, vt) and a
+    // transaction-time interval [tf, tt); every 4th order gets a later
+    // correction (+$500, recorded 15 days after first posting) that
+    // closes the original's tx interval. The query answers "as known at
+    // T, valid at V" for a 2×2 grid of (T, V) — the grid is a broadcast
+    // literal, so the fact table is scanned ONCE and filtered per grid
+    // cell; exactly one version per order survives any T past its
+    // correction, which is the bitemporal invariant the oracle checks.
+    QueryDef.sql(
+      "q322_bitemporal",
+      """WITH base AS (SELECT o_orderkey AS ck, o_orderpriority AS pr,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS vf,
+        |    CAST(o_orderdate AS DATE) + CAST((o_orderkey % 90) + 30 AS INTEGER) AS vt,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 AS INTEGER) AS tf
+        |  FROM orders),
+        |versions AS (
+        |  SELECT ck, pr, cents, vf, vt, tf,
+        |    CASE WHEN ck % 4 = 0 THEN tf + 15 ELSE DATE '9999-12-31' END AS tt
+        |  FROM base
+        |  UNION ALL
+        |  SELECT ck, pr, cents + 50000, vf, vt, tf + 15, DATE '9999-12-31'
+        |  FROM base WHERE ck % 4 = 0),
+        |tg AS (SELECT 'T1996' AS t_label, DATE '1996-07-01' AS t
+        |       UNION ALL SELECT 'T1998', DATE '1998-07-01'),
+        |vg AS (SELECT 'V1996' AS v_label, DATE '1996-07-01' AS v
+        |       UNION ALL SELECT 'V1998', DATE '1998-07-01')
+        |SELECT t_label, v_label, pr AS priority, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM versions, tg, vg
+        |WHERE tf <= t AND t < tt AND vf <= v AND v < vt
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).orders.select(col("o_orderkey").as("ck"),
+        col("o_orderpriority").as("pr"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("vf"),
+        date_add(to_date(col("o_orderdate")),
+          ((col("o_orderkey") % 90) + 30).cast("int")).as("vt"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 10).cast("int")).as("tf"))
+      val forever = to_date(lit("9999-12-31"))
+      val orig = base.withColumn("tt",
+        when(col("ck") % 4 === 0, date_add(col("tf"), 15)).otherwise(forever))
+      val corr = base.where(col("ck") % 4 === 0)
+        .select(col("ck"), col("pr"), (col("cents") + 50000).as("cents"),
+          col("vf"), col("vt"), date_add(col("tf"), 15).as("tf"), forever.as("tt"))
+      val versions = orig.unionByName(corr)
+      val tg = Seq(("T1996", "1996-07-01"), ("T1998", "1998-07-01"))
+        .toDF("t_label", "ts").select(col("t_label"), to_date(col("ts")).as("t"))
+      val vg = Seq(("V1996", "1996-07-01"), ("V1998", "1998-07-01"))
+        .toDF("v_label", "vs").select(col("v_label"), to_date(col("vs")).as("v"))
+      versions.crossJoin(broadcast(tg)).crossJoin(broadcast(vg))
+        .where(col("tf") <= col("t") && col("t") < col("tt")
+          && col("vf") <= col("v") && col("v") < col("vt"))
+        .groupBy(col("t_label"), col("v_label"), col("pr").as("priority"))
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("t_label", "v_label", "priority")
+    },
   )
 }
