@@ -854,5 +854,61 @@ object ExtendedQueries {
           max(when(col("rk") === expr("(3 * n + 3) div 4"), col("v"))).as("p75_us"))
         .orderBy("metric")
     },
+
+    // Time-decay attribution: every view/click in the 28 days before a
+    // same-user purchase earns weight 2^-⌊Δdays/7⌋ — halving per week,
+    // kept EXACT by using 10⁶-scaled weights that are all integers
+    // (1000000 ≫ k for k ≤ 3), so per-conversion shares normalize in
+    // pure integer ppm and channel credit sums without float drift
+    // (q220's position rules and q241's linear split are the siblings).
+    // The touch×purchase pairing is a per-user equi-join with a time
+    // filter — pair count follows per-user activity², never |events|².
+    QueryDef.sql(
+      "q326_decay_attribution",
+      """WITH pur AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT pid, tid, event_type,
+        |    (pus - tus) // 604800000000 AS k
+        |  FROM pur JOIN tch USING (user_id)
+        |  WHERE tus < pus AND pus - tus < 2419200000000),
+        |w AS (SELECT pid, tid, event_type,
+        |    CASE k WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+        |           WHEN 2 THEN 250000 ELSE 125000 END AS wt
+        |  FROM pairs),
+        |sw AS (SELECT pid, SUM(wt) AS swt FROM w GROUP BY 1),
+        |sh AS (SELECT w.event_type, w.pid,
+        |    CAST(CAST(wt AS HUGEINT) * 1000000 // swt AS BIGINT) AS share_ppm
+        |  FROM w JOIN sw ON w.pid = sw.pid)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(share_ppm) AS BIGINT) AS credit_ppm
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val pur = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+      val tch = ev.where(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("tid"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val pairs = pur.join(tch, Seq("user_id"))
+        .where(col("tus") < col("pus") && col("pus") - col("tus") < 2419200000000L)
+        .select(col("pid"), col("tid"), col("event_type"),
+          expr("(pus - tus) div 604800000000L").as("k"))
+      val w = pairs.select(col("pid"), col("tid"), col("event_type"),
+        when(col("k") === 0, 1000000L).when(col("k") === 1, 500000L)
+          .when(col("k") === 2, 250000L).otherwise(125000L).as("wt"))
+      val sw = w.groupBy("pid").agg(sum("wt").as("swt"))
+      val sh = w.join(sw, Seq("pid"))
+        .select(col("event_type"), col("pid"),
+          expr("CAST(CAST(wt AS DECIMAL(38,0)) * 1000000 div swt AS BIGINT)")
+            .as("share_ppm"))
+      sh.groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct("pid").as("n_conversions"),
+          sum("share_ppm").as("credit_ppm"))
+        .orderBy("event_type")
+    },
   )
 }

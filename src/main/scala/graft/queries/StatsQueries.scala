@@ -658,5 +658,104 @@ object StatsQueries {
         .crossJoin(mr.where(col("rk") === 29).select(col("med").as("ci_hi_scaled")))
         .select(col("n_users"), lit(32L).as("n_replicas"), col("median_scaled"),
           col("ci_lo_scaled"), col("ci_hi_scaled"))
+    },
+
+    // Split-conformal prediction interval: users hash-split 50/50 into
+    // calibration and test (portable md5 arm, q310's convention); the
+    // point prediction is the calibration mean (integer div), the
+    // interval half-width is the ceil((n_cal+1)·0.9)-th smallest
+    // absolute residual on calibration — the finite-sample-valid
+    // conformal quantile, computed at the integer index
+    // (9·n_cal+18) div 10 clamped to n_cal — and the marginal coverage
+    // is then measured on the held-out test users in ppm. Everything is
+    // integer arithmetic on µ-scaled spend; the residual ranking is the
+    // same distributed rank-index pattern as q152/q325.
+    QueryDef.sql(
+      "q327_conformal_coverage",
+      """WITH u AS (SELECT user_id,
+        |    SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS y,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':split'), 1, 8))::BIGINT % 2
+        |      AS arm
+        |  FROM events GROUP BY user_id),
+        |cal AS (SELECT user_id, y FROM u WHERE arm = 0),
+        |tst AS (SELECT user_id, y FROM u WHERE arm = 1),
+        |pred AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS p,
+        |    COUNT(*) AS n_cal FROM cal),
+        |res AS (SELECT abs(y - p) AS r, user_id FROM cal, pred),
+        |rr AS (SELECT r, row_number() OVER (ORDER BY r, user_id) AS rk FROM res),
+        |qv AS (SELECT CAST(MAX(CASE WHEN rk = LEAST((9 * n_cal + 18) // 10, n_cal)
+        |      THEN r END) AS BIGINT) AS q
+        |  FROM rr, pred),
+        |cov AS (SELECT COUNT(*) AS n_test,
+        |    SUM(CASE WHEN abs(y - p) <= q THEN 1 ELSE 0 END) AS n_in
+        |  FROM tst, pred, qv)
+        |SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(n_test AS BIGINT) AS n_test,
+        |  p AS pred_scaled, q AS half_width_scaled,
+        |  CAST(n_in * 1000000 // n_test AS BIGINT) AS coverage_ppm
+        |FROM pred, qv, cov""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.groupBy("user_id")
+        .agg(sum(floor(col("value") * 1000000.0).cast("long")).as("y"))
+        .withColumn("arm",
+          expr("CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':split'))," +
+            " 1, 8), 16, 10) AS BIGINT) % 2"))
+      val cal = u.where(col("arm") === 0).select("user_id", "y")
+      val tst = u.where(col("arm") === 1).select("user_id", "y")
+      val pred = cal.agg(expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").as("p"),
+        count(lit(1)).as("n_cal"))
+      val res = cal.crossJoin(broadcast(pred)).select(abs(col("y") - col("p")).as("r"),
+        col("user_id"), col("n_cal"))
+      val rr = res.select(col("r"), col("n_cal"),
+        row_number().over(Window.orderBy("r", "user_id")).as("rk"))
+      val qv = rr.agg(max(when(
+        col("rk") === expr("LEAST((9 * n_cal + 18) div 10, n_cal)"), col("r"))).as("q"))
+      val cov = tst.crossJoin(broadcast(pred)).crossJoin(broadcast(qv))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("y") - col("p")) <= col("q"), 1L).otherwise(0L)).as("n_in"))
+      pred.crossJoin(qv).crossJoin(cov)
+        .select(col("n_cal"), col("n_test"), col("p").as("pred_scaled"),
+          col("q").as("half_width_scaled"),
+          expr("CAST(n_in * 1000000 div n_test AS BIGINT)").as("coverage_ppm"))
+    },
+
+    // Quantile normalization (microarray-style) across event types: each
+    // type's values rank within the type, the reference distribution is
+    // the cross-type mean at each rank (truncated to the shortest type
+    // so every rank has all types present), and every 100th rank of the
+    // mapping is emitted. Rank windows partition BY TYPE — parallel —
+    // and the rank-grain join is the only cross-type meet; the pattern
+    // scales as Σn_t, not Πn_t.
+    QueryDef.sql(
+      "q328_quantile_normalize",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk
+        |  FROM e),
+        |n AS (SELECT MIN(cnt) AS n_min, COUNT(*) AS n_types
+        |  FROM (SELECT event_type, COUNT(*) AS cnt FROM e GROUP BY 1) t),
+        |k AS (SELECT rk, SUM(cents) AS s, COUNT(*) AS c,
+        |    MIN(cents) AS lo, MAX(cents) AS hi
+        |  FROM r, n WHERE rk <= n_min GROUP BY rk)
+        |SELECT CAST(rk AS BIGINT) AS rk,
+        |  CAST(s // c AS BIGINT) AS ref_scaled,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+        |FROM k WHERE rk % 100 = 1 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"),
+          floor(col("value") * 1000000.0).cast("long").as("cents"), col("event_id"))
+      val r = e.select(col("event_type"), col("cents"),
+        row_number().over(
+          Window.partitionBy("event_type").orderBy("cents", "event_id")).as("rk"))
+      val n = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("n_min"), count(lit(1)).as("n_types"))
+      val k = r.crossJoin(broadcast(n)).where(col("rk") <= col("n_min"))
+        .groupBy("rk")
+        .agg(sum("cents").as("s"), count(lit(1)).as("c"),
+          min("cents").as("lo"), max("cents").as("hi"))
+      k.where(col("rk") % 100 === 1)
+        .select(col("rk"), expr("CAST(s div c AS BIGINT)").as("ref_scaled"),
+          col("lo"), col("hi"))
+        .orderBy("rk")
     })
 }
