@@ -350,5 +350,70 @@ object EmbeddingQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("true_label", "pred_label")
     },
+
+    // Multi-probe LSH recall: for each held-out query (every 25th id),
+    // how many of the exact top-10 live in the query's OWN bucket
+    // (radius 0) vs within Hamming distance 1 of it (probe the 8
+    // one-bit-flip buckets too). Because the exact top-10 rows carry
+    // their bucket distance, recall needs no second candidate join —
+    // one scored pass, one packed-ord top-k, then two conditional
+    // counts. The radius-1 column is the multi-probe payoff a 100 TB
+    // ANN deployment buys: ~9× candidate cost for the recall gap shown
+    // here, all without re-hashing the corpus.
+    QueryDef.sql(
+      "q330_lsh_multiprobe",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings),
+         |$bucketSql,
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |      FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id
+         |      WHERE e.vec_id % 25 = 0),
+         |p AS (SELECT q.qid, e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, q, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> q.qid),
+         |d AS (SELECT qid, vec_id, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM p GROUP BY 1, 2),
+         |sc AS (SELECT qid, vec_id, ${cosSql("dxy", "dxx", "dyy")} AS cs FROM d),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+         |    FROM sc) t WHERE rk <= 10),
+         |hd AS (SELECT ex.qid, bit_count(xor(bk.bucket, q.qb)) AS dist
+         |  FROM ex JOIN buck bk ON ex.vec_id = bk.vec_id
+         |  JOIN q ON ex.qid = q.qid),
+         |h AS (SELECT qid,
+         |    SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS h0,
+         |    SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS h1
+         |  FROM hd GROUP BY 1)
+         |SELECT q.qid, CAST(COALESCE(h0, 0) AS BIGINT) AS hits_bucket,
+         |  CAST(COALESCE(h1, 0) AS BIGINT) AS hits_multiprobe,
+         |  CAST(COALESCE(h0, 0) * 100 AS BIGINT) AS recall0_permille,
+         |  CAST(COALESCE(h1, 0) * 100 AS BIGINT) AS recall1_permille
+         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graftshims.TopKApi
+      val withB = Tables(s, dir).embeddings
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), 8))
+      val q = withB.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket").as("qb"))
+      val scored = withB.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineScaled(col("embedding"), col("qv")).as("cs"),
+          expr("bit_count(bucket ^ qb)").as("dist"))
+        .withColumn("ord", col("cs") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+      val ex = TopKApi.topKPerGroup(scored, Seq("qid"), "ord", 10)
+      val h = ex.groupBy("qid").agg(
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("h0"),
+        sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("h1"))
+      q.select("qid").join(h, Seq("qid"), "left_outer")
+        .select(col("qid"),
+          coalesce(col("h0"), lit(0L)).as("hits_bucket"),
+          coalesce(col("h1"), lit(0L)).as("hits_multiprobe"),
+          (coalesce(col("h0"), lit(0L)) * 100).as("recall0_permille"),
+          (coalesce(col("h1"), lit(0L)) * 100).as("recall1_permille"))
+        .orderBy("qid")
+    },
   )
 }

@@ -910,5 +910,39 @@ object ExtendedQueries {
           sum("share_ppm").as("credit_ppm"))
         .orderBy("event_type")
     },
+
+    // Tokenizer fertility per language: BPE-ish tokens per word and
+    // chars per token, aggregated at language grain (q56's per-doc
+    // counts rolled up the way a tokenizer evaluation actually reads
+    // them — fertility differences across languages decide vocab
+    // budgets). Pure projection + one map-side-combining groupBy over
+    // ≤ |langs| keys; DECIMAL numerators because corpus-level token
+    // sums × 10⁶ pass 2⁶³ long before 100 TB does.
+    QueryDef.sql(
+      "q331_tokenizer_fertility",
+      s"""WITH nrm AS (SELECT lang, $normSql AS nt FROM documents),
+         |per AS (SELECT lang, len(string_split(nt, ' ')) AS w,
+         |    len(regexp_extract_all(nt, '$bpePattern')) AS b, len(nt) AS ch
+         |  FROM nrm)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(b) AS BIGINT) AS n_bpe,
+         |  CAST(CAST(SUM(b) AS HUGEINT) * 1000000 // SUM(w) AS BIGINT) AS fertility_ppm,
+         |  CAST(CAST(SUM(ch) AS HUGEINT) * 1000000 // SUM(b) AS BIGINT) AS chars_per_bpe_ppm
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.normText
+      val per = Tables(s, dir).documents
+        .select(col("lang"), normText(col("text")).as("nt"))
+        .select(col("lang"),
+          size(split(col("nt"), " ")).cast("long").as("w"),
+          expr(s"size(regexp_extract_all(nt, '$bpePattern', 0))").cast("long").as("b"),
+          length(col("nt")).cast("long").as("ch"))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"), sum("b").as("n_bpe"),
+          expr("CAST(CAST(SUM(b) AS DECIMAL(38,0)) * 1000000 div SUM(w) AS BIGINT)")
+            .as("fertility_ppm"),
+          expr("CAST(CAST(SUM(ch) AS DECIMAL(38,0)) * 1000000 div SUM(b) AS BIGINT)")
+            .as("chars_per_bpe_ppm"))
+        .orderBy("lang")
+    },
   )
 }

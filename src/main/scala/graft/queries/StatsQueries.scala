@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -757,5 +757,71 @@ object StatsQueries {
         .select(col("rk"), expr("CAST(s div c AS BIGINT)").as("ref_scaled"),
           col("lo"), col("hi"))
         .orderBy("rk")
+    },
+
+    // 1-D k-means (k=4, 2 Lloyd iterations, both UNROLLED so the whole
+    // program is one deterministic dataflow): init at the 1/8, 3/8, 5/8,
+    // 7/8 discrete quantiles (integer ceil(n·q) indices), assign each
+    // user to the nearest centroid (ties to the lower cluster id),
+    // update = integer-mean. Per-iteration cost is one broadcast of 4
+    // centroids against the user table — the textbook scalable k-means
+    // step (assignment is a projection, update a groupBy) — and two
+    // fixed iterations keep it a pure query instead of a driver loop.
+    QueryDef.sql(
+      "q329_kmeans_1d",
+      """WITH u AS (SELECT user_id,
+        |    SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM u),
+        |r AS (SELECT y, row_number() OVER (ORDER BY y, user_id) AS rk FROM u),
+        |c0 AS (
+        |  SELECT 0 AS cid, MAX(CASE WHEN rk = (n + 7) // 8 THEN y END) AS c FROM r, nn
+        |  UNION ALL
+        |  SELECT 1, MAX(CASE WHEN rk = (3 * n + 7) // 8 THEN y END) FROM r, nn
+        |  UNION ALL
+        |  SELECT 2, MAX(CASE WHEN rk = (5 * n + 7) // 8 THEN y END) FROM r, nn
+        |  UNION ALL
+        |  SELECT 3, MAX(CASE WHEN rk = (7 * n + 7) // 8 THEN y END) FROM r, nn),
+        |a1 AS (SELECT user_id, y, cid FROM (
+        |    SELECT u.user_id, u.y, c0.cid,
+        |      row_number() OVER (PARTITION BY u.user_id
+        |        ORDER BY abs(u.y - c0.c), c0.cid) AS rn
+        |    FROM u, c0) t WHERE rn = 1),
+        |c1 AS (SELECT cid, CAST(SUM(y) // COUNT(*) AS BIGINT) AS c FROM a1 GROUP BY 1),
+        |a2 AS (SELECT user_id, y, cid FROM (
+        |    SELECT u.user_id, u.y, c1.cid,
+        |      row_number() OVER (PARTITION BY u.user_id
+        |        ORDER BY abs(u.y - c1.c), c1.cid) AS rn
+        |    FROM u, c1) t WHERE rn = 1)
+        |SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n,
+        |  CAST(SUM(y) // COUNT(*) AS BIGINT) AS centroid_scaled,
+        |  CAST(MIN(y) AS BIGINT) AS lo, CAST(MAX(y) AS BIGINT) AS hi
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.groupBy("user_id")
+        .agg(sum(floor(col("value") * 1000000.0).cast("long")).as("y"))
+      val r = u.select(col("y"), col("user_id"),
+        row_number().over(Window.orderBy("y", "user_id")).as("rk"))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
+      def initC(cid: Int, idx: String) =
+        r.agg(max(when(col("rk") === expr(idx), col("y"))).as("c"))
+          .select(lit(cid.toLong).as("cid"), col("c"))
+      val c0 = initC(0, "(n + 7) div 8")
+        .unionAll(initC(1, "(3 * n + 7) div 8"))
+        .unionAll(initC(2, "(5 * n + 7) div 8"))
+        .unionAll(initC(3, "(7 * n + 7) div 8"))
+      def assign(cs: DataFrame) = {
+        val wq = Window.partitionBy("user_id")
+          .orderBy(abs(col("y") - col("c")).asc, col("cid").asc)
+        u.crossJoin(broadcast(cs))
+          .withColumn("rn", row_number().over(wq)).where(col("rn") === 1)
+          .select(col("user_id"), col("y"), col("cid"))
+      }
+      val c1 = assign(c0).groupBy("cid")
+        .agg(expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").as("c"))
+      assign(c1).groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").as("centroid_scaled"),
+          min("y").as("lo"), max("y").as("hi"))
+        .orderBy("cluster_id")
     })
 }
