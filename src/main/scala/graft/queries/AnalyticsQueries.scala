@@ -333,5 +333,192 @@ object AnalyticsQueries {
         .groupBy(expr("k div 4096").as("chunk"))
         .agg(count(lit(1)).as("n"), sum("v").as("vsum"))
         .orderBy("chunk")
+    },
+
+    // Bounce rate by session entry type: q7's 30-minute-gap
+    // sessionization, then each session's FIRST event (rank-1 by
+    // (ts, event_id) — deterministic) labels it, and single-event
+    // sessions count as bounces. Windows stay partitioned by user —
+    // fully parallel; the rollup key is ≤ |event types|.
+    QueryDef.sql(
+      "q332_bounce_rate",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |    COUNT(*) AS n_events
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |          ORDER BY ts, event_id) AS rn FROM g) t
+        |  GROUP BY 1, 2)
+        |SELECT entry_type, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS bounce_ppm
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+      val sess = g.withColumn("rn", row_number().over(bySess))
+        .groupBy("user_id", "session_id")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("entry_type"),
+          count(lit(1)).as("n_events"))
+      sess.groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_ppm", expr("n_bounces * 1000000L div n_sessions"))
+        .orderBy("entry_type")
+    },
+
+    // Theil-Sen robust trend of daily revenue: the median (and IQR) of
+    // all pairwise day-to-day slopes. The pair generation runs at DAY
+    // GRAIN — ~2.4k days ⇒ ~2.9M pairs at ANY scale factor, so the
+    // O(n²) estimator stays bounded no matter how many rows feed the
+    // daily aggregate (the only way Theil-Sen survives 100 TB). Slopes
+    // are signed: the ratio routes through CAST AS DOUBLE + FLOOR —
+    // both engines floor the SAME IEEE-rounded quotient, the
+    // convention q164/q277/q311 use for signed division parity.
+    QueryDef.sql(
+      "q333_theil_sen",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT day - DATE '1970-01-01' AS dn, cents FROM daily),
+        |pr AS (SELECT a.dn AS d1, b.dn AS d2,
+        |    CAST(FLOOR(CAST((b.cents - a.cents) AS DOUBLE) * 1000000.0
+        |      / (b.dn - a.dn)) AS BIGINT) AS slope
+        |  FROM d a JOIN d b ON b.dn > a.dn),
+        |r AS (SELECT slope,
+        |    row_number() OVER (ORDER BY slope, d1, d2) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM pr)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_days, CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN slope END) AS BIGINT) AS slope_p25,
+        |  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN slope END) AS BIGINT) AS slope_med,
+        |  CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN slope END) AS BIGINT) AS slope_p75
+        |FROM r""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val d = daily.select(datediff(col("day"), lit("1970-01-01")).cast("long").as("dn"),
+        col("cents"))
+      val a = d.select(col("dn").as("d1"), col("cents").as("c1"))
+      val b = d.select(col("dn").as("d2"), col("cents").as("c2"))
+      val pr = a.join(b, col("d2") > col("d1"))
+        .select(col("d1"), col("d2"),
+          floor((col("c2") - col("c1")).cast("double") * 1000000.0
+            / (col("d2") - col("d1"))).cast("long").as("slope"))
+      val r = pr.select(col("slope"),
+        row_number().over(Window.orderBy("slope", "d1", "d2")).as("rk"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val nd = d.agg(count(lit(1)).as("n_days"))
+      val q = r.agg(max("n").as("n_pairs"),
+        max(when(col("rk") === expr("(n + 3) div 4"), col("slope"))).as("slope_p25"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("slope"))).as("slope_med"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("slope"))).as("slope_p75"))
+      nd.crossJoin(q)
+        .select(col("n_days"), col("n_pairs"), col("slope_p25"), col("slope_med"),
+          col("slope_p75"))
+    },
+
+    // Sequence-gap audit (the CDC QA check behind the reference's
+    // per-partition commit-ts monotonicity guarantee): a synthetic
+    // dense sequence per producer (producer = event_id % 8, seq =
+    // event_id div 8) with every 97th message dropped; per producer,
+    // LAG over the received stream finds each gap and sizes it. One
+    // window per producer partition — embarrassingly parallel, state
+    // is one row per received message.
+    QueryDef.sql(
+      "q334_sequence_gaps",
+      """WITH recv AS (SELECT event_id % 8 AS producer, event_id // 8 AS seq
+        |  FROM events WHERE event_id % 97 <> 0),
+        |l AS (SELECT producer, seq,
+        |    lag(seq) OVER (PARTITION BY producer ORDER BY seq) AS prev
+        |  FROM recv)
+        |SELECT CAST(producer AS BIGINT) AS producer, COUNT(*) AS n_received,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND seq - prev > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gaps,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL THEN seq - prev - 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missing,
+        |  CAST(MIN(seq) AS BIGINT) AS min_seq, CAST(MAX(seq) AS BIGINT) AS max_seq
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val recv = Tables(s, dir).events
+        .where(col("event_id") % 97 =!= 0)
+        .select((col("event_id") % 8).as("producer"),
+          expr("event_id div 8").as("seq"))
+      val l = recv.withColumn("prev",
+        lag(col("seq"), 1).over(Window.partitionBy("producer").orderBy("seq")))
+      l.groupBy(col("producer").cast("long").as("producer"))
+        .agg(count(lit(1)).as("n_received"),
+          sum(when(col("prev").isNotNull && col("seq") - col("prev") > 1, 1L)
+            .otherwise(0L)).as("n_gaps"),
+          sum(when(col("prev").isNotNull, col("seq") - col("prev") - 1)
+            .otherwise(0L)).as("n_missing"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .orderBy("producer")
+    },
+
+    // Experiment power advisor: per event type, the sample size needed
+    // to detect a 5% lift of the mean at α=0.05 / 80% power —
+    // n = 2(z_α/2+z_β)²σ²/δ² with (1.96+0.84)² = 7.84 carried as the
+    // integer 784/100. Variance comes from the exact integer moment
+    // sums (n·Σx²−(Σx)², DECIMAL(38,0) — q98's convention), δ² from the
+    // integer mean, and the final ceil division is (a+b−1) div b. Zero
+    // floats end to end, so the advisor's row is bit-stable.
+    QueryDef.sql(
+      "q335_power_advisor",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |v AS (SELECT event_type, n,
+        |    sx // n AS mean_s,
+        |    (n * sxx - sx * sx) // (n * n) AS var_s2
+        |  FROM m),
+        |d AS (SELECT event_type, n, mean_s, var_s2,
+        |    (mean_s * 5) // 100 AS delta_s FROM v)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(mean_s AS BIGINT) AS mean_scaled,
+        |  CAST(var_s2 AS BIGINT) AS var_scaled2,
+        |  CAST(delta_s AS BIGINT) AS delta_scaled,
+        |  CAST((1568 * var_s2 + 100 * delta_s * delta_s - 1)
+        |    // (100 * delta_s * delta_s) AS BIGINT) AS n_required
+        |FROM d ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dec = "DECIMAL(38,0)"
+      Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 1000000.0).cast("long").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum((col("x").cast(dec)) * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(sx div n AS DECIMAL(38,0))").as("mean_s"),
+          expr("CAST((n * sxx - sx * sx) div (CAST(n AS DECIMAL(38,0)) * n)" +
+            " AS DECIMAL(38,0))").as("var_s2"))
+        .withColumn("delta_s", expr("CAST((mean_s * 5) div 100 AS DECIMAL(38,0))"))
+        .select(col("event_type"), col("n"),
+          col("mean_s").cast("long").as("mean_scaled"),
+          col("var_s2").cast("long").as("var_scaled2"),
+          col("delta_s").cast("long").as("delta_scaled"),
+          expr("CAST((1568 * var_s2 + 100 * delta_s * delta_s - 1)" +
+            " div (100 * delta_s * delta_s) AS BIGINT)").as("n_required"))
+        .orderBy("event_type")
     })
 }
