@@ -520,5 +520,186 @@ object AnalyticsQueries {
           expr("CAST((1568 * var_s2 + 100 * delta_s * delta_s - 1)" +
             " div (100 * delta_s * delta_s) AS BIGINT)").as("n_required"))
         .orderBy("event_type")
+    },
+
+    // AR(1) autocorrelation fit per event type over the daily count
+    // series: φ = Σc_t·c_{t−1} / Σc_{t−1}² on mean-centered counts,
+    // kept integer by scaling the centering by n (c_t = n·x_t − Σx).
+    // The lag join is a LAG window at day grain per type (30 days in
+    // the fixture — bounded at any SF); the signed final ratio routes
+    // through DOUBLE+FLOOR (parity convention). Complements q202's ACF
+    // (which probes fixed lags of one global series).
+    QueryDef.sql(
+      "q336_ar1_fit",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx FROM dd GROUP BY 1),
+        |c AS (SELECT dd.event_type, day, CAST(n * x - sx AS BIGINT) AS c,
+        |    lag(CAST(n * x - sx AS BIGINT)) OVER (PARTITION BY dd.event_type ORDER BY day)
+        |      AS cp
+        |  FROM dd JOIN m ON dd.event_type = m.event_type),
+        |s AS (SELECT event_type, COUNT(*) AS n_lags,
+        |    SUM(CAST(c AS HUGEINT) * cp) AS num, SUM(CAST(cp AS HUGEINT) * cp) AS den
+        |  FROM c WHERE cp IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n_lags AS BIGINT) AS n_lags,
+        |  CAST(FLOOR(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT)
+        |    AS phi_ppm
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dd = Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val m = dd.groupBy("event_type").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val c = dd.join(m, Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (col("n") * col("x") - col("sx")).cast("long").as("c"))
+        .withColumn("cp",
+          lag(col("c"), 1).over(Window.partitionBy("event_type").orderBy("day")))
+      c.where(col("cp").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_lags"),
+          sum(col("c").cast("decimal(38,0)") * col("cp")).as("num"),
+          sum(col("cp").cast("decimal(38,0)") * col("cp")).as("den"))
+        .select(col("event_type"), col("n_lags"),
+          floor(col("num").cast("double") * 1000000.0 / col("den").cast("double"))
+            .cast("long").as("phi_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Kaplan-Meier life table for time-to-first-PURCHASE: the clock
+    // starts at each user's first event; users who never purchase are
+    // right-censored at the end of observation (the fixture keeps every
+    // user active to the final days, so last-event-based censoring
+    // would censor everyone — conversion is the event of interest
+    // instead). Per event day t, the at-risk count is a reverse
+    // cumulative sum at day grain, deaths/censorings are exact counts,
+    // and the discrete hazard d/n_risk lands in integer ppm; the
+    // survival curve is the consumer's running product of (1 − hazard),
+    // keeping the table float-free.
+    QueryDef.sql(
+      "q337_kaplan_meier",
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS fu FROM events GROUP BY 1),
+        |p AS (SELECT user_id, MIN(epoch_us(ts)) AS pu FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+        |d AS (SELECT u.user_id,
+        |    CASE WHEN p.pu IS NULL THEN (gmax - fu) // 86400000000
+        |         ELSE (p.pu - fu) // 86400000000 END AS t,
+        |    CASE WHEN p.pu IS NULL THEN 1 ELSE 0 END AS censored
+        |  FROM u LEFT JOIN p ON u.user_id = p.user_id, g),
+        |ev AS (SELECT t, COUNT(*) AS n_at_t,
+        |    SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS deaths,
+        |    SUM(censored) AS n_censored
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT t, deaths, n_censored,
+        |    SUM(n_at_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+        |  FROM ev)
+        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths, CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(deaths * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+        |FROM r WHERE deaths > 0 ORDER BY t_days""".stripMargin) { (s, dir) =>
+      val ev0 = Tables(s, dir).events
+      val u = ev0.groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fu"))
+      val p = ev0.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("pu"))
+      val g = ev0.agg(max(unix_micros(col("ts"))).as("gmax"))
+      val d = u.join(p, Seq("user_id"), "left_outer").crossJoin(broadcast(g))
+        .select(
+          when(col("pu").isNull, expr("(gmax - fu) div 86400000000L"))
+            .otherwise(expr("(pu - fu) div 86400000000L")).as("t"),
+          when(col("pu").isNull, 1L).otherwise(0L).as("censored"))
+      val ev = d.groupBy("t")
+        .agg(count(lit(1)).as("n_at_t"),
+          sum(when(col("censored") === 0, 1L).otherwise(0L)).as("deaths"),
+          sum("censored").as("n_censored"))
+      val r = ev.withColumn("n_risk",
+        sum("n_at_t").over(Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      r.where(col("deaths") > 0)
+        .select(col("t").as("t_days"), col("n_risk"), col("deaths"), col("n_censored"),
+          expr("CAST(deaths * 1000000L div n_risk AS BIGINT)").as("hazard_ppm"))
+        .orderBy("t_days")
+    },
+
+    // Lorenz curve at decile grain: users ranked by spend into ntile(10)
+    // (the standard split rule is identical cross-engine, q173), then
+    // cumulative population vs cumulative spend shares in exact ppm —
+    // the curve behind q169's Gini scalar. The decile rollup is 10 rows;
+    // the only full-data pass is the rank window (range-partitioned).
+    QueryDef.sql(
+      "q338_lorenz_curve",
+      """WITH u AS (SELECT o_custkey,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, cents,
+        |    ntile(10) OVER (ORDER BY cents, o_custkey) AS decile FROM u),
+        |d AS (SELECT decile, COUNT(*) AS n_users, SUM(cents) AS s FROM t GROUP BY 1),
+        |c AS (SELECT decile, n_users, s,
+        |    SUM(n_users) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cu,
+        |    SUM(s) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cs,
+        |    SUM(n_users) OVER () AS tu, SUM(s) OVER () AS ts
+        |  FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(cu * 1000000 // tu AS BIGINT) AS cum_users_ppm,
+        |  CAST(CAST(cs AS HUGEINT) * 1000000 // ts AS BIGINT) AS cum_spend_ppm
+        |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).orders.groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val t = u.withColumn("decile",
+        ntile(10).over(Window.orderBy("cents", "o_custkey")).cast("long"))
+      val d = t.groupBy("decile").agg(count(lit(1)).as("n_users"), sum("cents").as("s"))
+      val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy()
+      d.select(col("decile"), col("n_users"),
+          sum("n_users").over(wc).as("cu"), sum("s").over(wc).as("cs"),
+          sum("n_users").over(wt).as("tu"), sum("s").over(wt).as("ts"))
+        .select(col("decile"), col("n_users"),
+          expr("CAST(cu * 1000000L div tu AS BIGINT)").as("cum_users_ppm"),
+          expr("CAST(CAST(cs AS DECIMAL(38,0)) * 1000000 div ts AS BIGINT)")
+            .as("cum_spend_ppm"))
+        .orderBy("decile")
+    },
+
+    // Duplicate-payment audit: same customer, same amount, a second
+    // order within 7 days — the classic AP double-pay screen. TPC-H
+    // amounts are near-unique, so the fixture PLANTS the dupes (every
+    // 211th order re-posted 3 days later under a new key — q313's
+    // planted-truth pattern): the audit must recover exactly the
+    // plants. The candidate join is EQUI on (custkey, cents) with the
+    // date window as a post-filter, so pair cost follows
+    // per-(customer, amount) multiplicity — never |orders|² — and the
+    // rollup prices the exposure per order priority.
+    QueryDef.sql(
+      "q339_dup_payments",
+      """WITH o0 AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS d, o_orderpriority AS pr
+        |  FROM orders),
+        |o AS (SELECT * FROM o0
+        |  UNION ALL
+        |  SELECT ok + 100000000, ck, cents, d + 3, pr FROM o0 WHERE ok % 211 = 0),
+        |p AS (SELECT b.pr AS pr, b.cents AS cents, b.ck AS ck
+        |  FROM o a JOIN o b ON a.ck = b.ck AND a.cents = b.cents AND a.ok < b.ok
+        |  WHERE b.d >= a.d AND b.d - a.d <= 7)
+        |SELECT pr AS priority, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_at_risk
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o0 = Tables(s, dir).orders.select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderpriority").as("pr"))
+      val o = o0.unionAll(o0.where(col("ok") % 211 === 0)
+        .select((col("ok") + 100000000L).as("ok"), col("ck"), col("cents"),
+          date_add(col("d"), 3).as("d"), col("pr")))
+      val a = o.select(col("ok").as("ok1"), col("ck"), col("cents"), col("d").as("d1"))
+      val b = o.select(col("ok").as("ok2"), col("ck"), col("cents"), col("d").as("d2"),
+        col("pr"))
+      a.join(b, Seq("ck", "cents"))
+        .where(col("ok1") < col("ok2")
+          && col("d2") >= col("d1") && datediff(col("d2"), col("d1")) <= 7)
+        .groupBy(col("pr").as("priority"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("ck").as("n_customers"),
+          sum("cents").as("cents_at_risk"))
+        .orderBy("priority")
     })
 }
