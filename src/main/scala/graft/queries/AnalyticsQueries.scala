@@ -701,5 +701,226 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_pairs"), countDistinct("ck").as("n_customers"),
           sum("cents").as("cents_at_risk"))
         .orderBy("priority")
+    },
+
+    // Structural-break detection, binary segmentation step 1: the split
+    // day of the daily-revenue series minimizing SSE_left + SSE_right,
+    // from exact integer prefix sums (n, Σx, Σx² at day grain — one
+    // window pass over ~2.4k bounded rows). The cost itself is a
+    // DOUBLE, but both engines build it from the SAME exact integers
+    // with the SAME expression, so ordering by (cost, day) is
+    // bit-parity; the argmin is a row_number pick, not a driver loop.
+    QueryDef.sql(
+      "q340_changepoint",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |pfx AS (SELECT day, x,
+        |    row_number() OVER (ORDER BY day) AS k,
+        |    SUM(CAST(x AS HUGEINT)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS sxx,
+        |    COUNT(*) OVER () AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER () AS tsx,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER () AS tsxx
+        |  FROM daily),
+        |cost AS (SELECT day, k, n, sx, tsx,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k)
+        |    + (CAST(tsxx - sxx AS DOUBLE)
+        |       - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE) / (n - k)) AS c,
+        |    CAST(tsxx AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / n AS c0
+        |  FROM pfx WHERE k < n),
+        |best AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY c, day) AS r FROM cost) t WHERE r = 1)
+        |SELECT day AS split_day, CAST(k AS BIGINT) AS n_left,
+        |  CAST(n - k AS BIGINT) AS n_right,
+        |  CAST(sx // k AS BIGINT) AS mean_left_scaled,
+        |  CAST((tsx - sx) // (n - k) AS BIGINT) AS mean_right_scaled,
+        |  CAST(FLOOR((c0 - c) * 1000000.0 / c0) AS BIGINT) AS sse_drop_ppm
+        |FROM best""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      val wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy()
+      val dec = "decimal(38,0)"
+      val pfx = daily.select(col("day"), col("x"),
+        row_number().over(Window.orderBy("day")).as("k"),
+        sum(col("x").cast(dec)).over(wp).as("sx"),
+        sum((col("x").cast(dec)) * col("x")).over(wp).as("sxx"),
+        count(lit(1)).over(wa).as("n"),
+        sum(col("x").cast(dec)).over(wa).as("tsx"),
+        sum((col("x").cast(dec)) * col("x")).over(wa).as("tsxx"))
+      val cost = pfx.where(col("k") < col("n"))
+        .select(col("day"), col("k"), col("n"), col("sx"), col("tsx"),
+          expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k)" +
+            " + (CAST(tsxx - sxx AS DOUBLE)" +
+            " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE) / (n - k))").as("c"),
+          expr("CAST(tsxx AS DOUBLE)" +
+            " - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / n").as("c0"))
+      cost.withColumn("r", row_number().over(Window.orderBy("c", "day")))
+        .where(col("r") === 1)
+        .select(col("day").as("split_day"), col("k").as("n_left"),
+          (col("n") - col("k")).as("n_right"),
+          expr("CAST(sx div k AS BIGINT)").as("mean_left_scaled"),
+          expr("CAST((tsx - sx) div (n - k) AS BIGINT)").as("mean_right_scaled"),
+          expr("CAST(FLOOR((c0 - c) * 1000000.0D / c0) AS BIGINT)").as("sse_drop_ppm"))
+    },
+
+    // Shewhart control chart with a FULLY INTEGER σ test: a day is
+    // out-of-control at kσ iff (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — both
+    // sides exact integers (|x−μ| > kσ with every division cleared), so
+    // no sqrt and no float ever enters a verdict (q310's 9n binomial
+    // bound, generalized to empirical variance). The per-type board
+    // reports 2σ and 3σ violation counts plus the peak z²·10⁶ — always
+    // populated even when the series never breaches (the fixture's
+    // daily counts breach 3σ only at sf0.1).
+    QueryDef.sql(
+      "q341_control_chart",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM dd GROUP BY 1),
+        |f AS (SELECT dd.event_type, day, x, n,
+        |    (CAST(n AS HUGEINT) * x - sx) AS dev_n,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS nvar
+        |  FROM dd JOIN m ON dd.event_type = m.event_type)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN dev_n * dev_n > 4 * nvar THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_viol_2s,
+        |  CAST(SUM(CASE WHEN dev_n * dev_n > 9 * nvar THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_viol_3s,
+        |  CAST(MAX(dev_n * dev_n * 1000000 // nvar) AS BIGINT) AS max_z2_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dd = Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      dd.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * x - sx").as("dev_n"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+            .as("nvar"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          sum(when(col("dev_n") * col("dev_n") > lit(4) * col("nvar"), 1L)
+            .otherwise(0L)).as("n_viol_2s"),
+          sum(when(col("dev_n") * col("dev_n") > lit(9) * col("nvar"), 1L)
+            .otherwise(0L)).as("n_viol_3s"),
+          max(expr("CAST(dev_n * dev_n * 1000000 div nvar AS BIGINT)")).as("max_z2_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Mann-Whitney rank-sum test between click and purchase value
+    // distributions, tie-exact: mid-ranks are carried DOUBLED
+    // (2p + c − 1 for a tie group of size c starting at 1-based rank p)
+    // so every rank stays an integer; U follows as
+    // R1×2 − n1(n1+1), and the probabilistic index P(X>Y)+½P(X=Y)
+    // (= ROC AUC) lands in exact ppm. Rank groups aggregate at DISTINCT
+    // VALUE grain — the window runs over |distinct values|, not rows.
+    QueryDef.sql(
+      "q342_mann_whitney",
+      """WITH e AS (SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS grp,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT v, c, ca,
+        |    COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS before
+        |  FROM g),
+        |s AS (SELECT SUM(ca * (2 * (before + 1) + c - 1)) AS r1x2,
+        |    SUM(ca) AS n1, SUM(c - ca) AS n2 FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+        |  CAST(CAST(r1x2 - n1 * (n1 + 1) AS HUGEINT) * 1000000 // (2 * n1 * n2)
+        |    AS BIGINT) AS auc_ppm
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("event_type").isin("click", "purchase"))
+        .select(when(col("event_type") === "click", 0L).otherwise(1L).as("grp"),
+          floor(col("value") * 1000000.0).cast("long").as("v"))
+      val g = e.groupBy("v").agg(count(lit(1)).as("c"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"))
+      val r = g.withColumn("before",
+        coalesce(sum("c").over(Window.orderBy("v").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      r.agg(sum(col("ca") * (lit(2) * (col("before") + 1) + col("c") - 1)).as("r1x2"),
+          sum("ca").as("n1"), sum(col("c") - col("ca")).as("n2"))
+        .select(col("n1"), col("n2"),
+          expr("r1x2 - n1 * (n1 + 1)").as("u1_x2"),
+          expr("2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))").as("u2_x2"),
+          expr("CAST(CAST(r1x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) * 1000000" +
+            " div (2 * n1 * n2) AS BIGINT)").as("auc_ppm"))
+    },
+
+    // Durbin-Watson statistic on q336's AR(1) residuals, float-free:
+    // with φ carried as the integer ppm from the fit, the residual
+    // e_t = 10⁶·c_t − φ_ppm·c_{t−1} is exact, and
+    // DW = Σ(e_t−e_{t−1})² / Σe_t² lands in DECIMAL ppm (≈2×10⁶ when
+    // the fit captured the autocorrelation, →0 when positive
+    // correlation remains). Two LAG windows per type partition, both
+    // at day grain.
+    QueryDef.sql(
+      "q343_durbin_watson",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx FROM dd GROUP BY 1),
+        |c AS (SELECT dd.event_type, day, CAST(n * x - sx AS BIGINT) AS c,
+        |    lag(CAST(n * x - sx AS BIGINT)) OVER (PARTITION BY dd.event_type ORDER BY day)
+        |      AS cp
+        |  FROM dd JOIN m ON dd.event_type = m.event_type),
+        |phi AS (SELECT event_type,
+        |    CAST(FLOOR(CAST(SUM(CAST(c AS HUGEINT) * cp) AS DOUBLE) * 1000000.0
+        |      / CAST(SUM(CAST(cp AS HUGEINT) * cp) AS DOUBLE)) AS BIGINT) AS phi_ppm
+        |  FROM c WHERE cp IS NOT NULL GROUP BY 1),
+        |e AS (SELECT c.event_type, day,
+        |    1000000 * CAST(c AS HUGEINT) - phi_ppm * cp AS e,
+        |    lag(1000000 * CAST(c AS HUGEINT) - phi_ppm * cp)
+        |      OVER (PARTITION BY c.event_type ORDER BY day) AS ep
+        |  FROM c JOIN phi ON c.event_type = phi.event_type
+        |  WHERE cp IS NOT NULL),
+        |s AS (SELECT event_type, COUNT(*) AS n_resid,
+        |    SUM((e - ep) * (e - ep)) AS num, SUM(e * e) AS den
+        |  FROM e WHERE ep IS NOT NULL GROUP BY 1)
+        |SELECT s.event_type, CAST(n_resid AS BIGINT) AS n_resid,
+        |  CAST(phi_ppm AS BIGINT) AS phi_ppm,
+        |  CAST(num * 1000000 // den AS BIGINT) AS dw_ppm
+        |FROM s JOIN phi ON s.event_type = phi.event_type
+        |ORDER BY s.event_type""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val dd = Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val m = dd.groupBy("event_type").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val c = dd.join(m, Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (col("n") * col("x") - col("sx")).cast("long").as("c"))
+        .withColumn("cp",
+          lag(col("c"), 1).over(Window.partitionBy("event_type").orderBy("day")))
+        .where(col("cp").isNotNull)
+      val phi = c.groupBy("event_type")
+        .agg(floor(sum(col("c").cast(dec) * col("cp")).cast("double") * 1000000.0
+          / sum(col("cp").cast(dec) * col("cp")).cast("double"))
+          .cast("long").as("phi_ppm"))
+      val e = c.join(broadcast(phi), Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (lit(1000000).cast(dec) * col("c") - col("phi_ppm") * col("cp")).as("e"))
+        .withColumn("ep",
+          lag(col("e"), 1).over(Window.partitionBy("event_type").orderBy("day")))
+        .where(col("ep").isNotNull)
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_resid"),
+          sum((col("e") - col("ep")) * (col("e") - col("ep"))).as("num"),
+          sum(col("e") * col("e")).as("den"))
+        .join(broadcast(phi), Seq("event_type"))
+        .select(col("event_type"), col("n_resid"), col("phi_ppm"),
+          expr("CAST(num * 1000000 div den AS BIGINT)").as("dw_ppm"))
+        .orderBy("event_type")
     })
 }
