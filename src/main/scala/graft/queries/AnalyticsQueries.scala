@@ -922,5 +922,169 @@ object AnalyticsQueries {
         .select(col("event_type"), col("n_resid"), col("phi_ppm"),
           expr("CAST(num * 1000000 div den AS BIGINT)").as("dw_ppm"))
         .orderBy("event_type")
+    },
+
+    // Overdispersion diagnostic for daily counts: the dispersion index
+    // var/mean clears to the single integer ratio
+    // (n·Σx² − (Σx)²) / (n·Σx) — Poisson arrivals sit at 10⁶ ppm, and
+    // the banded verdict (under / poisson-ish / overdispersed at
+    // ⅔× / 1.5×) tells a capacity planner whether peak provisioning
+    // can trust the mean. Zero floats; one groupBy at (type, day)
+    // grain, one at type grain.
+    QueryDef.sql(
+      "q344_dispersion",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM dd GROUP BY 1),
+        |d AS (SELECT event_type, n, sx,
+        |    (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * 1000000
+        |      // (CAST(n AS HUGEINT) * sx) AS disp_ppm
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(sx * 100 // n AS BIGINT) AS mean_x100,
+        |  CAST(disp_ppm AS BIGINT) AS dispersion_ppm,
+        |  CASE WHEN disp_ppm > 1500000 THEN 'overdispersed'
+        |       WHEN disp_ppm < 666667 THEN 'underdispersed'
+        |       ELSE 'poisson-ish' END AS verdict
+        |FROM d ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dd = Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      m.select(col("event_type"), col("n"), col("sx"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)").as("disp_ppm"))
+        .select(col("event_type"), col("n").as("n_days"),
+          expr("CAST(sx * 100 div n AS BIGINT)").as("mean_x100"),
+          col("disp_ppm").as("dispersion_ppm"),
+          when(col("disp_ppm") > 1500000, "overdispersed")
+            .when(col("disp_ppm") < 666667, "underdispersed")
+            .otherwise("poisson-ish").as("verdict"))
+        .orderBy("event_type")
+    },
+
+    // MATCH_RECOGNIZE substitute: Spark has no row-pattern clause, so
+    // per-user event sequences compile to an ORDERED initials string
+    // (deterministic: Spark array_sorts (us, event_id, initial)
+    // structs, DuckDB string_aggs with the same ORDER BY) and the
+    // pattern v[^vp]*c[^vp]*p — character classes only, semantics
+    // identical in Java regex and RE2 — counts non-overlapping
+    // view→click→purchase journeys per user. Per-user state is one
+    // bounded string; the scan is embarrassingly parallel.
+    QueryDef.sql(
+      "q345_match_recognize",
+      """WITH seq AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id,
+        |    len(regexp_extract_all(s, 'v[^vp]*c[^vp]*p')) AS n_matches FROM seq)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+        |  CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS matched_ppm
+        |FROM m""".stripMargin) { (s, dir) =>
+      val seq = Tables(s, dir).events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .groupBy("user_id")
+        .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(us, event_id, c))), x -> x.c)"))
+          .as("sq"))
+      val m = seq.select(col("user_id"),
+        expr("size(regexp_extract_all(sq, 'v[^vp]*c[^vp]*p', 0))").cast("long")
+          .as("n_matches"))
+      m.agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_matches") > 0, 1L).otherwise(0L)).as("n_matched"),
+          sum("n_matches").as("total_matches"))
+        .withColumn("matched_ppm", expr("n_matched * 1000000L div n_users"))
+    },
+
+    // Revenue-concentration HHI per nation: each customer's spend share
+    // of their nation floors to ppm, and the Herfindahl index is
+    // Σ share² / 10⁶ (10⁶ = monopoly). The floor-then-square convention
+    // is applied identically in both engines, keeping the index exact;
+    // shares join against broadcast nation totals, so the whole audit
+    // is one aggregation tree over the customer grain.
+    QueryDef.sql(
+      "q346_hhi",
+      """WITH cs AS (SELECT c_nationkey, o_custkey,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |nt AS (SELECT c_nationkey, SUM(cents) AS ncents, COUNT(*) AS n_customers
+        |  FROM cs GROUP BY 1),
+        |sh AS (SELECT cs.c_nationkey,
+        |    CAST(CAST(cs.cents AS HUGEINT) * 1000000 // ncents AS BIGINT) AS share_ppm
+        |  FROM cs JOIN nt ON cs.c_nationkey = nt.c_nationkey)
+        |SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(ncents AS BIGINT) AS total_cents,
+        |  CAST(SUM(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000 AS BIGINT)
+        |    AS hhi_ppm
+        |FROM sh JOIN nt ON sh.c_nationkey = nt.c_nationkey
+        |JOIN nation ON sh.c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val nt = cs.groupBy("c_nationkey")
+        .agg(sum("cents").as("ncents"), count(lit(1)).as("n_customers"))
+      val sh = cs.join(broadcast(nt), Seq("c_nationkey"))
+        .select(col("c_nationkey"),
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div ncents AS BIGINT)")
+            .as("share_ppm"))
+      sh.join(broadcast(nt), Seq("c_nationkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("n_customers"), col("ncents").as("total_cents"))
+        .agg(expr("CAST(SUM(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm) div 1000000" +
+          " AS BIGINT)").as("hhi_ppm"))
+        .orderBy("n_name")
+    },
+
+    // Ship-offset quantile profile per order priority (the fixture's
+    // l_shipdate is synthetic and uncorrelated with o_orderdate, so the
+    // offsets are SIGNED ±2400 days — which is exactly what makes this
+    // a good quantile exercise: the rank-index pattern never divides,
+    // so signed values cost nothing). Windows partition by priority;
+    // duplicate (orderkey, linenumber) fixture rows share all ordering
+    // fields, so any row_number assignment among them yields the same
+    // quantile VALUES.
+    QueryDef.sql(
+      "q347_ship_offset",
+      """WITH d AS (SELECT o_orderpriority AS pr,
+        |    CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS off,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT pr, off,
+        |    row_number() OVER (PARTITION BY pr
+        |      ORDER BY off, l_orderkey, l_linenumber) AS rk,
+        |    COUNT(*) OVER (PARTITION BY pr) AS n
+        |  FROM d)
+        |SELECT pr AS priority, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN off END) AS BIGINT) AS p25_days,
+        |  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN off END) AS BIGINT) AS p50_days,
+        |  CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN off END) AS BIGINT) AS p75_days,
+        |  CAST(MIN(off) AS BIGINT) AS min_days, CAST(MAX(off) AS BIGINT) AS max_days
+        |FROM r GROUP BY pr ORDER BY pr""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pr"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("off"),
+          col("l_orderkey"), col("l_linenumber"))
+      val r = d.select(col("pr"), col("off"),
+        row_number().over(Window.partitionBy("pr")
+          .orderBy("off", "l_orderkey", "l_linenumber")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("pr")).as("n"))
+      r.groupBy(col("pr").as("priority"))
+        .agg(max("n").as("n"),
+          max(when(col("rk") === expr("(n + 3) div 4"), col("off"))).as("p25_days"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("off"))).as("p50_days"),
+          max(when(col("rk") === expr("(3 * n + 3) div 4"), col("off"))).as("p75_days"),
+          min("off").as("min_days"), max("off").as("max_days"))
+        .orderBy("priority")
     })
 }
