@@ -1086,5 +1086,125 @@ object AnalyticsQueries {
           max(when(col("rk") === expr("(3 * n + 3) div 4"), col("off"))).as("p75_days"),
           min("off").as("min_days"), max("off").as("max_days"))
         .orderBy("priority")
+    },
+
+    // Market-basket affinity on order contents: part pairs co-occurring
+    // in the same order, with exact integer lift against independence.
+    // Parts DEDUPE per order first, then the pair generator is a
+    // per-order self-join — pair count follows Σ(basket size²), never
+    // |lineitem|², the only shape that survives wide fact tables. Lift
+    // = cnt·N·10⁶ / (n_a·n_b) stays in DECIMAL. Top 20 by support with
+    // full (p1, p2) tie-break.
+    QueryDef.sql(
+      "q348_part_affinity",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+        |pf AS (SELECT pk, COUNT(*) AS nf FROM op GROUP BY 1),
+        |pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS cnt
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(CAST(cnt AS HUGEINT) * n_orders * 1000000 // (f1.nf * f2.nf) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs JOIN pf f1 ON p1 = f1.pk JOIN pf f2 ON p2 = f2.pk CROSS JOIN n
+        |ORDER BY cnt DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
+      val op = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val n = op.agg(countDistinct("ok").as("n_orders"))
+      val pf = op.groupBy("pk").agg(count(lit(1)).as("nf"))
+      val a = op.select(col("ok"), col("pk").as("p1"))
+      val b = op.select(col("ok"), col("pk").as("p2"))
+      val pairs = a.join(b, Seq("ok")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("cnt"))
+      pairs
+        .join(broadcast(pf.select(col("pk").as("p1"), col("nf").as("f1"))), Seq("p1"))
+        .join(broadcast(pf.select(col("pk").as("p2"), col("nf").as("f2"))), Seq("p2"))
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("cnt"),
+          expr("CAST(CAST(cnt AS DECIMAL(38,0)) * n_orders * 1000000 div (f1 * f2)" +
+            " AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
+    // Supplier share-shift: each supplier's share of yearly shipped
+    // quantity in exact ppm, LAG against the prior year, and the ten
+    // biggest year-over-year share gains. Share denominators broadcast
+    // per year; the LAG window partitions by supplier — the report is
+    // two bounded aggregates plus a top-k, a shape that scales to any
+    // number of suppliers.
+    QueryDef.sql(
+      "q349_share_shift",
+      """WITH sy AS (SELECT l_suppkey AS sk, year(l_shipdate) AS y,
+        |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |yt AS (SELECT y, SUM(q) AS tq FROM sy GROUP BY 1),
+        |sh AS (SELECT sk, sy.y,
+        |    CAST(CAST(q AS HUGEINT) * 1000000 // tq AS BIGINT) AS share_ppm
+        |  FROM sy JOIN yt ON sy.y = yt.y),
+        |d AS (SELECT sk, y, share_ppm,
+        |    share_ppm - lag(share_ppm) OVER (PARTITION BY sk ORDER BY y) AS delta_ppm
+        |  FROM sh)
+        |SELECT CAST(sk AS BIGINT) AS suppkey, CAST(y AS BIGINT) AS year,
+        |  share_ppm, CAST(delta_ppm AS BIGINT) AS delta_ppm
+        |FROM d WHERE delta_ppm IS NOT NULL
+        |ORDER BY delta_ppm DESC, suppkey, year LIMIT 10""".stripMargin) { (s, dir) =>
+      val sy = Tables(s, dir).lineitem
+        .groupBy(col("l_suppkey").as("sk"), year(col("l_shipdate")).cast("long").as("y"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+      val yt = sy.groupBy("y").agg(sum("q").as("tq"))
+      val sh = sy.join(broadcast(yt), Seq("y"))
+        .select(col("sk"), col("y"),
+          expr("CAST(CAST(q AS DECIMAL(38,0)) * 1000000 div tq AS BIGINT)")
+            .as("share_ppm"))
+      val d = sh.withColumn("delta_ppm",
+        col("share_ppm") - lag(col("share_ppm"), 1)
+          .over(Window.partitionBy("sk").orderBy("y")))
+      d.where(col("delta_ppm").isNotNull)
+        .select(col("sk").cast("long").as("suppkey"), col("y").as("year"),
+          col("share_ppm"), col("delta_ppm"))
+        .orderBy(col("delta_ppm").desc, col("suppkey"), col("year"))
+        .limit(10)
+    },
+
+    // Growth-accounting board: per day, NEW users (first-ever activity),
+    // RETAINED (also active the previous day) and RESURRECTED (active
+    // today, not yesterday, seen before) — the standard daily
+    // active-user decomposition. Yesterday-activity resolves through an
+    // EQUI self-join on (user, day−1) at distinct-activity grain; first
+    // days come from one MIN aggregate. new+retained+resurrected =
+    // active is an invariant both engines must reproduce exactly.
+    QueryDef.sql(
+      "q350_growth_accounting",
+      """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM acts GROUP BY 1),
+        |x AS (SELECT a.user_id, a.day, f.first_day,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_active_yday
+        |  FROM acts a JOIN f ON a.user_id = f.user_id
+        |  LEFT JOIN acts p ON a.user_id = p.user_id AND p.day = a.day - 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN day > first_day AND was_active_yday = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN day > first_day AND was_active_yday = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val acts = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val f = acts.groupBy("user_id").agg(min("day").as("first_day"))
+      // fresh aliases break the self-join attribute lineage
+      val p = acts.select(col("user_id").as("p_user_id"), col("day").as("pday"))
+      val x = acts.join(f, Seq("user_id"))
+        .join(p, col("user_id") === col("p_user_id")
+          && col("pday") === date_sub(col("day"), 1), "left_outer")
+        .select(col("day"), col("first_day"),
+          when(col("pday").isNotNull, 1L).otherwise(0L).as("was_active_yday"))
+      x.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") > col("first_day") && col("was_active_yday") === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("day") > col("first_day") && col("was_active_yday") === 0, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+        .orderBy("day")
     })
 }
