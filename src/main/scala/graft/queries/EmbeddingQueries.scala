@@ -415,5 +415,84 @@ object EmbeddingQueries {
           (coalesce(col("h1"), lit(0L)) * 100).as("recall1_permille"))
         .orderBy("qid")
     },
+
+    // Reciprocal-rank fusion of two retrieval rankings — full-dim
+    // cosine and 16-dim truncated cosine (the q320 pair) — fused as
+    // Σ 10⁶ div (60 + rank) over each list's top-20 (absent ⇒ 0 term;
+    // the integer division keeps every RRF term exact, no float
+    // accumulation). The fused top-10 per query comes from the packed
+    // (score, ¬vec_id) ordering long. RRF is how production retrieval
+    // actually merges heterogeneous scorers (BM25 + dense, full +
+    // truncated): rank-space fusion needs no score calibration.
+    QueryDef.sql(
+      "q351_rrf_fusion",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 25 = 0),
+         |p AS (SELECT q.qid, e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, q, generate_series(1, 64) t(i)
+         |  WHERE e.vec_id <> q.qid),
+         |d AS (SELECT qid, vec_id,
+         |    SUM(x*y) AS fxy, SUM(x*x) AS fxx, SUM(y*y) AS fyy,
+         |    SUM(CASE WHEN i <= 16 THEN x*y ELSE 0 END) AS txy,
+         |    SUM(CASE WHEN i <= 16 THEN x*x ELSE 0 END) AS txx,
+         |    SUM(CASE WHEN i <= 16 THEN y*y ELSE 0 END) AS tyy
+         |  FROM p GROUP BY 1, 2),
+         |sc AS (SELECT qid, vec_id, ${cosSql("fxy", "fxx", "fyy")} AS cf,
+         |    ${cosSql("txy", "txx", "tyy")} AS ct FROM d),
+         |rf AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS rk
+         |  FROM sc),
+         |rt AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id) AS rk
+         |  FROM sc),
+         |u AS (SELECT COALESCE(a.qid, b.qid) AS qid,
+         |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         |    COALESCE(1000000 // (60 + a.rk), 0) + COALESCE(1000000 // (60 + b.rk), 0)
+         |      AS rrf
+         |  FROM (SELECT * FROM rf WHERE rk <= 20) a
+         |  FULL JOIN (SELECT * FROM rt WHERE rk <= 20) b
+         |    ON a.qid = b.qid AND a.vec_id = b.vec_id),
+         |f AS (SELECT qid, vec_id, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id) AS fused_rank
+         |  FROM u)
+         |SELECT qid, vec_id, CAST(rrf AS BIGINT) AS rrf_score,
+         |  CAST(fused_rank AS BIGINT) AS fused_rank
+         |FROM f WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graftshims.TopKApi
+      val e = Tables(s, dir).embeddings
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineScaled(col("embedding"), col("qv")).as("cf"),
+          Similarity.cosineScaled(slice(col("embedding"), 1, 16),
+            slice(col("qv"), 1, 16)).as("ct"))
+        .withColumn("ordf", col("cf") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+        .withColumn("ordt", col("ct") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+        .cache()
+      def ranked(ord: String) = {
+        val top = TopKApi.topKPerGroup(scored, Seq("qid"), ord, 20)
+        top.select(col("qid"), col("vec_id"),
+          row_number().over(Window.partitionBy("qid").orderBy(col(ord).desc)).as("rk"))
+      }
+      val a = ranked("ordf").select(col("qid").as("aqid"), col("vec_id").as("avid"),
+        col("rk").as("ark"))
+      val b = ranked("ordt").select(col("qid").as("bqid"), col("vec_id").as("bvid"),
+        col("rk").as("brk"))
+      val u = a.join(b, col("aqid") === col("bqid") && col("avid") === col("bvid"),
+          "full_outer")
+        .select(coalesce(col("aqid"), col("bqid")).as("qid"),
+          coalesce(col("avid"), col("bvid")).as("vec_id"),
+          (coalesce(expr("1000000L div (60 + ark)"), lit(0L))
+            + coalesce(expr("1000000L div (60 + brk)"), lit(0L))).as("rrf"))
+      u.withColumn("fused_rank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("rrf").desc, col("vec_id"))))
+        .where(col("fused_rank") <= 10)
+        .select(col("qid"), col("vec_id"), col("rrf").as("rrf_score"), col("fused_rank"))
+        .orderBy("qid", "fused_rank")
+    },
   )
 }

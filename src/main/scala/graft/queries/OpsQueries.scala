@@ -141,5 +141,51 @@ object OpsQueries {
       }
       import s.implicits._
       out.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    },
+
+    // Orphan-file GC plan: a synthetic manifest (500 data files keyed
+    // off part, bytes from aggregated retail cents) against three
+    // snapshots of which only the newest two are retained; files
+    // referenced by NO retained snapshot are orphans, priced per age
+    // band. The live set is an anti-join of the manifest against the
+    // union of retained snapshot references — the exact shape a table-
+    // format GC (expire_snapshots + remove_orphan_files) runs at lake
+    // scale, where the manifest join must stay equi and the snapshot
+    // refs broadcast.
+    QueryDef.sql(
+      "q353_orphan_gc",
+      """WITH files AS (SELECT p_partkey % 500 AS fid,
+        |    SUM(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS bytes
+        |  FROM part GROUP BY 1),
+        |live AS (SELECT fid FROM files WHERE fid % 3 <> 0
+        |  UNION SELECT fid FROM files WHERE fid % 7 <> 1),
+        |f AS (SELECT files.fid AS fid, bytes, files.fid % 4 AS age_band,
+        |    CASE WHEN live.fid IS NULL THEN 1 ELSE 0 END AS orphan
+        |  FROM files LEFT JOIN live ON files.fid = live.fid),
+        |t AS (SELECT SUM(bytes) AS tb FROM f)
+        |SELECT CAST(age_band AS BIGINT) AS age_band, COUNT(*) AS n_files,
+        |  CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+        |  CAST(SUM(orphan * bytes) AS BIGINT) AS orphan_bytes,
+        |  CAST(CAST(SUM(orphan * bytes) AS HUGEINT) * 1000000 // tb AS BIGINT)
+        |    AS reclaim_ppm
+        |FROM f, t GROUP BY age_band, tb ORDER BY age_band""".stripMargin) { (s, dir) =>
+      val files = Tables(s, dir).part
+        .groupBy((col("p_partkey") % 500).as("fid"))
+        .agg(sum(floor(col("p_retailprice") * 100).cast("long")).as("bytes"))
+      val live = files.where(col("fid") % 3 =!= 0).select("fid")
+        .union(files.where(col("fid") % 7 =!= 1).select("fid")).distinct()
+      val f = files.join(broadcast(live.select(col("fid").as("lfid"))),
+          col("fid") === col("lfid"), "left_outer")
+        .select(col("fid"), col("bytes"), (col("fid") % 4).as("age_band"),
+          when(col("lfid").isNull, 1L).otherwise(0L).as("orphan"))
+      val t = f.agg(sum("bytes").as("tb"))
+      f.crossJoin(broadcast(t))
+        .groupBy(col("age_band").cast("long").as("age_band"), col("tb"))
+        .agg(count(lit(1)).as("n_files"), sum("orphan").as("n_orphans"),
+          sum(col("orphan") * col("bytes")).as("orphan_bytes"))
+        .select(col("age_band"), col("n_files"), col("n_orphans"), col("orphan_bytes"),
+          expr("CAST(CAST(orphan_bytes AS DECIMAL(38,0)) * 1000000 div tb AS BIGINT)")
+            .as("reclaim_ppm"))
+        .orderBy("age_band")
     })
 }

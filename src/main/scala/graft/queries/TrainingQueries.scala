@@ -838,5 +838,49 @@ object TrainingQueries {
           expr("shared_fps * 1000000L div least(n_a, n_b)").as("containment_ppm"))
         .orderBy(col("containment_ppm").desc, col("src_a"), col("src_b"))
         .limit(30)
+    },
+
+    // Degree assortativity of the part co-purchase graph (q159's edge
+    // set): Pearson correlation of endpoint degrees over the
+    // SYMMETRIZED edge list — r = (2M·Σjk − (Σj)²)/(2M·Σj² − (Σj)²),
+    // every sum an exact integer in DECIMAL; only the final signed
+    // ratio goes DOUBLE+FLOOR (parity convention). Negative r says
+    // hubs attach to low-degree parts (disassortative, typical for
+    // co-purchase graphs). Degrees come from one groupBy; the edge×deg
+    // meet is two broadcast-able equi-joins.
+    QueryDef.sql(
+      "q352_assortativity",
+      s"""WITH $partEdgesSql,
+         |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+         |de AS (SELECT du.d AS j, dv.d AS k
+         |  FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node),
+         |s AS (SELECT COUNT(*) AS m2, SUM(CAST(j AS HUGEINT)) AS s1,
+         |    SUM(CAST(j AS HUGEINT) * k) AS sjk, SUM(CAST(j AS HUGEINT) * j) AS sjj
+         |  FROM de)
+         |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+         |  CAST(m2 / 2 AS BIGINT) AS n_edges,
+         |  CAST(FLOOR(CAST(m2 * sjk - s1 * s1 AS DOUBLE) * 1000000.0
+         |    / CAST(m2 * sjj - s1 * s1 AS DOUBLE)) AS BIGINT) AS assortativity_ppm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val e = partEdges(Tables(s, dir))
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val de = sym
+        .join(deg.select(col("node").as("nu"), col("d").as("j")), col("u") === col("nu"))
+        .join(deg.select(col("node").as("nv"), col("d").as("k")), col("v") === col("nv"))
+      val dec = "decimal(38,0)"
+      val sums = de.agg(count(lit(1)).as("m2"),
+        sum(col("j").cast(dec)).as("s1"),
+        sum(col("j").cast(dec) * col("k")).as("sjk"),
+        sum(col("j").cast(dec) * col("j")).as("sjj"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      nn.crossJoin(sums)
+        .select(col("n_nodes"),
+          expr("CAST(m2 / 2 AS BIGINT)").as("n_edges"),
+          expr("CAST(FLOOR(CAST(m2 * sjk - s1 * s1 AS DOUBLE) * 1000000.0D" +
+            " / CAST(m2 * sjj - s1 * s1 AS DOUBLE)) AS BIGINT)")
+            .as("assortativity_ppm"))
     })
 }
