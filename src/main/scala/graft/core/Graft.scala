@@ -37,8 +37,21 @@ object Graft {
 
 /** Readers for the driver-provided parquet corpus (TESTDATA.md). */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def rd(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Reads a fixture table, normalizing timestamp encodings: parquet
+    * `timestamp[us]` with isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ
+    * in Spark 4 but as plain TIMESTAMP in DuckDB. Cast NTZ → session-tz
+    * TIMESTAMP (session tz is pinned to UTC in Graft.configure), which
+    * preserves every field of the wall-clock value, so instant-based
+    * functions (unix_micros & co) work and both engines agree.
+    */
+  private def rd(name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+  }
   def region: DataFrame     = rd("region")
   def nation: DataFrame     = rd("nation")
   def customer: DataFrame   = rd("customer")

@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Round-4 frontier operators: graph centrality, forensic digit audits,
+  * robust outlier screens, and ordered-run analytics. Shared conventions
+  * (SURVEY §2.8): exact integer/DECIMAL arithmetic end-to-end, truncating
+  * `div` only on non-negative operands (DuckDB `//` floors, Spark `div`
+  * truncates — identical there), deterministic total order on every result.
+  */
+object FrontierQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // PageRank (3 unrolled power iterations, damping 0.85) over the
+    // symmetrized nation trade graph: edge cust-nation ↔ supp-nation per
+    // order line. The graph collapses to ≤ |N|² = 625 edges via an early
+    // DISTINCT pushed below the rank loop, so each iteration is a
+    // broadcast join against a 25-row rank frame — the big tables are
+    // touched exactly once regardless of iteration count. Rank mass is
+    // kept in exact ppm units: teleport = 150000 div N, spread =
+    // (850 · Σ pr div deg) div 1000; symmetrization guarantees every
+    // node has outdeg ≥ 1 (no dangling-mass redistribution needed).
+    // 100 TB path: the only full-data pass is the edge-projection
+    // aggregate; iterations run on the aggregated graph.
+    QueryDef.sql(
+      "q354_pagerank",
+      """WITH e0 AS (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS cnt FROM d),
+        |p0 AS (SELECT src AS n, CAST(1000000 // cnt AS BIGINT) AS pr FROM d, nn),
+        |s1 AS (SELECT e.dst AS n, SUM(p0.pr // d.deg) AS s
+        |       FROM e JOIN p0 ON e.src = p0.n JOIN d ON e.src = d.src GROUP BY e.dst),
+        |p1 AS (SELECT n, CAST(150000 // cnt + (850 * s) // 1000 AS BIGINT) AS pr
+        |       FROM s1, nn),
+        |s2 AS (SELECT e.dst AS n, SUM(p1.pr // d.deg) AS s
+        |       FROM e JOIN p1 ON e.src = p1.n JOIN d ON e.src = d.src GROUP BY e.dst),
+        |p2 AS (SELECT n, CAST(150000 // cnt + (850 * s) // 1000 AS BIGINT) AS pr
+        |       FROM s2, nn),
+        |s3 AS (SELECT e.dst AS n, SUM(p2.pr // d.deg) AS s
+        |       FROM e JOIN p2 ON e.src = p2.n JOIN d ON e.src = d.src GROUP BY e.dst),
+        |p3 AS (SELECT n, CAST(150000 // cnt + (850 * s) // 1000 AS BIGINT) AS pr
+        |       FROM s3, nn)
+        |SELECT n.n_name, p3.pr AS pr_ppm
+        |FROM p3 JOIN nation n ON p3.n = n.n_nationkey
+        |ORDER BY pr_ppm DESC, n.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e0 = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"))).distinct()
+      val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nn = d.agg(count(lit(1)).as("cnt"))
+      val ed = e.join(d, "src") // (src, dst, deg)
+      var pr = d.crossJoin(broadcast(nn))
+        .select(col("src").as("n"), expr("CAST(1000000 div cnt AS BIGINT)").as("pr"))
+      for (_ <- 1 to 3) {
+        pr = ed.join(broadcast(pr), ed("src") === pr("n"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("pr div deg")).as("spread"))
+          .crossJoin(broadcast(nn))
+          .select(col("dst").as("n"),
+            expr("CAST((150000 div cnt) + (850 * spread) div 1000 AS BIGINT)").as("pr"))
+      }
+      pr.join(broadcast(t.nation), pr("n") === col("n_nationkey"))
+        .select(col("n_name"), col("pr").as("pr_ppm"))
+        .orderBy(col("pr_ppm").desc, col("n_name"))
+    },
+
+    // Benford first-digit forensic audit over order totals (cents): the
+    // leading digit of a positive BIGINT via its decimal string — both
+    // engines render integers identically. Observed share in exact ppm
+    // (1e6·n div total); expected Benford mass floor(1e6·log10(1+1/d))
+    // hard-coded as the same 9 literals on both sides (no transcendental
+    // evaluated at query time); signed deviation is plain Long
+    // subtraction. One aggregation pass, 9-row result.
+    QueryDef.sql(
+      "q355_benford",
+      """WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |        COUNT(*) AS n
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM d)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+        |    WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)
+        |    AS benford_ppm,
+        |  CAST(1000000 * n // total
+        |    - CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+        |        WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+        |        WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)
+        |    AS dev_ppm
+        |FROM d, t ORDER BY digit""".stripMargin) { (s, dir) =>
+      val benford = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938" +
+        " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946" +
+        " WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END"
+      val d = Tables(s, dir).orders
+        .select(floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = d.agg(sum("n").as("total"))
+      d.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("CAST(1000000 * n div total AS BIGINT)").as("obs_ppm"),
+          expr(s"CAST($benford AS BIGINT)").as("benford_ppm"),
+          expr(s"CAST(1000000 * n div total - ($benford) AS BIGINT)").as("dev_ppm"))
+        .orderBy("digit")
+    },
+
+    // Median-absolute-deviation robust outlier screen per event type:
+    // both the center and the spread are discrete medians (DuckDB's
+    // probed quantile_disc convention — the value at 1-based sorted
+    // index ceil(n·q)), computed distributed with the q152 rank-index
+    // pattern (window row_number + count, filter the index row — never
+    // a per-group collect). Outliers are |x−med| > 3·MAD; counts and
+    // exact ppm rate per group. Robust where q341's Shewhart z-test is
+    // mean-skewed by the very outliers it hunts.
+    QueryDef.sql(
+      "q356_mad_outliers",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+        |      FROM e GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.cents - m.med) AS d, m.med
+        |        FROM e JOIN m ON e.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_disc(d, 0.5) AS mad
+        |       FROM dev GROUP BY 1)
+        |SELECT dev.event_type, MIN(dev.med) AS med, MIN(md.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE dev.d > 3 * md.mad) AS n_outlier,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE dev.d > 3 * md.mad) // COUNT(*)
+        |    AS BIGINT) AS outlier_ppm
+        |FROM dev JOIN md ON dev.event_type = md.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(1000000.0)).cast("long").as("cents"))
+      def discMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(valCol)
+        df.select(col("event_type"), col(valCol),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy("event_type")).as("cnt"))
+          .where(col("rn") === ceil(col("cnt") * lit(0.5)))
+          .groupBy("event_type").agg(min(valCol).as(out))
+      }
+      val med = discMedian(e, "cents", "med")
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("cents"), col("med"),
+          abs(col("cents") - col("med")).as("d"))
+      val mad = discMedian(dev.select(col("event_type"), col("d")), "d", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(min("med").as("med"), min("mad").as("mad"), count(lit(1)).as("n"),
+          sum(when(col("d") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outlier"))
+        .select(col("event_type"), col("med"), col("mad"), col("n"), col("n_outlier"),
+          expr("CAST(1000000 * n_outlier div n AS BIGINT)").as("outlier_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Gaps-and-islands: per-customer runs of consecutive order DAYS.
+    // The classic island key day − row_number() is shuffle-minimal —
+    // one window partitioned by customer over the deduped (cust, day)
+    // grain, then two aggregates that reuse the same partitioning.
+    // Output is the island-length distribution plus how many distinct
+    // customers achieve each streak length (ordered-run analytics the
+    // sessionizer q7 can't express: calendar-day grain, not gap
+    // threshold).
+    QueryDef.sql(
+      "q357_gap_islands",
+      """WITH od AS (SELECT DISTINCT o_custkey,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+        |  FROM orders),
+        |isl AS (SELECT o_custkey,
+        |    d - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+        |  FROM od),
+        |runs AS (SELECT o_custkey, grp, COUNT(*) AS len
+        |         FROM isl GROUP BY 1, 2)
+        |SELECT len AS island_len, COUNT(*) AS n_islands,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM runs GROUP BY 1 ORDER BY island_len""".stripMargin) { (s, dir) =>
+      val od = Tables(s, dir).orders
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+      val runs = od
+        .select(col("o_custkey"), (col("d") - row_number().over(w)).as("grp"))
+        .groupBy("o_custkey", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy(col("len").as("island_len"))
+        .agg(count(lit(1)).as("n_islands"),
+          countDistinct("o_custkey").as("n_customers"))
+        .orderBy("island_len")
+    },
+
+    // Pareto frontier (skyline) over parts: minimize price, maximize
+    // size. A part survives iff no strictly-cheaper-or-equal part has
+    // >= size with one strict inequality. After deduping to the
+    // (cents, max size) grain, the frontier test is a prefix-max of
+    // size in price order. The Spark side runs it DISTRIBUTED: price
+    // bands partition the window (per-band prefix-max), and the
+    // cross-band carry-in is a prefix-max over the tiny band-grain
+    // frame, broadcast back — no global single-task sort at any scale.
+    // The oracle states the same thing as one flat window.
+    QueryDef.sql(
+      "q358_pareto_frontier",
+      """WITH g AS (SELECT CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS cents,
+        |    MAX(p_size) AS size FROM part GROUP BY 1),
+        |w AS (SELECT cents, size,
+        |    MAX(size) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+        |  FROM g)
+        |SELECT cents, CAST(size AS BIGINT) AS size
+        |FROM w WHERE best IS NULL OR size > best
+        |ORDER BY cents""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).part
+        .select(floor(col("p_retailprice") * lit(100.0)).cast("long").as("cents"),
+          col("p_size"))
+        .groupBy("cents").agg(max("p_size").cast("long").as("size"))
+        .withColumn("band", expr("cents div 10000"))
+      val bandMax = g.groupBy("band").agg(max("size").as("bmax"))
+      val wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bandMax // band-grain: tiny regardless of |part|
+        .select(col("band"), max("bmax").over(wb).as("carry"))
+      val wp = Window.partitionBy("band").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.join(broadcast(carry), "band")
+        .select(col("cents"), col("size"),
+          greatest(coalesce(max("size").over(wp), lit(Long.MinValue)),
+            coalesce(col("carry"), lit(Long.MinValue))).as("best"))
+        .where(col("best") === Long.MinValue || col("size") > col("best"))
+        .select("cents", "size")
+        .orderBy("cents")
+    },
+
+    // Weighted median of line price, weighted by quantity, per return
+    // flag: the smallest value whose doubled inclusive cumulative
+    // weight reaches the group total. Weights aggregate to the
+    // (flag, cents) grain first, so the running sum is over a unique
+    // ordering (deterministic), and every window is partitioned by
+    // flag — no global sort. Both engines state the identical
+    // 2·cumw ≥ W rule; all arithmetic is exact BIGINT.
+    QueryDef.sql(
+      "q359_weighted_median",
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g)
+        |SELECT flag, MIN(cents) AS wmedian_cents,
+        |  CAST(MIN(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).lineitem
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy("flag", "cents").agg(sum("q").as("w"))
+      val wc = Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("flag"), col("cents"), col("w"),
+          sum("w").over(wc).as("cw"),
+          sum("w").over(Window.partitionBy("flag")).as("tw"))
+        .where(lit(2) * col("cw") >= col("tw"))
+        .groupBy("flag")
+        .agg(min("cents").as("wmedian_cents"), min("tw").as("total_weight"))
+        .orderBy("flag")
+    },
+
+    // Zipf constancy audit over the corpus vocabulary: under Zipf's law
+    // rank × frequency is near-constant, so the product (scaled to ppm
+    // of total token mass) exposes how head-heavy the distribution is
+    // without evaluating any logarithm. Token counts aggregate on the
+    // (bounded) vocabulary grain; ranks are a window over that tiny
+    // frame with an explicit (freq desc, token) tie-break. Top-100 cap
+    // keeps the result bounded for real vocabularies.
+    QueryDef.sql(
+      "q360_zipf_constancy",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM tok
+        |      WHERE token <> '' GROUP BY 1),
+        |t AS (SELECT SUM(freq) AS total FROM f),
+        |r AS (SELECT token, freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f)
+        |SELECT rank, token, freq,
+        |  CAST(rank * freq AS BIGINT) AS rank_freq,
+        |  CAST(1000000 * rank * freq // total AS BIGINT) AS rf_ppm
+        |FROM r, t WHERE rank <= 100 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val t = f.agg(sum("freq").as("total"))
+      f.select(col("token"), col("freq"),
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long").as("rank"))
+        .where(col("rank") <= 100)
+        .crossJoin(broadcast(t))
+        .select(col("rank"), col("token"), col("freq"),
+          (col("rank") * col("freq")).as("rank_freq"),
+          expr("CAST(1000000 * rank * freq div total AS BIGINT)").as("rf_ppm"))
+        .orderBy("rank")
+    },
+
+    // RFM segmentation: per-customer Recency (days to the corpus
+    // horizon), Frequency (orders), Monetary (cents) → quintile scores
+    // via ntile(5) with explicit custkey tie-breaks (ntile's split rule
+    // is identical cross-engine, q338's precedent), concatenated into
+    // the classic 111..555 cell. Output is the cell-grain census —
+    // ≤125 rows whatever the customer count. Recency ntile orders
+    // DESCENDING days so score 5 = most recent, matching F/M where
+    // bigger is better.
+    QueryDef.sql(
+      "q361_rfm",
+      """WITH u AS (SELECT o_custkey,
+        |    date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-08-01') AS r_days,
+        |    COUNT(*) AS f_orders,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY f_orders, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY m_cents, o_custkey) AS m,
+        |    f_orders, m_cents
+        |  FROM u)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_cell,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(f_orders) AS BIGINT) AS sum_orders,
+        |  CAST(SUM(m_cents) AS BIGINT) AS sum_cents
+        |FROM sc GROUP BY 1 ORDER BY rfm_cell""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(datediff(lit("2001-08-01").cast("date"), to_date(max("o_orderdate")))
+            .cast("long").as("r_days"),
+          count(lit(1)).as("f_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("m_cents"))
+      val sc = u.select(col("o_custkey"), col("f_orders"), col("m_cents"),
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("o_custkey"))).cast("long").as("r"),
+        ntile(5).over(Window.orderBy(col("f_orders"), col("o_custkey"))).cast("long").as("f"),
+        ntile(5).over(Window.orderBy(col("m_cents"), col("o_custkey"))).cast("long").as("m"))
+      sc.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_cell"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("f_orders").as("sum_orders"), sum("m_cents").as("sum_cents"))
+        .orderBy("rfm_cell")
+    }
+  )
+}
