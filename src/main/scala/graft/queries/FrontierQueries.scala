@@ -363,6 +363,184 @@ object FrontierQueries {
         .agg(count(lit(1)).as("n_customers"),
           sum("f_orders").as("sum_orders"), sum("m_cents").as("sum_cents"))
         .orderBy("rfm_cell")
+    },
+
+    // Zone-map (min/max) pruning advisor — the parquet row-group skipping
+    // simulation. Two physical layouts of lineitem are priced against the
+    // same 90-day predicates: 'rowmajor' chunks by insertion order
+    // (l_orderkey div 512 — ship dates uncorrelated, zone maps span the
+    // whole domain) vs 'clustered' chunks by 30-day ship buckets (tight
+    // zone maps). A chunk is pruned iff max < lo or min >= hi. Everything
+    // after the one stats pass runs on the chunk grain (hundreds of rows
+    // at any SF), so the advisor itself never rescans the fact table —
+    // exactly how a table-format metadata layer prices file skipping.
+    QueryDef.sql(
+      "q362_zonemap_prune",
+      """WITH li AS (SELECT l_orderkey AS k,
+        |    date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS d
+        |  FROM lineitem),
+        |ca AS (SELECT k // 512 AS chunk, MIN(d) AS lo, MAX(d) AS hi,
+        |        COUNT(*) AS cnt FROM li GROUP BY 1),
+        |cb AS (SELECT d // 30 AS chunk, MIN(d) AS lo, MAX(d) AS hi,
+        |        COUNT(*) AS cnt FROM li GROUP BY 1),
+        |lay AS (SELECT 'rowmajor' AS layout, * FROM ca
+        |        UNION ALL SELECT 'clustered', * FROM cb),
+        |p AS (SELECT * FROM (VALUES (1, 730, 820), (2, 1095, 1185),
+        |       (3, 1460, 1550), (4, 1825, 1915)) AS t(pid, plo, phi)),
+        |mt AS (SELECT pid, COUNT(*) AS matched FROM li, p
+        |       WHERE d >= plo AND d < phi GROUP BY 1)
+        |SELECT lay.layout, p.pid,
+        |  COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE hi < plo OR lo >= phi) AS n_pruned,
+        |  CAST(COALESCE(SUM(cnt) FILTER (WHERE NOT (hi < plo OR lo >= phi)), 0)
+        |    AS BIGINT) AS rows_scanned,
+        |  MIN(mt.matched) AS rows_matched,
+        |  CAST(CASE WHEN COALESCE(SUM(cnt) FILTER (
+        |        WHERE NOT (hi < plo OR lo >= phi)), 0) = 0 THEN 0
+        |    ELSE 1000000 * MIN(mt.matched)
+        |         // SUM(cnt) FILTER (WHERE NOT (hi < plo OR lo >= phi))
+        |    END AS BIGINT) AS efficiency_ppm
+        |FROM lay CROSS JOIN p JOIN mt ON mt.pid = p.pid
+        |GROUP BY 1, 2 ORDER BY layout, p.pid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("k"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d"))
+      def zones(c: Column) = li.groupBy(c.as("chunk"))
+        .agg(min("d").as("lo"), max("d").as("hi"), count(lit(1)).as("cnt"))
+      val lay = zones(expr("k div 512")).withColumn("layout", lit("rowmajor"))
+        .unionByName(zones(expr("d div 30")).withColumn("layout", lit("clustered")))
+      val p = Seq((1L, 730L, 820L), (2L, 1095L, 1185L),
+        (3L, 1460L, 1550L), (4L, 1825L, 1915L)).toDF("pid", "plo", "phi")
+      val mt = li.crossJoin(broadcast(p))
+        .where(col("d") >= col("plo") && col("d") < col("phi"))
+        .groupBy("pid").agg(count(lit(1)).as("matched"))
+      val pruned = col("hi") < col("plo") || col("lo") >= col("phi")
+      lay.crossJoin(broadcast(p)).join(broadcast(mt), "pid")
+        .groupBy("layout", "pid")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+          coalesce(sum(when(!pruned, col("cnt"))), lit(0L)).as("rows_scanned"),
+          min("matched").as("rows_matched"))
+        .select(col("layout"), col("pid"), col("n_chunks"), col("n_pruned"),
+          col("rows_scanned"), col("rows_matched"),
+          expr("CAST(CASE WHEN rows_scanned = 0 THEN 0" +
+            " ELSE 1000000 * rows_matched div rows_scanned END AS BIGINT)")
+            .as("efficiency_ppm"))
+        .orderBy("layout", "pid")
+    },
+
+    // Exact sliding-window distinct: 7-day rolling distinct users per
+    // day. Distinct over a sliding window is NOT decomposable (no
+    // partial-merge), so the classic exact plan dedupes to the
+    // (day, user) grain FIRST — the only full-data pass — then expands
+    // each user-day into the ≤7 window anchors it serves via a range
+    // join against the tiny day spine. Expansion factor is the window
+    // length, never the raw row count; the final count-distinct
+    // shuffles the deduped grain only. (The approximate alternative is
+    // a mergeable HLL per day — q60's sketch; this is its exact twin.)
+    QueryDef.sql(
+      "q363_sliding_distinct",
+      """WITH du AS (SELECT DISTINCT
+        |    date_diff('day', TIMESTAMP '2024-01-01', ts) AS day, user_id
+        |  FROM events),
+        |sp AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT sp.d AS day, COUNT(DISTINCT du.user_id) AS dau7,
+        |  COUNT(*) AS user_days
+        |FROM sp JOIN du ON du.day BETWEEN sp.d - 6 AND sp.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val du = Tables(s, dir).events
+        .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"), col("user_id"))
+        .distinct()
+      val sp = du.select(col("day").as("d")).distinct()
+      broadcast(sp).join(du,
+          du("day") >= sp("d") - 6 && du("day") <= sp("d"))
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct("user_id").as("dau7"), count(lit(1)).as("user_days"))
+        .orderBy("day")
+    },
+
+    // Join-cardinality estimation audit — the optimizer-statistics
+    // question "how big is the self-join on l_partkey?" answered two
+    // ways: exactly (Σ c² at the key grain — computed WITHOUT running
+    // the join) and from a 64-key-wide bucket histogram under the
+    // uniform-within-bucket assumption (n²/d per bucket — what a
+    // cost model with equi-width histograms would estimate). The ratio
+    // in ppm is the estimator's bias; uniform keys → ratio ≈ 1e6, a
+    // skewed key would push the estimate far below the truth. The
+    // ×10⁶ numerator goes through decimal(38,0): both sides of the
+    // division would wrap a Long near Σc² ~ 9e12 at large SFs.
+    QueryDef.sql(
+      "q364_join_card_est",
+      """WITH k AS (SELECT l_partkey AS pk, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT pk // 64 AS bucket, SUM(c) AS n, COUNT(*) AS d,
+        |        SUM(c * c) AS actual FROM k GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(d) AS BIGINT) AS n_keys,
+        |  COUNT(*) AS n_buckets,
+        |  CAST(SUM(actual) AS BIGINT) AS actual_pairs,
+        |  CAST(SUM(n * n // d) AS BIGINT) AS est_pairs,
+        |  CAST(1000000 * SUM(n * n // d) // SUM(actual) AS BIGINT)
+        |    AS ratio_ppm
+        |FROM b""".stripMargin) { (s, dir) =>
+      val k = Tables(s, dir).lineitem
+        .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("c"))
+      k.groupBy(expr("pk div 64").as("bucket"))
+        .agg(sum("c").as("n"), count(lit(1)).as("d"),
+          sum(col("c") * col("c")).as("actual"))
+        .agg(sum("n").as("n_rows"), sum("d").as("n_keys"),
+          count(lit(1)).as("n_buckets"), sum("actual").as("actual_pairs"),
+          sum(expr("n * n div d")).as("est_pairs"))
+        .select(col("n_rows"), col("n_keys"), col("n_buckets"),
+          col("actual_pairs"), col("est_pairs"),
+          expr("CAST(CAST(est_pairs AS DECIMAL(38,0)) * 1000000" +
+            " div actual_pairs AS BIGINT)").as("ratio_ppm"))
+    },
+
+    // Monthly OHLC bars over order totals — the time-series resample.
+    // Open/close are the first/last order of the month under a total
+    // (date, orderkey) order, picked with two row_number windows that
+    // share one partitioning (month) — a single shuffle serves both
+    // directions plus the min/max/sum aggregates. The month grain
+    // bounds the window partitions, so no partition ever exceeds a
+    // month of data regardless of SF.
+    QueryDef.sql(
+      "q365_ohlc_bars",
+      """WITH o AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |r AS (SELECT ym, cents,
+        |    row_number() OVER (PARTITION BY ym ORDER BY d, k) AS ra,
+        |    row_number() OVER (PARTITION BY ym ORDER BY d DESC, k DESC) AS rd
+        |  FROM o)
+        |SELECT ym, MAX(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+        |  MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |  MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+        |  COUNT(*) AS volume, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM r GROUP BY ym ORDER BY ym""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d"),
+          col("o_orderkey").as("k"))
+      val wa = Window.partitionBy("ym").orderBy(col("d"), col("k"))
+      val wd = Window.partitionBy("ym").orderBy(col("d").desc, col("k").desc)
+      o.select(col("ym"), col("cents"),
+          row_number().over(wa).as("ra"), row_number().over(wd).as("rd"))
+        .groupBy("ym")
+        .agg(max(when(col("ra") === 1, col("cents"))).as("open_cents"),
+          max("cents").as("high_cents"), min("cents").as("low_cents"),
+          max(when(col("rd") === 1, col("cents"))).as("close_cents"),
+          count(lit(1)).as("volume"), sum("cents").as("total_cents"))
+        .orderBy("ym")
     }
   )
 }
