@@ -541,6 +541,192 @@ object FrontierQueries {
           max(when(col("rd") === 1, col("cents"))).as("close_cents"),
           count(lit(1)).as("volume"), sum("cents").as("total_cents"))
         .orderBy("ym")
+    },
+
+    // Incremental view maintenance for an aggregate-over-join view
+    // (per-nation order count + revenue): the view is maintained as
+    // base-state ⊎ Δ-contribution — the delta path joins ONLY the new
+    // orders (Δ ⋈ dim, a broadcast at any scale) and merges count/sum
+    // partials, never rescanning the base fact. Both the recomputed
+    // and the incrementally-merged view are emitted side by side with
+    // a consistency flag, so the result IS the IVM correctness
+    // argument (count/sum are self-maintainable under inserts).
+    QueryDef.sql(
+      "q366_ivm_join_delta",
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    (o_orderdate >= TIMESTAMP '2001-01-01') AS is_delta
+        |  FROM orders),
+        |j AS (SELECT n_name, is_delta, cents FROM o
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey),
+        |full_v AS (SELECT n_name, COUNT(*) AS cnt, SUM(cents) AS cents
+        |           FROM j GROUP BY 1),
+        |parts AS (SELECT n_name, is_delta, COUNT(*) AS cnt, SUM(cents) AS cents
+        |          FROM j GROUP BY 1, 2),
+        |incr AS (SELECT n_name, SUM(cnt) AS cnt, SUM(cents) AS cents,
+        |           CAST(COALESCE(SUM(cnt) FILTER (WHERE is_delta), 0) AS BIGINT)
+        |             AS delta_rows
+        |         FROM parts GROUP BY 1)
+        |SELECT f.n_name, CAST(f.cnt AS BIGINT) AS full_cnt,
+        |  CAST(f.cents AS BIGINT) AS full_cents,
+        |  CAST(i.cnt AS BIGINT) AS incr_cnt,
+        |  CAST(i.cents AS BIGINT) AS incr_cents,
+        |  i.delta_rows,
+        |  CAST(CASE WHEN f.cnt = i.cnt AND f.cents = i.cents
+        |    THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM full_v f JOIN incr i ON f.n_name = i.n_name
+        |ORDER BY f.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val j = t.orders
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"),
+          (col("o_orderdate") >= lit("2001-01-01").cast("timestamp")).as("is_delta"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "is_delta", "cents")
+      val fullV = j.groupBy("n_name")
+        .agg(count(lit(1)).as("full_cnt"), sum("cents").as("full_cents"))
+      // partial-state merge: one aggregate to the (nation, is_delta)
+      // grain (= stored base state + Δ contribution), then the merge
+      val incr = j.groupBy("n_name", "is_delta")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("cents"))
+        .groupBy("n_name")
+        .agg(sum("cnt").as("incr_cnt"), sum("cents").as("incr_cents"),
+          coalesce(sum(when(col("is_delta"), col("cnt"))), lit(0L)).as("delta_rows"))
+      fullV.join(incr, "n_name")
+        .select(col("n_name"), col("full_cnt"), col("full_cents"),
+          col("incr_cnt"), col("incr_cents"), col("delta_rows"),
+          when(col("full_cnt") === col("incr_cnt") &&
+               col("full_cents") === col("incr_cents"), 1L).otherwise(0L)
+            .as("consistent"))
+        .orderBy("n_name")
+    },
+
+    // KMV (k-minimum-values) distinct-count sketch, k=64, audited
+    // against the exact NDV of l_partkey. The hash is the portable
+    // 32-bit md5 prefix (q325's convention — bit-identical in both
+    // engines), so the k-th smallest distinct hash and the estimator
+    // (k−1)·2³² div h_k are fully deterministic. The sketch side
+    // shuffles only the deduped hash domain; at 100 TB the same plan
+    // keeps a 64-value state per partition via partial TOP-K merge —
+    // this query pins the estimator arithmetic the mergeable version
+    // must reproduce.
+    QueryDef.sql(
+      "q367_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM h),
+        |kth AS (SELECT hv AS hk FROM r WHERE rk = 64),
+        |ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_ndv FROM lineitem)
+        |SELECT ex.exact_ndv, CAST(64 AS BIGINT) AS k, kth.hk AS kth_hash,
+        |  CAST(63 * 4294967296 // kth.hk AS BIGINT) AS est_ndv,
+        |  CAST(1000000 * (63 * 4294967296 // kth.hk) // ex.exact_ndv AS BIGINT)
+        |    AS ratio_ppm
+        |FROM ex, kth""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val h = li.select(expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING))," +
+          " 1, 8), 16, 10) AS BIGINT)").as("hv")).distinct()
+      val kth = h.select(col("hv"), row_number().over(Window.orderBy("hv")).as("rk"))
+        .where(col("rk") === 64).select(col("hv").as("hk"))
+      val ex = li.agg(countDistinct("l_partkey").as("exact_ndv"))
+      ex.crossJoin(broadcast(kth))
+        .select(col("exact_ndv"), lit(64L).as("k"), col("hk").as("kth_hash"),
+          expr("CAST(63 * 4294967296 div hk AS BIGINT)").as("est_ndv"),
+          expr("CAST(1000000 * (63 * 4294967296 div hk) div exact_ndv AS BIGINT)")
+            .as("ratio_ppm"))
+    },
+
+    // Markov steady-state over the per-user event-type transition
+    // chain: LAG pairs → transition counts → row-stochastic matrix in
+    // exact ppm → three unrolled power iterations from the uniform
+    // distribution. Unlike q354's undirected PageRank this is a
+    // directed weighted chain with per-row probability mass; every
+    // iteration is a join on the ≤|types|² matrix grain (25 rows
+    // here), so iteration cost is independent of event volume — the
+    // only full-data pass is the LAG window, partitioned by user.
+    QueryDef.sql(
+      "q368_markov_steady",
+      """WITH s AS (SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS b
+        |  FROM events),
+        |tc AS (SELECT a, b, COUNT(*) AS c FROM s WHERE b IS NOT NULL
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(c) AS tot FROM tc GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS k FROM rt),
+        |p0 AS (SELECT a AS st, CAST(1000000 // k AS BIGINT) AS p FROM rt, n),
+        |p1 AS (SELECT tc.b AS st, CAST(SUM(p0.p * tc.c // rt.tot) AS BIGINT) AS p
+        |       FROM tc JOIN p0 ON tc.a = p0.st JOIN rt ON tc.a = rt.a GROUP BY 1),
+        |p2 AS (SELECT tc.b AS st, CAST(SUM(p1.p * tc.c // rt.tot) AS BIGINT) AS p
+        |       FROM tc JOIN p1 ON tc.a = p1.st JOIN rt ON tc.a = rt.a GROUP BY 1),
+        |p3 AS (SELECT tc.b AS st, CAST(SUM(p2.p * tc.c // rt.tot) AS BIGINT) AS p
+        |       FROM tc JOIN p2 ON tc.a = p2.st JOIN rt ON tc.a = rt.a GROUP BY 1)
+        |SELECT p0.st AS event_type, p0.p AS p0_ppm, p1.p AS p1_ppm,
+        |  p2.p AS p2_ppm, p3.p AS p3_ppm
+        |FROM p0 JOIN p1 ON p0.st = p1.st JOIN p2 ON p0.st = p2.st
+        |JOIN p3 ON p0.st = p3.st
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tc = ev.select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"))
+        .where(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val rt = tc.groupBy("a").agg(sum("c").as("tot"))
+      val n = rt.agg(count(lit(1)).as("k"))
+      val m = tc.join(broadcast(rt), "a") // (a, b, c, tot)
+      var ps = Seq(rt.crossJoin(broadcast(n))
+        .select(col("a").as("st"), expr("CAST(1000000 div k AS BIGINT)").as("p")))
+      for (_ <- 1 to 3) {
+        val prev = ps.last
+        ps = ps :+ m.join(broadcast(prev), m("a") === prev("st"))
+          .groupBy(m("b").as("st2"))
+          .agg(sum(expr("p * c div tot")).cast("long").as("p"))
+          .select(col("st2").as("st"), col("p"))
+      }
+      ps.zipWithIndex
+        .map { case (df, i) => df.select(col("st"), col("p").as(s"p${i}_ppm")) }
+        .reduce((a, b) => a.join(b, "st"))
+        .select(col("st").as("event_type"), col("p0_ppm"), col("p1_ppm"),
+          col("p2_ppm"), col("p3_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Heaps'-law vocabulary-growth audit: V(N) — distinct vocabulary
+    // size as a function of cumulative token count in doc_id order —
+    // sampled every 50 documents. Prefix-distinct is computed WITHOUT
+    // any ordered scan: a token's first-occurrence doc is a plain MIN
+    // aggregate on the vocabulary grain, and each checkpoint then
+    // counts first-occurrences ≤ the cutoff via a broadcast range
+    // join against the checkpoint spine — both passes are unordered
+    // shuffles on bounded grains (vocab, doc), fully parallel at any
+    // corpus size.
+    QueryDef.sql(
+      "q369_heaps_law",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |fo AS (SELECT w, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+        |dt AS (SELECT doc_id, COUNT(*) AS ntok FROM t GROUP BY 1),
+        |cp AS (SELECT unnest(generate_series(49, 499, 50)) AS cut)
+        |SELECT cp.cut,
+        |  (SELECT CAST(SUM(ntok) AS BIGINT) FROM dt WHERE doc_id <= cp.cut)
+        |    AS n_tokens,
+        |  (SELECT COUNT(*) FROM fo WHERE first_doc <= cp.cut) AS vocab
+        |FROM cp ORDER BY cut""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val fo = t.groupBy("w").agg(min("doc_id").as("first_doc"))
+      val dt = t.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val cp = s.range(49, 500, 50).select(col("id").as("cut"))
+      val nt = dt.join(broadcast(cp), col("doc_id") <= col("cut"))
+        .groupBy("cut").agg(sum("ntok").as("n_tokens"))
+      val vo = fo.join(broadcast(cp), col("first_doc") <= col("cut"))
+        .groupBy("cut").agg(count(lit(1)).as("vocab"))
+      nt.join(vo, "cut").orderBy("cut")
     }
   )
 }
