@@ -29,13 +29,13 @@ object FrontierQueries {
     // aggregate; iterations run on the aggregated graph.
     QueryDef.sql(
       "q354_pagerank",
-      """WITH e0 AS (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
         |  FROM orders o
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE c.c_nationkey <> s.s_nationkey),
-        |e AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
         |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
         |nn AS (SELECT COUNT(*) AS cnt FROM d),
         |p0 AS (SELECT src AS n, CAST(1000000 // cnt AS BIGINT) AS pr FROM d, nn),
@@ -727,6 +727,260 @@ object FrontierQueries {
       val vo = fo.join(broadcast(cp), col("first_doc") <= col("cut"))
         .groupBy("cut").agg(count(lit(1)).as("vocab"))
       nt.join(vo, "cut").orderBy("cut")
+    },
+
+    // Proportional apportionment of 97 seats across nations by revenue,
+    // two electoral methods side by side — both closed-form, no
+    // seat-by-seat loop. Largest remainder: floor quotas + top-k
+    // remainders (k = leftover seats). D'Hondt: rank ALL quotients
+    // v/1..v/97 globally and count each nation's entries in the top 97
+    // — the standard highest-averages identity turns the iterative
+    // award loop into one |N|·97-row window, trivially parallel.
+    // Quotients are compared on floor(v·10⁶/j) with a (nation, j)
+    // tie-break, identical in both engines.
+    QueryDef.sql(
+      "q370_apportionment",
+      """WITH v AS (SELECT n_name,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        |tot AS (SELECT SUM(cents) AS vt FROM v),
+        |lr AS (SELECT n_name, cents,
+        |    CAST(97 * cents // vt AS BIGINT) AS base,
+        |    (97 * cents) % vt AS rem
+        |  FROM v, tot),
+        |lo AS (SELECT 97 - SUM(base) AS leftover FROM lr),
+        |lrk AS (SELECT n_name, base,
+        |    row_number() OVER (ORDER BY rem DESC, n_name) AS rrk FROM lr),
+        |lrs AS (SELECT n_name,
+        |    CAST(base + CASE WHEN rrk <= (SELECT leftover FROM lo)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS lr_seats
+        |  FROM lrk),
+        |q AS (SELECT n_name, j.j,
+        |    cents * 1000000 // j.j AS quot
+        |  FROM v, (SELECT unnest(generate_series(1, 97)) AS j) j),
+        |dr AS (SELECT n_name,
+        |    row_number() OVER (ORDER BY quot DESC, n_name, j) AS qrk FROM q),
+        |dh AS (SELECT n_name, COUNT(*) FILTER (WHERE qrk <= 97) AS dh_seats
+        |       FROM dr GROUP BY 1)
+        |SELECT v.n_name, CAST(v.cents AS BIGINT) AS cents,
+        |  lrs.lr_seats, CAST(dh.dh_seats AS BIGINT) AS dh_seats,
+        |  lrs.lr_seats - CAST(dh.dh_seats AS BIGINT) AS seat_diff
+        |FROM v JOIN lrs ON v.n_name = lrs.n_name
+        |JOIN dh ON v.n_name = dh.n_name
+        |ORDER BY v.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val v = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      val tot = v.agg(sum("cents").as("vt"))
+      val lr = v.crossJoin(broadcast(tot))
+        .select(col("n_name"), col("cents"),
+          expr("CAST(97 * cents div vt AS BIGINT)").as("base"),
+          expr("(97 * cents) % vt").as("rem"))
+      val lo = lr.agg((lit(97) - sum("base")).as("leftover"))
+      val lrs = lr
+        .select(col("n_name"), col("base"),
+          row_number().over(Window.orderBy(col("rem").desc, col("n_name"))).as("rrk"))
+        .crossJoin(broadcast(lo))
+        .select(col("n_name"),
+          (col("base") + when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+            .as("lr_seats"))
+      val j = s.range(1, 98).select(col("id").as("j"))
+      val dh = v.crossJoin(broadcast(j))
+        .select(col("n_name"), col("j"),
+          expr("cents * 1000000 div j").as("quot"))
+        .select(col("n_name"),
+          row_number().over(Window.orderBy(col("quot").desc, col("n_name"), col("j")))
+            .as("qrk"))
+        .groupBy("n_name")
+        .agg(sum(when(col("qrk") <= 97, 1L).otherwise(0L)).as("dh_seats"))
+      v.join(lrs, "n_name").join(dh, "n_name")
+        .select(col("n_name"), col("cents"), col("lr_seats"), col("dh_seats"),
+          (col("lr_seats") - col("dh_seats")).as("seat_diff"))
+        .orderBy("n_name")
+    },
+
+    // Grouped OLS: price-elasticity proxy — discount (basis points)
+    // vs quantity — per part type, closed-form from the five
+    // sufficient-statistic sums (one map-side-combined aggregate over
+    // the join; no iteration, no per-group collect). Slope and R² in
+    // ppm; the slope numerator n·Σxy − Σx·Σy is signed, so the final
+    // divisions go through CAST AS DOUBLE + FLOOR (q164's convention
+    // — Spark div truncates toward zero while DuckDB // floors, so
+    // integer division is only portable on non-negative operands).
+    QueryDef.sql(
+      "q371_ols_elasticity",
+      """WITH d AS (SELECT p_type,
+        |    CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (SELECT p_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM d GROUP BY 1)
+        |SELECT p_type, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(1000000.0 * (n * sxy - sx * sy)
+        |    / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm,
+        |  CAST(FLOOR(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r2_ppm
+        |FROM s ORDER BY p_type""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.lineitem
+        .join(t.part.select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"),
+          round(col("l_discount") * lit(100.0)).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      d.groupBy("p_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("p_type"), col("n"),
+          expr("CAST(FLOOR(1000000.0D * (n * sxy - sx * sy)" +
+            " / (n * sxx - sx * sx)) AS BIGINT)").as("slope_ppm"),
+          expr("CAST(FLOOR(1000000.0D * CAST(n * sxy - sx * sy AS DOUBLE)" +
+            " * CAST(n * sxy - sx * sy AS DOUBLE)" +
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)" +
+            " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)").as("r2_ppm"))
+        .orderBy("p_type")
+    },
+
+    // Exact-penny allocation: each order's total cents split across its
+    // lineitems proportionally to quantity, remainders distributed
+    // largest-first — the finance-grade allocation where every split
+    // sums back to the invoice EXACTLY. All windows partition by
+    // orderkey (bounded partitions at any SF, no global sort); the
+    // result is the per-(lines-per-order) audit proving Σ allocated =
+    // Σ invoiced penny-for-penny, with the worst per-order drift
+    // before remainder correction as a diagnostic.
+    QueryDef.sql(
+      "q372_penny_allocation",
+      """WITH l AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |o AS (SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders),
+        |j AS (SELECT l.k, l.ln, l.q, o.cents,
+        |    SUM(l.q) OVER (PARTITION BY l.k) AS qt,
+        |    COUNT(*) OVER (PARTITION BY l.k) AS nl
+        |  FROM l JOIN o ON l.k = o.k),
+        |b AS (SELECT k, ln, nl, cents,
+        |    cents * q // qt AS base,
+        |    (cents * q) % qt AS rem,
+        |    SUM(cents * q // qt) OVER (PARTITION BY k) AS sb
+        |  FROM j),
+        |a AS (SELECT k, nl, cents, sb,
+        |    base + CASE WHEN row_number() OVER (PARTITION BY k
+        |        ORDER BY rem DESC, ln) <= cents - sb
+        |      THEN 1 ELSE 0 END AS alloc
+        |  FROM b),
+        |po AS (SELECT k, MIN(nl) AS nl, MIN(cents) AS cents,
+        |        SUM(alloc) AS alloc, MIN(cents - sb) AS leftover
+        |       FROM a GROUP BY k)
+        |SELECT nl AS lines_per_order, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS invoiced_cents,
+        |  CAST(SUM(alloc) AS BIGINT) AS allocated_cents,
+        |  CAST(MAX(leftover) AS BIGINT) AS max_leftover,
+        |  CAST(CASE WHEN SUM(cents) = SUM(alloc) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS exact
+        |FROM po GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val l = t.lineitem.select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln"), col("l_quantity").cast("long").as("q"))
+      val o = t.orders.select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val wk = Window.partitionBy("k")
+      val j = l.join(o, "k")
+        .select(col("k"), col("ln"), col("q"), col("cents"),
+          sum("q").over(wk).as("qt"), count(lit(1)).over(wk).as("nl"))
+      val b = j.select(col("k"), col("ln"), col("nl"), col("cents"),
+        expr("cents * q div qt").as("base"),
+        expr("(cents * q) % qt").as("rem"))
+        .withColumn("sb", sum("base").over(wk))
+      val a = b.select(col("k"), col("nl"), col("cents"), col("sb"),
+        (col("base") + when(
+          row_number().over(Window.partitionBy("k").orderBy(col("rem").desc, col("ln")))
+            <= col("cents") - col("sb"), 1L).otherwise(0L)).as("alloc"))
+      val po = a.groupBy("k")
+        .agg(min("nl").as("nl"), min("cents").as("cents"),
+          sum("alloc").as("alloc"), min(col("cents") - col("sb")).as("leftover"))
+      po.groupBy(col("nl").as("lines_per_order"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("invoiced_cents"), sum("alloc").as("allocated_cents"),
+          max("leftover").as("max_leftover"))
+        .select(col("lines_per_order"), col("n_orders"), col("invoiced_cents"),
+          col("allocated_cents"), col("max_leftover"),
+          when(col("invoiced_cents") === col("allocated_cents"), 1L).otherwise(0L)
+            .as("exact"))
+        .orderBy("lines_per_order")
+    },
+
+    // Bipartiteness check (odd-cycle detection) on the symmetrized
+    // nation trade graph via BFS parity: 2-color nodes by min-hop
+    // parity from the canonical root, then count edges joining
+    // same-color endpoints — zero conflicts ⟺ bipartite within the
+    // reached component. Spark runs the Graphs.bfsHops frontier loop
+    // (cost follows the frontier); the oracle states the same min-hop
+    // BFS as a recursive CTE with distinct (node, hop) states, bounded
+    // by |V|·maxHops rows. The edge projection is the one full-data
+    // pass (shared shape with q354). maxHops=3 covers the dense trade
+    // graph's diameter; deeper unrolled supersteps only multiply the
+    // re-evaluated edge-projection lineage (each superstep re-derives
+    // `e` — at 3 levels that is cheap, at 8 it exhausts the driver).
+    QueryDef.sql(
+      "q373_bipartite_check",
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |walk AS (WITH RECURSIVE w(n, hop) AS (
+        |    SELECT (SELECT MIN(src) FROM e), 0
+        |    UNION
+        |    SELECT e.dst, w.hop + 1 FROM e JOIN w ON e.src = w.n
+        |    WHERE w.hop < 3)
+        |  SELECT n, MIN(hop) AS hop FROM w GROUP BY 1),
+        |conf AS (SELECT COUNT(*) AS n_conflict FROM e
+        |  JOIN walk ws ON e.src = ws.n JOIN walk wd ON e.dst = wd.n
+        |  WHERE ws.hop % 2 = wd.hop % 2)
+        |SELECT (SELECT COUNT(DISTINCT src) FROM e) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e) AS n_directed_edges,
+        |  (SELECT COUNT(*) FROM walk) AS n_reached,
+        |  conf.n_conflict,
+        |  CAST(CASE WHEN conf.n_conflict = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_bipartite
+        |FROM conf""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e0 = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"))).distinct()
+      val walk = graft.operators.Graphs.bfsHops(e, 3)
+      val conf = e
+        .join(walk.select(col("n").as("sn"), col("hop").as("sh")), col("src") === col("sn"))
+        .join(walk.select(col("n").as("dn"), col("hop").as("dh")), col("dst") === col("dn"))
+        .where(col("sh") % 2 === col("dh") % 2)
+        .agg(count(lit(1)).as("n_conflict"))
+      val nodes = e.agg(countDistinct("src").as("n_nodes"))
+      val edges = e.agg(count(lit(1)).as("n_directed_edges"))
+      val reached = walk.agg(count(lit(1)).as("n_reached"))
+      nodes.crossJoin(edges).crossJoin(reached).crossJoin(conf)
+        .select(col("n_nodes"), col("n_directed_edges"), col("n_reached"),
+          col("n_conflict"),
+          when(col("n_conflict") === 0, 1L).otherwise(0L).as("is_bipartite"))
     }
   )
 }
