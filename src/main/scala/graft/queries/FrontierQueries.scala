@@ -981,6 +981,246 @@ object FrontierQueries {
         .select(col("n_nodes"), col("n_directed_edges"), col("n_reached"),
           col("n_conflict"),
           when(col("n_conflict") === 0, 1L).otherwise(0L).as("is_bipartite"))
+    },
+
+    // ABC (Pareto) inventory classification of parts by revenue:
+    // cumulative revenue share in descending order → class A (first
+    // 80% of the mass), B (to 95%), C (tail); output is the 3-row
+    // class census. The running sum uses q358's banded-window shape —
+    // per-band prefix sums plus a broadcast cross-band carry over the
+    // tiny band grain — so no global single-task window at any SF; the
+    // oracle states the same cumulative share as one flat window.
+    // Class edges compare exact products (5·cum ≤ 4·total), no
+    // percentage rounding.
+    QueryDef.sql(
+      "q374_abc_analysis",
+      """WITH pr AS (SELECT l_partkey AS pk,
+        |    SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT pk, cents,
+        |    SUM(cents) OVER (ORDER BY cents DESC, pk
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cents) OVER () AS tot
+        |  FROM pr),
+        |k AS (SELECT pk, cents,
+        |    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+        |         WHEN 20 * cum <= 19 * tot THEN 'B' ELSE 'C' END AS cls,
+        |    tot FROM c)
+        |SELECT cls, COUNT(*) AS n_parts,
+        |  CAST(SUM(cents) AS BIGINT) AS class_cents,
+        |  CAST(1000000 * SUM(cents) // MIN(tot) AS BIGINT) AS share_ppm
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin) { (s, dir) =>
+      val pr = Tables(s, dir).lineitem
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+        // band by revenue magnitude so the running sum parallelizes:
+        // within-band prefix + cross-band carry (q358's shape)
+        .withColumn("band", expr("-(cents div 100000)"))
+      val bandTot = pr.groupBy("band").agg(sum("cents").as("btot"))
+      val wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bandTot.select(col("band"),
+        coalesce(sum("btot").over(wb), lit(0L)).as("carry"))
+      val wp = Window.partitionBy("band")
+        .orderBy(col("cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = pr.agg(sum("cents").as("tot"))
+      pr.join(broadcast(carry), "band")
+        .select(col("pk"), col("cents"),
+          (sum("cents").over(wp) + col("carry")).as("cum"))
+        .crossJoin(broadcast(tot))
+        .select(col("cents"),
+          when(lit(5) * col("cum") <= lit(4) * col("tot"), "A")
+            .when(lit(20) * col("cum") <= lit(19) * col("tot"), "B")
+            .otherwise("C").as("cls"),
+          col("tot"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("class_cents"),
+          min("tot").as("tot"))
+        .select(col("cls"), col("n_parts"), col("class_cents"),
+          expr("CAST(1000000 * class_cents div tot AS BIGINT)").as("share_ppm"))
+        .orderBy("cls")
+    },
+
+    // HITS hubs & authorities (2 unrolled mutual-recursion rounds) on
+    // the DIRECTED nation trade graph (supplier→customer nation):
+    // auth ← Σ_in hub, hub ← Σ_out auth, L1-normalized to ppm after
+    // each half-step with exact integer division. Distinct from
+    // PageRank's single random-walk score — HITS separates "good
+    // source" from "good sink" roles. All iterations run on the
+    // collapsed ≤|N|² edge grain; the fact tables are touched once.
+    QueryDef.sql(
+      "q375_hits",
+      """WITH e AS MATERIALIZED (SELECT DISTINCT s.s_nationkey AS src,
+        |    c.c_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey),
+        |n AS (SELECT src AS nk FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT nk, CAST(1000000 AS BIGINT) AS h FROM n),
+        |a1r AS (SELECT e.dst AS nk, SUM(h0.h) AS a FROM e
+        |        JOIN h0 ON e.src = h0.nk GROUP BY 1),
+        |a1t AS (SELECT SUM(a) AS t FROM a1r),
+        |a1 AS (SELECT nk, CAST(1000000 * a // t AS BIGINT) AS a FROM a1r, a1t),
+        |h1r AS (SELECT e.src AS nk, SUM(a1.a) AS h FROM e
+        |        JOIN a1 ON e.dst = a1.nk GROUP BY 1),
+        |h1t AS (SELECT SUM(h) AS t FROM h1r),
+        |h1 AS (SELECT nk, CAST(1000000 * h // t AS BIGINT) AS h FROM h1r, h1t),
+        |a2r AS (SELECT e.dst AS nk, SUM(h1.h) AS a FROM e
+        |        JOIN h1 ON e.src = h1.nk GROUP BY 1),
+        |a2t AS (SELECT SUM(a) AS t FROM a2r),
+        |a2 AS (SELECT nk, CAST(1000000 * a // t AS BIGINT) AS a FROM a2r, a2t),
+        |h2r AS (SELECT e.src AS nk, SUM(a2.a) AS h FROM e
+        |        JOIN a2 ON e.dst = a2.nk GROUP BY 1),
+        |h2t AS (SELECT SUM(h) AS t FROM h2r),
+        |h2 AS (SELECT nk, CAST(1000000 * h // t AS BIGINT) AS h FROM h2r, h2t)
+        |SELECT nn.n_name, h2.h AS hub_ppm, a2.a AS auth_ppm
+        |FROM h2 JOIN a2 ON h2.nk = a2.nk
+        |JOIN nation nn ON h2.nk = nn.n_nationkey
+        |ORDER BY hub_ppm DESC, nn.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .distinct()
+      val n = e.select(col("src").as("nk")).union(e.select(col("dst"))).distinct()
+      def norm(df: DataFrame, c: String): DataFrame = {
+        val tt = df.agg(sum(c).as("t"))
+        df.crossJoin(broadcast(tt))
+          .select(col("nk"), expr(s"CAST(1000000 * $c div t AS BIGINT)").as(c))
+      }
+      var hub = n.select(col("nk"), lit(1000000L).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        auth = norm(e.join(broadcast(hub), e("src") === hub("nk"))
+          .groupBy(e("dst").as("nk2")).agg(sum("h").as("a"))
+          .select(col("nk2").as("nk"), col("a")), "a")
+        hub = norm(e.join(broadcast(auth), e("dst") === auth("nk"))
+          .groupBy(e("src").as("nk2")).agg(sum("a").as("h"))
+          .select(col("nk2").as("nk"), col("h")), "h")
+      }
+      hub.join(auth.withColumnRenamed("nk", "nk_a"), col("nk") === col("nk_a"))
+        .join(broadcast(t.nation), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+        .orderBy(col("hub_ppm").desc, col("n_name"))
+    },
+
+    // Decision-stump split finding — the inner loop of distributed
+    // decision-tree training: the best threshold on order total (cents)
+    // for predicting o_orderstatus = 'F', scored by weighted Gini
+    // impurity in exact ppm. Candidate thresholds collapse to the
+    // value-grain histogram first (the classic pre-binning), prefix
+    // sums give left/right class counts per candidate in one window
+    // pass, and the argmin is a global MIN + equality filter with a
+    // threshold tie-break — no per-candidate rescan of the data.
+    QueryDef.sql(
+      "q376_best_split",
+      """WITH h AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) // 100000
+        |      AS bucket,
+        |    COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT bucket, n, pos,
+        |    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ln,
+        |    SUM(pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS lp,
+        |    SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+        |  FROM h),
+        |g AS (SELECT bucket, ln, lp, tn - ln AS rn, tp - lp AS rp, tn,
+        |    CAST(FLOOR(
+        |      2000000.0 * (CAST(lp AS DOUBLE) * (ln - lp) / ln
+        |                 + CAST(tp - lp AS DOUBLE) * ((tn - ln) - (tp - lp))
+        |                   / (tn - ln)) / tn) AS BIGINT) AS gini_ppm
+        |  FROM c WHERE ln > 0 AND tn - ln > 0),
+        |m AS (SELECT MIN(gini_ppm) AS best FROM g)
+        |SELECT g.bucket AS split_bucket, CAST(g.ln AS BIGINT) AS left_n,
+        |  CAST(g.lp AS BIGINT) AS left_pos, CAST(g.rn AS BIGINT) AS right_n,
+        |  CAST(g.rp AS BIGINT) AS right_pos, g.gini_ppm
+        |FROM g, m WHERE g.gini_ppm = m.best
+        |ORDER BY split_bucket LIMIT 1""".stripMargin) { (s, dir) =>
+      val h = Tables(s, dir).orders
+        .groupBy(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) div 100000")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"))
+      val wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val c = h.select(col("bucket"),
+        sum("n").over(wc).as("ln"), sum("pos").over(wc).as("lp"),
+        sum("n").over(Window.partitionBy()).as("tn"),
+        sum("pos").over(Window.partitionBy()).as("tp"))
+      val g = c.where(col("ln") > 0 && col("tn") - col("ln") > 0)
+        .select(col("bucket"), col("ln"), col("lp"),
+          (col("tn") - col("ln")).as("rn"), (col("tp") - col("lp")).as("rp"),
+          col("tn"),
+          expr("CAST(FLOOR(2000000.0D * (CAST(lp AS DOUBLE) * (ln - lp) / ln" +
+            " + CAST(tp - lp AS DOUBLE) * ((tn - ln) - (tp - lp)) / (tn - ln))" +
+            " / tn) AS BIGINT)").as("gini_ppm"))
+      val m = g.agg(min("gini_ppm").as("best"))
+      g.crossJoin(broadcast(m)).where(col("gini_ppm") === col("best"))
+        .select(col("bucket").as("split_bucket"), col("ln").as("left_n"),
+          col("lp").as("left_pos"), col("rn").as("right_n"),
+          col("rp").as("right_pos"), col("gini_ppm"))
+        .orderBy("split_bucket").limit(1)
+    },
+
+    // One-way ANOVA across day-of-week groups: does mean event value
+    // differ by weekday? F = (SSB/(k−1)) / (SSW/(N−k)) assembled
+    // ENTIRELY in exact integer arithmetic from per-group sufficient
+    // statistics (n, Σx, Σx²) — one map-side-combined aggregate, no
+    // doubles anywhere (a double Σ(sx²/n) would be summation-order-
+    // dependent across engines). Per-group sx² and the final F ratio
+    // route through DECIMAL(38,0): sx² reaches ~6e19 at sf0.1 and the
+    // F numerator ~1e24, both past Long — DECIMAL(38,0) on the Spark
+    // side, HUGEINT in the oracle (DuckDB's // on DECIMAL degrades to
+    // double floor-division and loses exactness past 2⁵³; HUGEINT //
+    // stays exact). The floor in each group's
+    // sx² div n displaces SSB/SSW by < k units of the milli² scale —
+    // part of the spec, identical in both engines.
+    QueryDef.sql(
+      "q377_anova_f",
+      """WITH e AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS x
+        |  FROM events),
+        |g AS (SELECT dow, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+        |      FROM e GROUP BY 1),
+        |q AS (SELECT dow, n, sx, sxx,
+        |        CAST(CAST(sx AS HUGEINT) * sx // n AS BIGINT) AS sq
+        |      FROM g),
+        |t AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sx) AS tsx,
+        |        CAST(SUM(sxx) AS HUGEINT) AS tsxx, SUM(sq) AS sq
+        |      FROM q),
+        |f AS (SELECT k, nn, sq,
+        |        CAST(sq - CAST(tsx AS HUGEINT) * tsx // nn AS BIGINT)
+        |          AS ssb,
+        |        CAST(tsxx - sq AS BIGINT) AS ssw
+        |      FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n, ssb, ssw,
+        |  CAST(CAST(1000 AS HUGEINT) * ssb * (nn - k)
+        |    // ((k - 1) * ssw) AS BIGINT) AS f_milli
+        |FROM f""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(dayofweek(col("ts")).cast("long").as("dow"),
+          floor(col("value") * lit(1000.0)).cast("long").as("x"))
+      val g = e.groupBy("dow")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("sq",
+          expr("CAST(CAST(sx AS DECIMAL(38,0)) * sx div n AS BIGINT)"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("sx").as("tsx"),
+          sum(col("sxx").cast("decimal(38,0)")).as("tsxx"), sum("sq").as("sq"))
+        .select(col("k"), col("nn"),
+          expr("CAST(sq - CAST(tsx AS DECIMAL(38,0)) * tsx div nn AS BIGINT)")
+            .as("ssb"),
+          expr("CAST(tsxx - sq AS BIGINT)").as("ssw"))
+        .select(col("k"), col("nn").as("n"), col("ssb"), col("ssw"),
+          expr("CAST(CAST(1000 AS DECIMAL(38,0)) * ssb * (nn - k)" +
+            " div ((k - 1) * ssw) AS BIGINT)").as("f_milli"))
     }
   )
 }
