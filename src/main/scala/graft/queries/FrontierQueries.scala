@@ -1221,6 +1221,212 @@ object FrontierQueries {
         .select(col("k"), col("nn").as("n"), col("ssb"), col("ssw"),
           expr("CAST(CAST(1000 AS DECIMAL(38,0)) * ssb * (nn - k)" +
             " div ((k - 1) * ssw) AS BIGINT)").as("f_milli"))
+    },
+
+    // Bellman-Ford weighted shortest path (3 relaxation rounds) from
+    // the canonical root over the nation trade graph, edge weight =
+    // the MINIMUM observed line value on the lane (cheapest-route
+    // semantics — q373's BFS counts hops, this prices them). Edge
+    // weights collapse to the ≤|N|² lane grain in the single full-data
+    // pass; each relaxation is a join + MIN-merge on that tiny frame.
+    // Unreached nodes are absent (no infinity sentinel to disagree
+    // on); weights are non-negative cents so 3 rounds ≡ Dijkstra to
+    // depth 3.
+    QueryDef.sql(
+      "q378_bellman_ford",
+      """WITH w AS MATERIALIZED (SELECT s.s_nationkey AS src,
+        |    c.c_nationkey AS dst,
+        |    MIN(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2),
+        |root AS (SELECT MIN(src) AS r FROM w),
+        |d0 AS (SELECT r AS n, CAST(0 AS BIGINT) AS d FROM root),
+        |d1 AS (SELECT n, MIN(d) AS d FROM (
+        |    SELECT n, d FROM d0
+        |    UNION ALL SELECT w.dst, d0.d + w.w FROM w JOIN d0 ON w.src = d0.n
+        |  ) GROUP BY 1),
+        |d2 AS (SELECT n, MIN(d) AS d FROM (
+        |    SELECT n, d FROM d1
+        |    UNION ALL SELECT w.dst, d1.d + w.w FROM w JOIN d1 ON w.src = d1.n
+        |  ) GROUP BY 1),
+        |d3 AS (SELECT n, MIN(d) AS d FROM (
+        |    SELECT n, d FROM d2
+        |    UNION ALL SELECT w.dst, d2.d + w.w FROM w JOIN d2 ON w.src = d2.n
+        |  ) GROUP BY 1)
+        |SELECT nn.n_name, d3.d AS dist_cents
+        |FROM d3 JOIN nation nn ON d3.n = nn.n_nationkey
+        |ORDER BY dist_cents, nn.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .agg(min(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("w"))
+      var d = w.agg(min("src").as("n")).select(col("n"), lit(0L).as("d"))
+      for (_ <- 1 to 3) {
+        val relaxed = w.join(broadcast(d), w("src") === d("n"))
+          .select(w("dst").as("n"), (d("d") + w("w")).as("d"))
+        d = d.unionByName(relaxed).groupBy("n").agg(min("d").as("d"))
+      }
+      d.join(broadcast(t.nation), d("n") === col("n_nationkey"))
+        .select(col("n_name"), col("d").as("dist_cents"))
+        .orderBy("dist_cents", "n_name")
+    },
+
+    // All-pairs shortest hop distance via min-plus matrix squaring:
+    // D₁ = adjacency, D₂ = min(D₁, D₁⊗D₁), D₄ = min(D₂, D₂⊗D₂) —
+    // two squarings reach every path of length ≤ 4 in O(log diam)
+    // rounds instead of |V| relaxations (the repeated-squaring trick
+    // that makes all-pairs tractable as joins). All products live on
+    // the collapsed node grain; output is per-node eccentricity over
+    // the reached pairs plus the graph diameter.
+    QueryDef.sql(
+      "q379_graph_diameter",
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT c.c_nationkey AS a,
+        |    s.s_nationkey AS b
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |d1 AS MATERIALIZED (SELECT a AS i, b AS j, CAST(1 AS BIGINT) AS d
+        |  FROM e0 UNION SELECT b, a, 1 FROM e0),
+        |d2 AS MATERIALIZED (SELECT i, j, MIN(d) AS d FROM (
+        |    SELECT i, j, d FROM d1
+        |    UNION ALL SELECT x.i, y.j, x.d + y.d FROM d1 x JOIN d1 y ON x.j = y.i
+        |    WHERE x.i <> y.j
+        |  ) GROUP BY 1, 2),
+        |d4 AS (SELECT i, j, MIN(d) AS d FROM (
+        |    SELECT i, j, d FROM d2
+        |    UNION ALL SELECT x.i, y.j, x.d + y.d FROM d2 x JOIN d2 y ON x.j = y.i
+        |    WHERE x.i <> y.j
+        |  ) GROUP BY 1, 2)
+        |SELECT nn.n_name, MAX(d4.d) AS eccentricity,
+        |  (SELECT MAX(d) FROM d4) AS diameter
+        |FROM d4 JOIN nation nn ON d4.i = nn.n_nationkey
+        |GROUP BY 1 ORDER BY eccentricity, nn.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e0 = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
+        .distinct()
+      val d1 = e0.select(col("a").as("i"), col("b").as("j"))
+        .union(e0.select(col("b"), col("a"))).distinct()
+        .withColumn("d", lit(1L))
+      def square(dm: DataFrame): DataFrame = {
+        val x = dm.select(col("i").as("xi"), col("j").as("xj"), col("d").as("xd"))
+        val y = dm.select(col("i").as("yi"), col("j").as("yj"), col("d").as("yd"))
+        val prod = x.join(y, col("xj") === col("yi"))
+          .where(col("xi") =!= col("yj"))
+          .select(col("xi").as("i"), col("yj").as("j"),
+            (col("xd") + col("yd")).as("d"))
+        dm.unionByName(prod).groupBy("i", "j").agg(min("d").as("d"))
+      }
+      val d4 = square(square(d1))
+      val diam = d4.agg(max("d").as("diameter"))
+      d4.groupBy("i").agg(max("d").as("eccentricity"))
+        .crossJoin(broadcast(diam))
+        .join(broadcast(t.nation), col("i") === col("n_nationkey"))
+        .select(col("n_name"), col("eccentricity"), col("diameter"))
+        .orderBy("eccentricity", "n_name")
+    },
+
+    // Token burstiness — the Fano factor (variance/mean, milli-units)
+    // of inter-occurrence gaps in a global token stream, for the 20
+    // most frequent tokens. Global positions come from the per-doc
+    // ordinal (posexplode / ordinality-join) offset by doc_id·1000 —
+    // NO global sort; gaps are one LAG window per token; the moment
+    // sums are exact integers with the variance assembled HUGEINT /
+    // DECIMAL(38,0) (q377's pairing). Bursty tokens (Fano ≫ 1000)
+    // cluster; uniform fillers sit near Poisson (≈ mean).
+    QueryDef.sql(
+      "q380_burstiness",
+      """WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id * 1000 + i.i AS pos, l[i.i] AS w
+        |  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) i
+        |  WHERE l[i.i] <> ''),
+        |top AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY 1
+        |        ORDER BY freq DESC, w LIMIT 20),
+        |g AS (SELECT tok.w, tok.pos - lag(tok.pos) OVER
+        |        (PARTITION BY tok.w ORDER BY tok.pos) AS gap
+        |      FROM tok JOIN top ON tok.w = top.w),
+        |m AS (SELECT w, COUNT(*) AS n, SUM(gap) AS sg, SUM(gap * gap) AS sgg
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT m.w AS token, CAST(m.n AS BIGINT) AS n_gaps,
+        |  CAST(m.sg // m.n AS BIGINT) AS mean_gap,
+        |  CAST(1000 * (CAST(m.n AS HUGEINT) * m.sgg - CAST(m.sg AS HUGEINT) * m.sg)
+        |    // (CAST(m.n AS HUGEINT) * m.sg) AS BIGINT) AS fano_milli
+        |FROM m ORDER BY fano_milli DESC, token""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .where(col("w") =!= "")
+        .select((col("doc_id") * 1000 + col("i") + 1).as("pos"), col("w"))
+      val top = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(20)
+      val g = tok.join(broadcast(top.select("w")), "w")
+        .select(col("w"),
+          (col("pos") - lag("pos", 1).over(Window.partitionBy("w").orderBy("pos")))
+            .as("gap"))
+        .where(col("gap").isNotNull)
+      g.groupBy("w")
+        .agg(count(lit(1)).as("n"), sum("gap").as("sg"),
+          sum(col("gap") * col("gap")).as("sgg"))
+        .select(col("w").as("token"), col("n").as("n_gaps"),
+          expr("CAST(sg div n AS BIGINT)").as("mean_gap"),
+          expr("CAST(1000 * (CAST(n AS DECIMAL(38,0)) * sgg" +
+            " - CAST(sg AS DECIMAL(38,0)) * sg)" +
+            " div (CAST(n AS DECIMAL(38,0)) * sg) AS BIGINT)")
+            .as("fano_milli"))
+        .orderBy(col("fano_milli").desc, col("token"))
+    },
+
+    // Relational division — "suppliers whose customers' nations cover
+    // EVERY region" (the ∀-join textbook operator, absent from the
+    // usual join taxonomy): per-supplier distinct reached regions
+    // counted against the total region count. The division reduces to
+    // dedup → count-distinct → equality with the broadcast divisor
+    // cardinality — no correlated NOT EXISTS double-negation at fact
+    // scale; the heavy pass is one distinct on (supplier, region).
+    QueryDef.sql(
+      "q381_relational_division",
+      """WITH reach AS (SELECT DISTINCT l.l_suppkey AS sk, n.n_regionkey AS rk
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |nr AS (SELECT COUNT(*) AS total FROM region),
+        |cov AS (SELECT sk, COUNT(*) AS nreg FROM reach GROUP BY 1)
+        |SELECT s.s_name, CAST(cov.nreg AS BIGINT) AS n_regions
+        |FROM cov JOIN supplier s ON cov.sk = s.s_suppkey, nr
+        |WHERE cov.nreg = nr.total
+        |ORDER BY s.s_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val reach = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("l_suppkey").as("sk"), col("n_regionkey").as("rk"))
+        .distinct()
+      val nr = t.region.agg(count(lit(1)).as("total"))
+      reach.groupBy("sk").agg(count(lit(1)).as("nreg"))
+        .crossJoin(broadcast(nr))
+        .where(col("nreg") === col("total"))
+        .join(t.supplier, col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("nreg").as("n_regions"))
+        .orderBy("s_name")
     }
   )
 }
