@@ -1427,6 +1427,214 @@ object FrontierQueries {
         .join(t.supplier, col("sk") === col("s_suppkey"))
         .select(col("s_name"), col("nreg").as("n_regions"))
         .orderBy("s_name")
+    },
+
+    // Rolling 30-day OLS trend of daily revenue: slope of cents vs
+    // day index over a sliding window, assembled from five windowed
+    // sufficient sums in ONE window pass (no per-day refit). The
+    // full-data pass is the day-grain aggregate; the rolling window
+    // then runs on the bounded day frame (≈ years × 365 rows at any
+    // SF). The signed slope routes through DOUBLE + FLOOR from exact
+    // Long sums (q164's convention). Emitted only where the window is
+    // full (n = 30).
+    QueryDef.sql(
+      "q382_rolling_ols",
+      """WITH d AS (SELECT
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS x,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT x, y,
+        |    COUNT(*) OVER win AS n, SUM(x) OVER win AS sx,
+        |    SUM(y) OVER win AS sy, SUM(x * y) OVER win AS sxy,
+        |    SUM(x * x) OVER win AS sxx
+        |  FROM d WINDOW win AS (ORDER BY x ROWS 29 PRECEDING))
+        |SELECT x AS day, CAST(y AS BIGINT) AS day_cents,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+        |    AS slope_ppm
+        |FROM w WHERE n = 30 ORDER BY day""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).orders
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      val win = Window.orderBy("x").rowsBetween(-29, Window.currentRow)
+      d.select(col("x"), col("y"),
+          count(lit(1)).over(win).as("n"), sum("x").over(win).as("sx"),
+          sum("y").over(win).as("sy"), sum(col("x") * col("y")).over(win).as("sxy"),
+          sum(col("x") * col("x")).over(win).as("sxx"))
+        .where(col("n") === 30)
+        .select(col("x").as("day"), col("y").as("day_cents"),
+          expr("CAST(FLOOR(1000000.0D * (CAST(n AS DOUBLE) * sxy" +
+            " - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx" +
+            " - CAST(sx AS DOUBLE) * sx)) AS BIGINT)").as("slope_ppm"))
+        .orderBy("day")
+    },
+
+    // Price-volume-mix bridge: the 2000-vs-1999 revenue delta per
+    // nation decomposed into price effect (Δp·q₁), volume effect
+    // (p₀·Δq), and the residual (mix + unit-price floor error) — the
+    // standard FP&A waterfall, all in exact cents with unit prices as
+    // floored cents-per-unit (div on non-negative operands only;
+    // effects are then plain signed Long arithmetic). One pass to the
+    // (nation, year) grain; the bridge assembles on ≤|N| rows.
+    QueryDef.sql(
+      "q383_price_volume_mix",
+      """WITH g AS (SELECT n.n_name, year(o.o_orderdate) AS yr,
+        |    SUM(CAST(l.l_quantity AS BIGINT)) AS q,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS r
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE year(o.o_orderdate) IN (1999, 2000) GROUP BY 1, 2),
+        |p AS (SELECT a.n_name,
+        |    a.q AS q0, a.r AS r0, a.r // a.q AS p0,
+        |    b.q AS q1, b.r AS r1, b.r // b.q AS p1
+        |  FROM g a JOIN g b ON a.n_name = b.n_name
+        |  WHERE a.yr = 1999 AND b.yr = 2000)
+        |SELECT n_name, CAST(r0 AS BIGINT) AS r0_cents,
+        |  CAST(r1 AS BIGINT) AS r1_cents,
+        |  CAST(r1 - r0 AS BIGINT) AS delta_cents,
+        |  CAST((p1 - p0) * q1 AS BIGINT) AS price_effect,
+        |  CAST(p0 * (q1 - q0) AS BIGINT) AS volume_effect,
+        |  CAST(r1 - r0 - (p1 - p0) * q1 - p0 * (q1 - q0) AS BIGINT) AS residual
+        |FROM p ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val g = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .where(year(col("o_orderdate")).isin(1999, 2000))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("r"))
+      val a = g.where(col("yr") === 1999)
+        .select(col("n_name"), col("q").as("q0"), col("r").as("r0"),
+          expr("r div q").as("p0"))
+      val b = g.where(col("yr") === 2000)
+        .select(col("n_name").as("n2"), col("q").as("q1"), col("r").as("r1"),
+          expr("r div q").as("p1"))
+      a.join(b, col("n_name") === col("n2"))
+        .select(col("n_name"), col("r0").as("r0_cents"), col("r1").as("r1_cents"),
+          (col("r1") - col("r0")).as("delta_cents"),
+          ((col("p1") - col("p0")) * col("q1")).as("price_effect"),
+          (col("p0") * (col("q1") - col("q0"))).as("volume_effect"),
+          (col("r1") - col("r0") - (col("p1") - col("p0")) * col("q1")
+            - col("p0") * (col("q1") - col("q0"))).as("residual"))
+        .orderBy("n_name")
+    },
+
+    // Cross-correlation lead-lag: Pearson r between daily click counts
+    // and purchase counts at offsets −3..+3 days — "does one series
+    // LEAD the other?", the ops question q202's self-ACF can't answer.
+    // Day-grain aggregation is the only full-data pass; each lag is an
+    // equi-join on day+lag over the tiny day frame against the
+    // broadcast lag spine, with exact integer sufficient sums and one
+    // DOUBLE-floored correlation per lag (sqrt is IEEE
+    // correctly-rounded in both engines).
+    QueryDef.sql(
+      "q384_ccf_leadlag",
+      """WITH d AS (SELECT date_diff('day', TIMESTAMP '2024-01-01', ts) AS day,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |pr AS (SELECT lg.lag, a.x, b.y
+        |  FROM lg CROSS JOIN d a JOIN d b ON b.day = a.day + lg.lag),
+        |m AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM pr GROUP BY 1)
+        |SELECT lag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+        |    AS BIGINT) AS r_ppm
+        |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).events
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val lg = s.range(-3, 4).select(col("id").as("lag"))
+      val a = d.select(col("day").as("da"), col("x"))
+      val b = d.select(col("day").as("db"), col("y"))
+      a.crossJoin(broadcast(lg))
+        .join(b, col("db") === col("da") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          expr("CAST(FLOOR(1000000.0D * (CAST(n AS DOUBLE) * sxy" +
+            " - CAST(sx AS DOUBLE) * sy)" +
+            " / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))" +
+            " AS BIGINT)").as("r_ppm"))
+        .orderBy("lag")
+    },
+
+    // Spearman rank correlation between line price and quantity per
+    // return flag — Pearson on DOUBLED mid-ranks (q342's convention:
+    // tie-safe and integer-exact), with ranks computed at the
+    // distinct-value grain (cumulative counts, never a 600k-row
+    // row_number tie-gamble) and joined back. Sums of rank products
+    // stay in Long; the cross-terms assemble in DOUBLE from exact
+    // inputs with one FLOOR.
+    QueryDef.sql(
+      "q385_spearman",
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS xv,
+        |    CAST(l_quantity AS BIGINT) AS yv
+        |  FROM lineitem),
+        |rx AS (SELECT flag, xv,
+        |    2 * (SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY xv
+        |          ROWS UNBOUNDED PRECEDING) - COUNT(*)) + COUNT(*) + 1 AS rx2
+        |  FROM v GROUP BY flag, xv),
+        |ry AS (SELECT flag, yv,
+        |    2 * (SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY yv
+        |          ROWS UNBOUNDED PRECEDING) - COUNT(*)) + COUNT(*) + 1 AS ry2
+        |  FROM v GROUP BY flag, yv),
+        |r AS (SELECT v.flag, rx.rx2 AS x, ry.ry2 AS y FROM v
+        |      JOIN rx ON v.flag = rx.flag AND v.xv = rx.xv
+        |      JOIN ry ON v.flag = ry.flag AND v.yv = ry.yv),
+        |m AS (SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM r GROUP BY 1)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+        |    AS BIGINT) AS rho_ppm
+        |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir).lineitem
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("xv"),
+          col("l_quantity").cast("long").as("yv"))
+      def midRanks(valCol: String, out: String): DataFrame = {
+        val wc = Window.partitionBy("flag").orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        v.groupBy("flag", valCol).agg(count(lit(1)).as("cnt"))
+          .select(col("flag"), col(valCol),
+            (lit(2) * (sum("cnt").over(wc) - col("cnt")) + col("cnt") + 1)
+              .as(out))
+      }
+      val rx = midRanks("xv", "rx2")
+      val ry = midRanks("yv", "ry2")
+      v.join(rx, Seq("flag", "xv")).join(ry, Seq("flag", "yv"))
+        .select(col("flag"), col("rx2").as("x"), col("ry2").as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("flag"), col("n"),
+          expr("CAST(FLOOR(1000000.0D * (CAST(n AS DOUBLE) * sxy" +
+            " - CAST(sx AS DOUBLE) * sy)" +
+            " / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))" +
+            " AS BIGINT)").as("rho_ppm"))
+        .orderBy("flag")
     }
   )
 }
