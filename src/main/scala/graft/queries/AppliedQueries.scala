@@ -204,6 +204,212 @@ object AppliedQueries {
           max(abs(col("a1") * col("n2") - col("a2") * col("n1"))).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
           expr("CAST(1000000 * d_num div (n1 * n2) AS BIGINT)").as("ks_ppm"))
+    },
+
+    // Wilcoxon signed-rank test: did per-customer spend shift between
+    // 1999 H1 and H2? Pairs are the two half-year aggregates per
+    // customer (inner join keeps both-active customers), zero diffs
+    // dropped, |diff| ranked with DOUBLED mid-ranks at the
+    // distinct-value grain (q385's tie-safe pattern), W⁺ = Σ ranks of
+    // positive diffs. The normal approximation E/Var uses exact n with
+    // one DOUBLE-floored z in milli. Complements q342's Mann-Whitney:
+    // PAIRED samples, not independent ones.
+    QueryDef.sql(
+      "q390_wilcoxon",
+      """WITH h AS (SELECT o_custkey,
+        |    CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS half,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1, 2),
+        |p AS (SELECT a.o_custkey, b.cents - a.cents AS diff
+        |      FROM h a JOIN h b ON a.o_custkey = b.o_custkey
+        |      WHERE a.half = 1 AND b.half = 2 AND b.cents <> a.cents),
+        |r AS (SELECT abs(diff) AS ad, COUNT(*) AS cnt,
+        |        SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS pos
+        |      FROM p GROUP BY 1),
+        |rk AS (SELECT ad, cnt, pos,
+        |    2 * (SUM(cnt) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - cnt)
+        |      + cnt + 1 AS r2
+        |  FROM r),
+        |m AS (SELECT SUM(cnt) AS n, SUM(pos * r2) AS w2p FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(w2p AS BIGINT) AS w_plus_doubled,
+        |  CAST(FLOOR(1000.0 * (CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+        |    / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24))
+        |    AS BIGINT) AS z_milli
+        |FROM m""".stripMargin) { (s, dir) =>
+      val h = Tables(s, dir).orders
+        .where(year(col("o_orderdate")) === 1999)
+        .groupBy(col("o_custkey"),
+          when(month(col("o_orderdate")) <= 6, 1).otherwise(2).as("half"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      val a = h.where(col("half") === 1).select(col("o_custkey"), col("cents").as("c1"))
+      val b = h.where(col("half") === 2)
+        .select(col("o_custkey").as("ck2"), col("cents").as("c2"))
+      val p = a.join(b, col("o_custkey") === col("ck2"))
+        .where(col("c2") =!= col("c1"))
+        .select((col("c2") - col("c1")).as("diff"))
+      val r = p.groupBy(abs(col("diff")).as("ad"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("diff") > 0, 1L).otherwise(0L)).as("pos"))
+      val wc = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      r.select(col("ad"), col("cnt"), col("pos"),
+          (lit(2) * (sum("cnt").over(wc) - col("cnt")) + col("cnt") + 1).as("r2"))
+        .agg(sum("cnt").as("n"), sum(col("pos") * col("r2")).as("w2p"))
+        .select(col("n"), col("w2p").as("w_plus_doubled"),
+          expr("CAST(FLOOR(1000.0D * (CAST(w2p AS DOUBLE) / 2" +
+            " - CAST(n AS DOUBLE) * (n + 1) / 4)" +
+            " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2.0D * n + 1) / 24))" +
+            " AS BIGINT)").as("z_milli"))
+    },
+
+    // Pairwise covariance / correlation matrix over four lineitem
+    // features (quantity, discount bps, price cents, tax bps) — the
+    // feature-preprocessing primitive. ONE pass computes all 14
+    // sufficient sums (4 firsts + 10 products, map-side combined);
+    // the 10 (i ≤ j) matrix entries then assemble at literal grain.
+    // Covariance numerators n·Σxy − Σx·Σy stay exact in
+    // HUGEINT / DECIMAL(38,0) (price² sums pass 6e19); correlations
+    // take one IEEE sqrt at the end.
+    QueryDef.sql(
+      "q391_cov_matrix",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x3,
+        |    CAST(ROUND(l_tax * 100.0) AS BIGINT) AS x4
+        |  FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11, SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x1 AS HUGEINT) * x3) AS s13, SUM(CAST(x1 AS HUGEINT) * x4) AS s14,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22, SUM(CAST(x2 AS HUGEINT) * x3) AS s23,
+        |    SUM(CAST(x2 AS HUGEINT) * x4) AS s24, SUM(CAST(x3 AS HUGEINT) * x3) AS s33,
+        |    SUM(CAST(x3 AS HUGEINT) * x4) AS s34, SUM(CAST(x4 AS HUGEINT) * x4) AS s44
+        |  FROM v),
+        |pairs AS (
+        |  SELECT 1 AS i, 1 AS j, s1 AS si, s1 AS sj, s11 AS sij, s11 AS sii, s11 AS sjj, n FROM m
+        |  UNION ALL SELECT 1, 2, s1, s2, s12, s11, s22, n FROM m
+        |  UNION ALL SELECT 1, 3, s1, s3, s13, s11, s33, n FROM m
+        |  UNION ALL SELECT 1, 4, s1, s4, s14, s11, s44, n FROM m
+        |  UNION ALL SELECT 2, 2, s2, s2, s22, s22, s22, n FROM m
+        |  UNION ALL SELECT 2, 3, s2, s3, s23, s22, s33, n FROM m
+        |  UNION ALL SELECT 2, 4, s2, s4, s24, s22, s44, n FROM m
+        |  UNION ALL SELECT 3, 3, s3, s3, s33, s33, s33, n FROM m
+        |  UNION ALL SELECT 3, 4, s3, s4, s34, s33, s44, n FROM m
+        |  UNION ALL SELECT 4, 4, s4, s4, s44, s44, s44, n FROM m)
+        |SELECT i, j,
+        |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+        |    - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS cov_floor,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+        |      - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+        |        - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE)
+        |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)))) AS BIGINT) AS corr_ppm
+        |FROM pairs ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir).lineitem
+        .select(col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * lit(100.0)).cast("long").as("x2"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("x3"),
+          round(col("l_tax") * lit(100.0)).cast("long").as("x4"))
+      def p(a: String, b: String) =
+        sum(col(a).cast("decimal(38,0)") * col(b)).as(s"s${a.last}${b.last}")
+      val m = v.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+        sum("x4").as("s4"),
+        p("x1", "x1"), p("x1", "x2"), p("x1", "x3"), p("x1", "x4"),
+        p("x2", "x2"), p("x2", "x3"), p("x2", "x4"),
+        p("x3", "x3"), p("x3", "x4"), p("x4", "x4"))
+      val pairIdx = Seq((1, 1), (1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (2, 4),
+        (3, 3), (3, 4), (4, 4))
+      val pairs = pairIdx.map { case (i, j) =>
+        m.select(lit(i).as("i"), lit(j).as("j"),
+          col(s"s$i").as("si"), col(s"s$j").as("sj"),
+          col(s"s$i$j").as("sij"), col(s"s$i$i").as("sii"),
+          col(s"s$j$j").as("sjj"), col("n"))
+      }.reduce(_.unionByName(_))
+      pairs.select(col("i"), col("j"),
+          expr("CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)" +
+            " - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / CAST(n AS DOUBLE)" +
+            " / CAST(n - 1 AS DOUBLE)) AS BIGINT)").as("cov_floor"),
+          expr("CAST(FLOOR(1000000.0D * (CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)" +
+            " - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))" +
+            " / SQRT((CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)" +
+            " - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))" +
+            " * (CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE)" +
+            " - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)))) AS BIGINT)")
+            .as("corr_ppm"))
+        .orderBy("i", "j")
+    },
+
+    // Chi-square goodness-of-fit of event-type traffic against the
+    // uniform null — the monitoring gate "did the event mix drift from
+    // spec?". With k classes the statistic is EXACT integer
+    // arithmetic: χ² = Σ(k·Oᵢ − n)² / (k·n), no floating expected
+    // counts (complements q313's Cramér's V, which tests association
+    // between two observed factors, not fit against a fixed null).
+    QueryDef.sql(
+      "q392_chisq_goodness",
+      """WITH o AS (SELECT event_type, COUNT(*) AS obs FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS k, SUM(obs) AS n FROM o),
+        |x AS (SELECT SUM((k * obs - n) * (k * obs - n)) AS num, MIN(k) AS k,
+        |        MIN(n) AS n
+        |      FROM o, t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(1000 * num // (k * n) AS BIGINT) AS chi2_milli
+        |FROM x""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).events.groupBy("event_type")
+        .agg(count(lit(1)).as("obs"))
+      val t = o.agg(count(lit(1)).as("k"), sum("obs").as("n"))
+      o.crossJoin(broadcast(t))
+        .agg(sum((col("k") * col("obs") - col("n"))
+            * (col("k") * col("obs") - col("n"))).as("num"),
+          min("k").as("k"), min("n").as("n"))
+        .select(col("k"), col("n"),
+          expr("CAST(1000 * num div (k * n) AS BIGINT)").as("chi2_milli"))
+    },
+
+    // Cohen's d effect size between click and purchase event values —
+    // the practical-significance companion to q342's Mann-Whitney
+    // p-value machinery: standardized mean difference over the pooled
+    // standard deviation, from one conditional-sum pass of exact
+    // integer sufficient statistics, assembled in DOUBLE with a single
+    // FLOOR (milli-units, signed).
+    QueryDef.sql(
+      "q393_cohens_d",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+        |    SUM(x) FILTER (WHERE event_type = 'click') AS s1,
+        |    SUM(x * x) FILTER (WHERE event_type = 'click') AS q1,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n2,
+        |    SUM(x) FILTER (WHERE event_type = 'purchase') AS s2,
+        |    SUM(x * x) FILTER (WHERE event_type = 'purchase') AS q2
+        |  FROM e)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(FLOOR(1000.0 * (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+        |        / (CAST(n1 AS DOUBLE) + n2 - 2))) AS BIGINT) AS d_milli
+        |FROM g""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), floor(col("value") * lit(1000.0)).cast("long").as("x"))
+      e.agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "click", col("x"))).as("s1"),
+          sum(when(col("event_type") === "click", col("x") * col("x"))).as("q1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("event_type") === "purchase", col("x"))).as("s2"),
+          sum(when(col("event_type") === "purchase", col("x") * col("x"))).as("q2"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(FLOOR(1000.0D * (CAST(s1 AS DOUBLE) / n1" +
+            " - CAST(s2 AS DOUBLE) / n2)" +
+            " / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)" +
+            " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))" +
+            " / (CAST(n1 AS DOUBLE) + n2 - 2))) AS BIGINT)").as("d_milli"))
     }
   )
 }
