@@ -410,6 +410,246 @@ object AppliedQueries {
             " / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)" +
             " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))" +
             " / (CAST(n1 AS DOUBLE) + n2 - 2))) AS BIGINT)").as("d_milli"))
+    },
+
+    // Leading principal direction (power iteration, 3 rounds) of the
+    // 4-feature covariance matrix — the first step of distributed PCA.
+    // Covariance entries are EXACT integer numerators (n·Σxixj−ΣxiΣxj,
+    // DECIMAL(38,0)/HUGEINT); each iteration is a 16-row matrix-vector
+    // join at literal grain, then L∞ normalization to ±10⁶. Signed
+    // normalization divides by the (positive) max-abs component:
+    // DuckDB's // on INTEGER/HUGEINT truncates toward zero exactly
+    // like Spark's div (probed — flooring only applies to its
+    // float/decimal division), so negative components agree with no
+    // correction term.
+    QueryDef.sql(
+      "q394_power_iteration_pca",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x3,
+        |    CAST(ROUND(l_tax * 100.0) AS BIGINT) AS x4
+        |  FROM lineitem),
+        |s AS (SELECT COUNT(*) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11, SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x1 AS HUGEINT) * x3) AS s13, SUM(CAST(x1 AS HUGEINT) * x4) AS s14,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22, SUM(CAST(x2 AS HUGEINT) * x3) AS s23,
+        |    SUM(CAST(x2 AS HUGEINT) * x4) AS s24, SUM(CAST(x3 AS HUGEINT) * x3) AS s33,
+        |    SUM(CAST(x3 AS HUGEINT) * x4) AS s34, SUM(CAST(x4 AS HUGEINT) * x4) AS s44
+        |  FROM v),
+        |mm AS (
+        |  SELECT 1 AS i, 1 AS j, n * s11 - s1 * s1 AS m FROM s
+        |  UNION ALL SELECT 1, 2, n * s12 - s1 * s2 FROM s
+        |  UNION ALL SELECT 1, 3, n * s13 - s1 * s3 FROM s
+        |  UNION ALL SELECT 1, 4, n * s14 - s1 * s4 FROM s
+        |  UNION ALL SELECT 2, 1, n * s12 - s1 * s2 FROM s
+        |  UNION ALL SELECT 2, 2, n * s22 - s2 * s2 FROM s
+        |  UNION ALL SELECT 2, 3, n * s23 - s2 * s3 FROM s
+        |  UNION ALL SELECT 2, 4, n * s24 - s2 * s4 FROM s
+        |  UNION ALL SELECT 3, 1, n * s13 - s1 * s3 FROM s
+        |  UNION ALL SELECT 3, 2, n * s23 - s2 * s3 FROM s
+        |  UNION ALL SELECT 3, 3, n * s33 - s3 * s3 FROM s
+        |  UNION ALL SELECT 3, 4, n * s34 - s3 * s4 FROM s
+        |  UNION ALL SELECT 4, 1, n * s14 - s1 * s4 FROM s
+        |  UNION ALL SELECT 4, 2, n * s24 - s2 * s4 FROM s
+        |  UNION ALL SELECT 4, 3, n * s34 - s3 * s4 FROM s
+        |  UNION ALL SELECT 4, 4, n * s44 - s4 * s4 FROM s),
+        |v0 AS (SELECT unnest(generate_series(1, 4)) AS j,
+        |        CAST(1000000 AS HUGEINT) AS c),
+        |r1 AS (SELECT mm.i AS j, SUM(mm.m * v0.c) AS c
+        |       FROM mm JOIN v0 ON mm.j = v0.j GROUP BY 1),
+        |n1 AS (SELECT MAX(abs(c)) AS mx FROM r1),
+        |v1 AS (SELECT j, c * 1000000 // mx AS c FROM r1, n1),
+        |r2 AS (SELECT mm.i AS j, SUM(mm.m * v1.c) AS c
+        |       FROM mm JOIN v1 ON mm.j = v1.j GROUP BY 1),
+        |n2 AS (SELECT MAX(abs(c)) AS mx FROM r2),
+        |v2 AS (SELECT j, c * 1000000 // mx AS c FROM r2, n2),
+        |r3 AS (SELECT mm.i AS j, SUM(mm.m * v2.c) AS c
+        |       FROM mm JOIN v2 ON mm.j = v2.j GROUP BY 1),
+        |n3 AS (SELECT MAX(abs(c)) AS mx FROM r3)
+        |SELECT r3.j AS component,
+        |  CAST(r3.c * 1000000 // n3.mx AS BIGINT) AS eigvec_ppm
+        |FROM r3, n3 ORDER BY component""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir).lineitem
+        .select(col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * lit(100.0)).cast("long").as("x2"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("x3"),
+          round(col("l_tax") * lit(100.0)).cast("long").as("x4"))
+      def p(a: String, b: String) =
+        sum(col(a).cast("decimal(38,0)") * col(b)).as(s"s${a.last}${b.last}")
+      val st = v.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+        sum("x4").as("s4"),
+        p("x1", "x1"), p("x1", "x2"), p("x1", "x3"), p("x1", "x4"),
+        p("x2", "x2"), p("x2", "x3"), p("x2", "x4"),
+        p("x3", "x3"), p("x3", "x4"), p("x4", "x4"))
+      val idx = for (i <- 1 to 4; j <- 1 to 4) yield (i, j)
+      val mm = idx.map { case (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        st.select(lit(i).as("i"), lit(j).as("j"),
+          expr(s"CAST(n AS DECIMAL(38,0)) * s$a$b" +
+            s" - CAST(s$a AS DECIMAL(38,0)) * s$b").as("m"))
+      }.reduce(_.unionByName(_))
+      def fdiv(a: String, b: String) = expr(s"($a * 1000000) div $b")
+      var vec = s.range(1, 5).select(col("id").as("j"),
+        lit(1000000L).cast("decimal(38,0)").as("c"))
+      for (_ <- 1 to 3) {
+        val r = mm.join(broadcast(vec), mm("j") === vec("j"))
+          .groupBy(mm("i").as("j2"))
+          .agg(sum(col("m") * col("c")).as("c"))
+          .select(col("j2").as("j"), col("c"))
+        val nmax = r.agg(max(abs(col("c"))).as("mx"))
+        vec = r.crossJoin(broadcast(nmax))
+          .select(col("j"), fdiv("c", "mx").cast("decimal(38,0)").as("c"))
+      }
+      vec.select(col("j").as("component"),
+          col("c").cast("long").as("eigvec_ppm"))
+        .orderBy("component")
+    },
+
+    // Sequential-pattern mining: the most frequent 3-event paths per
+    // user stream (adjacent trigrams via two LEADs over one
+    // (user, time) window — both directions of q94's bigram LM).
+    // Support counts plus the conditional continuation rate
+    // P(3rd | first two) in exact ppm from the bigram grain. Top-20
+    // with full deterministic tie-break.
+    QueryDef.sql(
+      "q395_trigram_paths",
+      """WITH s AS (SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER w AS b, lead(event_type, 2) OVER w AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT a, b, c, COUNT(*) AS n FROM s
+        |        WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+        |bi AS (SELECT a, b, SUM(n) AS bn FROM tri GROUP BY 1, 2)
+        |SELECT tri.a, tri.b, tri.c, CAST(tri.n AS BIGINT) AS support,
+        |  CAST(1000000 * tri.n // bi.bn AS BIGINT) AS cont_ppm
+        |FROM tri JOIN bi ON tri.a = bi.a AND tri.b = bi.b
+        |ORDER BY support DESC, tri.a, tri.b, tri.c LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = Tables(s, dir).events
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .where(col("b").isNotNull && col("c").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      val bi = tri.groupBy("a", "b").agg(sum("n").as("bn"))
+      tri.join(broadcast(bi), Seq("a", "b"))
+        .select(col("a"), col("b"), col("c"), col("n").as("support"),
+          expr("CAST(1000000 * n div bn AS BIGINT)").as("cont_ppm"))
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+
+    // Link prediction on the STRONG trade graph — lanes with
+    // above-average line support (the relative threshold keeps the
+    // graph sparse at every SF; the raw distinct graph saturates to
+    // complete once data is dense, leaving nothing to predict):
+    // common-neighbor and Jaccard scores for node pairs NOT already
+    // linked, the classic graph-completion heuristic. Wedge
+    // enumeration (two-hop join through the shared neighbor) counts
+    // common neighbors; an anti-join against the edge set keeps only
+    // absent links; Jaccard = cn / (deg(a)+deg(b)−cn) in exact ppm.
+    // Everything past the one edge-projection pass runs on the
+    // collapsed node/edge grain. Top-10 predicted links.
+    QueryDef.sql(
+      "q396_link_prediction",
+      """WITH lanes AS MATERIALIZED (SELECT c.c_nationkey AS a,
+        |    s.s_nationkey AS b, COUNT(*) AS cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        |m AS (SELECT SUM(cnt) AS tot, COUNT(*) AS nl FROM lanes),
+        |e0 AS MATERIALIZED (SELECT a, b FROM lanes, m
+        |     WHERE cnt * nl > tot),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |     UNION SELECT b, a FROM e0),
+        |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |w AS (SELECT x.src AS u, y.dst AS v, COUNT(*) AS cn
+        |      FROM e x JOIN e y ON x.dst = y.src
+        |      WHERE x.src < y.dst GROUP BY 1, 2),
+        |miss AS (SELECT w.u, w.v, w.cn FROM w
+        |  LEFT JOIN e ON w.u = e.src AND w.v = e.dst
+        |  WHERE e.src IS NULL)
+        |SELECT m.u, m.v, CAST(m.cn AS BIGINT) AS common_neighbors,
+        |  CAST(1000000 * m.cn // (du.deg + dv.deg - m.cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM miss m JOIN d du ON m.u = du.src JOIN d dv ON m.v = dv.src
+        |ORDER BY common_neighbors DESC, jaccard_ppm DESC, m.u, m.v
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = lanes.agg(sum("cnt").as("tot"), count(lit(1)).as("nl"))
+      val e0 = lanes.crossJoin(broadcast(m))
+        .where(col("cnt") * col("nl") > col("tot"))
+        .select("a", "b")
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b"), col("a"))).distinct()
+      val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val x = e.select(col("src").as("u"), col("dst").as("mid"))
+      val y = e.select(col("src").as("mid2"), col("dst").as("v"))
+      val w = x.join(y, col("mid") === col("mid2"))
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      val miss = w.join(e, w("u") === e("src") && w("v") === e("dst"), "left_anti")
+      miss
+        .join(d.select(col("src").as("du_k"), col("deg").as("du")), col("u") === col("du_k"))
+        .join(d.select(col("src").as("dv_k"), col("deg").as("dv")), col("v") === col("dv_k"))
+        .select(col("u"), col("v"), col("cn").as("common_neighbors"),
+          expr("CAST(1000000 * cn div (du + dv - cn) AS BIGINT)").as("jaccard_ppm"))
+        .orderBy(col("common_neighbors").desc, col("jaccard_ppm").desc,
+          col("u"), col("v"))
+        .limit(10)
+    },
+
+    // Value-at-Risk and expected shortfall of daily revenue: the p5
+    // worst day (discrete rank-index quantile, q152's probed
+    // convention) and the exact mean of the tail at or below it —
+    // the finance risk pair, computed on the bounded day grain with
+    // integer cents throughout (tail mean is a floored integer
+    // division of exact sums).
+    QueryDef.sql(
+      "q397_var_cvar",
+      """WITH d AS (SELECT
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, y, row_number() OVER (ORDER BY y, day) AS rk,
+        |        COUNT(*) OVER () AS n FROM d),
+        |q AS (SELECT MAX(y) AS var5 FROM r
+        |      WHERE rk = CAST(ceil(n * 0.05) AS BIGINT)),
+        |tail AS (SELECT COUNT(*) AS tn, SUM(y) AS ts FROM d, q
+        |         WHERE d.y <= q.var5)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+        |  CAST(q.var5 AS BIGINT) AS var5_cents,
+        |  CAST(tail.tn AS BIGINT) AS tail_days,
+        |  CAST(tail.ts // tail.tn AS BIGINT) AS cvar_cents
+        |FROM q, tail""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).orders
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      val q = d.select(col("y"),
+          row_number().over(Window.orderBy("y", "day")).as("rk"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .where(col("rk") === ceil(col("n") * lit(0.05)).cast("long"))
+        .agg(max("y").as("var5"))
+      val tail = d.crossJoin(broadcast(q)).where(col("y") <= col("var5"))
+        .agg(count(lit(1)).as("tn"), sum("y").as("ts"))
+      val nD = d.agg(count(lit(1)).as("n_days"))
+      nD.crossJoin(broadcast(q)).crossJoin(broadcast(tail))
+        .select(col("n_days"), col("var5").as("var5_cents"),
+          col("tn").as("tail_days"),
+          expr("CAST(ts div tn AS BIGINT)").as("cvar_cents"))
     }
   )
 }
