@@ -650,6 +650,176 @@ object AppliedQueries {
         .select(col("n_days"), col("var5").as("var5_cents"),
           col("tn").as("tail_days"),
           expr("CAST(ts div tn AS BIGINT)").as("cvar_cents"))
+    },
+
+    // Critical path (longest weighted path, ≤ 4 edges) over the
+    // key-ordered DAG of strong trade lanes — the scheduling twin of
+    // q379's min-plus closure: max-plus relaxation L(v) =
+    // max(L(v), L(u) + w(u,v)), four unrolled rounds on the collapsed
+    // edge grain. Orienting every lane low-key → high-key makes the
+    // graph acyclic by construction, so longest-path is well-defined;
+    // weights are lane line counts.
+    QueryDef.sql(
+      "q398_critical_path",
+      """WITH lanes AS MATERIALIZED (SELECT
+        |    LEAST(c.c_nationkey, s.s_nationkey) AS a,
+        |    GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+        |    COUNT(*) AS w
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        |n AS (SELECT a AS nk FROM lanes UNION SELECT b FROM lanes),
+        |l0 AS (SELECT nk, CAST(0 AS BIGINT) AS len FROM n),
+        |l1 AS (SELECT nk, MAX(len) AS len FROM (
+        |    SELECT nk, len FROM l0
+        |    UNION ALL SELECT lanes.b, l0.len + lanes.w FROM lanes
+        |    JOIN l0 ON lanes.a = l0.nk) GROUP BY 1),
+        |l2 AS (SELECT nk, MAX(len) AS len FROM (
+        |    SELECT nk, len FROM l1
+        |    UNION ALL SELECT lanes.b, l1.len + lanes.w FROM lanes
+        |    JOIN l1 ON lanes.a = l1.nk) GROUP BY 1),
+        |l3 AS (SELECT nk, MAX(len) AS len FROM (
+        |    SELECT nk, len FROM l2
+        |    UNION ALL SELECT lanes.b, l2.len + lanes.w FROM lanes
+        |    JOIN l2 ON lanes.a = l2.nk) GROUP BY 1),
+        |l4 AS (SELECT nk, MAX(len) AS len FROM (
+        |    SELECT nk, len FROM l3
+        |    UNION ALL SELECT lanes.b, l3.len + lanes.w FROM lanes
+        |    JOIN l3 ON lanes.a = l3.nk) GROUP BY 1)
+        |SELECT nn.n_name, l4.len AS longest_in_weight
+        |FROM l4 JOIN nation nn ON l4.nk = nn.n_nationkey
+        |ORDER BY longest_in_weight DESC, nn.n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .agg(count(lit(1)).as("w"))
+      val n = lanes.select(col("a").as("nk")).union(lanes.select(col("b"))).distinct()
+      var lvl = n.withColumn("len", lit(0L))
+      for (_ <- 1 to 4) {
+        val relaxed = lanes.join(broadcast(lvl), lanes("a") === lvl("nk"))
+          .select(lanes("b").as("nk"), (lvl("len") + lanes("w")).as("len"))
+        lvl = lvl.unionByName(relaxed).groupBy("nk").agg(max("len").as("len"))
+      }
+      lvl.join(broadcast(t.nation), lvl("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("len").as("longest_in_weight"))
+        .orderBy(col("longest_in_weight").desc, col("n_name"))
+    },
+
+    // Inverse-CDF threshold probes: the fraction of orders under fixed
+    // value thresholds per priority — the SLO-style "percent under
+    // budget" gate (the probe-value inverse of q389's sup-gap). One
+    // conditional-sum pass, exact ppm; thresholds are shared literals.
+    QueryDef.sql(
+      "q399_cdf_probes",
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT pri, COUNT(*) AS n,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE cents < 1000000) // COUNT(*)
+        |    AS BIGINT) AS under_10k_ppm,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE cents < 5000000) // COUNT(*)
+        |    AS BIGINT) AS under_50k_ppm,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE cents < 10000000) // COUNT(*)
+        |    AS BIGINT) AS under_100k_ppm
+        |FROM o GROUP BY 1 ORDER BY pri""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      def probe(lim: Long, name: String) =
+        expr(s"CAST(1000000 * sum(CASE WHEN cents < $lim THEN 1 ELSE 0 END)" +
+          s" div count(1) AS BIGINT)").as(name)
+      o.groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          probe(1000000L, "under_10k_ppm"),
+          probe(5000000L, "under_50k_ppm"),
+          probe(10000000L, "under_100k_ppm"))
+        .orderBy("pri")
+    },
+
+    // Week-over-week audience overlap: Jaccard, churn, and new-user
+    // shares between consecutive weekly active sets — the retention
+    // twin of q297's cross-source duplication matrix, on the time
+    // axis. Set sizes come from the (week, user) dedup grain; the
+    // intersection is one equi-join on (user, week+1); churn/new are
+    // set differences by subtraction — no full-outer join needed.
+    QueryDef.sql(
+      "q400_audience_overlap",
+      """WITH du AS (SELECT DISTINCT
+        |    date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS wk, user_id
+        |  FROM events),
+        |sz AS (SELECT wk, COUNT(*) AS n FROM du GROUP BY 1),
+        |ix AS (SELECT a.wk AS wk, COUNT(*) AS inter FROM du a
+        |       JOIN du b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |       GROUP BY 1)
+        |SELECT sa.wk AS week_a, sa.wk + 1 AS week_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(ix.inter AS BIGINT) AS inter,
+        |  CAST(1000000 * ix.inter // (sa.n + sb.n - ix.inter) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(1000000 * (sa.n - ix.inter) // sa.n AS BIGINT) AS churn_ppm,
+        |  CAST(1000000 * (sb.n - ix.inter) // sb.n AS BIGINT) AS new_ppm
+        |FROM sz sa JOIN sz sb ON sb.wk = sa.wk + 1
+        |JOIN ix ON ix.wk = sa.wk
+        |ORDER BY week_a""".stripMargin) { (s, dir) =>
+      val du = Tables(s, dir).events
+        .select(expr("CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT)" +
+            " div 7").as("wk"), col("user_id"))
+        .distinct()
+      val sz = du.groupBy("wk").agg(count(lit(1)).as("n"))
+      val b = du.select(col("user_id").as("u2"), col("wk").as("wk2"))
+      val ix = du.join(b, col("user_id") === col("u2")
+          && col("wk2") === col("wk") + 1)
+        .groupBy(col("wk")).agg(count(lit(1)).as("inter"))
+      val sa = sz.select(col("wk").as("week_a"), col("n").as("n_a"))
+      val sb = sz.select(col("wk").as("wkb"), col("n").as("n_b"))
+      sa.join(sb, col("wkb") === col("week_a") + 1)
+        .join(ix.select(col("wk").as("wkx"), col("inter")),
+          col("wkx") === col("week_a"))
+        .select(col("week_a"), (col("week_a") + 1).as("week_b"),
+          col("n_a"), col("n_b"), col("inter"),
+          expr("CAST(1000000 * inter div (n_a + n_b - inter) AS BIGINT)")
+            .as("jaccard_ppm"),
+          expr("CAST(1000000 * (n_a - inter) div n_a AS BIGINT)").as("churn_ppm"),
+          expr("CAST(1000000 * (n_b - inter) div n_b AS BIGINT)").as("new_ppm"))
+        .orderBy("week_a")
+    },
+
+    // Price-ending forensics: the distribution of cents mod 100 across
+    // order totals — q355's Benford audit looks at the FIRST digit,
+    // this at the LAST two (psychological-pricing / fabrication
+    // signal). Top-10 endings by share with signed deviation from the
+    // uniform 10000 ppm; one aggregation pass on the 100-value ending
+    // grain.
+    QueryDef.sql(
+      "q401_price_endings",
+      """WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) % 100
+        |      AS ending
+        |  FROM orders),
+        |g AS (SELECT ending, COUNT(*) AS n FROM c GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM g)
+        |SELECT ending, CAST(n AS BIGINT) AS n,
+        |  CAST(1000000 * n // total AS BIGINT) AS share_ppm,
+        |  CAST(1000000 * n // total - 10000 AS BIGINT) AS dev_ppm
+        |FROM g, t ORDER BY n DESC, ending LIMIT 10""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).orders
+        .select((floor(col("o_totalprice") * lit(100.0)).cast("long") % 100)
+          .as("ending"))
+        .groupBy("ending").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("ending"), col("n"),
+          expr("CAST(1000000 * n div total AS BIGINT)").as("share_ppm"),
+          expr("CAST(1000000 * n div total - 10000 AS BIGINT)").as("dev_ppm"))
+        .orderBy(col("n").desc, col("ending"))
+        .limit(10)
     }
   )
 }
