@@ -820,6 +820,228 @@ object AppliedQueries {
           expr("CAST(1000000 * n div total - 10000 AS BIGINT)").as("dev_ppm"))
         .orderBy(col("n").desc, col("ending"))
         .limit(10)
+    },
+
+    // Directed-triad motif census on the strong trade graph:
+    // reciprocal edges, feed-forward triangles (a→b→c with shortcut
+    // a→c) and directed 3-cycles (canonicalized at the minimum node so
+    // each cycle counts once) — the building-block census of network
+    // science, distinct from q159's undirected triangle count. All
+    // enumeration happens on the collapsed strong-lane edge grain
+    // (two-hop join + closing-edge semi-join).
+    QueryDef.sql(
+      "q402_motif_census",
+      """WITH lanes AS MATERIALIZED (SELECT s.s_nationkey AS a,
+        |    c.c_nationkey AS b, COUNT(*) AS cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2),
+        |m AS (SELECT SUM(cnt) AS tot, COUNT(*) AS nl FROM lanes),
+        |e AS MATERIALIZED (SELECT a, b FROM lanes, m WHERE cnt * nl > tot),
+        |recip AS (SELECT COUNT(*) AS n FROM e x
+        |          JOIN e y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b),
+        |ff AS (SELECT COUNT(*) AS n FROM e x
+        |       JOIN e y ON x.b = y.a
+        |       JOIN e z ON z.a = x.a AND z.b = y.b
+        |       WHERE x.a <> y.b),
+        |cyc AS (SELECT COUNT(*) AS n FROM e x
+        |        JOIN e y ON x.b = y.a
+        |        JOIN e z ON z.a = y.b AND z.b = x.a
+        |        WHERE x.a < x.b AND x.a < y.b)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  recip.n AS n_reciprocal, ff.n AS n_feedforward, cyc.n AS n_cycles
+        |FROM recip, ff, cyc""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").cast("long").as("a"),
+          col("c_nationkey").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = lanes.agg(sum("cnt").as("tot"), count(lit(1)).as("nl"))
+      val e = lanes.crossJoin(broadcast(m))
+        .where(col("cnt") * col("nl") > col("tot")).select("a", "b")
+      val x = e.select(col("a").as("xa"), col("b").as("xb"))
+      val y = e.select(col("a").as("ya"), col("b").as("yb"))
+      val z = e.select(col("a").as("za"), col("b").as("zb"))
+      val recip = x.join(y, col("xa") === col("yb") && col("xb") === col("ya"))
+        .where(col("xa") < col("xb")).agg(count(lit(1)).as("n_reciprocal"))
+      val ff = x.join(y, col("xb") === col("ya")).where(col("xa") =!= col("yb"))
+        .join(z, col("za") === col("xa") && col("zb") === col("yb"))
+        .agg(count(lit(1)).as("n_feedforward"))
+      val cyc = x.join(y, col("xb") === col("ya"))
+        .join(z, col("za") === col("yb") && col("zb") === col("xa"))
+        .where(col("xa") < col("xb") && col("xa") < col("yb"))
+        .agg(count(lit(1)).as("n_cycles"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip)).crossJoin(broadcast(ff))
+        .crossJoin(broadcast(cyc))
+    },
+
+    // Standardized Pearson residuals of the event-type × day-of-week
+    // contingency table — WHICH cells drive q313/q392's global
+    // statistics: (n·O − rt·ct) / √(n·rt·ct) per cell, integer-exact
+    // numerator, one IEEE sqrt, milli-units. Day-of-week is computed
+    // engine-neutrally as days-since-Monday-anchor mod 7 (the two
+    // engines disagree on dayofweek() numbering).
+    QueryDef.sql(
+      "q403_pearson_residuals",
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', TIMESTAMP '2024-01-01', ts) % 7 AS dow
+        |  FROM events),
+        |o AS (SELECT event_type, dow, COUNT(*) AS obs FROM e GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(obs) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT dow, SUM(obs) AS ct FROM o GROUP BY 1),
+        |n AS (SELECT SUM(obs) AS n FROM o)
+        |SELECT o.event_type, o.dow, CAST(o.obs AS BIGINT) AS obs,
+        |  CAST(rt.rt * ct.ct // n.n AS BIGINT) AS expected_floor,
+        |  CAST(FLOOR(1000.0 * (CAST(n.n AS DOUBLE) * o.obs
+        |      - CAST(rt.rt AS DOUBLE) * ct.ct)
+        |    / SQRT(CAST(n.n AS DOUBLE) * rt.rt * ct.ct)) AS BIGINT)
+        |    AS resid_milli
+        |FROM o JOIN rt ON o.event_type = rt.event_type
+        |JOIN ct ON o.dow = ct.dow CROSS JOIN n
+        |ORDER BY o.event_type, o.dow""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long") % 7).as("dow"))
+      val o = e.groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy("event_type").agg(sum("obs").as("rt"))
+      val ct = o.groupBy("dow").agg(sum("obs").as("ct"))
+      val n = o.agg(sum("obs").as("n"))
+      o.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("obs"),
+          expr("CAST(rt * ct div n AS BIGINT)").as("expected_floor"),
+          expr("CAST(FLOOR(1000.0D * (CAST(n AS DOUBLE) * obs" +
+            " - CAST(rt AS DOUBLE) * ct)" +
+            " / SQRT(CAST(n AS DOUBLE) * rt * ct)) AS BIGINT)").as("resid_milli"))
+        .orderBy("event_type", "dow")
+    },
+
+    // Rank-mobility matrix: suppliers quintiled by revenue in 1999 and
+    // again in 2000 (ntile(5) with suppkey tie-break, q361's
+    // convention); the transition-count matrix with row-share ppm
+    // answers "how sticky is market position?". Inner join keeps
+    // suppliers active both years; the matrix grain is ≤ 25 cells
+    // regardless of supplier count.
+    QueryDef.sql(
+      "q404_rank_mobility",
+      """WITH r AS (SELECT l.l_suppkey AS sk, year(o.o_orderdate) AS yr,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1999, 2000) GROUP BY 1, 2),
+        |q AS (SELECT sk, yr,
+        |    ntile(5) OVER (PARTITION BY yr ORDER BY cents, sk) AS quint
+        |  FROM r),
+        |tr AS (SELECT a.quint AS from_q, b.quint AS to_q, COUNT(*) AS n
+        |  FROM q a JOIN q b ON a.sk = b.sk
+        |  WHERE a.yr = 1999 AND b.yr = 2000 GROUP BY 1, 2),
+        |rt AS (SELECT from_q, SUM(n) AS tot FROM tr GROUP BY 1)
+        |SELECT CAST(tr.from_q AS BIGINT) AS from_q,
+        |  CAST(tr.to_q AS BIGINT) AS to_q, CAST(tr.n AS BIGINT) AS n,
+        |  CAST(1000000 * tr.n // rt.tot AS BIGINT) AS row_ppm
+        |FROM tr JOIN rt ON tr.from_q = rt.from_q
+        |ORDER BY from_q, to_q""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val r = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .where(year(col("o_orderdate")).isin(1999, 2000))
+        .groupBy(col("l_suppkey").as("sk"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+      val q = r.select(col("sk"), col("yr"),
+        ntile(5).over(Window.partitionBy("yr").orderBy("cents", "sk")).as("quint"))
+      val a = q.where(col("yr") === 1999).select(col("sk"), col("quint").as("from_q"))
+      val b = q.where(col("yr") === 2000)
+        .select(col("sk").as("sk2"), col("quint").as("to_q"))
+      val tr = a.join(b, col("sk") === col("sk2"))
+        .groupBy("from_q", "to_q").agg(count(lit(1)).as("n"))
+      val rt = tr.groupBy("from_q").agg(sum("n").as("tot"))
+      tr.join(broadcast(rt), "from_q")
+        .select(col("from_q").cast("long"), col("to_q").cast("long"), col("n"),
+          expr("CAST(1000000 * n div tot AS BIGINT)").as("row_ppm"))
+        .orderBy("from_q", "to_q")
+    },
+
+    // Inclusion-dependency profiling — FK discovery by data: for five
+    // candidate column pairs, the distinct-value inclusion coefficient
+    // |A∩B| / |A| in ppm (1e6 ⟺ A ⊆ B, a foreign-key candidate; the
+    // reverse direction and a deliberate negative control calibrate
+    // the score). Each pair costs two dedup aggregates and one
+    // distinct-grain join — the schema-discovery primitive for
+    // untrusted data lakes.
+    QueryDef.sql(
+      "q405_inclusion_deps",
+      """WITH pairs AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS cand,
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS na,
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS nb,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) a
+        |      JOIN (SELECT DISTINCT o_orderkey FROM orders) b
+        |      ON a.l_orderkey = b.o_orderkey) AS ni
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) a
+        |      JOIN (SELECT DISTINCT c_custkey FROM customer) b
+        |      ON a.o_custkey = b.c_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT COUNT(DISTINCT p_partkey) FROM part),
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) a
+        |      JOIN (SELECT DISTINCT p_partkey FROM part) b
+        |      ON a.l_partkey = b.p_partkey)
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey->orders.o_custkey',
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) a
+        |      JOIN (SELECT DISTINCT o_custkey FROM orders) b
+        |      ON a.c_custkey = b.o_custkey)
+        |  UNION ALL
+        |  SELECT 'part.p_size->nation.n_nationkey',
+        |    (SELECT COUNT(DISTINCT p_size) FROM part),
+        |    (SELECT COUNT(DISTINCT n_nationkey) FROM nation),
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT p_size FROM part) a
+        |      JOIN (SELECT DISTINCT n_nationkey FROM nation) b
+        |      ON a.p_size = b.n_nationkey))
+        |SELECT cand, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ni AS BIGINT) AS n_inter,
+        |  CAST(1000000 * ni // na AS BIGINT) AS inclusion_ppm
+        |FROM pairs ORDER BY cand""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def pair(label: String, a: DataFrame, ac: String,
+               b: DataFrame, bc: String): DataFrame = {
+        val da = a.select(col(ac).cast("long").as("k")).distinct()
+        val db = b.select(col(bc).cast("long").as("k")).distinct()
+        val na = da.agg(count(lit(1)).as("n_a"))
+        val nb = db.agg(count(lit(1)).as("n_b"))
+        val ni = da.join(db, "k").agg(count(lit(1)).as("n_inter"))
+        na.crossJoin(nb).crossJoin(ni)
+          .select(lit(label).as("cand"), col("n_a"), col("n_b"), col("n_inter"),
+            expr("CAST(1000000 * n_inter div n_a AS BIGINT)").as("inclusion_ppm"))
+      }
+      Seq(
+        pair("lineitem.l_orderkey->orders.o_orderkey",
+          t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        pair("orders.o_custkey->customer.c_custkey",
+          t.orders, "o_custkey", t.customer, "c_custkey"),
+        pair("lineitem.l_partkey->part.p_partkey",
+          t.lineitem, "l_partkey", t.part, "p_partkey"),
+        pair("customer.c_custkey->orders.o_custkey",
+          t.customer, "c_custkey", t.orders, "o_custkey"),
+        pair("part.p_size->nation.n_nationkey",
+          t.part, "p_size", t.nation, "n_nationkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("cand")
     }
   )
 }
