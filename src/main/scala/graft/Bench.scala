@@ -45,7 +45,9 @@ object Bench {
     "q45_csv_roundtrip", "q52_orc_roundtrip",
     // round-4 profiling / planner / curation families
     "q215_numeric_profile", "q232_merkle_compare", "q223_vocab_oov",
-    "q271_bitmap_intersect", "q282_zorder_cluster", "q283_cdc_chunk")
+    "q271_bitmap_intersect", "q282_zorder_cluster", "q283_cdc_chunk",
+    // round-5 frontier/applied representatives
+    "q354_pagerank", "q372_penny_allocation", "q385_spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
