@@ -1042,6 +1042,249 @@ object AppliedQueries {
           t.part, "p_size", t.nation, "n_nationkey"))
         .reduce(_.unionByName(_))
         .orderBy("cand")
+    },
+
+    // Pinball-loss backtest of quantile forecasts: discrete p25/p50/p75
+    // fitted per event type on the first half-month predict the second
+    // half; each is scored under ITS OWN quantile's pinball loss,
+    // ×4-scaled so the 0.25/0.75 weights stay integral — loss stays
+    // EXACT integer end-to-end (the proper scoring rule for quantile
+    // forecasts, and the q152 rank-index quantile machinery reused as
+    // a train/test pipeline). Per-row mean loss in exact div units.
+    QueryDef.sql(
+      "q406_pinball_loss",
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', TIMESTAMP '2024-01-01', ts) AS day,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events),
+        |tr AS (SELECT event_type, y FROM e WHERE day < 15),
+        |te AS (SELECT event_type, y FROM e WHERE day >= 15),
+        |r AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY y) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM tr),
+        |qs AS (SELECT event_type,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT) THEN y END) AS p25,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.50) AS BIGINT) THEN y END) AS p50,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT) THEN y END) AS p75
+        |  FROM r GROUP BY 1),
+        |pred AS (
+        |  SELECT event_type, 25 AS q, p25 AS yhat, 1 AS wu, 3 AS wo FROM qs
+        |  UNION ALL SELECT event_type, 50, p50, 2, 2 FROM qs
+        |  UNION ALL SELECT event_type, 75, p75, 3, 1 FROM qs),
+        |l AS (SELECT p.event_type, p.q, p.yhat, COUNT(*) AS n_test,
+        |    SUM(CASE WHEN te.y >= p.yhat THEN p.wu * (te.y - p.yhat)
+        |             ELSE p.wo * (p.yhat - te.y) END) AS loss4
+        |  FROM pred p JOIN te ON p.event_type = te.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(q AS BIGINT) AS q, CAST(yhat AS BIGINT) AS yhat,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(loss4 // n_test AS BIGINT) AS mean_loss4
+        |FROM l ORDER BY event_type, q""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("y"))
+      val tr = e.where(col("day") < 15)
+      val te = e.where(col("day") >= 15)
+      val wq = Window.partitionBy("event_type").orderBy("y")
+      val r = tr.select(col("event_type"), col("y"),
+        row_number().over(wq).as("rk"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      val qs = r.groupBy("event_type")
+        .agg(max(when(col("rk") === ceil(col("n") * 0.25).cast("long"), col("y"))).as("p25"),
+          max(when(col("rk") === ceil(col("n") * 0.50).cast("long"), col("y"))).as("p50"),
+          max(when(col("rk") === ceil(col("n") * 0.75).cast("long"), col("y"))).as("p75"))
+      val pred = Seq(("p25", 25, 1, 3), ("p50", 50, 2, 2), ("p75", 75, 3, 1))
+        .map { case (c, q, wu, wo) =>
+          qs.select(col("event_type"), lit(q.toLong).as("q"), col(c).as("yhat"),
+            lit(wu.toLong).as("wu"), lit(wo.toLong).as("wo"))
+        }.reduce(_.unionByName(_))
+      broadcast(pred).join(te, "event_type")
+        .groupBy("event_type", "q", "yhat")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("y") >= col("yhat"), col("wu") * (col("y") - col("yhat")))
+            .otherwise(col("wo") * (col("yhat") - col("y")))).as("loss4"))
+        .select(col("event_type"), col("q"), col("yhat"), col("n_test"),
+          expr("CAST(loss4 div n_test AS BIGINT)").as("mean_loss4"))
+        .orderBy("event_type", "q")
+    },
+
+    // Transition dwell-time profile: for each consecutive event-type
+    // pair in a user's stream, the count, exact mean, and discrete
+    // median of the inter-event gap (µs) — q368's Markov chain gains
+    // its time dimension. One LAG window produces (pair, gap); the
+    // median runs the q152 rank-index pattern partitioned by pair —
+    // distributed, no per-group collect.
+    QueryDef.sql(
+      "q407_dwell_times",
+      """WITH s AS (SELECT user_id, event_type AS a, epoch_us(ts) AS us,
+        |    lead(event_type) OVER w AS b, lead(epoch_us(ts)) OVER w AS us2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT a, b, us2 - us AS gap FROM s WHERE b IS NOT NULL),
+        |r AS (SELECT a, b, gap,
+        |    row_number() OVER (PARTITION BY a, b ORDER BY gap) AS rk,
+        |    COUNT(*) OVER (PARTITION BY a, b) AS n,
+        |    SUM(gap) OVER (PARTITION BY a, b) AS sg
+        |  FROM g)
+        |SELECT a, b, CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(sg) // MIN(n) AS BIGINT) AS mean_gap_us,
+        |  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT)
+        |    AS median_gap_us
+        |FROM r GROUP BY a, b ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = Tables(s, dir).events
+        .select(col("event_type").as("a"), unix_micros(col("ts")).as("us"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(unix_micros(col("ts")), 1).over(w).as("us2"))
+        .where(col("b").isNotNull)
+        .select(col("a"), col("b"), (col("us2") - col("us")).as("gap"))
+      val wp = Window.partitionBy("a", "b")
+      val r = g.select(col("a"), col("b"), col("gap"),
+        row_number().over(wp.orderBy("gap")).as("rk"),
+        count(lit(1)).over(wp).as("n"), sum("gap").over(wp).as("sg"))
+      r.groupBy("a", "b")
+        .agg(min("n").as("n"), min("sg").as("sg"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("gap"))).as("median_gap_us"))
+        .select(col("a"), col("b"), col("n"),
+          expr("CAST(sg div n AS BIGINT)").as("mean_gap_us"),
+          col("median_gap_us"))
+        .orderBy("a", "b")
+    },
+
+    // 2-D equi-depth grid index build: quartile boundaries on order
+    // day, then per-day-band quartiles of the total (the q152
+    // rank-index pattern partitioned by band — distributed, no global
+    // ntile) → the 16-cell occupancy + bounds frame an IVF-style
+    // coarse index would store. Near-equal occupancy is the build
+    // invariant; boundaries land on data values (discrete convention).
+    QueryDef.sql(
+      "q408_quantile_grid",
+      """WITH o AS (SELECT
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |dg AS (SELECT d, COUNT(*) AS cnt FROM o GROUP BY 1),
+        |dr AS (SELECT d, cnt,
+        |    SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER () AS n FROM dg),
+        |db AS (SELECT
+        |    MIN(CASE WHEN 4 * cum >= n THEN d END) AS b1,
+        |    MIN(CASE WHEN 2 * cum >= n THEN d END) AS b2,
+        |    MIN(CASE WHEN 4 * cum >= 3 * n THEN d END) AS b3
+        |  FROM dr),
+        |ob AS (SELECT cents,
+        |    CASE WHEN d <= b1 THEN 1 WHEN d <= b2 THEN 2
+        |         WHEN d <= b3 THEN 3 ELSE 4 END AS xb
+        |  FROM o, db),
+        |r AS (SELECT xb, cents,
+        |    row_number() OVER (PARTITION BY xb ORDER BY cents) AS rk,
+        |    COUNT(*) OVER (PARTITION BY xb) AS n FROM ob),
+        |yb AS (SELECT xb,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT) THEN cents END) AS c1,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.50) AS BIGINT) THEN cents END) AS c2,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS c3
+        |  FROM r GROUP BY 1),
+        |cells AS (SELECT ob.xb,
+        |    CASE WHEN ob.cents <= yb.c1 THEN 1 WHEN ob.cents <= yb.c2 THEN 2
+        |         WHEN ob.cents <= yb.c3 THEN 3 ELSE 4 END AS yb_,
+        |    ob.cents
+        |  FROM ob JOIN yb ON ob.xb = yb.xb)
+        |SELECT xb AS x_bucket, yb_ AS y_bucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS max_cents
+        |FROM cells GROUP BY 1, 2 ORDER BY x_bucket, y_bucket""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val dg = o.groupBy("d").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val dr = dg.select(col("d"), sum("cnt").over(wc).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+      val db = dr.agg(
+        min(when(lit(4) * col("cum") >= col("n"), col("d"))).as("b1"),
+        min(when(lit(2) * col("cum") >= col("n"), col("d"))).as("b2"),
+        min(when(lit(4) * col("cum") >= lit(3) * col("n"), col("d"))).as("b3"))
+      val ob = o.crossJoin(broadcast(db))
+        .select(col("cents"),
+          when(col("d") <= col("b1"), 1).when(col("d") <= col("b2"), 2)
+            .when(col("d") <= col("b3"), 3).otherwise(4).as("xb"))
+      val wx = Window.partitionBy("xb")
+      val r = ob.select(col("xb"), col("cents"),
+        row_number().over(wx.orderBy("cents")).as("rk"),
+        count(lit(1)).over(wx).as("n"))
+      val yb = r.groupBy("xb")
+        .agg(max(when(col("rk") === ceil(col("n") * 0.25).cast("long"), col("cents"))).as("c1"),
+          max(when(col("rk") === ceil(col("n") * 0.50).cast("long"), col("cents"))).as("c2"),
+          max(when(col("rk") === ceil(col("n") * 0.75).cast("long"), col("cents"))).as("c3"))
+      ob.join(broadcast(yb), "xb")
+        .select(col("xb"),
+          when(col("cents") <= col("c1"), 1).when(col("cents") <= col("c2"), 2)
+            .when(col("cents") <= col("c3"), 3).otherwise(4).as("yb_"),
+          col("cents"))
+        .groupBy(col("xb").as("x_bucket"), col("yb_").as("y_bucket"))
+        .agg(count(lit(1)).as("n_rows"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("x_bucket", "y_bucket")
+    },
+
+    // k-truss core (k=4) of the strong trade graph: edges supported by
+    // ≥ 2 triangles, with the support RECOMPUTED once after the first
+    // peel (two unrolled rounds of the truss fixpoint — each round is
+    // a wedge join + per-edge count at edge grain, the graph-cohesion
+    // step up from q3xx's k-core which peels by degree instead of
+    // triangle support).
+    QueryDef.sql(
+      "q409_ktruss",
+      """WITH lanes AS MATERIALIZED (SELECT
+        |    LEAST(c.c_nationkey, s.s_nationkey) AS a,
+        |    GREATEST(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        |m AS (SELECT SUM(cnt) AS tot, COUNT(*) AS nl FROM lanes),
+        |e1 AS MATERIALIZED (SELECT a, b FROM lanes, m WHERE cnt * nl > tot),
+        |s1 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e1 e
+        |       JOIN e1 x ON x.a = e.a JOIN e1 y
+        |         ON y.a = x.b AND y.b = e.b
+        |       GROUP BY 1, 2),
+        |e2 AS MATERIALIZED (SELECT a, b FROM s1 WHERE sup >= 2),
+        |s2 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e2 e
+        |       JOIN e2 x ON x.a = e.a JOIN e2 y
+        |         ON y.a = x.b AND y.b = e.b
+        |       GROUP BY 1, 2)
+        |SELECT a, b, CAST(sup AS BIGINT) AS support
+        |FROM s2 WHERE sup >= 2 ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = lanes.agg(sum("cnt").as("tot"), count(lit(1)).as("nl"))
+      var e = lanes.crossJoin(broadcast(m))
+        .where(col("cnt") * col("nl") > col("tot")).select("a", "b")
+      var out: DataFrame = null
+      for (_ <- 1 to 2) {
+        val x = e.select(col("a").as("xa"), col("b").as("xb"))
+        val y = e.select(col("a").as("ya"), col("b").as("yb"))
+        val sup = e
+          .join(x, col("xa") === col("a"))
+          .join(y, col("ya") === col("xb") && col("yb") === col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+          .where(col("sup") >= 2)
+        out = sup
+        e = sup.select("a", "b")
+      }
+      out.select(col("a"), col("b"), col("sup").as("support"))
+        .orderBy("a", "b")
     }
   )
 }
