@@ -1285,6 +1285,212 @@ object AppliedQueries {
       }
       out.select(col("a"), col("b"), col("sup").as("support"))
         .orderBy("a", "b")
+    },
+
+    // Robust (quantile-based) shape statistics per event type: Bowley
+    // skewness from quartiles and Moors kurtosis from octiles — no
+    // moments, so single outliers can't dominate (the robust
+    // complement of q98's moment stats). All eight octiles come from
+    // ONE rank-index window pass; the signed ratios use plain integer
+    // division — portable, since both engines truncate toward zero
+    // (probed round 4).
+    QueryDef.sql(
+      "q410_robust_moments",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |o AS (SELECT event_type,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.125) AS BIGINT) THEN v END) AS e1,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.250) AS BIGINT) THEN v END) AS e2,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.375) AS BIGINT) THEN v END) AS e3,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.500) AS BIGINT) THEN v END) AS e4,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.625) AS BIGINT) THEN v END) AS e5,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.750) AS BIGINT) THEN v END) AS e6,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.875) AS BIGINT) THEN v END) AS e7
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(e2 AS BIGINT) AS q1, CAST(e4 AS BIGINT) AS q2,
+        |  CAST(e6 AS BIGINT) AS q3,
+        |  CAST(1000000 * (e2 + e6 - 2 * e4) // (e6 - e2) AS BIGINT)
+        |    AS bowley_skew_ppm,
+        |  CAST(1000000 * ((e7 - e5) + (e3 - e1)) // (e6 - e2) AS BIGINT)
+        |    AS moors_kurt_ppm
+        |FROM o ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val wp = Window.partitionBy("event_type")
+      val r = e.select(col("event_type"), col("v"),
+        row_number().over(wp.orderBy("v")).as("rk"),
+        count(lit(1)).over(wp).as("n"))
+      def oct(k: Double, out: String) =
+        max(when(col("rk") === ceil(col("n") * k).cast("long"), col("v"))).as(out)
+      r.groupBy("event_type")
+        .agg(oct(0.125, "e1"), oct(0.250, "e2"), oct(0.375, "e3"),
+          oct(0.500, "e4"), oct(0.625, "e5"), oct(0.750, "e6"), oct(0.875, "e7"))
+        .select(col("event_type"), col("e2").as("q1"), col("e4").as("q2"),
+          col("e6").as("q3"),
+          expr("CAST(1000000 * (e2 + e6 - 2 * e4) div (e6 - e2) AS BIGINT)")
+            .as("bowley_skew_ppm"),
+          expr("CAST(1000000 * ((e7 - e5) + (e3 - e1)) div (e6 - e2) AS BIGINT)")
+            .as("moors_kurt_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Shift-share decomposition of each nation's 1999→2000 revenue
+    // change: national-growth component (what growing at the national
+    // rate would add), industry-mix component (the nation's part-type
+    // portfolio vs the national rate), and the competitive shift
+    // (out/under-performance within each type), plus the exact
+    // floor-residual — the regional-economics standard, in exact
+    // ppm-scaled cents (growth rates are 10⁶-scaled integer ratios;
+    // both engines truncate division identically). Effects assemble on
+    // the (nation, type) grain; the full-data pass is one aggregate.
+    QueryDef.sql(
+      "q411_shift_share",
+      """WITH g AS (SELECT n.n_name, p.p_type, year(o.o_orderdate) AS yr,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS r
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(o.o_orderdate) IN (1999, 2000) GROUP BY 1, 2, 3),
+        |w AS (SELECT a.n_name, a.p_type, a.r AS r0, COALESCE(b.r, 0) AS r1
+        |  FROM (SELECT * FROM g WHERE yr = 1999) a
+        |  LEFT JOIN (SELECT * FROM g WHERE yr = 2000) b
+        |  ON a.n_name = b.n_name AND a.p_type = b.p_type),
+        |nat AS (SELECT 1000000 * SUM(r1) // SUM(r0) AS gn FROM w),
+        |ind AS (SELECT p_type, 1000000 * SUM(r1) // SUM(r0) AS gi
+        |        FROM w GROUP BY 1),
+        |eff AS (SELECT w.n_name,
+        |    SUM(w.r1 - w.r0) AS delta,
+        |    SUM(w.r0 * (nat.gn - 1000000) // 1000000) AS nat_eff,
+        |    SUM(w.r0 * (ind.gi - nat.gn) // 1000000) AS mix_eff,
+        |    SUM(w.r1 - w.r0 * ind.gi // 1000000) AS shift_eff
+        |  FROM w JOIN ind ON w.p_type = ind.p_type CROSS JOIN nat
+        |  GROUP BY 1)
+        |SELECT n_name, CAST(delta AS BIGINT) AS delta_cents,
+        |  CAST(nat_eff AS BIGINT) AS national_cents,
+        |  CAST(mix_eff AS BIGINT) AS mix_cents,
+        |  CAST(shift_eff AS BIGINT) AS shift_cents,
+        |  CAST(delta - nat_eff - mix_eff - shift_eff AS BIGINT) AS residual_cents
+        |FROM eff ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val g = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+        .where(year(col("o_orderdate")).isin(1999, 2000))
+        .groupBy(col("n_name"), col("p_type"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("r"))
+      val a = g.where(col("yr") === 1999).select(col("n_name"), col("p_type"), col("r").as("r0"))
+      val b = g.where(col("yr") === 2000)
+        .select(col("n_name").as("n2"), col("p_type").as("t2"), col("r").as("r1"))
+      val w = a.join(b, col("n_name") === col("n2") && col("p_type") === col("t2"), "left")
+        .select(col("n_name"), col("p_type"), col("r0"), coalesce(col("r1"), lit(0L)).as("r1"))
+      val nat = w.agg(expr("1000000 * sum(r1) div sum(r0)").as("gn"))
+      val ind = w.groupBy("p_type").agg(expr("1000000 * sum(r1) div sum(r0)").as("gi"))
+      w.join(broadcast(ind), "p_type").crossJoin(broadcast(nat))
+        .groupBy("n_name")
+        .agg(sum(col("r1") - col("r0")).as("delta"),
+          sum(expr("r0 * (gn - 1000000) div 1000000")).as("nat_eff"),
+          sum(expr("r0 * (gi - gn) div 1000000")).as("mix_eff"),
+          sum(expr("r1 - r0 * gi div 1000000")).as("shift_eff"))
+        .select(col("n_name"), col("delta").as("delta_cents"),
+          col("nat_eff").as("national_cents"), col("mix_eff").as("mix_cents"),
+          col("shift_eff").as("shift_cents"),
+          (col("delta") - col("nat_eff") - col("mix_eff") - col("shift_eff"))
+            .as("residual_cents"))
+        .orderBy("n_name")
+    },
+
+    // Chao1 species-richness estimator per document source: observed
+    // vocabulary plus the f₁²/(2f₂) unseen-mass correction from
+    // singleton/doubleton counts — "how much vocabulary haven't we
+    // crawled yet?", the capture-recapture complement of q369's Heaps
+    // curve and q367's KMV (which estimate seen NDV, not unseen). Two
+    // exact aggregates: token→count, then count→frequency-of-frequency.
+    QueryDef.sql(
+      "q412_chao1",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT source, w, COUNT(*) AS c FROM tok
+        |       WHERE w <> '' GROUP BY 1, 2),
+        |ff AS (SELECT source, COUNT(*) AS v,
+        |    COUNT(*) FILTER (WHERE c = 1) AS f1,
+        |    COUNT(*) FILTER (WHERE c = 2) AS f2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, CAST(v AS BIGINT) AS vocab,
+        |  CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+        |  CAST(v + f1 * f1 // (2 * GREATEST(f2, 1)) AS BIGINT) AS chao1
+        |FROM ff ORDER BY source""".stripMargin) { (s, dir) =>
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      tf.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("doubletons"))
+        .select(col("source"), col("vocab"), col("singletons"), col("doubletons"),
+          expr("CAST(vocab + singletons * singletons" +
+            " div (2 * GREATEST(doubletons, 1)) AS BIGINT)").as("chao1"))
+        .orderBy("source")
+    },
+
+    // Simpson-reversal detector: the overall discount→quantity OLS
+    // slope against each part type's within-group slope (q371's
+    // sufficient-sum machinery, one pass for the groups + a rollup
+    // for the pooled fit). A group is "reversed" when its slope sign
+    // contradicts the pooled sign — the aggregation-bias diagnostic
+    // that decides whether a per-segment or pooled model is honest.
+    QueryDef.sql(
+      "q413_simpson_reversal",
+      """WITH d AS (SELECT p_type,
+        |    CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+        |        SUM(sxy) AS sxy, SUM(sxx) AS sxx FROM g),
+        |gs AS (SELECT p_type,
+        |    CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+        |      AS slope_ppm
+        |  FROM g),
+        |ts AS (SELECT
+        |    CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+        |      AS pooled_ppm
+        |  FROM t)
+        |SELECT gs.p_type, gs.slope_ppm, ts.pooled_ppm,
+        |  CAST(CASE WHEN (gs.slope_ppm > 0) <> (ts.pooled_ppm > 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reversed
+        |FROM gs, ts ORDER BY gs.p_type""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.lineitem
+        .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"),
+          round(col("l_discount") * lit(100.0)).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val g = d.groupBy("p_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val slopeExpr = "CAST(FLOOR(1000000.0D * (CAST(n AS DOUBLE) * sxy" +
+        " - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx" +
+        " - CAST(sx AS DOUBLE) * sx)) AS BIGINT)"
+      val gs = g.select(col("p_type"), expr(slopeExpr).as("slope_ppm"))
+      val ts = g.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+          sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+        .select(expr(slopeExpr).as("pooled_ppm"))
+      gs.crossJoin(broadcast(ts))
+        .select(col("p_type"), col("slope_ppm"), col("pooled_ppm"),
+          when((col("slope_ppm") > 0) =!= (col("pooled_ppm") > 0), 1L)
+            .otherwise(0L).as("reversed"))
+        .orderBy("p_type")
     }
   )
 }
