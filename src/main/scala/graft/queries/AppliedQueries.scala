@@ -1491,6 +1491,197 @@ object AppliedQueries {
           when((col("slope_ppm") > 0) =!= (col("pooled_ppm") > 0), 1L)
             .otherwise(0L).as("reversed"))
         .orderBy("p_type")
+    },
+
+    // Rendezvous (highest-random-weight) sharding audit: users map to
+    // the shard with the max portable-md5 weight over 8 candidates;
+    // the query then REMOVES shard 3 and proves the HRW consistency
+    // property — only shard 3's users move, every other assignment is
+    // untouched (moved = 0 rows outside the removed shard). This is
+    // the shard-assignment scheme that makes cluster resizes cheap at
+    // 100 TB; occupancy balance and the movement matrix are exact.
+    QueryDef.sql(
+      "q414_rendezvous",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |w AS (SELECT u.user_id, sh.s,
+        |    ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+        |       || CAST(sh.s AS VARCHAR)), 1, 8))::BIGINT AS wt
+        |  FROM u, (SELECT unnest(generate_series(0, 7)) AS s) sh),
+        |a1 AS (SELECT user_id, s AS shard FROM (
+        |    SELECT user_id, s, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY wt DESC, s) AS rk FROM w)
+        |  WHERE rk = 1),
+        |a2 AS (SELECT user_id, s AS shard2 FROM (
+        |    SELECT user_id, s, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY wt DESC, s) AS rk
+        |    FROM w WHERE s <> 3)
+        |  WHERE rk = 1)
+        |SELECT a1.shard, COUNT(*) AS n_users,
+        |  COUNT(*) FILTER (WHERE a1.shard <> a2.shard2) AS n_moved
+        |FROM a1 JOIN a2 ON a1.user_id = a2.user_id
+        |GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.select("user_id").distinct()
+      val sh = s.range(0, 8).select(col("id").as("s"))
+      val w = u.crossJoin(broadcast(sh))
+        .select(col("user_id"), col("s"),
+          expr("CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':'," +
+            " CAST(s AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("wt"))
+      def assign(df: DataFrame, out: String) = df
+        .select(col("user_id"), col("s"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("wt").desc, col("s"))).as("rk"))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("s").as(out))
+      val a1 = assign(w, "shard")
+      val a2 = assign(w.where(col("s") =!= 3), "shard2")
+      a1.join(a2, "user_id")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("shard") =!= col("shard2"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy("shard")
+    },
+
+    // Time-respecting 2-hop paths: nation lanes carry their FIRST
+    // transaction day; a path a→b→c counts only if the b→c lane opened
+    // strictly AFTER a→b (information/contagion can only flow forward
+    // in time — static 2-hop counts q379-style overcount). Top-20
+    // (origin, destination) pairs by temporal path count with the
+    // earliest completion day. All on the first-day lane grain.
+    QueryDef.sql(
+      "q415_temporal_paths",
+      """WITH lanes AS MATERIALIZED (SELECT s.s_nationkey AS a,
+        |    c.c_nationkey AS b,
+        |    MIN(date_diff('day', TIMESTAMP '1995-01-01', o.o_orderdate)) AS f
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2),
+        |p AS (SELECT x.a AS src, y.b AS dst, COUNT(*) AS n_paths,
+        |    MIN(y.f) AS earliest_done
+        |  FROM lanes x JOIN lanes y ON x.b = y.a
+        |  WHERE y.f > x.f AND x.a <> y.b GROUP BY 1, 2)
+        |SELECT src, dst, CAST(n_paths AS BIGINT) AS n_paths,
+        |  CAST(earliest_done AS BIGINT) AS earliest_done
+        |FROM p ORDER BY n_paths DESC, src, dst LIMIT 20""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").cast("long").as("a"),
+          col("c_nationkey").cast("long").as("b"))
+        .agg(min(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long")).as("f"))
+      val x = lanes.select(col("a").as("src"), col("b").as("mid"), col("f").as("f1"))
+      val y = lanes.select(col("a").as("mid2"), col("b").as("dst"), col("f").as("f2"))
+      x.join(y, col("mid") === col("mid2"))
+        .where(col("f2") > col("f1") && col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n_paths"), min("f2").as("earliest_done"))
+        .orderBy(col("n_paths").desc, col("src"), col("dst"))
+        .limit(20)
+    },
+
+    // Rank-biased overlap (p = 1/2) between the 1999 and 2000 supplier
+    // top-20 revenue rankings — the top-weighted list-similarity
+    // metric (q351's RRF fuses lists; RBO measures how much they
+    // agree, weighting early ranks geometrically). EXACT integers: the
+    // d-th term o_d·(L/d)·2^(20−d) with L = lcm(1..20), normalized by
+    // the perfect-agreement mass — no floating geometry anywhere.
+    QueryDef.sql(
+      "q416_rbo",
+      """WITH r AS (SELECT l.l_suppkey AS sk, year(o.o_orderdate) AS yr,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1999, 2000) GROUP BY 1, 2),
+        |ra AS (SELECT sk, row_number() OVER (ORDER BY cents DESC, sk) AS rk
+        |       FROM r WHERE yr = 1999 ORDER BY rk LIMIT 20),
+        |rb AS (SELECT sk, row_number() OVER (ORDER BY cents DESC, sk) AS rk
+        |       FROM r WHERE yr = 2000 ORDER BY rk LIMIT 20),
+        |j AS (SELECT GREATEST(ra.rk, rb.rk) AS entry_d
+        |      FROM ra JOIN rb ON ra.sk = rb.sk),
+        |ds AS (SELECT unnest(generate_series(1, 20)) AS d),
+        |ov AS (SELECT ds.d, COUNT(j.entry_d) AS o_d
+        |       FROM ds LEFT JOIN j ON j.entry_d <= ds.d GROUP BY 1),
+        |terms AS (SELECT d, o_d,
+        |    o_d * (232792560 // d) * CAST(pow(2, 20 - d) AS BIGINT) AS term,
+        |    d * (232792560 // d) * CAST(pow(2, 20 - d) AS BIGINT) AS max_term
+        |  FROM ov)
+        |SELECT CAST(SUM(o_d) AS BIGINT) AS total_overlap,
+        |  CAST(1000000 * SUM(term) // SUM(max_term) AS BIGINT) AS rbo_ppm
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val r = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .where(year(col("o_orderdate")).isin(1999, 2000))
+        .groupBy(col("l_suppkey").as("sk"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+      def top(yr: Int, out: String) = r.where(col("yr") === yr)
+        .select(col("sk"),
+          row_number().over(Window.orderBy(col("cents").desc, col("sk"))).as(out))
+        .where(col(out) <= 20)
+      val ra = top(1999, "ra")
+      val rb = top(2000, "rb").withColumnRenamed("sk", "sk2")
+      val j = ra.join(rb, col("sk") === col("sk2"))
+        .select(greatest(col("ra"), col("rb")).as("entry_d"))
+      val ds = s.range(1, 21).select(col("id").as("d"))
+      val ov = broadcast(ds).join(j, col("entry_d") <= col("d"), "left")
+        .groupBy("d").agg(count(col("entry_d")).as("o_d"))
+      ov.select(col("d"), col("o_d"),
+          expr("o_d * (232792560 div d) * CAST(pow(2, 20 - d) AS BIGINT)").as("term"),
+          expr("d * (232792560 div d) * CAST(pow(2, 20 - d) AS BIGINT)").as("max_term"))
+        .agg(sum("o_d").as("total_overlap"),
+          expr("CAST(CAST(sum(term) AS DECIMAL(38,0)) * 1000000" +
+            " div sum(max_term) AS BIGINT)").as("rbo_ppm"))
+        .select(col("total_overlap"), col("rbo_ppm"))
+    },
+
+    // Weighted Jaccard similarity between nations' part-demand vectors
+    // (Σ min / Σ max over per-part quantities) — the multiset
+    // generalization the binary q297 overlap matrix can't see. Only
+    // SHARED parts need the pair join: Σmax = tot_a + tot_b − Σmin by
+    // the min/max identity, so the pair computation touches the
+    // (nation, part) grain once per shared part. Top-10 most similar
+    // nation pairs.
+    QueryDef.sql(
+      "q417_weighted_jaccard",
+      """WITH v AS (SELECT c.c_nationkey AS nk, l.l_partkey AS pk,
+        |    SUM(CAST(l.l_quantity AS BIGINT)) AS q
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |tot AS (SELECT nk, SUM(q) AS tq FROM v GROUP BY 1),
+        |sm AS (SELECT a.nk AS na, b.nk AS nb, SUM(LEAST(a.q, b.q)) AS smin
+        |  FROM v a JOIN v b ON a.pk = b.pk AND a.nk < b.nk GROUP BY 1, 2)
+        |SELECT sm.na, sm.nb, CAST(sm.smin AS BIGINT) AS sum_min,
+        |  CAST(ta.tq + tb.tq - sm.smin AS BIGINT) AS sum_max,
+        |  CAST(1000000 * sm.smin // (ta.tq + tb.tq - sm.smin) AS BIGINT)
+        |    AS wjaccard_ppm
+        |FROM sm JOIN tot ta ON sm.na = ta.nk JOIN tot tb ON sm.nb = tb.nk
+        |ORDER BY wjaccard_ppm DESC, na, nb LIMIT 10""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val v = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val tot = v.groupBy("nk").agg(sum("q").as("tq"))
+      val a = v.select(col("nk").as("na"), col("pk"), col("q").as("qa"))
+      val b = v.select(col("nk").as("nb"), col("pk").as("pk2"), col("q").as("qb"))
+      val sm = a.join(b, col("pk") === col("pk2") && col("na") < col("nb"))
+        .groupBy("na", "nb").agg(sum(least(col("qa"), col("qb"))).as("smin"))
+      sm.join(broadcast(tot.select(col("nk").as("na"), col("tq").as("ta"))), "na")
+        .join(broadcast(tot.select(col("nk").as("nb"), col("tq").as("tb"))), "nb")
+        .select(col("na"), col("nb"), col("smin").as("sum_min"),
+          (col("ta") + col("tb") - col("smin")).as("sum_max"),
+          expr("CAST(1000000 * smin div (ta + tb - smin) AS BIGINT)")
+            .as("wjaccard_ppm"))
+        .orderBy(col("wjaccard_ppm").desc, col("na"), col("nb"))
+        .limit(10)
     }
   )
 }
