@@ -1682,6 +1682,204 @@ object AppliedQueries {
             .as("wjaccard_ppm"))
         .orderBy(col("wjaccard_ppm").desc, col("na"), col("nb"))
         .limit(10)
+    },
+
+    // Extreme-value block maxima: the worst (best) revenue day per
+    // month, ranked, with empirical return periods 1000·(n+1)/rank —
+    // the EVT workflow (block → maxima → plotting position) with no
+    // transcendental fitting. Maxima reduce on the bounded month
+    // grain; ranks and return periods live on the ≤ n-months frame.
+    QueryDef.sql(
+      "q418_block_maxima",
+      """WITH d AS (SELECT
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT ym, MAX(y) AS block_max FROM d GROUP BY 1),
+        |r AS (SELECT ym, block_max,
+        |    row_number() OVER (ORDER BY block_max DESC, ym) AS rk,
+        |    COUNT(*) OVER () AS n FROM m)
+        |SELECT ym, CAST(block_max AS BIGINT) AS block_max_cents,
+        |  rk AS rank, CAST(1000 * (n + 1) // rk AS BIGINT) AS return_period_milli
+        |FROM r ORDER BY rank, ym""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).orders
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      val m = d.groupBy("ym").agg(max("y").as("block_max"))
+      m.select(col("ym"), col("block_max"),
+          row_number().over(Window.orderBy(col("block_max").desc, col("ym")))
+            .cast("long").as("rank"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .select(col("ym"), col("block_max").as("block_max_cents"), col("rank"),
+          expr("CAST(1000 * (n + 1) div rank AS BIGINT)").as("return_period_milli"))
+        .orderBy("rank", "ym")
+    },
+
+    // Absorbing-chain conversion probability: for each starting event
+    // type, the probability of reaching 'purchase' within 4 steps —
+    // p ← b + Q·p iterated on the transient transition matrix (q368's
+    // chain made absorbing), exact ppm arithmetic, every iteration on
+    // the ≤ k² matrix grain. The funnel question "how likely does a
+    // session starting at X ever convert?" answered with chain
+    // algebra instead of path enumeration.
+    QueryDef.sql(
+      "q419_absorption_prob",
+      """WITH s AS (SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS b
+        |  FROM events),
+        |tc AS (SELECT a, b, COUNT(*) AS c FROM s WHERE b IS NOT NULL
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(c) AS tot FROM tc GROUP BY 1),
+        |q AS (SELECT tc.a, tc.b, tc.c, rt.tot FROM tc JOIN rt ON tc.a = rt.a
+        |      WHERE tc.a <> 'purchase'),
+        |b0 AS (SELECT a, CAST(1000000 * c // tot AS BIGINT) AS p FROM q
+        |       WHERE b = 'purchase'),
+        |tq AS (SELECT a, b, c, tot FROM q WHERE b <> 'purchase'),
+        |p1 AS (SELECT COALESCE(b0.a, m.a) AS a,
+        |    COALESCE(b0.p, 0) + COALESCE(m.p, 0) AS p
+        |  FROM b0 FULL JOIN (SELECT tq.a, SUM(tq.c * b0.p // tq.tot) AS p
+        |    FROM tq JOIN b0 ON tq.b = b0.a GROUP BY 1) m ON b0.a = m.a),
+        |p2 AS (SELECT COALESCE(b0.a, m.a) AS a,
+        |    COALESCE(b0.p, 0) + COALESCE(m.p, 0) AS p
+        |  FROM b0 FULL JOIN (SELECT tq.a, SUM(tq.c * p1.p // tq.tot) AS p
+        |    FROM tq JOIN p1 ON tq.b = p1.a GROUP BY 1) m ON b0.a = m.a),
+        |p3 AS (SELECT COALESCE(b0.a, m.a) AS a,
+        |    COALESCE(b0.p, 0) + COALESCE(m.p, 0) AS p
+        |  FROM b0 FULL JOIN (SELECT tq.a, SUM(tq.c * p2.p // tq.tot) AS p
+        |    FROM tq JOIN p2 ON tq.b = p2.a GROUP BY 1) m ON b0.a = m.a)
+        |SELECT a AS start_type, CAST(p AS BIGINT) AS p4_ppm
+        |FROM p3 ORDER BY start_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tc = Tables(s, dir).events
+        .select(col("event_type").as("a"), lead(col("event_type"), 1).over(w).as("b"))
+        .where(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val rt = tc.groupBy("a").agg(sum("c").as("tot"))
+      val q = tc.join(broadcast(rt), "a").where(col("a") =!= "purchase")
+      val b0 = q.where(col("b") === "purchase")
+        .select(col("a"), expr("CAST(1000000 * c div tot AS BIGINT)").as("p"))
+      val tq = q.where(col("b") =!= "purchase")
+      var p = b0
+      for (_ <- 1 to 3) {
+        val prev = p.select(col("a").as("pa"), col("p").as("pp"))
+        val m = tq.join(broadcast(prev), tq("b") === col("pa"))
+          .groupBy(tq("a").as("ma"))
+          .agg(sum(expr("c * pp div tot")).as("mp"))
+        p = b0.select(col("a").as("ba"), col("p").as("bp"))
+          .join(m, col("ba") === col("ma"), "full")
+          .select(coalesce(col("ba"), col("ma")).as("a"),
+            (coalesce(col("bp"), lit(0L)) + coalesce(col("mp"), lit(0L))).as("p"))
+      }
+      p.select(col("a").as("start_type"), col("p").as("p4_ppm"))
+        .orderBy("start_type")
+    },
+
+    // 1-D earth mover's distance between click and purchase value
+    // distributions — EXACT: EMD₁ = ∫|F₁−F₂| dx telescopes to
+    // Σ (gap to next value)·|c₁·n₂ − c₂·n₁| / (n₁·n₂) over the merged
+    // value grain (q389's KS machinery with a SUM of gap-weighted
+    // terms instead of a MAX). The distance is in the value's own
+    // micro-units — the drift magnitude KS's sup-norm can't size.
+    QueryDef.sql(
+      "q420_emd_1d",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v,
+        |    lead(v) OVER (ORDER BY v) AS vn,
+        |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a1,
+        |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |  FROM g)
+        |SELECT CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+        |  CAST(SUM((vn - v) * abs(a1 * n2 - a2 * n1)) // (MIN(n1) * MIN(n2))
+        |    AS BIGINT) AS emd_micro
+        |FROM c WHERE vn IS NOT NULL""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val g = e.groupBy("v")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val wv = Window.orderBy("v")
+      val wc = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(col("v"), lead("v", 1).over(wv).as("vn"),
+        sum("c1").over(wc).as("a1"), sum("c2").over(wc).as("a2"),
+        sum("c1").over(Window.partitionBy()).as("n1"),
+        sum("c2").over(Window.partitionBy()).as("n2"))
+      c.where(col("vn").isNotNull)
+        .agg(min("n1").as("n1"), min("n2").as("n2"),
+          sum((col("vn") - col("v")) * abs(col("a1") * col("n2")
+            - col("a2") * col("n1"))).as("num"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(num div (n1 * n2) AS BIGINT)").as("emd_micro"))
+    },
+
+    // Fractional-knapsack budget plan: spend 10% of total part value
+    // on the densest parts (size per cent), whole parts in density
+    // order plus a fractional final pick — the classic greedy whose
+    // optimality makes it a SQL-expressible optimizer. Density order
+    // uses an exact cross-multiplied comparator (size·10⁶ div cents);
+    // prefix spend runs on the bounded part grain; the output is the
+    // plan summary with the exact boundary part and its fractional
+    // take in ppm.
+    QueryDef.sql(
+      "q421_knapsack",
+      """WITH p AS (SELECT p_partkey AS pk,
+        |    CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part WHERE p_retailprice > 0),
+        |b AS (SELECT SUM(cents) // 10 AS budget FROM p),
+        |r AS (SELECT pk, cents, size,
+        |    1000000 * size // cents AS density,
+        |    SUM(cents) OVER (ORDER BY 1000000 * size // cents DESC, pk
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p),
+        |full_t AS (SELECT COUNT(*) AS n_full, CAST(SUM(cents) AS BIGINT) AS spent,
+        |    CAST(SUM(size) AS BIGINT) AS size_got
+        |  FROM r, b WHERE cum <= budget),
+        |frac AS (SELECT pk, cents, size, cum FROM r, b
+        |  WHERE cum > budget AND cum - cents <= budget
+        |  ORDER BY cum LIMIT 1)
+        |SELECT CAST(b.budget AS BIGINT) AS budget_cents, full_t.n_full,
+        |  full_t.spent AS full_spent_cents, full_t.size_got,
+        |  frac.pk AS frac_part,
+        |  CAST(1000000 * (b.budget - full_t.spent) // frac.cents AS BIGINT)
+        |    AS frac_take_ppm
+        |FROM b, full_t, frac""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).part
+        .where(col("p_retailprice") > 0)
+        .select(col("p_partkey").as("pk"),
+          floor(col("p_retailprice") * lit(100.0)).cast("long").as("cents"),
+          col("p_size").cast("long").as("size"))
+      val b = p.agg(expr("sum(cents) div 10").as("budget"))
+      val wr = Window.orderBy(expr("1000000 * size div cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = p.select(col("pk"), col("cents"), col("size"),
+        sum("cents").over(wr).as("cum"))
+      val fullT = r.crossJoin(broadcast(b)).where(col("cum") <= col("budget"))
+        .agg(count(lit(1)).as("n_full"), sum("cents").as("spent"),
+          sum("size").as("size_got"))
+      val frac = r.crossJoin(broadcast(b))
+        .where(col("cum") > col("budget") && col("cum") - col("cents") <= col("budget"))
+        .orderBy("cum").limit(1)
+        .select(col("pk").as("frac_part"), col("cents").as("fc"))
+      b.crossJoin(broadcast(fullT)).crossJoin(broadcast(frac))
+        .select(col("budget").as("budget_cents"), col("n_full"),
+          col("spent").as("full_spent_cents"), col("size_got"),
+          col("frac_part"),
+          expr("CAST(1000000 * (budget - spent) div fc AS BIGINT)")
+            .as("frac_take_ppm"))
     }
   )
 }
