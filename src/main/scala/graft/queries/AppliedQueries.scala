@@ -1880,6 +1880,218 @@ object AppliedQueries {
           col("frac_part"),
           expr("CAST(1000000 * (budget - spent) div fc AS BIGINT)")
             .as("frac_take_ppm"))
+    },
+
+    // Incremental top-k maintenance under insert-only deltas — q366's
+    // IVM extended to a NON-distributive view: the maintained top-10
+    // spenders recompute only over (stored top-20 margin keys ∪
+    // delta-touched keys), merging base partials with delta partials;
+    // the full recompute runs beside it and the per-rank equality is
+    // part of the result. The margin is the classic top-k IVM
+    // safety band: an untouched key below it can only FALL.
+    QueryDef.sql(
+      "q422_ivm_topk",
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    (o_orderdate >= TIMESTAMP '2001-01-01') AS is_delta
+        |  FROM orders),
+        |base AS (SELECT ck, SUM(cents) AS c FROM o WHERE NOT is_delta GROUP BY 1),
+        |delta AS (SELECT ck, SUM(cents) AS c FROM o WHERE is_delta GROUP BY 1),
+        |margin AS (SELECT ck FROM base ORDER BY c DESC, ck LIMIT 20),
+        |cand AS (SELECT ck FROM margin UNION SELECT ck FROM delta),
+        |incr AS (SELECT cand.ck,
+        |    COALESCE(b.c, 0) + COALESCE(d.c, 0) AS c
+        |  FROM cand LEFT JOIN base b ON cand.ck = b.ck
+        |  LEFT JOIN delta d ON cand.ck = d.ck),
+        |itop AS (SELECT ck, c, row_number() OVER (ORDER BY c DESC, ck) AS rk
+        |         FROM incr ORDER BY rk LIMIT 10),
+        |ftop AS (SELECT ck, c, row_number() OVER (ORDER BY c DESC, ck) AS rk
+        |  FROM (SELECT ck, SUM(cents) AS c FROM o GROUP BY 1) ORDER BY rk LIMIT 10)
+        |SELECT ftop.rk AS rank, ftop.ck AS custkey,
+        |  CAST(ftop.c AS BIGINT) AS full_cents,
+        |  CAST(itop.c AS BIGINT) AS incr_cents,
+        |  CAST(CASE WHEN ftop.ck = itop.ck AND ftop.c = itop.c
+        |    THEN 1 ELSE 0 END AS BIGINT) AS match
+        |FROM ftop JOIN itop ON ftop.rk = itop.rk
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(col("o_custkey").as("ck"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"),
+          (col("o_orderdate") >= lit("2001-01-01").cast("timestamp")).as("is_delta"))
+      val base = o.where(!col("is_delta")).groupBy("ck").agg(sum("cents").as("bc"))
+      val delta = o.where(col("is_delta")).groupBy("ck").agg(sum("cents").as("dc"))
+      val margin = base.orderBy(col("bc").desc, col("ck")).limit(20).select("ck")
+      val cand = margin.union(delta.select("ck")).distinct()
+      val incr = cand.join(base, Seq("ck"), "left").join(delta, Seq("ck"), "left")
+        .select(col("ck"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+      val itop = incr.select(col("ck").as("ick"), col("c").as("ic"),
+          row_number().over(Window.orderBy(col("c").desc, col("ck"))).as("rk"))
+        .where(col("rk") <= 10)
+      val ftop = o.groupBy("ck").agg(sum("cents").as("c"))
+        .select(col("ck"), col("c"),
+          row_number().over(Window.orderBy(col("c").desc, col("ck"))).as("rk"))
+        .where(col("rk") <= 10)
+      ftop.join(itop, "rk")
+        .select(col("rk").as("rank"), col("ck").as("custkey"),
+          col("c").as("full_cents"), col("ic").as("incr_cents"),
+          when(col("ck") === col("ick") && col("c") === col("ic"), 1L)
+            .otherwise(0L).as("match"))
+        .orderBy("rank")
+    },
+
+    // Locally-dominant greedy matching: an edge joins the matching iff
+    // it is the best-weight edge at BOTH endpoints (deterministic
+    // tie-break), then matched nodes drop out and a second round runs
+    // — the parallel greedy that approximates maximum-weight matching
+    // with NO sequential scan (each round is two per-node argmax
+    // windows on the edge grain). The pairing engine behind
+    // supplier↔market assignment at scale.
+    QueryDef.sql(
+      "q423_dominant_matching",
+      """WITH lanes AS MATERIALIZED (SELECT
+        |    LEAST(c.c_nationkey, s.s_nationkey) AS a,
+        |    GREATEST(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        |r1 AS (SELECT a, b, w FROM (
+        |    SELECT a, b, w,
+        |      row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS ra,
+        |      row_number() OVER (PARTITION BY b ORDER BY w DESC, a) AS rb
+        |    FROM lanes) WHERE ra = 1 AND rb = 1),
+        |rem AS (SELECT l.a, l.b, l.w FROM lanes l
+        |  WHERE NOT EXISTS (SELECT 1 FROM r1 WHERE r1.a = l.a OR r1.b = l.a
+        |                    OR r1.a = l.b OR r1.b = l.b)),
+        |r2 AS (SELECT a, b, w FROM (
+        |    SELECT a, b, w,
+        |      row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS ra,
+        |      row_number() OVER (PARTITION BY b ORDER BY w DESC, a) AS rb
+        |    FROM rem) WHERE ra = 1 AND rb = 1)
+        |SELECT a, b, CAST(w AS BIGINT) AS weight, 1 AS round FROM r1
+        |UNION ALL SELECT a, b, CAST(w AS BIGINT), 2 FROM r2
+        |ORDER BY round, a""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .agg(count(lit(1)).as("w"))
+      def round(e: DataFrame): DataFrame = e
+        .select(col("a"), col("b"), col("w"),
+          row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b"))).as("ra"),
+          row_number().over(Window.partitionBy("b").orderBy(col("w").desc, col("a"))).as("rb"))
+        .where(col("ra") === 1 && col("rb") === 1)
+        .select("a", "b", "w")
+      val r1 = round(lanes)
+      val matched = r1.select(col("a").as("n")).union(r1.select(col("b"))).distinct()
+      val rem = lanes
+        .join(matched, lanes("a") === col("n"), "left_anti")
+        .join(matched, lanes("b") === col("n"), "left_anti")
+      val r2 = round(rem)
+      r1.withColumn("round", lit(1L))
+        .unionByName(r2.withColumn("round", lit(2L)))
+        .select(col("a"), col("b"), col("w").as("weight"), col("round"))
+        .orderBy("round", "a")
+    },
+
+    // Subgroup discovery: the (nation × part-type) segments whose
+    // return rate deviates most from the corpus rate — exact ppm
+    // lifts, a relative support floor (n ≥ total/500) so tiny noisy
+    // cells can't top the list, ranked by absolute deviation. The
+    // one-pass mining shape behind "which segment is broken?" drill-
+    // downs at fact scale.
+    QueryDef.sql(
+      "q424_subgroup_discovery",
+      """WITH f AS (SELECT n.n_name, p.p_type,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT n_name, p_type, COUNT(*) AS n, SUM(r) AS nr
+        |      FROM f GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tn, SUM(nr) AS tnr FROM g),
+        |s AS (SELECT g.n_name, g.p_type, g.n,
+        |    CAST(1000000 * g.nr // g.n AS BIGINT) AS rate_ppm,
+        |    CAST(1000000 * t.tnr // t.tn AS BIGINT) AS global_ppm
+        |  FROM g, t WHERE g.n * 500 >= t.tn)
+        |SELECT n_name, p_type, CAST(n AS BIGINT) AS n, rate_ppm, global_ppm,
+        |  rate_ppm - global_ppm AS lift_ppm
+        |FROM s ORDER BY abs(rate_ppm - global_ppm) DESC, n_name, p_type
+        |LIMIT 15""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val g = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+        .groupBy("n_name", "p_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"))
+      val tt = g.agg(sum("n").as("tn"), sum("nr").as("tnr"))
+      g.crossJoin(broadcast(tt))
+        .where(col("n") * 500 >= col("tn"))
+        .select(col("n_name"), col("p_type"), col("n"),
+          expr("CAST(1000000 * nr div n AS BIGINT)").as("rate_ppm"),
+          expr("CAST(1000000 * tnr div tn AS BIGINT)").as("global_ppm"))
+        .withColumn("lift_ppm", col("rate_ppm") - col("global_ppm"))
+        .orderBy(abs(col("lift_ppm")).desc, col("n_name"), col("p_type"))
+        .limit(15)
+    },
+
+    // Business-day SLA audit: promise = 5 business days after the
+    // order date via the closed-form weekday offset (the 1995-01-01
+    // epoch is a Sunday, so dow = day mod 7 — pure integer calendar
+    // arithmetic, no engine dayofweek() numbering involved); lines
+    // shipping past the promise are late. Per-priority exact late
+    // shares and mean overshoot — the calendar twin of q347's raw
+    // ship-offset quantiles.
+    QueryDef.sql(
+      "q425_business_days",
+      """WITH f AS (SELECT o.o_orderpriority AS pri,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o.o_orderdate) AS od,
+        |    date_diff('day', TIMESTAMP '1995-01-01', l.l_shipdate) AS sd
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |p AS (SELECT pri, sd,
+        |    od + CASE od % 7 WHEN 0 THEN 5 WHEN 6 THEN 6 ELSE 7 END AS promise
+        |  FROM f)
+        |SELECT pri, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE sd > promise) AS n_late,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE sd > promise) // COUNT(*)
+        |    AS BIGINT) AS late_ppm,
+        |  CAST(COALESCE(SUM(sd - promise) FILTER (WHERE sd > promise), 0)
+        |    // GREATEST(COUNT(*) FILTER (WHERE sd > promise), 1) AS BIGINT)
+        |    AS mean_overshoot_days
+        |FROM p GROUP BY 1 ORDER BY pri""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val f = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("od"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("sd"))
+      val p = f.select(col("pri"), col("sd"),
+        (col("od") + expr("CASE od % 7 WHEN 0 THEN 5 WHEN 6 THEN 6 ELSE 7 END"))
+          .as("promise"))
+      p.groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sd") > col("promise"), 1L).otherwise(0L)).as("n_late"),
+          coalesce(sum(when(col("sd") > col("promise"), col("sd") - col("promise"))),
+            lit(0L)).as("overshoot"))
+        .select(col("pri"), col("n"), col("n_late"),
+          expr("CAST(1000000 * n_late div n AS BIGINT)").as("late_ppm"),
+          expr("CAST(overshoot div GREATEST(n_late, 1) AS BIGINT)")
+            .as("mean_overshoot_days"))
+        .orderBy("pri")
     }
   )
 }
