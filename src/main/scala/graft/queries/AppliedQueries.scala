@@ -2092,6 +2092,201 @@ object AppliedQueries {
           expr("CAST(overshoot div GREATEST(n_late, 1) AS BIGINT)")
             .as("mean_overshoot_days"))
         .orderBy("pri")
+    },
+
+    // Grid-density clustering (DBSCAN's grid cousin): orders binned
+    // into (month, $10k) cells, cells with above-average density
+    // (n·|cells| > total — scale-free) survive, and adjacent dense cells (8-neighborhood)
+    // merge via three min-label propagation rounds — everything after
+    // the one binning pass runs on the bounded cell grain, the way
+    // density clustering actually scales (cluster cells, not rows).
+    // Output is the cluster census keyed by the minimum cell id.
+    QueryDef.sql(
+      "q426_density_clusters",
+      """WITH b AS (SELECT
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 30 AS gx,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) // 1000000 AS gy,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tot, COUNT(*) AS nc FROM b),
+        |dense AS (SELECT b.gx, b.gy, b.n, b.gx * 100000 + b.gy AS cid
+        |          FROM b, t WHERE b.n * t.nc > t.tot),
+        |adj AS (SELECT a.cid AS ca, c.cid AS cb FROM dense a JOIN dense c
+        |  ON abs(a.gx - c.gx) <= 1 AND abs(a.gy - c.gy) <= 1),
+        |l1 AS (SELECT ca, MIN(cb) AS lbl FROM adj GROUP BY 1),
+        |l2 AS (SELECT adj.ca, MIN(l1.lbl) AS lbl FROM adj
+        |       JOIN l1 ON adj.cb = l1.ca GROUP BY 1),
+        |l3 AS (SELECT adj.ca, MIN(l2.lbl) AS lbl FROM adj
+        |       JOIN l2 ON adj.cb = l2.ca GROUP BY 1)
+        |SELECT l3.lbl AS cluster_id, COUNT(*) AS n_cells,
+        |  CAST(SUM(dense.n) AS BIGINT) AS n_rows
+        |FROM l3 JOIN dense ON l3.ca = dense.cid
+        |GROUP BY 1 ORDER BY n_rows DESC, cluster_id""".stripMargin) { (s, dir) =>
+      val b = Tables(s, dir).orders
+        .groupBy(expr("CAST(datediff(to_date(o_orderdate), DATE '1995-01-01')" +
+            " AS BIGINT) div 30").as("gx"),
+          expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) div 1000000").as("gy"))
+        .agg(count(lit(1)).as("n"))
+      val t = b.agg(sum("n").as("tot"), count(lit(1)).as("nc"))
+      val dense = b.crossJoin(broadcast(t))
+        .where(col("n") * col("nc") > col("tot"))
+        .select(col("gx"), col("gy"), col("n"),
+          (col("gx") * 100000 + col("gy")).as("cid"))
+      val c2 = dense.select(col("gx").as("gx2"), col("gy").as("gy2"),
+        col("cid").as("cb"))
+      val adj = dense.join(c2,
+        abs(col("gx") - col("gx2")) <= 1 && abs(col("gy") - col("gy2")) <= 1)
+        .select(col("cid").as("ca"), col("cb"))
+      var lbl = adj.groupBy("ca").agg(min("cb").as("lbl"))
+      for (_ <- 1 to 2) {
+        val prev = lbl.select(col("ca").as("pa"), col("lbl").as("pl"))
+        lbl = adj.join(prev, col("cb") === col("pa"))
+          .groupBy("ca").agg(min("pl").as("lbl"))
+      }
+      lbl.join(dense.select(col("cid"), col("n")), col("ca") === col("cid"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_rows"))
+        .orderBy(col("n_rows").desc, col("cluster_id"))
+    },
+
+    // 2×2 association: odds ratio and relative risk of a line being
+    // returned given a deep discount (≥ 5%) — exact milli-units from
+    // the four cell counts (GREATEST(…,1) guards division; with these
+    // volumes no cell is empty). The epidemiology-style effect pair
+    // that q313's Cramér's V (symmetric, unitless) can't report.
+    QueryDef.sql(
+      "q427_odds_ratio",
+      """WITH f AS (SELECT
+        |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS exposed,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS outcome
+        |  FROM lineitem),
+        |c AS (SELECT
+        |    COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 1) AS a,
+        |    COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 0) AS b,
+        |    COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 1) AS c,
+        |    COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 0) AS d
+        |  FROM f)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CAST(1000 * a * d // GREATEST(b * c, 1) AS BIGINT) AS odds_ratio_milli,
+        |  CAST(1000 * a * (c + d) // GREATEST(c * (a + b), 1) AS BIGINT)
+        |    AS rel_risk_milli
+        |FROM c""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .select(when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("outcome"))
+        .agg(sum(when(col("exposed") === 1 && col("outcome") === 1, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("exposed") === 1 && col("outcome") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("exposed") === 0 && col("outcome") === 1, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("exposed") === 0 && col("outcome") === 0, 1L)
+            .otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          expr("CAST(1000 * a * d div GREATEST(b * c, 1) AS BIGINT)")
+            .as("odds_ratio_milli"),
+          expr("CAST(1000 * a * (c + d) div GREATEST(c * (a + b), 1) AS BIGINT)")
+            .as("rel_risk_milli"))
+    },
+
+    // Median-of-means robust mean estimator: orders hash into 16
+    // deterministic buckets (portable md5 arm), the bucket means are
+    // exact floored integers, and the estimate is their rank-index
+    // median — the heavy-tail-robust, trivially mergeable alternative
+    // to the raw mean, with the worst bucket's deviation as the
+    // sensitivity diagnostic. One pass + a 16-row reduction.
+    QueryDef.sql(
+      "q428_median_of_means",
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16
+        |      AS bkt
+        |  FROM orders),
+        |g AS (SELECT bkt, COUNT(*) AS n, SUM(cents) // COUNT(*) AS mean
+        |      FROM o GROUP BY 1),
+        |r AS (SELECT bkt, n, mean,
+        |    row_number() OVER (ORDER BY mean, bkt) AS rk,
+        |    COUNT(*) OVER () AS nb FROM g),
+        |mm AS (SELECT MAX(CASE WHEN rk = (nb + 1) // 2 THEN mean END) AS mom
+        |       FROM r),
+        |ov AS (SELECT SUM(cents) // COUNT(*) AS overall, COUNT(*) AS n FROM o)
+        |SELECT CAST(ov.n AS BIGINT) AS n, CAST(ov.overall AS BIGINT)
+        |    AS overall_mean_cents,
+        |  CAST(mm.mom AS BIGINT) AS mom_cents,
+        |  CAST((SELECT MAX(abs(mean - mm.mom)) FROM g) AS BIGINT)
+        |    AS max_bucket_dev
+        |FROM ov, mm""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .withColumn("bkt",
+          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % 16"))
+      val g = o.groupBy("bkt")
+        .agg(count(lit(1)).as("n"), expr("sum(cents) div count(1)").as("mean"))
+      val mm = g.select(col("bkt"), col("mean"),
+          row_number().over(Window.orderBy("mean", "bkt")).as("rk"),
+          count(lit(1)).over(Window.partitionBy()).as("nb"))
+        .where(col("rk") === expr("(nb + 1) div 2"))
+        .agg(max("mean").as("mom"))
+      val ov = o.agg(expr("sum(cents) div count(1)").as("overall"),
+        count(lit(1)).as("n"))
+      val dev = g.crossJoin(broadcast(mm))
+        .agg(max(abs(col("mean") - col("mom"))).as("max_bucket_dev"))
+      ov.crossJoin(broadcast(mm)).crossJoin(broadcast(dev))
+        .select(col("n"), col("overall").as("overall_mean_cents"),
+          col("mom").as("mom_cents"), col("max_bucket_dev"))
+    },
+
+    // Physical-sortedness audit: how monotone is ship date along the
+    // (orderkey, linenumber) storage order, measured WITHIN insertion
+    // chunks (LAG windows partitioned by chunk — never one global
+    // sort): ascending-pair share, break count, run count, and mean
+    // run length. The direct input to q362's zone-map advisor — a
+    // table this unsorted prunes nothing until re-clustered.
+    QueryDef.sql(
+      "q429_sortedness",
+      """WITH l AS (SELECT l_orderkey // 512 AS chunk, l_orderkey AS k,
+        |    l_linenumber AS ln,
+        |    date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS d
+        |  FROM lineitem),
+        |s AS (SELECT chunk, d,
+        |    lag(d) OVER (PARTITION BY chunk ORDER BY k, ln, d) AS pd
+        |  FROM l),
+        |p AS (SELECT
+        |    COUNT(*) FILTER (WHERE pd IS NOT NULL) AS n_pairs,
+        |    COUNT(*) FILTER (WHERE pd IS NOT NULL AND d < pd) AS n_breaks,
+        |    COUNT(*) AS n_rows
+        |  FROM s)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_breaks AS BIGINT) AS n_breaks,
+        |  CAST(1000000 * (n_pairs - n_breaks) // n_pairs AS BIGINT)
+        |    AS sorted_ppm,
+        |  CAST(1000 * n_rows // (n_breaks + (SELECT COUNT(DISTINCT chunk) FROM l))
+        |    AS BIGINT) AS mean_run_len_milli
+        |FROM p""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+        .select(expr("l_orderkey div 512").as("chunk"), col("l_orderkey").as("k"),
+          col("l_linenumber").as("ln"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d"))
+      // (k, ln) is NOT unique in the fixture — d completes a total order
+      val w = Window.partitionBy("chunk").orderBy("k", "ln", "d")
+      val sdf = l.select(col("chunk"), col("d"), lag("d", 1).over(w).as("pd"))
+      val p = sdf.agg(
+        sum(when(col("pd").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("pd").isNotNull && col("d") < col("pd"), 1L).otherwise(0L))
+          .as("n_breaks"),
+        count(lit(1)).as("n_rows"))
+      val nc = l.agg(countDistinct("chunk").as("n_chunks"))
+      p.crossJoin(broadcast(nc))
+        .select(col("n_rows"), col("n_pairs"), col("n_breaks"),
+          expr("CAST(1000000 * (n_pairs - n_breaks) div n_pairs AS BIGINT)")
+            .as("sorted_ppm"),
+          expr("CAST(1000 * n_rows div (n_breaks + n_chunks) AS BIGINT)")
+            .as("mean_run_len_milli"))
     }
   )
 }
