@@ -2287,6 +2287,272 @@ object AppliedQueries {
             .as("sorted_ppm"),
           expr("CAST(1000 * n_rows div (n_breaks + n_chunks) AS BIGINT)")
             .as("mean_run_len_milli"))
+    },
+
+    // Fleiss' kappa over three deterministic document "raters" (length,
+    // stopword share, lexical diversity — each votes keep/drop):
+    // chance-corrected inter-rater agreement, the annotation-QA
+    // statistic for labeling pipelines. Per-doc pair agreement and the
+    // category-share chance term are exact integer sums (×10⁶ scale);
+    // the final kappa is one signed DOUBLE division. One pass over
+    // docs; everything else reduces on scalars.
+    QueryDef.sql(
+      "q430_fleiss_kappa",
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN 5 * (length(text) - length(replace(replace(text, ' a ', '  '),
+        |         ' the ', '  '))) <= length(text) THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+        |         >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS r3
+        |  FROM documents),
+        |d AS (SELECT doc_id, r1 + r2 + r3 AS k FROM f),
+        |m AS (SELECT COUNT(*) AS n, SUM(k) AS keeps,
+        |    SUM(k * (k - 1) + (3 - k) * (2 - k)) AS agree2
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(1000000 * agree2 // (n * 6) AS BIGINT) AS pbar_ppm,
+        |  CAST((1000000 * keeps // (3 * n)) AS BIGINT) AS p_keep_ppm,
+        |  CAST(FLOOR(1000.0 * (CAST(agree2 AS DOUBLE) / (6.0 * n)
+        |      - (CAST(keeps AS DOUBLE) / (3 * n)) * (CAST(keeps AS DOUBLE) / (3 * n))
+        |      - (1 - CAST(keeps AS DOUBLE) / (3 * n))
+        |        * (1 - CAST(keeps AS DOUBLE) / (3 * n)))
+        |    / (1 - (CAST(keeps AS DOUBLE) / (3 * n)) * (CAST(keeps AS DOUBLE) / (3 * n))
+        |       - (1 - CAST(keeps AS DOUBLE) / (3 * n))
+        |         * (1 - CAST(keeps AS DOUBLE) / (3 * n)))) AS BIGINT) AS kappa_milli
+        |FROM m""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir).documents
+        .select(col("doc_id"),
+          when(length(col("text")) >= 150, 1L).otherwise(0L).as("r1"),
+          when(lit(5) * (length(col("text"))
+              - length(regexp_replace(regexp_replace(col("text"), " a ", "  "),
+                " the ", "  "))) <= length(col("text")), 1L).otherwise(0L).as("r2"),
+          when(lit(2) * size(array_distinct(split(col("text"), " ")))
+              >= size(split(col("text"), " ")), 1L).otherwise(0L).as("r3"))
+      val d = f.select(col("doc_id"), (col("r1") + col("r2") + col("r3")).as("k"))
+      d.agg(count(lit(1)).as("n"), sum("k").as("keeps"),
+          sum(col("k") * (col("k") - 1) + (lit(3) - col("k")) * (lit(2) - col("k")))
+            .as("agree2"))
+        .select(col("n").as("n_docs"),
+          expr("CAST(1000000 * agree2 div (n_docs * 6) AS BIGINT)").as("pbar_ppm"),
+          expr("CAST(1000000 * keeps div (3 * n_docs) AS BIGINT)").as("p_keep_ppm"),
+          expr("CAST(FLOOR(1000.0D * (CAST(agree2 AS DOUBLE) / (6.0D * n_docs)" +
+            " - (CAST(keeps AS DOUBLE) / (3 * n_docs)) * (CAST(keeps AS DOUBLE) / (3 * n_docs))" +
+            " - (1 - CAST(keeps AS DOUBLE) / (3 * n_docs))" +
+            " * (1 - CAST(keeps AS DOUBLE) / (3 * n_docs)))" +
+            " / (1 - (CAST(keeps AS DOUBLE) / (3 * n_docs)) * (CAST(keeps AS DOUBLE) / (3 * n_docs))" +
+            " - (1 - CAST(keeps AS DOUBLE) / (3 * n_docs))" +
+            " * (1 - CAST(keeps AS DOUBLE) / (3 * n_docs)))) AS BIGINT)")
+            .as("kappa_milli"))
+    },
+
+    // Rank aggregation by Borda count over three supplier merit
+    // criteria (revenue, volume, distinct customers), plus the
+    // Condorcet check — does the Borda winner also beat every rival
+    // pairwise on a majority of criteria? The social-choice toolkit
+    // for merging heterogeneous rankings (q351's RRF is score-based;
+    // Borda/Condorcet are position-based and majority-based). All
+    // ranks on the supplier grain; the pairwise test runs on the
+    // top-10 × top-10 frame.
+    QueryDef.sql(
+      "q431_rank_aggregation",
+      """WITH m AS (SELECT l.l_suppkey AS sk,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS rev,
+        |    SUM(CAST(l.l_quantity AS BIGINT)) AS vol,
+        |    COUNT(DISTINCT o.o_custkey) AS ncust
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |r AS (SELECT sk,
+        |    row_number() OVER (ORDER BY rev DESC, sk) AS r1,
+        |    row_number() OVER (ORDER BY vol DESC, sk) AS r2,
+        |    row_number() OVER (ORDER BY ncust DESC, sk) AS r3
+        |  FROM m),
+        |borda AS (SELECT sk, r1, r2, r3,
+        |    GREATEST(11 - r1, 0) + GREATEST(11 - r2, 0) + GREATEST(11 - r3, 0)
+        |      AS score
+        |  FROM r),
+        |top AS (SELECT * FROM borda WHERE score > 0
+        |        ORDER BY score DESC, sk LIMIT 10),
+        |pw AS (SELECT a.sk,
+        |    SUM(CASE WHEN (CASE WHEN a.r1 < b.r1 THEN 1 ELSE 0 END
+        |           + CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END
+        |           + CASE WHEN a.r3 < b.r3 THEN 1 ELSE 0 END) >= 2
+        |      THEN 1 ELSE 0 END) AS wins
+        |  FROM top a JOIN top b ON a.sk <> b.sk GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n FROM top)
+        |SELECT top.sk AS suppkey, CAST(top.score AS BIGINT) AS borda_score,
+        |  CAST(pw.wins AS BIGINT) AS pairwise_wins,
+        |  CAST(CASE WHEN pw.wins = nt.n - 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS condorcet_winner
+        |FROM top JOIN pw ON top.sk = pw.sk CROSS JOIN nt
+        |ORDER BY borda_score DESC, suppkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val m = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("rev"),
+          sum(col("l_quantity").cast("long")).as("vol"),
+          countDistinct("o_custkey").as("ncust"))
+      val r = m.select(col("sk"),
+        row_number().over(Window.orderBy(col("rev").desc, col("sk"))).cast("long").as("r1"),
+        row_number().over(Window.orderBy(col("vol").desc, col("sk"))).cast("long").as("r2"),
+        row_number().over(Window.orderBy(col("ncust").desc, col("sk"))).cast("long").as("r3"))
+      val borda = r.select(col("sk"), col("r1"), col("r2"), col("r3"),
+        (greatest(lit(11L) - col("r1"), lit(0L))
+          + greatest(lit(11L) - col("r2"), lit(0L))
+          + greatest(lit(11L) - col("r3"), lit(0L))).as("score"))
+      val top = borda.where(col("score") > 0)
+        .orderBy(col("score").desc, col("sk")).limit(10)
+      val b2 = top.select(col("sk").as("sk2"), col("r1").as("b1"),
+        col("r2").as("b2"), col("r3").as("b3"))
+      val pw = top.join(broadcast(b2), col("sk") =!= col("sk2"))
+        .groupBy("sk")
+        .agg(sum(when(
+          (when(col("r1") < col("b1"), 1).otherwise(0)
+            + when(col("r2") < col("b2"), 1).otherwise(0)
+            + when(col("r3") < col("b3"), 1).otherwise(0)) >= 2, 1L)
+          .otherwise(0L)).as("wins"))
+      val nt = top.agg(count(lit(1)).as("ntop"))
+      top.join(pw, "sk").crossJoin(broadcast(nt))
+        .select(col("sk").as("suppkey"), col("score").as("borda_score"),
+          col("wins").as("pairwise_wins"),
+          when(col("wins") === col("ntop") - 1, 1L).otherwise(0L)
+            .as("condorcet_winner"))
+        .orderBy(col("borda_score").desc, col("suppkey"))
+    },
+
+    // Maximal independent set via Luby's algorithm (2 deterministic
+    // rounds): each node draws a portable-md5 priority; a node enters
+    // the MIS when its priority beats every remaining neighbor's, then
+    // its closed neighborhood leaves the graph — the textbook
+    // PARALLEL symmetry-breaker (greedy coloring's sequential scan
+    // re-expressed as per-node argmin joins at edge grain). Runs on
+    // the above-average strong-lane graph — the raw trade graph is
+    // near-complete, whose MIS degenerates to one node.
+    QueryDef.sql(
+      "q432_luby_mis",
+      """WITH lanes AS MATERIALIZED (SELECT c.c_nationkey AS a,
+        |    s.s_nationkey AS b, COUNT(*) AS cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        |mm AS (SELECT SUM(cnt) AS tot, COUNT(*) AS nl FROM lanes),
+        |e0 AS MATERIALIZED (SELECT a, b FROM lanes, mm WHERE cnt * nl > tot),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |     UNION SELECT b, a FROM e0),
+        |n1 AS (SELECT DISTINCT src AS nk FROM e),
+        |pr AS (SELECT nk,
+        |    ('0x' || substr(md5(CAST(nk AS VARCHAR)), 1, 8))::BIGINT AS p
+        |  FROM n1),
+        |m1 AS (SELECT pr.nk FROM pr WHERE NOT EXISTS (
+        |    SELECT 1 FROM e JOIN pr q ON e.dst = q.nk
+        |    WHERE e.src = pr.nk AND (q.p < pr.p
+        |      OR (q.p = pr.p AND q.nk < pr.nk)))),
+        |gone1 AS (SELECT nk FROM m1
+        |  UNION SELECT e.dst FROM e JOIN m1 ON e.src = m1.nk),
+        |n2 AS (SELECT nk FROM n1 WHERE nk NOT IN (SELECT nk FROM gone1)),
+        |m2 AS (SELECT n2.nk FROM n2 JOIN pr ON n2.nk = pr.nk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e JOIN pr q ON e.dst = q.nk
+        |    JOIN n2 x ON q.nk = x.nk
+        |    WHERE e.src = pr.nk AND (q.p < pr.p
+        |      OR (q.p = pr.p AND q.nk < pr.nk))))
+        |SELECT nn.n_name, CAST(1 AS BIGINT) AS mis_round
+        |FROM m1 JOIN nation nn ON m1.nk = nn.n_nationkey
+        |UNION ALL
+        |SELECT nn.n_name, 2 FROM m2 JOIN nation nn ON m2.nk = nn.n_nationkey
+        |ORDER BY mis_round, n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lanes = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("a"),
+          col("s_nationkey").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val mm = lanes.agg(sum("cnt").as("tot"), count(lit(1)).as("nl"))
+      val e0 = lanes.crossJoin(broadcast(mm))
+        .where(col("cnt") * col("nl") > col("tot")).select("a", "b")
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b"), col("a"))).distinct()
+      val pr = e.select(col("src").as("nk")).distinct()
+        .withColumn("p",
+          expr("CAST(conv(substring(md5(CAST(nk AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT)"))
+      def misRound(nodes: DataFrame): DataFrame = {
+        val np = nodes.join(pr, "nk")
+        val beat = e
+          .join(np.select(col("nk").as("src"), col("p").as("sp")), "src")
+          .join(np.select(col("nk").as("dst"), col("p").as("dp"),
+            col("nk").as("dk")), "dst")
+          .where(col("dp") < col("sp")
+            || (col("dp") === col("sp") && col("dk") < col("src")))
+          .select(col("src").as("nk")).distinct()
+        np.join(beat, Seq("nk"), "left_anti").select("nk")
+      }
+      val n1 = pr.select("nk")
+      val m1 = misRound(n1)
+      val gone = m1.union(e.join(m1.withColumnRenamed("nk", "src"), Seq("src"))
+        .select(col("dst").as("nk"))).distinct()
+      val n2 = n1.join(gone, Seq("nk"), "left_anti")
+      val m2 = misRound(n2)
+      m1.withColumn("mis_round", lit(1L))
+        .unionByName(m2.withColumn("mis_round", lit(2L)))
+        .join(broadcast(t.nation), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("mis_round"))
+        .orderBy("mis_round", "n_name")
+    },
+
+    // Count-min-sketch accuracy sweep: the top-10 heavy part keys
+    // estimated from 4-row CMS sketches at widths 256/1024/4096
+    // against exact counts — the width-vs-overcount tradeoff curve
+    // that sizes a production sketch (q87's heavy hitters pinned one
+    // config; this prices the knob). Bucket sums aggregate on the
+    // (seed, width, bucket) grain; estimates are the min over seeds of
+    // the key's bucket sum; overcount in exact ppm.
+    QueryDef.sql(
+      "q433_cms_sweep",
+      """WITH k AS (SELECT l_partkey AS pk, COUNT(*) AS c FROM lineitem
+        |  GROUP BY 1),
+        |seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+        |widths AS (SELECT unnest([256, 1024, 4096]) AS w),
+        |hb AS (SELECT k.pk, k.c, s.seed, wd.w,
+        |    ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':'
+        |       || CAST(k.pk AS VARCHAR)), 1, 8))::BIGINT % wd.w AS bkt
+        |  FROM k, seeds s, widths wd),
+        |bs AS (SELECT seed, w, bkt, SUM(c) AS bsum FROM hb GROUP BY 1, 2, 3),
+        |top AS (SELECT pk, c FROM k ORDER BY c DESC, pk LIMIT 10),
+        |est AS (SELECT hb.pk, hb.w, MIN(bs.bsum) AS est
+        |  FROM hb JOIN top ON hb.pk = top.pk
+        |  JOIN bs ON hb.seed = bs.seed AND hb.w = bs.w AND hb.bkt = bs.bkt
+        |  GROUP BY 1, 2)
+        |SELECT est.w AS width, est.pk AS partkey, CAST(top.c AS BIGINT) AS exact,
+        |  CAST(est.est AS BIGINT) AS cms_est,
+        |  CAST(1000000 * (est.est - top.c) // top.c AS BIGINT) AS overcount_ppm
+        |FROM est JOIN top ON est.pk = top.pk
+        |ORDER BY width, exact DESC, partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val k = Tables(s, dir).lineitem
+        .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("c"))
+      val seeds = s.range(0, 4).select(col("id").as("seed"))
+      val widths = Seq(256L, 1024L, 4096L).toDF("w")
+      val hb = k.crossJoin(broadcast(seeds)).crossJoin(broadcast(widths))
+        .withColumn("bkt",
+          expr("CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':'," +
+            " CAST(pk AS STRING))), 1, 8), 16, 10) AS BIGINT) % w"))
+      val bs = hb.groupBy("seed", "w", "bkt").agg(sum("c").as("bsum"))
+      val top = k.orderBy(col("c").desc, col("pk")).limit(10)
+      val est = hb.join(broadcast(top.select(col("pk"))), "pk")
+        .join(bs, Seq("seed", "w", "bkt"))
+        .groupBy("pk", "w").agg(min("bsum").as("est"))
+      est.join(broadcast(top), "pk")
+        .select(col("w").as("width"), col("pk").as("partkey"),
+          col("c").as("exact"), col("est").as("cms_est"),
+          expr("CAST(1000000 * (est - c) div c AS BIGINT)").as("overcount_ppm"))
+        .orderBy(col("width"), col("exact").desc, col("partkey"))
     }
   )
 }
