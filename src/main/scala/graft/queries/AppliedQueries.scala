@@ -1941,8 +1941,9 @@ object AppliedQueries {
     },
 
     // Locally-dominant greedy matching: an edge joins the matching iff
-    // it is the best-weight edge at BOTH endpoints (deterministic
-    // tie-break), then matched nodes drop out and a second round runs
+    // it is the best-weight edge in BOTH endpoints' full incidence
+    // lists (deterministic tie-break), then matched nodes drop out and
+    // a second round runs
     // — the parallel greedy that approximates maximum-weight matching
     // with NO sequential scan (each round is two per-node argmax
     // windows on the edge grain). The pairing engine behind
@@ -1957,19 +1958,25 @@ object AppliedQueries {
         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
-        |r1 AS (SELECT a, b, w FROM (
-        |    SELECT a, b, w,
-        |      row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS ra,
-        |      row_number() OVER (PARTITION BY b ORDER BY w DESC, a) AS rb
-        |    FROM lanes) WHERE ra = 1 AND rb = 1),
+        |inc1 AS (SELECT a AS n, a, b, w FROM lanes
+        |         UNION ALL SELECT b, a, b, w FROM lanes),
+        |best1 AS (SELECT a, b FROM (SELECT n, a, b,
+        |      row_number() OVER (PARTITION BY n ORDER BY w DESC, a, b) AS rk
+        |    FROM inc1) WHERE rk = 1),
+        |r1 AS (SELECT l.a, l.b, l.w FROM lanes l
+        |  WHERE 2 = (SELECT COUNT(*) FROM best1
+        |             WHERE best1.a = l.a AND best1.b = l.b)),
         |rem AS (SELECT l.a, l.b, l.w FROM lanes l
         |  WHERE NOT EXISTS (SELECT 1 FROM r1 WHERE r1.a = l.a OR r1.b = l.a
         |                    OR r1.a = l.b OR r1.b = l.b)),
-        |r2 AS (SELECT a, b, w FROM (
-        |    SELECT a, b, w,
-        |      row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS ra,
-        |      row_number() OVER (PARTITION BY b ORDER BY w DESC, a) AS rb
-        |    FROM rem) WHERE ra = 1 AND rb = 1)
+        |inc2 AS (SELECT a AS n, a, b, w FROM rem
+        |         UNION ALL SELECT b, a, b, w FROM rem),
+        |best2 AS (SELECT a, b FROM (SELECT n, a, b,
+        |      row_number() OVER (PARTITION BY n ORDER BY w DESC, a, b) AS rk
+        |    FROM inc2) WHERE rk = 1),
+        |r2 AS (SELECT l.a, l.b, l.w FROM rem l
+        |  WHERE 2 = (SELECT COUNT(*) FROM best2
+        |             WHERE best2.a = l.a AND best2.b = l.b))
         |SELECT a, b, CAST(w AS BIGINT) AS weight, 1 AS round FROM r1
         |UNION ALL SELECT a, b, CAST(w AS BIGINT), 2 FROM r2
         |ORDER BY round, a""".stripMargin) { (s, dir) =>
@@ -1983,12 +1990,20 @@ object AppliedQueries {
         .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
           greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
         .agg(count(lit(1)).as("w"))
-      def round(e: DataFrame): DataFrame = e
-        .select(col("a"), col("b"), col("w"),
-          row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b"))).as("ra"),
-          row_number().over(Window.partitionBy("b").orderBy(col("w").desc, col("a"))).as("rb"))
-        .where(col("ra") === 1 && col("rb") === 1)
-        .select("a", "b", "w")
+      // dominance must rank over a NODE's full incidence (a node appears
+      // in both the a and b roles of canonical edges); an edge is matched
+      // iff it is the rank-1 incident edge of BOTH endpoints
+      def round(e: DataFrame): DataFrame = {
+        val inc = e.select(col("a").as("n"), col("a"), col("b"), col("w"))
+          .unionByName(e.select(col("b").as("n"), col("a"), col("b"), col("w")))
+        val best = inc.select(col("n"), col("a"), col("b"),
+            row_number().over(Window.partitionBy("n")
+              .orderBy(col("w").desc, col("a"), col("b"))).as("rk"))
+          .where(col("rk") === 1)
+          .groupBy("a", "b").count().where(col("count") === 2)
+          .select("a", "b")
+        e.join(best, Seq("a", "b"), "left_semi")
+      }
       val r1 = round(lanes)
       val matched = r1.select(col("a").as("n")).union(r1.select(col("b"))).distinct()
       val rem = lanes
