@@ -2568,6 +2568,217 @@ object AppliedQueries {
           col("c").as("exact"), col("est").as("cms_est"),
           expr("CAST(1000000 * (est - c) div c AS BIGINT)").as("overcount_ppm"))
         .orderBy(col("width"), col("exact").desc, col("partkey"))
+    },
+
+    // Robust-location family per event type: raw mean, 5%-trimmed mean
+    // (drop the outer ceil(n·0.05) ranks on each side), and winsorized
+    // mean (clamp to the discrete p5/p95 instead of dropping) — the
+    // three standard answers to heavy tails, all from ONE rank-index
+    // window pass with exact integer division (completing q428's
+    // median-of-means and q356's MAD).
+    QueryDef.sql(
+      "q434_trimmed_means",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |q AS (SELECT event_type,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT) THEN v END) AS p5,
+        |    MAX(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN v END) AS p95
+        |  FROM r GROUP BY 1),
+        |m AS (SELECT r.event_type, MIN(r.n) AS n,
+        |    SUM(r.v) // MIN(r.n) AS mean_raw,
+        |    CAST(SUM(CASE WHEN r.rk > CAST(ceil(r.n * 0.05) AS BIGINT)
+        |          AND r.rk <= r.n - CAST(ceil(r.n * 0.05) AS BIGINT)
+        |        THEN r.v END)
+        |      // SUM(CASE WHEN r.rk > CAST(ceil(r.n * 0.05) AS BIGINT)
+        |          AND r.rk <= r.n - CAST(ceil(r.n * 0.05) AS BIGINT)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS mean_trimmed,
+        |    SUM(LEAST(GREATEST(r.v, q.p5), q.p95)) // MIN(r.n) AS mean_winsor
+        |  FROM r JOIN q ON r.event_type = q.event_type GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(mean_raw AS BIGINT) AS mean_raw,
+        |  mean_trimmed, CAST(mean_winsor AS BIGINT) AS mean_winsor
+        |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val wp = Window.partitionBy("event_type")
+      val r = e.select(col("event_type"), col("v"),
+        row_number().over(wp.orderBy("v", "v")).as("rk"),
+        count(lit(1)).over(wp).as("n"))
+      val q = r.groupBy("event_type")
+        .agg(max(when(col("rk") === ceil(col("n") * 0.05).cast("long"), col("v"))).as("p5"),
+          max(when(col("rk") === ceil(col("n") * 0.95).cast("long"), col("v"))).as("p95"))
+      val inTrim = col("rk") > ceil(col("n") * 0.05).cast("long") &&
+        col("rk") <= col("n") - ceil(col("n") * 0.05).cast("long")
+      r.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(min("n").as("n"), sum("v").as("sv"),
+          sum(when(inTrim, col("v"))).as("tv"),
+          sum(when(inTrim, 1L).otherwise(0L)).as("tn"),
+          sum(least(greatest(col("v"), col("p5")), col("p95"))).as("wv"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(sv div n AS BIGINT)").as("mean_raw"),
+          expr("CAST(tv div tn AS BIGINT)").as("mean_trimmed"),
+          expr("CAST(wv div n AS BIGINT)").as("mean_winsor"))
+        .orderBy("event_type")
+    },
+
+    // Chunk-size advisor: measured average row width per table (fixed
+    // 8 bytes per numeric/timestamp column + mean string lengths) →
+    // rows per 128 MiB chunk and the chunk count at this SF — the
+    // data-driven version of the reference's hand-tuned chunk-size
+    // knobs (BASELINE.md: 10 k compare rows, 100 k migrate rows).
+    // One aggregate per table; everything else is literal-grain math.
+    QueryDef.sql(
+      "q435_chunk_advisor",
+      """WITH li AS (SELECT COUNT(*) AS rows_,
+        |    CAST(FLOOR(8 * 8 + AVG(length(l_returnflag))
+        |      + AVG(length(l_linestatus)) + 8) AS BIGINT) AS row_bytes
+        |  FROM lineitem),
+        |o AS (SELECT COUNT(*) AS rows_,
+        |    CAST(FLOOR(8 * 3 + AVG(length(o_orderstatus))
+        |      + AVG(length(o_orderpriority)) + 8) AS BIGINT) AS row_bytes
+        |  FROM orders),
+        |d AS (SELECT COUNT(*) AS rows_,
+        |    CAST(FLOOR(8 * 2 + AVG(length(text)) + AVG(length(lang))
+        |      + AVG(length(source))) AS BIGINT) AS row_bytes
+        |  FROM documents),
+        |u AS (SELECT 'lineitem' AS tbl, rows_, row_bytes FROM li
+        |  UNION ALL SELECT 'orders', rows_, row_bytes FROM o
+        |  UNION ALL SELECT 'documents', rows_, row_bytes FROM d)
+        |SELECT tbl, CAST(rows_ AS BIGINT) AS n_rows,
+        |  CAST(row_bytes AS BIGINT) AS row_bytes,
+        |  CAST(134217728 // row_bytes AS BIGINT) AS rows_per_chunk,
+        |  CAST((rows_ + 134217728 // row_bytes - 1) // (134217728 // row_bytes)
+        |    AS BIGINT) AS n_chunks
+        |FROM u ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def adv(label: String, df: DataFrame, fixed: Int,
+              strCols: Seq[String]): DataFrame = {
+        val widths = strCols.map(c => avg(length(col(c))))
+          .reduceOption(_ + _).getOrElse(lit(0.0))
+        df.agg(count(lit(1)).as("n_rows"),
+            (lit(fixed * 8) + widths + lit(if (label == "documents") 0 else 8))
+              .cast("long").as("row_bytes"))
+          .select(lit(label).as("tbl"), col("n_rows"), col("row_bytes"),
+            expr("CAST(134217728 div row_bytes AS BIGINT)").as("rows_per_chunk"),
+            expr("CAST((n_rows + 134217728 div row_bytes - 1)" +
+              " div (134217728 div row_bytes) AS BIGINT)").as("n_chunks"))
+      }
+      Seq(
+        adv("lineitem", t.lineitem, 8, Seq("l_returnflag", "l_linestatus")),
+        adv("orders", t.orders, 3, Seq("o_orderstatus", "o_orderpriority")),
+        adv("documents", t.documents, 2, Seq("text", "lang", "source")))
+        .reduce(_.unionByName(_))
+        .orderBy("tbl")
+    },
+
+    // Autocomplete index build: for the 15 hottest 4-character name
+    // prefixes (by part revenue), the top-3 completions ranked by
+    // revenue — the prefix→suggestions frame a typeahead service
+    // precomputes. Token revenue aggregates once on the (prefix, word)
+    // grain; per-prefix ranking is a bounded window; hotness and
+    // suggestion ranks share one deterministic tie-break.
+    QueryDef.sql(
+      "q436_autocomplete",
+      """WITH w AS (SELECT unnest(string_split(p.p_name, ' ')) AS word,
+        |    CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT substr(word, 1, 4) AS prefix, word,
+        |        SUM(cents) AS cents
+        |      FROM w WHERE length(word) >= 4 GROUP BY 1, 2),
+        |hot AS (SELECT prefix, SUM(cents) AS pc FROM g GROUP BY 1
+        |        ORDER BY pc DESC, prefix LIMIT 15),
+        |r AS (SELECT g.prefix, g.word, g.cents,
+        |    row_number() OVER (PARTITION BY g.prefix
+        |      ORDER BY g.cents DESC, g.word) AS rk
+        |  FROM g JOIN hot ON g.prefix = hot.prefix)
+        |SELECT prefix, rk AS rank, word AS completion,
+        |  CAST(cents AS BIGINT) AS cents
+        |FROM r WHERE rk <= 3 ORDER BY prefix, rank""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = t.lineitem
+        .join(t.part.select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
+        .select(explode(split(col("p_name"), " ")).as("word"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+      val g = w.where(length(col("word")) >= 4)
+        .groupBy(substring(col("word"), 1, 4).as("prefix"), col("word"))
+        .agg(sum("cents").as("cents"))
+      val hot = g.groupBy("prefix").agg(sum("cents").as("pc"))
+        .orderBy(col("pc").desc, col("prefix")).limit(15)
+      g.join(broadcast(hot.select("prefix")), "prefix")
+        .select(col("prefix"), col("word"), col("cents"),
+          row_number().over(Window.partitionBy("prefix")
+            .orderBy(col("cents").desc, col("word"))).cast("long").as("rank"))
+        .where(col("rank") <= 3)
+        .select(col("prefix"), col("rank"), col("word").as("completion"), col("cents"))
+        .orderBy("prefix", "rank")
+    },
+
+    // Minimum-variance two-asset portfolio over the daily revenue
+    // streams of nations 0 and 1: w* = (σ₂² − σ₁₂) / (σ₁² + σ₂² −
+    // 2σ₁₂) from exact integer moment sums on the shared day spine,
+    // clamped to [0, 1e6] ppm, with the resulting portfolio variance
+    // — closed-form Markowitz, no solver. One day-grain aggregate per
+    // nation, one scalar assembly.
+    QueryDef.sql(
+      "q437_min_var_portfolio",
+      """WITH d AS (SELECT c.c_nationkey AS nk,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o.o_orderdate) AS day,
+        |    SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey IN (0, 1) GROUP BY 1, 2),
+        |j AS (SELECT a.day, a.y AS y1, b.y AS y2
+        |  FROM (SELECT day, y FROM d WHERE nk = 0) a
+        |  JOIN (SELECT day, y FROM d WHERE nk = 1) b ON a.day = b.day),
+        |m AS (SELECT COUNT(*) AS n, SUM(y1) AS s1, SUM(y2) AS s2,
+        |    SUM(y1 * y1) AS s11, SUM(y2 * y2) AS s22, SUM(y1 * y2) AS s12
+        |  FROM j),
+        |v AS (SELECT n,
+        |    CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS v1,
+        |    CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS v2,
+        |    CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS cv
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(LEAST(GREATEST(FLOOR(1000000.0 * (v2 - cv) / (v1 + v2 - 2 * cv)),
+        |    0), 1000000) AS BIGINT) AS w1_ppm,
+        |  CAST(FLOOR((v1 * v2 - cv * cv) / (v1 + v2 - 2 * cv)
+        |    / n / (n - 1)) AS BIGINT) AS min_var_floor
+        |FROM v""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .where(col("c_nationkey").isin(0, 1))
+        .groupBy(col("c_nationkey").as("nk"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      val a = d.where(col("nk") === 0).select(col("day"), col("y").as("y1"))
+      val b = d.where(col("nk") === 1).select(col("day").as("day2"), col("y").as("y2"))
+      a.join(b, col("day") === col("day2"))
+        .agg(count(lit(1)).as("n"), sum("y1").as("s1"), sum("y2").as("s2"),
+          // decimal(38,0): Σy² passes 9e18 at sf0.1 day-revenue magnitudes
+          sum(col("y1").cast("decimal(38,0)") * col("y1")).as("s11"),
+          sum(col("y2").cast("decimal(38,0)") * col("y2")).as("s22"),
+          sum(col("y1").cast("decimal(38,0)") * col("y2")).as("s12"))
+        .select(col("n").as("n_days"),
+          expr("CAST(LEAST(GREATEST(FLOOR(1000000.0D *" +
+            " ((CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)" +
+            " - (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2))" +
+            " / ((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)" +
+            " + (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)" +
+            " - 2 * (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2))), 0)," +
+            " 1000000) AS BIGINT)").as("w1_ppm"),
+          expr("CAST(FLOOR(((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)" +
+            " * (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)" +
+            " - (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)" +
+            " * (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2))" +
+            " / ((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)" +
+            " + (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)" +
+            " - 2 * (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2))" +
+            " / n / (n - 1)) AS BIGINT)").as("min_var_floor"))
     }
   )
 }
