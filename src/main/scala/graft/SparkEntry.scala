@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.PrepQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.FrontierQueries.all ++
-      graft.queries.AppliedQueries.all
+      graft.queries.AppliedQueries.all ++
+      graft.queries.SignalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -908,13 +908,16 @@ object MiningQueries {
         .orderBy("lag")
     },
 
-    // CUSUM control chart (upward-drift alarm) per event type — a
-    // NON-LINEAR recurrence (S_t = max(0, S_{t-1} + x_t − k)) no window
-    // frame can express: the bounded daily series folds IN-ROW with a
-    // HOF (aggregate / list_reduce, zero-seeded via a prepended 0), the
+    // CUSUM control chart (upward-drift alarm) per event type — the
+    // NON-LINEAR recurrence (S_t = max(0, S_{t-1} + x_t − k)) evaluated
+    // as an IN-ROW fold: the bounded daily series folds with a HOF
+    // (aggregate / list_reduce, zero-seeded via a prepended 0), the
     // per-prefix fold giving the running max alarm statistic. k is the
     // per-type mean daily cents (floored). The fold is O(days²) on a
     // ≤31-element array — constant work per group at any event volume.
+    // (For UNBOUNDED series the same recurrence has a closed window
+    // form, S_t = P_t − min(0, min_{j≤t} P_j) — that distributed
+    // formulation is q439_cusum_prefix.)
     QueryDef.sql(
       "q203_cusum",
       """WITH d AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
