@@ -223,6 +223,226 @@ object SignalQueries {
           concat(col("prev"), lit(">"), col("sym")).as("transition"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("nation", "transition")
+    },
+
+    // Probability-proportional-to-size sample WITHOUT replacement over
+    // orders: each row races with key h/w (h = first 32 md5 bits of the
+    // key, w = the order's cents), and the 50 smallest keys win — bigger
+    // weights systematically draw smaller keys, the deterministic-hash
+    // analogue of the exponential race in PPS bottom-k sketches (cf.
+    // Cohen & Kaplan's bottom-k). The quotient is evaluated EXACTLY:
+    // h·10¹² // w in DECIMAL/HUGEINT, so the ranking is a pure integer
+    // order with no float ties. One scan + a distributed top-k
+    // (TakeOrderedAndProject: partial top-50 per partition, 50·P rows to
+    // the final heap) — the companion to q198's UNIFORM bottom-k.
+    QueryDef.sql(
+      "q442_pps_sample",
+      """WITH w AS (SELECT o_orderkey AS ok,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM orders),
+        |k AS (SELECT ok, cents,
+        |    CAST(CAST(h AS HUGEINT) * 1000000000000 // cents AS BIGINT) AS race
+        |  FROM w)
+        |SELECT ok AS o_orderkey, cents, race FROM k
+        |ORDER BY race, o_orderkey LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"),
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .select(col("o_orderkey"), col("cents"),
+          expr("CAST(CAST(h AS DECIMAL(38,0)) * 1000000000000 div cents AS BIGINT)")
+            .as("race"))
+        .orderBy("race", "o_orderkey")
+        .limit(50)
+    },
+
+    // Haar wavelet energy decomposition of the first 64 days of daily
+    // order revenue per nation: three dyadic levels of detail energy
+    // E_k = Σ_b (A_{k−1,2b} − A_{k−1,2b+1})², with approximation sums
+    // carried between levels by day-div-2^k grouping — all exact BIGINT
+    // cents and cent². The 64-slot grid zero-fills from a broadcast
+    // nation×day spine so gap days contribute exact zeros. After the one
+    // fact-sized day aggregate, every level operates on ≤ 64·|nations|
+    // rows — the wavelet pyramid is metadata-sized at any corpus scale.
+    QueryDef.sql(
+      "q443_haar_energy",
+      """WITH d AS (SELECT c.c_nationkey AS nk,
+        |    date_diff('day', DATE '1995-01-01', o.o_orderdate) AS day,
+        |    SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate >= DATE '1995-01-01'
+        |    AND o.o_orderdate < DATE '1995-01-01' + INTERVAL 64 DAY
+        |  GROUP BY 1, 2),
+        |spine AS (SELECT n_nationkey AS nk, g.day FROM nation,
+        |    (SELECT UNNEST(generate_series(0, 63)) AS day) g),
+        |a0 AS (SELECT spine.nk, spine.day, COALESCE(d.x, 0) AS x
+        |  FROM spine LEFT JOIN d ON spine.nk = d.nk AND spine.day = d.day),
+        |l1 AS (SELECT nk, day // 2 AS b,
+        |    SUM(CASE WHEN day % 2 = 0 THEN x ELSE 0 END) AS ev,
+        |    SUM(CASE WHEN day % 2 = 1 THEN x ELSE 0 END) AS od
+        |  FROM a0 GROUP BY 1, 2),
+        |l2 AS (SELECT nk, b // 2 AS b,
+        |    SUM(CASE WHEN b % 2 = 0 THEN ev + od ELSE 0 END) AS ev,
+        |    SUM(CASE WHEN b % 2 = 1 THEN ev + od ELSE 0 END) AS od
+        |  FROM l1 GROUP BY 1, 2),
+        |l3 AS (SELECT nk, b // 2 AS b,
+        |    SUM(CASE WHEN b % 2 = 0 THEN ev + od ELSE 0 END) AS ev,
+        |    SUM(CASE WHEN b % 2 = 1 THEN ev + od ELSE 0 END) AS od
+        |  FROM l2 GROUP BY 1, 2)
+        |SELECT l1.nk AS nation,
+        |  (SELECT CAST(SUM((ev - od) * (ev - od)) AS BIGINT) FROM l1 i WHERE i.nk = l1.nk)
+        |    AS e1_cents2,
+        |  (SELECT CAST(SUM((ev - od) * (ev - od)) AS BIGINT) FROM l2 i WHERE i.nk = l1.nk)
+        |    AS e2_cents2,
+        |  (SELECT CAST(SUM((ev - od) * (ev - od)) AS BIGINT) FROM l3 i WHERE i.nk = l1.nk)
+        |    AS e3_cents2
+        |FROM l1 GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < date_add(lit("1995-01-01").cast("date"), 64))
+        .groupBy(col("c_nationkey").as("nk"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("x"))
+      val spine = t.nation.select(col("n_nationkey").as("nk"))
+        .crossJoin(s.range(0, 64).select(col("id").as("day")))
+      val a0 = broadcast(spine).join(d, Seq("nk", "day"), "left")
+        .select(col("nk"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      def level(in: org.apache.spark.sql.DataFrame, posCol: String) = in
+        .groupBy(col("nk"), (col(posCol) / 2).cast("long").as("b"))
+        .agg(sum(when(col(posCol) % 2 === 0, col("v")).otherwise(0L)).as("ev"),
+          sum(when(col(posCol) % 2 === 1, col("v")).otherwise(0L)).as("od"))
+      val l1 = level(a0.select(col("nk"), col("day"), col("x").as("v")), "day")
+      val l2 = level(l1.select(col("nk"), col("b"), (col("ev") + col("od")).as("v")), "b")
+      val l3 = level(l2.select(col("nk"), col("b"), (col("ev") + col("od")).as("v")), "b")
+      def energy(in: org.apache.spark.sql.DataFrame, out: String) = in
+        .groupBy("nk")
+        .agg(sum((col("ev") - col("od")) * (col("ev") - col("od"))).as(out))
+      energy(l1, "e1_cents2")
+        .join(energy(l2, "e2_cents2"), "nk")
+        .join(energy(l3, "e3_cents2"), "nk")
+        .select(col("nk").as("nation"), col("e1_cents2"), col("e2_cents2"),
+          col("e3_cents2"))
+        .orderBy("nation")
+    },
+
+    // Shapley-value channel attribution over 3 touch channels (click /
+    // view / signup; conversion = any purchase): users group into the 7
+    // non-empty touch coalitions by bitmask, each coalition's conversion
+    // rate becomes v(S) in exact ppm, and the 3-player Shapley formula
+    // assembles per-channel marginal contributions as the INTEGER
+    // combination 2·[v(i)−v(∅)] + Σ_j [v(ij)−v(j)] + 2·[v(N)−v(N\i)]
+    // (units: 6× ppm — the 1/3!-weights cleared by 6). Efficiency,
+    // Σᵢ φ6ᵢ = 6·v(N), holds as an exact integer identity (asserted in
+    // SignalInvariantsSpec). One user-grain aggregate, a 7-row coalition
+    // table, one pivot — coalition analytics at any event volume.
+    QueryDef.sql(
+      "q444_shapley_attribution",
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT 4 * hc + 2 * hv + hs AS mask, COUNT(*) AS n, SUM(conv) AS c
+        |  FROM u WHERE 4 * hc + 2 * hv + hs > 0 GROUP BY 1),
+        |v AS (SELECT mask, CAST(1000000 * c // n AS BIGINT) AS vp FROM g),
+        |p AS (SELECT
+        |    COALESCE(MAX(CASE WHEN mask = 1 THEN vp END), 0) AS v1,
+        |    COALESCE(MAX(CASE WHEN mask = 2 THEN vp END), 0) AS v2,
+        |    COALESCE(MAX(CASE WHEN mask = 3 THEN vp END), 0) AS v3,
+        |    COALESCE(MAX(CASE WHEN mask = 4 THEN vp END), 0) AS v4,
+        |    COALESCE(MAX(CASE WHEN mask = 5 THEN vp END), 0) AS v5,
+        |    COALESCE(MAX(CASE WHEN mask = 6 THEN vp END), 0) AS v6,
+        |    COALESCE(MAX(CASE WHEN mask = 7 THEN vp END), 0) AS v7
+        |  FROM v)
+        |SELECT channel, phi6_ppm FROM (
+        |  SELECT 'click' AS channel,
+        |    2 * v4 + (v6 - v2) + (v5 - v1) + 2 * (v7 - v3) AS phi6_ppm FROM p
+        |  UNION ALL SELECT 'signup',
+        |    2 * v1 + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6) FROM p
+        |  UNION ALL SELECT 'view',
+        |    2 * v2 + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5) FROM p)
+        |ORDER BY channel""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("hc"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("hv"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("hs"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val g = u.select((col("hc") * 4 + col("hv") * 2 + col("hs")).as("mask"),
+          col("conv"))
+        .where(col("mask") > 0)
+        .groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        .select(col("mask"), expr("CAST(1000000 * c div n AS BIGINT)").as("vp"))
+      val vCols = (1 to 7).map(m =>
+        coalesce(max(when(col("mask") === m, col("vp"))), lit(0L)).as(s"v$m"))
+      val p = g.agg(vCols.head, vCols.tail: _*)
+      val phis = p.selectExpr(
+        "stack(3," +
+          " 'click',  2 * v4 + (v6 - v2) + (v5 - v1) + 2 * (v7 - v3)," +
+          " 'signup', 2 * v1 + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)," +
+          " 'view',   2 * v2 + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)" +
+          ") AS (channel, phi6_ppm)")
+      phis.orderBy("channel")
+    },
+
+    // Isotonic (monotone non-decreasing) regression of return rate on
+    // discount level via the exact max-min characterization: fit_i =
+    // max_{j≤i} min_{k≥i} pooled-rate(j..k), evaluated at ppm resolution
+    // (the max-min form is monotone for ANY pooled-rate assignment, so
+    // the ppm flooring preserves a valid isotonic fit — asserted in
+    // SignalInvariantsSpec). The fact table collapses to 11 discount
+    // levels first; the O(levels³) pair/argmax enumeration then runs on
+    // metadata-sized frames (66 pairs), the distributed alternative to
+    // the inherently sequential pool-adjacent-violators loop.
+    QueryDef.sql(
+      "q445_isotonic",
+      """WITH l AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS lev,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT lev, n, r,
+        |    SUM(n) OVER (ORDER BY lev) AS cn, SUM(r) OVER (ORDER BY lev) AS cr
+        |  FROM l),
+        |pairs AS (SELECT pj.lev AS j, pk.lev AS k,
+        |    CAST(1000000 * (pk.cr - pj.cr + pj.r) // (pk.cn - pj.cn + pj.n)
+        |      AS BIGINT) AS v
+        |  FROM p pj JOIN p pk ON pj.lev <= pk.lev),
+        |mi AS (SELECT i.lev AS lev, pairs.j, MIN(v) AS mv
+        |  FROM l i JOIN pairs ON pairs.j <= i.lev AND pairs.k >= i.lev
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT lev, MAX(mv) AS fit_ppm FROM mi GROUP BY 1)
+        |SELECT l.lev AS discount_pct, l.n,
+        |  CAST(1000000 * l.r // l.n AS BIGINT) AS raw_ppm, fit.fit_ppm
+        |FROM l JOIN fit ON l.lev = fit.lev ORDER BY discount_pct""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+        .groupBy(round(col("l_discount") * 100).cast("long").as("lev"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"))
+      val w = Window.orderBy("lev")
+      val p = l.select(col("lev"), col("n"), col("r"),
+        sum("n").over(w).as("cn"), sum("r").over(w).as("cr"))
+      val pj = p.select(col("lev").as("j"), col("n").as("jn"), col("r").as("jr"),
+        col("cn").as("jcn"), col("cr").as("jcr"))
+      val pk = p.select(col("lev").as("k"), col("cn").as("kcn"), col("cr").as("kcr"))
+      val pairs = pj.join(pk, col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("CAST(1000000 * (kcr - jcr + jr) div (kcn - jcn + jn) AS BIGINT)")
+            .as("v"))
+      val mi = l.select(col("lev"))
+        .join(pairs, col("j") <= col("lev") && col("k") >= col("lev"))
+        .groupBy("lev", "j").agg(min("v").as("mv"))
+      val fit = mi.groupBy("lev").agg(max("mv").as("fit_ppm"))
+      l.join(fit, "lev")
+        .select(col("lev").as("discount_pct"), col("n"),
+          expr("CAST(1000000 * r div n AS BIGINT)").as("raw_ppm"), col("fit_ppm"))
+        .orderBy("discount_pct")
     }
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-column invariants of the q438–q445 signal/linkage batches —
+  * properties within one result that the DuckDB differential gate can't
+  * state (monotonicity of the isotonic fit, Shapley efficiency,
+  * interval-union bounds, CUSUM non-negativity, SAX census conservation).
+  */
+class SignalInvariantsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q438 neighborhood candidates are bounded by records and gaps non-negative") {
+    run("q438_sorted_neighborhood").collect().foreach { r =>
+      val n = r.getAs[Long]("n_records")
+      assert(r.getAs[Long]("cand_w1") <= math.max(n - 1, 0))
+      assert(r.getAs[Long]("cand_w2") <= math.max(n - 2, 0))
+      val g = r.getAs[Long]("min_gap")
+      assert(g >= 0 || g == -1L) // sorted ascending ⇒ gaps can't be negative
+    }
+  }
+
+  test("q439 CUSUM stats are non-negative and alarms imply a first alarm day") {
+    run("q439_cusum_prefix").collect().foreach { r =>
+      assert(r.getAs[Long]("max_cusum") >= 0L) // S_t = P_t − min(0, min P) ≥ 0
+      val alarms = r.getAs[Long]("n_alarms")
+      val first = r.getAs[Long]("first_alarm_day")
+      assert((alarms > 0) == (first >= 0))
+    }
+  }
+
+  test("q440 interval union is bounded by sum of intervals and island maxima") {
+    run("q440_interval_union").collect().foreach { r =>
+      val covered = r.getAs[Long]("covered_us")
+      val maxI = r.getAs[Long]("max_island_us")
+      val n = r.getAs[Long]("n_islands")
+      assert(maxI <= covered)           // one island can't exceed the union
+      assert(covered <= n * maxI)       // islands are each ≤ the max island
+    }
+  }
+
+  test("q441 SAX transition census conserves day counts per nation") {
+    // transitions per nation = days − 1 (one LAG bigram per non-first day);
+    // q439 reports the same (orders ⋈ customer) day grain per nation
+    val days = run("q439_cusum_prefix").select(col("nation"), col("n_days"))
+    val trans = run("q441_sax_symbols").groupBy("nation")
+      .agg(sum("cnt").as("n_trans"))
+    val joined = days.join(trans, "nation").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_trans") == r.getAs[Long]("n_days") - 1)
+    }
+  }
+
+  test("q442 PPS race keys are consistent with the h/w quotient definition") {
+    val rows = run("q442_pps_sample").collect()
+    assert(rows.length == 50)
+    // keys ascend in output order and weights are positive
+    val races = rows.map(_.getAs[Long]("race"))
+    assert(races.sameElements(races.sorted))
+    rows.foreach(r => assert(r.getAs[Long]("cents") > 0))
+  }
+
+  test("q443 Haar energies vanish iff the series is constant per block (zero-safe)") {
+    run("q443_haar_energy").collect().foreach { r =>
+      assert(r.getAs[Long]("e1_cents2") >= 0L)
+      assert(r.getAs[Long]("e2_cents2") >= 0L)
+      assert(r.getAs[Long]("e3_cents2") >= 0L)
+    }
+  }
+
+  test("q444 Shapley attribution satisfies efficiency: sum(phi6) == 6 * v(N)") {
+    val phis = run("q444_shapley_attribution").collect()
+    assert(phis.length == 3)
+    val total = phis.map(_.getAs[Long]("phi6_ppm")).sum
+    // recompute v(N) = ppm conversion rate of users who touched all 3 channels
+    val u = graft.core.Tables(spark, sfDir).events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("hc"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("hv"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("hs"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .where(col("hc") === 1 && col("hv") === 1 && col("hs") === 1)
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .selectExpr("CAST(1000000 * c div n AS BIGINT) AS vp").collect()
+    val v7 = if (u.isEmpty || u(0).isNullAt(0)) 0L else u(0).getAs[Long]("vp")
+    assert(total == 6L * v7)
+  }
+
+  test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
+    val rows = run("q445_isotonic").collect()
+      .sortBy(_.getAs[Long]("discount_pct"))
+    assert(rows.length >= 2)
+    val fits = rows.map(_.getAs[Long]("fit_ppm"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+    // the isotonic fit stays inside the raw-rate envelope
+    val raws = rows.map(_.getAs[Long]("raw_ppm"))
+    fits.foreach { f => assert(f >= raws.min && f <= raws.max) }
+  }
+}
