@@ -443,6 +443,277 @@ object SignalQueries {
         .select(col("lev").as("discount_pct"), col("n"),
           expr("CAST(1000000 * r div n AS BIGINT)").as("raw_ppm"), col("fit_ppm"))
         .orderBy("discount_pct")
+    },
+
+    // NDCG@10 for label-match retrieval over the embeddings table
+    // (complements q248's P@5/MRR): the 1/log2(1+rank) discounts are a
+    // HARD-CODED integer table (milli-scaled, ranks 1..10) — the q355
+    // log-table idiom that removes libm from the hot path entirely —
+    // and IDCG is the prefix sum of that table at min(R,10). Scoring is
+    // one dim-join dot-product pass (scaled-integer, exact); DCG/IDCG/
+    // NDCG assemble in pure BIGINT with one ppm division per query.
+    QueryDef.sql(
+      "q446_ndcg", {
+        val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+          356207L, 333333L, 315465L, 301030L, 289065L)
+        val cum = disc.scanLeft(0L)(_ + _).tail
+        val discCase = disc.zipWithIndex
+          .map { case (v, i) => s"WHEN rk = ${i + 1} THEN $v" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val idcgCase = cum.zipWithIndex
+          .map { case (v, i) => s"WHEN LEAST(rel_total, 10) = ${i + 1} THEN $v" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+           |  FROM embeddings, generate_series(1, 64) t(i)),
+           |a AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+           |d AS (SELECT a.vec_id AS qid, a.label AS ql, e.vec_id AS cid,
+           |    e.label AS cl, SUM(a.m * e.m) AS dot
+           |  FROM a JOIN e ON a.dim = e.dim AND a.vec_id <> e.vec_id
+           |  GROUP BY 1, 2, 3, 4),
+           |r AS (SELECT qid, ql, cl, dot,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk,
+           |    SUM(CASE WHEN ql = cl THEN 1 ELSE 0 END) OVER (PARTITION BY qid)
+           |      AS rel_total
+           |  FROM d),
+           |pq AS (SELECT qid, MAX(rel_total) AS rel_total,
+           |    SUM(CASE WHEN rk <= 10 AND ql = cl THEN $discCase ELSE 0 END)
+           |      AS dcg_milli
+           |  FROM r GROUP BY 1)
+           |SELECT qid, CAST(rel_total AS BIGINT) AS rel_total,
+           |  CAST(dcg_milli AS BIGINT) AS dcg_milli,
+           |  CAST($idcgCase AS BIGINT) AS idcg_milli,
+           |  CAST(1000000 * dcg_milli // GREATEST($idcgCase, 1) AS BIGINT) AS ndcg_ppm
+           |FROM pq ORDER BY qid""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val cum = disc.scanLeft(0L)(_ + _).tail
+      val discCase = disc.zipWithIndex
+        .map { case (v, i) => s"WHEN rk = ${i + 1} THEN ${v}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+      val idcgCase = cum.zipWithIndex
+        .map { case (v, i) => s"WHEN LEAST(rel_total, 10) = ${i + 1} THEN ${v}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+      // native scaled_dot == the oracle's dim-join sum (floor(x·1e6) terms)
+      // with no 64× positional explode — the dot never leaves the row
+      val emb = Tables(s, dir).embeddings
+      val q = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("embedding").as("qv"))
+      val d = emb.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("ql"), col("vec_id").as("cid"),
+          col("label").as("cl"),
+          graft.plans.GraftFunctions.scaledDot(col("embedding"), col("qv"))
+            .as("dot"))
+      val r = d
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+        .withColumn("rel_total",
+          sum(when(col("ql") === col("cl"), 1).otherwise(0))
+            .over(Window.partitionBy("qid")))
+      r.groupBy("qid")
+        .agg(max("rel_total").cast("long").as("rel_total"),
+          sum(when(col("rk") <= 10 && col("ql") === col("cl"),
+            expr(discCase)).otherwise(0L)).as("dcg_milli"))
+        .select(col("qid"), col("rel_total"), col("dcg_milli"),
+          expr(s"CAST($idcgCase AS BIGINT)").as("idcg_milli"),
+          expr(s"CAST(1000000 * dcg_milli div GREATEST($idcgCase, 1) AS BIGINT)")
+            .as("ndcg_ppm"))
+        .orderBy("qid")
+    },
+
+    // Local-differential-privacy frequency estimation by randomized
+    // response: each event reports its true type with p = 3/4, else a
+    // "random" type — both coins are deterministic md5 bits, so the
+    // mechanism is replayable and the oracle exact. The debiasing
+    // estimator n̂_t = (20·obs_t − n)/15 inverts E[obs] = (3/4)n_t +
+    // n/20 in exact integers (truncating division matches q164's probed
+    // convention on both engines). The privacy family's counterpart to
+    // q253's k-anonymity: one hash projection + a 5-row pivot at any
+    // event volume.
+    QueryDef.sql(
+      "q447_randomized_response",
+      """WITH coins AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 4 AS c1,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT)
+        |      % 5 AS c2
+        |  FROM events),
+        |types AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'), (2, 'purchase'),
+        |    (3, 'signup'), (4, 'view')) t(i, name)),
+        |rep AS (SELECT CASE WHEN c1 > 0 THEN event_type ELSE t.name END AS rtype
+        |  FROM coins JOIN types t ON t.i = c2),
+        |o AS (SELECT rtype, COUNT(*) AS obs FROM rep GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM events),
+        |tru AS (SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY 1)
+        |SELECT tru.event_type, tru.true_n, o.obs,
+        |  CAST((20 * o.obs - n) // 15 AS BIGINT) AS est_n,
+        |  CAST((20 * o.obs - n) // 15 - tru.true_n AS BIGINT) AS err
+        |FROM tru JOIN o ON tru.event_type = o.rtype CROSS JOIN tot
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val coins = ev.select(col("event_type"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 4).as("c1"),
+        (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
+          .cast("long") % 5).as("c2"))
+      val types = s.range(5).select(col("id").cast("int").as("i"),
+        expr("element_at(array('click','error','purchase','signup','view'), " +
+          "CAST(id AS INT) + 1)").as("name"))
+      val rep = coins.join(broadcast(types), col("i") === col("c2"))
+        .select(when(col("c1") > 0, col("event_type")).otherwise(col("name"))
+          .as("rtype"))
+      val o = rep.groupBy("rtype").agg(count(lit(1)).as("obs"))
+      val tot = ev.agg(count(lit(1)).as("n"))
+      val tru = ev.groupBy("event_type").agg(count(lit(1)).as("true_n"))
+      tru.join(o, col("event_type") === col("rtype"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("true_n"), col("obs"),
+          expr("CAST((20 * obs - n) div 15 AS BIGINT)").as("est_n"),
+          expr("CAST((20 * obs - n) div 15 - true_n AS BIGINT)").as("err"))
+        .orderBy("event_type")
+    },
+
+    // Mutual-kNN graph census over the embeddings: an edge exists when
+    // each endpoint ranks the other in its cosine top-10 (packed
+    // scaled-integer dots, deterministic tie-break by candidate id) —
+    // the graph SemDeDup/HDBSCAN-style clustering consumes. The census
+    // reports per label: vectors, intra-label mutual edges, cross-label
+    // mutual edges, and the intra share in ppm. The candidate relation
+    // is computed ONCE and self-joined on the reversed pair (the mutual
+    // test is an equi-join, never a second scoring pass).
+    QueryDef.sql(
+      "q448_mutual_knn",
+      """WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |d AS (SELECT a.vec_id AS qid, a.label AS ql, b.vec_id AS cid,
+        |    b.label AS cl, SUM(a.m * b.m) AS dot
+        |  FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3, 4),
+        |nb AS (SELECT qid, ql, cid, cl FROM (
+        |    SELECT qid, ql, cid, cl,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk
+        |    FROM d) WHERE rk <= 10),
+        |mu AS (SELECT x.qid AS a, x.ql AS la, x.cid AS b, x.cl AS lb
+        |  FROM nb x JOIN nb y ON x.qid = y.cid AND x.cid = y.qid
+        |  WHERE x.qid < x.cid),
+        |pl AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+        |agg AS (SELECT la AS label,
+        |    SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS intra,
+        |    SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS cross_lb FROM mu GROUP BY 1)
+        |SELECT pl.label AS label, pl.n_vecs,
+        |  CAST(COALESCE(agg.intra, 0) AS BIGINT) AS intra_edges,
+        |  CAST(COALESCE(agg.cross_lb, 0) AS BIGINT) AS cross_edges,
+        |  CAST(1000000 * COALESCE(agg.intra, 0)
+        |    // GREATEST(COALESCE(agg.intra, 0) + COALESCE(agg.cross_lb, 0), 1)
+        |    AS BIGINT) AS intra_ppm
+        |FROM pl LEFT JOIN agg ON pl.label = agg.label
+        |ORDER BY pl.label""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir).embeddings
+      // one broadcast side + native scaled_dot (== the oracle's dim-join
+      // sums) keeps the pairwise scoring at the vector grain
+      val a = emb.select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("embedding").as("qv"))
+      val d = emb.crossJoin(broadcast(a))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("ql"), col("vec_id").as("cid"),
+          col("label").as("cl"),
+          graft.plans.GraftFunctions.scaledDot(col("embedding"), col("qv"))
+            .as("dot"))
+      val nb = d.withColumn("rk", row_number()
+          .over(Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+        .where(col("rk") <= 10)
+        .select("qid", "ql", "cid", "cl")
+      val rev = nb.select(col("qid").as("rq"), col("cid").as("rc"))
+      val mu = nb.join(rev, col("qid") === col("rc") && col("cid") === col("rq"))
+        .where(col("qid") < col("cid"))
+        .select(col("ql").as("la"), col("cl").as("lb"))
+      val agg = mu.groupBy(col("la").as("label"))
+        .agg(sum(when(col("la") === col("lb"), 1).otherwise(0)).as("intra"),
+          sum(when(col("la") =!= col("lb"), 1).otherwise(0)).as("cross_lb"))
+      val pl = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      pl.join(agg, Seq("label"), "left")
+        .select(col("label"), col("n_vecs"),
+          coalesce(col("intra"), lit(0L)).as("intra_edges"),
+          coalesce(col("cross_lb"), lit(0L)).as("cross_edges"),
+          expr("CAST(1000000 * COALESCE(intra, 0)" +
+            " div GREATEST(COALESCE(intra, 0) + COALESCE(cross_lb, 0), 1)" +
+            " AS BIGINT)").as("intra_ppm"))
+        .orderBy("label")
+    },
+
+    // Huffman code construction over the 9 Benford leading digits of
+    // order totals — a greedy sequential algorithm expressed as EIGHT
+    // UNROLLED dataflow rounds: each round ranks the current clusters by
+    // (freq, mask), merges the two smallest (cluster masks partition the
+    // digit set, so bitwise-or is plain addition), and the per-digit code
+    // length falls out afterwards as "how many merged masks contain my
+    // bit" — no mutable depth state at all. Every round operates on ≤ 9
+    // metadata rows regardless of data volume; the only fact-sized work
+    // is the leading-digit census. Kraft equality (Σ 2^(8−len) = 256)
+    // is asserted in SignalInvariantsSpec.
+    QueryDef.sql(
+      "q449_huffman", {
+        val base =
+          """digits AS (SELECT d.dig, COALESCE(f.freq, 0) AS freq
+            |  FROM (SELECT UNNEST(generate_series(1, 9)) AS dig) d
+            |  LEFT JOIN (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0)
+            |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS dig, COUNT(*) AS freq
+            |    FROM orders GROUP BY 1) f ON d.dig = f.dig),
+            |c0 AS (SELECT freq, CAST(1 << (dig - 1) AS BIGINT) AS mask FROM digits)"""
+            .stripMargin
+        val rounds = (1 to 8).map { i =>
+          s"""r$i AS (SELECT freq, mask,
+             |    ROW_NUMBER() OVER (ORDER BY freq, mask) AS rn FROM c${i - 1}),
+             |m$i AS (SELECT CAST(SUM(freq) AS BIGINT) AS freq,
+             |    CAST(SUM(mask) AS BIGINT) AS mask FROM r$i WHERE rn <= 2),
+             |c$i AS (SELECT freq, mask FROM r$i WHERE rn > 2
+             |  UNION ALL SELECT freq, mask FROM m$i)""".stripMargin
+        }.mkString(",\n")
+        val masks = (1 to 8).map(i => s"SELECT mask FROM m$i").mkString(" UNION ALL ")
+        s"""WITH $base,
+           |$rounds,
+           |mm AS ($masks)
+           |SELECT dig AS digit, freq,
+           |  (SELECT COUNT(*) FROM mm WHERE (mask >> (digits.dig - 1)) & 1 = 1)
+           |    AS code_len,
+           |  freq * (SELECT COUNT(*) FROM mm WHERE (mask >> (digits.dig - 1)) & 1 = 1)
+           |    AS bits
+           |FROM digits ORDER BY digit""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables(s, dir).orders
+        .select(substring(floor(col("o_totalprice") * lit(100.0)).cast("long")
+          .cast("string"), 1, 1).cast("long").as("dig"))
+        .groupBy("dig").agg(count(lit(1)).as("freq"))
+      val digits = broadcast(s.range(1, 10).select(col("id").as("dig")))
+        .join(f, Seq("dig"), "left")
+        .select(col("dig"), coalesce(col("freq"), lit(0L)).as("freq"))
+      var c: DataFrame = digits.select(col("freq"),
+        expr("CAST(shiftleft(1, CAST(dig - 1 AS INT)) AS BIGINT)").as("mask"))
+      var maskFrames = Seq.empty[DataFrame]
+      for (_ <- 1 to 8) {
+        val r = c.withColumn("rn",
+          row_number().over(Window.orderBy("freq", "mask")))
+        val m = r.where(col("rn") <= 2)
+          .agg(sum("freq").as("freq"), sum("mask").as("mask"))
+        maskFrames = maskFrames :+ m.select("mask")
+        c = r.where(col("rn") > 2).select("freq", "mask").unionAll(m)
+      }
+      val mm = maskFrames.reduce(_ unionAll _)
+      val lens = digits.crossJoin(broadcast(mm.withColumnRenamed("mask", "mmask")))
+        .groupBy("dig", "freq")
+        .agg(sum(expr("CASE WHEN (shiftright(mmask, CAST(dig - 1 AS INT)) & 1) = 1" +
+          " THEN 1 ELSE 0 END")).as("code_len"))
+      lens.select(col("dig").as("digit"), col("freq"), col("code_len"),
+          (col("freq") * col("code_len")).as("bits"))
+        .orderBy("digit")
     }
   )
 }

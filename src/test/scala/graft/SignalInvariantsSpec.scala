@@ -89,6 +89,51 @@ class SignalInvariantsSpec extends SparkSpec {
     assert(total == 6L * v7)
   }
 
+  test("q446 NDCG is a valid normalized gain: 0 <= dcg <= idcg, ndcg in [0, 1e6]") {
+    val rows = run("q446_ndcg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, i, n) = (r.getAs[Long]("dcg_milli"), r.getAs[Long]("idcg_milli"),
+        r.getAs[Long]("ndcg_ppm"))
+      assert(d >= 0 && d <= i)
+      assert(n >= 0 && n <= 1000000L)
+    }
+  }
+
+  test("q447 randomized response conserves reports and debiases closely") {
+    val rows = run("q447_randomized_response").collect()
+    assert(rows.length == 5)
+    val n = rows.map(_.getAs[Long]("true_n")).sum
+    assert(rows.map(_.getAs[Long]("obs")).sum == n) // every event reports exactly once
+    // debiased estimates reconstruct the totals up to truncation slack
+    val estSum = rows.map(_.getAs[Long]("est_n")).sum
+    assert(math.abs(estSum - n) <= 5)
+  }
+
+  test("q448 mutual-kNN census is consistent and intra share is a valid ppm") {
+    run("q448_mutual_knn").collect().foreach { r =>
+      val intra = r.getAs[Long]("intra_edges")
+      val cross = r.getAs[Long]("cross_edges")
+      val ppm = r.getAs[Long]("intra_ppm")
+      assert(intra >= 0 && cross >= 0)
+      assert(ppm >= 0 && ppm <= 1000000L)
+      // each vec has <= 10 neighbors, so mutual edges charged to a label
+      // can't exceed n_vecs * 10
+      assert(intra + cross <= r.getAs[Long]("n_vecs") * 10)
+    }
+  }
+
+  test("q449 Huffman code satisfies Kraft equality and is monotone in frequency") {
+    val rows = run("q449_huffman").collect()
+    assert(rows.length == 9)
+    // complete binary code over 9 leaves: sum 2^(8-len) == 2^8
+    assert(rows.map(r => 1L << (8 - r.getAs[Long]("code_len")).toInt).sum == 256L)
+    // a strictly more frequent symbol never gets a longer code
+    for (a <- rows; b <- rows
+         if a.getAs[Long]("freq") > b.getAs[Long]("freq"))
+      assert(a.getAs[Long]("code_len") <= b.getAs[Long]("code_len"))
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
