@@ -714,6 +714,268 @@ object SignalQueries {
       lens.select(col("dig").as("digit"), col("freq"), col("code_len"),
           (col("freq") * col("code_len")).as("bits"))
         .orderBy("digit")
+    },
+
+    // Semi-supervised label propagation over the top-10 cosine-neighbor
+    // graph: 10% of vectors keep their labels as seeds, and two unrolled
+    // vote rounds assign each unlabeled vector the majority label among
+    // its LABELED neighbors (deterministic tie-break: vote count desc,
+    // label asc). The candidate graph is computed ONCE; each round is a
+    // join + count + rank-1 filter — the bounded-superstep shape every
+    // scalable SSL/graph algorithm here uses (cf. q160 BFS, q354
+    // PageRank). Output: confusion census of round-2 predictions vs true
+    // labels for the initially-unlabeled (pred −1 = still unlabeled).
+    QueryDef.sql(
+      "q450_label_spread",
+      """WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.m * b.m) AS dot
+        |  FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk
+        |    FROM d) WHERE rk <= 10),
+        |l0 AS (SELECT vec_id AS vid, label AS lab FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |v1 AS (SELECT nb.qid, l.lab, COUNT(*) AS nv
+        |  FROM nb JOIN l0 l ON nb.cid = l.vid GROUP BY 1, 2),
+        |n1 AS (SELECT qid, lab FROM (
+        |    SELECT qid, lab,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nv DESC, lab) AS r
+        |    FROM v1) WHERE r = 1),
+        |l1 AS (SELECT vid, lab FROM l0 UNION ALL
+        |  SELECT qid, lab FROM n1 WHERE qid NOT IN (SELECT vid FROM l0)),
+        |v2 AS (SELECT nb.qid, l.lab, COUNT(*) AS nv
+        |  FROM nb JOIN l1 l ON nb.cid = l.vid GROUP BY 1, 2),
+        |n2 AS (SELECT qid, lab FROM (
+        |    SELECT qid, lab,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nv DESC, lab) AS r
+        |    FROM v2) WHERE r = 1),
+        |l2 AS (SELECT vid, lab FROM l1 UNION ALL
+        |  SELECT qid, lab FROM n2 WHERE qid NOT IN (SELECT vid FROM l1)),
+        |un AS (SELECT vec_id, label AS true_label FROM embeddings
+        |  WHERE vec_id % 10 <> 0)
+        |SELECT CAST(un.true_label AS BIGINT) AS true_label,
+        |  CAST(COALESCE(l2.lab, -1) AS BIGINT) AS pred_label, COUNT(*) AS n
+        |FROM un LEFT JOIN l2 ON un.vec_id = l2.vid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir).embeddings
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val nb = emb.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.plans.GraftFunctions.scaledDot(col("embedding"), col("qv"))
+            .as("dot"))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+        .where(col("rk") <= 10)
+        .select("qid", "cid")
+      val l0 = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("vid"), col("label").as("lab"))
+      def spread(labels: DataFrame): DataFrame = {
+        val votes = nb
+          .join(labels.withColumnRenamed("vid", "cid"), "cid")
+          .groupBy("qid", "lab").agg(count(lit(1)).as("nv"))
+        val winner = votes.withColumn("r", row_number()
+            .over(Window.partitionBy("qid").orderBy(col("nv").desc, col("lab"))))
+          .where(col("r") === 1)
+          .select(col("qid").as("vid"), col("lab"))
+        labels.unionAll(
+          winner.join(labels.select("vid"), Seq("vid"), "left_anti"))
+      }
+      val l2 = spread(spread(l0))
+      emb.where(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("true_label"))
+        .join(l2, col("vec_id") === col("vid"), "left")
+        .groupBy(col("true_label"),
+          coalesce(col("lab"), lit(-1)).cast("long").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+
+    // Silhouette coefficient per label over the embeddings (clustering
+    // quality for the labels q323/q448/q450 consume): cosine distance
+    // 10⁶ − cos_scaled (IEEE sqrt norms, the q323 convention), mean
+    // intra/inter distances as floor-divided integers at the
+    // (vector, other-label) grain, s = 10⁶(b−a)/max(a,b). One pairwise
+    // scoring pass feeds a 10-cell-per-vector aggregate; signed integer
+    // division truncates identically on both engines (probed, q164).
+    QueryDef.sql(
+      "q451_silhouette",
+      """WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |nrm AS (SELECT vec_id, SUM(m * m) AS nn FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.m * b.m) AS dot
+        |  FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |ds AS (SELECT d.qid, eb.label AS cl,
+        |    1000000 - CAST(FLOOR(1000000.0 * CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))))
+        |      AS BIGINT) AS dist
+        |  FROM d JOIN nrm na ON d.qid = na.vec_id
+        |  JOIN nrm nc ON d.cid = nc.vec_id
+        |  JOIN embeddings eb ON d.cid = eb.vec_id),
+        |pc AS (SELECT ds.qid, eb.label AS ql, ds.cl,
+        |    CAST(SUM(ds.dist) // COUNT(*) AS BIGINT) AS md
+        |  FROM ds JOIN embeddings eb ON ds.qid = eb.vec_id GROUP BY 1, 2, 3),
+        |ab AS (SELECT qid, ql,
+        |    MAX(CASE WHEN cl = ql THEN md END) AS a,
+        |    MIN(CASE WHEN cl <> ql THEN md END) AS b
+        |  FROM pc GROUP BY 1, 2),
+        |sv AS (SELECT qid, ql,
+        |    CAST(1000000 * (b - a) // GREATEST(a, b, 1) AS BIGINT) AS s
+        |  FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+        |SELECT CAST(ql AS BIGINT) AS label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+        |  COUNT(*) FILTER (WHERE s > 0) AS n_positive
+        |FROM sv GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      val sd = graft.plans.GraftFunctions.scaledDot _
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sd(col("embedding"), col("embedding")).as("ncc"))
+      val q = emb.select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("embedding").as("qv"), col("ncc").as("naa"))
+      val ds = emb.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("ql"), col("label").as("cl"),
+          sd(col("embedding"), col("qv")).as("dot"), col("naa"), col("ncc"))
+        .select(col("qid"), col("ql"), col("cl"),
+          (lit(1000000L) - expr("CAST(FLOOR(1000000.0D * CAST(dot AS DOUBLE)" +
+            " / (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(ncc AS DOUBLE)))) AS BIGINT)"))
+            .as("dist"))
+      ds.groupBy("qid", "ql", "cl")
+        .agg(expr("CAST(SUM(dist) div COUNT(*) AS BIGINT)").as("md"))
+        .groupBy("qid", "ql")
+        .agg(max(when(col("cl") === col("ql"), col("md"))).as("a"),
+          min(when(col("cl") =!= col("ql"), col("md"))).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .select(col("qid"), col("ql"),
+          expr("CAST(1000000 * (b - a) div GREATEST(a, b, 1) AS BIGINT)").as("s"))
+        .groupBy(col("ql").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(SUM(s) div COUNT(*) AS BIGINT)").as("mean_s_ppm"),
+          count(when(col("s") > 0, 1)).as("n_positive"))
+        .orderBy("label")
+    },
+
+    // Difference-in-differences per market segment: treatment = nations
+    // 0-4, policy date 1997-01-01; the DiD estimate on mean order value
+    // is assembled from four exact (Σcents, n) cells per segment with
+    // ONE milli-scaled DOUBLE+FLOOR at the end (numerators < 2⁵³ —
+    // IEEE-exact, the q164 convention). The causal-inference companion
+    // to q311's CUPED: grouped partial sums only, no row ever leaves
+    // its segment cell.
+    QueryDef.sql(
+      "q452_diff_in_diff",
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+        |    CASE WHEN c.c_nationkey < 5 THEN 1 ELSE 0 END AS treat,
+        |    CASE WHEN o.o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END AS post,
+        |    CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT seg, treat, post, COUNT(*) AS n, SUM(cents) AS sc
+        |  FROM o GROUP BY 1, 2, 3),
+        |p AS (SELECT seg,
+        |    MAX(CASE WHEN treat = 1 AND post = 1 THEN sc END) AS tp,
+        |    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS ntp,
+        |    MAX(CASE WHEN treat = 1 AND post = 0 THEN sc END) AS tr,
+        |    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS ntr,
+        |    MAX(CASE WHEN treat = 0 AND post = 1 THEN sc END) AS cp,
+        |    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS ncp,
+        |    MAX(CASE WHEN treat = 0 AND post = 0 THEN sc END) AS cr,
+        |    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS ncr
+        |  FROM g GROUP BY 1)
+        |SELECT seg AS segment,
+        |  CAST(ntp + ntr + ncp + ncr AS BIGINT) AS n_orders,
+        |  CAST(FLOOR(1000.0 * ((CAST(tp AS DOUBLE) / ntp - CAST(tr AS DOUBLE) / ntr)
+        |    - (CAST(cp AS DOUBLE) / ncp - CAST(cr AS DOUBLE) / ncr)))
+        |    AS BIGINT) AS did_millicents
+        |FROM p ORDER BY segment""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("c_nationkey") < 5, 1).otherwise(0).as("treat"),
+          when(col("o_orderdate") >= lit("1997-01-01").cast("date"), 1)
+            .otherwise(0).as("post"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val g = o.groupBy("seg", "treat", "post")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      g.groupBy("seg")
+        .agg(
+          max(when(col("treat") === 1 && col("post") === 1, col("sc"))).as("tp"),
+          max(when(col("treat") === 1 && col("post") === 1, col("n"))).as("ntp"),
+          max(when(col("treat") === 1 && col("post") === 0, col("sc"))).as("tr"),
+          max(when(col("treat") === 1 && col("post") === 0, col("n"))).as("ntr"),
+          max(when(col("treat") === 0 && col("post") === 1, col("sc"))).as("cp"),
+          max(when(col("treat") === 0 && col("post") === 1, col("n"))).as("ncp"),
+          max(when(col("treat") === 0 && col("post") === 0, col("sc"))).as("cr"),
+          max(when(col("treat") === 0 && col("post") === 0, col("n"))).as("ncr"))
+        .select(col("seg").as("segment"),
+          (col("ntp") + col("ntr") + col("ncp") + col("ncr")).cast("long")
+            .as("n_orders"),
+          expr("CAST(FLOOR(1000.0D * ((CAST(tp AS DOUBLE) / ntp" +
+            " - CAST(tr AS DOUBLE) / ntr)" +
+            " - (CAST(cp AS DOUBLE) / ncp - CAST(cr AS DOUBLE) / ncr)))" +
+            " AS BIGINT)").as("did_millicents"))
+        .orderBy("segment")
+    },
+
+    // Tail-latency blame decomposition: the p99 of event values (cents)
+    // with each event type excluded in turn, all computed from ONE shared
+    // value-grain histogram — never 5 copies of the stream. Each
+    // exclusion's p99 is the discrete rank-index quantile (1-based
+    // ceil(0.99·n): min value with 100·cum ≥ 99·n, the probed
+    // quantile_disc convention), and delta vs the no-exclusion baseline
+    // says how much each type contributes to the tail. The histogram
+    // join fans out |distinct values| × 6 rows — bounded by the value
+    // domain, not the event count.
+    QueryDef.sql(
+      "q453_tail_blame",
+      """WITH v AS (SELECT event_type AS t,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events),
+        |vg AS (SELECT t, c, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |ex AS (SELECT DISTINCT t AS ex FROM v UNION ALL SELECT '_none'),
+        |r AS (SELECT ex.ex, vg.c, SUM(vg.cnt) AS cnt
+        |  FROM ex JOIN vg ON vg.t <> ex.ex GROUP BY 1, 2),
+        |cum AS (SELECT ex, c,
+        |    SUM(cnt) OVER (PARTITION BY ex ORDER BY c) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY ex) AS ntot FROM r),
+        |q AS (SELECT ex, CAST(MAX(ntot) AS BIGINT) AS n_remaining,
+        |    MIN(CASE WHEN 100 * cum >= 99 * ntot THEN c END) AS p99
+        |  FROM cum GROUP BY 1)
+        |SELECT q.ex AS excluded_type, q.n_remaining, q.p99 AS p99_cents,
+        |  q.p99 - b.p99 AS delta_cents
+        |FROM q JOIN (SELECT p99 FROM q WHERE ex = '_none') b ON TRUE
+        |ORDER BY excluded_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables(s, dir).events
+        .select(col("event_type").as("t"),
+          floor(col("value") * lit(100.0)).cast("long").as("c"))
+      val vg = v.groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+      val ex = v.select(col("t")).distinct()
+        .select(col("t").as("ex"))
+        .unionAll(s.range(1).select(lit("_none").as("ex")))
+      val r = broadcast(ex).join(vg, col("t") =!= col("ex"))
+        .groupBy("ex", "c").agg(sum("cnt").as("cnt"))
+      val w = Window.partitionBy("ex").orderBy("c")
+      val cum = r
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("ntot", sum("cnt").over(Window.partitionBy("ex")))
+      val q = cum.groupBy("ex")
+        .agg(max("ntot").cast("long").as("n_remaining"),
+          min(when(col("cum") * 100 >= col("ntot") * 99, col("c"))).as("p99"))
+      val base = q.where(col("ex") === "_none")
+        .select(col("p99").as("base_p99"))
+      q.crossJoin(broadcast(base))
+        .select(col("ex").as("excluded_type"), col("n_remaining"),
+          col("p99").as("p99_cents"),
+          (col("p99") - col("base_p99")).as("delta_cents"))
+        .orderBy("excluded_type")
     }
   )
 }

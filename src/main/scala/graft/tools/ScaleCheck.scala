@@ -382,6 +382,73 @@ object ScaleCheck {
     println(f"""{"scenario":"bitmap_intersect","universe":$uniVerse,"side_rows":${n / 2},""" +
       f""""n_both":$nBoth,"bitmap_sec":${(t71 - t70) / 1e9}%.2f,""" +
       f""""setjoin_sec":${(t72 - t71) / 1e9}%.2f}""")
+
+    // Interval-union sweep (q440's running-max island shape) over 2n
+    // intervals across 100k users — SELF-VALIDATING: even users get
+    // overlapping chains (10-apart starts, duration 15 ⇒ ONE island,
+    // covered = (k−1)·10+15), odd users get gapped chains (duration 5 ⇒
+    // k islands, covered = 5k). Any window/ordering bug breaks the
+    // closed form for some user. Cost = one sort per user partition —
+    // no explode, no self-join.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val nUsers = 100000L
+      val perUser = (2 * n) / nUsers
+      val iv = spark.range(2 * n).select(
+        (col("id") % nUsers).as("u"),
+        ((col("id") / nUsers).cast("long") * 10).as("s"))
+        .withColumn("e", col("s") +
+          when(col("u") % 2 === 0, 15L).otherwise(5L))
+      val t80 = System.nanoTime()
+      val ordW = Window.partitionBy("u").orderBy("s", "e")
+      val g = iv
+        .withColumn("pmax",
+          max("e").over(ordW.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl",
+          sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+            .over(ordW))
+      val perU = g.groupBy("u", "isl")
+        .agg(min("s").as("is"), max("e").as("ie"))
+        .groupBy("u")
+        .agg(count(lit(1)).as("ni"), sum(col("ie") - col("is")).as("cov"))
+      val badIv = perU.where(
+        !(col("u") % 2 === 0 && col("ni") === 1 &&
+            col("cov") === (perUser - 1) * 10 + 15) &&
+        !(col("u") % 2 === 1 && col("ni") === perUser &&
+            col("cov") === 5 * perUser)).count()
+      val t81 = System.nanoTime()
+      require(badIv == 0, s"interval_union: $badIv users off the closed form")
+      val ivSec = (t81 - t80) / 1e9
+      println(f"""{"scenario":"interval_union","intervals":${2 * n},"users":$nUsers,""" +
+        f""""bad_users":$badIv,"sec":$ivSec%.2f,""" +
+        f""""intervals_per_sec":${(2 * n / ivSec).toLong}}""")
+
+      // CUSUM prefix form (q439's shape) over 100k series × ${2n/100k}
+      // points: 1% of series carry a +4/step drift in their last quarter;
+      // with target k=10, threshold h=100, CLEAN series hold S≡0 and
+      // drifted ones must alarm — the alarm census equals the plant
+      // exactly, or the prefix/min-window identity is broken.
+      val nSeries = 100000L
+      val perSeries = (2 * n) / nSeries
+      val cu = spark.range(2 * n).select(
+        (col("id") % nSeries).as("sid"),
+        (col("id") / nSeries).cast("long").as("t"))
+        .withColumn("x",
+          lit(10L) + when(col("sid") % 100 === 0 &&
+            col("t") >= (perSeries * 3) / 4, 4L).otherwise(0L))
+      val t82 = System.nanoTime()
+      val wS = Window.partitionBy("sid").orderBy("t")
+      val cus = cu.withColumn("ps", sum(col("x") - 10L).over(wS))
+        .withColumn("cusum", col("ps") - least(min("ps").over(wS), lit(0L)))
+      val alarms = cus.groupBy("sid").agg(max("cusum").as("mx"))
+        .where(col("mx") > 100).count()
+      val t83 = System.nanoTime()
+      require(alarms == nSeries / 100, s"cusum: $alarms alarms, planted ${nSeries / 100}")
+      val cuSec = (t83 - t82) / 1e9
+      println(f"""{"scenario":"cusum_prefix","rows":${2 * n},"series":$nSeries,""" +
+        f""""alarms":$alarms,"sec":$cuSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / cuSec).toLong}}""")
+    }
     spark.stop()
   }
 }

@@ -134,6 +134,42 @@ class SignalInvariantsSpec extends SparkSpec {
       assert(a.getAs[Long]("code_len") <= b.getAs[Long]("code_len"))
   }
 
+  test("q450 label spread covers every non-seed exactly once with valid labels") {
+    val rows = run("q450_label_spread").collect()
+    val nonSeeds = graft.core.Tables(spark, sfDir).embeddings
+      .where(col("vec_id") % 10 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nonSeeds)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pred_label") >= -1 && r.getAs[Long]("pred_label") <= 9)
+    }
+  }
+
+  test("q451 silhouette values are valid and positives bounded by counts") {
+    run("q451_silhouette").collect().foreach { r =>
+      val m = r.getAs[Long]("mean_s_ppm")
+      assert(m >= -1000000L && m <= 1000000L)
+      assert(r.getAs[Long]("n_positive") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("q452 DiD cells cover every order exactly once") {
+    val rows = run("q452_diff_in_diff").collect()
+    val t = graft.core.Tables(spark, sfDir)
+    val orders = t.orders.join(t.customer,
+      col("o_custkey") === col("c_custkey")).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders)
+  }
+
+  test("q453 tail blame has a zero-delta baseline and positive quantiles") {
+    val rows = run("q453_tail_blame").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p99_cents") > 0)
+      if (r.getAs[String]("excluded_type") == "_none")
+        assert(r.getAs[Long]("delta_cents") == 0L)
+    }
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
