@@ -976,6 +976,252 @@ object SignalQueries {
           col("p99").as("p99_cents"),
           (col("p99") - col("base_p99")).as("delta_cents"))
         .orderBy("excluded_type")
+    },
+
+    // HDR-style histogram of price cents: the power-of-two bucket is
+    // length(bin(c)) − 1 — the binary-string length IS floor(log2), a
+    // zero-libm integer identity both engines share — and each bucket
+    // splits into 4 linear sub-buckets via (4c) div 2^b − 4. The
+    // logarithmic layout keeps relative error ≤ 1/8 per cell with ~40
+    // cells per decade of range; per-cell count/min/max plus the
+    // cumulative ppm give the latency-report quantile surface in one
+    // map-side-combinable aggregate (the histogram grain is fixed, so
+    // merging shards is cell-wise addition — the HDR merge property).
+    QueryDef.sql(
+      "q454_hdr_histogram",
+      """WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |b AS (SELECT c, length(bin(c)) - 1 AS buck FROM v),
+        |sb AS (SELECT buck,
+        |    (4 * c) // (CAST(1 AS BIGINT) << buck) - 4 AS sub, c FROM b),
+        |g AS (SELECT buck, sub, COUNT(*) AS n, MIN(c) AS min_c, MAX(c) AS max_c
+        |  FROM sb GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tot FROM g)
+        |SELECT CAST(buck AS BIGINT) AS bucket, CAST(sub AS BIGINT) AS sub_bucket,
+        |  n, min_c, max_c,
+        |  CAST(1000000 * SUM(n) OVER (ORDER BY buck, sub) // tot AS BIGINT)
+        |    AS cum_ppm
+        |FROM g CROSS JOIN t ORDER BY bucket, sub_bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables(s, dir).lineitem
+        .where(col("l_extendedprice") > 0)
+        .select(floor(col("l_extendedprice") * lit(100.0)).cast("long").as("c"))
+      val sb = v
+        .withColumn("buck", (length(bin(col("c"))) - 1).cast("long"))
+        .withColumn("sub",
+          expr("(4 * c) div shiftleft(CAST(1 AS BIGINT), CAST(buck AS INT)) - 4"))
+      val g = sb.groupBy("buck", "sub")
+        .agg(count(lit(1)).as("n"), min("c").as("min_c"), max("c").as("max_c"))
+      val t = g.agg(sum("n").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("buck").as("bucket"), col("sub").as("sub_bucket"),
+          col("n"), col("min_c"), col("max_c"),
+          expr("CAST(1000000 * SUM(n) OVER (ORDER BY buck, sub) div tot AS BIGINT)")
+            .as("cum_ppm"))
+        .orderBy("bucket", "sub_bucket")
+    },
+
+    // Greedy set cover for corpus source selection: pick the 5 sources
+    // that together cover the most distinct bigrams, one argmax round at
+    // a time (count of UNCOVERED bigrams per source → winner → its
+    // bigrams join the covered set by anti-join). Five unrolled rounds —
+    // the standard (1−1/e)-approximation, expressed as bounded dataflow
+    // the way every "choose k representatives" curation pass should be:
+    // per-round cost is one (source, bigram) aggregate over the
+    // anti-joined remainder, never an enumeration of source subsets.
+    QueryDef.sql(
+      "q455_set_cover", {
+        val base =
+          """d0 AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+            |  WHERE len(string_split(text, ' ')) >= 2),
+            |sb AS MATERIALIZED (SELECT DISTINCT source, bg FROM (
+            |  SELECT source, UNNEST(list_transform(generate_series(1, len(ws) - 1),
+            |    i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM d0))"""
+            .stripMargin
+        val rounds = (1 to 5).map { i =>
+          val prevCov = if (i == 1) "" else
+            s" WHERE bg NOT IN (SELECT bg FROM cov${i - 1})"
+          val newCov = if (i == 1) s"SELECT bg FROM sb WHERE source = (SELECT src FROM w$i)"
+          else s"SELECT bg FROM cov${i - 1} UNION SELECT bg FROM sb WHERE source = (SELECT src FROM w$i)"
+          s"""g$i AS (SELECT source, COUNT(*) AS gain FROM sb$prevCov GROUP BY 1),
+             |w$i AS (SELECT source AS src, gain FROM g$i
+             |  ORDER BY gain DESC, source LIMIT 1),
+             |cov$i AS MATERIALIZED ($newCov)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $base,
+           |$rounds
+           |SELECT 1 AS round, src AS source, CAST(gain AS BIGINT) AS gain,
+           |  (SELECT COUNT(*) FROM cov1) AS covered FROM w1
+           |UNION ALL SELECT 2, src, gain, (SELECT COUNT(*) FROM cov2) FROM w2
+           |UNION ALL SELECT 3, src, gain, (SELECT COUNT(*) FROM cov3) FROM w3
+           |UNION ALL SELECT 4, src, gain, (SELECT COUNT(*) FROM cov4) FROM w4
+           |UNION ALL SELECT 5, src, gain, (SELECT COUNT(*) FROM cov5) FROM w5
+           |ORDER BY round""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      val sb = Tables(s, dir).documents
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bg"))
+        .distinct()
+      var covered: Option[DataFrame] = None
+      var rows = Seq.empty[DataFrame]
+      for (round <- 1 to 5) {
+        val remaining = covered match {
+          case None => sb
+          case Some(c) => sb.join(c, Seq("bg"), "left_anti")
+        }
+        val w = remaining.groupBy("source").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("source")).limit(1)
+          .select(col("source").as("src"), col("gain"))
+        val newCov = sb.join(w.select(col("src").as("source")), Seq("source"),
+            "left_semi").select("bg")
+        val cov = covered match {
+          case None => newCov
+          case Some(c) => c.unionAll(newCov).distinct()
+        }
+        covered = Some(cov)
+        rows = rows :+ w.crossJoin(cov.agg(count(lit(1)).as("covered")))
+          .select(lit(round).as("round"), col("src").as("source"),
+            col("gain"), col("covered"))
+      }
+      rows.reduce(_ unionAll _).orderBy("round")
+    },
+
+    // Deterministic independent-cascade reach over the part co-order
+    // graph: each (symmetrized) edge activates iff its md5 draw clears
+    // 30%, and influence spreads 3 unrolled BFS rounds from the two
+    // smallest part keys in the graph. The hash-gated edge filter prunes
+    // BEFORE any traversal (70% of edges never enter a frontier join),
+    // and each round is the q160 frontier shape — per-round census is
+    // the result, so the query is deterministic short of convergence.
+    QueryDef.sql(
+      "q456_cascade_reach",
+      """WITH ip AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b
+        |  FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |act AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE CAST(('0x' || substr(md5(a || '_' || b), 1, 6)) AS BIGINT)
+        |    % 1000 < 300),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM act
+        |  UNION SELECT b, a FROM act),
+        |seeds AS (SELECT n FROM (SELECT a AS n FROM e0 UNION SELECT b FROM e0)
+        |  ORDER BY n LIMIT 2),
+        |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS n FROM e
+        |  JOIN seeds ON e.src = seeds.n
+        |  WHERE e.dst NOT IN (SELECT n FROM seeds)),
+        |v1 AS (SELECT n FROM seeds UNION SELECT n FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS n FROM e
+        |  JOIN f1 ON e.src = f1.n WHERE e.dst NOT IN (SELECT n FROM v1)),
+        |v2 AS (SELECT n FROM v1 UNION SELECT n FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS n FROM e
+        |  JOIN f2 ON e.src = f2.n WHERE e.dst NOT IN (SELECT n FROM v2))
+        |SELECT 0 AS round, (SELECT COUNT(*) FROM seeds) AS newly_reached
+        |UNION ALL SELECT 1, (SELECT COUNT(*) FROM f1)
+        |UNION ALL SELECT 2, (SELECT COUNT(*) FROM f2)
+        |UNION ALL SELECT 3, (SELECT COUNT(*) FROM f3)
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      val ip = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ip2 = ip.select(col("o").as("o2"), col("p").as("p2"))
+      val e0 = ip.join(ip2, col("o") === col("o2") && col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+        .select("a", "b")
+      val act = e0.where(
+        conv(substring(md5(concat(col("a"), lit("_"), col("b"))), 1, 6), 16, 10)
+          .cast("long") % 1000 < 300)
+      val e = act.select(col("a").as("src"), col("b").as("dst"))
+        .union(act.select(col("b").as("src"), col("a").as("dst"))).distinct()
+      val nodes = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
+        .distinct()
+      val seeds = nodes.orderBy("n").limit(2)
+      def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+        e.join(frontier.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("n")).distinct()
+          .join(visited, Seq("n"), "left_anti")
+      val f1 = expand(seeds, seeds)
+      val v1 = seeds.unionAll(f1).distinct()
+      val f2 = expand(f1, v1)
+      val v2 = v1.unionAll(f2).distinct()
+      val f3 = expand(f2, v2)
+      def cnt(round: Int, df: DataFrame) =
+        df.agg(count(lit(1)).as("newly_reached"))
+          .select(lit(round).as("round"), col("newly_reached"))
+      cnt(0, seeds).unionAll(cnt(1, f1)).unionAll(cnt(2, f2)).unionAll(cnt(3, f3))
+        .orderBy("round")
+    },
+
+    // LRU hit-ratio curve from exact reuse distances: for each warm
+    // access (same user seen before), the stack distance is the number
+    // of DISTINCT other keys touched since the previous access — counted
+    // WITHOUT a distinct-per-interval scan via the last-occurrence
+    // trick: key j in (prev, i) is counted iff its NEXT access is ≥ i
+    // (each distinct key contributes exactly its final appearance).
+    // LRU(C) hits an access iff distance < C; one interval join bounded
+    // by Σ reuse distances (the locality of the trace itself) yields the
+    // whole miss-ratio curve. Arrival order = event_id (documented).
+    QueryDef.sql(
+      "q457_lru_curve",
+      """WITH a AS (SELECT user_id AS k, event_id AS pos FROM events),
+        |w AS (SELECT k, pos,
+        |    LAG(pos) OVER (PARTITION BY k ORDER BY pos) AS prev,
+        |    LEAD(pos) OVER (PARTITION BY k ORDER BY pos) AS nxt
+        |  FROM a),
+        |iv AS (SELECT pos, prev FROM w WHERE prev IS NOT NULL),
+        |d AS (SELECT iv.pos, COUNT(*) AS dist
+        |  FROM iv JOIN w j ON j.pos > iv.prev AND j.pos < iv.pos
+        |    AND (j.nxt IS NULL OR j.nxt >= iv.pos)
+        |  GROUP BY 1),
+        |warm AS (SELECT iv.pos, COALESCE(d.dist, 0) AS dist
+        |  FROM iv LEFT JOIN d ON iv.pos = d.pos),
+        |t AS (SELECT COUNT(*) AS n_warm FROM warm),
+        |cold AS (SELECT COUNT(*) AS n_cold FROM w WHERE prev IS NULL)
+        |SELECT CAST(n_warm AS BIGINT) AS n_warm, CAST(n_cold AS BIGINT) AS n_cold,
+        |  CAST(1000000 * (SELECT COUNT(*) FROM warm WHERE dist < 4) // n_warm
+        |    AS BIGINT) AS hit4_ppm,
+        |  CAST(1000000 * (SELECT COUNT(*) FROM warm WHERE dist < 16) // n_warm
+        |    AS BIGINT) AS hit16_ppm,
+        |  CAST(1000000 * (SELECT COUNT(*) FROM warm WHERE dist < 64) // n_warm
+        |    AS BIGINT) AS hit64_ppm
+        |FROM t CROSS JOIN cold""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables(s, dir).events
+        .select(col("user_id").as("k"), col("event_id").as("pos"))
+      val wk = Window.partitionBy("k").orderBy("pos")
+      val w = a.withColumn("prev", lag("pos", 1).over(wk))
+        .withColumn("nxt", lead("pos", 1).over(wk))
+      val iv = w.where(col("prev").isNotNull).select(col("pos"), col("prev"))
+      val j = w.select(col("pos").as("jpos"), col("nxt"))
+      // banded range join: a bare non-equi join would plan as a nested
+      // loop over |accesses|² — banding on pos div 1024 gives the hash
+      // join an equi key, and each interval explodes into O(gap/1024)+1
+      // bands, so join volume tracks Σ reuse distances (trace locality)
+      val ivb = iv.withColumn("blk",
+        explode(expr("sequence(prev div 1024, pos div 1024)")))
+      val jb = j.withColumn("blk", expr("jpos div 1024"))
+      val d = ivb.join(jb, Seq("blk"))
+        .where(col("jpos") > col("prev") && col("jpos") < col("pos") &&
+          (col("nxt").isNull || col("nxt") >= col("pos")))
+        .groupBy("pos").agg(count(lit(1)).as("dist"))
+      val warm = iv.join(d, Seq("pos"), "left")
+        .select(col("pos"), coalesce(col("dist"), lit(0L)).as("dist"))
+      val agg = warm.agg(count(lit(1)).as("n_warm"),
+        sum(when(col("dist") < 4, 1).otherwise(0)).as("h4"),
+        sum(when(col("dist") < 16, 1).otherwise(0)).as("h16"),
+        sum(when(col("dist") < 64, 1).otherwise(0)).as("h64"))
+      val cold = w.where(col("prev").isNull).agg(count(lit(1)).as("n_cold"))
+      agg.crossJoin(cold)
+        .select(col("n_warm"), col("n_cold"),
+          expr("CAST(1000000 * h4 div n_warm AS BIGINT)").as("hit4_ppm"),
+          expr("CAST(1000000 * h16 div n_warm AS BIGINT)").as("hit16_ppm"),
+          expr("CAST(1000000 * h64 div n_warm AS BIGINT)").as("hit64_ppm"))
     }
   )
 }

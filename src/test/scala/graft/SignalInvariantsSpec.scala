@@ -170,6 +170,48 @@ class SignalInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q454 HDR cells respect their power-of-two bounds and cum ends at 1e6") {
+    val rows = run("q454_hdr_histogram").collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = 1L << b.toInt
+      val sub = r.getAs[Long]("sub_bucket")
+      assert(sub >= 0 && sub <= 3)
+      val subLo = lo + sub * (lo / 4)
+      val subHi = lo + (sub + 1) * (lo / 4)
+      assert(r.getAs[Long]("min_c") >= subLo && r.getAs[Long]("max_c") < subHi)
+    }
+    assert(rows.map(_.getAs[Long]("cum_ppm")).max == 1000000L)
+  }
+
+  test("q455 greedy cover gains are non-increasing and reconcile to coverage") {
+    val rows = run("q455_set_cover").collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.nonEmpty)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    val covs = rows.map(_.getAs[Long]("covered"))
+    // coverage after round r == coverage before + that round's gain
+    assert(covs.head == gains.head)
+    covs.zip(covs.tail).zip(gains.tail).foreach { case ((prev, cur), g) =>
+      assert(cur == prev + g)
+    }
+  }
+
+  test("q456 cascade starts from 2 seeds and every round census is non-negative") {
+    val rows = run("q456_cascade_reach").collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.head.getAs[Long]("newly_reached") == 2L)
+    rows.foreach(r => assert(r.getAs[Long]("newly_reached") >= 0L))
+  }
+
+  test("q457 LRU hit curve is monotone in cache size and partitions the trace") {
+    val r = run("q457_lru_curve").collect().head
+    val (h4, h16, h64) = (r.getAs[Long]("hit4_ppm"), r.getAs[Long]("hit16_ppm"),
+      r.getAs[Long]("hit64_ppm"))
+    assert(h4 <= h16 && h16 <= h64 && h64 <= 1000000L)
+    val total = graft.core.Tables(spark, sfDir).events.count()
+    assert(r.getAs[Long]("n_warm") + r.getAs[Long]("n_cold") == total)
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
