@@ -1222,6 +1222,323 @@ object SignalQueries {
           expr("CAST(1000000 * h4 div n_warm AS BIGINT)").as("hit4_ppm"),
           expr("CAST(1000000 * h16 div n_warm AS BIGINT)").as("hit16_ppm"),
           expr("CAST(1000000 * h64 div n_warm AS BIGINT)").as("hit64_ppm"))
+    },
+
+    // Hilbert-curve vs Morton (Z-order) locality on a 16×16 key grid —
+    // the layout-advisor companion to q282's z-order clustering. The
+    // xy→d Hilbert mapping is FOUR UNROLLED quadrant steps, each a pure
+    // integer CASE (the (3rx XOR ry) quadrant offsets are enumerated
+    // literally; the rotation updates (x,y) by reflection/swap) — no
+    // loops, no state, bit-identical on both engines (verified against
+    // the textbook recursive xy2d: identical 256-cell bijection). The
+    // verdict is the SEQUENTIAL-SCAN metric that matters for clustered
+    // storage: Manhattan distance between CONSECUTIVE curve indices —
+    // Hilbert steps are provably always 1 (every next index is a
+    // spatial neighbor, so a curve-ordered scan walks contiguous
+    // blocks), while Morton's bit-interleave jumps up to 2^k cells at
+    // quadrant boundaries. (On the converse metric — index gap between
+    // spatially ADJACENT cells — Morton actually wins; the spec pins
+    // both directions.)
+    QueryDef.sql(
+      "q458_hilbert_curve", {
+        def step(s: Int, sq: Int) =
+          s"""SELECT d + $sq * (CASE
+             |    WHEN (x // $s) % 2 = 0 AND (y // $s) % 2 = 0 THEN 0
+             |    WHEN (x // $s) % 2 = 0 AND (y // $s) % 2 = 1 THEN 1
+             |    WHEN (x // $s) % 2 = 1 AND (y // $s) % 2 = 1 THEN 2
+             |    ELSE 3 END) AS nd,
+             |  CASE WHEN (y // $s) % 2 = 0 THEN
+             |    (CASE WHEN (x // $s) % 2 = 1 THEN ($s - 1 - (y % $s)) ELSE y % $s END)
+             |    ELSE x % $s END AS nx,
+             |  CASE WHEN (y // $s) % 2 = 0 THEN
+             |    (CASE WHEN (x // $s) % 2 = 1 THEN ($s - 1 - (x % $s)) ELSE x % $s END)
+             |    ELSE y % $s END AS ny""".stripMargin
+        s"""WITH g AS (SELECT gx.x, gy.y, CAST(0 AS BIGINT) AS d
+           |  FROM (SELECT UNNEST(generate_series(0, 15)) AS x) gx,
+           |       (SELECT UNNEST(generate_series(0, 15)) AS y) gy),
+           |s1 AS (SELECT gx0 AS x0, gy0 AS y0, nx AS x, ny AS y, nd AS d FROM (
+           |  SELECT x AS gx0, y AS gy0, t.* FROM g, LATERAL (${step(8, 64)}) t)),
+           |s2 AS (SELECT x0, y0, nx AS x, ny AS y, nd AS d FROM (
+           |  SELECT x0, y0, t.* FROM s1, LATERAL (${step(4, 16)}) t)),
+           |s3 AS (SELECT x0, y0, nx AS x, ny AS y, nd AS d FROM (
+           |  SELECT x0, y0, t.* FROM s2, LATERAL (${step(2, 4)}) t)),
+           |s4 AS (SELECT x0, y0, nd AS d FROM (
+           |  SELECT x0, y0, t.* FROM s3, LATERAL (${step(1, 1)}) t)),
+           |m AS (SELECT x0, y0, s4.d AS hd,
+           |    CAST(((x0 // 8) % 2) * 128 + ((y0 // 8) % 2) * 64
+           |      + ((x0 // 4) % 2) * 32 + ((y0 // 4) % 2) * 16
+           |      + ((x0 // 2) % 2) * 8 + ((y0 // 2) % 2) * 4
+           |      + (x0 % 2) * 2 + (y0 % 2) AS BIGINT) AS md
+           |  FROM s4),
+           |hstep AS (SELECT ABS(a.x0 - b.x0) + ABS(a.y0 - b.y0) AS dist
+           |  FROM m a JOIN m b ON b.hd = a.hd + 1),
+           |mstep AS (SELECT ABS(a.x0 - b.x0) + ABS(a.y0 - b.y0) AS dist
+           |  FROM m a JOIN m b ON b.md = a.md + 1),
+           |adj AS (SELECT ABS(a.hd - b.hd) AS hgap, ABS(a.md - b.md) AS mgap
+           |  FROM m a JOIN m b ON b.x0 = a.x0 + 1 AND b.y0 = a.y0)
+           |SELECT 'hilbert' AS curve,
+           |  (SELECT CAST(1000 * SUM(dist) // COUNT(*) AS BIGINT) FROM hstep)
+           |    AS mean_step_dist_milli,
+           |  (SELECT CAST(MAX(dist) AS BIGINT) FROM hstep) AS max_step_dist,
+           |  (SELECT CAST(1000 * SUM(hgap) // COUNT(*) AS BIGINT) FROM adj)
+           |    AS mean_adj_gap_milli
+           |UNION ALL
+           |SELECT 'morton',
+           |  (SELECT CAST(1000 * SUM(dist) // COUNT(*) AS BIGINT) FROM mstep),
+           |  (SELECT CAST(MAX(dist) AS BIGINT) FROM mstep),
+           |  (SELECT CAST(1000 * SUM(mgap) // COUNT(*) AS BIGINT) FROM adj)
+           |ORDER BY curve""".stripMargin
+      }) { (s, dir) =>
+      def stepCols(df: org.apache.spark.sql.DataFrame, sv: Int, sq: Int) = df
+        .withColumn("d", col("d") + lit(sq) * expr(
+          s"""CASE
+             | WHEN (x div $sv) % 2 = 0 AND (y div $sv) % 2 = 0 THEN 0
+             | WHEN (x div $sv) % 2 = 0 AND (y div $sv) % 2 = 1 THEN 1
+             | WHEN (x div $sv) % 2 = 1 AND (y div $sv) % 2 = 1 THEN 2
+             | ELSE 3 END""".stripMargin))
+        .withColumn("nx", expr(
+          s"""CASE WHEN (y div $sv) % 2 = 0 THEN
+             |  (CASE WHEN (x div $sv) % 2 = 1 THEN ($sv - 1 - (y % $sv))
+             |   ELSE y % $sv END)
+             | ELSE x % $sv END""".stripMargin))
+        .withColumn("ny", expr(
+          s"""CASE WHEN (y div $sv) % 2 = 0 THEN
+             |  (CASE WHEN (x div $sv) % 2 = 1 THEN ($sv - 1 - (x % $sv))
+             |   ELSE x % $sv END)
+             | ELSE y % $sv END""".stripMargin))
+        .drop("x", "y")
+        .withColumnRenamed("nx", "x").withColumnRenamed("ny", "y")
+      val g = s.range(16).select(col("id").as("x"))
+        .crossJoin(s.range(16).select(col("id").as("y")))
+        .withColumn("d", lit(0L))
+        .withColumn("x0", col("x")).withColumn("y0", col("y"))
+      val s4 = Seq((8, 64), (4, 16), (2, 4), (1, 1))
+        .foldLeft(g) { case (df, (sv, sq)) => stepCols(df, sv, sq) }
+      val m = s4.select(col("x0"), col("y0"), col("d").as("hd"),
+        expr("CAST(((x0 div 8) % 2) * 128 + ((y0 div 8) % 2) * 64" +
+          " + ((x0 div 4) % 2) * 32 + ((y0 div 4) % 2) * 16" +
+          " + ((x0 div 2) % 2) * 8 + ((y0 div 2) % 2) * 4" +
+          " + (x0 % 2) * 2 + (y0 % 2) AS BIGINT)").as("md"))
+      val b = m.select(col("x0").as("bx"), col("y0").as("by"),
+        col("hd").as("h2"), col("md").as("m2"))
+      def stepStats(joinCond: org.apache.spark.sql.Column, name: String) = m
+        .join(b, joinCond)
+        .select((abs(col("x0") - col("bx")) + abs(col("y0") - col("by"))).as("dist"))
+        .agg(expr("CAST(1000 * SUM(dist) div COUNT(*) AS BIGINT)")
+            .as("mean_step_dist_milli"),
+          expr("CAST(MAX(dist) AS BIGINT)").as("max_step_dist"))
+        .select(lit(name).as("curve"), col("mean_step_dist_milli"),
+          col("max_step_dist"))
+      val adjGap = m.join(b, col("bx") === col("x0") + 1 && col("by") === col("y0"))
+        .agg(expr("CAST(1000 * SUM(ABS(hd - h2)) div COUNT(*) AS BIGINT)").as("hgap"),
+          expr("CAST(1000 * SUM(ABS(md - m2)) div COUNT(*) AS BIGINT)").as("mgap"))
+      val h = stepStats(col("h2") === col("hd") + 1, "hilbert")
+        .crossJoin(broadcast(adjGap.select(col("hgap").as("mean_adj_gap_milli"))))
+      val mo = stepStats(col("m2") === col("md") + 1, "morton")
+        .crossJoin(broadcast(adjGap.select(col("mgap").as("mean_adj_gap_milli"))))
+      h.unionAll(mo).orderBy("curve")
+    },
+
+    // Selinger-style join-order advisor for the lineitem ⋈ orders ⋈
+    // customer chain: exact base cardinalities and key NDVs feed the
+    // System R estimate |A⋈B| = |A|·|B| / max(ndv_A, ndv_B) for the two
+    // CONNECTED orders (starting with the cross join is never
+    // enumerated), and the winner is the order with the smaller
+    // intermediate. The stats pass is three aggregates; the enumeration
+    // is metadata — exactly how a cost-based optimizer prices a join
+    // tree, expressed as a query over its own catalog statistics.
+    QueryDef.sql(
+      "q459_join_order_advisor",
+      """WITH ls AS (SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS ndv_ok
+        |  FROM lineitem),
+        |os AS (SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS ndv_ok,
+        |    COUNT(DISTINCT o_custkey) AS ndv_ck FROM orders),
+        |cs AS (SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS ndv_ck
+        |  FROM customer),
+        |est AS (SELECT
+        |    CAST(ls.n * os.n // GREATEST(ls.ndv_ok, os.ndv_ok) AS BIGINT) AS lo_size,
+        |    CAST(os.n * cs.n // GREATEST(os.ndv_ck, cs.ndv_ck) AS BIGINT) AS oc_size,
+        |    ls.n AS ln, os.n AS osn, cs.n AS cn,
+        |    GREATEST(os.ndv_ck, cs.ndv_ck) AS d1, GREATEST(ls.ndv_ok, os.ndv_ok) AS d2
+        |  FROM ls, os, cs),
+        |plans AS (
+        |  SELECT '(lineitem JOIN orders) JOIN customer' AS plan,
+        |    lo_size AS est_intermediate,
+        |    CAST(lo_size * cn // d1 AS BIGINT) AS est_final FROM est
+        |  UNION ALL
+        |  SELECT '(orders JOIN customer) JOIN lineitem',
+        |    oc_size, CAST(oc_size * ln // d2 AS BIGINT) FROM est)
+        |SELECT plan, est_intermediate, est_final,
+        |  CAST(CASE WHEN est_intermediate = (SELECT MIN(est_intermediate) FROM plans)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM plans ORDER BY plan""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val ls = t.lineitem.agg(count(lit(1)).as("ln"),
+        countDistinct("l_orderkey").as("l_ndv_ok"))
+      val os_ = t.orders.agg(count(lit(1)).as("osn"),
+        countDistinct("o_orderkey").as("o_ndv_ok"),
+        countDistinct("o_custkey").as("o_ndv_ck"))
+      val cs = t.customer.agg(count(lit(1)).as("cn"),
+        countDistinct("c_custkey").as("c_ndv_ck"))
+      val est = ls.crossJoin(os_).crossJoin(cs)
+        .select(
+          expr("CAST(ln * osn div GREATEST(l_ndv_ok, o_ndv_ok) AS BIGINT)")
+            .as("lo_size"),
+          expr("CAST(osn * cn div GREATEST(o_ndv_ck, c_ndv_ck) AS BIGINT)")
+            .as("oc_size"),
+          col("ln"), col("cn"),
+          expr("GREATEST(o_ndv_ck, c_ndv_ck)").as("d1"),
+          expr("GREATEST(l_ndv_ok, o_ndv_ok)").as("d2"))
+      val plans = est.select(
+          lit("(lineitem JOIN orders) JOIN customer").as("plan"),
+          col("lo_size").as("est_intermediate"),
+          expr("CAST(lo_size * cn div d1 AS BIGINT)").as("est_final"))
+        .unionAll(est.select(
+          lit("(orders JOIN customer) JOIN lineitem").as("plan"),
+          col("oc_size").as("est_intermediate"),
+          expr("CAST(oc_size * ln div d2 AS BIGINT)").as("est_final")))
+      val best = plans.agg(min("est_intermediate").as("best"))
+      plans.crossJoin(broadcast(best))
+        .select(col("plan"), col("est_intermediate"), col("est_final"),
+          when(col("est_intermediate") === col("best"), 1L).otherwise(0L)
+            .as("chosen"))
+        .orderBy("plan")
+    },
+
+    // Distribution-free median confidence interval per event type: the
+    // order-statistic CI [r_lo, r_hi] with r = (n ∓ 1.96√n)/2 — the
+    // binomial-quantile normal approximation in milli-exact integers.
+    // √n is the FLOOR-adjusted IEEE sqrt (s−1 when s² > n, so the
+    // integer sqrt is exact even at the ulp boundary — both engines
+    // compute the identical double first). Rank extraction is the
+    // distributed rank-index filter (no per-group collect), three
+    // probes per group in one window pass.
+    QueryDef.sql(
+      "q460_median_ci",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+        |sq AS (SELECT event_type, n,
+        |    CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM n),
+        |sqa AS (SELECT event_type, n,
+        |    s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END AS s FROM sq),
+        |rk AS (SELECT event_type, n, s,
+        |    GREATEST((1000 * n - 1960 * s) // 2000, 1) AS r_lo,
+        |    (n + 1) // 2 AS r_med,
+        |    LEAST((1000 * n + 1960 * s) // 2000 + 1, n) AS r_hi
+        |  FROM sqa),
+        |o AS (SELECT e.event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY c) AS rn
+        |  FROM e)
+        |SELECT rk.event_type AS event_type, CAST(rk.n AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN o.rn = rk.r_lo THEN o.c END) AS BIGINT) AS ci_lo_cents,
+        |  CAST(MIN(CASE WHEN o.rn = rk.r_med THEN o.c END) AS BIGINT) AS median_cents,
+        |  CAST(MIN(CASE WHEN o.rn = rk.r_hi THEN o.c END) AS BIGINT) AS ci_hi_cents
+        |FROM rk JOIN o ON rk.event_type = o.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("c"))
+      val rk = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("s0", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
+        .withColumn("s", expr("s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END"))
+        .select(col("event_type"), col("n"),
+          expr("GREATEST((1000 * n - 1960 * s) div 2000, 1)").as("r_lo"),
+          expr("(n + 1) div 2").as("r_med"),
+          expr("LEAST((1000 * n + 1960 * s) div 2000 + 1, n)").as("r_hi"))
+      val o = e.withColumn("rn", row_number()
+        .over(Window.partitionBy("event_type").orderBy("c")))
+      o.join(broadcast(rk), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(when(col("rn") === col("r_lo"), col("c"))).as("ci_lo_cents"),
+          min(when(col("rn") === col("r_med"), col("c"))).as("median_cents"),
+          min(when(col("rn") === col("r_hi"), col("c"))).as("ci_hi_cents"))
+        .orderBy("event_type")
+    },
+
+    // Sequential-peeking bias audit: a fixed-horizon A/B test (treat =
+    // odd custkey) evaluated at every month-end checkpoint with the
+    // fully-integer z² test (cumulative sums only: significant iff
+    // 100·(nC·ST − nT·SC)² > 384·V·(nT+nC)·nT·nC with V the global
+    // variance numerator — q341's squared-comparison idiom at two-sample
+    // scale, DECIMAL(38,0)-exact). The flip count across checkpoints IS
+    // the peeking hazard: each sign change is a would-be early stop that
+    // later reverses. One month-grain cumulative window over exact cell
+    // sums — no per-checkpoint rescan of the fact table.
+    QueryDef.sql(
+      "q461_peeking_bias",
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |    o_custkey % 2 AS treat,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |vg AS (SELECT COUNT(*) AS nn, SUM(cents) AS sx,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS sxx FROM o),
+        |v AS (SELECT CAST((CAST(nn AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |    // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS vi FROM vg),
+        |m AS (SELECT mon, treat, COUNT(*) AS n, SUM(cents) AS sc
+        |  FROM o GROUP BY 1, 2),
+        |c AS (SELECT mon,
+        |    SUM(CASE WHEN treat = 1 THEN n ELSE 0 END)
+        |      OVER (ORDER BY mon) AS nt,
+        |    SUM(CASE WHEN treat = 1 THEN sc ELSE 0 END)
+        |      OVER (ORDER BY mon) AS st,
+        |    SUM(CASE WHEN treat = 0 THEN n ELSE 0 END)
+        |      OVER (ORDER BY mon) AS nc,
+        |    SUM(CASE WHEN treat = 0 THEN sc ELSE 0 END)
+        |      OVER (ORDER BY mon) AS scc
+        |  FROM m),
+        |cd AS (SELECT DISTINCT mon, nt, st, nc, scc FROM c),
+        |sig AS (SELECT mon, nt, nc,
+        |    CASE WHEN 100 * (CAST(nc AS HUGEINT) * st - CAST(nt AS HUGEINT) * scc)
+        |        * (CAST(nc AS HUGEINT) * st - CAST(nt AS HUGEINT) * scc)
+        |      > 384 * CAST(vi AS HUGEINT) * (nt + nc) * nt * nc
+        |      THEN 1 ELSE 0 END AS significant
+        |  FROM cd CROSS JOIN v WHERE nt > 0 AND nc > 0),
+        |fl AS (SELECT mon, nt, nc, significant,
+        |    ABS(significant - COALESCE(LAG(significant) OVER (ORDER BY mon),
+        |      significant)) AS flip
+        |  FROM sig)
+        |SELECT mon AS month, CAST(nt AS BIGINT) AS n_treat,
+        |  CAST(nc AS BIGINT) AS n_control,
+        |  CAST(significant AS BIGINT) AS significant,
+        |  CAST(SUM(flip) OVER (ORDER BY mon) AS BIGINT) AS flips_so_far
+        |FROM fl ORDER BY month""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir).orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          (col("o_custkey") % 2).as("treat"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val v = o.agg(count(lit(1)).as("nn"), sum("cents").as("sx"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sxx"))
+        .select(expr("CAST((CAST(nn AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx)" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)").as("vi"))
+      val m = o.groupBy("mon", "treat")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      val wc = Window.orderBy("mon")
+      val cd = m.select(col("mon"),
+          sum(when(col("treat") === 1, col("n")).otherwise(0L)).over(wc).as("nt"),
+          sum(when(col("treat") === 1, col("sc")).otherwise(0L)).over(wc).as("st"),
+          sum(when(col("treat") === 0, col("n")).otherwise(0L)).over(wc).as("nc"),
+          sum(when(col("treat") === 0, col("sc")).otherwise(0L)).over(wc).as("scc"))
+        .distinct()
+      val sig = cd.crossJoin(broadcast(v))
+        .where(col("nt") > 0 && col("nc") > 0)
+        .select(col("mon"), col("nt"), col("nc"),
+          expr("CASE WHEN 100 * (CAST(nc AS DECIMAL(38,0)) * st" +
+            " - CAST(nt AS DECIMAL(38,0)) * scc)" +
+            " * (CAST(nc AS DECIMAL(38,0)) * st - CAST(nt AS DECIMAL(38,0)) * scc)" +
+            " > 384 * CAST(vi AS DECIMAL(38,0)) * (nt + nc) * nt * nc" +
+            " THEN 1 ELSE 0 END").as("significant"))
+      val wm = Window.orderBy("mon")
+      sig
+        .withColumn("flip", abs(col("significant") -
+          coalesce(lag("significant", 1).over(wm), col("significant"))))
+        .select(col("mon").as("month"), col("nt").cast("long").as("n_treat"),
+          col("nc").cast("long").as("n_control"),
+          col("significant").cast("long").as("significant"),
+          sum("flip").over(wm).cast("long").as("flips_so_far"))
+        .orderBy("month")
     }
   )
 }

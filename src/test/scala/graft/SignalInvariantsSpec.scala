@@ -212,6 +212,46 @@ class SignalInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_warm") + r.getAs[Long]("n_cold") == total)
   }
 
+  test("q458 Hilbert steps are always spatial neighbors; Morton jumps") {
+    val rows = run("q458_hilbert_curve").collect()
+      .map(r => r.getAs[String]("curve") -> r).toMap
+    val h = rows("hilbert")
+    val m = rows("morton")
+    // every consecutive Hilbert index is a Manhattan-1 neighbor
+    assert(h.getAs[Long]("mean_step_dist_milli") == 1000L)
+    assert(h.getAs[Long]("max_step_dist") == 1L)
+    // Morton's quadrant-boundary jumps make its scan path longer
+    assert(m.getAs[Long]("mean_step_dist_milli") > 1000L)
+    assert(m.getAs[Long]("max_step_dist") > 1L)
+    // the converse metric (index gap of adjacent cells) favors Morton —
+    // pinned so the trade-off stays documented
+    assert(h.getAs[Long]("mean_adj_gap_milli") > m.getAs[Long]("mean_adj_gap_milli"))
+  }
+
+  test("q459 exactly one join order is chosen and estimates are positive") {
+    val rows = run("q459_join_order_advisor").collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[Long]("chosen") == 1L) == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_intermediate") > 0)
+      assert(r.getAs[Long]("est_final") > 0)
+    }
+  }
+
+  test("q460 median CI brackets the median") {
+    run("q460_median_ci").collect().foreach { r =>
+      assert(r.getAs[Long]("ci_lo_cents") <= r.getAs[Long]("median_cents"))
+      assert(r.getAs[Long]("median_cents") <= r.getAs[Long]("ci_hi_cents"))
+    }
+  }
+
+  test("q461 peeking flips accumulate monotonically over binary flags") {
+    val rows = run("q461_peeking_bias").collect().sortBy(_.getAs[String]("month"))
+    rows.foreach(r => assert(Set(0L, 1L)(r.getAs[Long]("significant"))))
+    val flips = rows.map(_.getAs[Long]("flips_so_far"))
+    assert(flips.zip(flips.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
