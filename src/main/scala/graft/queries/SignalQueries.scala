@@ -1539,6 +1539,228 @@ object SignalQueries {
           col("significant").cast("long").as("significant"),
           sum("flip").over(wm).cast("long").as("flips_so_far"))
         .orderBy("month")
+    },
+
+    // Delete-one jackknife variance of a ratio estimator (revenue cents
+    // per unit shipped, per return flag) — the standard SE machinery for
+    // non-linear statistics where the CLT plug-in doesn't apply. The
+    // leave-one-out ratios θ_i = (Sx−x_i)/(Sy−y_i) need only the GROUP
+    // sums: one map-side-combined aggregate, a 3-row broadcast back onto
+    // the fact table, then a second combine of Σθ and Σθ² — two linear
+    // passes, no per-replicate rescan (the naive jackknife is O(n²)).
+    // All-integer: θ in ×10³ milli-units via DECIMAL(38,0) div, variance
+    // as ((n−1)(nΣθ²−(Σθ)²)) div n³ — HUGEINT/DECIMAL exact both engines.
+    QueryDef.sql(
+      "q462_jackknife_ratio",
+      """WITH l AS (SELECT l_returnflag AS rf,
+        |    CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |g AS (SELECT rf, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+        |  FROM l GROUP BY 1),
+        |th AS (SELECT l.rf,
+        |    CAST(1000 * (CAST(g.sx AS HUGEINT) - l.x) // (g.sy - l.y)
+        |      AS BIGINT) AS t
+        |  FROM l JOIN g ON l.rf = g.rf),
+        |a AS (SELECT rf, COUNT(*) AS n, SUM(CAST(t AS HUGEINT)) AS tt,
+        |    SUM(CAST(t AS HUGEINT) * t) AS q FROM th GROUP BY 1)
+        |SELECT a.rf AS returnflag, CAST(a.n AS BIGINT) AS n,
+        |  CAST(1000 * CAST(g.sx AS HUGEINT) // g.sy AS BIGINT) AS ratio_milli,
+        |  CAST((CAST(a.n - 1 AS HUGEINT) * (a.n * q - tt * tt))
+        |    // (CAST(a.n AS HUGEINT) * a.n * a.n) AS BIGINT) AS var_jack_milli2
+        |FROM a JOIN g ON a.rf = g.rf ORDER BY 1""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val g = l.groupBy("rf")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+      val th = l.join(broadcast(g), "rf")
+        .select(col("rf"), col("n"), col("sx"), col("sy"),
+          expr("CAST((1000 * (CAST(sx AS DECIMAL(38,0)) - x)) div (sy - y) AS BIGINT)")
+            .as("t"))
+      th.groupBy("rf", "n", "sx", "sy")
+        .agg(sum(col("t").cast("decimal(38,0)")).as("tt"),
+          sum(col("t").cast("decimal(38,0)") * col("t")).as("q"))
+        .select(col("rf").as("returnflag"), col("n"),
+          expr("CAST((1000 * CAST(sx AS DECIMAL(38,0))) div sy AS BIGINT)")
+            .as("ratio_milli"),
+          expr("CAST((CAST(n - 1 AS DECIMAL(38,0)) * (n * q - tt * tt))" +
+            " div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)")
+            .as("var_jack_milli2"))
+        .orderBy("returnflag")
+    },
+
+    // Good-Turing frequency smoothing over the document corpus: the
+    // frequency-of-frequencies table N_r and the adjusted count
+    // r* = (r+1)·N_{r+1}/N_r — the classical LM discounting step (and
+    // the standard estimator for unseen-vocabulary mass N_1/N). The
+    // heavy part (per-token counts) is one map-side-combined aggregate;
+    // N_r collapses that to a table whose size is the number of DISTINCT
+    // frequencies (≲ √corpus by Heaps/Zipf), so the LEAD window runs on
+    // a broadcast-sized frame no matter the corpus scale. r* is emitted
+    // only when N_{r+1} exists (contiguity sentinel −1 otherwise) —
+    // ×10⁶ integer division, engine-exact.
+    QueryDef.sql(
+      "q463_good_turing",
+      """WITH nrm AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM nrm),
+        |tc AS (SELECT term, COUNT(*) AS r FROM tok WHERE len(term) > 0 GROUP BY 1),
+        |ff AS (SELECT r, COUNT(*) AS nr FROM tc GROUP BY 1),
+        |w AS (SELECT r, nr, LEAD(r) OVER (ORDER BY r) AS rn,
+        |    LEAD(nr) OVER (ORDER BY r) AS nr1 FROM ff)
+        |SELECT r, CAST(nr AS BIGINT) AS n_r,
+        |  CAST(CASE WHEN rn = r + 1
+        |    THEN (1000000 * CAST(r + 1 AS HUGEINT) * nr1) // nr
+        |    ELSE -1 END AS BIGINT) AS r_star_ppm
+        |FROM w ORDER BY r LIMIT 15""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as("term"))
+        .where(length(col("term")) > 0)
+      val ff = toks.groupBy("term").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("nr"))
+      val w = Window.orderBy("r")
+      ff.select(col("r"), col("nr"),
+          lead("r", 1).over(w).as("rn"), lead("nr", 1).over(w).as("nr1"))
+        .select(col("r"), col("nr").as("n_r"),
+          when(col("rn") === col("r") + 1,
+            expr("CAST((1000000 * CAST(r + 1 AS DECIMAL(38,0)) * nr1) div nr AS BIGINT)"))
+            .otherwise(lit(-1L)).as("r_star_ppm"))
+        .orderBy("r").limit(15)
+    },
+
+    // Capture-recapture population estimate (Lincoln-Petersen + the
+    // bias-corrected Chapman form): treat the 1994 and 1995 active
+    // customer sets as two independent "captures" and estimate the total
+    // ever-active population from the overlap — the survey-sampling way
+    // to size an entity population you can't scan (and a cheap dedup-
+    // coverage audit: compare N̂ against the known distinct count). One
+    // pass over orders builds per-customer capture flags (map-side
+    // combine on custkey), one tiny aggregate produces n1/n2/m — no
+    // distinct-set join materialization at any scale.
+    QueryDef.sql(
+      "q464_capture_recapture",
+      """WITH f AS (SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS f1,
+        |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS f2
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT SUM(f1) AS n1, SUM(f2) AS n2, SUM(f1 * f2) AS m,
+        |    COUNT(*) AS true_n FROM f)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(m AS BIGINT) AS n_both,
+        |  CAST(CASE WHEN m > 0 THEN CAST(n1 AS HUGEINT) * n2 // m ELSE -1 END
+        |    AS BIGINT) AS lincoln_petersen,
+        |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+        |    AS BIGINT) AS chapman,
+        |  CAST(true_n AS BIGINT) AS true_n
+        |FROM a""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(max(when(year(col("o_orderdate")) === 1994, 1L).otherwise(0L)).as("f1"),
+          max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("f2"))
+      f.agg(sum("f1").as("n1"), sum("f2").as("n2"),
+          sum(col("f1") * col("f2")).as("m"), count(lit(1)).as("true_n"))
+        .select(col("n1"), col("n2"), col("m").as("n_both"),
+          when(col("m") > 0,
+            expr("CAST((CAST(n1 AS DECIMAL(38,0)) * n2) div m AS BIGINT)"))
+            .otherwise(lit(-1L)).as("lincoln_petersen"),
+          expr("CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)")
+            .as("chapman"),
+          col("true_n"))
+    },
+
+    // Maximal-marginal-relevance diversified top-k (Carbonell-Goldstein):
+    // greedily pick 4 results from the top-8 relevance pool, each pick
+    // maximizing λ·rel − (1−λ)·max-sim-to-selected (λ=0.7) — the
+    // standard retrieval re-ranker that trades relevance against
+    // redundancy. Scale shape: the corpus-wide work is ONE brute-force
+    // scan for the relevance top-8 (TakeOrdered, no shuffle of the
+    // corpus); everything after — 28 pairwise scaled cosines and 4
+    // unrolled argmax steps — runs on the cached 8-row pool, so the
+    // greedy loop's cost is independent of corpus size. Scores are exact
+    // ints: ×10⁶ cosines, mmr = (7·rel − 3·maxsim) div 10.
+    QueryDef.sql(
+      "q465_mmr_diversify",
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |ev AS (SELECT e.vec_id, i,
+        |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(FLOOR(CAST(qv.q[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+        |  FROM embeddings e, qv, generate_series(1, 64) t(i) WHERE e.vec_id <> 0),
+        |d AS (SELECT vec_id, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+        |  FROM ev GROUP BY 1),
+        |pool AS (SELECT vec_id,
+        |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
+        |      / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS rel
+        |  FROM d ORDER BY rel DESC, vec_id LIMIT 8),
+        |pev AS (SELECT p.vec_id, ev.i, ev.x FROM pool p JOIN ev ON p.vec_id = ev.vec_id),
+        |pd AS (SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dxy
+        |  FROM pev a JOIN pev b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |pn AS (SELECT vec_id, SUM(x*x) AS dxx FROM pev GROUP BY 1),
+        |sim AS (SELECT va, vb,
+        |    CAST(FLOOR(1000000.0 * CAST(pd.dxy AS DOUBLE)
+        |      / (sqrt(CAST(na.dxx AS DOUBLE)) * sqrt(CAST(nb.dxx AS DOUBLE)))) AS BIGINT) AS s
+        |  FROM pd JOIN pn na ON pd.va = na.vec_id JOIN pn nb ON pd.vb = nb.vec_id),
+        |sim2 AS (SELECT va, vb, s FROM sim UNION ALL SELECT vb, va, s FROM sim),
+        |s1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms FROM pool
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT p.vec_id, p.rel, MAX(s.s) AS ms FROM pool p
+        |  JOIN sim2 s ON s.va = p.vec_id AND s.vb IN (SELECT vec_id FROM s1)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1) GROUP BY 1, 2),
+        |s2 AS (SELECT vec_id, rel, ms FROM c2
+        |  ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT p.vec_id, p.rel, MAX(s.s) AS ms FROM pool p
+        |  JOIN sim2 s ON s.va = p.vec_id
+        |    AND s.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT vec_id, rel, ms FROM c3
+        |  ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1),
+        |c4 AS (SELECT p.vec_id, p.rel, MAX(s.s) AS ms FROM pool p
+        |  JOIN sim2 s ON s.va = p.vec_id
+        |    AND s.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+        |      UNION SELECT vec_id FROM s3)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+        |      UNION SELECT vec_id FROM s3)
+        |  GROUP BY 1, 2),
+        |s4 AS (SELECT vec_id, rel, ms FROM c4
+        |  ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1)
+        |SELECT pick, vec_id, rel AS rel_scaled,
+        |  CAST((7 * rel - 3 * ms) // 10 AS BIGINT) AS mmr_deci
+        |FROM (SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel, ms FROM s1
+        |  UNION ALL SELECT 2, vec_id, rel, ms FROM s2
+        |  UNION ALL SELECT 3, vec_id, rel, ms FROM s3
+        |  UNION ALL SELECT 4, vec_id, rel, ms FROM s4) f
+        |ORDER BY pick""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
+      val e = Tables(s, dir).embeddings
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q"))
+      val pool = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosineScaled(col("embedding"), col("q")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(8)
+        .cache()
+      val half = pool.as("a").join(pool.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          Similarity.cosineScaled(col("a.embedding"), col("b.embedding")).as("s"))
+      val sim2 = half.unionAll(half.select(col("vb").as("va"), col("va").as("vb"), col("s")))
+        .cache()
+      var picks = pool.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+        .select(lit(1L).as("pick"), col("vec_id"), col("rel"), lit(0L).as("ms"))
+      for (i <- 2 to 4) {
+        val selIds = picks.select("vec_id")
+        val ms = sim2.join(selIds.select(col("vec_id").as("vb")), Seq("vb"), "left_semi")
+          .groupBy(col("va").as("vec_id")).agg(max("s").as("ms"))
+        val next = pool.join(selIds, Seq("vec_id"), "left_anti")
+          .join(ms, "vec_id")
+          .orderBy((lit(7L) * col("rel") - lit(3L) * col("ms")).desc, col("vec_id").asc)
+          .limit(1)
+          .select(lit(i.toLong).as("pick"), col("vec_id"), col("rel"), col("ms"))
+        picks = picks.unionAll(next)
+      }
+      picks.select(col("pick"), col("vec_id"), col("rel").as("rel_scaled"),
+          expr("CAST((7 * rel - 3 * ms) div 10 AS BIGINT)").as("mmr_deci"))
+        .orderBy("pick")
     }
   )
 }

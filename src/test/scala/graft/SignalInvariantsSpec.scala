@@ -252,6 +252,54 @@ class SignalInvariantsSpec extends SparkSpec {
     assert(flips.zip(flips.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q462 jackknife variance is non-negative and the full-sample ratio is positive") {
+    val rows = run("q462_jackknife_ratio").collect()
+    assert(rows.length == 3) // one per return flag
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0L)
+      assert(r.getAs[Long]("ratio_milli") > 0L)
+      assert(r.getAs[Long]("var_jack_milli2") >= 0L)
+    }
+  }
+
+  test("q463 Good-Turing rows ascend in r and adjusted counts are positive or sentinel") {
+    val rows = run("q463_good_turing").collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val rs = rows.map(_.getAs[Long]("r"))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a < b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_r") >= 1L)
+      val star = r.getAs[Long]("r_star_ppm")
+      assert(star == -1L || star > 0L)
+    }
+  }
+
+  test("q464 capture-recapture estimates bracket consistently") {
+    val r = run("q464_capture_recapture").collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val m = r.getAs[Long]("n_both"); val lp = r.getAs[Long]("lincoln_petersen")
+    assert(m <= math.min(n1, n2))
+    assert(r.getAs[Long]("true_n") >= math.max(n1, n2))
+    if (m > 0) {
+      assert(lp >= math.max(n1, n2)) // N̂ ≥ each sample size
+      // Chapman ≤ LP exactly (gap (n1−m)(n2−m)/(m(m+1)) ≥ 0); ±1 for the
+      // two independent truncations
+      assert(r.getAs[Long]("chapman") <= lp + 1)
+    }
+  }
+
+  test("q465 MMR picks are distinct and greedy scores are non-increasing") {
+    val rows = run("q465_mmr_diversify").collect().sortBy(_.getAs[Long]("pick"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 4)
+    // candidate scores only fall as the selected set grows (ms is a max
+    // over a growing set), so the greedy sequence is non-increasing
+    val scores = rows.map(_.getAs[Long]("mmr_deci"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // pick 1 is pure relevance: its mmr is exactly 7·rel div 10
+    assert(scores.head == 7L * rows.head.getAs[Long]("rel_scaled") / 10L)
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
