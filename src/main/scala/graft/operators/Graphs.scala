@@ -75,7 +75,20 @@ object Graphs {
       // an empty edge list gives a single NULL MIN row — drop it so the
       // contract ((n, hop) for reached nodes only) holds for empty graphs
       .where(col("root").isNotNull)
-    var visited = broadcast(root).select(col("root").as("n"), lit(0L).as("hop"))
+    bfsHopsFrom(e, root.select(col("root").as("n")), maxHops)
+  }
+
+  /** [[bfsHops]] generalized to caller-supplied seed nodes `roots(n)` —
+    * needed when several traversals must share ONE root (e.g. q466's
+    * forward/backward SCC probe, where re-deriving min(src) on the
+    * reversed edge list would silently pick a different root). The seed
+    * frame is expected to be tiny (it is broadcast into every superstep's
+    * semi-join).
+    */
+  def bfsHopsFrom(edges: DataFrame, roots: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    var visited = broadcast(roots.select(col("n")).distinct())
+      .select(col("n"), lit(0L).as("hop"))
     var frontier = visited.select("n")
     var i = 1
     while (i <= maxHops) {

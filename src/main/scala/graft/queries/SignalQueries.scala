@@ -1761,6 +1761,215 @@ object SignalQueries {
       picks.select(col("pick"), col("vec_id"), col("rel").as("rel_scaled"),
           expr("CAST((7 * rel - 3 * ms) div 10 AS BIGINT)").as("mmr_deci"))
         .orderBy("pick")
+    },
+
+    // Bounded SCC membership probe: nodes in the strongly-connected
+    // component of the minimum node = forward-reachable ∩ backward-
+    // reachable, each within 4 supersteps, over the thresholded
+    // nation-level trade graph (directed supplier→customer edges whose
+    // support is ≥ 1.5× the mean edge support — a RELATIVE cut, so the
+    // digraph stays equally sparse at every scale factor, where any
+    // absolute count would go empty at sf0.001 and dense at sf10; the
+    // asymmetry it induces is what makes the SCC question non-trivial).
+    // Reuses
+    // Graphs.bfsHops twice — the backward pass is the SAME operator on
+    // swapped columns, and the edge list is built once and cached. Each
+    // superstep's cost follows the frontier; the final intersection is
+    // an equi-join on node id. The oracle runs two hop-bounded
+    // recursive CTEs with MIN-distance collapse (q185's pattern).
+    QueryDef.sql(
+      "q466_scc_core",
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS ne FROM e0),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0, t WHERE 2 * cnt * ne >= 3 * tot),
+        |r0 AS MATERIALIZED (SELECT MIN(src) AS root FROM e),
+        |f(n, d) AS (
+        |  SELECT root, 0 FROM r0 WHERE root IS NOT NULL
+        |  UNION ALL
+        |  SELECT e.dst, f.d + 1 FROM f JOIN e ON f.n = e.src WHERE f.d < 4),
+        |b(n, d) AS (
+        |  SELECT root, 0 FROM r0 WHERE root IS NOT NULL
+        |  UNION ALL
+        |  SELECT e.src, b.d + 1 FROM b JOIN e ON b.n = e.dst WHERE b.d < 4),
+        |fm AS (SELECT n, MIN(d) AS fwd FROM f GROUP BY 1),
+        |bm AS (SELECT n, MIN(d) AS bwd FROM b GROUP BY 1)
+        |SELECT nt.n_name AS nation, CAST(fm.fwd AS BIGINT) AS fwd_hop,
+        |  CAST(bm.bwd AS BIGINT) AS bwd_hop
+        |FROM fm JOIN bm USING (n) JOIN nation nt ON fm.n = nt.n_nationkey
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      import graft.operators.Graphs
+      val t = Tables(s, dir)
+      val e0 = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = e0.agg(sum("cnt").as("tot"), count(lit(1)).as("ne"))
+      val e = e0.crossJoin(broadcast(tot))
+        .where(lit(2) * col("cnt") * col("ne") >= lit(3) * col("tot"))
+        .select("src", "dst")
+        .cache()
+      // ONE shared root (min forward src) seeds BOTH traversals — the
+      // backward pass must not re-derive min(src) on swapped columns
+      val root = e.agg(min(col("src")).as("n")).where(col("n").isNotNull)
+      val fwd = Graphs.bfsHopsFrom(e, root, maxHops = 4)
+        .select(col("n"), col("hop").as("fwd_hop"))
+      val bwd = Graphs.bfsHopsFrom(
+          e.select(col("dst").as("src"), col("src").as("dst")), root, maxHops = 4)
+        .select(col("n"), col("hop").as("bwd_hop"))
+      fwd.join(bwd, "n")
+        .join(broadcast(t.nation), col("n") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("fwd_hop"), col("bwd_hop"))
+        .orderBy("nation")
+    },
+
+    // Edit-distance record linkage with sorted-neighborhood blocking on
+    // part names: block by the head noun (second token), sort each block
+    // lexicographically, and test only each name's next 1-2 neighbors
+    // with levenshtein ≤ 3 — the string-similarity companion to q438's
+    // numeric-band blocking (same O(n·w) shape, but the comparator is
+    // the edit-distance kernel both engines implement natively). At
+    // 100 TB the noun block is the shuffle key and each window frame
+    // holds w=2 strings — no quadratic pair list, no cross join.
+    QueryDef.sql(
+      "q467_edit_blocking",
+      """WITH p AS (SELECT DISTINCT split_part(p_name, ' ', 2) AS noun, p_name
+        |  FROM part),
+        |w AS (SELECT noun, p_name,
+        |    LEAD(p_name, 1) OVER (PARTITION BY noun ORDER BY p_name) AS n1,
+        |    LEAD(p_name, 2) OVER (PARTITION BY noun ORDER BY p_name) AS n2
+        |  FROM p)
+        |SELECT noun, COUNT(*) AS n_names,
+        |  COUNT(*) FILTER (WHERE levenshtein(p_name, n1) <= 3) AS cand_w1,
+        |  COUNT(*) FILTER (WHERE levenshtein(p_name, n2) <= 3) AS cand_w2,
+        |  COALESCE(MIN(levenshtein(p_name, n1)), -1) AS min_lev
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).part
+        .select(element_at(split(col("p_name"), " "), 2).as("noun"), col("p_name"))
+        .distinct()
+      val w = Window.partitionBy("noun").orderBy("p_name")
+      p.select(col("noun"), col("p_name"),
+          lead("p_name", 1).over(w).as("n1"), lead("p_name", 2).over(w).as("n2"))
+        .groupBy("noun")
+        .agg(count(lit(1)).as("n_names"),
+          count(when(levenshtein(col("p_name"), col("n1")) <= 3, 1)).as("cand_w1"),
+          count(when(levenshtein(col("p_name"), col("n2")) <= 3, 1)).as("cand_w2"),
+          coalesce(min(levenshtein(col("p_name"), col("n1"))).cast("long"), lit(-1L))
+            .as("min_lev"))
+        .orderBy("noun")
+    },
+
+    // Bucket-count advisor: for each fact/dim table, measure the actual
+    // serialized footprint (string bytes + 8 per fixed-width column) in
+    // ONE map-side-combined aggregate, then size the bucketed layout to
+    // 128 MiB targets rounded up to a power of two — the constraint that
+    // makes bucket counts of co-partitioned tables divide evenly (Spark
+    // only avoids the shuffle when counts are compatible). ceil(log2) is
+    // the length(bin(f−1)) trick (q454), so the whole advisory is exact
+    // integer arithmetic over per-table stats rows.
+    QueryDef.sql(
+      "q468_bucket_advisor",
+      """WITH stats AS (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |    SUM(len(c_name) + len(c_mktsegment) + 8 * 3) AS bytes FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(*),
+        |    SUM(len(l_returnflag) + len(l_linestatus) + 8 * 9) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*),
+        |    SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) FROM orders
+        |  UNION ALL
+        |  SELECT 'part', COUNT(*),
+        |    SUM(len(p_name) + len(p_brand) + len(p_type) + 8 * 3) FROM part),
+        |f AS (SELECT tbl, n_rows, bytes,
+        |    GREATEST((bytes + 134217727) // 134217728, 1) AS files FROM stats)
+        |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(CASE WHEN files <= 1 THEN 1
+        |    ELSE 1 << length(bin(files - 1)) END AS BIGINT) AS n_buckets,
+        |  CAST(n_rows // (CASE WHEN files <= 1 THEN 1
+        |    ELSE 1 << length(bin(files - 1)) END) AS BIGINT) AS rows_per_bucket
+        |FROM f ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def st(name: String, df: org.apache.spark.sql.DataFrame, rowBytes: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("bytes"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("bytes"))
+      val stats =
+        st("customer", t.customer, length(col("c_name")) + length(col("c_mktsegment")) + lit(24)).unionAll(
+        st("lineitem", t.lineitem, length(col("l_returnflag")) + length(col("l_linestatus")) + lit(72))).unionAll(
+        st("orders", t.orders, length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32))).unionAll(
+        st("part", t.part, length(col("p_name")) + length(col("p_brand")) + length(col("p_type")) + lit(24)))
+      stats
+        .withColumn("files", greatest(expr("(bytes + 134217727) div 134217728"), lit(1L)))
+        .withColumn("n_buckets", when(col("files") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(files - 1)))")))
+        .select(col("tbl"), col("n_rows"), col("bytes"), col("n_buckets"),
+          expr("n_rows div n_buckets").as("rows_per_bucket"))
+        .orderBy("tbl")
+    },
+
+    // RAKE keyword extraction (Rose et al.): candidate phrases are
+    // maximal stopword-free token runs (gaps-and-islands over token
+    // positions — island id = pos − row_number, no iteration), word
+    // scores are degree/frequency where degree sums the lengths of every
+    // phrase a word occurrence belongs to, and a phrase scores the sum
+    // of its words' scores. All ratios are ×10⁶ integer divisions. The
+    // corpus-wide aggregates (word freq/degree) are map-side combinable;
+    // the phrase reassembly is one ordered string_agg per island — the
+    // whole pipeline is three shuffles on (doc, island) / word / phrase
+    // regardless of corpus size.
+    QueryDef.sql(
+      "q469_rake_keywords",
+      """WITH ws AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(ws, (x, i) -> {'pos': i, 'w': x})) AS u
+        |  FROM ws)),
+        |nst AS (SELECT doc_id, pos, w,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM tok WHERE w NOT IN ('a', 'the') AND len(w) > 0),
+        |ph AS (SELECT doc_id, isl, COUNT(*) AS plen FROM nst GROUP BY 1, 2),
+        |wstat AS (SELECT w, COUNT(*) AS freq, SUM(plen) AS deg
+        |  FROM nst JOIN ph USING (doc_id, isl) GROUP BY 1),
+        |wscore AS (SELECT w, (1000000 * CAST(deg AS HUGEINT)) // freq AS ws
+        |  FROM wstat),
+        |phrases AS (SELECT n.doc_id, n.isl,
+        |    string_agg(n.w, ' ' ORDER BY n.pos) AS phrase,
+        |    SUM(s.ws) AS score
+        |  FROM nst n JOIN wscore s ON n.w = s.w GROUP BY 1, 2)
+        |SELECT DISTINCT phrase, CAST(score AS BIGINT) AS score_ppm
+        |FROM phrases ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      val nst = tok.where(!col("w").isin("a", "the") && length(col("w")) > 0)
+        .withColumn("isl", col("pos") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val ph = nst.groupBy("doc_id", "isl").agg(count(lit(1)).as("plen"))
+      val wstat = nst.join(ph, Seq("doc_id", "isl"))
+        .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"),
+          expr("(1000000 * CAST(deg AS DECIMAL(38,0))) div freq").as("ws"))
+      nst.join(wstat, "w")
+        .groupBy("doc_id", "isl")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("phrase"),
+          sum("ws").as("score"))
+        .select(col("phrase"), col("score").cast("long").as("score_ppm"))
+        .distinct()
+        .orderBy(col("score_ppm").desc, col("phrase").asc)
+        .limit(15)
     }
   )
 }

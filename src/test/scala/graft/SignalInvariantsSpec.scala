@@ -300,6 +300,51 @@ class SignalInvariantsSpec extends SparkSpec {
     assert(scores.head == 7L * rows.head.getAs[Long]("rel_scaled") / 10L)
   }
 
+  test("q466 SCC core contains the root at distance zero both ways") {
+    val rows = run("q466_scc_core").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fwd_hop"); val b = r.getAs[Long]("bwd_hop")
+      assert(f >= 0L && f <= 4L && b >= 0L && b <= 4L)
+    }
+    // exactly one node (the root) sits at hop 0 in BOTH directions
+    assert(rows.count(r =>
+      r.getAs[Long]("fwd_hop") == 0L && r.getAs[Long]("bwd_hop") == 0L) == 1)
+  }
+
+  test("q467 edit-blocking candidates are bounded and sentinel marks singletons") {
+    run("q467_edit_blocking").collect().foreach { r =>
+      val n = r.getAs[Long]("n_names")
+      assert(r.getAs[Long]("cand_w1") <= math.max(n - 1, 0))
+      assert(r.getAs[Long]("cand_w2") <= math.max(n - 2, 0))
+      val ml = r.getAs[Long]("min_lev")
+      assert((ml == -1L) == (n == 1L)) // only singleton blocks lack a neighbor
+      if (ml != -1L) assert(ml >= 1L)  // distinct names can't be 0 apart
+    }
+  }
+
+  test("q468 bucket counts are powers of two sized to the 128 MiB target") {
+    val rows = run("q468_bucket_advisor").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("n_buckets")
+      assert(b >= 1L && (b & (b - 1)) == 0L) // power of two
+      assert(b * 134217728L >= r.getAs[Long]("bytes")) // capacity covers the table
+      assert(r.getAs[Long]("rows_per_bucket") == r.getAs[Long]("n_rows") / b)
+    }
+  }
+
+  test("q469 RAKE phrases are stopword-free and scores descend") {
+    val rows = run("q469_rake_keywords").collect()
+    assert(rows.length == 15)
+    val scores = rows.map(_.getAs[Long]("score_ppm"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val toks = r.getAs[String]("phrase").split(" ")
+      assert(toks.nonEmpty && toks.forall(t => t.nonEmpty && t != "a" && t != "the"))
+    }
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
