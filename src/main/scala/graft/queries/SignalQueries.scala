@@ -1970,6 +1970,251 @@ object SignalQueries {
         .distinct()
         .orderBy(col("score_ppm").desc, col("phrase").asc)
         .limit(15)
+    },
+
+    // Local Outlier Factor (Breunig et al., k=5) over the embedding
+    // corpus with integer cosine distances (10⁶ − scaled cosine): the
+    // density-based outlier score every curation pipeline wants where
+    // global z-scores fail (a point is outlying relative to its OWN
+    // neighborhood's density). Three relational passes over one kNN
+    // relation — k-distance (max of the 5NN ball), reachability sums,
+    // then the lrd ratio — all ×-scaled integer divisions. The kNN base
+    // is the same broadcast + native scaled-dot pairwise scoring as
+    // q448; at real scale the brute-force pairs swap for the LSH/IVF
+    // candidate generators (q30/q55) with everything downstream
+    // unchanged — LOF only sees the (a, b, dist) relation.
+    QueryDef.sql(
+      "q470_lof",
+      """WITH e AS (SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |d0 AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    SUM(a.m * b.m) AS dxy, SUM(a.m * a.m) AS dxx, SUM(b.m * b.m) AS dyy
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |d AS (SELECT qid, cid, 1000000 - CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
+        |    / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS dist
+        |  FROM d0),
+        |nb AS (SELECT qid, cid, dist FROM (
+        |    SELECT qid, cid, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |kd AS (SELECT qid, MAX(dist) AS kdist FROM nb GROUP BY 1),
+        |sr AS (SELECT nb.qid, SUM(GREATEST(nb.dist, kb.kdist)) AS s
+        |  FROM nb JOIN kd kb ON nb.cid = kb.qid GROUP BY 1),
+        |lrd AS (SELECT qid, (5 * CAST(1000000000 AS HUGEINT)) // GREATEST(s, 1) AS lrd
+        |  FROM sr),
+        |lof AS (SELECT nb.qid,
+        |    CAST((1000000 * SUM(CAST(lb.lrd AS HUGEINT))) // (5 * la.lrd) AS BIGINT)
+        |      AS lof_ppm
+        |  FROM nb JOIN lrd lb ON nb.cid = lb.qid JOIN lrd la ON nb.qid = la.qid
+        |  GROUP BY nb.qid, la.lrd)
+        |SELECT lof.qid AS vec_id, lof_ppm, CAST(kd.kdist AS BIGINT) AS kdist
+        |FROM lof JOIN kd ON lof.qid = kd.qid
+        |ORDER BY lof_ppm DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val a = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val d = emb.crossJoin(broadcast(a))
+        .where(col("vec_id") =!= col("cid"))
+        .select(col("vec_id").as("qid"), col("cid"),
+          (lit(1000000L) - graft.operators.Similarity
+            .cosineScaled(col("embedding"), col("cv"))).as("dist"))
+      val nb = d.withColumn("rk", row_number()
+          .over(Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)))
+        .where(col("rk") <= 5)
+        .select("qid", "cid", "dist")
+        .cache()
+      val kd = nb.groupBy("qid").agg(max("dist").as("kdist"))
+      val sr = nb.join(kd.select(col("qid").as("cid"), col("kdist")), "cid")
+        .groupBy("qid").agg(sum(greatest(col("dist"), col("kdist"))).as("s"))
+      val lrd = sr.select(col("qid"),
+        expr("(5 * CAST(1000000000 AS DECIMAL(38,0))) div GREATEST(s, 1)").as("lrd"))
+      val lof = nb
+        .join(lrd.select(col("qid").as("cid"), col("lrd").as("lrd_b")), "cid")
+        .join(lrd.select(col("qid"), col("lrd").as("lrd_a")), "qid")
+        .groupBy("qid", "lrd_a")
+        .agg(sum(col("lrd_b").cast("decimal(38,0)")).as("slb"))
+        .select(col("qid"),
+          expr("CAST((1000000 * slb) div (5 * lrd_a) AS BIGINT)").as("lof_ppm"))
+      lof.join(kd, "qid")
+        .select(col("qid").as("vec_id"), col("lof_ppm"), col("kdist"))
+        .orderBy(col("lof_ppm").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // James-Stein shrinkage of per-nation mean order values toward the
+    // grand mean — the empirical-Bayes estimator that dominates raw
+    // group means whenever ≥ 4 groups are estimated simultaneously (the
+    // canonical fix for "small segments look extreme" in any per-segment
+    // dashboard). Shrink factor 1 − (k−3)·τ̂²/S from exact integer
+    // sums: per-group milli-means, between-group SS, and the pooled
+    // variance-of-the-mean τ̂² — one fact-table pass for the group
+    // moments, one 25-row assembly; every ratio is a scaled DECIMAL
+    // division truncated identically on both engines.
+    QueryDef.sql(
+      "q471_james_stein",
+      """WITH y AS (SELECT c_nationkey AS nk,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nk, COUNT(*) AS n, SUM(c) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ss FROM y GROUP BY 1),
+        |m AS (SELECT nk, n, (1000 * CAST(s AS HUGEINT)) // n AS mean_milli,
+        |    (1000000 * (n * ss - CAST(s AS HUGEINT) * s))
+        |      // (CAST(n AS HUGEINT) * n * (n - 1) * n) AS sem2
+        |  FROM g),
+        |gs AS (SELECT COUNT(*) AS k, SUM(mean_milli) AS sm, SUM(sem2) AS st
+        |  FROM m),
+        |gm AS (SELECT k, sm // k AS grand, st // k AS tau2 FROM gs),
+        |sb AS (SELECT SUM((mean_milli - grand) * (mean_milli - grand)) AS ssb
+        |  FROM m, gm),
+        |f AS (SELECT GREATEST(CAST(0 AS HUGEINT),
+        |    1000000 - (1000000 * (k - 3) * tau2) // GREATEST(ssb, 1)) AS shrink_ppm,
+        |    grand FROM gm, sb)
+        |SELECT m.nk AS nation, CAST(m.n AS BIGINT) AS n,
+        |  CAST(m.mean_milli AS BIGINT) AS raw_milli,
+        |  CAST(f.grand + (f.shrink_ppm * (m.mean_milli - f.grand)) // 1000000
+        |    AS BIGINT) AS shrunk_milli,
+        |  CAST(f.shrink_ppm AS BIGINT) AS shrink_ppm
+        |FROM m, f ORDER BY nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val y = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("c"))
+      val g = y.groupBy("nk").agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+      val m = g.select(col("nk"), col("n"),
+        expr("(1000 * CAST(s AS DECIMAL(38,0))) div n").as("mean_milli"),
+        expr("(1000000 * (n * ss - CAST(s AS DECIMAL(38,0)) * s))" +
+          " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1) * n)").as("sem2"))
+      val gm = m.agg(count(lit(1)).as("k"), sum("mean_milli").as("sm"),
+          sum("sem2").as("st"))
+        .select(col("k"), expr("sm div k").as("grand"), expr("st div k").as("tau2"))
+      val sb = m.crossJoin(broadcast(gm))
+        .agg(sum((col("mean_milli") - col("grand")).cast("decimal(38,0)") *
+          (col("mean_milli") - col("grand"))).as("ssb"))
+      val f = gm.crossJoin(broadcast(sb))
+        .select(greatest(lit(0L).cast("decimal(38,0)"),
+          expr("1000000 - (CAST(1000000 AS DECIMAL(38,0)) * (k - 3) * tau2)" +
+            " div GREATEST(ssb, 1)"))
+          .as("shrink_ppm"), col("grand"))
+      m.crossJoin(broadcast(f))
+        .select(col("nk").as("nation"), col("n"),
+          col("mean_milli").cast("long").as("raw_milli"),
+          expr("CAST(grand + (shrink_ppm * (mean_milli - grand)) div 1000000" +
+            " AS BIGINT)").as("shrunk_milli"),
+          col("shrink_ppm").cast("long").as("shrink_ppm"))
+        .orderBy("nation")
+    },
+
+    // Consistent-hash ring assignment (4 nodes × 8 virtual nodes,
+    // md5-positioned): each customer key routes to its clockwise
+    // successor vnode, wrapping at the ring origin — the shard-routing
+    // scheme whose point is that adding/removing a node only remaps
+    // ~1/nodes of the keyspace (vs modulo hashing's full reshuffle).
+    // The ring is 32 rows broadcast everywhere; the successor probe is
+    // a conditional MIN aggregate per key (no sort, no per-key binary
+    // search materialization), then one counted rollup per node. The
+    // vnode fan-out is what evens the load — the per-node share and the
+    // max/min vnode arc lengths quantify it.
+    QueryDef.sql(
+      "q472_hash_ring",
+      """WITH ring AS (SELECT 'n' || j AS node,
+        |    ('0x' || substr(md5('n' || j || '#v' || k), 1, 8))::BIGINT AS pos
+        |  FROM generate_series(0, 3) a(j), generate_series(0, 7) b(k)),
+        |keys AS (SELECT c_custkey,
+        |    ('0x' || substr(md5('k' || c_custkey), 1, 8))::BIGINT AS kh
+        |  FROM customer),
+        |succ AS (SELECT k.c_custkey,
+        |    COALESCE(MIN(r.pos) FILTER (WHERE r.pos >= k.kh),
+        |      (SELECT MIN(pos) FROM ring)) AS pos
+        |  FROM keys k CROSS JOIN ring r GROUP BY k.c_custkey, k.kh),
+        |asg AS (SELECT s.c_custkey, r.node FROM succ s JOIN ring r ON s.pos = r.pos),
+        |tot AS (SELECT COUNT(*) AS nk FROM keys),
+        |nodes AS (SELECT node, COUNT(*) AS n_vnodes FROM ring GROUP BY 1),
+        |cnt AS (SELECT node, COUNT(*) AS n_keys FROM asg GROUP BY 1)
+        |SELECT n.node, CAST(n.n_vnodes AS BIGINT) AS n_vnodes,
+        |  CAST(COALESCE(c.n_keys, 0) AS BIGINT) AS n_keys,
+        |  CAST(1000000 * COALESCE(c.n_keys, 0) // tot.nk AS BIGINT) AS share_ppm
+        |FROM nodes n LEFT JOIN cnt c ON n.node = c.node CROSS JOIN tot
+        |ORDER BY n.node""".stripMargin) { (s, dir) =>
+      val ring = s.range(4).select(col("id").as("j"))
+        .crossJoin(s.range(8).select(col("id").as("k")))
+        .select(concat(lit("n"), col("j")).as("node"),
+          expr("CAST(conv(substring(md5(concat('n', j, '#v', k)), 1, 8), 16, 10)" +
+            " AS BIGINT)").as("pos"))
+      val keys = Tables(s, dir).customer
+        .select(col("c_custkey"),
+          expr("CAST(conv(substring(md5(concat('k', c_custkey)), 1, 8), 16, 10)" +
+            " AS BIGINT)").as("kh"))
+      val minPos = ring.agg(min("pos").as("wrap"))
+      val succ = keys.crossJoin(broadcast(ring.select("pos")))
+        .groupBy("c_custkey", "kh")
+        .agg(min(when(col("pos") >= col("kh"), col("pos"))).as("sp"))
+        .crossJoin(broadcast(minPos))
+        .select(col("c_custkey"), coalesce(col("sp"), col("wrap")).as("pos"))
+      val asg = succ.join(broadcast(ring), "pos")
+      val tot = keys.agg(count(lit(1)).as("nk"))
+      val nodes = ring.groupBy("node").agg(count(lit(1)).as("n_vnodes"))
+      val cnt = asg.groupBy("node").agg(count(lit(1)).as("n_keys"))
+      nodes.join(cnt, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"), col("n_vnodes"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+          expr("CAST(1000000 * COALESCE(n_keys, 0) div nk AS BIGINT)").as("share_ppm"))
+        .orderBy("node")
+    },
+
+    // Histogram-bin advisor: Sturges (⌈log2 n⌉+1) and Freedman-Diaconis
+    // (2·IQR/n^⅓ width) bin counts per event type from exact order
+    // statistics — the profiling step that sizes every downstream
+    // equi-width histogram (q67/q154) instead of hard-coding bucket
+    // counts. The discrete p25/p75 come from q152's distributed
+    // convention (1-based index ⌈n·q⌉ via one row_number window — no
+    // per-group collect); the integer cube root is floor-corrected the
+    // same way q460 corrects its integer sqrt, so FD widths are exact
+    // on both engines.
+    QueryDef.sql(
+      "q473_bin_advisor",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events),
+        |q AS (SELECT event_type, COUNT(*) AS n,
+        |    quantile_disc(c, 0.25) AS p25, quantile_disc(c, 0.75) AS p75,
+        |    MIN(c) AS lo, MAX(c) AS hi FROM e GROUP BY 1),
+        |cb AS (SELECT *, CAST(FLOOR(POW(CAST(n AS DOUBLE), 1.0/3)) AS BIGINT) AS c0
+        |  FROM q),
+        |cr AS (SELECT *, c0
+        |    + CASE WHEN (c0+1)*(c0+1)*(c0+1) <= n THEN 1 ELSE 0 END
+        |    - CASE WHEN c0*c0*c0 > n THEN 1 ELSE 0 END AS cbrt FROM cb)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(p75 - p25 AS BIGINT) AS iqr_cents,
+        |  CAST(hi - lo AS BIGINT) AS range_cents,
+        |  CAST(length(bin(n - 1)) + 1 AS BIGINT) AS sturges_bins,
+        |  CAST(((hi - lo) * cbrt + 2 * (p75 - p25) - 1)
+        |    // GREATEST(2 * (p75 - p25), 1) AS BIGINT) AS fd_bins
+        |FROM cr ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+      val idx = e.select(col("event_type"), col("c"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      // discrete quantiles at 1-based index ceil(n·q): 25% and 75%
+      val q = idx.groupBy("event_type", "n")
+        .agg(min(when(col("rn") === expr("(n * 25 + 99) div 100"), col("c"))).as("p25"),
+          min(when(col("rn") === expr("(n * 75 + 99) div 100"), col("c"))).as("p75"),
+          min("c").as("lo"), max("c").as("hi"))
+      q.withColumn("c0", expr("CAST(FLOOR(POW(CAST(n AS DOUBLE), 1.0/3)) AS BIGINT)"))
+        .withColumn("cbrt", col("c0")
+          + when((col("c0") + 1) * (col("c0") + 1) * (col("c0") + 1) <= col("n"), 1L)
+            .otherwise(0L)
+          - when(col("c0") * col("c0") * col("c0") > col("n"), 1L).otherwise(0L))
+        .select(col("event_type"), col("n"),
+          (col("p75") - col("p25")).as("iqr_cents"),
+          (col("hi") - col("lo")).as("range_cents"),
+          expr("CAST(length(bin(n - 1)) + 1 AS BIGINT)").as("sturges_bins"),
+          expr("CAST(((hi - lo) * cbrt + 2 * (p75 - p25) - 1)" +
+            " div GREATEST(2 * (p75 - p25), 1) AS BIGINT)").as("fd_bins"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
+
 /** Cross-column invariants of the q438–q445 signal/linkage batches —
   * properties within one result that the DuckDB differential gate can't
   * state (monotonicity of the isotonic fit, Shapley efficiency,
@@ -342,6 +344,54 @@ class SignalInvariantsSpec extends SparkSpec {
     rows.foreach { r =>
       val toks = r.getAs[String]("phrase").split(" ")
       assert(toks.nonEmpty && toks.forall(t => t.nonEmpty && t != "a" && t != "the"))
+    }
+  }
+
+  test("q470 LOF scores are positive, descending, and k-distances valid") {
+    val rows = run("q470_lof").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("lof_ppm"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lof_ppm") > 0L)
+      val kd = r.getAs[Long]("kdist")
+      assert(kd >= 0L && kd <= 2000000L) // cosine distance range
+    }
+  }
+
+  test("q471 James-Stein shrinkage contracts every group mean toward the grand mean") {
+    val rows = run("q471_james_stein").collect()
+    assert(rows.length == 25)
+    val shrinks = rows.map(_.getAs[Long]("shrink_ppm")).distinct
+    assert(shrinks.length == 1 && shrinks.head >= 0L && shrinks.head <= 1000000L)
+    // recover the grand mean from any row: shrunk = grand + s·(raw−grand)/1e6
+    // contraction ⇒ |shrunk − grand| ≤ |raw − grand| given the shared grand;
+    // check pairwise spread instead (no grand in the output): the shrunk
+    // spread is at most the raw spread
+    val raw = rows.map(_.getAs[Long]("raw_milli"))
+    val shr = rows.map(_.getAs[Long]("shrunk_milli"))
+    assert(shr.max - shr.min <= raw.max - raw.min)
+  }
+
+  test("q472 hash ring partitions every customer across 4 nodes of 8 vnodes") {
+    val rows = run("q472_hash_ring").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getAs[Long]("n_vnodes") == 8L))
+    val total = rows.map(_.getAs[Long]("n_keys")).sum
+    assert(total == Tables(spark, sfDir).customer.count()) // complete partition
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum >= 999996L && shares.sum <= 1000000L) // 4 truncations
+  }
+
+  test("q473 bin advisor emits valid Sturges/FD counts per event type") {
+    val rows = run("q473_bin_advisor").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val iqr = r.getAs[Long]("iqr_cents"); val rng = r.getAs[Long]("range_cents")
+      assert(iqr >= 0L && iqr <= rng)
+      assert(r.getAs[Long]("fd_bins") >= 1L)
+      val st = r.getAs[Long]("sturges_bins")
+      assert(st >= 2L && st <= 64L)
     }
   }
 
