@@ -2215,6 +2215,228 @@ object SignalQueries {
           expr("CAST(((hi - lo) * cbrt + 2 * (p75 - p25) - 1)" +
             " div GREATEST(2 * (p75 - p25), 1) AS BIGINT)").as("fd_bins"))
         .orderBy("event_type")
+    },
+
+    // Epoch-shuffle independence audit: the deterministic per-epoch
+    // data order every distributed trainer uses is sort-by-
+    // hash(epoch, id); this measures how independent consecutive epoch
+    // permutations actually are — exact Spearman ρ (no ties: ranks are
+    // a permutation) and max displacement per epoch pair, all integer
+    // ((6·10⁶·Σd²) div n(n²−1) under DECIMAL). The md5-derived sort
+    // keys match bit-for-bit across engines. Ranking here is one window
+    // per epoch; at cluster scale the identical rank comes from a
+    // range-partitioned sort + per-partition offset cumsum (the
+    // standard distributed zip-with-index), with everything downstream
+    // unchanged.
+    QueryDef.sql(
+      "q474_epoch_shuffle",
+      """WITH k AS (SELECT c_custkey AS id FROM customer),
+        |r AS (SELECT e, id, ROW_NUMBER() OVER (PARTITION BY e ORDER BY h, id) AS rk
+        |  FROM (SELECT g.e, k.id,
+        |      ('0x' || substr(md5(g.e || '#' || k.id), 1, 12))::BIGINT AS h
+        |    FROM k, generate_series(1, 3) g(e))),
+        |p AS (SELECT a.e AS e1, b.e AS e2, CAST(a.rk AS HUGEINT) - b.rk AS d
+        |  FROM r a JOIN r b ON a.id = b.id AND a.e < b.e),
+        |n AS (SELECT COUNT(*) AS n FROM k)
+        |SELECT e1, e2, CAST(n.n AS BIGINT) AS n,
+        |  CAST(1000000 - (6000000 * SUM(d * d))
+        |    // (CAST(n.n AS HUGEINT) * (n.n * n.n - 1)) AS BIGINT) AS rho_ppm,
+        |  CAST(MAX(ABS(d)) AS BIGINT) AS max_disp
+        |FROM p CROSS JOIN n GROUP BY e1, e2, n.n ORDER BY e1, e2""".stripMargin) { (s, dir) =>
+      val k = Tables(s, dir).customer.select(col("c_custkey").as("id"))
+      val r = s.range(1, 4).select(col("id").as("e")).crossJoin(k)
+        .select(col("e"), col("id"),
+          expr("CAST(conv(substring(md5(concat(e, '#', id)), 1, 12), 16, 10)" +
+            " AS BIGINT)").as("h"))
+        .withColumn("rk", row_number().over(Window.partitionBy("e").orderBy("h", "id")))
+      val p = r.select(col("e").as("e1"), col("id"), col("rk").as("r1"))
+        .join(r.select(col("e").as("e2"), col("id"), col("rk").as("r2")), "id")
+        .where(col("e1") < col("e2"))
+        .select(col("e1"), col("e2"),
+          (col("r1").cast("decimal(38,0)") - col("r2")).as("d"))
+      val n = k.agg(count(lit(1)).as("n"))
+      p.crossJoin(broadcast(n))
+        .groupBy("e1", "e2", "n")
+        .agg(sum(col("d") * col("d")).as("sd2"), max(abs(col("d"))).as("md"))
+        .select(col("e1"), col("e2"), col("n"),
+          expr("CAST(1000000 - (6000000 * sd2)" +
+            " div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)").as("rho_ppm"),
+          col("md").cast("long").as("max_disp"))
+        .orderBy("e1", "e2")
+    },
+
+    // Top-k with OTHER rollup: the reporting contract behind every
+    // "top 3 nations + rest" widget — per region keep the 3 largest
+    // revenue nations (deterministic rank: cents DESC, name) and fold
+    // the tail into one OTHER row, with exact ppm shares against the
+    // region total. One aggregate to nation grain, one window rank
+    // (partitioned — never a global sort), one re-aggregate of the
+    // relabeled tail; the region totals ride along as a second tiny
+    // aggregate instead of a second fact scan.
+    QueryDef.sql(
+      "q475_topk_others",
+      """WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY region
+        |    ORDER BY cents DESC, nation) AS rk FROM rev),
+        |tot AS (SELECT region, SUM(cents) AS rt FROM rev GROUP BY 1),
+        |lab AS (SELECT region,
+        |    CASE WHEN rk <= 3 THEN nation ELSE 'OTHER' END AS label,
+        |    CASE WHEN rk <= 3 THEN rk ELSE 99 END AS pos, cents FROM rk)
+        |SELECT l.region, l.label, CAST(MIN(l.pos) AS BIGINT) AS pos,
+        |  CAST(SUM(l.cents) AS BIGINT) AS cents,
+        |  CAST(1000000 * SUM(l.cents) // t.rt AS BIGINT) AS share_ppm
+        |FROM lab l JOIN tot t ON l.region = t.region
+        |GROUP BY l.region, l.label, t.rt
+        |ORDER BY l.region, pos, label""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val rev = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      val rk = rev.withColumn("rk", row_number().over(
+        Window.partitionBy("region").orderBy(col("cents").desc, col("nation"))))
+      val tot = rev.groupBy("region").agg(sum("cents").as("rt"))
+      rk.select(col("region"),
+          when(col("rk") <= 3, col("nation")).otherwise(lit("OTHER")).as("label"),
+          when(col("rk") <= 3, col("rk").cast("long")).otherwise(lit(99L)).as("pos"),
+          col("cents"))
+        .join(broadcast(tot), "region")
+        .groupBy("region", "label", "rt")
+        .agg(min("pos").as("pos"), sum("cents").as("cents"))
+        .select(col("region"), col("label"), col("pos"), col("cents"),
+          expr("CAST(1000000 * cents div rt AS BIGINT)").as("share_ppm"))
+        .orderBy("region", "pos", "label")
+    },
+
+    // Group-leakage audit for train/test splits: hash-splitting ROWS
+    // (orders) leaks entities — most customers land on both sides, so
+    // any per-customer feature learned on train contaminates test —
+    // while hash-splitting the GROUP key leaks exactly zero. Both
+    // strategies are evaluated in one pass over the fact table: per
+    // customer, capture flags for each side of each split, then two
+    // 2-row census aggregates. The md5 bucket is the same deterministic
+    // 20% holdout both engines reproduce bit-for-bit.
+    QueryDef.sql(
+      "q476_group_leakage",
+      """WITH o AS (SELECT o_custkey,
+        |    ('0x' || substr(md5('r' || o_orderkey), 1, 6))::BIGINT % 5 AS rb,
+        |    ('0x' || substr(md5('g' || o_custkey), 1, 6))::BIGINT % 5 AS gb
+        |  FROM orders),
+        |rs AS (SELECT o_custkey,
+        |    MAX(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS te,
+        |    MAX(CASE WHEN rb <> 0 THEN 1 ELSE 0 END) AS tr FROM o GROUP BY 1),
+        |gs AS (SELECT o_custkey,
+        |    MAX(CASE WHEN gb = 0 THEN 1 ELSE 0 END) AS te,
+        |    MAX(CASE WHEN gb <> 0 THEN 1 ELSE 0 END) AS tr FROM o GROUP BY 1),
+        |a AS (SELECT 'row_hash' AS strategy, COUNT(*) AS n_groups,
+        |    SUM(te * tr) AS leaked FROM rs
+        |  UNION ALL
+        |  SELECT 'group_hash', COUNT(*), SUM(te * tr) FROM gs)
+        |SELECT strategy, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(leaked AS BIGINT) AS leaked_groups,
+        |  CAST(1000000 * leaked // n_groups AS BIGINT) AS leak_ppm
+        |FROM a ORDER BY strategy""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders.select(col("o_custkey"),
+        expr("CAST(conv(substring(md5(concat('r', o_orderkey)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 5").as("rb"),
+        expr("CAST(conv(substring(md5(concat('g', o_custkey)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 5").as("gb"))
+      def census(flag: String, strategy: String) = o.groupBy("o_custkey")
+        .agg(max(when(col(flag) === 0, 1L).otherwise(0L)).as("te"),
+          max(when(col(flag) =!= 0, 1L).otherwise(0L)).as("tr"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("te") * col("tr")).as("leaked"))
+        .select(lit(strategy).as("strategy"), col("n_groups"), col("leaked"))
+      census("rb", "row_hash").unionAll(census("gb", "group_hash"))
+        .select(col("strategy"), col("n_groups"),
+          col("leaked").as("leaked_groups"),
+          expr("CAST(1000000 * leaked div n_groups AS BIGINT)").as("leak_ppm"))
+        .orderBy("strategy")
+    },
+
+    // Benjamini-Hochberg FDR over 25 simultaneous nation-mean tests:
+    // each nation's z² against the global mean is an exact integer
+    // ((N·Sᵢ − nᵢ·G)² scaled by the pooled variance — q461's squared-
+    // comparison idiom), compared rank-by-rank to a hard-coded
+    // χ²₁-quantile table at levels 1 − 0.05·i/25 (the same baked-
+    // constant pattern as q446's NDCG discounts — both engines share
+    // the 25 milli thresholds, so no cross-engine special-function
+    // drift). The step-up rule is a single reverse-running MAX window:
+    // rejected(i) = max_{j≥i} [z²₍ⱼ₎ ≥ thr_j] — no loop, no rescan.
+    QueryDef.sql(
+      "q477_bh_fdr",
+      """WITH y AS (SELECT c_nationkey AS nk,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nk, COUNT(*) AS n, SUM(c) AS s FROM y GROUP BY 1),
+        |t AS (SELECT (SELECT SUM(n) FROM g) AS nn, (SELECT SUM(s) FROM g) AS gs,
+        |    (SELECT SUM(CAST(c AS HUGEINT) * c) FROM y) AS ss),
+        |v AS (SELECT nn, gs, (nn * ss - CAST(gs AS HUGEINT) * gs)
+        |    // (CAST(nn AS HUGEINT) * nn) AS var FROM t),
+        |z AS (SELECT g.nk, g.n,
+        |    (1000 * (CAST(v.nn AS HUGEINT) * g.s - CAST(g.n AS HUGEINT) * v.gs)
+        |       * (CAST(v.nn AS HUGEINT) * g.s - CAST(g.n AS HUGEINT) * v.gs))
+        |      // (CAST(g.n AS HUGEINT) * v.nn * v.nn * GREATEST(v.var, 1))
+        |      AS z2_milli
+        |  FROM g, v),
+        |thr(rk, thr_milli) AS (VALUES
+        |  (1, 9549), (2, 8283), (3, 7550), (4, 7033), (5, 6634),
+        |  (6, 6310), (7, 6038), (8, 5802), (9, 5596), (10, 5411),
+        |  (11, 5245), (12, 5094), (13, 4956), (14, 4828), (15, 4709),
+        |  (16, 4598), (17, 4494), (18, 4397), (19, 4305), (20, 4217),
+        |  (21, 4135), (22, 4056), (23, 3981), (24, 3909), (25, 3841)),
+        |rkd AS (SELECT nk, z2_milli,
+        |    ROW_NUMBER() OVER (ORDER BY z2_milli DESC, nk) AS rk FROM z),
+        |j AS (SELECT r.nk, r.rk, r.z2_milli, t2.thr_milli,
+        |    CASE WHEN r.z2_milli >= t2.thr_milli THEN 1 ELSE 0 END AS pass
+        |  FROM rkd r JOIN thr t2 ON r.rk = t2.rk),
+        |su AS (SELECT *, MAX(pass) OVER (ORDER BY rk DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rejected FROM j)
+        |SELECT nk AS nation, CAST(rk AS BIGINT) AS rk,
+        |  CAST(z2_milli AS BIGINT) AS z2_milli,
+        |  CAST(thr_milli AS BIGINT) AS thr_milli,
+        |  CAST(rejected AS BIGINT) AS rejected
+        |FROM su ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val y = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("c"))
+      val g = y.groupBy("nk").agg(count(lit(1)).as("n"), sum("c").as("s"))
+      val tt = y.agg(count(lit(1)).as("nn"), sum("c").as("gs"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+      val v = tt.select(col("nn"), col("gs"),
+        expr("(nn * ss - CAST(gs AS DECIMAL(38,0)) * gs)" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nn)").as("var"))
+      val z = g.crossJoin(broadcast(v))
+        .select(col("nk"),
+          expr("(1000 * (CAST(nn AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * gs)" +
+            " * (CAST(nn AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * gs))" +
+            " div (CAST(n AS DECIMAL(38,0)) * nn * nn * GREATEST(var, 1))")
+            .as("z2_milli"))
+      val thr = Seq(
+        1L -> 9549L, 2L -> 8283L, 3L -> 7550L, 4L -> 7033L, 5L -> 6634L,
+        6L -> 6310L, 7L -> 6038L, 8L -> 5802L, 9L -> 5596L, 10L -> 5411L,
+        11L -> 5245L, 12L -> 5094L, 13L -> 4956L, 14L -> 4828L, 15L -> 4709L,
+        16L -> 4598L, 17L -> 4494L, 18L -> 4397L, 19L -> 4305L, 20L -> 4217L,
+        21L -> 4135L, 22L -> 4056L, 23L -> 3981L, 24L -> 3909L, 25L -> 3841L)
+        .toDF("rk", "thr_milli")
+      val rkd = z.withColumn("rk",
+        row_number().over(Window.orderBy(col("z2_milli").desc, col("nk"))).cast("long"))
+      val wsu = Window.orderBy(col("rk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rkd.join(broadcast(thr), "rk")
+        .withColumn("pass",
+          when(col("z2_milli") >= col("thr_milli"), 1L).otherwise(0L))
+        .select(col("nk").as("nation"), col("rk"),
+          col("z2_milli").cast("long").as("z2_milli"), col("thr_milli"),
+          max("pass").over(wsu).as("rejected"))
+        .orderBy("rk")
     }
   )
 }

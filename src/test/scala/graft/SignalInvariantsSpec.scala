@@ -395,6 +395,59 @@ class SignalInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q474 epoch permutations are near-independent and displacements valid") {
+    val rows = run("q474_epoch_shuffle").collect()
+    assert(rows.length == 3) // pairs (1,2) (1,3) (2,3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // independent permutations: ρ ~ N(0, 1/√n); ±5σ band in ppm
+      val band = (5000000L / math.round(math.sqrt(n.toDouble))).max(1L)
+      assert(math.abs(r.getAs[Long]("rho_ppm")) <= band)
+      val md = r.getAs[Long]("max_disp")
+      assert(md > 0L && md <= n - 1)
+    }
+  }
+
+  test("q475 each region rolls up to one OTHER row and shares sum to ~1e6") {
+    val rows = run("q475_topk_others").collect()
+    val byRegion = rows.groupBy(_.getAs[String]("region"))
+    byRegion.foreach { case (_, rs) =>
+      assert(rs.count(_.getAs[String]("label") == "OTHER") == 1)
+      assert(rs.count(_.getAs[String]("label") != "OTHER") <= 3)
+      val shares = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(shares <= 1000000L && shares >= 1000000L - rs.length)
+      rs.filter(_.getAs[String]("label") == "OTHER")
+        .foreach(r => assert(r.getAs[Long]("pos") == 99L))
+    }
+  }
+
+  test("q476 group-hash split leaks zero groups; row-hash split leaks") {
+    val rows = run("q476_group_leakage").collect()
+    assert(rows.length == 2)
+    val byStrat = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(byStrat("group_hash").getAs[Long]("leaked_groups") == 0L)
+    assert(byStrat("row_hash").getAs[Long]("leak_ppm") >=
+      byStrat("group_hash").getAs[Long]("leak_ppm"))
+    assert(byStrat("row_hash").getAs[Long]("n_groups") ==
+      byStrat("group_hash").getAs[Long]("n_groups"))
+  }
+
+  test("q477 BH step-up rejections are a prefix of the z² ranking") {
+    val rows = run("q477_bh_fdr").collect().sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 25)
+    val rej = rows.map(_.getAs[Long]("rejected"))
+    assert(rej.forall(v => v == 0L || v == 1L))
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b }) // prefix property
+    val z2 = rows.map(_.getAs[Long]("z2_milli"))
+    assert(z2.zip(z2.tail).forall { case (a, b) => a >= b })
+    val thr = rows.map(_.getAs[Long]("thr_milli"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a >= b })
+    // every rejected rank individually passed OR a later rank passed (step-up)
+    rows.foreach { r =>
+      if (r.getAs[Long]("rejected") == 1L && rej.last == 0L) () // covered by prefix check
+    }
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
