@@ -449,6 +449,78 @@ object ScaleCheck {
         f""""alarms":$alarms,"sec":$cuSec%.2f,""" +
         f""""rows_per_sec":${(2 * n / cuSec).toLong}}""")
     }
+
+    // Delete-one jackknife (q462's two-pass shape) over 2n rows × 1000
+    // groups — SELF-VALIDATING: clean groups are constant (x=200, y=2)
+    // so every leave-one-out ratio equals the full ratio and the
+    // jackknife variance is EXACTLY zero; 1% planted groups carry one
+    // doubled-x row, which must push their variance strictly positive.
+    // Any error in the broadcast-sums pass or the Σθ/Σθ² combine breaks
+    // one of the two censuses. Cost = two linear scans + a 1000-row
+    // broadcast, the same plan that runs at 100 TB.
+    {
+      val nGroups = 1000L
+      val jk = spark.range(2 * n).select(
+        (col("id") % nGroups).as("gk"),
+        // one planted row (the group's id 0 row) in every 100th group —
+        // 10⁴× the clean value so the milli-scaled θ spread survives the
+        // div-n³ truncation (a 2× outlier floors to v=0 at 20k rows/group)
+        when(col("id") % nGroups % 100 === 0 && col("id") < nGroups, 2000000L)
+          .otherwise(200L).as("x"),
+        lit(2L).as("y"))
+      val t90 = System.nanoTime()
+      val gsum = jk.groupBy("gk")
+        .agg(count(lit(1)).as("cn"), sum("x").as("sx"), sum("y").as("sy"))
+      val th = jk.join(broadcast(gsum), "gk")
+        .select(col("gk"), col("cn"),
+          expr("CAST((1000 * (CAST(sx AS DECIMAL(38,0)) - x)) div (sy - y) AS BIGINT)")
+            .as("t"))
+      val jvar = th.groupBy("gk", "cn")
+        .agg(sum(col("t").cast("decimal(38,0)")).as("tt"),
+          sum(col("t").cast("decimal(38,0)") * col("t")).as("q"))
+        .select(col("gk"),
+          expr("CAST((CAST(cn - 1 AS DECIMAL(38,0)) * (cn * q - tt * tt))" +
+            " div (CAST(cn AS DECIMAL(38,0)) * cn * cn) AS BIGINT)").as("v"))
+      val nZero = jvar.where(col("v") === 0 && col("gk") % 100 =!= 0).count()
+      val nPos = jvar.where(col("v") > 0 && col("gk") % 100 === 0).count()
+      val t91 = System.nanoTime()
+      require(nZero == nGroups - nGroups / 100,
+        s"jackknife: $nZero clean groups at zero variance, want ${nGroups - nGroups / 100}")
+      require(nPos == nGroups / 100,
+        s"jackknife: $nPos planted groups positive, want ${nGroups / 100}")
+      val jkSec = (t91 - t90) / 1e9
+      println(f"""{"scenario":"jackknife","rows":${2 * n},"groups":$nGroups,""" +
+        f""""planted":${nGroups / 100},"sec":$jkSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / jkSec).toLong}}""")
+
+      // Group-leakage capture flags (q476/q464's one-pass shape) over 2n
+      // rows × 100k groups: hash-splitting rows must leak (every group
+      // has ~200 rows, so P[pure] ≈ 0) while splitting on the GROUP hash
+      // leaks exactly zero — the capture-flag aggregate proves both in
+      // one scan each. xxhash64 keeps the bucket assignment cheap (the
+      // oracle-checked q476 uses md5; the flag algebra is identical).
+      val nG2 = 100000L
+      val sp = spark.range(2 * n).select(
+        (col("id") % nG2).as("gk"), col("id"))
+        .select(col("gk"),
+          (abs(xxhash64(lit("r"), col("id"))) % 5).as("rb"),
+          (abs(xxhash64(lit("g"), col("gk"))) % 5).as("gb"))
+      val t92 = System.nanoTime()
+      def leak(flag: String): Long = sp.groupBy("gk")
+        .agg(max(when(col(flag) === 0, 1L).otherwise(0L)).as("te"),
+          max(when(col(flag) =!= 0, 1L).otherwise(0L)).as("tr"))
+        .agg(sum(col("te") * col("tr"))).collect()(0).getLong(0)
+      val rowLeak = leak("rb")
+      val grpLeak = leak("gb")
+      val t93 = System.nanoTime()
+      require(grpLeak == 0L, s"group-hash split leaked $grpLeak groups")
+      require(rowLeak > (nG2 * 99) / 100,
+        s"row-hash split leaked only $rowLeak of $nG2 groups")
+      val spSec = (t93 - t92) / 1e9
+      println(f"""{"scenario":"split_leakage","rows":${2 * n},"groups":$nG2,""" +
+        f""""row_leaked":$rowLeak,"group_leaked":$grpLeak,"sec":$spSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / spSec).toLong}}""")
+    }
     spark.stop()
   }
 }
