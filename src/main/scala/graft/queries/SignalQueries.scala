@@ -2437,6 +2437,227 @@ object SignalQueries {
           col("z2_milli").cast("long").as("z2_milli"), col("thr_milli"),
           max("pass").over(wsu).as("rejected"))
         .orderBy("rk")
+    },
+
+    // Stratified propensity matching (subclassification): treat = odd
+    // custkey, outcome = lifetime order cents, strata = 10 acctbal
+    // deciles (ntile — the cross-engine split rule q173 pinned). Within
+    // each stratum treat/control are comparable by construction; the
+    // ATT reweights stratum mean-differences by the treated counts —
+    // the workhorse causal estimator when randomization isn't
+    // available. One customer-grain outcome aggregate (LEFT JOIN keeps
+    // zero-order customers), one decile window, one 10-row assembly;
+    // every mean and the final ATT are milli-scaled integer divisions.
+    QueryDef.sql(
+      "q478_propensity_strata",
+      """WITH oc AS (SELECT c.c_custkey, c.c_acctbal,
+        |    c.c_custkey % 2 AS treat,
+        |    COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)), 0) AS cents
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT *, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS stratum
+        |  FROM oc),
+        |g AS (SELECT stratum,
+        |    SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS sct,
+        |    SUM(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS scc
+        |  FROM st GROUP BY 1),
+        |d AS (SELECT stratum, nt, nc,
+        |    (1000 * CAST(sct AS HUGEINT)) // GREATEST(nt, 1)
+        |      - (1000 * CAST(scc AS HUGEINT)) // GREATEST(nc, 1) AS diff_milli
+        |  FROM g),
+        |att AS (SELECT SUM(CAST(nt AS HUGEINT) * diff_milli) // SUM(nt) AS att_milli
+        |  FROM d)
+        |SELECT d.stratum AS stratum, CAST(d.nt AS BIGINT) AS n_treat,
+        |  CAST(d.nc AS BIGINT) AS n_control,
+        |  CAST(d.diff_milli AS BIGINT) AS diff_milli,
+        |  CAST(att.att_milli AS BIGINT) AS att_milli
+        |FROM d, att ORDER BY stratum""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val oc = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_acctbal"), (col("c_custkey") % 2).as("treat"))
+        .agg(coalesce(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")), lit(0L))
+          .as("cents"))
+      val st = oc.withColumn("stratum",
+        ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")))
+      val g = st.groupBy("stratum")
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treat") === 1, col("cents")).otherwise(0L)).as("sct"),
+          sum(when(col("treat") === 0, col("cents")).otherwise(0L)).as("scc"))
+      val d = g.select(col("stratum"), col("nt"), col("nc"),
+        expr("(1000 * CAST(sct AS DECIMAL(38,0))) div GREATEST(nt, 1)" +
+          " - (1000 * CAST(scc AS DECIMAL(38,0))) div GREATEST(nc, 1)").as("diff_milli"))
+      val att = d.agg(
+        expr("SUM(CAST(nt AS DECIMAL(38,0)) * diff_milli) div SUM(nt)").as("att_milli"))
+      d.crossJoin(broadcast(att))
+        .select(col("stratum").cast("long").as("stratum"), col("nt").as("n_treat"),
+          col("nc").as("n_control"), col("diff_milli").cast("long").as("diff_milli"),
+          col("att_milli").cast("long").as("att_milli"))
+        .orderBy("stratum")
+    },
+
+    // Event-precedence matrix (the order-of-operations census behind
+    // process mining): for every ordered pair of event types, how many
+    // users saw their FIRST a strictly before their FIRST b, as a ppm
+    // share of users who saw both. First-occurrence timestamps collapse
+    // the event log to one row per (user, type) — a map-side-combined
+    // MIN — so the pair comparison is a self-join of 5 rows per user,
+    // never the raw event log squared. Strict-< on exact timestamps is
+    // engine-identical; ties simply count for neither direction.
+    QueryDef.sql(
+      "q479_precedence_matrix",
+      """WITH f AS (SELECT user_id, event_type, MIN(ts) AS ft
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    COUNT(*) AS n_both,
+        |    SUM(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS a_first
+        |  FROM f a JOIN f b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(a_first AS BIGINT) AS a_first,
+        |  CAST(1000000 * a_first // n_both AS BIGINT) AS first_ppm
+        |FROM p ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir).events
+        .groupBy("user_id", "event_type").agg(min("ts").as("ft"))
+      f.select(col("user_id"), col("event_type").as("ta"), col("ft").as("fa"))
+        .join(f.select(col("user_id"), col("event_type").as("tb"), col("ft").as("fb")),
+          "user_id")
+        .where(col("ta") =!= col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("fa") < col("fb"), 1L).otherwise(0L)).as("a_first"))
+        .select(col("ta"), col("tb"), col("n_both"), col("a_first"),
+          expr("CAST(1000000 * a_first div n_both AS BIGINT)").as("first_ppm"))
+        .orderBy("ta", "tb")
+    },
+
+    // Seasonal-residual anomaly detection on the daily revenue KPI:
+    // remove the day-of-week mean (the dominant seasonal component),
+    // then flag days whose residual exceeds 3 robust sigmas — the
+    // MAD-based rule (|r| > 3·1.4826·MAD ⟺ 10000·|r| > 44478·MAD,
+    // exact in integers) that survives the very outliers it hunts,
+    // where a stddev-based z would be inflated by them. The day grain
+    // (~2.4k rows) makes the dow means and the MAD median broadcast-
+    // sized whatever the fact-table scale; the median uses q152's
+    // 1-based ⌈n/2⌉ row_number convention.
+    QueryDef.sql(
+      "q480_seasonal_residual_outliers",
+      """WITH day AS (SELECT o_orderdate AS d, dayofweek(o_orderdate) AS dow,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |dm AS (SELECT dow, (1000 * SUM(CAST(r AS HUGEINT))) // COUNT(*) AS dmean
+        |  FROM day GROUP BY 1),
+        |res AS (SELECT d.d, d.dow, 1000 * CAST(d.r AS HUGEINT) - m.dmean AS resid
+        |  FROM day d JOIN dm m ON d.dow = m.dow),
+        |ar AS (SELECT d, resid, ABS(resid) AS a FROM res),
+        |md AS (SELECT a AS mad FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn,
+        |    COUNT(*) OVER () AS n FROM ar) WHERE rn = (n + 1) // 2)
+        |SELECT ar.d AS day, CAST(ar.resid AS BIGINT) AS resid_milli,
+        |  CAST(md.mad AS BIGINT) AS mad_milli,
+        |  CAST(CASE WHEN 10000 * ar.a > 44478 * md.mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS flagged
+        |FROM ar, md ORDER BY ar.a DESC, day LIMIT 20""".stripMargin) { (s, dir) =>
+      val day = Tables(s, dir).orders
+        .groupBy(col("o_orderdate").as("d"), dayofweek(col("o_orderdate")).as("dow"))
+        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("r"))
+      val dm = day.groupBy("dow")
+        .agg(expr("(1000 * SUM(CAST(r AS DECIMAL(38,0)))) div COUNT(*)").as("dmean"))
+      val ar = day.join(broadcast(dm), "dow")
+        .select(col("d"),
+          (lit(1000L) * col("r").cast("decimal(38,0)") - col("dmean")).as("resid"))
+        .withColumn("a", abs(col("resid")))
+      val w = Window.orderBy("a")
+      val md = ar.select(col("a"), row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("a").as("mad"))
+      ar.crossJoin(broadcast(md))
+        .select(col("d").as("day"), col("resid").cast("long").as("resid_milli"),
+          col("mad").cast("long").as("mad_milli"),
+          when(lit(10000L) * col("a") > lit(44478L) * col("mad"), 1L).otherwise(0L)
+            .as("flagged"), col("a"))
+        .orderBy(col("a").desc, col("day"))
+        .limit(20)
+        .drop("a")
+    },
+
+    // Reachability under a threshold sweep: the nation trade digraph
+    // kept at ≥1×/2×/3× mean edge support, with 4-superstep forward
+    // reach from each surviving graph's min node — the percolation-
+    // style sensitivity scan that prices "how aggressively can I prune
+    // edges before the graph disconnects" (the q433 sweep pattern
+    // applied to graph pruning). The base edge aggregate is computed
+    // ONCE and cached; each threshold is a filter + the shared
+    // bfsHopsFrom operator, so the sweep costs 3 frontier walks over
+    // ever-smaller edge sets, not 3 fact-table scans.
+    QueryDef.sql(
+      "q481_threshold_reach",
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS ne FROM e0),
+        |e1 AS MATERIALIZED (SELECT src, dst FROM e0, t WHERE cnt * ne >= tot),
+        |e2 AS MATERIALIZED (SELECT src, dst FROM e0, t WHERE cnt * ne >= 2 * tot),
+        |e3 AS MATERIALIZED (SELECT src, dst FROM e0, t WHERE cnt * ne >= 3 * tot),
+        |f1(n, d) AS (SELECT (SELECT MIN(src) FROM e1), 0
+        |  UNION ALL SELECT e1.dst, f1.d + 1 FROM f1 JOIN e1 ON f1.n = e1.src
+        |  WHERE f1.d < 4),
+        |f2(n, d) AS (SELECT (SELECT MIN(src) FROM e2), 0
+        |  UNION ALL SELECT e2.dst, f2.d + 1 FROM f2 JOIN e2 ON f2.n = e2.src
+        |  WHERE f2.d < 4),
+        |f3(n, d) AS (SELECT (SELECT MIN(src) FROM e3), 0
+        |  UNION ALL SELECT e3.dst, f3.d + 1 FROM f3 JOIN e3 ON f3.n = e3.src
+        |  WHERE f3.d < 4),
+        |r AS (SELECT 1 AS k, (SELECT COUNT(*) FROM e1) AS n_edges,
+        |    (SELECT COUNT(DISTINCT n) FROM f1 WHERE n IS NOT NULL) AS n_reached,
+        |    (SELECT COALESCE(MAX(d), -1) FROM (SELECT n, MIN(d) AS d FROM f1
+        |       WHERE n IS NOT NULL GROUP BY n)) AS max_hop
+        |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM e2),
+        |    (SELECT COUNT(DISTINCT n) FROM f2 WHERE n IS NOT NULL),
+        |    (SELECT COALESCE(MAX(d), -1) FROM (SELECT n, MIN(d) AS d FROM f2
+        |       WHERE n IS NOT NULL GROUP BY n))
+        |  UNION ALL SELECT 3, (SELECT COUNT(*) FROM e3),
+        |    (SELECT COUNT(DISTINCT n) FROM f3 WHERE n IS NOT NULL),
+        |    (SELECT COALESCE(MAX(d), -1) FROM (SELECT n, MIN(d) AS d FROM f3
+        |       WHERE n IS NOT NULL GROUP BY n)))
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_reached AS BIGINT) AS n_reached, CAST(max_hop AS BIGINT) AS max_hop
+        |FROM r ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.operators.Graphs
+      val t = Tables(s, dir)
+      // the nation-grain edge aggregate is cached so the fact-table join
+      // runs ONCE; the mean-support scalar and all 3 sweep filters read
+      // the ~600-row cache
+      val base = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      val e0 = base
+        .crossJoin(broadcast(base.agg(sum("cnt").as("tot"), count(lit(1)).as("ne"))))
+      def sweep(k: Int) = {
+        val ek = e0.where(col("cnt") * col("ne") >= lit(k.toLong) * col("tot"))
+          .select("src", "dst")
+        val root = ek.agg(min(col("src")).as("n")).where(col("n").isNotNull)
+        val reach = Graphs.bfsHopsFrom(ek, root, maxHops = 4)
+        val nEdges = ek.agg(count(lit(1)).as("n_edges"))
+        val stats = reach.agg(countDistinct("n").as("n_reached"),
+          coalesce(max("hop"), lit(-1L)).as("max_hop"))
+        nEdges.crossJoin(stats).select(lit(k.toLong).as("k"), col("n_edges"),
+          col("n_reached"), col("max_hop"))
+      }
+      sweep(1).unionAll(sweep(2)).unionAll(sweep(3)).orderBy("k")
     }
   )
 }

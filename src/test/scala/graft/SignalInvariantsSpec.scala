@@ -448,6 +448,55 @@ class SignalInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q478 stratified ATT reconciles with the treated-weighted stratum diffs") {
+    val rows = run("q478_propensity_strata").collect().sortBy(_.getAs[Long]("stratum"))
+    assert(rows.length == 10)
+    val atts = rows.map(_.getAs[Long]("att_milli")).distinct
+    assert(atts.length == 1)
+    // recompute the treated-weighted mean with the same integer division
+    val num = rows.map(r => BigInt(r.getAs[Long]("n_treat")) * r.getAs[Long]("diff_milli")).sum
+    val den = rows.map(r => BigInt(r.getAs[Long]("n_treat"))).sum
+    assert(BigInt(atts.head) == num / den)
+  }
+
+  test("q479 precedence shares are antisymmetric up to ties") {
+    val rows = run("q479_precedence_matrix").collect()
+    assert(rows.length == 20) // 5 types, ordered pairs
+    val m = rows.map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) -> r).toMap
+    m.foreach { case ((a, b), r) =>
+      val rev = m((b, a))
+      assert(r.getAs[Long]("n_both") == rev.getAs[Long]("n_both")) // symmetric support
+      // a-first + b-first ≤ both (exact-tie users count for neither)
+      assert(r.getAs[Long]("a_first") + rev.getAs[Long]("a_first") <=
+        r.getAs[Long]("n_both"))
+    }
+  }
+
+  test("q480 MAD flag matches its integer rule on every returned day") {
+    val rows = run("q480_seasonal_residual_outliers").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val mads = rows.map(_.getAs[Long]("mad_milli")).distinct
+    assert(mads.length == 1 && mads.head >= 0L)
+    rows.foreach { r =>
+      val a = math.abs(r.getAs[Long]("resid_milli"))
+      val expect = if (BigInt(10000) * a > BigInt(44478) * mads.head) 1L else 0L
+      assert(r.getAs[Long]("flagged") == expect)
+    }
+  }
+
+  test("q481 threshold sweep prunes edges monotonically and keeps reach valid") {
+    val rows = run("q481_threshold_reach").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 3)
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val reached = r.getAs[Long]("n_reached"); val mh = r.getAs[Long]("max_hop")
+      assert((reached == 0L) == (mh == -1L))
+      if (r.getAs[Long]("n_edges") > 0) assert(reached >= 1L) // root itself
+      assert(mh <= 4L)
+    }
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
