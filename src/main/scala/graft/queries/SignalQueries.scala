@@ -2658,6 +2658,261 @@ object SignalQueries {
           col("n_reached"), col("max_hop"))
       }
       sweep(1).unionAll(sweep(2)).unionAll(sweep(3)).orderBy("k")
+    },
+
+    // Upper-tail dependence of order value vs order width (lineitem
+    // count): λ_U = P(width > q90_w | value > q90_v) against the
+    // independence baseline P(width > q90_w) — the joint-extremes
+    // statistic that a correlation coefficient misses entirely (two
+    // variables can be uncorrelated yet crash together). Both q90
+    // thresholds are exact ⌈n·0.9⌉ order statistics (q152's convention)
+    // from ONE row_number window each; the exceedance census is a
+    // broadcast of the two scalars over the order-grain frame.
+    QueryDef.sql(
+      "q482_tail_dependence",
+      """WITH o AS (SELECT o.o_orderkey,
+        |    CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS v, COUNT(*) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n FROM o),
+        |qv AS (SELECT v AS qv FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+        |    FROM o), n WHERE rn = (n * 90 + 99) // 100),
+        |qw AS (SELECT w AS qw FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rn
+        |    FROM o), n WHERE rn = (n * 90 + 99) // 100),
+        |c AS (SELECT COUNT(*) AS nn,
+        |    SUM(CASE WHEN v > qv THEN 1 ELSE 0 END) AS nv,
+        |    SUM(CASE WHEN w > qw THEN 1 ELSE 0 END) AS nw,
+        |    SUM(CASE WHEN v > qv AND w > qw THEN 1 ELSE 0 END) AS nj
+        |  FROM o, qv, qw)
+        |SELECT CAST(nn AS BIGINT) AS n, (SELECT CAST(qv AS BIGINT) FROM qv) AS q90_value,
+        |  (SELECT CAST(qw AS BIGINT) FROM qw) AS q90_width,
+        |  CAST(nv AS BIGINT) AS n_value_exceed, CAST(nj AS BIGINT) AS n_joint,
+        |  CAST(1000000 * nj // GREATEST(nv, 1) AS BIGINT) AS lambda_ppm,
+        |  CAST(1000000 * nw // nn AS BIGINT) AS baseline_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), floor(col("o_totalprice") * lit(100.0))
+          .cast("long").as("v"))
+        .agg(count(lit(1)).as("w"))
+      def q90(cname: String, alias: String) = o
+        .select(col(cname), row_number().over(Window.orderBy(cname)).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .where(col("rn") === expr("(n * 90 + 99) div 100"))
+        .select(col(cname).as(alias))
+      o.crossJoin(broadcast(q90("v", "qv"))).crossJoin(broadcast(q90("w", "qw")))
+        .agg(count(lit(1)).as("nn"),
+          sum(when(col("v") > col("qv"), 1L).otherwise(0L)).as("nv"),
+          sum(when(col("w") > col("qw"), 1L).otherwise(0L)).as("nw"),
+          sum(when(col("v") > col("qv") && col("w") > col("qw"), 1L).otherwise(0L))
+            .as("nj"),
+          max("qv").as("q90_value"), max("qw").as("q90_width"))
+        .select(col("nn").as("n"), col("q90_value"), col("q90_width"),
+          col("nv").as("n_value_exceed"), col("nj").as("n_joint"),
+          expr("CAST(1000000 * nj div GREATEST(nv, 1) AS BIGINT)").as("lambda_ppm"),
+          expr("CAST(1000000 * nw div nn AS BIGINT)").as("baseline_ppm"))
+    },
+
+    // Weak-supervision labeling audit (the Snorkel data-programming
+    // loop's first report): three deterministic labeling functions over
+    // the corpus — content (slow/fast tokens), length, and source
+    // block — each voting {+1, −1, abstain}; the per-LF coverage /
+    // overlap / conflict census is what tells you whether the label
+    // model has enough signal BEFORE any training run. One map-only
+    // pass computes all three votes per doc (no joins between LFs —
+    // they're columns, not tables), one 3-row census after.
+    QueryDef.sql(
+      "q483_weak_labels",
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN text LIKE '%slow%' THEN 1
+        |         WHEN text LIKE '%fast%' THEN -1 ELSE 0 END AS l1,
+        |    CASE WHEN n_chars < 150 THEN 1
+        |         WHEN n_chars > 450 THEN -1 ELSE 0 END AS l2,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1
+        |         WHEN source IN ('src16', 'src17', 'src18', 'src19') THEN -1
+        |         ELSE 0 END AS l3
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS nd,
+        |    SUM(CASE WHEN l1 + l2 + l3 > 0 THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN l1 + l2 + l3 < 0 THEN 1 ELSE 0 END) AS n_neg FROM v),
+        |s AS (SELECT 'lf1_content' AS lf,
+        |    SUM(CASE WHEN l1 <> 0 THEN 1 ELSE 0 END) AS cov,
+        |    SUM(CASE WHEN l1 <> 0 AND (l2 <> 0 OR l3 <> 0) THEN 1 ELSE 0 END) AS ovl,
+        |    SUM(CASE WHEN l1 * l2 = -1 OR l1 * l3 = -1 THEN 1 ELSE 0 END) AS cfl
+        |  FROM v
+        |  UNION ALL SELECT 'lf2_length',
+        |    SUM(CASE WHEN l2 <> 0 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN l2 <> 0 AND (l1 <> 0 OR l3 <> 0) THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN l2 * l1 = -1 OR l2 * l3 = -1 THEN 1 ELSE 0 END) FROM v
+        |  UNION ALL SELECT 'lf3_source',
+        |    SUM(CASE WHEN l3 <> 0 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN l3 <> 0 AND (l1 <> 0 OR l2 <> 0) THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN l3 * l1 = -1 OR l3 * l2 = -1 THEN 1 ELSE 0 END) FROM v)
+        |SELECT s.lf, CAST(1000000 * s.cov // n.nd AS BIGINT) AS coverage_ppm,
+        |  CAST(1000000 * s.ovl // n.nd AS BIGINT) AS overlap_ppm,
+        |  CAST(1000000 * s.cfl // n.nd AS BIGINT) AS conflict_ppm,
+        |  CAST(n.n_pos AS BIGINT) AS vote_pos, CAST(n.n_neg AS BIGINT) AS vote_neg
+        |FROM s, n ORDER BY lf""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir).documents.select(col("doc_id"),
+        when(col("text").like("%slow%"), 1L)
+          .when(col("text").like("%fast%"), -1L).otherwise(0L).as("l1"),
+        when(col("n_chars") < 150, 1L)
+          .when(col("n_chars") > 450, -1L).otherwise(0L).as("l2"),
+        when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+          .when(col("source").isin("src16", "src17", "src18", "src19"), -1L)
+          .otherwise(0L).as("l3"))
+      val n = v.agg(count(lit(1)).as("nd"),
+        sum(when(col("l1") + col("l2") + col("l3") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("l1") + col("l2") + col("l3") < 0, 1L).otherwise(0L)).as("n_neg"))
+      def lfStats(name: String, self: String, o1: String, o2: String) = v.agg(
+        sum(when(col(self) =!= 0, 1L).otherwise(0L)).as("cov"),
+        sum(when(col(self) =!= 0 && (col(o1) =!= 0 || col(o2) =!= 0), 1L)
+          .otherwise(0L)).as("ovl"),
+        sum(when(col(self) * col(o1) === -1 || col(self) * col(o2) === -1, 1L)
+          .otherwise(0L)).as("cfl"))
+        .select(lit(name).as("lf"), col("cov"), col("ovl"), col("cfl"))
+      lfStats("lf1_content", "l1", "l2", "l3")
+        .unionAll(lfStats("lf2_length", "l2", "l1", "l3"))
+        .unionAll(lfStats("lf3_source", "l3", "l1", "l2"))
+        .crossJoin(broadcast(n))
+        .select(col("lf"),
+          expr("CAST(1000000 * cov div nd AS BIGINT)").as("coverage_ppm"),
+          expr("CAST(1000000 * ovl div nd AS BIGINT)").as("overlap_ppm"),
+          expr("CAST(1000000 * cfl div nd AS BIGINT)").as("conflict_ppm"),
+          col("n_pos").as("vote_pos"), col("n_neg").as("vote_neg"))
+        .orderBy("lf")
+    },
+
+    // k-center coreset by farthest-point (Gonzalez) traversal: seed at
+    // vec 0, then 3 greedy rounds each adding the corpus point farthest
+    // from its nearest selected center (maximin cosine distance), and
+    // report the final coverage radius — the 2-approximation whose
+    // radius certifies how well 4 exemplars cover the corpus (the
+    // coreset-selection primitive for data pruning). Each round is ONE
+    // corpus pass: min-dist-to-selected is a conditional min over ≤ 4
+    // broadcast centers, the argmax a TakeOrdered(1); nothing pairwise
+    // is ever materialized beyond corpus × |centers|.
+    QueryDef.sql(
+      "q484_kcenter_coreset",
+      """WITH e AS (SELECT vec_id, i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |d0 AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    SUM(a.m * b.m) AS dxy, SUM(a.m * a.m) AS dxx, SUM(b.m * b.m) AS dyy
+        |  FROM e a JOIN e b ON a.i = b.i GROUP BY 1, 2),
+        |d AS (SELECT qid, cid, 1000000 - CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
+        |    / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT)
+        |    AS dist FROM d0),
+        |m1 AS (SELECT qid, dist AS md FROM d WHERE cid = 0),
+        |s1 AS (SELECT qid, md FROM m1 ORDER BY md DESC, qid LIMIT 1),
+        |m2 AS (SELECT d.qid, MIN(d.dist) AS md FROM d
+        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1) GROUP BY 1),
+        |s2 AS (SELECT qid, md FROM m2
+        |  WHERE qid NOT IN (SELECT qid FROM s1) ORDER BY md DESC, qid LIMIT 1),
+        |m3 AS (SELECT d.qid, MIN(d.dist) AS md FROM d
+        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1 UNION SELECT qid FROM s2)
+        |  GROUP BY 1),
+        |s3 AS (SELECT qid, md FROM m3
+        |  WHERE qid NOT IN (SELECT qid FROM s1 UNION SELECT qid FROM s2)
+        |  ORDER BY md DESC, qid LIMIT 1),
+        |mf AS (SELECT d.qid, MIN(d.dist) AS md FROM d
+        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1 UNION SELECT qid FROM s2
+        |    UNION SELECT qid FROM s3) GROUP BY 1),
+        |rad AS (SELECT MAX(md) AS radius FROM mf)
+        |SELECT pick, vec_id, CAST(maximin AS BIGINT) AS maximin,
+        |  (SELECT CAST(radius AS BIGINT) FROM rad) AS radius
+        |FROM (SELECT CAST(0 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+        |    CAST(0 AS BIGINT) AS maximin
+        |  UNION ALL SELECT 1, qid, md FROM s1
+        |  UNION ALL SELECT 2, qid, md FROM s2
+        |  UNION ALL SELECT 3, qid, md FROM s3) f
+        |ORDER BY pick""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      def minDist(centers: org.apache.spark.sql.DataFrame) = emb
+        .crossJoin(broadcast(centers
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))))
+        .select(col("vec_id").as("qid"),
+          (lit(1000000L) - Similarity.cosineScaled(col("embedding"), col("cv")))
+            .as("dist"))
+        .groupBy("qid").agg(min("dist").as("md"))
+      var centers = emb.where(col("vec_id") === 0)
+      var picks = centers.select(lit(0L).as("pick"), col("vec_id"), lit(0L).as("maximin"))
+      for (i <- 1 to 3) {
+        val far = minDist(centers)
+          .join(centers.select(col("vec_id").as("qid")), Seq("qid"), "left_anti")
+          .orderBy(col("md").desc, col("qid").asc).limit(1)
+        picks = picks.unionAll(far.select(lit(i.toLong).as("pick"),
+          col("qid").as("vec_id"), col("md").as("maximin")))
+        centers = emb.join(picks.select(col("vec_id")), "vec_id")
+          .select(col("vec_id"), col("embedding"))
+      }
+      val rad = minDist(centers).agg(max("md").as("radius"))
+      picks.crossJoin(broadcast(rad))
+        .select(col("pick"), col("vec_id"), col("maximin"), col("radius"))
+        .orderBy("pick")
+    },
+
+    // Raking / iterative proportional fitting (2 rounds): reweight the
+    // 1995-active customer sample so its (nation × segment) cells match
+    // the FULL population's nation and segment marginals — the survey
+    // post-stratification everyone reaches for when a sample is
+    // demographically skewed. Row pass then column pass, each a ppm
+    // rational scale from broadcast marginal sums; after the column
+    // pass the nation marginals are re-audited (segment marginals match
+    // by construction up to truncation). Cell grain is 125 rows
+    // whatever the fact scale — all the heavy work is the two grouped
+    // counts.
+    QueryDef.sql(
+      "q485_raking_ipf",
+      """WITH pop AS (SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS np
+        |  FROM customer GROUP BY 1, 2),
+        |samp AS (SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg, COUNT(DISTINCT c.c_custkey) AS ns
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  WHERE year(o.o_orderdate) = 1995 GROUP BY 1, 2),
+        |tn AS (SELECT nk, SUM(np) AS t_row FROM pop GROUP BY 1),
+        |ts AS (SELECT seg, SUM(np) AS t_col FROM pop GROUP BY 1),
+        |sr AS (SELECT nk, SUM(ns) AS s_row FROM samp GROUP BY 1),
+        |w1 AS (SELECT s.nk, s.seg, s.ns,
+        |    (1000000 * CAST(t.t_row AS HUGEINT)) // r.s_row AS w
+        |  FROM samp s JOIN tn t ON s.nk = t.nk JOIN sr r ON s.nk = r.nk),
+        |sc AS (SELECT seg, SUM(CAST(ns AS HUGEINT) * w) AS s_col FROM w1 GROUP BY 1),
+        |w2 AS (SELECT w1.nk, w1.seg, w1.ns,
+        |    (w1.w * ((CAST(1000000000000 AS HUGEINT) * t.t_col) // c.s_col))
+        |      // 1000000 AS w
+        |  FROM w1 JOIN ts t ON w1.seg = t.seg JOIN sc c ON w1.seg = c.seg),
+        |a AS (SELECT nk, SUM(CAST(ns AS HUGEINT) * w) AS achieved FROM w2 GROUP BY 1)
+        |SELECT a.nk AS nation, CAST(t.t_row AS BIGINT) AS target,
+        |  CAST(r.s_row AS BIGINT) AS sample_raw,
+        |  CAST(a.achieved // t.t_row AS BIGINT) AS achieved_ratio_ppm
+        |FROM a JOIN tn t ON a.nk = t.nk JOIN sr r ON a.nk = r.nk
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val pop = t.customer.groupBy(col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg")).agg(count(lit(1)).as("np"))
+      val samp = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+        .where(year(col("o_orderdate")) === 1995)
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(countDistinct("c_custkey").as("ns"))
+      val tn = pop.groupBy("nk").agg(sum("np").as("t_row"))
+      val ts = pop.groupBy("seg").agg(sum("np").as("t_col"))
+      val sr = samp.groupBy("nk").agg(sum("ns").as("s_row"))
+      val w1 = samp.join(broadcast(tn), "nk").join(broadcast(sr), "nk")
+        .select(col("nk"), col("seg"), col("ns"),
+          expr("(1000000 * CAST(t_row AS DECIMAL(38,0))) div s_row").as("w"))
+      val sc = w1.groupBy("seg")
+        .agg(sum(col("ns").cast("decimal(38,0)") * col("w")).as("s_col"))
+      val w2 = w1.join(broadcast(ts), "seg").join(broadcast(sc), "seg")
+        .select(col("nk"), col("seg"), col("ns"),
+          expr("(w * ((CAST(1000000000000 AS DECIMAL(38,0)) * t_col) div s_col))" +
+            " div 1000000").as("w"))
+      val a = w2.groupBy("nk")
+        .agg(sum(col("ns").cast("decimal(38,0)") * col("w")).as("achieved"))
+      a.join(broadcast(tn), "nk").join(broadcast(sr), "nk")
+        .select(col("nk").as("nation"), col("t_row").as("target"),
+          col("s_row").as("sample_raw"),
+          expr("CAST(achieved div t_row AS BIGINT)").as("achieved_ratio_ppm"))
+        .orderBy("nation")
     }
   )
 }

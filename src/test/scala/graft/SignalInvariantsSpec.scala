@@ -497,6 +497,54 @@ class SignalInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q482 tail dependence counts nest and shares are valid ppm") {
+    val r = run("q482_tail_dependence").collect().head
+    val n = r.getAs[Long]("n")
+    val nv = r.getAs[Long]("n_value_exceed"); val nj = r.getAs[Long]("n_joint")
+    assert(nj <= nv)
+    assert(nv <= n / 10) // strictly above the ceil(0.9n) order stat
+    Seq("lambda_ppm", "baseline_ppm").foreach { c =>
+      val v = r.getAs[Long](c); assert(v >= 0L && v <= 1000000L)
+    }
+  }
+
+  test("q483 weak-label census nests conflict ⊆ overlap ⊆ coverage") {
+    val rows = run("q483_weak_labels").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_ppm")
+      val ovl = r.getAs[Long]("overlap_ppm")
+      val cfl = r.getAs[Long]("conflict_ppm")
+      assert(cfl <= ovl && ovl <= cov && cov <= 1000000L)
+    }
+    assert(rows.map(_.getAs[Long]("vote_pos")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("vote_neg")).distinct.length == 1)
+  }
+
+  test("q484 k-center maximins shrink and the radius is certified by pick 3") {
+    val rows = run("q484_kcenter_coreset").collect().sortBy(_.getAs[Long]("pick"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 4)
+    assert(rows.head.getAs[Long]("maximin") == 0L) // the seed
+    val mm = rows.tail.map(_.getAs[Long]("maximin"))
+    assert(mm.zip(mm.tail).forall { case (a, b) => a >= b }) // greedy shrinks
+    val radius = rows.map(_.getAs[Long]("radius")).distinct
+    assert(radius.length == 1)
+    assert(radius.head <= mm.last) // adding the last center only shrinks cover
+  }
+
+  test("q485 raking brings nation marginals near their targets") {
+    val rows = run("q485_raking_ipf").collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sample_raw") <= r.getAs[Long]("target"))
+      val ratio = r.getAs[Long]("achieved_ratio_ppm")
+      // 2 IPF rounds: sparse sf0.001 cells (some nation×segment cells
+      // empty in the sample) cap how closely row marginals can be hit
+      assert(ratio >= 500000L && ratio <= 1500000L)
+    }
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
