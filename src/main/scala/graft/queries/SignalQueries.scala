@@ -2913,6 +2913,184 @@ object SignalQueries {
           col("s_row").as("sample_raw"),
           expr("CAST(achieved div t_row AS BIGINT)").as("achieved_ratio_ppm"))
         .orderBy("nation")
+    },
+
+    // Deterministic MLM masking plan (BERT's 15% / 80-10-10 recipe):
+    // every token draws an md5 coin from (doc, position), so the SAME
+    // masks reproduce on any engine, any rerun, any shard assignment —
+    // the property that makes training resumable and masks auditable
+    // (an RNG-based masker can't be re-derived after the fact). The
+    // per-source census proves the realized rates: ~15% masked, split
+    // 80% [MASK] / 10% random / 10% keep. Pure map-side projection +
+    // one 20-row rollup; the coin is the ONLY state.
+    QueryDef.sql(
+      "q486_mlm_masking",
+      """WITH ws AS (SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, u.pos AS pos FROM (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(ws, (x, i) -> {'pos': i, 'w': x})) AS u
+        |  FROM ws)),
+        |c AS (SELECT source,
+        |    ('0x' || substr(md5(doc_id || ':' || pos), 1, 6))::BIGINT % 100 AS r
+        |  FROM tok)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN r < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(SUM(CASE WHEN r < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_mask_tok,
+        |  CAST(SUM(CASE WHEN r IN (12, 13) THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+        |  CAST(SUM(CASE WHEN r = 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(1000000 * SUM(CASE WHEN r < 15 THEN 1 ELSE 0 END) // COUNT(*)
+        |    AS BIGINT) AS mask_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), posexplode(
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")))
+        .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"))
+      tok.select(col("source"),
+          expr("CAST(conv(substring(md5(concat(doc_id, ':', pos)), 1, 6), 16, 10)" +
+            " AS BIGINT) % 100").as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("r") < 15, 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("r") < 12, 1L).otherwise(0L)).as("n_mask_tok"),
+          sum(when(col("r").isin(12, 13), 1L).otherwise(0L)).as("n_random"),
+          sum(when(col("r") === 14, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("source"), col("n_tokens"), col("n_masked"), col("n_mask_tok"),
+          col("n_random"), col("n_keep"),
+          expr("CAST(1000000 * n_masked div n_tokens AS BIGINT)").as("mask_ppm"))
+        .orderBy("source")
+    },
+
+    // l-diversity audit (the k-anonymity companion): per quasi-
+    // identifier group (nation × segment), how many DISTINCT values of
+    // the sensitive attribute (order priority) appear, and how dominant
+    // the most common one is — a group can be k-anonymous yet still
+    // leak its members' sensitive value when l=1 or one value holds
+    // ~100% share (homogeneity attack). Distinct-l is a two-level
+    // aggregate; the dominant share is an argmax over the tiny
+    // (group × priority) grain — nothing scans the facts twice.
+    QueryDef.sql(
+      "q487_l_diversity",
+      """WITH f AS (SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg,
+        |    o.o_orderpriority AS sv, COUNT(*) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT nk, seg, SUM(n) AS n_rows, COUNT(*) AS l, MAX(n) AS top_n
+        |  FROM f GROUP BY 1, 2)
+        |SELECT nk AS nation, seg AS segment, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(l AS BIGINT) AS l_distinct,
+        |  CAST(1000000 * top_n // n_rows AS BIGINT) AS top_share_ppm,
+        |  CAST(CASE WHEN l < 3 THEN 1 ELSE 0 END AS BIGINT) AS below_l3
+        |FROM g ORDER BY nation, segment""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val f = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("sv"))
+        .agg(count(lit(1)).as("n"))
+      f.groupBy("nk", "seg")
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("l"), max("n").as("top_n"))
+        .select(col("nk").as("nation"), col("seg").as("segment"), col("n_rows"),
+          col("l").as("l_distinct"),
+          expr("CAST(1000000 * top_n div n_rows AS BIGINT)").as("top_share_ppm"),
+          when(col("l") < 3, 1L).otherwise(0L).as("below_l3"))
+        .orderBy("nation", "segment")
+    },
+
+    // Offline policy replay (the counterfactual evaluation loop): split
+    // the event log in time halves, learn a fixed policy on the first
+    // (the event type with the highest mean value — one argmax over 5
+    // rows), then score it on the second half by replay: the policy's
+    // estimated value is the mean over test events it would have chosen
+    // (Li et al.'s unbiased replay for FIXED policies), against the
+    // all-events baseline. The temporal split is an exact ⌊n/2⌋
+    // row_number cut on (ts, event_id) — no leakage, engine-identical;
+    // all means are milli-scaled integer divisions.
+    QueryDef.sql(
+      "q488_offline_replay",
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events),
+        |tr AS (SELECT event_type, v FROM e WHERE rn <= n // 2),
+        |te AS (SELECT event_type, v FROM e WHERE rn > n // 2),
+        |pol AS (SELECT event_type AS chosen FROM (
+        |  SELECT event_type, (1000 * SUM(CAST(v AS HUGEINT))) // COUNT(*) AS mv
+        |  FROM tr GROUP BY 1) ORDER BY mv DESC, chosen LIMIT 1),
+        |sc AS (SELECT COUNT(*) AS n_test,
+        |    SUM(CASE WHEN te.event_type = pol.chosen THEN 1 ELSE 0 END) AS n_match,
+        |    SUM(CASE WHEN te.event_type = pol.chosen THEN v ELSE 0 END) AS sv_match,
+        |    SUM(v) AS sv_all
+        |  FROM te, pol),
+        |tn AS (SELECT COUNT(*) AS n_train FROM tr)
+        |SELECT (SELECT chosen FROM pol) AS chosen_type,
+        |  CAST(tn.n_train AS BIGINT) AS n_train, CAST(sc.n_test AS BIGINT) AS n_test,
+        |  CAST(sc.n_match AS BIGINT) AS n_matched,
+        |  CAST((1000 * CAST(sc.sv_match AS HUGEINT)) // GREATEST(sc.n_match, 1)
+        |    AS BIGINT) AS policy_value_milli,
+        |  CAST((1000 * CAST(sc.sv_all AS HUGEINT)) // sc.n_test AS BIGINT)
+        |    AS baseline_value_milli
+        |FROM sc, tn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val tr = e.where(col("rn") <= expr("n div 2")).select("event_type", "v")
+      val te = e.where(col("rn") > expr("n div 2")).select("event_type", "v")
+      val pol = tr.groupBy("event_type")
+        .agg(expr("(1000 * SUM(CAST(v AS DECIMAL(38,0)))) div COUNT(*)").as("mv"))
+        .orderBy(col("mv").desc, col("event_type"))
+        .limit(1).select(col("event_type").as("chosen"))
+      val tn = tr.agg(count(lit(1)).as("n_train"))
+      te.crossJoin(broadcast(pol))
+        .agg(max("chosen").as("chosen_type"), count(lit(1)).as("n_test"),
+          sum(when(col("event_type") === col("chosen"), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("event_type") === col("chosen"), col("v")).otherwise(0L))
+            .as("sv_match"),
+          sum("v").as("sv_all"))
+        .crossJoin(broadcast(tn))
+        .select(col("chosen_type"), col("n_train"), col("n_test"),
+          col("n_match").as("n_matched"),
+          expr("CAST((1000 * CAST(sv_match AS DECIMAL(38,0)))" +
+            " div GREATEST(n_match, 1) AS BIGINT)").as("policy_value_milli"),
+          expr("CAST((1000 * CAST(sv_all AS DECIMAL(38,0))) div n_test AS BIGINT)")
+            .as("baseline_value_milli"))
+    },
+
+    // Leave-one-source-out influence (data valuation at the source
+    // grain): how much does dropping each source shift the corpus mean
+    // quality (n_chars as the proxy)? influence_i = mean(all) −
+    // mean(all \ source_i), computed EXACTLY from the global and
+    // per-source sums — the closed form that replaces 20 full rescans
+    // (q453's leave-one-out idiom applied to data valuation). Sources
+    // whose influence is most negative drag the corpus down — the
+    // ranking a curation pipeline prunes by. One grouped aggregate, a
+    // broadcast of the global sums, a 20-row assembly.
+    QueryDef.sql(
+      "q489_loo_source_influence",
+      """WITH g AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS s
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn, SUM(s) AS ss FROM g)
+        |SELECT g.source, CAST(g.n AS BIGINT) AS n_docs,
+        |  CAST((1000 * CAST(g.s AS HUGEINT)) // g.n AS BIGINT) AS mean_milli,
+        |  CAST((1000 * CAST(t.ss AS HUGEINT)) // t.nn
+        |    - (1000 * (CAST(t.ss AS HUGEINT) - g.s)) // (t.nn - g.n) AS BIGINT)
+        |    AS influence_milli
+        |FROM g, t ORDER BY influence_milli DESC, source""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).documents.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      val t = g.agg(sum("n").as("nn"), sum("s").as("ss"))
+      g.crossJoin(broadcast(t))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("CAST((1000 * CAST(s AS DECIMAL(38,0))) div n AS BIGINT)")
+            .as("mean_milli"),
+          expr("CAST((1000 * CAST(ss AS DECIMAL(38,0))) div nn" +
+            " - (1000 * (CAST(ss AS DECIMAL(38,0)) - s)) div (nn - n) AS BIGINT)")
+            .as("influence_milli"))
+        .orderBy(col("influence_milli").desc, col("source"))
     }
   )
 }

@@ -545,6 +545,46 @@ class SignalInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q486 MLM mask census partitions masked tokens into 80-10-10 actions") {
+    val rows = run("q486_mlm_masking").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_masked") ==
+        r.getAs[Long]("n_mask_tok") + r.getAs[Long]("n_random") + r.getAs[Long]("n_keep"))
+      val ppm = r.getAs[Long]("mask_ppm")
+      assert(ppm >= 50000L && ppm <= 300000L) // ~15% with small-sample noise
+    }
+  }
+
+  test("q487 l-diversity shares are consistent with the distinct count") {
+    val rows = run("q487_l_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct"); val share = r.getAs[Long]("top_share_ppm")
+      assert(l >= 1L)
+      assert(share * l >= 1000000L - l) // max share ≥ 1/l up to truncation
+      assert(r.getAs[Long]("below_l3") == (if (l < 3) 1L else 0L))
+    }
+  }
+
+  test("q488 replay halves balance and the policy scores valid means") {
+    val r = run("q488_offline_replay").collect().head
+    val ntr = r.getAs[Long]("n_train"); val nte = r.getAs[Long]("n_test")
+    assert(math.abs(ntr - nte) <= 1L) // floor-half split
+    assert(r.getAs[Long]("n_matched") <= nte)
+    assert(r.getAs[Long]("policy_value_milli") >= 0L)
+    assert(r.getAs[Long]("baseline_value_milli") >= 0L)
+    assert(r.getAs[String]("chosen_type") != null)
+  }
+
+  test("q489 LOO influence is ranked and spans both signs") {
+    val rows = run("q489_loo_source_influence").collect()
+    assert(rows.nonEmpty)
+    val inf = rows.map(_.getAs[Long]("influence_milli"))
+    assert(inf.zip(inf.tail).forall { case (a, b) => a >= b }) // ranked desc
+    assert(inf.max >= 0L && inf.min <= 0L) // dropping the best hurts, the worst helps
+  }
+
   test("q445 isotonic fit is monotone non-decreasing and brackets the raw rates") {
     val rows = run("q445_isotonic").collect()
       .sortBy(_.getAs[Long]("discount_pct"))
