@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.CurationQueries.all ++
       graft.queries.FrontierQueries.all ++
       graft.queries.AppliedQueries.all ++
-      graft.queries.SignalQueries.all
+      graft.queries.SignalQueries.all ++
+      graft.queries.AtlasQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Round-4 continuation, second file: discourse segmentation, copy
+  * detection, scalable order statistics, and storage-engine advisories.
+  * Same determinism conventions as SignalQueries: md5-derived hashes,
+  * exact integer/DECIMAL ratios, FLOOR scaling, deterministic total
+  * orders on every output.
+  */
+object AtlasQueries {
+
+  /** Shared oracle CTE: (doc_id, pos, w) token stream with 1-based
+    * positions via DuckDB's indexed list lambda (the q469 idiom).
+    */
+  private val tokSql =
+    """ws AS (SELECT doc_id, source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, u.pos AS pos, u.w AS w FROM (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(ws, (x, i) -> {'pos': i, 'w': x})) AS u
+      |  FROM ws))""".stripMargin
+
+  /** Spark twin of [[tokSql]]. */
+  private def tokens(t: Tables) = t.documents
+    .select(col("doc_id"), col("source"), posexplode(
+      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")))
+    .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"),
+      col("col").as("w"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TextTiling-style discourse segmentation (Hearst): split each doc
+    // into 10-token blocks, score every adjacent block boundary with
+    // the token-set Jaccard, and call the strict local minima "topic
+    // valleys" — the boundary detector RAG chunkers use to cut long
+    // documents at topic shifts instead of fixed offsets. Block sets
+    // are distinct (doc, block, token) rows (one aggregate), adjacent
+    // similarity is a self-join on (doc, token, block+1) — never a
+    // block×block cross product — and the valley test is one lag/lead
+    // window per doc.
+    QueryDef.sql(
+      "q490_texttiling",
+      s"""WITH $tokSql,
+         |bt AS (SELECT DISTINCT doc_id, (pos - 1) // 10 AS blk, w FROM tok
+         |  WHERE len(w) > 0),
+         |bs AS (SELECT doc_id, blk, COUNT(*) AS sz FROM bt GROUP BY 1, 2),
+         |sh AS (SELECT a.doc_id, a.blk, COUNT(*) AS sh
+         |  FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+         |    AND a.w = b.w
+         |  GROUP BY 1, 2),
+         |sim AS (SELECT s1.doc_id, s1.blk,
+         |    (1000 * COALESCE(sh.sh, 0))
+         |      // (s1.sz + s2.sz - COALESCE(sh.sh, 0)) AS sim_milli
+         |  FROM bs s1 JOIN bs s2 ON s1.doc_id = s2.doc_id AND s2.blk = s1.blk + 1
+         |  LEFT JOIN sh ON sh.doc_id = s1.doc_id AND sh.blk = s1.blk),
+         |v AS (SELECT doc_id, blk, sim_milli,
+         |    LAG(sim_milli) OVER (PARTITION BY doc_id ORDER BY blk) AS p,
+         |    LEAD(sim_milli) OVER (PARTITION BY doc_id ORDER BY blk) AS nx
+         |  FROM sim)
+         |SELECT doc_id, COUNT(*) + 1 AS n_blocks,
+         |  CAST(SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+         |    AND sim_milli < p AND sim_milli < nx THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_valleys,
+         |  CAST(MIN(sim_milli) AS BIGINT) AS min_sim,
+         |  CAST(MAX(sim_milli) AS BIGINT) AS max_sim
+         |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bt = tokens(Tables(s, dir))
+        .where(length(col("w")) > 0)
+        .select(col("doc_id"), expr("(pos - 1) div 10").as("blk"), col("w"))
+        .distinct()
+      val bs = bt.groupBy("doc_id", "blk").agg(count(lit(1)).as("sz"))
+      val sh = bt.as("a")
+        .join(bt.as("b"), col("a.doc_id") === col("b.doc_id") &&
+          col("b.blk") === col("a.blk") + 1 && col("a.w") === col("b.w"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+        .agg(count(lit(1)).as("sh"))
+      val sim = bs.as("s1")
+        .join(bs.as("s2"), col("s1.doc_id") === col("s2.doc_id") &&
+          col("s2.blk") === col("s1.blk") + 1)
+        .join(sh, col("s1.doc_id") === sh("doc_id") && col("s1.blk") === sh("blk"),
+          "left")
+        .select(col("s1.doc_id").as("doc_id"), col("s1.blk").as("blk"),
+          expr("(1000 * COALESCE(sh, 0)) div (s1.sz + s2.sz - COALESCE(sh, 0))")
+            .as("sim_milli"))
+      val w = Window.partitionBy("doc_id").orderBy("blk")
+      sim.withColumn("p", lag("sim_milli", 1).over(w))
+        .withColumn("nx", lead("sim_milli", 1).over(w))
+        .groupBy("doc_id")
+        .agg((count(lit(1)) + 1).as("n_blocks"),
+          sum(when(col("p").isNotNull && col("nx").isNotNull &&
+            col("sim_milli") < col("p") && col("sim_milli") < col("nx"), 1L)
+            .otherwise(0L)).as("n_valleys"),
+          min("sim_milli").as("min_sim"), max("sim_milli").as("max_sim"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing copy-detection fingerprints (Schleimer et al. — the
+    // MOSS algorithm): hash every 3-gram, slide a 4-gram-wide window,
+    // and select each window's RIGHTMOST minimal hash — the guarantee
+    // is that any shared substring of ≥ 6 tokens shares a fingerprint,
+    // with density 2/(w+1) instead of every gram. Fingerprints that
+    // occur in > 16 docs are dropped (MOSS's common-code suppression —
+    // also what bounds the pair join at corpus scale), then doc pairs
+    // rank by shared fingerprints. Window min is a ROWS frame, the
+    // rightmost-tie selection a max-position join back — all
+    // per-document windows, no quadratic gram comparison.
+    QueryDef.sql(
+      "q491_winnowing",
+      s"""WITH $tokSql,
+         |g AS (SELECT a.doc_id, a.pos,
+         |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 8))::BIGINT AS h
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |mg AS (SELECT doc_id, MAX(pos) AS mp FROM g GROUP BY 1),
+         |wm AS (SELECT g.doc_id, g.pos AS j,
+         |    MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM g),
+         |wj AS (SELECT wm.doc_id, wm.j, wm.wmin FROM wm JOIN mg
+         |  ON wm.doc_id = mg.doc_id WHERE wm.j <= mg.mp - 3),
+         |sel AS (SELECT wj.doc_id, wj.wmin AS h, MAX(g.pos) AS sp
+         |  FROM wj JOIN g ON g.doc_id = wj.doc_id
+         |    AND g.pos BETWEEN wj.j AND wj.j + 3 AND g.h = wj.wmin
+         |  GROUP BY 1, 2, wj.j),
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |rare AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 16),
+         |fr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare ON fp.h = rare.h),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+         |  FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(shared AS BIGINT) AS shared
+         |FROM pairs ORDER BY shared DESC, da, db LIMIT 10""".stripMargin) { (s, dir) =>
+      val tok = tokens(Tables(s, dir)).select("doc_id", "pos", "w")
+      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("w").as("w2"))
+      val t3 = tok.select(col("doc_id").as("d3"), col("pos").as("p3"),
+        col("w").as("w3"))
+      val g = tok
+        .join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .join(t3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+        .select(col("doc_id"), col("pos"),
+          expr("CAST(conv(substring(md5(concat(w, ' ', w2, ' ', w3)), 1, 8), 16, 10)" +
+            " AS BIGINT)").as("h"))
+      val mg = g.groupBy("doc_id").agg(max("pos").as("mp"))
+      val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      val wj = g.withColumn("wmin", min("h").over(wFrame))
+        .join(mg, "doc_id")
+        .where(col("pos") <= col("mp") - 3)
+        .select(col("doc_id"), col("pos").as("j"), col("wmin"))
+      val sel = wj
+        .join(g.select(col("doc_id"), col("pos").as("gp"), col("h")),
+          Seq("doc_id"))
+        .where(col("gp").between(col("j"), col("j") + 3) && col("h") === col("wmin"))
+        .groupBy("doc_id", "j", "wmin")
+        .agg(max("gp").as("sp"))
+      val fp = sel.select(col("doc_id"), col("wmin").as("h")).distinct()
+      val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 16).select("h")
+      val fr = fp.join(rare, "h")
+      fr.select(col("h"), col("doc_id").as("da"))
+        .join(fr.select(col("h"), col("doc_id").as("db")), "h")
+        .where(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("da"), col("db"))
+        .limit(10)
+    },
+
+    // Two-pass distributed exact median — the plan that replaces a
+    // global sort at 100 TB: pass 1 aggregates coarse 64-cent bins per
+    // event type (a combine-friendly histogram whose size is data-range
+    // /64, not n), locates the bin holding the ⌈n/2⌉ order statistic
+    // with one cumulative window over that tiny table, and pass 2 ranks
+    // ONLY the rows of the median bin (~n/bins rows). The oracle is
+    // DuckDB's quantile_disc(0.5) — the differential gate certifies the
+    // two-pass plan returns the EXACT order statistic, not an
+    // approximation (contrast q88's approx_percentile).
+    QueryDef.sql(
+      "q492_twopass_median",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("c"))
+      // pass 1: coarse histogram + cumulative bin location
+      val hist = e.withColumn("bin", expr("c div 64"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("bc"))
+      val wcum = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy("event_type")
+      val loc = hist
+        .withColumn("cum", sum("bc").over(wcum))
+        .withColumn("n", sum("bc").over(wall))
+        .withColumn("target", expr("(n + 1) div 2"))
+        .where(col("cum") >= col("target") &&
+          col("cum") - col("bc") < col("target"))
+        .select(col("event_type"), col("bin"), col("n"),
+          (col("target") - (col("cum") - col("bc"))).as("k_in_bin"))
+      // pass 2: exact rank inside the single median bin per group
+      val inBin = e.withColumn("bin", expr("c div 64"))
+        .join(broadcast(loc), Seq("event_type", "bin"))
+      inBin
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("c")))
+        .where(col("rn") === col("k_in_bin"))
+        .select(col("event_type"), col("n"), col("c").as("median_cents"))
+        .orderBy("event_type")
+    },
+
+    // LSM compaction-policy advisor: given each table's measured byte
+    // footprint (q468's stats pass) and a 64 MiB memtable, estimate the
+    // level count at fanout 8 (⌈log₈⌉ via the length(bin(r−1)) trick)
+    // and the classic write/space amplification trade: leveled WA ≈
+    // 1 + fanout·levels (every level rewritten ~fanout times per
+    // residency) vs tiered WA ≈ 1 + levels, against tiered's ~fanout×
+    // worse space amplification — the numbers that decide ingest-heavy
+    // vs read-heavy table layouts. Pure integer arithmetic over 4
+    // stats rows; the only scan is the byte measurement itself.
+    QueryDef.sql(
+      "q493_lsm_advisor",
+      """WITH stats AS (
+        |  SELECT 'customer' AS tbl,
+        |    CAST(SUM(len(c_name) + len(c_mktsegment) + 8 * 3) AS BIGINT) AS bytes
+        |  FROM customer
+        |  UNION ALL SELECT 'lineitem',
+        |    CAST(SUM(len(l_returnflag) + len(l_linestatus) + 8 * 9) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orders',
+        |    CAST(SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'part',
+        |    CAST(SUM(len(p_name) + len(p_brand) + len(p_type) + 8 * 3) AS BIGINT)
+        |  FROM part),
+        |r AS (SELECT tbl, bytes,
+        |    GREATEST((bytes + 67108863) // 67108864, 1) AS ratio FROM stats),
+        |lv AS (SELECT tbl, bytes, ratio,
+        |    CASE WHEN ratio <= 1 THEN 0
+        |      ELSE (length(bin(ratio - 1)) + 2) // 3 END AS levels FROM r)
+        |SELECT tbl, bytes, CAST(ratio AS BIGINT) AS memtable_ratio,
+        |  CAST(levels AS BIGINT) AS levels,
+        |  CAST(1 + 8 * levels AS BIGINT) AS wa_leveled,
+        |  CAST(1 + levels AS BIGINT) AS wa_tiered
+        |FROM lv ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def st(name: String, df: org.apache.spark.sql.DataFrame,
+          rowBytes: org.apache.spark.sql.Column) =
+        df.agg(sum(rowBytes).cast("long").as("bytes"))
+          .select(lit(name).as("tbl"), col("bytes"))
+      val stats =
+        st("customer", t.customer,
+          length(col("c_name")) + length(col("c_mktsegment")) + lit(24)).unionAll(
+        st("lineitem", t.lineitem,
+          length(col("l_returnflag")) + length(col("l_linestatus")) + lit(72))).unionAll(
+        st("orders", t.orders,
+          length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32))).unionAll(
+        st("part", t.part,
+          length(col("p_name")) + length(col("p_brand")) + length(col("p_type")) + lit(24)))
+      stats
+        .withColumn("ratio", greatest(expr("(bytes + 67108863) div 67108864"), lit(1L)))
+        .withColumn("levels", when(col("ratio") <= 1, 0L)
+          .otherwise(expr("(length(bin(ratio - 1)) + 2) div 3")))
+        .select(col("tbl"), col("bytes"), col("ratio").as("memtable_ratio"),
+          col("levels"),
+          (lit(1L) + lit(8L) * col("levels")).as("wa_leveled"),
+          (lit(1L) + col("levels")).as("wa_tiered"))
+        .orderBy("tbl")
+    }
+  )
+}
