@@ -47,7 +47,9 @@ object Bench {
     "q215_numeric_profile", "q232_merkle_compare", "q223_vocab_oov",
     "q271_bitmap_intersect", "q282_zorder_cluster", "q283_cdc_chunk",
     // round-5 frontier/applied representatives
-    "q354_pagerank", "q372_penny_allocation", "q385_spearman")
+    "q354_pagerank", "q372_penny_allocation", "q385_spearman",
+    // round-4-continuation representatives (LOF kNN, winnowing, 2-pass median)
+    "q470_lof", "q491_winnowing", "q492_twopass_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2012,13 +2012,22 @@ object SignalQueries {
         |SELECT lof.qid AS vec_id, lof_ppm, CAST(kd.kdist AS BIGINT) AS kdist
         |FROM lof JOIN kd ON lof.qid = kd.qid
         |ORDER BY lof_ppm DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      // self-norms are computed ONCE per vector (not per pair): the
+      // pairwise kernel then runs a single native scaled_dot per pair
+      // instead of three (3× fewer fused loops — the n² term dominates)
       val emb = Tables(s, dir).embeddings
-      val a = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("nrm",
+          graft.operators.Similarity.scaledDot(col("embedding"), col("embedding")))
+      val a = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
       val d = emb.crossJoin(broadcast(a))
         .where(col("vec_id") =!= col("cid"))
         .select(col("vec_id").as("qid"), col("cid"),
-          (lit(1000000L) - graft.operators.Similarity
-            .cosineScaled(col("embedding"), col("cv"))).as("dist"))
+          (lit(1000000L) - floor(lit(1000000.0) *
+            graft.operators.Similarity.scaledDot(col("embedding"), col("cv"))
+              .cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+            .cast("long")).as("dist"))
       val nb = d.withColumn("rk", row_number()
           .over(Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)))
         .where(col("rk") <= 5)
