@@ -270,6 +270,215 @@ object AtlasQueries {
           (lit(1L) + lit(8L) * col("levels")).as("wa_leveled"),
           (lit(1L) + col("levels")).as("wa_tiered"))
         .orderBy("tbl")
+    },
+
+    // Asymmetric containment detection: Jaccard misses the quote/subset
+    // case (a short doc fully contained in a long one scores low), so
+    // dedup pipelines also rank pairs by C(A,B) = |A∩B|/|A| — near-1000
+    // one-way containment with modest Jaccard IS the signature of
+    // excerpt duplication. 3-gram shingle hashes, the ≤32-doc rarity
+    // cap bounding the candidate join (q491's device), and both
+    // directed containments + Jaccard from ONE shared-count aggregate.
+    QueryDef.sql(
+      "q494_containment",
+      s"""WITH $tokSql,
+         |g AS (SELECT DISTINCT a.doc_id,
+         |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 8))::BIGINT AS h
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+         |rare AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) <= 32),
+         |gr AS (SELECT g.doc_id, g.h FROM g JOIN rare ON g.h = rare.h),
+         |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS sh
+         |  FROM gr a JOIN gr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |m AS (SELECT sh.da, sh.db, sh.sh,
+         |    (1000 * sh.sh) // sa.n AS ca, (1000 * sh.sh) // sb.n AS cb,
+         |    (1000 * sh.sh) // (sa.n + sb.n - sh.sh) AS jac
+         |  FROM sh JOIN sz sa ON sh.da = sa.doc_id JOIN sz sb ON sh.db = sb.doc_id)
+         |SELECT da, db, CAST(sh AS BIGINT) AS shared,
+         |  CAST(ca AS BIGINT) AS contain_a_milli, CAST(cb AS BIGINT) AS contain_b_milli,
+         |  CAST(jac AS BIGINT) AS jaccard_milli
+         |FROM m ORDER BY GREATEST(ca, cb) DESC, da, db LIMIT 10""".stripMargin) { (s, dir) =>
+      val tok = tokens(Tables(s, dir)).select("doc_id", "pos", "w")
+      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("w").as("w2"))
+      val t3 = tok.select(col("doc_id").as("d3"), col("pos").as("p3"),
+        col("w").as("w3"))
+      val g = tok
+        .join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .join(t3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(concat(w, ' ', w2, ' ', w3)), 1, 8), 16, 10)" +
+            " AS BIGINT)").as("h"))
+        .distinct()
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = g.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 32).select("h")
+      val gr = g.join(rare, "h")
+      val sh = gr.select(col("h"), col("doc_id").as("da"))
+        .join(gr.select(col("h"), col("doc_id").as("db")), "h")
+        .where(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("sh"))
+        .where(col("sh") >= 3)
+      sh.join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"), col("sh").as("shared"),
+          expr("(1000 * sh) div na").as("contain_a_milli"),
+          expr("(1000 * sh) div nb").as("contain_b_milli"),
+          expr("(1000 * sh) div (na + nb - sh)").as("jaccard_milli"))
+        .orderBy(greatest(col("contain_a_milli"), col("contain_b_milli")).desc,
+          col("da"), col("db"))
+        .limit(10)
+    },
+
+    // Markov rare-transition anomaly scoring: learn the global
+    // event-type transition frequencies (ppm of each source type's
+    // fan-out), then score every user by the RAREST transition their
+    // own history contains — the session-anomaly detector that flags
+    // "paths nobody takes" rather than volume outliers. Per-user
+    // bigrams are one lag window over (ts, event_id); the 25-cell
+    // transition matrix broadcasts back onto them; scoring is a MIN
+    // per user. Output: the 10 most anomalous users.
+    QueryDef.sql(
+      "q495_rare_transitions",
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT user_id, prev, event_type AS nxt FROM s WHERE prev IS NOT NULL),
+        |m AS (SELECT prev, nxt, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        |f AS (SELECT prev, SUM(c) AS tot FROM m GROUP BY 1),
+        |p AS (SELECT m.prev, m.nxt, (1000000 * m.c) // f.tot AS p_ppm
+        |  FROM m JOIN f ON m.prev = f.prev),
+        |u AS (SELECT tr.user_id, MIN(p.p_ppm) AS min_p_ppm, COUNT(*) AS n_trans
+        |  FROM tr JOIN p ON tr.prev = p.prev AND tr.nxt = p.nxt
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(min_p_ppm AS BIGINT) AS min_p_ppm,
+        |  CAST(n_trans AS BIGINT) AS n_trans
+        |FROM u ORDER BY min_p_ppm, user_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val st = Tables(s, dir).events
+        .withColumn("prev", lag("event_type", 1)
+          .over(Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      val tr = st.where(col("prev").isNotNull)
+        .select(col("user_id"), col("prev"), col("event_type").as("nxt"))
+      val m = tr.groupBy("prev", "nxt").agg(count(lit(1)).as("c"))
+      val f = m.groupBy("prev").agg(sum("c").as("tot"))
+      val p = m.join(f, "prev")
+        .select(col("prev"), col("nxt"), expr("(1000000 * c) div tot").as("p_ppm"))
+      tr.join(broadcast(p), Seq("prev", "nxt"))
+        .groupBy("user_id")
+        .agg(min("p_ppm").as("min_p_ppm"), count(lit(1)).as("n_trans"))
+        .orderBy(col("min_p_ppm"), col("user_id"))
+        .limit(10)
+    },
+
+    // Capped mixture allocation (waterfilling, 2 rounds): split a token
+    // budget of ⅓ the corpus across sources proportionally to their
+    // character mass, but cap any single source at 8% of the budget —
+    // the training-mix constraint that stops one crawl from dominating.
+    // Round 1 allocates min(proportional, cap); round 2 redistributes
+    // the leftover among UNCAPPED sources proportionally to their
+    // remaining headroom demand, capping again. All shares are exact
+    // integer divisions from two broadcast scalars — the 20-row
+    // allocation never rescans the corpus.
+    QueryDef.sql(
+      "q496_mixture_caps",
+      """WITH g AS (SELECT source, SUM(n_chars) AS ch FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(ch) AS s FROM g),
+        |b AS (SELECT s // 3 AS budget, (s // 3) * 8 // 100 AS cap FROM t),
+        |a1 AS (SELECT g.source, g.ch,
+        |    LEAST((CAST(g.ch AS HUGEINT) * b.budget) // t.s, b.cap) AS a,
+        |    CASE WHEN (CAST(g.ch AS HUGEINT) * b.budget) // t.s >= b.cap
+        |      THEN 1 ELSE 0 END AS capped
+        |  FROM g, t, b),
+        |l AS (SELECT b.budget - SUM(a) AS leftover,
+        |    SUM(CASE WHEN capped = 0 THEN ch ELSE 0 END) AS uch
+        |  FROM a1, b GROUP BY b.budget),
+        |a2 AS (SELECT a1.source, a1.ch, a1.capped,
+        |    CASE WHEN a1.capped = 1 THEN a1.a
+        |      ELSE LEAST(a1.a + (CAST(a1.ch AS HUGEINT) * l.leftover)
+        |        // GREATEST(l.uch, 1), b.cap) END AS alloc
+        |  FROM a1, l, b)
+        |SELECT a2.source, CAST(a2.ch AS BIGINT) AS chars,
+        |  CAST(a2.alloc AS BIGINT) AS alloc,
+        |  CAST(1000000 * a2.alloc // b.budget AS BIGINT) AS share_ppm,
+        |  CAST(a2.capped AS BIGINT) AS capped_round1
+        |FROM a2, b ORDER BY a2.source""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).documents.groupBy("source")
+        .agg(sum("n_chars").as("ch"))
+      val t = g.agg(sum("ch").as("s"))
+      val b = t.select(expr("s div 3").as("budget"),
+        expr("(s div 3) * 8 div 100").as("cap"), col("s"))
+      val a1 = g.crossJoin(broadcast(b))
+        .select(col("source"), col("ch"), col("budget"), col("cap"),
+          least(expr("(CAST(ch AS DECIMAL(38,0)) * budget) div s"), col("cap"))
+            .as("a"),
+          when(expr("(CAST(ch AS DECIMAL(38,0)) * budget) div s") >= col("cap"), 1L)
+            .otherwise(0L).as("capped"))
+      val l = a1.groupBy("budget", "cap")
+        .agg((col("budget") - sum("a")).as("leftover"),
+          sum(when(col("capped") === 0, col("ch")).otherwise(0L)).as("uch"))
+      a1.drop("budget", "cap").crossJoin(broadcast(l))
+        .select(col("source"), col("ch"),
+          when(col("capped") === 1, col("a"))
+            .otherwise(least(col("a") +
+              expr("(CAST(ch AS DECIMAL(38,0)) * leftover) div GREATEST(uch, 1)"),
+              col("cap"))).as("alloc"),
+          col("capped"), col("budget"))
+        .select(col("source"), col("ch").as("chars"),
+          col("alloc").cast("long").as("alloc"),
+          expr("CAST(1000000 * alloc div budget AS BIGINT)").as("share_ppm"),
+          col("capped").as("capped_round1"))
+        .orderBy("source")
+    },
+
+    // Learned-index page-error audit (the RMI/PGM bound): sort the key
+    // column, cut it into 256-key pages, and measure how far linear
+    // interpolation between each page's endpoints strays from the true
+    // rank — max|err| per page IS the binary-search window a learned
+    // index needs on that page, and the audit prices "can this column
+    // be indexed by interpolation" from data alone. The global rank is
+    // one window (range-sort + offsets at scale); everything after is
+    // per-page arithmetic, exact integer rationals only.
+    QueryDef.sql(
+      "q497_learned_index_audit",
+      """WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+        |r AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) AS rn FROM k),
+        |p AS (SELECT key, rn, (rn - 1) // 256 AS pg FROM r),
+        |e AS (SELECT pg, MIN(key) AS lo_k, MAX(key) AS hi_k,
+        |    MIN(rn) AS lo_r, MAX(rn) AS hi_r, COUNT(*) AS n FROM p GROUP BY 1),
+        |err AS (SELECT p.pg, p.key, p.rn,
+        |    ABS(p.rn - (e.lo_r + ((p.key - e.lo_k) * (e.hi_r - e.lo_r))
+        |      // GREATEST(e.hi_k - e.lo_k, 1))) AS err
+        |  FROM p JOIN e ON p.pg = e.pg),
+        |pe AS (SELECT err.pg, MAX(err.err) AS max_err,
+        |    (1000 * SUM(err.err)) // COUNT(*) AS mean_err_milli,
+        |    COUNT(*) AS n
+        |  FROM err GROUP BY 1)
+        |SELECT pe.pg AS page, CAST(e.lo_k AS BIGINT) AS lo_key,
+        |  CAST(pe.n AS BIGINT) AS n_keys, CAST(pe.max_err AS BIGINT) AS max_err,
+        |  CAST(pe.mean_err_milli AS BIGINT) AS mean_err_milli
+        |FROM pe JOIN e ON pe.pg = e.pg
+        |ORDER BY pe.max_err DESC, page LIMIT 10""".stripMargin) { (s, dir) =>
+      val k = Tables(s, dir).orders.select(col("o_orderkey").as("key")).distinct()
+      val r = k.withColumn("rn", row_number().over(Window.orderBy("key")))
+      val p = r.withColumn("pg", expr("(rn - 1) div 256"))
+      val e = p.groupBy("pg").agg(min("key").as("lo_k"), max("key").as("hi_k"),
+        min("rn").as("lo_r"), max("rn").as("hi_r"), count(lit(1)).as("n"))
+      val err = p.join(broadcast(e), "pg")
+        .select(col("pg"),
+          abs(col("rn") - (col("lo_r") + expr("((key - lo_k) * (hi_r - lo_r))" +
+            " div GREATEST(hi_k - lo_k, 1)"))).as("err"))
+      err.groupBy("pg")
+        .agg(max("err").as("max_err"),
+          expr("(1000 * SUM(err)) div COUNT(*)").as("mean_err_milli"),
+          count(lit(1)).as("n"))
+        .join(broadcast(e.select(col("pg"), col("lo_k"))), "pg")
+        .select(col("pg").as("page"), col("lo_k").as("lo_key"),
+          col("n").as("n_keys"), col("max_err"),
+          col("mean_err_milli").cast("long").as("mean_err_milli"))
+        .orderBy(col("max_err").desc, col("page"))
+        .limit(10)
     }
   )
 }

@@ -50,6 +50,54 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q494 containment dominates Jaccard on every candidate pair") {
+    val rows = run("q494_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ca = r.getAs[Long]("contain_a_milli"); val cb = r.getAs[Long]("contain_b_milli")
+      val j = r.getAs[Long]("jaccard_milli")
+      assert(ca <= 1000L && cb <= 1000L && j <= 1000L)
+      assert(ca >= j && cb >= j) // |A∩B|/|A| ≥ |A∩B|/|A∪B|
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+    }
+  }
+
+  test("q495 anomaly scores ascend and are valid transition probabilities") {
+    val rows = run("q495_rare_transitions").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ps = rows.map(_.getAs[Long]("min_p_ppm"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_p_ppm") >= 1L &&
+        r.getAs[Long]("min_p_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_trans") >= 1L)
+    }
+  }
+
+  test("q496 mixture allocation respects the cap and the budget") {
+    val rows = run("q496_mixture_caps").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") <= 80001L) // 8% cap (+1 truncation)
+      assert(Set(0L, 1L)(r.getAs[Long]("capped_round1")))
+      assert(r.getAs[Long]("alloc") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("q497 learned-index errors are consistent and ranked") {
+    val rows = run("q497_learned_index_audit").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val errs = rows.map(_.getAs[Long]("max_err"))
+    assert(errs.zip(errs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_err") >= 0L)
+      // mean ≤ max (milli-scaled)
+      assert(r.getAs[Long]("mean_err_milli") <= 1000L * r.getAs[Long]("max_err"))
+      assert(r.getAs[Long]("n_keys") >= 1L && r.getAs[Long]("n_keys") <= 256L)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
