@@ -479,6 +479,226 @@ object AtlasQueries {
           col("mean_err_milli").cast("long").as("mean_err_milli"))
         .orderBy(col("max_err").desc, col("page"))
         .limit(10)
+    },
+
+    // Decile lift chart (campaign-targeting evaluation without a
+    // model): rank customers by account balance, cut into deciles
+    // (ntile's cross-engine split rule), and compare each prefix's
+    // share of total revenue to its share of customers — lift(d) > 1000
+    // milli means the top d deciles out-earn their headcount, the
+    // standard "is this ranking worth targeting" read. LEFT JOIN keeps
+    // zero-revenue customers (they ARE the denominator); cumulative
+    // sums are one 10-row window, lifts exact integer rationals.
+    QueryDef.sql(
+      "q498_lift_chart",
+      """WITH oc AS (SELECT c.c_custkey, c.c_acctbal,
+        |    COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)), 0) AS cents
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |d AS (SELECT *, NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS dec
+        |  FROM oc),
+        |g AS (SELECT dec, COUNT(*) AS n, SUM(cents) AS rev FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tn, SUM(rev) AS tr FROM g),
+        |c AS (SELECT dec, n, rev,
+        |    SUM(n) OVER (ORDER BY dec) AS cn, SUM(rev) OVER (ORDER BY dec) AS cr
+        |  FROM g)
+        |SELECT c.dec AS decile, CAST(c.n AS BIGINT) AS n_customers,
+        |  CAST(c.rev AS BIGINT) AS rev_cents,
+        |  CAST(1000000 * c.cr // t.tr AS BIGINT) AS cum_rev_ppm,
+        |  CAST((1000 * CAST(c.cr AS HUGEINT) * t.tn) // (CAST(t.tr AS HUGEINT) * c.cn)
+        |    AS BIGINT) AS lift_milli
+        |FROM c, t ORDER BY decile""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val oc = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(coalesce(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")), lit(0L))
+          .as("cents"))
+      val d = oc.withColumn("dec",
+        ntile(10).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      val g = d.groupBy("dec").agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+      val tt = g.agg(sum("n").as("tn"), sum("rev").as("tr"))
+      val wc = Window.orderBy("dec")
+      g.withColumn("cn", sum("n").over(wc)).withColumn("cr", sum("rev").over(wc))
+        .crossJoin(broadcast(tt))
+        .select(col("dec").cast("long").as("decile"), col("n").as("n_customers"),
+          col("rev").as("rev_cents"),
+          expr("CAST(1000000 * cr div tr AS BIGINT)").as("cum_rev_ppm"),
+          expr("CAST((1000 * CAST(cr AS DECIMAL(38,0)) * tn)" +
+            " div (CAST(tr AS DECIMAL(38,0)) * cn) AS BIGINT)").as("lift_milli"))
+        .orderBy("decile")
+    },
+
+    // Cardinality-estimation feedback: the System-R equi-join estimate
+    // |R|·|S| / max(ndv_R, ndv_S) measured against the ACTUAL join
+    // cardinality for the three workhorse joins — the telemetry loop
+    // (est vs observed, as an exact ppm ratio) that a cost-based
+    // optimizer needs before it can be trusted, and the direct audit of
+    // q459's planning assumptions. Estimates come from count+NDV
+    // aggregates (one scan per table); actuals run the joins
+    // themselves.
+    QueryDef.sql(
+      "q499_card_feedback",
+      """WITH s1 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS d FROM orders),
+        |s2 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS d FROM customer),
+        |s3 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS d FROM lineitem),
+        |s4 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS d FROM part),
+        |s5 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT l_suppkey) AS d FROM lineitem),
+        |s6 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT s_suppkey) AS d FROM supplier),
+        |a1 AS (SELECT COUNT(*) AS a FROM orders o JOIN customer c
+        |  ON o.o_custkey = c.c_custkey),
+        |a2 AS (SELECT COUNT(*) AS a FROM lineitem l JOIN part p
+        |  ON l.l_partkey = p.p_partkey),
+        |a3 AS (SELECT COUNT(*) AS a FROM lineitem l JOIN supplier s
+        |  ON l.l_suppkey = s.s_suppkey),
+        |r AS (SELECT 'orders_customer' AS join_name,
+        |    (CAST(s1.n AS HUGEINT) * s2.n) // GREATEST(s1.d, s2.d) AS est, a1.a AS act
+        |  FROM s1, s2, a1
+        |  UNION ALL SELECT 'lineitem_part',
+        |    (CAST(s3.n AS HUGEINT) * s4.n) // GREATEST(s3.d, s4.d), a2.a FROM s3, s4, a2
+        |  UNION ALL SELECT 'lineitem_supplier',
+        |    (CAST(s5.n AS HUGEINT) * s6.n) // GREATEST(s5.d, s6.d), a3.a FROM s5, s6, a3)
+        |SELECT join_name, CAST(est AS BIGINT) AS est_rows, CAST(act AS BIGINT) AS actual_rows,
+        |  CAST(1000000 * CAST(est AS HUGEINT) // GREATEST(act, 1) AS BIGINT) AS est_over_act_ppm
+        |FROM r ORDER BY join_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def stats(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.agg(count(lit(1)).as("n"), countDistinct(k).as("d"))
+      def actual(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+          lk: String, rk: String) =
+        l.join(r, col(lk) === col(rk)).agg(count(lit(1)).as("a"))
+      def row(name: String, s1: org.apache.spark.sql.DataFrame,
+          s2: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+        s1.crossJoin(s2.select(col("n").as("n2"), col("d").as("d2"))).crossJoin(a)
+          .select(lit(name).as("join_name"),
+            expr("(CAST(n AS DECIMAL(38,0)) * n2) div GREATEST(d, d2)").as("est"),
+            col("a").as("act"))
+      row("orders_customer", stats(t.orders, "o_custkey"),
+          stats(t.customer, "c_custkey"),
+          actual(t.orders, t.customer, "o_custkey", "c_custkey"))
+        .unionAll(row("lineitem_part", stats(t.lineitem, "l_partkey"),
+          stats(t.part, "p_partkey"),
+          actual(t.lineitem, t.part, "l_partkey", "p_partkey")))
+        .unionAll(row("lineitem_supplier", stats(t.lineitem, "l_suppkey"),
+          stats(t.supplier, "s_suppkey"),
+          actual(t.lineitem, t.supplier, "l_suppkey", "s_suppkey")))
+        .select(col("join_name"), col("est").cast("long").as("est_rows"),
+          col("act").as("actual_rows"),
+          expr("CAST(1000000 * est div GREATEST(act, 1) AS BIGINT)")
+            .as("est_over_act_ppm"))
+        .orderBy("join_name")
+    },
+
+    // Co-partition compatibility planner: with every table bucketed at
+    // its q468-computed power-of-two count on its join key, which of
+    // the workhorse joins run shuffle-free? Spark elides the exchange
+    // when both sides hash-partition the join key into counts where
+    // one divides the other (pow2 counts make divisibility = "smaller
+    // divides larger" automatically); otherwise the SMALLER side
+    // repartitions. The whole advisory is arithmetic over the 4-row
+    // stats table — the judge call happens before any data moves.
+    QueryDef.sql(
+      "q500_copartition_planner",
+      """WITH stats AS (
+        |  SELECT 'customer' AS tbl,
+        |    CAST(SUM(len(c_name) + len(c_mktsegment) + 8 * 3) AS BIGINT) AS bytes
+        |  FROM customer
+        |  UNION ALL SELECT 'lineitem',
+        |    CAST(SUM(len(l_returnflag) + len(l_linestatus) + 8 * 9) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orders',
+        |    CAST(SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'part',
+        |    CAST(SUM(len(p_name) + len(p_brand) + len(p_type) + 8 * 3) AS BIGINT)
+        |  FROM part),
+        |b AS (SELECT tbl, bytes,
+        |    CASE WHEN (bytes + 134217727) // 134217728 <= 1 THEN 1
+        |      ELSE 1 << length(bin((bytes + 134217727) // 134217728 - 1)) END AS bk
+        |  FROM stats),
+        |j AS (SELECT 'customer_orders' AS join_name, 'customer' AS lt, 'orders' AS rt
+        |  UNION ALL SELECT 'orders_lineitem', 'orders', 'lineitem'
+        |  UNION ALL SELECT 'part_lineitem', 'part', 'lineitem')
+        |SELECT j.join_name, CAST(bl.bk AS BIGINT) AS left_buckets,
+        |  CAST(br.bk AS BIGINT) AS right_buckets,
+        |  CAST(CASE WHEN bl.bk % br.bk = 0 OR br.bk % bl.bk = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS shuffle_free,
+        |  CASE WHEN bl.bk = br.bk THEN 'none'
+        |    WHEN bl.bk < br.bk THEN j.lt ELSE j.rt END AS repartition_side
+        |FROM j JOIN b bl ON j.lt = bl.tbl JOIN b br ON j.rt = br.tbl
+        |ORDER BY join_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def st(name: String, df: org.apache.spark.sql.DataFrame,
+          rowBytes: org.apache.spark.sql.Column) =
+        df.agg(sum(rowBytes).cast("long").as("bytes"))
+          .select(lit(name).as("tbl"), col("bytes"))
+      val b =
+        st("customer", t.customer,
+          length(col("c_name")) + length(col("c_mktsegment")) + lit(24)).unionAll(
+        st("lineitem", t.lineitem,
+          length(col("l_returnflag")) + length(col("l_linestatus")) + lit(72))).unionAll(
+        st("orders", t.orders,
+          length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32))).unionAll(
+        st("part", t.part,
+          length(col("p_name")) + length(col("p_brand")) + length(col("p_type")) + lit(24)))
+        .withColumn("bk", when(expr("(bytes + 134217727) div 134217728") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin((bytes + 134217727) div 134217728 - 1)))")))
+      import s.implicits._
+      val j = Seq(("customer_orders", "customer", "orders"),
+        ("orders_lineitem", "orders", "lineitem"),
+        ("part_lineitem", "part", "lineitem")).toDF("join_name", "lt", "rt")
+      j.join(b.select(col("tbl").as("lt"), col("bk").as("blk")), "lt")
+        .join(b.select(col("tbl").as("rt"), col("bk").as("brk")), "rt")
+        .select(col("join_name"), col("blk").as("left_buckets"),
+          col("brk").as("right_buckets"),
+          when(col("blk") % col("brk") === 0 || col("brk") % col("blk") === 0, 1L)
+            .otherwise(0L).as("shuffle_free"),
+          when(col("blk") === col("brk"), lit("none"))
+            .when(col("blk") < col("brk"), col("lt")).otherwise(col("rt"))
+            .as("repartition_side"))
+        .orderBy("join_name")
+    },
+
+    // Per-dimension embedding feature stats (the whitening/pruning
+    // audit): exact scaled mean, variance (n·Σx²−(Σx)² form) and the
+    // range²/variance ratio per dimension — dims with tiny variance
+    // are pruning candidates, dims with a huge range-to-variance ratio
+    // hide outliers a cosine metric will amplify. One dimension-explode
+    // pass (64 rows per vector), one 64-row combine; every statistic is
+    // DECIMAL-exact, no sqrt anywhere.
+    QueryDef.sql(
+      "q501_embedding_dim_stats",
+      """WITH ev AS (SELECT i AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |g AS (SELECT dim, COUNT(*) AS n, SUM(x) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS ss, MIN(x) AS lo, MAX(x) AS hi
+        |  FROM ev GROUP BY 1)
+        |SELECT dim, CAST(s // n AS BIGINT) AS mean_scaled,
+        |  CAST((n * ss - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n)
+        |    AS BIGINT) AS var_scaled2,
+        |  CAST(hi - lo AS BIGINT) AS range_scaled,
+        |  CAST((1000 * CAST(hi - lo AS HUGEINT) * (hi - lo))
+        |    // GREATEST((n * ss - CAST(s AS HUGEINT) * s)
+        |      // (CAST(n AS HUGEINT) * n), 1) AS BIGINT) AS range_ratio_milli
+        |FROM g ORDER BY dim""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).embeddings
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).as("dim"),
+          floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("x"))
+      ev.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"),
+          min("x").as("lo"), max("x").as("hi"))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CAST(s div n AS BIGINT)").as("mean_scaled"),
+          expr("CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_scaled2"),
+          (col("hi") - col("lo")).as("range_scaled"),
+          expr("CAST((1000 * CAST(hi - lo AS DECIMAL(38,0)) * (hi - lo))" +
+            " div GREATEST((n * ss - CAST(s AS DECIMAL(38,0)) * s)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n), 1) AS BIGINT)")
+            .as("range_ratio_milli"))
+        .orderBy("dim")
     }
   )
 }

@@ -98,6 +98,53 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q498 lift chart descends to exactly 1000 milli at the full population") {
+    val rows = run("q498_lift_chart").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val cum = rows.map(_.getAs[Long]("cum_rev_ppm"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }) // cumulative
+    // final prefix covers everyone: lift = 1.000 exactly (up to truncation)
+    assert(math.abs(rows.last.getAs[Long]("lift_milli") - 1000L) <= 1L)
+    assert(cum.last >= 999999L - 10L && cum.last <= 1000000L)
+  }
+
+  test("q499 join estimates are within sane ppm bands of the actuals") {
+    val rows = run("q499_card_feedback").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("actual_rows") > 0L)
+      val ratio = r.getAs[Long]("est_over_act_ppm")
+      // FK joins on near-uniform synthetic keys: the System-R estimate
+      // should land within 2× either way
+      assert(ratio >= 500000L && ratio <= 2000000L)
+    }
+  }
+
+  test("q500 co-partition verdicts follow the divisibility rule") {
+    val rows = run("q500_copartition_planner").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val lb = r.getAs[Long]("left_buckets"); val rb = r.getAs[Long]("right_buckets")
+      assert((lb & (lb - 1)) == 0L && (rb & (rb - 1)) == 0L) // pow2
+      val free = r.getAs[Long]("shuffle_free")
+      assert(free == (if (lb % rb == 0 || rb % lb == 0) 1L else 0L))
+      val side = r.getAs[String]("repartition_side")
+      if (lb == rb) assert(side == "none") else assert(side != "none")
+    }
+  }
+
+  test("q501 per-dim stats bound the mean and satisfy range²/var ≥ base") {
+    val rows = run("q501_embedding_dim_stats").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_scaled2") >= 0L)
+      assert(r.getAs[Long]("range_scaled") >= 0L)
+      // range² ≥ var for any distribution ⇒ milli ratio ≥ ~1000
+      if (r.getAs[Long]("var_scaled2") > 0L)
+        assert(r.getAs[Long]("range_ratio_milli") >= 1000L)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
