@@ -699,6 +699,189 @@ object AtlasQueries {
             " div (CAST(n AS DECIMAL(38,0)) * n), 1) AS BIGINT)")
             .as("range_ratio_milli"))
         .orderBy("dim")
+    },
+
+    // Session-gap sensitivity sweep: sessionize the SAME event log at
+    // 10/30/60-minute inactivity gaps and report how session count,
+    // mean length, and the singleton share respond — the threshold
+    // audit that should precede any fixed-gap sessionization (q7 uses
+    // 30 min; this query prices that choice). One lag window computes
+    // the inter-event microseconds once; each gap is then a pure
+    // projection + island aggregation over the same frame — three
+    // sweeps, one sort.
+    QueryDef.sql(
+      "q502_session_gap_sweep",
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |g(gap_s) AS (VALUES (600), (1800), (3600)),
+        |s AS (SELECT g.gap_s, e.user_id,
+        |    CASE WHEN e.prev_us IS NULL
+        |      OR e.us - e.prev_us > CAST(g.gap_s AS BIGINT) * 1000000
+        |      THEN 1 ELSE 0 END AS is_new,
+        |    e.ts, e.event_id
+        |  FROM e CROSS JOIN g),
+        |sid AS (SELECT gap_s, user_id,
+        |    SUM(is_new) OVER (PARTITION BY gap_s, user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |ses AS (SELECT gap_s, user_id, session_id, COUNT(*) AS n FROM sid
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT gap_s, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+        |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS singletons
+        |  FROM ses GROUP BY 1)
+        |SELECT CAST(gap_s AS BIGINT) AS gap_s, CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST((1000 * CAST(n_events AS HUGEINT)) // n_sessions AS BIGINT)
+        |    AS mean_len_milli,
+        |  CAST(1000000 * singletons // n_sessions AS BIGINT) AS singleton_ppm
+        |FROM agg ORDER BY gap_s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+      val gaps = Seq(600L, 1800L, 3600L).toDF("gap_s")
+      val sid = e.crossJoin(broadcast(gaps))
+        .withColumn("is_new", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > col("gap_s") * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(
+          Window.partitionBy("gap_s", "user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sid.groupBy("gap_s", "user_id", "session_id").agg(count(lit(1)).as("n"))
+        .groupBy("gap_s")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("singletons"))
+        .select(col("gap_s"), col("n_sessions"),
+          expr("CAST((1000 * CAST(n_events AS DECIMAL(38,0))) div n_sessions" +
+            " AS BIGINT)").as("mean_len_milli"),
+          expr("CAST(1000000 * singletons div n_sessions AS BIGINT)")
+            .as("singleton_ppm"))
+        .orderBy("gap_s")
+    },
+
+    // Good-Toulmin unseen-vocabulary extrapolation: if the corpus
+    // DOUBLED, how many new distinct tokens would appear? The 1953
+    // estimator is the alternating sum Σ(−1)^{r+1}·N_r over the
+    // frequency-of-frequencies — the capacity-planning companion to
+    // q463's Good-Turing discounts (same N_r table, different
+    // question) and the extrapolating sibling of q412's Chao1 lower
+    // bound. Heavy work is one token-count aggregate; the estimator
+    // folds a table of ≲√corpus rows.
+    QueryDef.sql(
+      "q503_good_toulmin",
+      """WITH nrm AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM nrm),
+        |tc AS (SELECT term, COUNT(*) AS r FROM tok WHERE len(term) > 0 GROUP BY 1),
+        |ff AS (SELECT r, COUNT(*) AS nr FROM tc GROUP BY 1),
+        |a AS (SELECT SUM(CASE WHEN r % 2 = 1 THEN nr ELSE -nr END) AS gt,
+        |    SUM(nr) AS d, SUM(CASE WHEN r = 1 THEN nr ELSE 0 END) AS n1,
+        |    SUM(r * nr) AS n_tokens
+        |  FROM ff)
+        |SELECT CAST(n_tokens AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS distinct_terms,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(GREATEST(gt, 0) AS BIGINT) AS gt_expected_new,
+        |  CAST(1000000 * GREATEST(gt, 0) // d AS BIGINT) AS new_ratio_ppm
+        |FROM a""".stripMargin) { (s, dir) =>
+      val ff = Tables(s, dir).documents
+        .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("nr"))
+      ff.agg(
+          sum(when(col("r") % 2 === 1, col("nr")).otherwise(-col("nr"))).as("gt"),
+          sum("nr").as("d"),
+          sum(when(col("r") === 1, col("nr")).otherwise(0L)).as("n1"),
+          sum(col("r") * col("nr")).as("n_tokens"))
+        .select(col("n_tokens"), col("d").as("distinct_terms"), col("n1"),
+          greatest(col("gt"), lit(0L)).as("gt_expected_new"),
+          expr("CAST(1000000 * GREATEST(gt, 0) div d AS BIGINT)").as("new_ratio_ppm"))
+    },
+
+    // Differential-privacy budget composition table: for k = 1..10
+    // ε₀ = 0.1 mechanisms, the naive bound k·ε₀ against the advanced
+    // composition bound ε₀√(2k·ln(1/δ)) + k·ε₀(e^{ε₀}−1) at δ = 10⁻⁵ —
+    // the accountant's crossover table that says WHEN the √k bound
+    // starts paying for its δ. Constants ln(1/δ) = 11.512925 and
+    // e^{0.1}−1 = 0.105171 are baked (micro-scaled) on both engines;
+    // the square root is the floor-corrected integer sqrt (q460's
+    // idiom) so every row is engine-exact.
+    QueryDef.sql(
+      "q504_dp_composition",
+      """WITH k AS (SELECT * FROM generate_series(1, 10) t(k)),
+        |s0 AS (SELECT k, 23025850 * k AS m,
+        |    CAST(FLOOR(SQRT(CAST(23025850 * k AS DOUBLE))) AS BIGINT) AS r0 FROM k),
+        |s1 AS (SELECT k, m,
+        |    r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= m THEN 1 ELSE 0 END
+        |       - CASE WHEN r0 * r0 > m THEN 1 ELSE 0 END AS r FROM s0)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(100 * k AS BIGINT) AS basic_milli,
+        |  CAST(r // 10 + (10517 * k) // 100 AS BIGINT) AS advanced_milli,
+        |  CAST(CASE WHEN r // 10 + (10517 * k) // 100 < 100 * k
+        |    THEN 1 ELSE 0 END AS BIGINT) AS advanced_wins
+        |FROM s1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val k = s.range(1, 11).select(col("id").as("k"))
+      k.withColumn("m", lit(23025850L) * col("k"))
+        .withColumn("r0", expr("CAST(FLOOR(SQRT(CAST(m AS DOUBLE))) AS BIGINT)"))
+        .withColumn("r", col("r0")
+          + when((col("r0") + 1) * (col("r0") + 1) <= col("m"), 1L).otherwise(0L)
+          - when(col("r0") * col("r0") > col("m"), 1L).otherwise(0L))
+        .select(col("k"), (lit(100L) * col("k")).as("basic_milli"),
+          expr("r div 10 + (10517 * k) div 100").as("advanced_milli"),
+          when(expr("r div 10 + (10517 * k) div 100") < lit(100L) * col("k"), 1L)
+            .otherwise(0L).as("advanced_wins"))
+        .orderBy("k")
+    },
+
+    // Outlier dimension blame: for the 5 embedding vectors whose worst
+    // per-dimension deviation is most extreme, WHICH dimension is to
+    // blame — the explainability step after any outlier detector
+    // (q470's LOF says "this point is odd"; this says "dimension 17 is
+    // why"). Deviation is the exact (x−μ_d)²·1000/σ²_d ratio against
+    // q501's per-dim moments (a 64-row broadcast); per-vector argmax is
+    // one partitioned window, the top-5 a TakeOrdered — the corpus is
+    // scanned twice (moments, scoring), never joined to itself.
+    QueryDef.sql(
+      "q505_outlier_blame",
+      """WITH ev AS (SELECT vec_id, i AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |g AS (SELECT dim, COUNT(*) AS n, SUM(x) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS ss FROM ev GROUP BY 1),
+        |m AS (SELECT dim, s // n AS mu,
+        |    GREATEST((n * ss - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n), 1)
+        |      AS v FROM g),
+        |z AS (SELECT ev.vec_id, ev.dim,
+        |    (1000 * CAST(ev.x - m.mu AS HUGEINT) * (ev.x - m.mu)) // m.v AS ratio
+        |  FROM ev JOIN m ON ev.dim = m.dim),
+        |top AS (SELECT vec_id, dim, ratio FROM (
+        |    SELECT vec_id, dim, ratio,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ratio DESC, dim) AS rk
+        |    FROM z) WHERE rk = 1)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS blame_dim,
+        |  CAST(ratio AS BIGINT) AS ratio_milli
+        |FROM top ORDER BY ratio DESC, vec_id LIMIT 5""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("x"))
+      val m = ev.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+        .select(col("dim"), expr("s div n").as("mu"),
+          expr("GREATEST((n * ss - CAST(s AS DECIMAL(38,0)) * s)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n), 1)").as("v"))
+      val z = ev.join(broadcast(m), "dim")
+        .select(col("vec_id"), col("dim"),
+          expr("(1000 * CAST(x - mu AS DECIMAL(38,0)) * (x - mu)) div v").as("ratio"))
+      z.withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ratio").desc, col("dim"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("dim").cast("long").as("blame_dim"),
+          col("ratio").cast("long").as("ratio_milli"))
+        .orderBy(col("ratio_milli").desc, col("vec_id"))
+        .limit(5)
     }
   )
 }

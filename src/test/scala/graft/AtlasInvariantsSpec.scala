@@ -145,6 +145,51 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q502 wider gaps merge sessions monotonically") {
+    val rows = run("q502_session_gap_sweep").collect().sortBy(_.getAs[Long]("gap_s"))
+    assert(rows.length == 3)
+    val ns = rows.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }) // fewer sessions at wider gaps
+    val ml = rows.map(_.getAs[Long]("mean_len_milli"))
+    assert(ml.zip(ml.tail).forall { case (a, b) => a <= b }) // longer sessions
+    rows.foreach(r => assert(r.getAs[Long]("singleton_ppm") <= 1000000L))
+  }
+
+  test("q503 Good-Toulmin expected-new is bounded by N1 and non-negative") {
+    val r = run("q503_good_toulmin").collect().head
+    val gt = r.getAs[Long]("gt_expected_new")
+    assert(gt >= 0L && gt <= r.getAs[Long]("n1")) // alternating sum ≤ first term
+    assert(r.getAs[Long]("distinct_terms") <= r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("new_ratio_ppm") <= 1000000L)
+  }
+
+  test("q504 DP composition bounds cross exactly once and grow monotonically") {
+    val rows = run("q504_dp_composition").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("basic_milli") == 100L * r.getAs[Long]("k"))
+      assert(r.getAs[Long]("advanced_wins") ==
+        (if (r.getAs[Long]("advanced_milli") < r.getAs[Long]("basic_milli")) 1L else 0L))
+    }
+    val adv = rows.map(_.getAs[Long]("advanced_milli"))
+    assert(adv.zip(adv.tail).forall { case (a, b) => a <= b })
+    // wins are a suffix: once √k beats k it keeps beating it
+    val wins = rows.map(_.getAs[Long]("advanced_wins"))
+    assert(wins.zip(wins.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q505 blame dims are valid and ratios descend") {
+    val rows = run("q505_outlier_blame").collect()
+    assert(rows.length == 5)
+    val ratios = rows.map(_.getAs[Long]("ratio_milli"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val d = r.getAs[Long]("blame_dim")
+      assert(d >= 1L && d <= 64L)
+      assert(r.getAs[Long]("ratio_milli") >= 1000L) // worst dim ≥ 1 sigma² ratio… at least its own deviation
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
