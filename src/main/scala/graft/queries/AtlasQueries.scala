@@ -882,6 +882,177 @@ object AtlasQueries {
           col("ratio").cast("long").as("ratio_milli"))
         .orderBy(col("ratio_milli").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // Class-balance resampling plan: per embedding label, the exact
+    // keep-rate that levels every class down to the rarest one
+    // (undersampling) and the duplication factor that levels up to the
+    // most common (oversampling) — the two standard prescriptions for
+    // skewed training labels, priced from one 10-row count aggregate
+    // so the actual resample (a q442-style PPS pass) runs with known
+    // budgets. Rates are exact ppm/milli divisions off broadcast
+    // min/max scalars.
+    QueryDef.sql(
+      "q506_class_balance_plan",
+      """WITH g AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        |x AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM g)
+        |SELECT g.label, CAST(g.n AS BIGINT) AS n,
+        |  CAST(1000000 * x.mn // g.n AS BIGINT) AS under_keep_ppm,
+        |  CAST((1000 * x.mx) // g.n AS BIGINT) AS over_factor_milli,
+        |  CAST(x.mn AS BIGINT) AS under_target, CAST(x.mx AS BIGINT) AS over_target
+        |FROM g, x ORDER BY g.label""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).embeddings.groupBy("label")
+        .agg(count(lit(1)).as("n"))
+      val x = g.agg(min("n").as("mn"), max("n").as("mx"))
+      g.crossJoin(broadcast(x))
+        .select(col("label"), col("n"),
+          expr("CAST(1000000 * mn div n AS BIGINT)").as("under_keep_ppm"),
+          expr("CAST((1000 * mx) div n AS BIGINT)").as("over_factor_milli"),
+          col("mn").as("under_target"), col("mx").as("over_target"))
+        .orderBy("label")
+    },
+
+    // Rack-aware replica placement audit: 64 shards × 3 replicas over
+    // 8 nodes by rendezvous ranking (top-3 md5 scores per shard — the
+    // multi-replica extension of q414's single-owner HRW), with the
+    // blast-radius census: primaries and totals per node, plus the
+    // worst pairwise shard co-residency — the number that says how
+    // many shards lose TWO replicas when that node pair dies. The
+    // placement table is 64×8 = 512 scored rows; every audit after is
+    // metadata-sized.
+    QueryDef.sql(
+      "q507_replica_placement",
+      """WITH sh AS (SELECT * FROM generate_series(0, 63) t(sid)),
+        |nd AS (SELECT * FROM generate_series(0, 7) t(nid)),
+        |sc AS (SELECT sh.sid, nd.nid,
+        |    ('0x' || substr(md5(sh.sid || '@n' || nd.nid), 1, 12))::BIGINT AS score
+        |  FROM sh, nd),
+        |rk AS (SELECT sid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY score DESC, nid) AS rk
+        |  FROM sc),
+        |rep AS (SELECT sid, nid, rk FROM rk WHERE rk <= 3),
+        |co AS (SELECT a.nid AS na, b.nid AS nb, COUNT(*) AS shared
+        |  FROM rep a JOIN rep b ON a.sid = b.sid AND a.nid < b.nid
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(shared) AS worst_pair_shared FROM co)
+        |SELECT CAST(r.nid AS BIGINT) AS node,
+        |  CAST(SUM(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  (SELECT CAST(worst_pair_shared AS BIGINT) FROM mx) AS worst_pair_shared
+        |FROM rep r GROUP BY r.nid ORDER BY node""".stripMargin) { (s, dir) =>
+      val sc = s.range(64).select(col("id").as("sid"))
+        .crossJoin(s.range(8).select(col("id").as("nid")))
+        .select(col("sid"), col("nid"),
+          expr("CAST(conv(substring(md5(concat(sid, '@n', nid)), 1, 12), 16, 10)" +
+            " AS BIGINT)").as("score"))
+      val rep = sc.withColumn("rk", row_number().over(
+          Window.partitionBy("sid").orderBy(col("score").desc, col("nid"))))
+        .where(col("rk") <= 3)
+      val co = rep.select(col("sid"), col("nid").as("na"))
+        .join(rep.select(col("sid"), col("nid").as("nb")), "sid")
+        .where(col("na") < col("nb"))
+        .groupBy("na", "nb").agg(count(lit(1)).as("shared"))
+      val mx = co.agg(max("shared").as("worst_pair_shared"))
+      rep.groupBy(col("nid").as("node"))
+        .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_primary"),
+          count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(mx))
+        .select(col("node"), col("n_primary"), col("n_total"),
+          col("worst_pair_shared"))
+        .orderBy("node")
+    },
+
+    // Beta-smoothed CTR ranking (empirical-Bayes for rates — the rate
+    // companion to q471's mean shrinkage): per-user click-through
+    // (clicks / views) shrunk toward the prior α=5, β=95 — raw CTR
+    // ranks a 1-view-1-click user first; the smoothed (c+α)/(v+α+β)
+    // rank is what production rankers actually use. One conditional-
+    // count pass per user, exact ppm divisions, top 10 by smoothed
+    // rate with the raw rate alongside to show the re-ranking.
+    QueryDef.sql(
+      "q508_smoothed_ctr",
+      """WITH u AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id, v, c,
+        |    (1000000 * c) // GREATEST(v, 1) AS raw_ppm,
+        |    (1000000 * (c + 5)) // (v + 100) AS smoothed_ppm
+        |  FROM u WHERE v > 0)
+        |SELECT user_id, CAST(v AS BIGINT) AS views, CAST(c AS BIGINT) AS clicks,
+        |  CAST(raw_ppm AS BIGINT) AS raw_ppm, CAST(smoothed_ppm AS BIGINT) AS smoothed_ppm
+        |FROM f ORDER BY smoothed_ppm DESC, user_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"))
+      u.where(col("v") > 0)
+        .select(col("user_id"), col("v").as("views"), col("c").as("clicks"),
+          expr("(1000000 * c) div GREATEST(v, 1)").as("raw_ppm"),
+          expr("(1000000 * (c + 5)) div (v + 100)").as("smoothed_ppm"))
+        .orderBy(col("smoothed_ppm").desc, col("user_id"))
+        .limit(10)
+    },
+
+    // Funnel-step contrast with exact two-proportion z²: does the odd-
+    // user segment convert view→click and click→purchase at different
+    // rates than the even segment? z² = (c₁n₂−c₂n₁)²·N /
+    // (n₁n₂·(c₁+c₂)·(N−c₁−c₂)) — q461's squared-comparison idiom at
+    // the funnel-step grain, flagged at the χ²₁ 5% threshold (3.841,
+    // baked). One per-user existence pass (capture flags again), two
+    // 2×2 cell assemblies — the fact table is scanned once.
+    QueryDef.sql(
+      "q509_funnel_contrast",
+      """WITH u AS (SELECT user_id, user_id % 2 AS seg,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT 'view_to_click' AS step, seg,
+        |    SUM(hv) AS n, SUM(hv * hc) AS c FROM u GROUP BY 1, 2
+        |  UNION ALL SELECT 'click_to_purchase', seg,
+        |    SUM(hc), SUM(hc * hp) FROM u GROUP BY 1, seg),
+        |w AS (SELECT s1.step, s1.n AS n1, s1.c AS c1, s2.n AS n2, s2.c AS c2
+        |  FROM st s1 JOIN st s2 ON s1.step = s2.step AND s1.seg = 1 AND s2.seg = 0),
+        |z AS (SELECT step, n1, c1, n2, c2,
+        |    (1000 * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+        |      * (c1 * n2 - c2 * n1) * (n1 + n2))
+        |      // (CAST(n1 AS HUGEINT) * n2 * GREATEST(c1 + c2, 1)
+        |        * GREATEST(n1 + n2 - c1 - c2, 1)) AS z2_milli
+        |  FROM w)
+        |SELECT step, CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_control,
+        |  CAST(1000000 * c1 // GREATEST(n1, 1) AS BIGINT) AS rate_treat_ppm,
+        |  CAST(1000000 * c2 // GREATEST(n2, 1) AS BIGINT) AS rate_control_ppm,
+        |  CAST(z2_milli AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM z ORDER BY step""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir).events.groupBy(col("user_id"),
+          (col("user_id") % 2).as("seg"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("hp"))
+      def step(name: String, nCol: org.apache.spark.sql.Column,
+          cCol: org.apache.spark.sql.Column) = u.groupBy("seg")
+        .agg(sum(nCol).as("n"), sum(cCol).as("c"))
+        .select(lit(name).as("step"), col("seg"), col("n"), col("c"))
+      val st = step("view_to_click", col("hv"), col("hv") * col("hc"))
+        .unionAll(step("click_to_purchase", col("hc"), col("hc") * col("hp")))
+      val w = st.where(col("seg") === 1)
+        .select(col("step"), col("n").as("n1"), col("c").as("c1"))
+        .join(st.where(col("seg") === 0)
+          .select(col("step"), col("n").as("n2"), col("c").as("c2")), "step")
+      w.select(col("step"), col("n1"), col("c1"), col("n2"), col("c2"),
+          expr("(1000 * CAST(c1 * n2 - c2 * n1 AS DECIMAL(38,0))" +
+            " * (c1 * n2 - c2 * n1) * (n1 + n2))" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * GREATEST(c1 + c2, 1)" +
+            " * GREATEST(n1 + n2 - c1 - c2, 1))").as("z2_milli"))
+        .select(col("step"), col("n1").as("n_treat"), col("n2").as("n_control"),
+          expr("CAST(1000000 * c1 div GREATEST(n1, 1) AS BIGINT)")
+            .as("rate_treat_ppm"),
+          expr("CAST(1000000 * c2 div GREATEST(n2, 1) AS BIGINT)")
+            .as("rate_control_ppm"),
+          col("z2_milli").cast("long").as("z2_milli"),
+          when(col("z2_milli") > 3841, 1L).otherwise(0L).as("significant"))
+        .orderBy("step")
     }
   )
 }

@@ -190,6 +190,53 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q506 balance plan keeps at most everything and scales up at least 1x") {
+    val rows = run("q506_class_balance_plan").collect()
+    assert(rows.nonEmpty)
+    val targets = rows.map(r => (r.getAs[Long]("under_target"), r.getAs[Long]("over_target")))
+    assert(targets.distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("under_keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("over_factor_milli") >= 1000L - 1L)
+      assert(r.getAs[Long]("under_target") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("over_target") >= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q507 replica placement conserves shards and primaries") {
+    val rows = run("q507_replica_placement").collect()
+    assert(rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_primary")).sum == 64L)   // one primary per shard
+    assert(rows.map(_.getAs[Long]("n_total")).sum == 64L * 3) // 3 replicas per shard
+    val worst = rows.map(_.getAs[Long]("worst_pair_shared")).distinct
+    assert(worst.length == 1 && worst.head >= 1L && worst.head <= 64L)
+  }
+
+  test("q508 smoothing pulls extreme raw rates toward the prior") {
+    val rows = run("q508_smoothed_ctr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("raw_ppm"); val sm = r.getAs[Long]("smoothed_ppm")
+      assert(sm <= 1000000L && sm >= 0L)
+      // prior mean is 50000 ppm (α=5, β=95): smoothing moves toward it
+      if (raw > 50000L) assert(sm <= raw + 1)
+      else assert(sm + 1 >= raw.min(50000L).max(raw)) // raw below prior: smoothed ≥ raw
+      assert(r.getAs[Long]("clicks") >= 0L && r.getAs[Long]("views") >= 1L)
+    }
+  }
+
+  test("q509 funnel contrast flags follow the z² threshold exactly") {
+    val rows = run("q509_funnel_contrast").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_treat_ppm") <= 1000000L)
+      assert(r.getAs[Long]("rate_control_ppm") <= 1000000L)
+      assert(r.getAs[Long]("significant") ==
+        (if (r.getAs[Long]("z2_milli") > 3841L) 1L else 0L))
+      assert(r.getAs[Long]("z2_milli") >= 0L)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
