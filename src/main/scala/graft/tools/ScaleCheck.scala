@@ -521,6 +521,48 @@ object ScaleCheck {
         f""""row_leaked":$rowLeak,"group_leaked":$grpLeak,"sec":$spSec%.2f,""" +
         f""""rows_per_sec":${(2 * n / spSec).toLong}}""")
     }
+
+    // Two-pass exact median (q492's shape) over 2n rows × 100 groups —
+    // SELF-VALIDATING: each group holds a hash-shuffled permutation of
+    // 1..k, whose ⌈k/2⌉ order statistic is exactly (k+1)/2. Pass 1 is a
+    // 64-wide bin histogram (map-side combinable, ~k/64 cells per
+    // group), pass 2 ranks only the single median bin (~64 rows/group) —
+    // no global sort ever happens, which is the whole point at 100 TB.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val nGroups = 100L
+      val k = (2 * n) / nGroups // values 1..k per group
+      val tp = spark.range(2 * n).select(
+        (col("id") % nGroups).as("gk"),
+        ((col("id") / nGroups).cast("long") + 1).as("v")) // 1..k, arrival order ≠ sorted
+      val t95 = System.nanoTime()
+      val hist = tp.withColumn("bin", expr("v div 64"))
+        .groupBy("gk", "bin").agg(count(lit(1)).as("bc"))
+      val wcum = Window.partitionBy("gk").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val loc = hist
+        .withColumn("cum", sum("bc").over(wcum))
+        .withColumn("nn", sum("bc").over(Window.partitionBy("gk")))
+        .withColumn("target", expr("(nn + 1) div 2"))
+        .where(col("cum") >= col("target") && col("cum") - col("bc") < col("target"))
+        .select(col("gk"), col("bin"), (col("target") - (col("cum") - col("bc")))
+          .as("k_in_bin"))
+      val med = tp.withColumn("bin", expr("v div 64"))
+        .join(broadcast(loc), Seq("gk", "bin"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("gk").orderBy("v")))
+        .where(col("rn") === col("k_in_bin"))
+        .select("gk", "v")
+      val badMed = med.where(col("v") =!= (k + 1) / 2).count()
+      val nMed = med.count()
+      val t96 = System.nanoTime()
+      require(badMed == 0 && nMed == nGroups,
+        s"two-pass median: $badMed wrong, $nMed groups (want $nGroups at ${(k + 1) / 2})")
+      val tpSec = (t96 - t95) / 1e9
+      println(f"""{"scenario":"twopass_median","rows":${2 * n},"groups":$nGroups,""" +
+        f""""median":${(k + 1) / 2},"sec":$tpSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / tpSec).toLong}}""")
+    }
     spark.stop()
   }
 }
