@@ -1053,6 +1053,148 @@ object AtlasQueries {
           col("z2_milli").cast("long").as("z2_milli"),
           when(col("z2_milli") > 3841, 1L).otherwise(0L).as("significant"))
         .orderBy("step")
+    },
+
+    // Quantile-based robust shape statistics: Bowley skewness
+    // (q₃+q₁−2·med)/(q₃−q₁) and Moors kurtosis ((e₇−e₅)+(e₃−e₁))/
+    // (e₆−e₂) from the 7 octile order statistics — the shape
+    // descriptors that survive heavy tails where moment-based skew/
+    // kurtosis (q98) explode. All octiles come from ONE row_number
+    // window per group (7 conditional MINs at ⌈n·i/8⌉ ranks — q152's
+    // convention), the ratios are exact milli divisions.
+    QueryDef.sql(
+      "q510_robust_shape",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events),
+        |q AS (SELECT event_type, COUNT(*) AS n,
+        |    quantile_disc(c, 0.125) AS e1, quantile_disc(c, 0.25) AS e2,
+        |    quantile_disc(c, 0.375) AS e3, quantile_disc(c, 0.5) AS e4,
+        |    quantile_disc(c, 0.625) AS e5, quantile_disc(c, 0.75) AS e6,
+        |    quantile_disc(c, 0.875) AS e7
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((1000 * (e6 + e2 - 2 * e4)) // GREATEST(e6 - e2, 1) AS BIGINT)
+        |    AS bowley_milli,
+        |  CAST((1000 * ((e7 - e5) + (e3 - e1))) // GREATEST(e6 - e2, 1) AS BIGINT)
+        |    AS moors_milli
+        |FROM q ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+      val idx = e.select(col("event_type"), col("c"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      def oct(i: Int) =
+        min(when(col("rn") === expr(s"(n * $i + 7) div 8"), col("c"))).as(s"e$i")
+      idx.groupBy("event_type", "n")
+        .agg(oct(1), oct(2), oct(3), oct(4), oct(5), oct(6), oct(7))
+        .select(col("event_type"), col("n"),
+          expr("CAST((1000 * (e6 + e2 - 2 * e4)) div GREATEST(e6 - e2, 1) AS BIGINT)")
+            .as("bowley_milli"),
+          expr("CAST((1000 * ((e7 - e5) + (e3 - e1))) div GREATEST(e6 - e2, 1)" +
+            " AS BIGINT)").as("moors_milli"))
+        .orderBy("event_type")
+    },
+
+    // Sorted-run read-amplification probe: treat each order-month as a
+    // sorted run with a [min, max] custkey zone, then stab 64 evenly
+    // spaced probe keys through the run set — the overlap count at
+    // each probe IS the number of files a point lookup must open in an
+    // LSM/compaction layout (q493 prices write amp; this measures the
+    // read side). The run table is ~80 metadata rows (one per order
+    // month) broadcast against the probe spine; no fact-table access
+    // beyond the one stats pass.
+    QueryDef.sql(
+      "q511_read_amp",
+      """WITH runs AS (SELECT strftime(o_orderdate, '%Y-%m') AS run,
+        |    MIN(o_custkey) AS lo, MAX(o_custkey) AS hi
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(lo) AS glo, MAX(hi) AS ghi FROM runs),
+        |p AS (SELECT i AS probe_id,
+        |    b.glo + (i * (b.ghi - b.glo)) // 64 AS key
+        |  FROM generate_series(0, 63) t(i), b)
+        |SELECT p.probe_id, CAST(p.key AS BIGINT) AS key,
+        |  CAST(COUNT(r.run) AS BIGINT) AS n_overlapping
+        |FROM p LEFT JOIN runs r ON p.key BETWEEN r.lo AND r.hi
+        |GROUP BY 1, 2 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val runs = Tables(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("run"))
+        .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+      val b = runs.agg(min("lo").as("glo"), max("hi").as("ghi"))
+      val p = s.range(64).select(col("id").as("probe_id"))
+        .crossJoin(broadcast(b))
+        .select(col("probe_id"),
+          expr("glo + (probe_id * (ghi - glo)) div 64").as("key"))
+      p.join(broadcast(runs), col("key").between(col("lo"), col("hi")), "left")
+        .groupBy("probe_id", "key")
+        .agg(count(col("run")).as("n_overlapping"))
+        .orderBy("probe_id")
+    },
+
+    // Checkpoint-interval advisor (Young's approximation): with a 30 s
+    // checkpoint cost and an MTBF sweep of 1 h / 6 h / 24 h, the
+    // optimal interval is √(2·C·MTBF) and the steady-state overhead is
+    // C/τ + τ/(2·MTBF) — the formula every long training run and
+    // streaming job sizes its checkpoint cadence with. The square root
+    // is the floor-corrected integer sqrt (q460's idiom); overheads
+    // are exact ppm sums — a 3-row advisory, zero data access.
+    QueryDef.sql(
+      "q512_checkpoint_advisor",
+      """WITH m(mtbf_s) AS (VALUES (3600), (21600), (86400)),
+        |s0 AS (SELECT mtbf_s, CAST(2 * 30 AS BIGINT) * mtbf_s AS x,
+        |    CAST(FLOOR(SQRT(CAST(CAST(2 * 30 AS BIGINT) * mtbf_s AS DOUBLE)))
+        |      AS BIGINT) AS r0 FROM m),
+        |s1 AS (SELECT mtbf_s, x,
+        |    r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= x THEN 1 ELSE 0 END
+        |       - CASE WHEN r0 * r0 > x THEN 1 ELSE 0 END AS tau FROM s0)
+        |SELECT CAST(mtbf_s AS BIGINT) AS mtbf_s, CAST(tau AS BIGINT) AS tau_opt_s,
+        |  CAST((1000000 * 30) // tau + (1000000 * tau) // (2 * CAST(mtbf_s AS BIGINT))
+        |    AS BIGINT) AS overhead_ppm
+        |FROM s1 ORDER BY mtbf_s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = Seq(3600L, 21600L, 86400L).toDF("mtbf_s")
+      m.withColumn("x", lit(60L) * col("mtbf_s"))
+        .withColumn("r0", expr("CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"))
+        .withColumn("tau", col("r0")
+          + when((col("r0") + 1) * (col("r0") + 1) <= col("x"), 1L).otherwise(0L)
+          - when(col("r0") * col("r0") > col("x"), 1L).otherwise(0L))
+        .select(col("mtbf_s"), col("tau").as("tau_opt_s"),
+          expr("CAST((1000000 * 30) div tau + (1000000 * tau) div (2 * mtbf_s)" +
+            " AS BIGINT)").as("overhead_ppm"))
+        .orderBy("mtbf_s")
+    },
+
+    // Quorum configuration matrix: for N = 3 and N = 5 replicas, every
+    // (R, W) combination with its consistency and availability
+    // verdicts — R+W > N guarantees read-your-writes intersection,
+    // W ≤ N−1 keeps writes available through one failure, N−W bounds
+    // how many replicas a sloppy read can find stale. The table every
+    // storage-system design review draws on a whiteboard, emitted as a
+    // 34-row advisory with zero data access.
+    QueryDef.sql(
+      "q513_quorum_matrix",
+      """WITH n(nn) AS (VALUES (3), (5)),
+        |c AS (SELECT nn, r.r, w.w FROM n,
+        |  generate_series(1, 5) r(r), generate_series(1, 5) w(w)
+        |  WHERE r.r <= nn AND w.w <= nn)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS r, CAST(w AS BIGINT) AS w,
+        |  CAST(CASE WHEN r + w > nn THEN 1 ELSE 0 END AS BIGINT) AS strong,
+        |  CAST(CASE WHEN w <= nn - 1 THEN 1 ELSE 0 END AS BIGINT) AS write_avail_f1,
+        |  CAST(CASE WHEN r <= nn - 1 THEN 1 ELSE 0 END AS BIGINT) AS read_avail_f1,
+        |  CAST(nn - w AS BIGINT) AS max_stale_replicas
+        |FROM c ORDER BY n, r, w""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val n = Seq(3L, 5L).toDF("nn")
+      val r = s.range(1, 6).select(col("id").as("r"))
+      val w = s.range(1, 6).select(col("id").as("w"))
+      n.crossJoin(r).crossJoin(w)
+        .where(col("r") <= col("nn") && col("w") <= col("nn"))
+        .select(col("nn").as("n"), col("r"), col("w"),
+          when(col("r") + col("w") > col("nn"), 1L).otherwise(0L).as("strong"),
+          when(col("w") <= col("nn") - 1, 1L).otherwise(0L).as("write_avail_f1"),
+          when(col("r") <= col("nn") - 1, 1L).otherwise(0L).as("read_avail_f1"),
+          (col("nn") - col("w")).as("max_stale_replicas"))
+        .orderBy("n", "r", "w")
     }
   )
 }

@@ -237,6 +237,51 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q510 robust shape stats stay in their defining bounds") {
+    val rows = run("q510_robust_shape").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Bowley skewness is bounded in [-1, 1] by construction
+      val b = r.getAs[Long]("bowley_milli")
+      assert(b >= -1000L && b <= 1000L)
+      assert(r.getAs[Long]("moors_milli") >= 0L) // sums of non-negative octile gaps
+    }
+  }
+
+  test("q511 every probe key overlaps at least one run inside the global span") {
+    val rows = run("q511_read_amp").collect()
+    assert(rows.length == 64)
+    val nRuns = graft.core.Tables(spark, sfDir).orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct().count()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlapping")
+      assert(n >= 0L && n <= nRuns)
+    }
+    // probes at both extremes land inside some run (they're run endpoints)
+    assert(rows.head.getAs[Long]("n_overlapping") >= 1L)
+  }
+
+  test("q512 Young intervals are the exact isqrt and overheads decrease with MTBF") {
+    val rows = run("q512_checkpoint_advisor").collect().sortBy(_.getAs[Long]("mtbf_s"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val tau = r.getAs[Long]("tau_opt_s"); val m = r.getAs[Long]("mtbf_s")
+      assert(tau * tau <= 60L * m && (tau + 1) * (tau + 1) > 60L * m)
+    }
+    val ov = rows.map(_.getAs[Long]("overhead_ppm"))
+    assert(ov.zip(ov.tail).forall { case (a, b) => a >= b }) // rarer failures, less overhead
+  }
+
+  test("q513 quorum verdicts are the exact R+W>N rule") {
+    val rows = run("q513_quorum_matrix").collect()
+    assert(rows.length == 9 + 25)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val rr = r.getAs[Long]("r"); val w = r.getAs[Long]("w")
+      assert(r.getAs[Long]("strong") == (if (rr + w > n) 1L else 0L))
+      assert(r.getAs[Long]("max_stale_replicas") == n - w)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
