@@ -1195,6 +1195,198 @@ object AtlasQueries {
           when(col("r") <= col("nn") - 1, 1L).otherwise(0L).as("read_avail_f1"),
           (col("nn") - col("w")).as("max_stale_replicas"))
         .orderBy("n", "r", "w")
+    },
+
+    // M/M/1 queueing advisor: at a service rate of 100 req/s, sweep
+    // arrival rates up the utilization curve and emit the exact
+    // rational Lq = ρ²/(1−ρ) and Wq = λ/(μ(μ−λ)) — the knee of this
+    // table (Wq exploding past ρ ≈ 0.9) is THE capacity-planning
+    // argument against running ingestion hot. Pure integer rationals
+    // over a 5-row spine; zero data access — the advisory family's
+    // (q512, q513) queueing member.
+    QueryDef.sql(
+      "q514_queueing_advisor",
+      """WITH l(lam) AS (VALUES (50), (80), (90), (95), (99))
+        |SELECT CAST(lam AS BIGINT) AS lambda_rps,
+        |  CAST(10000 * lam AS BIGINT) AS rho_ppm,
+        |  CAST((1000 * CAST(lam AS BIGINT) * lam) // (100 * (100 - lam)) AS BIGINT)
+        |    AS lq_milli,
+        |  CAST((1000000 * CAST(lam AS BIGINT)) // (100 * (100 - lam)) AS BIGINT)
+        |    AS wq_micros
+        |FROM l ORDER BY lambda_rps""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq(50L, 80L, 90L, 95L, 99L).toDF("lam")
+        .select(col("lam").as("lambda_rps"),
+          (lit(10000L) * col("lam")).as("rho_ppm"),
+          expr("(1000 * lam * lam) div (100 * (100 - lam))").as("lq_milli"),
+          expr("(1000000 * lam) div (100 * (100 - lam))").as("wq_micros"))
+        .orderBy("lambda_rps")
+    },
+
+    // G-counter CRDT merge audit: three replicas each observe only two
+    // of three origin shards (a partition), so their local totals
+    // disagree; merging by per-origin MAX — the G-counter join — must
+    // converge every replica to the true global count. The per-origin
+    // counters are one grouped count; replica visibility is a 6-row
+    // membership table; the audit proves convergence ≡ the CRDT's
+    // commutative-idempotent merge, entirely in-plan.
+    QueryDef.sql(
+      "q515_gcounter_merge",
+      """WITH o AS (SELECT o_orderkey % 3 AS origin, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |vis(replica, origin) AS (VALUES ('A', 0), ('A', 1), ('B', 1), ('B', 2),
+        |  ('C', 0), ('C', 2)),
+        |loc AS (SELECT v.replica, SUM(o.cnt) AS visible
+        |  FROM vis v JOIN o ON v.origin = o.origin GROUP BY 1),
+        |mx AS (SELECT origin, MAX(cnt) AS m FROM (
+        |    SELECT v.origin, o.cnt FROM vis v JOIN o ON v.origin = o.origin) GROUP BY 1),
+        |conv AS (SELECT SUM(m) AS merged FROM mx)
+        |SELECT l.replica, CAST(l.visible AS BIGINT) AS visible_before,
+        |  (SELECT CAST(merged AS BIGINT) FROM conv) AS converged_after
+        |FROM loc l ORDER BY replica""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders
+        .groupBy((col("o_orderkey") % 3).as("origin")).agg(count(lit(1)).as("cnt"))
+      val vis = Seq(("A", 0L), ("A", 1L), ("B", 1L), ("B", 2L), ("C", 0L), ("C", 2L))
+        .toDF("replica", "origin")
+      val seen = vis.join(broadcast(o), "origin")
+      val loc = seen.groupBy("replica").agg(sum("cnt").as("visible"))
+      val conv = seen.groupBy("origin").agg(max("cnt").as("m"))
+        .agg(sum("m").as("merged"))
+      loc.crossJoin(broadcast(conv))
+        .select(col("replica"), col("visible").as("visible_before"),
+          col("merged").as("converged_after"))
+        .orderBy("replica")
+    },
+
+    // Column-encoding chooser: for three order columns, measure the
+    // stats each classic encoding prices on — NDV (dictionary),
+    // max successive delta in storage order (delta/FOR), and run count
+    // (RLE) — then pick the cheapest estimated footprint. Unifies
+    // q234/q278/q280's single-encoding screens into the per-column
+    // verdict a columnar writer actually makes. One window pass per
+    // column for deltas/runs (storage order = orderkey), bit widths
+    // via the length(bin(x)) ceil-log2 trick, all sizes exact bytes.
+    QueryDef.sql(
+      "q516_encoding_chooser",
+      """WITH src AS (SELECT o_orderkey AS k, o_custkey AS c1,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c2,
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS c3
+        |  FROM orders),
+        |longcol AS (SELECT 'o_custkey' AS col, k, c1 AS v FROM src
+        |  UNION ALL SELECT 'o_totalprice_cents', k, c2 FROM src
+        |  UNION ALL SELECT 'o_orderdate_days', k, c3 FROM src),
+        |w AS (SELECT col, v, v - LAG(v) OVER (PARTITION BY col ORDER BY k) AS d,
+        |    CASE WHEN v = LAG(v) OVER (PARTITION BY col ORDER BY k)
+        |      THEN 0 ELSE 1 END AS newrun
+        |  FROM longcol),
+        |g AS (SELECT col, COUNT(*) AS n, COUNT(DISTINCT v) AS ndv,
+        |    MAX(ABS(COALESCE(d, 0))) AS maxd, SUM(newrun) AS runs,
+        |    MAX(v) - MIN(v) AS rng
+        |  FROM w GROUP BY 1),
+        |bits AS (SELECT col, n, ndv, runs,
+        |    CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END AS dict_bits,
+        |    CASE WHEN maxd <= 0 THEN 1 ELSE length(bin(maxd)) + 1 END AS delta_bits,
+        |    CASE WHEN rng <= 0 THEN 1 ELSE length(bin(rng)) END AS plain_bits
+        |  FROM g),
+        |est AS (SELECT col, n, ndv, runs,
+        |    (n * plain_bits + 7) // 8 AS plain_bytes,
+        |    (n * dict_bits + 7) // 8 + ndv * 8 AS dict_bytes,
+        |    (n * delta_bits + 7) // 8 AS delta_bytes,
+        |    runs * 16 AS rle_bytes
+        |  FROM bits)
+        |SELECT col, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+        |  CAST(dict_bytes AS BIGINT) AS dict_bytes,
+        |  CAST(delta_bytes AS BIGINT) AS delta_bytes,
+        |  CAST(rle_bytes AS BIGINT) AS rle_bytes,
+        |  CASE WHEN rle_bytes <= LEAST(plain_bytes, dict_bytes, delta_bytes) THEN 'rle'
+        |    WHEN delta_bytes <= LEAST(plain_bytes, dict_bytes) THEN 'delta'
+        |    WHEN dict_bytes <= plain_bytes THEN 'dict' ELSE 'plain' END AS verdict
+        |FROM est ORDER BY col""".stripMargin) { (s, dir) =>
+      val src = Tables(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c1"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("c2"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("c3"))
+      val longcol = src.select(lit("o_custkey").as("col"), col("k"), col("c1").as("v"))
+        .unionAll(src.select(lit("o_totalprice_cents").as("col"), col("k"),
+          col("c2").as("v")))
+        .unionAll(src.select(lit("o_orderdate_days").as("col"), col("k"),
+          col("c3").as("v")))
+      val wl = Window.partitionBy("col").orderBy("k")
+      val w = longcol
+        .withColumn("d", col("v") - lag("v", 1).over(wl))
+        .withColumn("newrun",
+          when(col("v") === lag("v", 1).over(wl), 0L).otherwise(1L))
+      val g = w.groupBy("col")
+        .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"),
+          max(abs(coalesce(col("d"), lit(0L)))).as("maxd"),
+          sum("newrun").as("runs"), (max("v") - min("v")).as("rng"))
+      g.select(col("col"), col("n"), col("ndv"), col("runs"),
+          when(col("ndv") <= 1, 1L)
+            .otherwise(expr("length(bin(ndv - 1))")).as("dict_bits"),
+          when(col("maxd") <= 0, 1L)
+            .otherwise(expr("length(bin(maxd)) + 1")).as("delta_bits"),
+          when(col("rng") <= 0, 1L)
+            .otherwise(expr("length(bin(rng))")).as("plain_bits"))
+        .select(col("col"), col("n"), col("ndv"),
+          expr("(n * plain_bits + 7) div 8").as("plain_bytes"),
+          expr("(n * dict_bits + 7) div 8 + ndv * 8").as("dict_bytes"),
+          expr("(n * delta_bits + 7) div 8").as("delta_bytes"),
+          (col("runs") * 16).as("rle_bytes"))
+        .withColumn("verdict",
+          when(col("rle_bytes") <=
+            least(col("plain_bytes"), col("dict_bytes"), col("delta_bytes")), "rle")
+          .when(col("delta_bytes") <= least(col("plain_bytes"), col("dict_bytes")),
+            "delta")
+          .when(col("dict_bytes") <= col("plain_bytes"), "dict")
+          .otherwise("plain"))
+        .orderBy("col")
+    },
+
+    // Re-identification uniqueness curve: what fraction of customers
+    // are UNIQUE under progressively richer quasi-identifier sets
+    // (nation → +segment → +balance-kilobucket)? Singleton equivalence
+    // classes are the re-identifiable population — the curve's growth
+    // with each added attribute is the privacy cost of releasing it
+    // (the sweep view of q253/q487's fixed-QI audits). Three grouped
+    // counts, each a map-side-combined aggregate; the census is exact
+    // ppm.
+    QueryDef.sql(
+      "q517_uniqueness_risk",
+      """WITH c AS (SELECT c_custkey, c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal) AS BIGINT) // 1000 AS bb FROM customer),
+        |n AS (SELECT COUNT(*) AS nc FROM c),
+        |l1 AS (SELECT 'q1_nation' AS qi, COUNT(*) AS n_classes,
+        |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS singles
+        |  FROM (SELECT nk, COUNT(*) AS n FROM c GROUP BY 1)),
+        |l2 AS (SELECT 'q2_nation_segment', COUNT(*),
+        |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |  FROM (SELECT nk, seg, COUNT(*) AS n FROM c GROUP BY 1, 2)),
+        |l3 AS (SELECT 'q3_nation_segment_balance', COUNT(*),
+        |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |  FROM (SELECT nk, seg, bb, COUNT(*) AS n FROM c GROUP BY 1, 2, 3)),
+        |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        |SELECT u.qi, CAST(u.n_classes AS BIGINT) AS n_classes,
+        |  CAST(u.singles AS BIGINT) AS unique_rows,
+        |  CAST(1000000 * u.singles // n.nc AS BIGINT) AS unique_ppm
+        |FROM u, n ORDER BY qi""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir).customer.select(col("c_custkey"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        expr("CAST(FLOOR(c_acctbal) AS BIGINT) div 1000").as("bb"))
+      val n = c.agg(count(lit(1)).as("nc"))
+      def level(name: String, keys: Seq[String]) = c
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("singles"))
+        .select(lit(name).as("qi"), col("n_classes"), col("singles"))
+      level("q1_nation", Seq("nk"))
+        .unionAll(level("q2_nation_segment", Seq("nk", "seg")))
+        .unionAll(level("q3_nation_segment_balance", Seq("nk", "seg", "bb")))
+        .crossJoin(broadcast(n))
+        .select(col("qi"), col("n_classes"), col("singles").as("unique_rows"),
+          expr("CAST(1000000 * singles div nc AS BIGINT)").as("unique_ppm"))
+        .orderBy("qi")
     }
   )
 }

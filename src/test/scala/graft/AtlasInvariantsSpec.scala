@@ -282,6 +282,52 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q514 queueing delays explode monotonically toward saturation") {
+    val rows = run("q514_queueing_advisor").collect().sortBy(_.getAs[Long]("lambda_rps"))
+    assert(rows.length == 5)
+    val wq = rows.map(_.getAs[Long]("wq_micros"))
+    assert(wq.zip(wq.tail).forall { case (a, b) => a < b }) // strictly worsening
+    rows.foreach { r =>
+      val lam = r.getAs[Long]("lambda_rps")
+      assert(r.getAs[Long]("rho_ppm") == 10000L * lam)
+      // exact M/M/1: Wq·(μ−λ)·μ == λ·10⁶ up to truncation
+      assert(r.getAs[Long]("wq_micros") == 1000000L * lam / (100L * (100L - lam)))
+    }
+  }
+
+  test("q515 every replica converges to the same global count") {
+    val rows = run("q515_gcounter_merge").collect()
+    assert(rows.length == 3)
+    val conv = rows.map(_.getAs[Long]("converged_after")).distinct
+    assert(conv.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("visible_before") <= conv.head) // partial view ≤ merged
+      assert(r.getAs[Long]("visible_before") > 0L)
+    }
+  }
+
+  test("q516 encoding verdict picks the minimal estimated footprint") {
+    val rows = run("q516_encoding_chooser").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val sizes = Map(
+        "plain" -> r.getAs[Long]("plain_bytes"), "dict" -> r.getAs[Long]("dict_bytes"),
+        "delta" -> r.getAs[Long]("delta_bytes"), "rle" -> r.getAs[Long]("rle_bytes"))
+      val v = r.getAs[String]("verdict")
+      assert(sizes(v) == sizes.values.min) // verdict is the argmin
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q517 uniqueness grows with quasi-identifier richness") {
+    val rows = run("q517_uniqueness_risk").collect().sortBy(_.getAs[String]("qi"))
+    assert(rows.length == 3)
+    val uniq = rows.map(_.getAs[Long]("unique_ppm"))
+    assert(uniq.zip(uniq.tail).forall { case (a, b) => a <= b }) // refinement only splits
+    val classes = rows.map(_.getAs[Long]("n_classes"))
+    assert(classes.zip(classes.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
