@@ -1387,6 +1387,208 @@ object AtlasQueries {
         .select(col("qi"), col("n_classes"), col("singles").as("unique_rows"),
           expr("CAST(1000000 * singles div nc AS BIGINT)").as("unique_ppm"))
         .orderBy("qi")
+    },
+
+    // Eager aggregation (the groupBy-pushdown rewrite, proven
+    // differentially): revenue per order priority computed (a) join
+    // lineitem→orders then aggregate, and (b) PRE-aggregate lineitem
+    // to order grain first, join the ~4×-smaller intermediate, then
+    // aggregate — the rewrite Catalyst doesn't apply automatically
+    // that every hand-tuned star-schema query uses. Both paths are
+    // emitted side by side with the join input cardinalities; the
+    // match column certifies the rewrite is lossless (sums are
+    // associative over the orderkey partition).
+    QueryDef.sql(
+      "q518_eager_aggregation",
+      """WITH a AS (SELECT o.o_orderpriority AS pri,
+        |    SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |pre AS (SELECT l_orderkey,
+        |    SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT o.o_orderpriority AS pri, SUM(p.cents) AS rev
+        |  FROM pre p JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |nl AS (SELECT COUNT(*) AS n FROM lineitem),
+        |np AS (SELECT COUNT(*) AS n FROM pre)
+        |SELECT a.pri AS priority, CAST(a.rev AS BIGINT) AS rev_join_first,
+        |  CAST(b.rev AS BIGINT) AS rev_preagg,
+        |  CAST(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS BIGINT) AS rewrite_ok,
+        |  (SELECT CAST(n AS BIGINT) FROM nl) AS join_rows_plain,
+        |  (SELECT CAST(n AS BIGINT) FROM np) AS join_rows_preagg
+        |FROM a JOIN b ON a.pri = b.pri ORDER BY priority""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cents = floor(col("l_extendedprice") * lit(100.0)).cast("long")
+      val a = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("pri")).agg(sum(cents).as("rev_a"))
+      val pre = t.lineitem.groupBy("l_orderkey").agg(sum(cents).as("cents"))
+      val b = pre.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("pri")).agg(sum("cents").as("rev_b"))
+      val nl = t.lineitem.agg(count(lit(1)).as("join_rows_plain"))
+      val np = pre.agg(count(lit(1)).as("join_rows_preagg"))
+      a.join(b, "pri")
+        .crossJoin(broadcast(nl)).crossJoin(broadcast(np))
+        .select(col("pri").as("priority"), col("rev_a").as("rev_join_first"),
+          col("rev_b").as("rev_preagg"),
+          when(col("rev_a") === col("rev_b"), 1L).otherwise(0L).as("rewrite_ok"),
+          col("join_rows_plain"), col("join_rows_preagg"))
+        .orderBy("priority")
+    },
+
+    // Postings-list compression audit: per-term sorted doc-id gap
+    // lists priced as varint bytes (⌈bits/7⌉ per gap) against the
+    // plain 8-byte encoding — the delta-compression arithmetic every
+    // inverted index (q102) rests on, with the classic result that
+    // COMMON terms compress hardest (dense postings ⇒ tiny gaps). One
+    // lag window per term over the distinct (term, doc) relation; bit
+    // widths via length(bin(gap)).
+    QueryDef.sql(
+      "q519_postings_compression",
+      s"""WITH $tokSql,
+         |post AS (SELECT DISTINCT w AS term, doc_id FROM tok WHERE len(w) > 0),
+         |gaps AS (SELECT term, doc_id,
+         |    doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+         |  FROM post),
+         |vb AS (SELECT term,
+         |    CASE WHEN gap IS NULL OR gap <= 0 THEN 1
+         |      ELSE (length(bin(gap)) + 6) // 7 END AS bytes
+         |  FROM gaps),
+         |agg AS (SELECT term, COUNT(*) AS n_docs, SUM(bytes) AS varint_bytes
+         |  FROM vb GROUP BY 1)
+         |SELECT term, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(8 * n_docs AS BIGINT) AS plain_bytes,
+         |  CAST(varint_bytes AS BIGINT) AS varint_bytes,
+         |  CAST((1000 * varint_bytes) // (8 * n_docs) AS BIGINT) AS ratio_milli
+         |FROM agg ORDER BY n_docs DESC, term LIMIT 10""".stripMargin) { (s, dir) =>
+      val post = tokens(Tables(s, dir))
+        .where(length(col("w")) > 0)
+        .select(col("w").as("term"), col("doc_id")).distinct()
+      val gaps = post.withColumn("gap", col("doc_id") -
+        lag("doc_id", 1).over(Window.partitionBy("term").orderBy("doc_id")))
+      gaps.select(col("term"),
+          when(col("gap").isNull || col("gap") <= 0, 1L)
+            .otherwise(expr("(length(bin(gap)) + 6) div 7")).as("bytes"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("varint_bytes"))
+        .select(col("term"), col("n_docs"), (lit(8L) * col("n_docs")).as("plain_bytes"),
+          col("varint_bytes"),
+          expr("(1000 * varint_bytes) div (8 * n_docs)").as("ratio_milli"))
+        .orderBy(col("n_docs").desc, col("term"))
+        .limit(10)
+    },
+
+    // Access-path break-even advisor: the selectivity below which an
+    // index probe beats a sequential scan — sel* = pages·seq_cost /
+    // (rows·random_cost) with 8 KiB pages, seq=1/page, random=4/row —
+    // evaluated per table against a MEASURED probe predicate's
+    // selectivity (negative account balances / low order totals / tail
+    // part sizes), yielding the scan-vs-index verdict a cost-based
+    // planner would emit. Byte footprints reuse q468's one-pass stats;
+    // probe selectivities are conditional counts in the same pass.
+    QueryDef.sql(
+      "q520_access_path_advisor",
+      """WITH s AS (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS n,
+        |    CAST(SUM(len(c_name) + len(c_mktsegment) + 8 * 3) AS BIGINT) AS bytes,
+        |    SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS hits FROM customer
+        |  UNION ALL SELECT 'orders', COUNT(*),
+        |    CAST(SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) AS BIGINT),
+        |    SUM(CASE WHEN o_totalprice < 1000 THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'part', COUNT(*),
+        |    CAST(SUM(len(p_name) + len(p_brand) + len(p_type) + 8 * 3) AS BIGINT),
+        |    SUM(CASE WHEN p_size >= 45 THEN 1 ELSE 0 END) FROM part),
+        |e AS (SELECT tbl, n, hits, (bytes + 8191) // 8192 AS pages FROM s)
+        |SELECT tbl, CAST(n AS BIGINT) AS n_rows, CAST(pages AS BIGINT) AS pages,
+        |  CAST((1000000 * pages) // (n * 4) AS BIGINT) AS break_even_ppm,
+        |  CAST((1000000 * hits) // n AS BIGINT) AS probe_sel_ppm,
+        |  CAST(CASE WHEN (1000000 * hits) // n < (1000000 * pages) // (n * 4)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS use_index
+        |FROM e ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def st(name: String, df: org.apache.spark.sql.DataFrame,
+          rowBytes: org.apache.spark.sql.Column, hit: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n"), sum(rowBytes).cast("long").as("bytes"),
+          sum(when(hit, 1L).otherwise(0L)).as("hits"))
+          .select(lit(name).as("tbl"), col("n"), col("bytes"), col("hits"))
+      st("customer", t.customer,
+          length(col("c_name")) + length(col("c_mktsegment")) + lit(24),
+          col("c_acctbal") < 0)
+        .unionAll(st("orders", t.orders,
+          length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32),
+          col("o_totalprice") < 1000))
+        .unionAll(st("part", t.part,
+          length(col("p_name")) + length(col("p_brand")) + length(col("p_type")) + lit(24),
+          col("p_size") >= 45))
+        .withColumn("pages", expr("(bytes + 8191) div 8192"))
+        .select(col("tbl"), col("n").as("n_rows"), col("pages"),
+          expr("(1000000 * pages) div (n * 4)").as("break_even_ppm"),
+          expr("(1000000 * hits) div n").as("probe_sel_ppm"),
+          when(expr("(1000000 * hits) div n") < expr("(1000000 * pages) div (n * 4)"),
+            1L).otherwise(0L).as("use_index"))
+        .orderBy("tbl")
+    },
+
+    // Cluster-sampling design effect: if you sample CUSTOMERS (whole
+    // clusters of orders) instead of orders, how much variance do you
+    // buy? DEFF = 1 + (m̄−1)·ICC with the ANOVA intraclass correlation
+    // from the exact sum decomposition SSB = Σ Sᵢ²/mᵢ − G²/N — the
+    // number that converts "10 orders per sampled customer" into an
+    // effective sample size (q307's Neyman allocation prices strata;
+    // this prices clustering). One customer-grain aggregate, one
+    // scalar assembly, all scaled DECIMAL rationals.
+    QueryDef.sql(
+      "q521_design_effect",
+      """WITH y AS (SELECT o_custkey AS ck,
+        |    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c FROM orders),
+        |g AS (SELECT ck, COUNT(*) AS m, SUM(c) AS s FROM y GROUP BY 1),
+        |t AS (SELECT (SELECT COUNT(*) FROM g) AS k, (SELECT SUM(m) FROM g) AS nn,
+        |    (SELECT SUM(s) FROM g) AS gs,
+        |    (SELECT SUM(CAST(c AS HUGEINT) * c) FROM y) AS ss,
+        |    (SELECT SUM((CAST(s AS HUGEINT) * s) // m) FROM g) AS sb),
+        |d AS (SELECT k, nn,
+        |    (nn * sb - CAST(gs AS HUGEINT) * gs) // nn AS ssb,
+        |    ss - sb AS ssw,
+        |    (1000 * nn) // k AS m_bar_milli FROM t),
+        |icc AS (SELECT k, nn, m_bar_milli,
+        |    (1000000 * (ssb // (k - 1) - ssw // (nn - k)))
+        |      // GREATEST(ssb // (k - 1) + ((m_bar_milli - 1000) * (ssw // (nn - k)))
+        |        // 1000, 1) AS icc_ppm
+        |  FROM d)
+        |SELECT CAST(k AS BIGINT) AS n_clusters, CAST(nn AS BIGINT) AS n_orders,
+        |  CAST(m_bar_milli AS BIGINT) AS m_bar_milli,
+        |  CAST(icc_ppm AS BIGINT) AS icc_ppm,
+        |  CAST(1000 + ((m_bar_milli - 1000) * GREATEST(icc_ppm, 0)) // 1000000
+        |    AS BIGINT) AS deff_milli
+        |FROM icc""".stripMargin) { (s, dir) =>
+      val y = Tables(s, dir).orders.select(col("o_custkey").as("ck"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("c"))
+      val g = y.groupBy("ck").agg(count(lit(1)).as("m"), sum("c").as("s"))
+      val gt = g.agg(count(lit(1)).as("k"), sum("m").as("nn"), sum("s").as("gs"),
+        // per-cluster s²/m quotients already brush Long.Max at sf0.01 —
+        // their SUM must accumulate in DECIMAL, not BIGINT
+        sum(expr("(CAST(s AS DECIMAL(38,0)) * s) div m").cast("decimal(38,0)"))
+          .as("sb"))
+      val yt = y.agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+      gt.crossJoin(broadcast(yt))
+        .select(col("k"), col("nn"),
+          // subtract BEFORE dividing: gs²/nn alone exceeds Long.Max and
+          // Spark's div on DECIMAL silently WRAPS its bigint result
+          // (no ANSI error) — (nn·sb − gs²)/nn keeps the quotient small
+          expr("(nn * sb - CAST(gs AS DECIMAL(38,0)) * gs) div nn").as("ssb"),
+          (col("ss") - col("sb")).as("ssw"),
+          expr("(1000 * nn) div k").as("m_bar_milli"))
+        .select(col("k"), col("nn"), col("m_bar_milli"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * (ssb div (k - 1) - ssw div (nn - k)))" +
+            " div GREATEST(ssb div (k - 1)" +
+            " + (CAST(m_bar_milli - 1000 AS DECIMAL(38,0)) * (ssw div (nn - k)))" +
+            " div 1000, 1)")
+            .as("icc_ppm"))
+        .select(col("k").as("n_clusters"), col("nn").as("n_orders"),
+          col("m_bar_milli").cast("long").as("m_bar_milli"),
+          col("icc_ppm").cast("long").as("icc_ppm"),
+          expr("CAST(1000 + ((m_bar_milli - 1000) * GREATEST(icc_ppm, 0)) div 1000000" +
+            " AS BIGINT)").as("deff_milli"))
     }
   )
 }

@@ -328,6 +328,46 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(classes.zip(classes.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q518 the eager-aggregation rewrite is lossless and smaller") {
+    val rows = run("q518_eager_aggregation").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rewrite_ok") == 1L)
+      assert(r.getAs[Long]("rev_join_first") == r.getAs[Long]("rev_preagg"))
+      assert(r.getAs[Long]("join_rows_preagg") <= r.getAs[Long]("join_rows_plain"))
+    }
+  }
+
+  test("q519 varint postings never exceed plain and dense terms compress best") {
+    val rows = run("q519_postings_compression").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("varint_bytes") <= r.getAs[Long]("plain_bytes"))
+      assert(r.getAs[Long]("ratio_milli") <= 1000L)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+  }
+
+  test("q520 index verdicts follow the break-even rule exactly") {
+    val rows = run("q520_access_path_advisor").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val be = r.getAs[Long]("break_even_ppm"); val sel = r.getAs[Long]("probe_sel_ppm")
+      assert(r.getAs[Long]("use_index") == (if (sel < be) 1L else 0L))
+      assert(be > 0L && sel >= 0L && sel <= 1000000L)
+    }
+  }
+
+  test("q521 the design effect is at least 1 and consistent with ICC") {
+    val r = run("q521_design_effect").collect().head
+    val deff = r.getAs[Long]("deff_milli")
+    assert(deff >= 1000L) // clamped ICC ⇒ DEFF ≥ 1
+    val icc = math.max(r.getAs[Long]("icc_ppm"), 0L)
+    val mbar = r.getAs[Long]("m_bar_milli")
+    assert(deff == 1000L + (mbar - 1000L) * icc / 1000000L)
+    assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_orders"))
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
