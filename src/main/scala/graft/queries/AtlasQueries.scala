@@ -1589,6 +1589,210 @@ object AtlasQueries {
           col("icc_ppm").cast("long").as("icc_ppm"),
           expr("CAST(1000 + ((m_bar_milli - 1000) * GREATEST(icc_ppm, 0)) div 1000000" +
             " AS BIGINT)").as("deff_milli"))
+    },
+
+    // Range-partition boundary audit (Spark's RangePartitioner made
+    // explicit): pick 31 equi-depth cut points from the key's own
+    // order statistics, assign every row to its range bucket via the
+    // broadcast cut list (bucket id = #cuts strictly below the key —
+    // a conditional SUM, no sort at assignment time), and audit the
+    // realized balance against n/32 — duplicate-heavy keys are exactly
+    // where range partitioning skews, and this measures by how much.
+    QueryDef.sql(
+      "q522_range_boundaries",
+      """WITH k AS (SELECT o_custkey AS key FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM k),
+        |r AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) AS rn FROM k),
+        |cuts AS (SELECT i, MIN(key) AS cut FROM r, n,
+        |    generate_series(1, 31) t(i)
+        |  WHERE rn = (n.n * i + 31) // 32 GROUP BY 1),
+        |asg AS (SELECT k.key,
+        |    (SELECT COUNT(*) FROM cuts c WHERE c.cut < k.key) AS bucket
+        |  FROM k),
+        |b AS (SELECT bucket, COUNT(*) AS n_rows FROM asg GROUP BY 1)
+        |SELECT CAST(b.bucket AS BIGINT) AS bucket, CAST(b.n_rows AS BIGINT) AS n_rows,
+        |  CAST(n.n // 32 AS BIGINT) AS expected,
+        |  CAST((1000000 * CAST(b.n_rows AS HUGEINT) * 32) // n.n - 1000000 AS BIGINT)
+        |    AS dev_ppm
+        |FROM b, n ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val k = Tables(s, dir).orders.select(col("o_custkey").as("key"))
+      val n = k.agg(count(lit(1)).as("n"))
+      val r = k.withColumn("rn", row_number().over(Window.orderBy("key")))
+        .crossJoin(broadcast(n))
+      val cuts = r.crossJoin(broadcast(
+          s.range(1, 32).select(col("id").as("i"))))
+        .where(col("rn") === expr("(n * i + 31) div 32"))
+        .groupBy("i").agg(min("key").as("cut"))
+      // bucket per DISTINCT key (cross-joining raw rows would count each
+      // duplicate once per cut); row counts re-attach afterwards
+      val asg = k.distinct().crossJoin(broadcast(cuts))
+        .groupBy("key").agg(sum(when(col("cut") < col("key"), 1L).otherwise(0L))
+          .as("__b"))
+      val perKey = k.groupBy("key").agg(count(lit(1)).as("cnt"))
+        .join(asg, "key")
+      perKey.groupBy(col("__b").as("bucket"))
+        .agg(sum("cnt").as("n_rows"))
+        .crossJoin(broadcast(n))
+        .select(col("bucket"), col("n_rows"), expr("n div 32").as("expected"),
+          expr("CAST((1000000 * CAST(n_rows AS DECIMAL(38,0)) * 32) div n - 1000000" +
+            " AS BIGINT)").as("dev_ppm"))
+        .orderBy("bucket")
+    },
+
+    // CSV dialect sniffer: given raw delimited lines and no metadata,
+    // the true delimiter is the candidate whose per-line occurrence
+    // count is CONSTANT across every line (fields don't change count
+    // row to row) with the highest count — the ingestion-time
+    // inference every loader runs before q45's typed parse. Candidate
+    // counts are pure string arithmetic (len − len(replace)) in one
+    // map pass; the verdict is a 4-row argmax.
+    QueryDef.sql(
+      "q523_csv_sniffer",
+      """WITH raw AS (SELECT c_name || '|' || c_mktsegment || '|' ||
+        |    CAST(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS VARCHAR) AS line
+        |  FROM customer),
+        |cand(delim) AS (VALUES (','), (';'), ('|'), ('#')),
+        |cnt AS (SELECT c.delim,
+        |    len(r.line) - len(replace(r.line, c.delim, '')) AS k
+        |  FROM raw r CROSS JOIN cand c),
+        |st AS (SELECT delim, MIN(k) AS lo, MAX(k) AS hi,
+        |    CAST(SUM(k) AS HUGEINT) AS tot, COUNT(*) AS n FROM cnt GROUP BY 1),
+        |v AS (SELECT delim, lo, hi,
+        |    CASE WHEN lo = hi AND lo >= 1 THEN 1 ELSE 0 END AS stable
+        |  FROM st)
+        |SELECT v.delim, CAST(v.lo AS BIGINT) AS min_count,
+        |  CAST(v.hi AS BIGINT) AS max_count, CAST(v.stable AS BIGINT) AS stable,
+        |  CAST(CASE WHEN v.stable = 1 AND v.lo = (SELECT MAX(lo) FROM v v2
+        |    WHERE v2.stable = 1) THEN 1 ELSE 0 END AS BIGINT) AS verdict
+        |FROM v ORDER BY delim""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val raw = Tables(s, dir).customer
+        .select(concat(col("c_name"), lit("|"), col("c_mktsegment"), lit("|"),
+          floor(col("c_acctbal") * lit(100.0)).cast("long").cast("string")).as("line"))
+      val cand = Seq(",", ";", "|", "#").toDF("delim")
+      val st = raw.crossJoin(broadcast(cand))
+        .select(col("delim"),
+          (length(col("line")) - length(expr("replace(line, delim, '')"))).as("k"))
+        .groupBy("delim").agg(min("k").as("lo"), max("k").as("hi"))
+        .withColumn("stable",
+          when(col("lo") === col("hi") && col("lo") >= 1, 1L).otherwise(0L))
+      val best = st.where(col("stable") === 1).agg(max("lo").as("bestlo"))
+      st.crossJoin(broadcast(best))
+        .select(col("delim"), col("lo").cast("long").as("min_count"),
+          col("hi").cast("long").as("max_count"), col("stable"),
+          when(col("stable") === 1 && col("lo") === col("bestlo"), 1L).otherwise(0L)
+            .as("verdict"))
+        .orderBy("delim")
+    },
+
+    // JSON schema inference over a heterogeneous payload column: the
+    // events props stream is deterministically mutated into three
+    // co-existing shapes (numeric k / string k + tags / k + nested
+    // meta), then per candidate path the presence rate and the numeric
+    // share decide the inferred type and nullability — the
+    // schema-on-read step (q66/q107's VARIANT handling) made explicit
+    // as a census. Extraction is per-row get_json_object projections;
+    // the inference is a 3-row aggregate.
+    QueryDef.sql(
+      "q524_json_schema_infer",
+      """WITH p AS (SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN
+        |        '{"k": "s' || CAST(event_id % 100 AS VARCHAR) || '", "tags": ["a"]}'
+        |      WHEN event_id % 3 = 0 THEN
+        |        '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "meta": {"src": "x"}}'
+        |      ELSE props END AS payload
+        |  FROM events),
+        |x AS (SELECT event_id,
+        |    json_extract_string(payload, '$.k') AS k,
+        |    json_extract_string(payload, '$.tags[0]') AS tag0,
+        |    json_extract_string(payload, '$.meta.src') AS msrc
+        |  FROM p),
+        |n AS (SELECT COUNT(*) AS n FROM x),
+        |s AS (SELECT 'k' AS path, COUNT(k) AS present,
+        |    SUM(CASE WHEN k IS NOT NULL AND regexp_matches(k, '^[0-9]+$')
+        |      THEN 1 ELSE 0 END) AS numeric FROM x
+        |  UNION ALL SELECT 'meta.src', COUNT(msrc),
+        |    SUM(CASE WHEN msrc IS NOT NULL AND regexp_matches(msrc, '^[0-9]+$')
+        |      THEN 1 ELSE 0 END) FROM x
+        |  UNION ALL SELECT 'tags[0]', COUNT(tag0),
+        |    SUM(CASE WHEN tag0 IS NOT NULL AND regexp_matches(tag0, '^[0-9]+$')
+        |      THEN 1 ELSE 0 END) FROM x)
+        |SELECT s.path, CAST(1000000 * s.present // n.n AS BIGINT) AS present_ppm,
+        |  CAST(CASE WHEN s.present = 0 THEN 0
+        |    ELSE 1000000 * s.numeric // s.present END AS BIGINT) AS numeric_ppm,
+        |  CASE WHEN s.present = 0 THEN 'absent'
+        |    WHEN s.numeric = s.present THEN 'bigint'
+        |    WHEN s.numeric = 0 THEN 'string' ELSE 'mixed' END AS inferred,
+        |  CAST(CASE WHEN s.present < n.n THEN 1 ELSE 0 END AS BIGINT) AS nullable
+        |FROM s, n ORDER BY path""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).events.select(col("event_id"),
+        when(col("event_id") % 7 === 0,
+          concat(lit("{\"k\": \"s"), (col("event_id") % 100).cast("string"),
+            lit("\", \"tags\": [\"a\"]}")))
+        .when(col("event_id") % 3 === 0,
+          concat(lit("{\"k\": "), (col("event_id") % 100).cast("string"),
+            lit(", \"meta\": {\"src\": \"x\"}}")))
+        .otherwise(col("props")).as("payload"))
+      val x = p.select(
+        get_json_object(col("payload"), "$.k").as("k"),
+        get_json_object(col("payload"), "$.tags[0]").as("tag0"),
+        get_json_object(col("payload"), "$.meta.src").as("msrc"))
+      val n = x.agg(count(lit(1)).as("n"))
+      def path(name: String, c: String) = x.agg(count(col(c)).as("present"),
+        sum(when(col(c).isNotNull && col(c).rlike("^[0-9]+$"), 1L).otherwise(0L))
+          .as("numeric"))
+        .select(lit(name).as("path"), col("present"), col("numeric"))
+      path("k", "k").unionAll(path("meta.src", "msrc")).unionAll(path("tags[0]", "tag0"))
+        .crossJoin(broadcast(n))
+        .select(col("path"),
+          expr("CAST(1000000 * present div n AS BIGINT)").as("present_ppm"),
+          when(col("present") === 0, 0L)
+            .otherwise(expr("1000000 * numeric div present")).as("numeric_ppm"),
+          when(col("present") === 0, "absent")
+            .when(col("numeric") === col("present"), "bigint")
+            .when(col("numeric") === 0, "string").otherwise("mixed").as("inferred"),
+          when(col("present") < col("n"), 1L).otherwise(0L).as("nullable"))
+        .orderBy("path")
+    },
+
+    // p99 decomposition fallacy, measured: split each request's
+    // latency into three additive stages and compare Σ p99(stage)
+    // against p99(total) — the sum of stage p99s OVERSTATES the true
+    // tail whenever stage extremes don't coincide, which is why
+    // per-stage SLO budgets mislead (q239's burn rates need the joint
+    // quantile, not the sum). All four p99s are exact ⌈0.99·n⌉ order
+    // statistics from one window each; the overstatement is an exact
+    // ppm ratio.
+    QueryDef.sql(
+      "q525_p99_decomposition",
+      """WITH e AS (SELECT CAST(FLOOR(value * 1000.0) AS BIGINT) AS t FROM events),
+        |st AS (SELECT t, t // 3 AS s1, t // 5 AS s2, t - t // 3 - t // 5 AS s3 FROM e),
+        |q AS (SELECT quantile_disc(t, 0.99) AS p99_total,
+        |    quantile_disc(s1, 0.99) AS p99_s1, quantile_disc(s2, 0.99) AS p99_s2,
+        |    quantile_disc(s3, 0.99) AS p99_s3 FROM st)
+        |SELECT CAST(p99_total AS BIGINT) AS p99_total,
+        |  CAST(p99_s1 AS BIGINT) AS p99_s1, CAST(p99_s2 AS BIGINT) AS p99_s2,
+        |  CAST(p99_s3 AS BIGINT) AS p99_s3,
+        |  CAST(p99_s1 + p99_s2 + p99_s3 AS BIGINT) AS sum_stage_p99,
+        |  CAST((1000000 * (p99_s1 + p99_s2 + p99_s3)) // GREATEST(p99_total, 1)
+        |    AS BIGINT) AS overstate_ppm
+        |FROM q""".stripMargin) { (s, dir) =>
+      val st = Tables(s, dir).events
+        .select(floor(col("value") * lit(1000.0)).cast("long").as("t"))
+        .select(col("t"), expr("t div 3").as("s1"), expr("t div 5").as("s2"),
+          expr("t - t div 3 - t div 5").as("s3"))
+      def p99(c: String) = st
+        .select(col(c), row_number().over(Window.orderBy(c)).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .where(col("rn") === expr("(n * 99 + 99) div 100"))
+        .select(col(c).as(s"p99_$c"))
+      p99("t").crossJoin(broadcast(p99("s1"))).crossJoin(broadcast(p99("s2")))
+        .crossJoin(broadcast(p99("s3")))
+        .select(col("p99_t").as("p99_total"), col("p99_s1"), col("p99_s2"),
+          col("p99_s3"),
+          (col("p99_s1") + col("p99_s2") + col("p99_s3")).as("sum_stage_p99"),
+          expr("CAST((1000000 * (p99_s1 + p99_s2 + p99_s3))" +
+            " div GREATEST(p99_t, 1) AS BIGINT)").as("overstate_ppm"))
     }
   )
 }

@@ -368,6 +368,54 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_orders"))
   }
 
+  test("q522 range buckets partition all rows into 32 near-even parts") {
+    val rows = run("q522_range_boundaries").collect()
+    assert(rows.length <= 32 && rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val expected = rows.head.getAs[Long]("expected")
+    assert(total == rows.map(_.getAs[Long]("n_rows")).sum) // complete partition
+    assert(total >= expected * 32) // expected is the floor of n/32
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 31L)
+    }
+  }
+
+  test("q523 the sniffer picks the pipe delimiter uniquely") {
+    val rows = run("q523_csv_sniffer").collect()
+    assert(rows.length == 4)
+    val verdicts = rows.filter(_.getAs[Long]("verdict") == 1L)
+    assert(verdicts.length == 1 && verdicts.head.getAs[String]("delim") == "|")
+    verdicts.foreach(r => assert(r.getAs[Long]("min_count") == 2L)) // 3 fields
+    rows.foreach(r =>
+      assert((r.getAs[Long]("stable") == 1L) ==
+        (r.getAs[Long]("min_count") == r.getAs[Long]("max_count") &&
+          r.getAs[Long]("min_count") >= 1L)))
+  }
+
+  test("q524 JSON inference sees the planted shape mix") {
+    val rows = run("q524_json_schema_infer").collect()
+    assert(rows.length == 3)
+    val byPath = rows.map(r => r.getAs[String]("path") -> r).toMap
+    assert(byPath("k").getAs[String]("inferred") == "mixed") // numeric + quoted
+    assert(byPath("k").getAs[Long]("present_ppm") == 1000000L)
+    assert(byPath("k").getAs[Long]("nullable") == 0L)
+    assert(byPath("tags[0]").getAs[String]("inferred") == "string")
+    assert(byPath("tags[0]").getAs[Long]("nullable") == 1L)
+    assert(byPath("meta.src").getAs[String]("inferred") == "string")
+  }
+
+  test("q525 the stage-p99 sum overstates the true tail") {
+    val r = run("q525_p99_decomposition").collect().head
+    // stages are additive parts of total ⇒ Σ stage-p99 ≥ total-p99 − 2
+    // (two integer-division truncations in the stage split)
+    assert(r.getAs[Long]("sum_stage_p99") >= r.getAs[Long]("p99_total") - 2L)
+    assert(r.getAs[Long]("overstate_ppm") >= 999000L)
+    Seq("p99_s1", "p99_s2", "p99_s3").foreach { c =>
+      assert(r.getAs[Long](c) <= r.getAs[Long]("p99_total"))
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
