@@ -1793,6 +1793,289 @@ object AtlasQueries {
           (col("p99_s1") + col("p99_s2") + col("p99_s3")).as("sum_stage_p99"),
           expr("CAST((1000000 * (p99_s1 + p99_s2 + p99_s3))" +
             " div GREATEST(p99_t, 1) AS BIGINT)").as("overstate_ppm"))
+    },
+
+    // Summed-area table (integral image) over the (nation × month)
+    // order-count cube: two cumulative window passes build sat(i,j) =
+    // Σ counts over the dominated rectangle, after which ANY
+    // rectangular roll-up is 4 corner lookups — the dense-cube trick
+    // that answers ad-hoc range aggregations in O(1) instead of
+    // rescanning (q111's cube materializes group-bys; this handles
+    // arbitrary CONTIGUOUS ranges). The grid is densified on a spine
+    // first (SAT needs every cell), and three probe rectangles are
+    // verified against their direct counts IN the query — the output
+    // certifies the identity.
+    QueryDef.sql(
+      "q526_summed_area",
+      """WITH cell AS (SELECT c.c_nationkey AS nk,
+        |    strftime(o.o_orderdate, '%Y-%m') AS mon, COUNT(*) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |mons AS (SELECT mon, ROW_NUMBER() OVER (ORDER BY mon) - 1 AS mj
+        |  FROM (SELECT DISTINCT mon FROM cell)),
+        |nats AS (SELECT DISTINCT nk FROM cell),
+        |dense AS (SELECT n.nk, m.mj, COALESCE(c2.cnt, 0) AS cnt
+        |  FROM nats n CROSS JOIN mons m
+        |  LEFT JOIN cell c2 ON c2.nk = n.nk AND c2.mon = m.mon),
+        |sat AS (SELECT nk, mj, SUM(rowcum) OVER (PARTITION BY mj ORDER BY nk
+        |    ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM (SELECT nk, mj, SUM(cnt) OVER (PARTITION BY nk ORDER BY mj
+        |      ROWS UNBOUNDED PRECEDING) AS rowcum FROM dense)),
+        |probes0(pid, n1, n2, m1, m2) AS (VALUES
+        |  (1, 0, 5, 0, 11), (2, 10, 24, 12, 35), (3, 3, 3, 6, 6)),
+        |probes AS (SELECT pid, n1, n2, m1,
+        |    LEAST(m2, (SELECT MAX(mj) FROM mons)) AS m2 FROM probes0),
+        |satq AS (SELECT p.pid,
+        |    COALESCE((SELECT s FROM sat WHERE nk = p.n2 AND mj = p.m2), 0)
+        |    - COALESCE((SELECT s FROM sat WHERE nk = p.n1 - 1 AND mj = p.m2), 0)
+        |    - COALESCE((SELECT s FROM sat WHERE nk = p.n2 AND mj = p.m1 - 1), 0)
+        |    + COALESCE((SELECT s FROM sat WHERE nk = p.n1 - 1 AND mj = p.m1 - 1), 0)
+        |      AS sat_count
+        |  FROM probes p),
+        |direct AS (SELECT p.pid, COALESCE(SUM(d.cnt), 0) AS direct_count
+        |  FROM probes p LEFT JOIN dense d
+        |    ON d.nk BETWEEN p.n1 AND p.n2 AND d.mj BETWEEN p.m1 AND p.m2
+        |  GROUP BY 1)
+        |SELECT s.pid AS probe, CAST(s.sat_count AS BIGINT) AS sat_count,
+        |  CAST(d.direct_count AS BIGINT) AS direct_count,
+        |  CAST(CASE WHEN s.sat_count = d.direct_count THEN 1 ELSE 0 END AS BIGINT)
+        |    AS identity_ok
+        |FROM satq s JOIN direct d ON s.pid = d.pid ORDER BY probe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cell = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      val mons = cell.select("mon").distinct()
+        .withColumn("mj", row_number().over(Window.orderBy("mon")) - 1)
+      val nats = cell.select("nk").distinct()
+      val dense = nats.crossJoin(mons)
+        .join(cell, Seq("nk", "mon"), "left")
+        .select(col("nk"), col("mj"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val sat = dense
+        .withColumn("rowcum", sum("cnt").over(Window.partitionBy("nk").orderBy("mj")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s", sum("rowcum").over(Window.partitionBy("mj").orderBy("nk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("nk", "mj", "s")
+        .cache()
+      val maxMj = mons.agg(max("mj").as("maxmj"))
+      val probes = Seq((1L, 0L, 5L, 0L, 11L), (2L, 10L, 24L, 12L, 35L),
+        (3L, 3L, 3L, 6L, 6L)).toDF("pid", "n1", "n2", "m1", "m2")
+        .crossJoin(broadcast(maxMj))
+        // clamp to the realized grid — sparse small-SF fixtures have
+        // fewer months than the probe windows assume
+        .select(col("pid"), col("n1"), col("n2"), col("m1"),
+          least(col("m2"), col("maxmj")).as("m2"))
+      def corner(nkc: String, mjc: String, alias: String) = {
+        val sc = sat.select(col("nk").as("cnk"), col("mj").as("cmj"),
+          col("s").as(alias))
+        (df: org.apache.spark.sql.DataFrame) => df.join(broadcast(sc),
+          col(nkc) === col("cnk") && col(mjc) === col("cmj"), "left")
+          .drop("cnk", "cmj")
+          .withColumn(alias, coalesce(col(alias), lit(0L)))
+      }
+      val withCorners = probes
+        .withColumn("n0", col("n1") - 1).withColumn("m0", col("m1") - 1)
+      val satq = corner("n0", "m0", "c00")(
+        corner("n2", "m0", "c20")(
+          corner("n0", "m2", "c02")(
+            corner("n2", "m2", "c22")(withCorners))))
+        .select(col("pid"), (col("c22") - col("c02") - col("c20") + col("c00"))
+          .as("sat_count"))
+      val direct = probes.crossJoin(dense)
+        .where(col("nk").between(col("n1"), col("n2")) &&
+          col("mj").between(col("m1"), col("m2")))
+        .groupBy("pid").agg(sum("cnt").as("direct_count"))
+      satq.join(direct, Seq("pid"), "left")
+        .select(col("pid").as("probe"), col("sat_count"),
+          coalesce(col("direct_count"), lit(0L)).as("direct_count"),
+          when(col("sat_count") === coalesce(col("direct_count"), lit(0L)), 1L)
+            .otherwise(0L).as("identity_ok"))
+        .orderBy("probe")
+    },
+
+    // Deterministic dither (unbiased) rounding audit: quantizing milli
+    // values to cents by TRUNCATION biases every value down ~half a
+    // unit, and the bias compounds linearly with n; adding an md5-
+    // derived dither in [0, 10) before the division kills the bias
+    // without any floating point — the integer cousin of stochastic
+    // rounding that low-precision training (q64's quantization) leans
+    // on, reproducible because the dither is content-keyed, not RNG.
+    // One map pass, three exact sums, errors reported in ppm of the
+    // exact total.
+    QueryDef.sql(
+      "q527_dither_rounding",
+      """WITH v AS (SELECT event_id,
+        |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS milli FROM events),
+        |q AS (SELECT milli, milli // 10 AS trunc_cents,
+        |    (milli + ('0x' || substr(md5('d' || event_id), 1, 4))::BIGINT % 10) // 10
+        |      AS dither_cents
+        |  FROM v),
+        |a AS (SELECT COUNT(*) AS n, SUM(milli) AS exact_milli,
+        |    SUM(trunc_cents) * 10 AS trunc_milli,
+        |    SUM(dither_cents) * 10 AS dither_milli FROM q)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(exact_milli AS BIGINT) AS exact_milli,
+        |  CAST((1000000 * (trunc_milli - exact_milli)) // exact_milli AS BIGINT)
+        |    AS trunc_err_ppm,
+        |  CAST((1000000 * (dither_milli - exact_milli)) // exact_milli AS BIGINT)
+        |    AS dither_err_ppm,
+        |  CAST(ABS(trunc_milli - exact_milli) // GREATEST(ABS(dither_milli - exact_milli), 1)
+        |    AS BIGINT) AS bias_reduction_x
+        |FROM a""".stripMargin) { (s, dir) =>
+      val q = Tables(s, dir).events
+        .select(col("event_id"), floor(col("value") * lit(1000.0)).cast("long").as("milli"))
+        .select(col("milli"), expr("milli div 10").as("trunc_cents"),
+          expr("(milli + CAST(conv(substring(md5(concat('d', event_id)), 1, 4), 16, 10)" +
+            " AS BIGINT) % 10) div 10").as("dither_cents"))
+      q.agg(count(lit(1)).as("n"), sum("milli").as("exact_milli"),
+          (sum("trunc_cents") * 10).as("trunc_milli"),
+          (sum("dither_cents") * 10).as("dither_milli"))
+        .select(col("n"), col("exact_milli"),
+          expr("CAST((1000000 * (trunc_milli - exact_milli)) div exact_milli AS BIGINT)")
+            .as("trunc_err_ppm"),
+          expr("CAST((1000000 * (dither_milli - exact_milli)) div exact_milli AS BIGINT)")
+            .as("dither_err_ppm"),
+          expr("CAST(ABS(trunc_milli - exact_milli)" +
+            " div GREATEST(ABS(dither_milli - exact_milli), 1) AS BIGINT)")
+            .as("bias_reduction_x"))
+    },
+
+    // Landmark distance labeling (the ALT / 2-hop-cover idea): run
+    // multi-source BFS from EVERY node of the symmetrized trade graph
+    // at once (the frontier carries (src, n) pairs — one extra key
+    // column turns q160's single-source walk into APSP for small
+    // vertex sets), pick the 3 highest-degree nodes as landmarks, and
+    // audit the triangle upper bound min_L d(a,L)+d(L,b) against the
+    // true distance on the 10 first connected pairs — the tightness
+    // census that says whether 3 labels suffice as a distance index.
+    QueryDef.sql(
+      "q528_landmark_distances",
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS ne FROM e0),
+        |ed AS MATERIALIZED (SELECT src, dst FROM e0, t WHERE 2 * cnt * ne >= 3 * tot),
+        |e AS MATERIALIZED (SELECT src, dst FROM ed
+        |  UNION SELECT dst, src FROM ed),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
+        |ap(s, n, d) AS (
+        |  SELECT n, n, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT ap.s, e.dst, ap.d + 1 FROM ap JOIN e ON ap.n = e.src WHERE ap.d < 4),
+        |dist AS MATERIALIZED (SELECT s, n, MIN(d) AS d FROM ap GROUP BY 1, 2),
+        |deg AS (SELECT src AS n, COUNT(*) AS dg FROM e GROUP BY 1),
+        |lm AS MATERIALIZED (SELECT n FROM deg ORDER BY dg DESC, n LIMIT 3),
+        |pairs AS MATERIALIZED (SELECT s AS a, n AS b, d AS true_d FROM dist
+        |  WHERE s < n ORDER BY s, n LIMIT 10),
+        |ub AS (SELECT p.a, p.b, MIN(da.d + db.d) AS lm_ub
+        |  FROM pairs p
+        |  JOIN dist da ON da.n = p.a JOIN lm ON da.s = lm.n
+        |  JOIN dist db ON db.s = da.s AND db.n = p.b
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.true_d AS BIGINT) AS true_d,
+        |  CAST(ub.lm_ub AS BIGINT) AS landmark_ub,
+        |  CAST(CASE WHEN ub.lm_ub = p.true_d THEN 1 ELSE 0 END AS BIGINT) AS tight
+        |FROM pairs p JOIN ub ON p.a = ub.a AND p.b = ub.b
+        |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val base = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      val tot = base.agg(sum("cnt").as("tot"), count(lit(1)).as("ne"))
+      val ed = base.crossJoin(broadcast(tot))
+        .where(lit(2) * col("cnt") * col("ne") >= lit(3) * col("tot"))
+        .select("src", "dst")
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      val nodes = e.select(col("src").as("n")).distinct()
+      // multi-source BFS: the frontier key is (s, n) — 4 supersteps of
+      // join + distinct + anti-join, exactly q160's shape with one more
+      // key column
+      var visited = nodes.select(col("n").as("s"), col("n"), lit(0L).as("d"))
+      var frontier = visited.select("s", "n")
+      for (i <- 1 to 4) {
+        val next = frontier.join(e, frontier("n") === e("src"))
+          .select(col("s"), col("dst").as("n")).distinct()
+          .join(visited.select(col("s").as("vs"), col("n").as("vn")),
+            col("s") === col("vs") && col("n") === col("vn"), "left_anti")
+        frontier = next
+        visited = visited.union(next.select(col("s"), col("n"), lit(i.toLong).as("d")))
+      }
+      val dist = visited.groupBy("s", "n").agg(min("d").as("d")).cache()
+      val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+      val lm = deg.orderBy(col("dg").desc, col("n")).limit(3).select("n")
+      val pairs = dist.where(col("s") < col("n"))
+        .select(col("s").as("a"), col("n").as("b"), col("d").as("true_d"))
+        .orderBy("a", "b").limit(10)
+      val ub = pairs
+        .join(dist.select(col("s").as("ls"), col("n").as("a"), col("d").as("da"))
+          .join(broadcast(lm.select(col("n").as("ls"))), Seq("ls")), Seq("a"))
+        .join(dist.select(col("s").as("ls"), col("n").as("b"), col("d").as("db")),
+          Seq("ls", "b"))
+        .groupBy("a", "b").agg(min(col("da") + col("db")).as("landmark_ub"))
+      pairs.join(ub, Seq("a", "b"))
+        .select(col("a"), col("b"), col("true_d"), col("landmark_ub"),
+          when(col("landmark_ub") === col("true_d"), 1L).otherwise(0L).as("tight"))
+        .orderBy("a", "b")
+    },
+
+    // Order-invariant content fingerprints: a dataset "version hash"
+    // that any engine, any partitioning, and any row order reproduces —
+    // the SUM of per-row md5-derived integers is commutative, so the
+    // fingerprint survives shuffles and splits merge by addition
+    // (q232's Merkle tree fingerprints CHUNKS in order; this
+    // fingerprints the SET). One map pass per table; rows and the
+    // 48-bit-sum fingerprint are the entire output — what a data
+    // registry stores to detect silent drift between copies.
+    QueryDef.sql(
+      "q529_content_fingerprint",
+      """WITH f1 AS (SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |    SUM(('0x' || substr(md5(c_custkey || '|' || c_name || '|' || c_mktsegment),
+        |      1, 12))::BIGINT::HUGEINT) AS fp
+        |  FROM customer),
+        |f2 AS (SELECT 'orders', COUNT(*),
+        |    SUM(('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|' ||
+        |      CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR)),
+        |      1, 12))::BIGINT::HUGEINT)
+        |  FROM orders),
+        |f3 AS (SELECT 'part', COUNT(*),
+        |    SUM(('0x' || substr(md5(p_partkey || '|' || p_name || '|' || p_brand),
+        |      1, 12))::BIGINT::HUGEINT)
+        |  FROM part)
+        |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(fp AS DECIMAL(38,0)) AS fingerprint
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def fp(name: String, df: org.apache.spark.sql.DataFrame,
+          canonical: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(conv(substring(md5(__c), 1, 12), 16, 10) AS BIGINT)")
+            .cast("decimal(38,0)")).as("fingerprint"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
+      fp("customer",
+          t.customer.select(concat_ws("|", col("c_custkey"), col("c_name"),
+            col("c_mktsegment")).as("__c")), col("__c"))
+        .unionAll(fp("orders",
+          t.orders.select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long")).as("__c")), col("__c")))
+        .unionAll(fp("part",
+          t.part.select(concat_ws("|", col("p_partkey"), col("p_name"),
+            col("p_brand")).as("__c")), col("__c")))
+        .orderBy("tbl")
     }
   )
 }

@@ -416,6 +416,47 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q526 the summed-area identity holds on every probe rectangle") {
+    val rows = run("q526_summed_area").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("identity_ok") == 1L)
+      assert(r.getAs[Long]("sat_count") == r.getAs[Long]("direct_count"))
+      assert(r.getAs[Long]("sat_count") >= 0L)
+    }
+  }
+
+  test("q527 dither rounding beats truncation's systematic bias") {
+    val r = run("q527_dither_rounding").collect().head
+    assert(r.getAs[Long]("trunc_err_ppm") <= 0L) // truncation only under-counts
+    assert(math.abs(r.getAs[Long]("dither_err_ppm")) <=
+      math.abs(r.getAs[Long]("trunc_err_ppm"))) // dither is never worse
+    assert(r.getAs[Long]("bias_reduction_x") >= 1L)
+  }
+
+  test("q528 landmark bounds are valid upper bounds on true distances") {
+    val rows = run("q528_landmark_distances").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("landmark_ub") >= r.getAs[Long]("true_d")) // triangle ineq.
+      assert(r.getAs[Long]("tight") ==
+        (if (r.getAs[Long]("landmark_ub") == r.getAs[Long]("true_d")) 1L else 0L))
+      assert(r.getAs[Long]("true_d") >= 1L) // a < b pairs are never self-pairs
+    }
+  }
+
+  test("q529 fingerprints are positive and row counts match the tables") {
+    val rows = run("q529_content_fingerprint").collect()
+    assert(rows.length == 3)
+    val t = graft.core.Tables(spark, sfDir)
+    val counts = Map("customer" -> t.customer.count(), "orders" -> t.orders.count(),
+      "part" -> t.part.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == counts(r.getAs[String]("tbl")))
+      assert(r.getAs[java.math.BigDecimal]("fingerprint").signum > 0)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
