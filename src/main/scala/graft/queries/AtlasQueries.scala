@@ -2076,6 +2076,159 @@ object AtlasQueries {
           t.part.select(concat_ws("|", col("p_partkey"), col("p_name"),
             col("p_brand")).as("__c")), col("__c")))
         .orderBy("tbl")
+    },
+
+    // Bill-of-materials rollup: a synthetic assembly tree over the part
+    // keys (k contains 2k+1 and 2k+2 where those parts exist, quantity
+    // 2 + k mod 3) expanded 4 levels from the root with MULTIPLIED
+    // path quantities — the recursive-aggregation workload (exploding
+    // a product structure into effective component demand) that plain
+    // joins can't express and q101's simple recursion doesn't price.
+    // Each superstep multiplies the frontier's path quantity into the
+    // next edge tier; per-depth path counts and quantity totals are
+    // the manufacturing "where-used" summary.
+    QueryDef.sql(
+      "q530_bom_rollup",
+      """WITH RECURSIVE p AS MATERIALIZED (SELECT p_partkey AS k FROM part),
+        |e AS MATERIALIZED (
+        |  SELECT a.k AS parent, b.k AS child, 2 + a.k % 3 AS qty
+        |  FROM p a JOIN p b ON b.k = 2 * a.k + 1
+        |  UNION ALL
+        |  SELECT a.k, b.k, 2 + a.k % 3
+        |  FROM p a JOIN p b ON b.k = 2 * a.k + 2),
+        |bom(n, d, q) AS (
+        |  SELECT CAST(0 AS BIGINT), 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT e.child, bom.d + 1, bom.q * e.qty
+        |  FROM bom JOIN e ON bom.n = e.parent WHERE bom.d < 4)
+        |SELECT CAST(d AS BIGINT) AS depth, COUNT(*) AS n_paths,
+        |  CAST(SUM(q) AS BIGINT) AS total_qty
+        |FROM bom GROUP BY 1 ORDER BY depth""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+      val kids = p.select(col("k").as("child"))
+      val e = p.join(kids, col("child") === lit(2) * col("k") + 1)
+        .select(col("k").as("parent"), col("child"), (lit(2L) + col("k") % 3).as("qty"))
+        .unionAll(p.join(kids, col("child") === lit(2) * col("k") + 2)
+          .select(col("k").as("parent"), col("child"), (lit(2L) + col("k") % 3).as("qty")))
+        .cache()
+      var frontier = s.range(1).select(lit(0L).as("n"), lit(0L).as("d"), lit(1L).as("q"))
+      var all = frontier
+      for (i <- 1 to 4) {
+        frontier = frontier.join(e, frontier("n") === e("parent"))
+          .select(col("child").as("n"), lit(i.toLong).as("d"),
+            (col("q") * col("qty")).as("q"))
+        all = all.unionAll(frontier)
+      }
+      all.groupBy(col("d").as("depth"))
+        .agg(count(lit(1)).as("n_paths"), sum("q").as("total_qty"))
+        .orderBy("depth")
+    },
+
+    // Stratified k-fold assignment audit: folds must be balanced
+    // WITHIN every stratum, not just globally — a nation whose 5 folds
+    // split 40/5/5/5/5 poisons per-stratum cross-validation even if
+    // the global split looks fine. The md5 fold assignment is
+    // deterministic (resumable, engine-reproducible); the audit is one
+    // (stratum × fold) count and a per-stratum max/min spread in ppm
+    // of the ideal n/5.
+    QueryDef.sql(
+      "q531_stratified_kfold",
+      """WITH a AS (SELECT c_nationkey AS nk,
+        |    ('0x' || substr(md5('f' || c_custkey), 1, 6))::BIGINT % 5 AS fold
+        |  FROM customer),
+        |f AS (SELECT nk, fold, COUNT(*) AS n FROM a GROUP BY 1, 2),
+        |g AS (SELECT nk, SUM(n) AS tot, MAX(n) AS mx, MIN(n) AS mn,
+        |    COUNT(*) AS n_folds FROM f GROUP BY 1)
+        |SELECT nk AS nation, CAST(tot AS BIGINT) AS n,
+        |  CAST(n_folds AS BIGINT) AS n_folds,
+        |  CAST(mx AS BIGINT) AS max_fold, CAST(mn AS BIGINT) AS min_fold,
+        |  CAST((1000000 * (mx - mn) * 5) // tot AS BIGINT) AS spread_ppm
+        |FROM g ORDER BY nation""".stripMargin) { (s, dir) =>
+      val a = Tables(s, dir).customer.select(col("c_nationkey").as("nk"),
+        expr("CAST(conv(substring(md5(concat('f', c_custkey)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 5").as("fold"))
+      a.groupBy("nk", "fold").agg(count(lit(1)).as("n"))
+        .groupBy("nk")
+        .agg(sum("n").as("tot"), max("n").as("max_fold"), min("n").as("min_fold"),
+          count(lit(1)).as("n_folds"))
+        .select(col("nk").as("nation"), col("tot").as("n"), col("n_folds"),
+          col("max_fold"), col("min_fold"),
+          expr("CAST((1000000 * (max_fold - min_fold) * 5) div tot AS BIGINT)")
+            .as("spread_ppm"))
+        .orderBy("nation")
+    },
+
+    // Makespan / skew speedup bound: with one task per group, parallel
+    // runtime is the LARGEST group, so the achievable speedup is
+    // total/max — computed for the plain nation key against a 4-way
+    // salted split of the same aggregation (q86 executes the salted
+    // plan; this prices WHY). The two censuses come from the same
+    // fact-table pass; salting's speedup gain is the ratio every skew
+    // mitigation should be judged by before shipping.
+    QueryDef.sql(
+      "q532_makespan_audit",
+      """WITH y AS (SELECT c.c_nationkey AS nk,
+        |    ('0x' || substr(md5('s' || o.o_orderkey), 1, 4))::BIGINT % 4 AS salt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |plain AS (SELECT nk, COUNT(*) AS n FROM y GROUP BY 1),
+        |salted AS (SELECT nk, salt, COUNT(*) AS n FROM y GROUP BY 1, 2),
+        |a AS (SELECT 'plain' AS strategy, COUNT(*) AS n_tasks, SUM(n) AS total,
+        |    MAX(n) AS max_task FROM plain
+        |  UNION ALL SELECT 'salted_x4', COUNT(*), SUM(n), MAX(n) FROM salted)
+        |SELECT strategy, CAST(n_tasks AS BIGINT) AS n_tasks,
+        |  CAST(max_task AS BIGINT) AS max_task,
+        |  CAST((1000 * CAST(total AS HUGEINT)) // max_task AS BIGINT)
+        |    AS speedup_x_milli
+        |FROM a ORDER BY strategy""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val y = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          expr("CAST(conv(substring(md5(concat('s', o_orderkey)), 1, 4), 16, 10)" +
+            " AS BIGINT) % 4").as("salt"))
+      def census(df: org.apache.spark.sql.DataFrame, name: String) = df
+        .agg(count(lit(1)).as("n_tasks"), sum("n").as("total"), max("n").as("max_task"))
+        .select(lit(name).as("strategy"), col("n_tasks"), col("total"), col("max_task"))
+      census(y.groupBy("nk").agg(count(lit(1)).as("n")), "plain")
+        .unionAll(census(y.groupBy("nk", "salt").agg(count(lit(1)).as("n")), "salted_x4"))
+        .select(col("strategy"), col("n_tasks"), col("max_task"),
+          expr("CAST((1000 * CAST(total AS DECIMAL(38,0))) div max_task AS BIGINT)")
+            .as("speedup_x_milli"))
+        .orderBy("strategy")
+    },
+
+    // Histogram-intersection source similarity: per source, the
+    // 16-bin length distribution in ppm; per source PAIR, the kernel
+    // Σ min(pᵢ, qᵢ) — 1e6 means identical length profiles, and the
+    // top pairs are merge candidates for mixture design (q237 drifts
+    // ONE distribution over time; this compares all sources pairwise).
+    // Bin histograms are one aggregate; the pair kernel joins 20×16
+    // profile rows — never the documents themselves.
+    QueryDef.sql(
+      "q533_source_similarity",
+      """WITH b AS (SELECT source, LEAST(n_chars // 64, 15) AS bin, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, SUM(c) AS tot FROM b GROUP BY 1),
+        |p AS (SELECT b.source, b.bin, (1000000 * b.c) // n.tot AS ppm
+        |  FROM b JOIN n ON b.source = n.source),
+        |k AS (SELECT a.source AS sa, b2.source AS sb,
+        |    SUM(LEAST(a.ppm, b2.ppm)) AS sim_ppm
+        |  FROM p a JOIN p b2 ON a.bin = b2.bin AND a.source < b2.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(sim_ppm AS BIGINT) AS sim_ppm
+        |FROM k ORDER BY sim_ppm DESC, sa, sb LIMIT 10""".stripMargin) { (s, dir) =>
+      val b = Tables(s, dir).documents
+        .groupBy(col("source"), least(expr("n_chars div 64"), lit(15L)).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val n = b.groupBy("source").agg(sum("c").as("tot"))
+      val p = b.join(n, "source")
+        .select(col("source"), col("bin"), expr("(1000000 * c) div tot").as("ppm"))
+      p.select(col("bin"), col("source").as("sa"), col("ppm").as("pa"))
+        .join(p.select(col("bin"), col("source").as("sb"), col("ppm").as("pb")), "bin")
+        .where(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(sum(least(col("pa"), col("pb"))).as("sim_ppm"))
+        .orderBy(col("sim_ppm").desc, col("sa"), col("sb"))
+        .limit(10)
     }
   )
 }

@@ -457,6 +457,53 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q530 BOM paths grow with depth and quantities multiply") {
+    val rows = run("q530_bom_rollup").collect().sortBy(_.getAs[Long]("depth"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("depth") == 0L &&
+      rows.head.getAs[Long]("n_paths") == 1L &&
+      rows.head.getAs[Long]("total_qty") == 1L) // the root
+    rows.foreach { r =>
+      // binary tree: ≤ 2^d paths; min edge qty 2 ⇒ qty ≥ 2^d per path
+      val d = r.getAs[Long]("depth")
+      assert(r.getAs[Long]("n_paths") <= (1L << d.toInt))
+      assert(r.getAs[Long]("total_qty") >=
+        r.getAs[Long]("n_paths") * (1L << d.toInt))
+    }
+  }
+
+  test("q531 every stratum sees at most 5 folds with a bounded spread") {
+    val rows = run("q531_stratified_kfold").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_folds") >= 1L && r.getAs[Long]("n_folds") <= 5L)
+      assert(r.getAs[Long]("max_fold") >= r.getAs[Long]("min_fold"))
+      assert(r.getAs[Long]("max_fold") * 5 >= r.getAs[Long]("n")) // max ≥ n/5
+    }
+  }
+
+  test("q532 salting never reduces the speedup bound") {
+    val rows = run("q532_makespan_audit").collect()
+    assert(rows.length == 2)
+    val m = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(m("salted_x4").getAs[Long]("max_task") <=
+      m("plain").getAs[Long]("max_task")) // subdividing can only shrink the max
+    assert(m("salted_x4").getAs[Long]("speedup_x_milli") >=
+      m("plain").getAs[Long]("speedup_x_milli"))
+    assert(m("salted_x4").getAs[Long]("n_tasks") >= m("plain").getAs[Long]("n_tasks"))
+  }
+
+  test("q533 histogram intersections are valid ppm and ranked") {
+    val rows = run("q533_source_similarity").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sims = rows.map(_.getAs[Long]("sim_ppm"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sim_ppm") >= 0L && r.getAs[Long]("sim_ppm") <= 1000000L)
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
