@@ -2229,6 +2229,188 @@ object AtlasQueries {
         .agg(sum(least(col("pa"), col("pb"))).as("sim_ppm"))
         .orderBy(col("sim_ppm").desc, col("sa"), col("sb"))
         .limit(10)
+    },
+
+    // Grid-bucketed spatial self-join, certified against brute force:
+    // md5-placed 2D points pair up within Chebyshev distance 8 by
+    // joining only 3×3 neighboring 16-unit grid cells — the spatial
+    // analog of LSH bucketing (and the standard distributed spatial
+    // join: cell id is the shuffle key, candidate volume tracks local
+    // density, never n²). The same query runs the quadratic
+    // brute-force count on the sampled point set and emits both — the
+    // differential proof that the grid join misses nothing.
+    QueryDef.sql(
+      "q534_grid_spatial_join",
+      """WITH pt AS (SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('x' || c_custkey), 1, 6))::BIGINT % 1000 AS x,
+        |    ('0x' || substr(md5('y' || c_custkey), 1, 6))::BIGINT % 1000 AS y
+        |  FROM customer WHERE c_custkey % 8 = 0),
+        |cell AS (SELECT id, x, y, x // 16 AS cx, y // 16 AS cy FROM pt),
+        |off(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+        |  (1,-1), (1,0), (1,1)),
+        |grid AS (SELECT COUNT(*) AS pairs FROM (
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM cell a CROSS JOIN off o
+        |  JOIN cell b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |    AND a.id < b.id
+        |    AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8)),
+        |brute AS (SELECT COUNT(*) AS pairs FROM pt a JOIN pt b
+        |  ON a.id < b.id AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8),
+        |n AS (SELECT COUNT(*) AS n_points FROM pt)
+        |SELECT n.n_points, CAST(g.pairs AS BIGINT) AS grid_pairs,
+        |  CAST(b.pairs AS BIGINT) AS brute_pairs,
+        |  CAST(CASE WHEN g.pairs = b.pairs THEN 1 ELSE 0 END AS BIGINT) AS certified
+        |FROM grid g, brute b, n""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pt = Tables(s, dir).customer.where(col("c_custkey") % 8 === 0)
+        .select(col("c_custkey").as("id"),
+          expr("CAST(conv(substring(md5(concat('x', c_custkey)), 1, 6), 16, 10)" +
+            " AS BIGINT) % 1000").as("x"),
+          expr("CAST(conv(substring(md5(concat('y', c_custkey)), 1, 6), 16, 10)" +
+            " AS BIGINT) % 1000").as("y"))
+        .cache()
+      val cell = pt.select(col("id"), col("x"), col("y"),
+        expr("x div 16").as("cx"), expr("y div 16").as("cy"))
+      val off = Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L), (0L, 0L), (0L, 1L),
+        (1L, -1L), (1L, 0L), (1L, 1L)).toDF("dx", "dy")
+      val probe = cell.crossJoin(broadcast(off))
+        .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+          (col("cx") + col("dx")).as("tcx"), (col("cy") + col("dy")).as("tcy"))
+      val grid = probe.join(cell.select(col("id").as("ib"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("tcx"), col("cy").as("tcy")),
+          Seq("tcx", "tcy"))
+        .where(col("ia") < col("ib") &&
+          greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))) <= 8)
+        .select("ia", "ib").distinct()
+        .agg(count(lit(1)).as("grid_pairs"))
+      val brute = pt.select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"))
+        .crossJoin(pt.select(col("id").as("ib"), col("x").as("xb"), col("y").as("yb")))
+        .where(col("ia") < col("ib") &&
+          greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))) <= 8)
+        .agg(count(lit(1)).as("brute_pairs"))
+      val n = pt.agg(count(lit(1)).as("n_points"))
+      n.crossJoin(broadcast(grid)).crossJoin(broadcast(brute))
+        .select(col("n_points"), col("grid_pairs"), col("brute_pairs"),
+          when(col("grid_pairs") === col("brute_pairs"), 1L).otherwise(0L)
+            .as("certified"))
+    },
+
+    // Finite-population-correction advisor: sampling n of N WITHOUT
+    // replacement shrinks the standard error by √((N−n)/(N−1)) — at a
+    // 50% sampling fraction your error bars are ~29% tighter than the
+    // with-replacement formula claims, and ignoring the FPC overstates
+    // uncertainty exactly when sampling is most aggressive. The factor
+    // is the floor-corrected integer sqrt of the exact ratio (q460's
+    // idiom) per sweep row, anchored to the measured customer count.
+    QueryDef.sql(
+      "q535_fpc_advisor",
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |f(pct) AS (VALUES (1), (5), (10), (25), (50)),
+        |s0 AS (SELECT f.pct, nn.n, (nn.n * f.pct) // 100 AS k FROM f, nn),
+        |r AS (SELECT pct, n, k,
+        |    (1000000 * (n - k)) // (n - 1) AS ratio_ppm FROM s0),
+        |q AS (SELECT pct, n, k, ratio_ppm,
+        |    CAST(FLOOR(SQRT(CAST(ratio_ppm * 1000000 AS DOUBLE))) AS BIGINT) AS r0
+        |  FROM r),
+        |c AS (SELECT pct, n, k, ratio_ppm,
+        |    r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= ratio_ppm * 1000000 THEN 1 ELSE 0 END
+        |       - CASE WHEN r0 * r0 > ratio_ppm * 1000000 THEN 1 ELSE 0 END AS fpc
+        |  FROM q)
+        |SELECT CAST(pct AS BIGINT) AS sample_pct, CAST(k AS BIGINT) AS n_sampled,
+        |  CAST(fpc AS BIGINT) AS fpc_ppm,
+        |  CAST(1000000 - fpc AS BIGINT) AS se_reduction_ppm
+        |FROM c ORDER BY sample_pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nn = Tables(s, dir).customer.agg(count(lit(1)).as("n"))
+      Seq(1L, 5L, 10L, 25L, 50L).toDF("pct")
+        .crossJoin(broadcast(nn))
+        .select(col("pct"), col("n"), expr("(n * pct) div 100").as("k"))
+        .withColumn("ratio_ppm", expr("(1000000 * (n - k)) div (n - 1)"))
+        .withColumn("r0",
+          expr("CAST(FLOOR(SQRT(CAST(ratio_ppm * 1000000 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("fpc", col("r0")
+          + when((col("r0") + 1) * (col("r0") + 1) <= col("ratio_ppm") * 1000000L, 1L)
+            .otherwise(0L)
+          - when(col("r0") * col("r0") > col("ratio_ppm") * 1000000L, 1L).otherwise(0L))
+        .select(col("pct").as("sample_pct"), col("k").as("n_sampled"),
+          col("fpc").as("fpc_ppm"), (lit(1000000L) - col("fpc")).as("se_reduction_ppm"))
+        .orderBy("sample_pct")
+    },
+
+    // Adversarial validation: can a trivial classifier tell the 1994
+    // order cohort from 1995 using only coarse features? Cell-majority
+    // accuracy over (price decile × priority) cells — accuracy pinned
+    // near 50% certifies the cohorts are exchangeable on those
+    // features; anything well above it is distribution shift a model
+    // WILL exploit (the competition trick that catches train/test skew
+    // before training). One cell census, majority pick per cell, one
+    // exact accuracy ratio.
+    QueryDef.sql(
+      "q536_adversarial_validation",
+      """WITH o AS (SELECT
+        |    CASE WHEN year(o_orderdate) = 1994 THEN 0 ELSE 1 END AS cls,
+        |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS pb,
+        |    o_orderpriority AS pri
+        |  FROM orders WHERE year(o_orderdate) IN (1994, 1995)),
+        |cell AS (SELECT pb, pri,
+        |    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM o GROUP BY 1, 2),
+        |a AS (SELECT SUM(c0 + c1) AS n, SUM(GREATEST(c0, c1)) AS correct,
+        |    COUNT(*) AS n_cells FROM cell)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(1000000 * correct // n AS BIGINT) AS cell_majority_acc_ppm,
+        |  CAST(CASE WHEN 1000000 * correct // n > 550000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS shift_flag
+        |FROM a""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .where(year(col("o_orderdate")).isin(1994, 1995))
+        .select(when(year(col("o_orderdate")) === 1994, 0L).otherwise(1L).as("cls"),
+          col("o_totalprice"), col("o_orderkey"), col("o_orderpriority").as("pri"))
+        .withColumn("pb", ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")))
+      val cell = o.groupBy("pb", "pri")
+        .agg(sum(when(col("cls") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("cls") === 1, 1L).otherwise(0L)).as("c1"))
+      cell.agg(sum(col("c0") + col("c1")).as("n"),
+          sum(greatest(col("c0"), col("c1"))).as("correct"),
+          count(lit(1)).as("n_cells"))
+        .select(col("n"), col("n_cells"),
+          expr("CAST(1000000 * correct div n AS BIGINT)").as("cell_majority_acc_ppm"),
+          when(expr("1000000 * correct div n") > 550000, 1L).otherwise(0L)
+            .as("shift_flag"))
+    },
+
+    // Exactly-k overlap census over three yearly activity sets: how
+    // many customers were active in exactly 1, 2, or all 3 of
+    // 1993/1994/1995 — the inclusion-exclusion census behind every
+    // "new vs retained vs loyal" cohort chart (q50's set ops compute
+    // one combination; this enumerates the multiplicity spectrum in
+    // one pass of capture flags).
+    QueryDef.sql(
+      "q537_kway_overlap",
+      """WITH f AS (SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1993 THEN 1 ELSE 0 END)
+        |    + MAX(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END)
+        |    + MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS k
+        |  FROM orders WHERE year(o_orderdate) IN (1993, 1994, 1995)
+        |  GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS tot FROM f)
+        |SELECT CAST(f.k AS BIGINT) AS years_active, COUNT(*) AS n_customers,
+        |  CAST(1000000 * COUNT(*) // n.tot AS BIGINT) AS share_ppm
+        |FROM f, n GROUP BY f.k, n.tot ORDER BY years_active""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir).orders
+        .where(year(col("o_orderdate")).isin(1993, 1994, 1995))
+        .groupBy("o_custkey")
+        .agg((max(when(year(col("o_orderdate")) === 1993, 1L).otherwise(0L))
+          + max(when(year(col("o_orderdate")) === 1994, 1L).otherwise(0L))
+          + max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L))).as("k"))
+      val n = f.agg(count(lit(1)).as("tot"))
+      f.crossJoin(broadcast(n))
+        .groupBy(col("k").as("years_active"), col("tot"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(col("years_active"), col("n_customers"),
+          expr("CAST(1000000 * n_customers div tot AS BIGINT)").as("share_ppm"))
+        .orderBy("years_active")
     }
   )
 }

@@ -504,6 +504,43 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q534 the grid spatial join is certified against brute force") {
+    val r = run("q534_grid_spatial_join").collect().head
+    assert(r.getAs[Long]("certified") == 1L)
+    assert(r.getAs[Long]("grid_pairs") == r.getAs[Long]("brute_pairs"))
+    assert(r.getAs[Long]("n_points") > 0L)
+  }
+
+  test("q535 FPC factors fall as the sampling fraction grows") {
+    val rows = run("q535_fpc_advisor").collect().sortBy(_.getAs[Long]("sample_pct"))
+    assert(rows.length == 5)
+    val fpc = rows.map(_.getAs[Long]("fpc_ppm"))
+    assert(fpc.zip(fpc.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fpc_ppm") <= 1000000L)
+      assert(r.getAs[Long]("se_reduction_ppm") == 1000000L - r.getAs[Long]("fpc_ppm"))
+    }
+  }
+
+  test("q536 adversarial accuracy is a valid majority rate above chance") {
+    val r = run("q536_adversarial_validation").collect().head
+    val acc = r.getAs[Long]("cell_majority_acc_ppm")
+    assert(acc >= 500000L && acc <= 1000000L) // majority can't lose to chance
+    assert(r.getAs[Long]("shift_flag") == (if (acc > 550000L) 1L else 0L))
+    assert(r.getAs[Long]("n_cells") >= 1L)
+  }
+
+  test("q537 the overlap census partitions active customers") {
+    val rows = run("q537_kway_overlap").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("years_active")
+      assert(k >= 1L && k <= 3L)
+    }
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares >= 1000000L - 3L && shares <= 1000000L)
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
