@@ -2411,6 +2411,163 @@ object AtlasQueries {
         .select(col("years_active"), col("n_customers"),
           expr("CAST(1000000 * n_customers div tot AS BIGINT)").as("share_ppm"))
         .orderBy("years_active")
+    },
+
+    // LSH S-curve design table: detection probability 1 − (1 − s^r)^b
+    // for three 16-hash band layouts at three Jaccard levels — the
+    // chart that picks (bands, rows) BEFORE a 100 TB dedup run (q26
+    // runs one layout; q433 sweeps CMS width; this sweeps the LSH
+    // design space). r and b are powers of two, so every power is a
+    // chain of ppm-squarings — the truncation sequence is identical on
+    // both engines, making the probabilities exact integers rather
+    // than float approximations.
+    QueryDef.sql(
+      "q538_lsh_scurve",
+      """WITH cfg(b, r) AS (VALUES (4, 4), (8, 2), (2, 8)),
+        |sv(s) AS (VALUES (500000), (700000), (900000)),
+        |c1 AS (SELECT b, r, s, CAST(s AS HUGEINT) AS x FROM cfg, sv),
+        |p1 AS (SELECT b, r, s, (x * x) // 1000000 AS x FROM c1),
+        |p2 AS (SELECT b, r, s,
+        |    CASE WHEN r >= 4 THEN (x * x) // 1000000 ELSE x END AS x FROM p1),
+        |p3 AS (SELECT b, r, s,
+        |    CASE WHEN r >= 8 THEN (x * x) // 1000000 ELSE x END AS x FROM p2),
+        |f0 AS (SELECT b, r, s, CAST(1000000 - x AS HUGEINT) AS y FROM p3),
+        |q1 AS (SELECT b, r, s, (y * y) // 1000000 AS y FROM f0),
+        |q2 AS (SELECT b, r, s,
+        |    CASE WHEN b >= 4 THEN (y * y) // 1000000 ELSE y END AS y FROM q1),
+        |q3 AS (SELECT b, r, s,
+        |    CASE WHEN b >= 8 THEN (y * y) // 1000000 ELSE y END AS y FROM q2)
+        |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+        |  CAST(s AS BIGINT) AS jaccard_ppm,
+        |  CAST(1000000 - y AS BIGINT) AS p_detect_ppm
+        |FROM q3 ORDER BY bands, rows_per_band, jaccard_ppm""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c1 = Seq((4L, 4L), (8L, 2L), (2L, 8L)).toDF("b", "r")
+        .crossJoin(Seq(500000L, 700000L, 900000L).toDF("s"))
+        .select(col("b"), col("r"), col("s"), col("s").cast("decimal(38,0)").as("x"))
+      val p = c1
+        .withColumn("x", expr("(x * x) div 1000000"))
+        .withColumn("x", when(col("r") >= 4, expr("(x * x) div 1000000"))
+          .otherwise(col("x")))
+        .withColumn("x", when(col("r") >= 8, expr("(x * x) div 1000000"))
+          .otherwise(col("x")))
+        .withColumn("y", (lit(1000000L) - col("x")).cast("decimal(38,0)"))
+        .withColumn("y", expr("(y * y) div 1000000"))
+        .withColumn("y", when(col("b") >= 4, expr("(y * y) div 1000000"))
+          .otherwise(col("y")))
+        .withColumn("y", when(col("b") >= 8, expr("(y * y) div 1000000"))
+          .otherwise(col("y")))
+      p.select(col("b").as("bands"), col("r").as("rows_per_band"),
+          col("s").as("jaccard_ppm"),
+          (lit(1000000L) - col("y")).cast("long").as("p_detect_ppm"))
+        .orderBy("bands", "rows_per_band", "jaccard_ppm")
+    },
+
+    // Sargable-rewrite certification: `o_orderdate BETWEEN date AND
+    // date` and `year(o_orderdate) = 1994` are the same predicate, but
+    // only the first reaches the parquet scan as a pushed filter — the
+    // query proves the REWRITE is lossless (identical counts) while
+    // PLANS.md carries the .explain evidence that one plan prunes at
+    // the scan and the other evaluates post-scan. The rule every slow
+    // dashboard query needs applied.
+    QueryDef.sql(
+      "q539_sargable_rewrite",
+      """WITH a AS (SELECT COUNT(*) AS n FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'),
+        |b AS (SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) = 1994)
+        |SELECT CAST(a.n AS BIGINT) AS sargable_count,
+        |  CAST(b.n AS BIGINT) AS function_count,
+        |  CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS BIGINT) AS rewrite_ok
+        |FROM a, b""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val a = o.where(col("o_orderdate")
+          .between(lit("1994-01-01"), lit("1994-12-31")))
+        .agg(count(lit(1)).as("sargable_count"))
+      val b = o.where(year(col("o_orderdate")) === 1994)
+        .agg(count(lit(1)).as("function_count"))
+      a.crossJoin(broadcast(b))
+        .select(col("sargable_count"), col("function_count"),
+          when(col("sargable_count") === col("function_count"), 1L).otherwise(0L)
+            .as("rewrite_ok"))
+    },
+
+    // Three-valued-logic certification matrix: the NULL behaviors a
+    // cross-engine migration MUST rely on, pinned differentially in
+    // one row — COUNT(*) vs COUNT(col), null-ignoring SUM, DISTINCT
+    // collapsing NULLs to one, `= NULL` matching nothing vs null-safe
+    // equality matching, `x IN (…, NULL)` never being TRUE for
+    // non-members, and GROUP BY putting all NULLs in one group. For a
+    // compare/migrate platform (the reference's core) these semantics
+    // ARE the correctness contract; divergences (like DuckDB rounding
+    // decimal→int casts where Spark truncates) are documented in the
+    // verify skill instead of silently papered over.
+    QueryDef.sql(
+      "q540_null_semantics",
+      """WITH v(id, x) AS (VALUES (1, 10), (2, NULL), (3, 10), (4, 20), (5, NULL)),
+        |a AS (SELECT COUNT(*) AS count_star, COUNT(x) AS count_col,
+        |    CAST(SUM(x) AS BIGINT) AS sum_ignoring_nulls,
+        |    COUNT(DISTINCT x) AS distinct_non_null FROM v),
+        |eq AS (SELECT COUNT(*) AS eq_null_matches FROM v WHERE x = NULL),
+        |nse AS (SELECT COUNT(*) AS null_safe_matches FROM v
+        |  WHERE x IS NOT DISTINCT FROM NULL),
+        |inl AS (SELECT COUNT(*) AS in_list_matches FROM v WHERE x IN (20, NULL)),
+        |grp AS (SELECT COUNT(*) AS n_groups FROM (SELECT x FROM v GROUP BY x))
+        |SELECT a.count_star, a.count_col, a.sum_ignoring_nulls, a.distinct_non_null,
+        |  CAST(eq.eq_null_matches AS BIGINT) AS eq_null_matches,
+        |  CAST(nse.null_safe_matches AS BIGINT) AS null_safe_matches,
+        |  CAST(inl.in_list_matches AS BIGINT) AS in_list_matches,
+        |  CAST(grp.n_groups AS BIGINT) AS n_groups
+        |FROM a, eq, nse, inl, grp""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)), (4L, Some(20L)),
+        (5L, None)).toDF("id", "x")
+      val a = v.agg(count(lit(1)).as("count_star"), count(col("x")).as("count_col"),
+        sum("x").as("sum_ignoring_nulls"),
+        countDistinct("x").as("distinct_non_null"))
+      val eq = v.where(col("x") === lit(null)).agg(count(lit(1)).as("eq_null_matches"))
+      val nse = v.where(col("x") <=> lit(null))
+        .agg(count(lit(1)).as("null_safe_matches"))
+      val inl = v.where(col("x").isin(20, null)).agg(count(lit(1)).as("in_list_matches"))
+      val grp = v.groupBy("x").agg(count(lit(1))).agg(count(lit(1)).as("n_groups"))
+      a.crossJoin(broadcast(eq)).crossJoin(broadcast(nse)).crossJoin(broadcast(inl))
+        .crossJoin(broadcast(grp))
+    },
+
+    // Rounding-semantics certification matrix: the portable subset of
+    // rounding behavior, pinned differentially — decimal round() is
+    // half-AWAY-from-zero on both engines (positive and negative),
+    // double round() agrees at the .5 boundary, ceil/floor agree on
+    // negatives, scale rounding (1.25 → 1.3) agrees, and integer
+    // div/% truncate toward zero on both. The one probed DIVERGENCE —
+    // DuckDB ROUNDS decimal→int casts while Spark truncates — is kept
+    // OUT of the portable matrix (both sides route through trunc) and
+    // documented in the verify skill: casts of fractional values must
+    // go through explicit FLOOR/trunc to be engine-portable.
+    QueryDef.sql(
+      "q541_rounding_matrix",
+      """SELECT CAST(round(0.5) AS BIGINT) AS r_half,
+        |  CAST(round(2.5) AS BIGINT) AS r_two_half,
+        |  CAST(round(-1.5) AS BIGINT) AS r_neg,
+        |  CAST(round(CAST(2.5 AS DOUBLE)) AS BIGINT) AS r_dbl,
+        |  CAST(round(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS r_dbl_neg,
+        |  CAST(ceil(-1.5) AS BIGINT) AS ceil_neg,
+        |  CAST(floor(-1.5) AS BIGINT) AS floor_neg,
+        |  CAST(round(1.25, 1) * 10 AS BIGINT) AS r_scale_deci,
+        |  CAST(trunc(CAST(-1.5 AS DOUBLE)) AS BIGINT) AS trunc_neg,
+        |  CAST(-7 // 2 AS BIGINT) AS int_div_neg,
+        |  CAST(-7 % 2 AS BIGINT) AS mod_neg""".stripMargin) { (s, dir) =>
+      val sp = s
+      sp.sql("""SELECT CAST(round(0.5) AS BIGINT) AS r_half,
+        |  CAST(round(2.5) AS BIGINT) AS r_two_half,
+        |  CAST(round(-1.5) AS BIGINT) AS r_neg,
+        |  CAST(round(CAST(2.5 AS DOUBLE)) AS BIGINT) AS r_dbl,
+        |  CAST(round(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS r_dbl_neg,
+        |  CAST(ceil(-1.5) AS BIGINT) AS ceil_neg,
+        |  CAST(floor(-1.5) AS BIGINT) AS floor_neg,
+        |  CAST(round(1.25, 1) * 10 AS BIGINT) AS r_scale_deci,
+        |  CAST(CAST(-1.5 AS DOUBLE) AS BIGINT) AS trunc_neg,
+        |  CAST(-7 AS BIGINT) div 2 AS int_div_neg,
+        |  CAST(-7 % 2 AS BIGINT) AS mod_neg""".stripMargin)
     }
   )
 }

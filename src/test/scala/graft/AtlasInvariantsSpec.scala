@@ -541,6 +541,52 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(shares >= 1000000L - 3L && shares <= 1000000L)
   }
 
+  test("q538 the S-curve is monotone in similarity and sharper with more rows") {
+    val rows = run("q538_lsh_scurve").collect()
+    assert(rows.length == 9)
+    // within each (b, r), detection probability rises with similarity
+    rows.groupBy(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("jaccard_ppm"))
+          .map(_.getAs[Long]("p_detect_ppm"))
+        assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+      }
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_detect_ppm")
+      assert(p >= 0L && p <= 1000000L)
+    }
+  }
+
+  test("q539 the sargable rewrite is lossless") {
+    val r = run("q539_sargable_rewrite").collect().head
+    assert(r.getAs[Long]("rewrite_ok") == 1L)
+    assert(r.getAs[Long]("sargable_count") == r.getAs[Long]("function_count"))
+    assert(r.getAs[Long]("sargable_count") > 0L)
+  }
+
+  test("q540 the 3VL matrix pins the expected NULL behaviors") {
+    val r = run("q540_null_semantics").collect().head
+    assert(r.getAs[Long]("count_star") == 5L)
+    assert(r.getAs[Long]("count_col") == 3L)
+    assert(r.getAs[Long]("sum_ignoring_nulls") == 40L)
+    assert(r.getAs[Long]("distinct_non_null") == 2L)
+    assert(r.getAs[Long]("eq_null_matches") == 0L)      // = NULL is never TRUE
+    assert(r.getAs[Long]("null_safe_matches") == 2L)    // <=> NULL matches NULLs
+    assert(r.getAs[Long]("in_list_matches") == 1L)      // only the real member
+    assert(r.getAs[Long]("n_groups") == 3L)             // NULLs group together
+  }
+
+  test("q541 the rounding matrix pins half-away-from-zero and truncation") {
+    val r = run("q541_rounding_matrix").collect().head
+    assert(r.getAs[Long]("r_half") == 1L && r.getAs[Long]("r_two_half") == 3L)
+    assert(r.getAs[Long]("r_neg") == -2L)
+    assert(r.getAs[Long]("r_dbl") == 3L && r.getAs[Long]("r_dbl_neg") == -3L)
+    assert(r.getAs[Long]("ceil_neg") == -1L && r.getAs[Long]("floor_neg") == -2L)
+    assert(r.getAs[Long]("r_scale_deci") == 13L)
+    assert(r.getAs[Long]("trunc_neg") == -1L)           // portable: trunc, not round
+    assert(r.getAs[Long]("int_div_neg") == -3L && r.getAs[Long]("mod_neg") == -1L)
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
