@@ -2473,17 +2473,17 @@ object AtlasQueries {
     QueryDef.sql(
       "q539_sargable_rewrite",
       """WITH a AS (SELECT COUNT(*) AS n FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'),
-        |b AS (SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) = 1994)
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+        |b AS (SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) = 1996)
         |SELECT CAST(a.n AS BIGINT) AS sargable_count,
         |  CAST(b.n AS BIGINT) AS function_count,
         |  CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS BIGINT) AS rewrite_ok
         |FROM a, b""".stripMargin) { (s, dir) =>
       val o = Tables(s, dir).orders
       val a = o.where(col("o_orderdate")
-          .between(lit("1994-01-01"), lit("1994-12-31")))
+          .between(lit("1996-01-01"), lit("1996-12-31")))
         .agg(count(lit(1)).as("sargable_count"))
-      val b = o.where(year(col("o_orderdate")) === 1994)
+      val b = o.where(year(col("o_orderdate")) === 1996)
         .agg(count(lit(1)).as("function_count"))
       a.crossJoin(broadcast(b))
         .select(col("sargable_count"), col("function_count"),
