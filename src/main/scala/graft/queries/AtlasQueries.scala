@@ -2568,6 +2568,215 @@ object AtlasQueries {
         |  CAST(CAST(-1.5 AS DOUBLE) AS BIGINT) AS trunc_neg,
         |  CAST(-7 AS BIGINT) div 2 AS int_div_neg,
         |  CAST(-7 % 2 AS BIGINT) AS mod_neg""".stripMargin)
+    },
+
+    // Transaction-log replay (the Delta/Iceberg metadata model):
+    // reconstruct a table's live file set from an append-only action
+    // log — every month-file is ADDed when its month closes and
+    // REMOVEd three months later by compaction, so replay = last
+    // action wins per file (one max-ordinal window), and the snapshot
+    // census (live files, live bytes, tombstones eligible for vacuum)
+    // is what any lakehouse reader computes before planning a scan.
+    // The log is metadata-grain (~160 actions); the only fact scan is
+    // the month-size aggregate the log is synthesized from.
+    QueryDef.sql(
+      "q542_action_log_replay",
+      """WITH mf AS (SELECT strftime(o_orderdate, '%Y-%m') AS f, COUNT(*) AS rows_,
+        |    ROW_NUMBER() OVER (ORDER BY strftime(o_orderdate, '%Y-%m')) AS seq
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(seq) AS last FROM mf),
+        |log AS (SELECT f, rows_, seq AS ord, 'add' AS action FROM mf
+        |  UNION ALL
+        |  SELECT f, rows_, seq + 3, 'remove' FROM mf, mx WHERE seq + 3 <= mx.last),
+        |last AS (SELECT f, rows_, action FROM (
+        |    SELECT f, rows_, action,
+        |      ROW_NUMBER() OVER (PARTITION BY f ORDER BY ord DESC) AS rk
+        |    FROM log) WHERE rk = 1),
+        |a AS (SELECT
+        |    SUM(CASE WHEN action = 'add' THEN 1 ELSE 0 END) AS live_files,
+        |    SUM(CASE WHEN action = 'add' THEN rows_ ELSE 0 END) AS live_rows,
+        |    SUM(CASE WHEN action = 'remove' THEN 1 ELSE 0 END) AS tombstones,
+        |    COUNT(*) AS total_files FROM last)
+        |SELECT CAST(live_files AS BIGINT) AS live_files,
+        |  CAST(live_rows AS BIGINT) AS live_rows,
+        |  CAST(tombstones AS BIGINT) AS tombstones,
+        |  CAST(total_files AS BIGINT) AS total_files
+        |FROM a""".stripMargin) { (s, dir) =>
+      val mf = Tables(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("f"))
+        .agg(count(lit(1)).as("rows_"))
+        .withColumn("seq", row_number().over(Window.orderBy("f")).cast("long"))
+      val mx = mf.agg(max("seq").as("last"))
+      val log = mf.select(col("f"), col("rows_"), col("seq").as("ord"),
+          lit("add").as("action"))
+        .unionAll(mf.crossJoin(broadcast(mx))
+          .where(col("seq") + 3 <= col("last"))
+          .select(col("f"), col("rows_"), (col("seq") + 3).as("ord"),
+            lit("remove").as("action")))
+      val last = log.withColumn("rk", row_number().over(
+          Window.partitionBy("f").orderBy(col("ord").desc)))
+        .where(col("rk") === 1)
+      last.agg(
+          sum(when(col("action") === "add", 1L).otherwise(0L)).as("live_files"),
+          sum(when(col("action") === "add", col("rows_")).otherwise(0L))
+            .as("live_rows"),
+          sum(when(col("action") === "remove", 1L).otherwise(0L)).as("tombstones"),
+          count(lit(1)).as("total_files"))
+    },
+
+    // Binned Kolmogorov-Smirnov distance between every source pair:
+    // the sup-norm gap between cumulative 16-bin length profiles — the
+    // metric that catches LOCATION shifts q533's intersection kernel
+    // smears out (two sources can share mass yet have all of it on
+    // opposite sides of the median). Cumulative ppm per source is one
+    // ordered window over the 16-bin grid; the pairwise max-gap joins
+    // 20×16 profile rows.
+    QueryDef.sql(
+      "q543_source_ks_matrix",
+      """WITH b AS (SELECT source, LEAST(n_chars // 64, 15) AS bin, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, SUM(c) AS tot FROM b GROUP BY 1),
+        |g AS (SELECT n.source, i.bin, COALESCE(b.c, 0) AS c, n.tot
+        |  FROM n CROSS JOIN generate_series(0, 15) i(bin)
+        |  LEFT JOIN b ON b.source = n.source AND b.bin = i.bin),
+        |cdf AS (SELECT source, bin,
+        |    (1000000 * SUM(c) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING)) // tot AS cum_ppm
+        |  FROM g),
+        |k AS (SELECT a.source AS sa, b2.source AS sb,
+        |    MAX(ABS(a.cum_ppm - b2.cum_ppm)) AS ks_ppm
+        |  FROM cdf a JOIN cdf b2 ON a.bin = b2.bin AND a.source < b2.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(ks_ppm AS BIGINT) AS ks_ppm
+        |FROM k ORDER BY ks_ppm DESC, sa, sb LIMIT 5""".stripMargin) { (s, dir) =>
+      val b = Tables(s, dir).documents
+        .groupBy(col("source"), least(expr("n_chars div 64"), lit(15L)).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val n = b.groupBy("source").agg(sum("c").as("tot"))
+      val g = n.crossJoin(broadcast(s.range(16).select(col("id").as("bin"))))
+        .join(b, Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"),
+          col("tot"))
+      val cdf = g.withColumn("cum_ppm",
+        expr("(1000000 * SUM(c) OVER (PARTITION BY source ORDER BY bin" +
+          " ROWS UNBOUNDED PRECEDING)) div tot"))
+      cdf.select(col("bin"), col("source").as("sa"), col("cum_ppm").as("pa"))
+        .join(cdf.select(col("bin"), col("source").as("sb"), col("cum_ppm").as("pb")),
+          "bin")
+        .where(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(max(abs(col("pa") - col("pb"))).as("ks_ppm"))
+        .orderBy(col("ks_ppm").desc, col("sa"), col("sb"))
+        .limit(5)
+    },
+
+    // Local-bridge census (Granovetter's weak ties): an edge is a
+    // local bridge when its endpoints share NO common neighbor — the
+    // only path between its neighborhoods, the tie whose removal
+    // lengthens distances, and the structural signature of
+    // inter-community links (q159 counts triangles; this counts the
+    // edges triangles SKIP). Edge support = one self-join counting
+    // 2-paths per edge; bridges are support-0 edges — no DFS, no
+    // articulation machinery, scales as the triangle count does.
+    QueryDef.sql(
+      "q544_local_bridges",
+      """WITH e0 AS (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS ne FROM e0),
+        |ed AS (SELECT src, dst FROM e0, t WHERE 2 * cnt * ne >= 3 * tot),
+        |e AS (SELECT src AS u, dst AS v FROM ed WHERE src < dst
+        |  UNION SELECT dst, src FROM ed WHERE dst < src),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CASE WHEN s2.support = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS local_bridges,
+        |  CAST(1000000 * SUM(CASE WHEN s2.support = 0 THEN 1 ELSE 0 END) // COUNT(*)
+        |    AS BIGINT) AS bridge_ppm
+        |FROM (SELECT e.u, e.v,
+        |    (SELECT COUNT(*) FROM sym a JOIN sym b
+        |      ON a.u = e.u AND b.u = e.v AND a.v = b.v
+        |      AND a.v <> e.u AND a.v <> e.v) AS support
+        |  FROM e) s2""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val e0 = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = e0.agg(sum("cnt").as("tot"), count(lit(1)).as("ne"))
+      val ed = e0.crossJoin(broadcast(tot))
+        .where(lit(2) * col("cnt") * col("ne") >= lit(3) * col("tot"))
+        .select("src", "dst")
+      val e = ed.where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .union(ed.where(col("dst") < col("src"))
+          .select(col("dst").as("u"), col("src").as("v")))
+        .distinct().cache()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      // support(u,v) = common neighbors of u and v (excluding the pair):
+      // neighbors-of-u (w1) equi-joined against neighbors-of-v (w2)
+      val sup = e
+        .join(sym.select(col("u"), col("v").as("w1")), Seq("u"))
+        .join(sym.select(col("u").as("v"), col("v").as("w2")), Seq("v"))
+        .where(col("w1") === col("w2") &&
+          col("w1") =!= col("u") && col("w1") =!= col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      e.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("support") === 0, 1L).otherwise(0L)).as("local_bridges"))
+        .select(col("n_edges"), col("local_bridges"),
+          expr("CAST(1000000 * local_bridges div n_edges AS BIGINT)")
+            .as("bridge_ppm"))
+    },
+
+    // Retry-policy advisor: for per-attempt failure probabilities of
+    // 1/5/10/25% and retry budgets 0..3, the exact success probability
+    // 1 − p^(r+1) and the expected send count (1 − p^(r+1))/(1 − p) —
+    // the two numbers that size dead-letter queues and price retry
+    // storms (q514 prices the queue; this prices the traffic feeding
+    // it). Pure ppm power chains over a 16-row spine, zero data
+    // access.
+    QueryDef.sql(
+      "q545_retry_advisor",
+      """WITH p(pf) AS (VALUES (10000), (50000), (100000), (250000)),
+        |r(rt) AS (VALUES (0), (1), (2), (3)),
+        |c AS (SELECT pf, rt, CAST(pf AS HUGEINT) AS x FROM p, r),
+        |w1 AS (SELECT pf, rt, CASE WHEN rt >= 1 THEN (x * pf) // 1000000 ELSE x END
+        |  AS x FROM c),
+        |w2 AS (SELECT pf, rt, CASE WHEN rt >= 2 THEN (x * pf) // 1000000 ELSE x END
+        |  AS x FROM w1),
+        |w3 AS (SELECT pf, rt, CASE WHEN rt >= 3 THEN (x * pf) // 1000000 ELSE x END
+        |  AS x FROM w2)
+        |SELECT CAST(pf AS BIGINT) AS p_fail_ppm, CAST(rt AS BIGINT) AS max_retries,
+        |  CAST(1000000 - x AS BIGINT) AS p_success_ppm,
+        |  CAST((1000 * (1000000 - x)) // (1000000 - pf) AS BIGINT)
+        |    AS expected_sends_milli
+        |FROM w3 ORDER BY p_fail_ppm, max_retries""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Seq(10000L, 50000L, 100000L, 250000L).toDF("pf")
+        .crossJoin(Seq(0L, 1L, 2L, 3L).toDF("rt"))
+        .select(col("pf"), col("rt"), col("pf").cast("decimal(38,0)").as("x"))
+      val w = c
+        .withColumn("x", when(col("rt") >= 1, expr("(x * pf) div 1000000"))
+          .otherwise(col("x")))
+        .withColumn("x", when(col("rt") >= 2, expr("(x * pf) div 1000000"))
+          .otherwise(col("x")))
+        .withColumn("x", when(col("rt") >= 3, expr("(x * pf) div 1000000"))
+          .otherwise(col("x")))
+      w.select(col("pf").as("p_fail_ppm"), col("rt").as("max_retries"),
+          (lit(1000000L) - col("x")).cast("long").as("p_success_ppm"),
+          expr("CAST((1000 * (1000000 - x)) div (1000000 - pf) AS BIGINT)")
+            .as("expected_sends_milli"))
+        .orderBy("p_fail_ppm", "max_retries")
     }
   )
 }

@@ -587,6 +587,47 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("int_div_neg") == -3L && r.getAs[Long]("mod_neg") == -1L)
   }
 
+  test("q542 log replay conserves files and keeps exactly the last 3 months live") {
+    val r = run("q542_action_log_replay").collect().head
+    val live = r.getAs[Long]("live_files"); val tomb = r.getAs[Long]("tombstones")
+    assert(live + tomb == r.getAs[Long]("total_files"))
+    assert(live == 3L || r.getAs[Long]("total_files") <= 3L) // 3-month retention
+    assert(r.getAs[Long]("live_rows") > 0L)
+  }
+
+  test("q543 KS distances are valid ppm sup-norms and ranked") {
+    val rows = run("q543_source_ks_matrix").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val ks = rows.map(_.getAs[Long]("ks_ppm"))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ks_ppm") >= 0L && r.getAs[Long]("ks_ppm") <= 1000000L)
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+    }
+  }
+
+  test("q544 bridge counts are bounded by the edge census") {
+    val r = run("q544_local_bridges").collect().head
+    val e = r.getAs[Long]("n_edges"); val b = r.getAs[Long]("local_bridges")
+    assert(b >= 0L && b <= e)
+    if (e > 0)
+      assert(r.getAs[Long]("bridge_ppm") == 1000000L * b / e)
+  }
+
+  test("q545 more retries help, higher failure rates hurt, sends grow") {
+    val rows = run("q545_retry_advisor").collect()
+    assert(rows.length == 16)
+    rows.groupBy(_.getAs[Long]("p_fail_ppm")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("max_retries"))
+      val succ = sorted.map(_.getAs[Long]("p_success_ppm"))
+      assert(succ.zip(succ.tail).forall { case (a, b) => a <= b })
+      val sends = sorted.map(_.getAs[Long]("expected_sends_milli"))
+      assert(sends.zip(sends.tail).forall { case (a, b) => a <= b })
+      assert(sends.head >= 1000L) // at least one send
+    }
+    rows.foreach(r => assert(r.getAs[Long]("p_success_ppm") <= 1000000L))
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
