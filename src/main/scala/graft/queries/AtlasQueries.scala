@@ -2777,6 +2777,199 @@ object AtlasQueries {
           expr("CAST((1000 * (1000000 - x)) div (1000000 - pf) AS BIGINT)")
             .as("expected_sends_milli"))
         .orderBy("p_fail_ppm", "max_retries")
+    },
+
+    // Synthetic-control effect estimate: nation 0's 1996 mean order
+    // value against a donor-pool counterfactual — every other nation
+    // weighted by 10¹²/(10³+|pre-gap|), i.e. donors that matched the
+    // treated unit in 1995 dominate the control (the Abadie idea with
+    // exact rational weights instead of a constrained regression).
+    // Effect = treated post − weighted donor post; with no real
+    // intervention in the fixture the estimate doubles as a placebo
+    // check. Two year-grain aggregates, one 24-row weighted assembly.
+    QueryDef.sql(
+      "q546_synthetic_control",
+      """WITH y AS (SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS yr,
+        |    (1000 * SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))) // COUNT(*)
+        |      AS mean_milli
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996) GROUP BY 1, 2),
+        |pre AS (SELECT nk, mean_milli FROM y WHERE yr = 1995),
+        |post AS (SELECT nk, mean_milli FROM y WHERE yr = 1996),
+        |t0 AS (SELECT p.mean_milli AS pre_t, q.mean_milli AS post_t
+        |  FROM pre p JOIN post q ON p.nk = q.nk WHERE p.nk = 0),
+        |don AS (SELECT p.nk, p.mean_milli AS pre_d, q.mean_milli AS post_d,
+        |    CAST(1000000000000 AS HUGEINT) // (1000 + ABS(p.mean_milli - t0.pre_t)) AS w
+        |  FROM pre p JOIN post q ON p.nk = q.nk CROSS JOIN t0 WHERE p.nk <> 0),
+        |ctl AS (SELECT SUM(CAST(w AS HUGEINT) * post_d) // SUM(w) AS control_post
+        |  FROM don)
+        |SELECT CAST(t0.pre_t AS BIGINT) AS pre_treated,
+        |  CAST(t0.post_t AS BIGINT) AS post_treated,
+        |  CAST(ctl.control_post AS BIGINT) AS control_post,
+        |  CAST(t0.post_t - ctl.control_post AS BIGINT) AS effect_milli
+        |FROM t0, ctl""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val y = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .where(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("c_nationkey").as("nk"), year(col("o_orderdate")).as("yr"))
+        .agg(expr("(1000 * SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)))" +
+          " div COUNT(*)").as("mean_milli"))
+        .cache()
+      val pre = y.where(col("yr") === 1995).select(col("nk"), col("mean_milli").as("pre_m"))
+      val post = y.where(col("yr") === 1996)
+        .select(col("nk"), col("mean_milli").as("post_m"))
+      val both = pre.join(post, "nk")
+      val t0 = both.where(col("nk") === 0)
+        .select(col("pre_m").as("pre_t"), col("post_m").as("post_t"))
+      val don = both.where(col("nk") =!= 0).crossJoin(broadcast(t0))
+        .select(col("post_m"),
+          expr("CAST(1000000000000 AS DECIMAL(38,0)) div (1000 + ABS(pre_m - pre_t))")
+            .as("w"))
+      val ctl = don.agg(
+        expr("SUM(CAST(w AS DECIMAL(38,0)) * post_m) div SUM(w)").as("control_post"))
+      t0.crossJoin(broadcast(ctl))
+        .select(col("pre_t").as("pre_treated"), col("post_t").as("post_treated"),
+          col("control_post").cast("long").as("control_post"),
+          (col("post_t") - col("control_post")).cast("long").as("effect_milli"))
+    },
+
+    // FK-closed consistent sample export: a 10% customer sample plus
+    // the referential CLOSURE (their orders, those orders' lineitems) —
+    // the only way to stage a representative dev dataset where every
+    // foreign key still resolves (row-sampling each table breaks
+    // virtually every join). The md5 sample is deterministic; the two
+    // closure joins are broadcast semi-joins down the key chain; and
+    // the zero orphan counts in the output ARE the referential
+    // certificate.
+    QueryDef.sql(
+      "q547_consistent_sample_export",
+      """WITH sc AS (SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5('e' || c_custkey), 1, 6))::BIGINT % 10 = 0),
+        |so AS (SELECT o.o_orderkey, o.o_custkey FROM orders o
+        |  JOIN sc ON o.o_custkey = sc.c_custkey),
+        |sl AS (SELECT l.l_orderkey FROM lineitem l
+        |  JOIN so ON l.l_orderkey = so.o_orderkey),
+        |tot AS (SELECT COUNT(*) AS nc FROM customer),
+        |orph_o AS (SELECT COUNT(*) AS n FROM so
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM sc)),
+        |orph_l AS (SELECT COUNT(*) AS n FROM sl
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM so))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_customers,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM so) AS n_orders,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_lineitems,
+        |  (SELECT CAST(1000000 * (SELECT COUNT(*) FROM sc) // nc AS BIGINT) FROM tot)
+        |    AS sample_ppm,
+        |  (SELECT CAST(n AS BIGINT) FROM orph_o) AS orphan_orders,
+        |  (SELECT CAST(n AS BIGINT) FROM orph_l) AS orphan_lineitems""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val sc = t.customer.where(
+        expr("CAST(conv(substring(md5(concat('e', c_custkey)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 10") === 0)
+        .select("c_custkey").cache()
+      val so = t.orders.join(broadcast(sc), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey").cache()
+      val sl2 = t.lineitem.join(so.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val tot = t.customer.agg(count(lit(1)).as("nc"))
+      val orphO = so.join(sc, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val orphL = t.lineitem
+        .join(so.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .join(so.select(col("o_orderkey").as("ok2")), col("l_orderkey") === col("ok2"),
+          "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      sc.agg(count(lit(1)).as("n_customers"))
+        .crossJoin(broadcast(so.agg(count(lit(1)).as("n_orders"))))
+        .crossJoin(broadcast(sl2.agg(count(lit(1)).as("n_lineitems"))))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(orphO))
+        .crossJoin(broadcast(orphL))
+        .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
+          expr("CAST(1000000 * n_customers div nc AS BIGINT)").as("sample_ppm"),
+          col("orphan_orders"), col("orphan_lineitems"))
+    },
+
+    // HLL sizing table anchored to a measured cardinality: the
+    // standard-error law 1.04/√m for register counts m = 4^k (whose
+    // square roots are EXACT, so the table is pure integers), the
+    // register-array footprint, and the expected absolute error
+    // against the exactly-counted customer NDV — the sketch-sizing
+    // decision (q60/q163 run the sketches; this prices them before
+    // running anything).
+    QueryDef.sql(
+      "q548_hll_sizing",
+      """WITH m(m, rt) AS (VALUES (256, 16), (1024, 32), (4096, 64), (16384, 128)),
+        |d AS (SELECT COUNT(DISTINCT o_custkey) AS ndv FROM orders)
+        |SELECT CAST(m.m AS BIGINT) AS registers,
+        |  CAST(1040000 // m.rt AS BIGINT) AS rel_err_ppm,
+        |  CAST((m.m * 6 + 7) // 8 AS BIGINT) AS sketch_bytes,
+        |  CAST(d.ndv AS BIGINT) AS measured_ndv,
+        |  CAST((CAST(d.ndv AS HUGEINT) * (1040000 // m.rt)) // 1000000 AS BIGINT)
+        |    AS expected_abs_err
+        |FROM m, d ORDER BY registers""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = Seq((256L, 16L), (1024L, 32L), (4096L, 64L), (16384L, 128L))
+        .toDF("m", "rt")
+      val d = Tables(s, dir).orders.agg(countDistinct("o_custkey").as("ndv"))
+      m.crossJoin(broadcast(d))
+        .select(col("m").as("registers"),
+          expr("1040000 div rt").as("rel_err_ppm"),
+          expr("(m * 6 + 7) div 8").as("sketch_bytes"),
+          col("ndv").as("measured_ndv"),
+          expr("CAST((CAST(ndv AS DECIMAL(38,0)) * (1040000 div rt)) div 1000000" +
+            " AS BIGINT)").as("expected_abs_err"))
+        .orderBy("registers")
+    },
+
+    // Cube-coverage census: which (nation × segment) cells have NO
+    // orders in each year — the completeness audit that catches silent
+    // upstream drops before a dashboard renders them as zeros (q49's
+    // rollup aggregates what EXISTS; this counts what doesn't). The
+    // expected spine is the dimension cross product per year; observed
+    // cells are one grouped count; missing = spine − observed, as an
+    // exact per-year coverage ppm.
+    QueryDef.sql(
+      "q549_cube_coverage",
+      """WITH obs AS (SELECT year(o.o_orderdate) AS yr, c.c_nationkey AS nk,
+        |    c.c_mktsegment AS seg
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |yrs AS (SELECT DISTINCT yr FROM obs),
+        |spine AS (SELECT y.yr, n.n_nationkey AS nk, s.seg FROM yrs y
+        |  CROSS JOIN nation n
+        |  CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s),
+        |j AS (SELECT sp.yr,
+        |    COUNT(*) AS expected,
+        |    SUM(CASE WHEN o.nk IS NOT NULL THEN 1 ELSE 0 END) AS observed
+        |  FROM spine sp LEFT JOIN obs o
+        |    ON sp.yr = o.yr AND sp.nk = o.nk AND sp.seg = o.seg
+        |  GROUP BY 1)
+        |SELECT CAST(yr AS BIGINT) AS yr, CAST(expected AS BIGINT) AS expected_cells,
+        |  CAST(observed AS BIGINT) AS observed_cells,
+        |  CAST(expected - observed AS BIGINT) AS missing_cells,
+        |  CAST(1000000 * observed // expected AS BIGINT) AS coverage_ppm
+        |FROM j ORDER BY yr""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val obs = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)))
+        .select("yr", "nk", "seg")
+        .cache()
+      val spine = obs.select("yr").distinct()
+        .crossJoin(broadcast(t.nation.select(col("n_nationkey").as("nk"))))
+        .crossJoin(broadcast(t.customer.select(col("c_mktsegment").as("seg")).distinct()))
+      spine.join(obs.withColumn("hit", lit(1L)), Seq("yr", "nk", "seg"), "left")
+        .groupBy("yr")
+        .agg(count(lit(1)).as("expected_cells"),
+          sum(coalesce(col("hit"), lit(0L))).as("observed_cells"))
+        .select(col("yr").cast("long").as("yr"), col("expected_cells"),
+          col("observed_cells"),
+          (col("expected_cells") - col("observed_cells")).as("missing_cells"),
+          expr("CAST(1000000 * observed_cells div expected_cells AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy("yr")
     }
   )
 }

@@ -628,6 +628,44 @@ class AtlasInvariantsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("p_success_ppm") <= 1000000L))
   }
 
+  test("q546 the control is inside the donor range (placebo sanity)") {
+    val r = run("q546_synthetic_control").collect().head
+    assert(r.getAs[Long]("pre_treated") > 0L)
+    assert(r.getAs[Long]("control_post") > 0L)
+    assert(r.getAs[Long]("effect_milli") ==
+      r.getAs[Long]("post_treated") - r.getAs[Long]("control_post"))
+  }
+
+  test("q547 the FK-closed export has zero orphans") {
+    val r = run("q547_consistent_sample_export").collect().head
+    assert(r.getAs[Long]("orphan_orders") == 0L)
+    assert(r.getAs[Long]("orphan_lineitems") == 0L)
+    assert(r.getAs[Long]("n_customers") > 0L)
+    val ppm = r.getAs[Long]("sample_ppm")
+    assert(ppm > 20000L && ppm < 300000L) // ~10% md5 sample with noise
+  }
+
+  test("q548 HLL errors shrink by exactly 2x per 4x registers") {
+    val rows = run("q548_hll_sizing").collect().sortBy(_.getAs[Long]("registers"))
+    assert(rows.length == 4)
+    val errs = rows.map(_.getAs[Long]("rel_err_ppm"))
+    errs.zip(errs.tail).foreach { case (a, b) => assert(b == a / 2 || b == (a - 1) / 2) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("expected_abs_err") <= r.getAs[Long]("measured_ndv"))
+    }
+  }
+
+  test("q549 cube coverage is a valid census per year") {
+    val rows = run("q549_cube_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exp = r.getAs[Long]("expected_cells"); val obsv = r.getAs[Long]("observed_cells")
+      assert(exp == 125L) // 25 nations × 5 segments
+      assert(obsv >= 1L && obsv <= exp)
+      assert(r.getAs[Long]("missing_cells") == exp - obsv)
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
