@@ -2970,6 +2970,235 @@ object AtlasQueries {
           expr("CAST(1000000 * observed_cells div expected_cells AS BIGINT)")
             .as("coverage_ppm"))
         .orderBy("yr")
+    },
+
+    // Scheduling-policy advisor: mean job wait under FIFO (arrival
+    // order) vs shortest-processing-time-first, computed EXACTLY from
+    // prefix sums over the first 1000 "jobs" (order line counts as
+    // service times) — SPT provably minimizes mean wait, and the
+    // measured ratio is the argument for size-aware task queues in any
+    // shared cluster. Wait(i) = Σ of service times before i = one
+    // exclusive prefix-sum window per ordering; two orderings, one job
+    // table.
+    QueryDef.sql(
+      "q550_scheduling_advisor",
+      """WITH j AS (SELECT l_orderkey AS jid, COUNT(*) AS svc
+        |  FROM lineitem GROUP BY 1 ORDER BY l_orderkey LIMIT 1000),
+        |fifo AS (SELECT jid, svc,
+        |    COALESCE(SUM(svc) OVER (ORDER BY jid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wait
+        |  FROM j),
+        |spt AS (SELECT jid, svc,
+        |    COALESCE(SUM(svc) OVER (ORDER BY svc, jid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wait
+        |  FROM j),
+        |a AS (SELECT (SELECT SUM(wait) FROM fifo) AS wf,
+        |    (SELECT SUM(wait) FROM spt) AS ws, (SELECT COUNT(*) FROM j) AS n)
+        |SELECT CAST(n AS BIGINT) AS n_jobs,
+        |  CAST((1000 * CAST(wf AS HUGEINT)) // n AS BIGINT) AS fifo_mean_wait_milli,
+        |  CAST((1000 * CAST(ws AS HUGEINT)) // n AS BIGINT) AS spt_mean_wait_milli,
+        |  CAST((1000 * CAST(wf AS HUGEINT)) // GREATEST(ws, 1) AS BIGINT)
+        |    AS fifo_over_spt_milli
+        |FROM a""".stripMargin) { (s, dir) =>
+      val j = Tables(s, dir).lineitem
+        .groupBy(col("l_orderkey").as("jid")).agg(count(lit(1)).as("svc"))
+        .orderBy("jid").limit(1000).cache()
+      def meanWait(order: Seq[org.apache.spark.sql.Column], name: String) = j
+        .withColumn("wait", coalesce(sum("svc").over(
+          Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .agg(sum("wait").as(name))
+      val n = j.agg(count(lit(1)).as("n"))
+      meanWait(Seq(col("jid")), "wf")
+        .crossJoin(broadcast(meanWait(Seq(col("svc"), col("jid")), "ws")))
+        .crossJoin(broadcast(n))
+        .select(col("n").as("n_jobs"),
+          expr("CAST((1000 * CAST(wf AS DECIMAL(38,0))) div n AS BIGINT)")
+            .as("fifo_mean_wait_milli"),
+          expr("CAST((1000 * CAST(ws AS DECIMAL(38,0))) div n AS BIGINT)")
+            .as("spt_mean_wait_milli"),
+          expr("CAST((1000 * CAST(wf AS DECIMAL(38,0))) div GREATEST(ws, 1) AS BIGINT)")
+            .as("fifo_over_spt_milli"))
+    },
+
+    // Hash-seed sensitivity audit: the SAME 10% deterministic sample
+    // drawn under 5 different md5 salts — five independent estimates
+    // of the mean order value whose spread should sit inside the
+    // sampling-theory band (the cheap Monte-Carlo check that a
+    // hash-sample estimator isn't secretly correlated with its key).
+    // One pass computes all five capture flags (salted coins are
+    // columns, not reruns); the output is per-seed estimates plus the
+    // max pairwise spread in ppm of the global mean.
+    QueryDef.sql(
+      "q551_seed_sensitivity",
+      """WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c,
+        |    ('0x' || substr(md5('s1:' || o_orderkey), 1, 6))::BIGINT % 10 AS b1,
+        |    ('0x' || substr(md5('s2:' || o_orderkey), 1, 6))::BIGINT % 10 AS b2,
+        |    ('0x' || substr(md5('s3:' || o_orderkey), 1, 6))::BIGINT % 10 AS b3,
+        |    ('0x' || substr(md5('s4:' || o_orderkey), 1, 6))::BIGINT % 10 AS b4,
+        |    ('0x' || substr(md5('s5:' || o_orderkey), 1, 6))::BIGINT % 10 AS b5
+        |  FROM orders),
+        |a AS (SELECT
+        |    (1000 * SUM(CASE WHEN b1 = 0 THEN c ELSE 0 END))
+        |      // GREATEST(SUM(CASE WHEN b1 = 0 THEN 1 ELSE 0 END), 1) AS m1,
+        |    (1000 * SUM(CASE WHEN b2 = 0 THEN c ELSE 0 END))
+        |      // GREATEST(SUM(CASE WHEN b2 = 0 THEN 1 ELSE 0 END), 1) AS m2,
+        |    (1000 * SUM(CASE WHEN b3 = 0 THEN c ELSE 0 END))
+        |      // GREATEST(SUM(CASE WHEN b3 = 0 THEN 1 ELSE 0 END), 1) AS m3,
+        |    (1000 * SUM(CASE WHEN b4 = 0 THEN c ELSE 0 END))
+        |      // GREATEST(SUM(CASE WHEN b4 = 0 THEN 1 ELSE 0 END), 1) AS m4,
+        |    (1000 * SUM(CASE WHEN b5 = 0 THEN c ELSE 0 END))
+        |      // GREATEST(SUM(CASE WHEN b5 = 0 THEN 1 ELSE 0 END), 1) AS m5,
+        |    (1000 * SUM(c)) // COUNT(*) AS mg
+        |  FROM o)
+        |SELECT CAST(mg AS BIGINT) AS global_mean_milli,
+        |  CAST(m1 AS BIGINT) AS seed1_milli, CAST(m2 AS BIGINT) AS seed2_milli,
+        |  CAST(m3 AS BIGINT) AS seed3_milli, CAST(m4 AS BIGINT) AS seed4_milli,
+        |  CAST(m5 AS BIGINT) AS seed5_milli,
+        |  CAST((1000000 * (GREATEST(m1, m2, m3, m4, m5)
+        |    - LEAST(m1, m2, m3, m4, m5))) // mg AS BIGINT) AS spread_ppm
+        |FROM a""".stripMargin) { (s, dir) =>
+      val cols = floor(col("o_totalprice") * lit(100.0)).cast("long").as("c") +:
+        (1 to 5).map(i =>
+          expr(s"CAST(conv(substring(md5(concat('s$i:', o_orderkey)), 1, 6), 16, 10)" +
+            s" AS BIGINT) % 10").as(s"b$i"))
+      val o = Tables(s, dir).orders.select(cols: _*)
+      def m(i: Int) =
+        expr(s"(1000 * SUM(CASE WHEN b$i = 0 THEN c ELSE 0 END))" +
+          s" div GREATEST(SUM(CASE WHEN b$i = 0 THEN 1 ELSE 0 END), 1)").as(s"m$i")
+      o.agg(m(1), m(2), m(3), m(4), m(5),
+          expr("(1000 * SUM(c)) div COUNT(*)").as("mg"))
+        .select(col("mg").as("global_mean_milli"),
+          col("m1").as("seed1_milli"), col("m2").as("seed2_milli"),
+          col("m3").as("seed3_milli"), col("m4").as("seed4_milli"),
+          col("m5").as("seed5_milli"),
+          expr("CAST((1000000 * (GREATEST(m1, m2, m3, m4, m5)" +
+            " - LEAST(m1, m2, m3, m4, m5))) div mg AS BIGINT)").as("spread_ppm"))
+    },
+
+    // Composite release gate: the three independent checks a data
+    // release runs before publish — sample-ratio mismatch on the
+    // treatment split (q310's z² idiom), binned-KS drift between the
+    // last two years' value distributions (q543's sup-norm), and
+    // worst-year cube coverage (q549) — folded to one verdict row.
+    // Each check is a tiny aggregate over a different grain of the
+    // same fact table; the gate passes only when ALL pass, which is
+    // the operational contract (one red check blocks the release).
+    QueryDef.sql(
+      "q552_release_gate",
+      """WITH s1 AS (SELECT
+        |    SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS nc
+        |  FROM orders),
+        |srm AS (SELECT CASE WHEN 1000 * (nt - nc) * (nt - nc) <= 3841 * (nt + nc)
+        |    THEN 1 ELSE 0 END AS srm_ok FROM s1),
+        |yy AS (SELECT MAX(year(o_orderdate)) AS y2 FROM orders),
+        |b AS (SELECT year(o_orderdate) AS yr,
+        |    LEAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) // 500000, 15) AS bin,
+        |    COUNT(*) AS c
+        |  FROM orders, yy WHERE year(o_orderdate) IN (yy.y2 - 1, yy.y2)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT yr, SUM(c) AS tot FROM b GROUP BY 1),
+        |g AS (SELECT n.yr, i.bin, COALESCE(b.c, 0) AS c, n.tot
+        |  FROM n CROSS JOIN generate_series(0, 15) i(bin)
+        |  LEFT JOIN b ON b.yr = n.yr AND b.bin = i.bin),
+        |cdf AS (SELECT yr, bin, (1000000 * SUM(c) OVER (PARTITION BY yr ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING)) // tot AS p FROM g),
+        |ks AS (SELECT MAX(ABS(a.p - b2.p)) AS ks_ppm
+        |  FROM cdf a JOIN cdf b2 ON a.bin = b2.bin AND a.yr < b2.yr),
+        |kg AS (SELECT CASE WHEN ks_ppm <= 50000 THEN 1 ELSE 0 END AS ks_ok, ks_ppm
+        |  FROM ks),
+        |cov AS (SELECT MIN(obs) AS min_obs FROM (
+        |  SELECT year(o.o_orderdate) AS yr, COUNT(DISTINCT c.c_nationkey) AS obs
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1)),
+        |cg AS (SELECT CASE WHEN min_obs >= 20 THEN 1 ELSE 0 END AS cov_ok, min_obs
+        |  FROM cov)
+        |SELECT CAST(srm.srm_ok AS BIGINT) AS srm_ok,
+        |  CAST(kg.ks_ok AS BIGINT) AS ks_ok, CAST(kg.ks_ppm AS BIGINT) AS ks_ppm,
+        |  CAST(cg.cov_ok AS BIGINT) AS coverage_ok,
+        |  CAST(cg.min_obs AS BIGINT) AS min_nations_per_year,
+        |  CAST(srm.srm_ok * kg.ks_ok * cg.cov_ok AS BIGINT) AS gate_pass
+        |FROM srm, kg, cg""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders
+      val srm = o.agg(
+          sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L)).as("nc"))
+        .select(when(lit(1000L) * (col("nt") - col("nc")) * (col("nt") - col("nc"))
+          <= lit(3841L) * (col("nt") + col("nc")), 1L).otherwise(0L).as("srm_ok"))
+      val y2 = o.agg(max(year(col("o_orderdate"))).as("y2"))
+      val b = o.crossJoin(broadcast(y2))
+        // max year is y2, so ≥ y2−1 ≡ IN (y2−1, y2)
+        .where(year(col("o_orderdate")) >= col("y2") - 1)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          least(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) div 500000"),
+            lit(15L)).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val n = b.groupBy("yr").agg(sum("c").as("tot"))
+      val g = n.crossJoin(broadcast(s.range(16).select(col("id").as("bin"))))
+        .join(b, Seq("yr", "bin"), "left")
+        .select(col("yr"), col("bin"), coalesce(col("c"), lit(0L)).as("c"), col("tot"))
+      val cdf = g.withColumn("p",
+        expr("(1000000 * SUM(c) OVER (PARTITION BY yr ORDER BY bin" +
+          " ROWS UNBOUNDED PRECEDING)) div tot"))
+      val ks = cdf.select(col("bin"), col("yr").as("ya"), col("p").as("pa"))
+        .join(cdf.select(col("bin"), col("yr").as("yb"), col("p").as("pb")), "bin")
+        .where(col("ya") < col("yb"))
+        .agg(max(abs(col("pa") - col("pb"))).as("ks_ppm"))
+        .select(when(col("ks_ppm") <= 50000, 1L).otherwise(0L).as("ks_ok"),
+          col("ks_ppm"))
+      val cov = o.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(countDistinct("c_nationkey").as("obs"))
+        .agg(min("obs").as("min_obs"))
+        .select(when(col("min_obs") >= 20, 1L).otherwise(0L).as("cov_ok"),
+          col("min_obs"))
+      srm.crossJoin(broadcast(ks)).crossJoin(broadcast(cov))
+        .select(col("srm_ok"), col("ks_ok"), col("ks_ppm").cast("long").as("ks_ppm"),
+          col("cov_ok").as("coverage_ok"),
+          col("min_obs").as("min_nations_per_year"),
+          (col("srm_ok") * col("ks_ok") * col("cov_ok")).as("gate_pass"))
+    },
+
+    // Bitmap-index advisor: per candidate column, the classic
+    // cardinality rule priced in bytes — a bitmap index costs
+    // ~ndv·rows/8 (one bitmap per value), a B-tree ~rows·(key+ptr) —
+    // so bitmaps win exactly on low-NDV columns and lose
+    // catastrophically past a few hundred values. Completes the
+    // index-advisory trio (q520 scan-vs-index, q516 encodings) with
+    // the same one-pass measured stats.
+    QueryDef.sql(
+      "q553_bitmap_advisor",
+      """WITH s AS (
+        |  SELECT 'o_orderpriority' AS col, COUNT(*) AS n,
+        |    COUNT(DISTINCT o_orderpriority) AS ndv FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus)
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey)
+        |  FROM orders),
+        |e AS (SELECT col, n, ndv,
+        |    (CAST(ndv AS HUGEINT) * n + 7) // 8 AS bitmap_bytes,
+        |    CAST(n AS HUGEINT) * 16 AS btree_bytes FROM s)
+        |SELECT col, CAST(n AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(bitmap_bytes AS BIGINT) AS bitmap_bytes,
+        |  CAST(btree_bytes AS BIGINT) AS btree_bytes,
+        |  CASE WHEN bitmap_bytes < btree_bytes THEN 'bitmap' ELSE 'btree' END
+        |    AS verdict
+        |FROM e ORDER BY col""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      def st(name: String, c: String) = o
+        .agg(count(lit(1)).as("n"), countDistinct(c).as("ndv"))
+        .select(lit(name).as("col"), col("n"), col("ndv"))
+      st("o_orderpriority", "o_orderpriority")
+        .unionAll(st("o_orderstatus", "o_orderstatus"))
+        .unionAll(st("o_custkey", "o_custkey"))
+        .select(col("col"), col("n").as("n_rows"), col("ndv"),
+          expr("(CAST(ndv AS DECIMAL(38,0)) * n + 7) div 8").cast("long")
+            .as("bitmap_bytes"),
+          (col("n") * 16).as("btree_bytes"))
+        .withColumn("verdict",
+          when(col("bitmap_bytes") < col("btree_bytes"), "bitmap").otherwise("btree"))
+        .orderBy("col")
     }
   )
 }

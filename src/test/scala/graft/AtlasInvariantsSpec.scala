@@ -666,6 +666,44 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q550 SPT never waits longer than FIFO (exchange argument)") {
+    val r = run("q550_scheduling_advisor").collect().head
+    assert(r.getAs[Long]("spt_mean_wait_milli") <= r.getAs[Long]("fifo_mean_wait_milli"))
+    assert(r.getAs[Long]("fifo_over_spt_milli") >= 1000L)
+    assert(r.getAs[Long]("n_jobs") >= 1L)
+  }
+
+  test("q551 per-seed estimates bracket the global mean tightly") {
+    val r = run("q551_seed_sensitivity").collect().head
+    val g = r.getAs[Long]("global_mean_milli")
+    val seeds = (1 to 5).map(i => r.getAs[Long](s"seed${i}_milli"))
+    assert(g > 0L)
+    // each 10% sample mean within ±30% of the global mean (very loose
+    // at sf0.001 sample sizes; tight in practice)
+    seeds.foreach(m => assert(math.abs(m - g) <= (3L * g) / 10L))
+    assert(r.getAs[Long]("spread_ppm") >= 0L)
+  }
+
+  test("q552 the release gate is the conjunction of its checks") {
+    val r = run("q552_release_gate").collect().head
+    val pass = r.getAs[Long]("gate_pass")
+    assert(pass == r.getAs[Long]("srm_ok") * r.getAs[Long]("ks_ok") *
+      r.getAs[Long]("coverage_ok"))
+    assert(r.getAs[Long]("ks_ppm") >= 0L && r.getAs[Long]("ks_ppm") <= 1000000L)
+  }
+
+  test("q553 bitmap verdicts follow the byte comparison") {
+    val rows = run("q553_bitmap_advisor").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val bm = r.getAs[Long]("bitmap_bytes"); val bt = r.getAs[Long]("btree_bytes")
+      assert(r.getAs[String]("verdict") == (if (bm < bt) "bitmap" else "btree"))
+    }
+    val m = rows.map(r => r.getAs[String]("col") -> r.getAs[String]("verdict")).toMap
+    assert(m("o_orderstatus") == "bitmap") // 3 distinct values
+    assert(m("o_custkey") == "btree")      // high cardinality
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
