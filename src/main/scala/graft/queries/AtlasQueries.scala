@@ -3199,6 +3199,181 @@ object AtlasQueries {
         .withColumn("verdict",
           when(col("bitmap_bytes") < col("btree_bytes"), "bitmap").otherwise("btree"))
         .orderBy("col")
+    },
+
+    // Hierarchy-additivity certification: revenue aggregated AT region
+    // grain must equal the sum of its nations' totals — trivially true
+    // inside one consistent engine, and exactly the invariant that
+    // breaks when denormalized rollup tables drift from their base
+    // facts (the reference's compare jobs exist to catch this class).
+    // Both paths scan once; the certificate is a 5-row equality join.
+    QueryDef.sql(
+      "q554_hierarchy_additivity",
+      """WITH nat AS (SELECT n.n_regionkey AS rk, n.n_nationkey AS nk,
+        |    SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |up AS (SELECT rk, SUM(cents) AS rollup_cents, COUNT(*) AS n_nations
+        |  FROM nat GROUP BY 1),
+        |direct AS (SELECT n.n_regionkey AS rk,
+        |    SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS direct_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1)
+        |SELECT r.r_name AS region, CAST(u.n_nations AS BIGINT) AS n_nations,
+        |  CAST(u.rollup_cents AS BIGINT) AS rollup_cents,
+        |  CAST(d.direct_cents AS BIGINT) AS direct_cents,
+        |  CAST(CASE WHEN u.rollup_cents = d.direct_cents THEN 1 ELSE 0 END AS BIGINT)
+        |    AS additive_ok
+        |FROM up u JOIN direct d ON u.rk = d.rk
+        |JOIN region r ON u.rk = r.r_regionkey ORDER BY region""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val base = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .cache()
+      val up = base.groupBy("rk", "nk").agg(sum("cents").as("c"))
+        .groupBy("rk").agg(sum("c").as("rollup_cents"), count(lit(1)).as("n_nations"))
+      val direct = base.groupBy("rk").agg(sum("cents").as("direct_cents"))
+      up.join(direct, "rk")
+        .join(broadcast(t.region), col("rk") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_nations"), col("rollup_cents"),
+          col("direct_cents"),
+          when(col("rollup_cents") === col("direct_cents"), 1L).otherwise(0L)
+            .as("additive_ok"))
+        .orderBy("region")
+    },
+
+    // Scan pricing: bytes a query pays under (a) full-table scan, (b)
+    // column pruning, (c) pruning + the pushed filter's row-group
+    // skipping — priced from measured per-column bytes and the
+    // predicate's measured selectivity, the quantified companion to
+    // q539's plan evidence (PushedFilters shows THAT it prunes; this
+    // says how many bytes it saves). One stats pass; three pattern
+    // rows with savings in ppm of the full scan.
+    QueryDef.sql(
+      "q555_scan_pricing",
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) AS BIGINT)
+        |      AS total_bytes,
+        |    CAST(SUM(8 + 8) AS BIGINT) AS proj_bytes,
+        |    SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS hits
+        |  FROM orders),
+        |p AS (SELECT 'a_full_scan' AS pattern, total_bytes AS bytes_read, n FROM s
+        |  UNION ALL SELECT 'b_column_pruned', proj_bytes, n FROM s
+        |  UNION ALL SELECT 'c_pruned_and_filtered',
+        |    (proj_bytes * hits) // n, n FROM s),
+        |f AS (SELECT pattern, bytes_read, n,
+        |    (SELECT total_bytes FROM s) AS fullb FROM p)
+        |SELECT pattern, CAST(bytes_read AS BIGINT) AS bytes_read,
+        |  CAST(1000000 - (1000000 * bytes_read) // fullb AS BIGINT) AS savings_ppm
+        |FROM f ORDER BY pattern""".stripMargin) { (s, dir) =>
+      val st = Tables(s, dir).orders.agg(count(lit(1)).as("n"),
+        sum(length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32))
+          .cast("long").as("total_bytes"),
+        sum(lit(16L)).as("proj_bytes"),
+        sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("hits"))
+      val p = st.select(lit("a_full_scan").as("pattern"),
+          col("total_bytes").as("bytes_read"), col("total_bytes"))
+        .unionAll(st.select(lit("b_column_pruned").as("pattern"),
+          col("proj_bytes").as("bytes_read"), col("total_bytes")))
+        .unionAll(st.select(lit("c_pruned_and_filtered").as("pattern"),
+          expr("(proj_bytes * hits) div n").as("bytes_read"), col("total_bytes")))
+      p.select(col("pattern"), col("bytes_read"),
+          expr("CAST(1000000 - (1000000 * bytes_read) div total_bytes AS BIGINT)")
+            .as("savings_ppm"))
+        .orderBy("pattern")
+    },
+
+    // Sample-quantile accuracy audit: the p50/p99 of order value from
+    // a deterministic 1-in-16 hash sample against the exact order
+    // statistics — the measured error (in ppm of the exact value) that
+    // says whether profile-from-sample is good enough for bin
+    // advisories (q473) and chunk planners, or whether the two-pass
+    // exact path (q492) must run. Both quantile pairs come from the
+    // same window machinery; the sample is a capture-flag column, not
+    // a second scan.
+    QueryDef.sql(
+      "q556_sample_quantile_error",
+      """WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c,
+        |    CASE WHEN ('0x' || substr(md5('q' || o_orderkey), 1, 6))::BIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END AS smp
+        |  FROM orders),
+        |ex AS (SELECT quantile_disc(c, 0.5) AS p50, quantile_disc(c, 0.99) AS p99
+        |  FROM o),
+        |sa AS (SELECT quantile_disc(c, 0.5) AS p50, quantile_disc(c, 0.99) AS p99,
+        |    COUNT(*) AS ns FROM o WHERE smp = 1)
+        |SELECT CAST(sa.ns AS BIGINT) AS n_sampled,
+        |  CAST(ex.p50 AS BIGINT) AS exact_p50, CAST(sa.p50 AS BIGINT) AS sample_p50,
+        |  CAST(ex.p99 AS BIGINT) AS exact_p99, CAST(sa.p99 AS BIGINT) AS sample_p99,
+        |  CAST((1000000 * ABS(sa.p50 - ex.p50)) // ex.p50 AS BIGINT) AS p50_err_ppm,
+        |  CAST((1000000 * ABS(sa.p99 - ex.p99)) // ex.p99 AS BIGINT) AS p99_err_ppm
+        |FROM ex, sa""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders.select(
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("c"),
+        when(expr("CAST(conv(substring(md5(concat('q', o_orderkey)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 16") === 0, 1L).otherwise(0L).as("smp"))
+        .cache()
+      def q(df: org.apache.spark.sql.DataFrame, p: Int, alias: String) = df
+        .select(col("c"), row_number().over(Window.orderBy("c")).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .where(col("rn") === expr(s"(n * $p + 99) div 100"))
+        .select(col("c").as(alias))
+      val smp = o.where(col("smp") === 1)
+      q(o, 50, "exact_p50").crossJoin(broadcast(q(o, 99, "exact_p99")))
+        .crossJoin(broadcast(q(smp, 50, "sample_p50")))
+        .crossJoin(broadcast(q(smp, 99, "sample_p99")))
+        .crossJoin(broadcast(smp.agg(count(lit(1)).as("n_sampled"))))
+        .select(col("n_sampled"), col("exact_p50"), col("sample_p50"),
+          col("exact_p99"), col("sample_p99"),
+          expr("CAST((1000000 * ABS(sample_p50 - exact_p50)) div exact_p50 AS BIGINT)")
+            .as("p50_err_ppm"),
+          expr("CAST((1000000 * ABS(sample_p99 - exact_p99)) div exact_p99 AS BIGINT)")
+            .as("p99_err_ppm"))
+    },
+
+    // Foreign-key fanout profile: the 1:N distribution (min / median /
+    // p99 / max children per parent) for the two workhorse
+    // relationships — the statistic that decides whether a join
+    // explodes (q499 estimates SIZE from NDV; fanout quantiles expose
+    // the SKEW that the average hides, feeding q86/q532's salting
+    // decisions). Child counts are one grouped aggregate per
+    // relationship; the order statistics use the ⌈n·q⌉ window
+    // convention per relationship partition.
+    QueryDef.sql(
+      "q557_fanout_profile",
+      """WITH f1 AS (SELECT 'customer_orders' AS rel, o_custkey AS pk, COUNT(*) AS fan
+        |  FROM orders GROUP BY 2),
+        |f2 AS (SELECT 'orders_lineitem', l_orderkey, COUNT(*) FROM lineitem
+        |  GROUP BY 2),
+        |f AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |SELECT rel, COUNT(*) AS n_parents,
+        |  CAST(MIN(fan) AS BIGINT) AS min_fan,
+        |  CAST(quantile_disc(fan, 0.5) AS BIGINT) AS p50_fan,
+        |  CAST(quantile_disc(fan, 0.99) AS BIGINT) AS p99_fan,
+        |  CAST(MAX(fan) AS BIGINT) AS max_fan
+        |FROM f GROUP BY rel ORDER BY rel""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val f = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("fan"))
+        .select(lit("customer_orders").as("rel"), col("fan"))
+        .unionAll(t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("fan"))
+          .select(lit("orders_lineitem").as("rel"), col("fan")))
+      val w = Window.partitionBy("rel").orderBy("fan")
+      val idx = f.select(col("rel"), col("fan"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("rel")).as("n"))
+      idx.groupBy("rel", "n")
+        .agg(min("fan").as("min_fan"),
+          min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("fan")))
+            .as("p50_fan"),
+          min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("fan")))
+            .as("p99_fan"),
+          max("fan").as("max_fan"))
+        .select(col("rel"), col("n").as("n_parents"), col("min_fan"), col("p50_fan"),
+          col("p99_fan"), col("max_fan"))
+        .orderBy("rel")
     }
   )
 }

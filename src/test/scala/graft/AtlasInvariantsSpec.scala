@@ -704,6 +704,45 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(m("o_custkey") == "btree")      // high cardinality
   }
 
+  test("q554 the hierarchy is additive on every region") {
+    val rows = run("q554_hierarchy_additivity").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("additive_ok") == 1L)
+      assert(r.getAs[Long]("rollup_cents") == r.getAs[Long]("direct_cents"))
+      assert(r.getAs[Long]("n_nations") == 5L)
+    }
+  }
+
+  test("q555 scan savings nest: pruning+filter ≥ pruning ≥ full scan") {
+    val rows = run("q555_scan_pricing").collect().sortBy(_.getAs[String]("pattern"))
+    assert(rows.length == 3)
+    val savings = rows.map(_.getAs[Long]("savings_ppm"))
+    assert(savings(0) == 0L)          // full scan saves nothing
+    assert(savings(1) >= savings(0))  // pruning helps
+    assert(savings(2) >= savings(1))  // +filtering helps more
+    rows.foreach(r => assert(r.getAs[Long]("bytes_read") >= 0L))
+  }
+
+  test("q556 sample quantiles land near the exact order statistics") {
+    val r = run("q556_sample_quantile_error").collect().head
+    assert(r.getAs[Long]("n_sampled") > 0L)
+    // a 1/16 hash sample of i.i.d.-ish values: p50 within 10%, p99 within 25%
+    assert(r.getAs[Long]("p50_err_ppm") <= 100000L)
+    assert(r.getAs[Long]("p99_err_ppm") <= 250000L)
+  }
+
+  test("q557 fanout quantiles are ordered per relationship") {
+    val rows = run("q557_fanout_profile").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("min_fan"); val p50 = r.getAs[Long]("p50_fan")
+      val p99 = r.getAs[Long]("p99_fan"); val mx = r.getAs[Long]("max_fan")
+      assert(mn <= p50 && p50 <= p99 && p99 <= mx)
+      assert(mn >= 1L) // every parent here has ≥1 child by construction
+    }
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
