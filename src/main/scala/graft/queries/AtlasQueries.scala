@@ -3374,6 +3374,147 @@ object AtlasQueries {
         .select(col("rel"), col("n").as("n_parents"), col("min_fan"), col("p50_fan"),
           col("p99_fan"), col("max_fan"))
         .orderBy("rel")
+    },
+
+    // Group-commit (fsync batching) advisor: with a 10 ms fsync and
+    // 50 µs per-row append, batching n commits amortizes the fsync —
+    // throughput n/(T_f + n·t_r) rises toward 1/t_r while added p50
+    // latency grows with the batch window — the classic WAL trade
+    // priced exactly (µs-integer rationals) across a batch sweep. The
+    // knee of this table is why every durable store defaults to group
+    // commit. Zero data access; q514's queueing advisor prices what
+    // happens when you get it wrong.
+    QueryDef.sql(
+      "q558_group_commit_advisor",
+      """WITH b(n) AS (VALUES (1), (4), (16), (64), (256))
+        |SELECT CAST(n AS BIGINT) AS batch,
+        |  CAST((1000000 * CAST(n AS BIGINT)) // (10000 + n * 50) AS BIGINT)
+        |    AS commits_per_sec,
+        |  CAST((10000 + n * 50) // 2 AS BIGINT) AS added_p50_latency_us,
+        |  CAST((1000000 * CAST(n AS BIGINT) * 50) // (10000 + n * 50) AS BIGINT)
+        |    AS efficiency_ppm
+        |FROM b ORDER BY batch""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq(1L, 4L, 16L, 64L, 256L).toDF("n")
+        .select(col("n").as("batch"),
+          expr("(1000000 * n) div (10000 + n * 50)").as("commits_per_sec"),
+          expr("(10000 + n * 50) div 2").as("added_p50_latency_us"),
+          expr("(1000000 * n * 50) div (10000 + n * 50)").as("efficiency_ppm"))
+        .orderBy("batch")
+    },
+
+    // Optimistic-concurrency conflict estimate: for k concurrent
+    // transactions drawing keys from the MEASURED customer-access
+    // distribution, the expected conflicting pairs are C(k,2)·Σp² —
+    // the collision mass Σp² is exactly the HHI concentration (q346)
+    // of the key histogram, so skewed workloads abort quadratically
+    // sooner. One grouped count for the distribution, exact ppm
+    // assembly for k = 4/16/64, capped at certainty.
+    QueryDef.sql(
+      "q559_occ_conflict_estimate",
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(c) AS n FROM a),
+        |h AS (SELECT (1000000 * SUM(CAST(c AS HUGEINT) * c)) // (t.n * t.n) AS hhi
+        |  FROM a, t GROUP BY t.n),
+        |k(k) AS (VALUES (4), (16), (64))
+        |SELECT CAST(k.k AS BIGINT) AS concurrent_txns,
+        |  CAST(h.hhi AS BIGINT) AS key_hhi_ppm,
+        |  CAST(LEAST((CAST(k.k AS HUGEINT) * (k.k - 1) // 2) * h.hhi, 1000000)
+        |    AS BIGINT) AS est_conflict_ppm
+        |FROM k, h ORDER BY concurrent_txns""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val a = Tables(s, dir).orders.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      val t = a.agg(sum("c").as("n"))
+      val h = a.crossJoin(broadcast(t))
+        .agg(expr("(1000000 * SUM(CAST(c AS DECIMAL(38,0)) * c))" +
+          " div (MAX(n) * MAX(n))").as("hhi"))
+      Seq(4L, 16L, 64L).toDF("k").crossJoin(broadcast(h))
+        .select(col("k").as("concurrent_txns"), col("hhi").cast("long").as("key_hhi_ppm"),
+          least(expr("(CAST(k AS DECIMAL(38,0)) * (k - 1) div 2) * hhi"),
+            lit(1000000L).cast("decimal(38,0)")).cast("long").as("est_conflict_ppm"))
+        .orderBy("concurrent_txns")
+    },
+
+    // Row-vs-column layout break-even: reading q of a table's columns
+    // costs q/ncols of the bytes in a columnar layout but the FULL row
+    // width in a row store — the measured per-table widths give the
+    // exact projectivity threshold (in columns) above which the row
+    // store wins on seek-free scans, the first-principles answer to
+    // "should the hot path be Parquet or Avro". Stats ride q468's
+    // one-pass byte measurements; the sweep is arithmetic.
+    QueryDef.sql(
+      "q560_row_col_breakeven",
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(o_orderstatus) + len(o_orderpriority) + 8 * 4) AS BIGINT)
+        |      AS row_bytes
+        |  FROM orders),
+        |q(q) AS (VALUES (1), (2), (3), (6)),
+        |e AS (SELECT q.q, s.n, s.row_bytes,
+        |    (CAST(s.row_bytes AS HUGEINT) * q.q) // 6 AS col_bytes,
+        |    (CAST(s.row_bytes AS HUGEINT) * q.q) // 6 + CAST(q.q AS HUGEINT) * 65536
+        |      AS col_bytes_with_seeks
+        |  FROM s, q)
+        |SELECT CAST(q AS BIGINT) AS cols_read, CAST(row_bytes AS BIGINT) AS row_bytes,
+        |  CAST(col_bytes_with_seeks AS BIGINT) AS col_bytes,
+        |  CAST(CASE WHEN col_bytes_with_seeks < row_bytes THEN 1 ELSE 0 END AS BIGINT)
+        |    AS columnar_wins
+        |FROM e ORDER BY cols_read""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val st = Tables(s, dir).orders.agg(count(lit(1)).as("n"),
+        sum(length(col("o_orderstatus")) + length(col("o_orderpriority")) + lit(32))
+          .cast("long").as("row_bytes"))
+      Seq(1L, 2L, 3L, 6L).toDF("q").crossJoin(broadcast(st))
+        .select(col("q").as("cols_read"), col("row_bytes"),
+          expr("(CAST(row_bytes AS DECIMAL(38,0)) * q) div 6 + q * 65536")
+            .cast("long").as("col_bytes"))
+        .withColumn("columnar_wins",
+          when(col("col_bytes") < col("row_bytes"), 1L).otherwise(0L))
+        .orderBy("cols_read")
+    },
+
+    // Watermark-delay advisor: with per-event lateness synthesized as
+    // a deterministic md5 minute offset (0-29), sweep allowed delays
+    // of 0/1/5/15/30 minutes and measure the exact fraction of events
+    // a streaming job would DROP at each setting — the completeness-
+    // vs-latency trade every watermark config makes blind (q276
+    // measures realized lag; this chooses the budget), with the
+    // smallest delay meeting 99% completeness flagged as the pick.
+    QueryDef.sql(
+      "q561_watermark_advisor",
+      """WITH e AS (SELECT event_id,
+        |    ('0x' || substr(md5('w' || event_id), 1, 6))::BIGINT % 30 AS late_min
+        |  FROM events),
+        |d(delay) AS (VALUES (0), (1), (5), (15), (30)),
+        |n AS (SELECT COUNT(*) AS tot FROM e),
+        |c AS (SELECT d.delay, COUNT(*) AS kept
+        |  FROM d JOIN e ON e.late_min <= d.delay GROUP BY 1),
+        |r AS (SELECT c.delay, c.kept, n.tot,
+        |    (1000000 * c.kept) // n.tot AS keep_ppm FROM c, n),
+        |pick AS (SELECT MIN(delay) AS best FROM r WHERE keep_ppm >= 990000)
+        |SELECT CAST(r.delay AS BIGINT) AS delay_min,
+        |  CAST(r.kept AS BIGINT) AS kept_events,
+        |  CAST(r.keep_ppm AS BIGINT) AS keep_ppm,
+        |  CAST(CASE WHEN r.delay = pick.best THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM r, pick ORDER BY delay_min""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).events.select(
+        expr("CAST(conv(substring(md5(concat('w', event_id)), 1, 6), 16, 10)" +
+          " AS BIGINT) % 30").as("late_min"))
+      val d = Seq(0L, 1L, 5L, 15L, 30L).toDF("delay")
+      val n = e.agg(count(lit(1)).as("tot"))
+      val r = d.crossJoin(e)
+        .where(col("late_min") <= col("delay"))
+        .groupBy("delay").agg(count(lit(1)).as("kept"))
+        .crossJoin(broadcast(n))
+        .select(col("delay"), col("kept"),
+          expr("(1000000 * kept) div tot").as("keep_ppm"))
+      val pick = r.where(col("keep_ppm") >= 990000)
+        .agg(min("delay").as("best"))
+      r.crossJoin(broadcast(pick))
+        .select(col("delay").as("delay_min"), col("kept").as("kept_events"),
+          col("keep_ppm").cast("long").as("keep_ppm"),
+          when(col("delay") === col("best"), 1L).otherwise(0L).as("chosen"))
+        .orderBy("delay_min")
     }
   )
 }

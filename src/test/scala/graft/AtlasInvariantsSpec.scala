@@ -743,6 +743,51 @@ class AtlasInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q558 batching trades latency for throughput monotonically") {
+    val rows = run("q558_group_commit_advisor").collect().sortBy(_.getAs[Long]("batch"))
+    assert(rows.length == 5)
+    val thr = rows.map(_.getAs[Long]("commits_per_sec"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a < b })
+    val lat = rows.map(_.getAs[Long]("added_p50_latency_us"))
+    assert(lat.zip(lat.tail).forall { case (a, b) => a < b })
+    rows.foreach(r => assert(r.getAs[Long]("efficiency_ppm") <= 1000000L))
+  }
+
+  test("q559 conflict estimates grow quadratically in concurrency until the cap") {
+    val rows = run("q559_occ_conflict_estimate").collect()
+      .sortBy(_.getAs[Long]("concurrent_txns"))
+    assert(rows.length == 3)
+    val est = rows.map(_.getAs[Long]("est_conflict_ppm"))
+    assert(est.zip(est.tail).forall { case (a, b) => a <= b })
+    assert(rows.map(_.getAs[Long]("key_hhi_ppm")).distinct.length == 1)
+    est.foreach(e => assert(e >= 0L && e <= 1000000L))
+  }
+
+  test("q560 columnar wins at low projectivity and loses at full width") {
+    val rows = run("q560_row_col_breakeven").collect().sortBy(_.getAs[Long]("cols_read"))
+    assert(rows.length == 4)
+    // full width + seek overhead always loses to the row store
+    assert(rows.last.getAs[Long]("columnar_wins") == 0L)
+    rows.foreach { r => // verdict ≡ byte comparison (scale-independent)
+      assert(r.getAs[Long]("columnar_wins") ==
+        (if (r.getAs[Long]("col_bytes") < r.getAs[Long]("row_bytes")) 1L else 0L))
+    }
+    val cb = rows.map(_.getAs[Long]("col_bytes"))
+    assert(cb.zip(cb.tail).forall { case (a, b) => a < b })
+    // verdicts flip at most once, columnar-side first (monotone break-even)
+    val wins = rows.map(_.getAs[Long]("columnar_wins"))
+    assert(wins.zip(wins.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q561 keep rates rise with delay, reach 100% at the max lateness") {
+    val rows = run("q561_watermark_advisor").collect().sortBy(_.getAs[Long]("delay_min"))
+    assert(rows.length == 5)
+    val keep = rows.map(_.getAs[Long]("keep_ppm"))
+    assert(keep.zip(keep.tail).forall { case (a, b) => a <= b })
+    assert(keep.last >= 999999L) // 30-min delay covers the 0-29 lateness range
+    assert(rows.map(_.getAs[Long]("chosen")).sum == 1L) // exactly one pick
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
