@@ -3515,6 +3515,172 @@ object AtlasQueries {
           col("keep_ppm").cast("long").as("keep_ppm"),
           when(col("delay") === col("best"), 1L).otherwise(0L).as("chosen"))
         .orderBy("delay_min")
+    },
+
+    // Monotone-counter repair: cumulative telemetry counters must
+    // never decrease, but 5% of the per-nation daily order counters
+    // are deterministically corrupted downward (md5-gated) — the
+    // repair is one running-max window (the streaming-safe cummax
+    // rule), and the census reports how many points were lifted and by
+    // how much per nation. The fix is O(series) per partition and
+    // idempotent — re-running repair on repaired data changes nothing,
+    // which is what makes it deployable as a standing view.
+    QueryDef.sql(
+      "q562_counter_repair",
+      """WITH d AS (SELECT c.c_nationkey AS nk, o.o_orderdate AS dt, COUNT(*) AS inc
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT nk, dt, SUM(inc) OVER (PARTITION BY nk ORDER BY dt
+        |    ROWS UNBOUNDED PRECEDING) AS ctr FROM d),
+        |corrupt AS (SELECT nk, dt, CASE
+        |    WHEN ('0x' || substr(md5(nk || '@' || dt), 1, 4))::BIGINT % 20 = 0
+        |    THEN GREATEST(ctr - 50, 0) ELSE ctr END AS raw, ctr AS clean
+        |  FROM cum),
+        |rep AS (SELECT nk, dt, raw,
+        |    MAX(raw) OVER (PARTITION BY nk ORDER BY dt ROWS UNBOUNDED PRECEDING)
+        |      AS fixed FROM corrupt)
+        |SELECT CAST(nk AS BIGINT) AS nation, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN fixed > raw THEN 1 ELSE 0 END) AS BIGINT) AS n_lifted,
+        |  CAST(SUM(fixed - raw) AS BIGINT) AS total_lift
+        |FROM rep GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val d = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("inc"))
+      val w = Window.partitionBy("nk").orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d.withColumn("ctr", sum("inc").over(w))
+      val corrupt = cum.select(col("nk"), col("dt"),
+        when(expr("CAST(conv(substring(md5(concat(nk, '@', dt)), 1, 4), 16, 10)" +
+          " AS BIGINT) % 20") === 0, greatest(col("ctr") - 50, lit(0L)))
+          .otherwise(col("ctr")).as("raw"))
+      corrupt.withColumn("fixed", max("raw").over(w))
+        .groupBy(col("nk").as("nation"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("fixed") > col("raw"), 1L).otherwise(0L)).as("n_lifted"),
+          sum(col("fixed") - col("raw")).as("total_lift"))
+        .orderBy("nation")
+    },
+
+    // Dedup idempotency certification: exact dedup applied once and
+    // twice to a corpus with planted duplicates must agree — the
+    // operator-algebra property (dedup ∘ dedup = dedup) that lets a
+    // pipeline re-run safely after partial failure, proven
+    // differentially rather than assumed. Both passes are the same
+    // group-by-content reduction; the certificate row carries all
+    // three counts.
+    QueryDef.sql(
+      "q563_dedup_idempotent",
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        |d1 AS (SELECT MIN(doc_id) AS keep, text FROM corpus GROUP BY text),
+        |d2 AS (SELECT MIN(keep) AS keep, text FROM d1 GROUP BY text),
+        |a AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+        |    (SELECT COUNT(*) FROM d1) AS n_once, (SELECT COUNT(*) FROM d2) AS n_twice)
+        |SELECT CAST(n_input AS BIGINT) AS n_input, CAST(n_once AS BIGINT) AS n_once,
+        |  CAST(n_twice AS BIGINT) AS n_twice,
+        |  CAST(CASE WHEN n_once = n_twice THEN 1 ELSE 0 END AS BIGINT) AS idempotent
+        |FROM a""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val corpus = docs.unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val d1 = corpus.groupBy("text").agg(min("doc_id").as("keep"))
+      val d2 = d1.groupBy("text").agg(min("keep").as("keep"))
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(broadcast(d1.agg(count(lit(1)).as("n_once"))))
+        .crossJoin(broadcast(d2.agg(count(lit(1)).as("n_twice"))))
+        .select(col("n_input"), col("n_once"), col("n_twice"),
+          when(col("n_once") === col("n_twice"), 1L).otherwise(0L).as("idempotent"))
+    },
+
+    // Universal Scalability Law curve: throughput(p) = p/(1 + σ(p−1) +
+    // κp(p−1)) at σ = 5% contention and κ = 0.1% coherency — the
+    // Gunther model that explains why 32 workers don't go 32× and
+    // where the RETROGRADE peak sits. Exact milli rationals over a
+    // worker sweep; the peak flag marks the p beyond which adding
+    // executors REDUCES throughput — the number a cluster autoscaler
+    // should stop at.
+    QueryDef.sql(
+      "q564_usl_curve",
+      """WITH p(p) AS (VALUES (1), (2), (4), (8), (16), (32), (64)),
+        |u AS (SELECT p, (1000000000 * CAST(p AS BIGINT))
+        |    // (1000000 + 50000 * (p - 1) + 1000 * p * (p - 1)) AS x_milli
+        |  FROM p),
+        |mx AS (SELECT MAX(x_milli) AS peak FROM u)
+        |SELECT CAST(u.p AS BIGINT) AS workers,
+        |  CAST(u.x_milli AS BIGINT) AS speedup_milli,
+        |  CAST((1000 * u.x_milli) // u.p AS BIGINT) AS efficiency_ppt,
+        |  CAST(CASE WHEN u.x_milli = mx.peak THEN 1 ELSE 0 END AS BIGINT) AS at_peak
+        |FROM u, mx ORDER BY workers""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).toDF("p")
+        .select(col("p"),
+          expr("(1000000000 * p) div (1000000 + 50000 * (p - 1) + 1000 * p * (p - 1))")
+            .as("x_milli"))
+      val mx = u.agg(max("x_milli").as("peak"))
+      u.crossJoin(broadcast(mx))
+        .select(col("p").as("workers"), col("x_milli").as("speedup_milli"),
+          expr("(1000 * x_milli) div p").as("efficiency_ppt"),
+          when(col("x_milli") === col("peak"), 1L).otherwise(0L).as("at_peak"))
+        .orderBy("workers")
+    },
+
+    // Trace-sampling policy audit: head-based 10% sampling keeps a
+    // blind fraction of everything; tail-based keep-if-slow (> the
+    // exact p95) keeps 5% of volume but 100% of the slow traces — the
+    // observability trade measured on the event stream: kept volume,
+    // share of slow traces retained, and bytes-proxy cost per policy.
+    // The p95 threshold is the exact ⌈0.95n⌉ order statistic; both
+    // policies are capture-flag columns over one scan.
+    QueryDef.sql(
+      "q565_trace_sampling",
+      """WITH e AS (SELECT event_id, CAST(FLOOR(value * 1000.0) AS BIGINT) AS lat
+        |  FROM events),
+        |n AS (SELECT COUNT(*) AS tot FROM e),
+        |p95 AS (SELECT lat AS thr FROM (SELECT lat, ROW_NUMBER() OVER (ORDER BY lat)
+        |    AS rn FROM e), n WHERE rn = (tot * 95 + 99) // 100),
+        |f AS (SELECT e.event_id, e.lat, p95.thr,
+        |    CASE WHEN ('0x' || substr(md5('t' || e.event_id), 1, 6))::BIGINT % 10 = 0
+        |      THEN 1 ELSE 0 END AS head_keep,
+        |    CASE WHEN e.lat > p95.thr THEN 1 ELSE 0 END AS tail_keep
+        |  FROM e, p95),
+        |s AS (SELECT 'head_10pct' AS policy, SUM(head_keep) AS kept,
+        |    SUM(CASE WHEN lat > thr THEN head_keep ELSE 0 END) AS slow_kept,
+        |    SUM(CASE WHEN lat > thr THEN 1 ELSE 0 END) AS slow_total FROM f
+        |  UNION ALL SELECT 'tail_slow', SUM(tail_keep),
+        |    SUM(CASE WHEN lat > thr THEN tail_keep ELSE 0 END),
+        |    SUM(CASE WHEN lat > thr THEN 1 ELSE 0 END) FROM f)
+        |SELECT s.policy, CAST(s.kept AS BIGINT) AS kept,
+        |  CAST(1000000 * s.kept // n.tot AS BIGINT) AS kept_ppm,
+        |  CAST(CASE WHEN s.slow_total = 0 THEN 0
+        |    ELSE 1000000 * s.slow_kept // s.slow_total END AS BIGINT)
+        |    AS slow_coverage_ppm
+        |FROM s, n ORDER BY policy""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_id"), floor(col("value") * lit(1000.0)).cast("long").as("lat"))
+      val n = e.agg(count(lit(1)).as("tot"))
+      val p95 = e.crossJoin(broadcast(n))
+        .select(col("lat"), row_number().over(Window.orderBy("lat")).as("rn"),
+          col("tot"))
+        .where(col("rn") === expr("(tot * 95 + 99) div 100"))
+        .select(col("lat").as("thr"))
+      val f = e.crossJoin(broadcast(p95))
+        .select(col("lat"), col("thr"),
+          when(expr("CAST(conv(substring(md5(concat('t', event_id)), 1, 6), 16, 10)" +
+            " AS BIGINT) % 10") === 0, 1L).otherwise(0L).as("head_keep"),
+          when(col("lat") > col("thr"), 1L).otherwise(0L).as("tail_keep"))
+      def pol(name: String, keep: String) = f.agg(sum(col(keep)).as("kept"),
+          sum(when(col("lat") > col("thr"), col(keep)).otherwise(0L)).as("slow_kept"),
+          sum(when(col("lat") > col("thr"), 1L).otherwise(0L)).as("slow_total"))
+        .select(lit(name).as("policy"), col("kept"), col("slow_kept"), col("slow_total"))
+      pol("head_10pct", "head_keep").unionAll(pol("tail_slow", "tail_keep"))
+        .crossJoin(broadcast(n))
+        .select(col("policy"), col("kept"),
+          expr("CAST(1000000 * kept div tot AS BIGINT)").as("kept_ppm"),
+          when(col("slow_total") === 0, 0L)
+            .otherwise(expr("1000000 * slow_kept div slow_total"))
+            .as("slow_coverage_ppm"))
+        .orderBy("policy")
     }
   )
 }

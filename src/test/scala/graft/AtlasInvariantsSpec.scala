@@ -788,6 +788,41 @@ class AtlasInvariantsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("chosen")).sum == 1L) // exactly one pick
   }
 
+  test("q562 repair lifts only corrupted points and never lowers") {
+    val rows = run("q562_counter_repair").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_lifted") <= r.getAs[Long]("n_points"))
+      assert(r.getAs[Long]("total_lift") >= r.getAs[Long]("n_lifted")) // ≥1 per lift
+    }
+    assert(rows.map(_.getAs[Long]("n_lifted")).sum > 0L) // corruption was planted
+  }
+
+  test("q563 dedup is idempotent and removes the planted duplicates") {
+    val r = run("q563_dedup_idempotent").collect().head
+    assert(r.getAs[Long]("idempotent") == 1L)
+    assert(r.getAs[Long]("n_once") == r.getAs[Long]("n_twice"))
+    assert(r.getAs[Long]("n_once") < r.getAs[Long]("n_input")) // dupes existed
+  }
+
+  test("q564 USL efficiency decays monotonically and a peak exists") {
+    val rows = run("q564_usl_curve").collect().sortBy(_.getAs[Long]("workers"))
+    assert(rows.length == 7)
+    val eff = rows.map(_.getAs[Long]("efficiency_ppt"))
+    assert(eff.zip(eff.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("at_peak")).sum >= 1L)
+    assert(rows.head.getAs[Long]("speedup_milli") == 1000L) // p=1 baseline
+  }
+
+  test("q565 tail sampling keeps every slow trace; head sampling keeps a fraction") {
+    val rows = run("q565_trace_sampling").collect()
+    assert(rows.length == 2)
+    val m = rows.map(r => r.getAs[String]("policy") -> r).toMap
+    assert(m("tail_slow").getAs[Long]("slow_coverage_ppm") == 1000000L)
+    assert(m("head_10pct").getAs[Long]("slow_coverage_ppm") <= 1000000L)
+    assert(m("tail_slow").getAs[Long]("kept_ppm") <= 60000L) // ~5% above p95
+  }
+
   test("q493 LSM levels are the exact ceil-log8 of the memtable ratio") {
     val rows = run("q493_lsm_advisor").collect()
     assert(rows.length == 4)
