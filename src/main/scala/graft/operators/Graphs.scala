@@ -39,6 +39,12 @@ object Graphs {
           (expr("CAST(150000 div nn AS BIGINT)") +
             expr("CAST((850000 * coalesce(s, 0L)) div 1000000 AS BIGINT)")).as("r"))
       i += 1
+      // Cut lineage every few supersteps — same discipline as
+      // connectedComponents (Dedup.scala): without it each round's plan
+      // nests inside the next and iters=20 builds an exponential tree.
+      // The rank relation is O(|V|) rows, so materializing it is cheap
+      // relative to the superstep shuffle it feeds.
+      if (i % 3 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
   }

@@ -5,10 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in
-  * batches. The decode step is a clearly-marked STUB (no codec libraries
-  * in this container) producing deterministic fake features; everything
-  * around it — schema, batching, partitioning, the Dataset signature —
-  * is the real shape a decode UDF plugs into.
+  * batches.
+  *
+  * Container-header parsing is REAL: PNG (IHDR), JPEG (SOF marker walk),
+  * GIF (logical screen descriptor) and WAV (RIFF fmt/data chunks) are
+  * decoded directly from bytes — no codec library needed, because
+  * dimensions/sample counts live in the container, not the entropy-coded
+  * stream. Only full pixel/sample DECODE remains a clearly-marked stub
+  * (no codec libraries in this container); unknown formats fall back to
+  * deterministic fake features so the pipeline shape stays testable on
+  * text fixtures.
   *
   * At 100 TB: payload columns stay off the shuffle path (metadata-only
   * projections are pushed to the scan; parquet column pruning skips the
@@ -20,7 +26,7 @@ object Multimodal {
   final case class MediaRecord(doc_id: Long, content: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, content_hash: String,
-      width: Int, height: Int, n_frames: Long)
+      format: String, width: Int, height: Int, n_frames: Long)
 
   /** Binary payload column from any source column (here: text bytes —
     * the fixtures carry no real media; the pipeline shape is identical).
@@ -35,28 +41,120 @@ object Multimodal {
       length(col("content")).cast("long").as("n_bytes"),
       md5(col("content")).as("content_hash"))
 
-  /** STUB decode: deterministic fake of an image/video probe. A real
-    * implementation would decode `content` with a codec here (per
-    * partition, batched); the container has no media libraries, so
-    * dimensions are derived from the byte length — stable, testable
-    * plumbing with the exact production signature.
+  // ---- container-header probes (pure byte arithmetic, no codecs) ----
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** PNG: 8-byte signature, then the IHDR chunk's width/height at fixed
+    * offsets 16/20 (big-endian) — the first chunk is IHDR by spec.
+    */
+  private def probePng(b: Array[Byte]): Option[(String, Int, Int, Long)] =
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a)
+      Some(("png", be32(b, 16), be32(b, 20), 1L))
+    else None
+
+  /** JPEG: walk FF-marker segments from SOI until a SOFn frame header
+    * (C0-CF except C4/C8/CC) — height/width are big-endian at +5/+7
+    * inside the SOF payload. Entropy-coded data never starts before SOS,
+    * so the walk touches only segment headers.
+    */
+  private def probeJpeg(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      val m = b(i + 1) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (i + 8 < b.length)
+          return Some(("jpeg", be16(b, i + 7), be16(b, i + 5), 1L))
+        else return None
+      }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2        // no-payload markers
+      else if (m == 0xda) return None                           // SOS before any SOF
+      else i += 2 + be16(b, i + 2)
+    }
+    None
+  }
+
+  /** GIF: logical-screen width/height little-endian at 6/8; frames =
+    * image-descriptor count is not derivable without a block walk, so
+    * report the screen as one frame (animation frame counting needs the
+    * full block chain — out of header-probe scope).
+    */
+  private def probeGif(b: Array[Byte]): Option[(String, Int, Int, Long)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(b, 6), le16(b, 8), 1L))
+    else None
+
+  /** WAV: RIFF/WAVE chunk walk — from `fmt ` read channels + bits per
+    * sample + block align, from `data` the payload size; sample frames =
+    * dataSize / blockAlign. Maps onto the feature schema as
+    * (width=channels, height=bitsPerSample, n_frames=sample frames).
+    */
+  private def probeWav(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var channels = 0; var bits = 0; var blockAlign = 0; var dataSize = -1L
+    while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val sz = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (id == "data") dataSize = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels > 0 && blockAlign > 0 && dataSize >= 0)
+      Some(("wav", channels, bits, dataSize / blockAlign))
+    else None
+  }
+
+  /** Header probe: (format, width, height, n_frames) for recognized
+    * containers; None for anything else.
+    */
+  private[operators] def probe(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
+    probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
+      .orElse(probeWav(bytes))
+
+  /** Batched per-partition feature extraction. Recognized containers get
+    * REAL header-parsed dimensions/sample counts; unknown payloads (the
+    * text fixtures) take the deterministic stub path — where a pixel
+    * decoder would plug in, loudly marked. One digest instance per
+    * partition, the same amortization a real codec handle needs.
     */
   def decodeFeatures(spark: SparkSession, bin: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
       .mapPartitions { it =>
-        // one "codec" per partition — where a real decoder would init
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
           val hash  = md.digest(bytes).map("%02x".format(_)).mkString
-          MediaFeatures(
-            doc_id = r.doc_id,
-            n_bytes = bytes.length.toLong,
-            content_hash = hash,
-            width = (bytes.length % 640) + 1,   // STUB: fake decode
-            height = (bytes.length % 480) + 1,  // STUB: fake decode
-            n_frames = bytes.length / 1000 + 1) // STUB: fake frame sample
+          probe(bytes) match {
+            case Some((fmt, w, h, frames)) =>
+              MediaFeatures(r.doc_id, bytes.length.toLong, hash, fmt, w, h, frames)
+            case None =>
+              // STUB fallback: full pixel/sample decode needs a codec
+              // library this container does not ship; deterministic fake
+              // dims keep the pipeline testable on text payloads.
+              MediaFeatures(r.doc_id, bytes.length.toLong, hash, "unknown",
+                width = (bytes.length % 640) + 1,
+                height = (bytes.length % 480) + 1,
+                n_frames = bytes.length / 1000 + 1)
+          }
         }
       }
   }

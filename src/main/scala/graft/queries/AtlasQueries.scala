@@ -2038,8 +2038,13 @@ object AtlasQueries {
     // fingerprint survives shuffles and splits merge by addition
     // (q232's Merkle tree fingerprints CHUNKS in order; this
     // fingerprints the SET). One map pass per table; rows and the
-    // 48-bit-sum fingerprint are the entire output — what a data
-    // registry stores to detect silent drift between copies.
+    // fingerprint are the entire output — what a data registry stores
+    // to detect silent drift between copies. The running sum is kept
+    // in DECIMAL(38,0) but the emitted fingerprint is reduced mod 2^62
+    // so it stays representable in int64 at ANY scale factor (48-bit
+    // per-row terms over 10^9+ rows would otherwise overflow BIGINT;
+    // mod is addition-compatible, so the reduced value is still
+    // order- and partitioning-invariant).
     QueryDef.sql(
       "q529_content_fingerprint",
       """WITH f1 AS (SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
@@ -2056,15 +2061,16 @@ object AtlasQueries {
         |      1, 12))::BIGINT::HUGEINT)
         |  FROM part)
         |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
-        |  CAST(fp AS DECIMAL(38,0)) AS fingerprint
+        |  CAST(fp % 4611686018427387904 AS BIGINT) AS fingerprint
         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
         |ORDER BY tbl""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       def fp(name: String, df: org.apache.spark.sql.DataFrame,
           canonical: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n_rows"),
-          sum(expr("CAST(conv(substring(md5(__c), 1, 12), 16, 10) AS BIGINT)")
-            .cast("decimal(38,0)")).as("fingerprint"))
+          (sum(expr("CAST(conv(substring(md5(__c), 1, 12), 16, 10) AS BIGINT)")
+            .cast("decimal(38,0)")) % lit(4611686018427387904L))
+            .cast("long").as("fingerprint"))
           .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
       fp("customer",
           t.customer.select(concat_ws("|", col("c_custkey"), col("c_name"),

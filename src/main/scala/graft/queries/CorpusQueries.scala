@@ -48,10 +48,13 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir).documents
       val n = docs.count() // corpus size: parts-free driver metadata
+      // tf feeds BOTH the document-frequency aggregate and the scored
+      // join — cache it so the corpus is tokenized once, not twice.
       val tf = docs
         .select(col("doc_id"), explode(tokens(normText(col("text")))).as("term"))
         .where(length(col("term")) > 0)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache()
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dft"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
@@ -88,12 +91,20 @@ object CorpusQueries {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |       CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_scaled
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Normalize+tokenize is the expensive pass (regex over every doc):
+      // cache the token arrays so the three consumers (bigram extraction
+      // ×2 and the unigram LM) read the cached relation instead of
+      // re-scanning + re-tokenizing the corpus — one tokenize pass total.
+      // The bigram relation is cached too: it feeds both the LM count
+      // aggregate and the scored join.
       val tk = Tables(s, dir).documents
         .select(col("doc_id"), tokens(normText(col("text"))).as("tk"))
+        .cache()
       val bg = tk.select(col("doc_id"), explode(expr(
           "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
             " (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bigram))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+        .cache()
       val uni = tk.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1"))
       val lm = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))

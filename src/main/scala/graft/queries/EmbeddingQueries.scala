@@ -236,6 +236,56 @@ object EmbeddingQueries {
         .orderBy("doc_id")
     },
 
+    // Real container-header decode, differentially verified: Spark parses
+    // PNG IHDR / JPEG SOF / GIF screen descriptor / WAV fmt+data chunks
+    // from raw bytes in Multimodal.probe (mapPartitions path), while the
+    // oracle re-derives the same fields with hex-substring arithmetic —
+    // big-endian fields concatenate the hex digits as-is, little-endian
+    // ones swap byte pairs. Payloads are spec-constructed minimal
+    // containers (the fixtures carry no media; see SANDBOX.md §3).
+    QueryDef.sql(
+      "q566_media_headers",
+      """WITH src(doc_id, format, hx) AS (VALUES
+        |  (1, 'png',  '89504E470D0A1A0A0000000D4948445200000280000001E00806000000'),
+        |  (2, 'jpeg', 'FFD8FFE000104A46494600010100004800480000FFC000110800F0014003011100021101031101FFD9'),
+        |  (3, 'gif',  '47494638396190012C01000000'),
+        |  (4, 'wav',  '524946464400000057415645666D7420100000000100020044AC000010B102000400100064617461200000000000000000000000000000000000000000000000000000000000000000000000'))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, format,
+        |  CAST(octet_length(unhex(hx)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE format
+        |    WHEN 'png'  THEN ('0x' || substr(hx, 33, 8))::BIGINT
+        |    WHEN 'jpeg' THEN ('0x' || substr(hx, 55, 4))::BIGINT
+        |    WHEN 'gif'  THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::BIGINT
+        |    WHEN 'wav'  THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT
+        |  END AS BIGINT) AS width,
+        |  CAST(CASE format
+        |    WHEN 'png'  THEN ('0x' || substr(hx, 41, 8))::BIGINT
+        |    WHEN 'jpeg' THEN ('0x' || substr(hx, 51, 4))::BIGINT
+        |    WHEN 'gif'  THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
+        |    WHEN 'wav'  THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::BIGINT
+        |  END AS BIGINT) AS height,
+        |  CAST(CASE format
+        |    WHEN 'wav' THEN (('0x' || substr(hx, 87, 2) || substr(hx, 85, 2) || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT)
+        |      // (('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::BIGINT)
+        |    ELSE 1 END AS BIGINT) AS n_frames
+        |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Seq(
+        1L -> "89504E470D0A1A0A0000000D4948445200000280000001E00806000000",
+        2L -> "FFD8FFE000104A46494600010100004800480000FFC000110800F0014003011100021101031101FFD9",
+        3L -> "47494638396190012C01000000",
+        4L -> ("52494646440000005741564" +
+          "5666D7420100000000100020044AC000010B10200040010006461746120000000" +
+          "0000000000000000000000000000000000000000000000000000000000000000"))
+      val bin = payloads.toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("content"))
+      Multimodal.decodeFeatures(s, bin).toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"))
+        .orderBy("doc_id")
+    },
+
     // Matryoshka truncation audit: recall@10 of cosine ranking on the
     // FIRST 16 dims vs the full 64-dim exact ranking, per query vector
     // (every 25th id). One pass scores corpus×queries with BOTH cosines

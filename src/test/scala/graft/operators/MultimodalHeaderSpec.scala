@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level tests for the container-header probes — including the
+  * malformed inputs a 100 TB crawl WILL contain (truncated files, wrong
+  * magic, SOS-before-SOF JPEGs), which must fall back, never throw.
+  */
+class MultimodalHeaderSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val png = hex("89504E470D0A1A0A0000000D4948445200000280000001E00806000000")
+  private val jpeg = hex("FFD8FFE000104A46494600010100004800480000" +
+    "FFC000110800F0014003011100021101031101FFD9")
+  private val gif = hex("47494638396190012C01000000")
+  private val wav = hex("524946464400000057415645666D74201000000001000200" +
+    "44AC000010B102000400100064617461200000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000")
+
+  test("PNG IHDR dimensions") {
+    assert(Multimodal.probe(png) === Some(("png", 640, 480, 1L)))
+  }
+
+  test("JPEG SOF dimensions after APP0 skip") {
+    assert(Multimodal.probe(jpeg) === Some(("jpeg", 320, 240, 1L)))
+  }
+
+  test("GIF logical screen (little-endian)") {
+    assert(Multimodal.probe(gif) === Some(("gif", 400, 300, 1L)))
+  }
+
+  test("WAV fmt/data chunk walk: channels, bits, sample frames") {
+    assert(Multimodal.probe(wav) === Some(("wav", 2, 16, 8L)))
+  }
+
+  test("JPEG with a progressive SOF2 marker parses too") {
+    val sof2 = jpeg.clone()
+    sof2(21) = 0xc2.toByte // FFC0 -> FFC2
+    assert(Multimodal.probe(sof2) === Some(("jpeg", 320, 240, 1L)))
+  }
+
+  test("malformed inputs fall back instead of throwing") {
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "not media at all".getBytes("UTF-8"),
+      png.take(10),            // truncated before IHDR fields
+      jpeg.take(3),            // SOI then EOF mid-marker
+      hex("FFD8FFDA0002"),     // SOS before any SOF
+      wav.take(30),            // RIFF/WAVE but fmt chunk cut off
+      gif.take(7))             // GIF magic but no screen descriptor
+    cases.foreach(b => assert(Multimodal.probe(b).isEmpty, b.mkString(",")))
+  }
+}

@@ -102,6 +102,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 4, s"expected two aggregate pairs (per-cust + per-nation), got $aggs")
   }
 
+  test("q94_bigram_lm tokenizes the corpus once: every consumer reads the cache") {
+    val df = SparkEntry.queries("q94_bigram_lm")(spark, sfDir)
+    df.collect()
+    val cached = df.queryExecution.withCachedData
+    // InMemoryRelation is a leaf in the logical tree (its child plan is a
+    // physical field), so collect() counts only the CONSUMERS of caches and
+    // any table scans that escaped caching.
+    val imrs = cached.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.size
+    val rawScans = cached.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+    assert(imrs >= 2, s"bigram + token relations must be cached, got $imrs cache reads")
+    assert(rawScans == 0,
+      s"no consumer may re-scan + re-tokenize the corpus, got $rawScans raw scans")
+  }
+
   test("q182_bm25 broadcasts the query terms and totals, ends in a top-k") {
     val p = planOf("q182_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not a global sort")

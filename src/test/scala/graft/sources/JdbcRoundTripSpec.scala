@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.ChunkPlanner
+
+/** End-to-end federated JDBC proof against an embedded Derby database —
+  * the live-database path the reference actually runs
+  * (`database/oracle/data_migrate.go:350-384` chunked fetch,
+  * `database/processor/stmt_migrate_row.go:206-303` batched/safe-mode
+  * write). Exercises: batched INSERT out, chunk-predicate parallel read
+  * back (one Spark partition per chunk), value-exact round-trip, and
+  * replay-idempotent safe mode — all through a real JDBC driver, no mocks.
+  */
+class JdbcRoundTripSpec extends SparkSpec {
+
+  private lazy val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+  private lazy val url = s"jdbc:derby:$dbDir/db;create=true"
+  private val props = new Properties()
+  props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private lazy val src = Tables(spark, sfDir).lineitem
+    .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+      col("l_quantity").cast("double").as("l_quantity"))
+
+  test("batched INSERT out, chunk-parallel read back, value-exact") {
+    Jdbc.writeBatched(src, url, "LINEITEM_RT", props, batchSize = 200,
+      mode = "overwrite")
+
+    val chunks = ChunkPlanner.plan(src, "l_orderkey", nChunks = 4)
+    assert(chunks.size >= 2, "fixture must split into multiple chunks")
+    val back = Jdbc.readChunked(spark, url, "LINEITEM_RT", "\"l_orderkey\"",
+      chunks, props)
+
+    // one Spark partition per chunk predicate = the reference's
+    // chunk×thread fetch parallelism
+    assert(back.rdd.getNumPartitions == chunks.size)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val a = src.collect().map(key).sorted
+    val b = back.select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"), col("l_linenumber").cast("int"),
+        col("l_quantity").cast("double"))
+      .collect().map(key).sorted
+    assert(a.length == b.length && a.sameElements(b),
+      s"round-trip mismatch: ${a.length} vs ${b.length} rows")
+  }
+
+  test("chunk predicates push into the remote query (no residual Spark filter)") {
+    val chunks = ChunkPlanner.plan(src, "l_orderkey", nChunks = 4)
+    val back = Jdbc.readChunked(spark, url, "LINEITEM_RT", "\"l_orderkey\"",
+      chunks, props)
+    // each JDBCRelation partition embeds its predicate; a Filter node above
+    // the scan would mean Spark re-applies ranges the database already cut
+    val plan = back.queryExecution.executedPlan
+    assert(plan.toString().contains("JDBCRelation"), plan.toString())
+    val residual = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty, s"chunk ranges must stay remote:\n$plan")
+  }
+
+  test("safe-mode write is idempotent under replay and keeps unmatched rows") {
+    val s = spark
+    import s.implicits._
+    Jdbc.writeBatched(src.limit(50), url, "LINEITEM_SAFE", props,
+      mode = "overwrite")
+    val before = spark.read.jdbc(url, "LINEITEM_SAFE", props)
+    val keep = before.count()
+
+    // batch: rewrite quantity for the 10 smallest orderkeys
+    val batch = spark.read.jdbc(url, "LINEITEM_SAFE", props)
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber").limit(10)
+      .withColumn("l_quantity", lit(999.0))
+
+    val keys = Seq("l_orderkey", "l_partkey", "l_linenumber")
+    Jdbc.safeModeWrite(spark, url, "LINEITEM_SAFE", batch, keys, props)
+    val after1 = spark.read.jdbc(url, "LINEITEM_SAFE", props)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    Jdbc.safeModeWrite(spark, url, "LINEITEM_SAFE", batch, keys, props)
+    val after2 = spark.read.jdbc(url, "LINEITEM_SAFE", props)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    assert(after1.length == keep, "safe mode must not change row count here")
+    assert(after1.sameElements(after2), "second apply of the same batch must be a no-op")
+    val touched = spark.read.jdbc(url, "LINEITEM_SAFE", props)
+      .where(col("l_quantity") === 999.0).count()
+    assert(touched == 10L, s"batch rows must win: $touched")
+  }
+}
