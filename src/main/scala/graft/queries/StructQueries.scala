@@ -338,5 +338,186 @@ object StructQueries {
             col("data_type"), col("data_precision"), col("data_scale")).as("target_type"))
         .orderBy("table_name", "column_name")
     },
+
+    // Full table-driven rule book (TypeMap): all six reference directions
+    // (O2M/O2T/M2O/T2O/P2M/P2T, 274 rules mirroring
+    // model/buildin/buildin_rule_datatype.go) exercised over a catalog
+    // sample that hits every parameterization branch of
+    // database/mapping/{oracle,mysql,postgresql}.go. The oracle joins
+    // the SAME rule data (emitted as VALUES from the bundled CSV) and
+    // re-implements the precision/scale/length placement independently
+    // in SQL — a true differential over both the name map join and the
+    // parameterize tier. Scale shape: rules broadcast; one pass over the
+    // catalog, no shuffle.
+    QueryDef.sql(
+      "q567_typemap_rulebook", {
+        val rulesValues = graft.operators.TypeMap.rules
+          .map(r => s"('${r.direction}','${r.sourceType}','${r.targetType}')")
+          .mkString(",\n  ")
+        val catValues = typemapSample
+          .map { case (d, t, c, dt, p, s, l) =>
+            def n(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+            s"('$d','$t','$c','$dt',${n(p)},${n(s)},${n(l)})"
+          }.mkString(",\n  ")
+        s"""WITH rules(direction, source_type, target_type) AS (VALUES
+           |  $rulesValues),
+           |cat(direction, table_name, column_name, data_type, p, s, l) AS (VALUES
+           |  $catValues),
+           |j AS (SELECT c.*, r.target_type AS tname FROM cat c
+           |      LEFT JOIN rules r ON r.direction = c.direction
+           |                       AND r.source_type = upper(c.data_type))
+           |SELECT direction, table_name, column_name, data_type,
+           |  CASE
+           |  WHEN direction IN ('O2M','O2T') THEN CASE
+           |    WHEN upper(data_type) = 'NUMBER' THEN
+           |      CASE WHEN direction = 'O2T' THEN
+           |          CASE WHEN p IS NULL THEN 'DECIMAL(65,30)'
+           |               ELSE 'DECIMAL(' || least(greatest(p,1),65) || ',' || least(greatest(coalesce(s,0),0),30) || ')' END
+           |        ELSE
+           |          CASE WHEN p IS NULL THEN 'DECIMAL(65,30)'
+           |               WHEN coalesce(s,0) > 0 THEN 'DECIMAL(' || least(p,65) || ',' || least(s,30) || ')'
+           |               WHEN p < 3 THEN 'TINYINT' WHEN p < 5 THEN 'SMALLINT'
+           |               WHEN p < 9 THEN 'INT' WHEN p < 19 THEN 'BIGINT'
+           |               ELSE 'DECIMAL(' || p || ',0)' END END
+           |    WHEN upper(data_type) IN ('DECIMAL','DEC','NUMERIC') AND p IS NOT NULL
+           |      THEN tname || '(' || least(p,65) || ',' || least(coalesce(s,0),30) || ')'
+           |    WHEN upper(data_type) IN ('CHAR','CHARACTER','NCHAR') AND coalesce(l,0) > 255 THEN 'VARCHAR(' || l || ')'
+           |    WHEN upper(data_type) IN ('CHAR','CHARACTER','NCHAR') THEN tname || '(' || coalesce(l,0) || ')'
+           |    WHEN upper(data_type) IN ('VARCHAR','VARCHAR2','NVARCHAR2') THEN tname || '(' || coalesce(l,0) || ')'
+           |    WHEN upper(data_type) = 'RAW' THEN tname || '(' || coalesce(l,0) || ')'
+           |    WHEN upper(data_type) LIKE 'TIMESTAMP%' AND tname IN ('TIMESTAMP','DATETIME')
+           |      THEN tname || '(' || least(coalesce(s,6),6) || ')'
+           |    WHEN upper(data_type) = 'FLOAT' AND coalesce(s,0) = 0 THEN 'DOUBLE'
+           |    WHEN upper(data_type) = 'BFILE' THEN tname || '(255)'
+           |    WHEN upper(data_type) = 'ROWID' THEN tname || '(64)'
+           |    WHEN upper(data_type) = 'UROWID' THEN tname || '(' || coalesce(l,0) || ')'
+           |    WHEN upper(data_type) LIKE 'INTERVAL%' THEN tname || '(30)'
+           |    ELSE tname END
+           |  WHEN direction IN ('M2O','T2O') THEN CASE
+           |    WHEN upper(data_type) = 'TINYINT' THEN 'NUMBER(3,0)'
+           |    WHEN upper(data_type) = 'SMALLINT' THEN 'NUMBER(5,0)'
+           |    WHEN upper(data_type) = 'MEDIUMINT' THEN 'NUMBER(7,0)'
+           |    WHEN upper(data_type) IN ('INT','INTEGER') THEN 'NUMBER(10,0)'
+           |    WHEN upper(data_type) = 'BIGINT' THEN 'NUMBER(19,0)'
+           |    WHEN upper(data_type) IN ('DECIMAL','NUMERIC') AND p IS NOT NULL
+           |      THEN tname || '(' || least(p,38) || ',' || coalesce(s,0) || ')'
+           |    WHEN upper(data_type) = 'YEAR' THEN 'NUMBER'
+           |    WHEN upper(data_type) = 'TIMESTAMP' THEN tname || '(' || least(coalesce(s,6),9) || ')'
+           |    WHEN upper(data_type) IN ('CHAR','VARCHAR','TINYTEXT') THEN tname || '(' || coalesce(l,0) || ' CHAR)'
+           |    WHEN upper(data_type) IN ('BIT','BINARY') THEN tname || '(' || greatest(coalesce(p,-1),1) || ')'
+           |    WHEN upper(data_type) = 'VARBINARY' THEN tname || '(' || coalesce(l,0) || ')'
+           |    ELSE tname END
+           |  ELSE CASE
+           |    WHEN upper(data_type) IN ('NUMERIC','DECIMAL') AND p IS NULL THEN 'DECIMAL(65,30)'
+           |    WHEN upper(data_type) IN ('NUMERIC','DECIMAL')
+           |      THEN 'DECIMAL(' || least(p,65) || ',' || least(coalesce(s,0),30) || ')'
+           |    WHEN upper(data_type) = 'MONEY' THEN 'DECIMAL(19,2)'
+           |    WHEN upper(data_type) IN ('CHARACTER','BPCHAR') AND coalesce(l,0) <= 0 THEN 'LONGTEXT'
+           |    WHEN upper(data_type) IN ('CHARACTER','BPCHAR') AND l <= 255 THEN 'CHAR(' || l || ')'
+           |    WHEN upper(data_type) IN ('CHARACTER','BPCHAR') AND l <= 16382 THEN 'VARCHAR(' || l || ')'
+           |    WHEN upper(data_type) IN ('CHARACTER','BPCHAR') THEN 'LONGTEXT'
+           |    WHEN upper(data_type) = 'CHARACTER VARYING' AND coalesce(l,0) <= 0 THEN 'LONGTEXT'
+           |    WHEN upper(data_type) = 'CHARACTER VARYING' AND l <= 16382 THEN 'VARCHAR(' || l || ')'
+           |    WHEN upper(data_type) = 'CHARACTER VARYING' AND l <= 4194303 THEN 'MEDIUMTEXT'
+           |    WHEN upper(data_type) = 'CHARACTER VARYING' THEN 'LONGTEXT'
+           |    WHEN upper(data_type) = 'BOOLEAN' THEN 'TINYINT(1)'
+           |    WHEN upper(data_type) = 'BIT' THEN tname || '(' || greatest(coalesce(p,1),1) || ')'
+           |    WHEN upper(data_type) = 'UUID' THEN 'VARCHAR(36)'
+           |    WHEN upper(data_type) IN ('CIDR','INET') THEN 'VARCHAR(43)'
+           |    WHEN upper(data_type) = 'MACADDR' THEN 'VARCHAR(17)'
+           |    WHEN upper(data_type) = 'TXID_SNAPSHOT' THEN 'VARCHAR(256)'
+           |    WHEN upper(data_type) = 'TIMESTAMP WITHOUT TIME ZONE'
+           |      THEN 'DATETIME(' || least(coalesce(s,6),6) || ')'
+           |    ELSE tname END
+           |  END AS target_type
+           |FROM j ORDER BY direction, table_name, column_name""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val cat = typemapSample
+        .map { case (d, t, c, dt, p, sc, l) => (d, t, c, dt, p, sc, l) }
+        .toDF("direction", "table_name", "column_name", "data_type",
+          "data_precision", "data_scale", "data_length")
+      val mapped = Seq("O2M", "O2T", "M2O", "T2O", "P2M", "P2T").map { d =>
+        graft.operators.TypeMap.mapCatalog(cat.where(col("direction") === d), d)
+      }.reduce(_ unionByName _)
+      mapped.select("direction", "table_name", "column_name", "data_type", "target_type")
+        .orderBy("direction", "table_name", "column_name")
+    },
   )
+
+  /** Shared catalog sample for q567: one row per parameterization branch,
+    * (direction, table, column, data_type, precision, scale, length).
+    */
+  private lazy val typemapSample: Seq[(String, String, String, String,
+      Option[Long], Option[Long], Option[Long])] = {
+    val N = None: Option[Long]
+    def L(v: Long): Option[Long] = Some(v)
+    Seq(
+      ("O2M", "t", "c01", "NUMBER", L(4), L(0), L(22)),
+      ("O2M", "t", "c02", "NUMBER", L(12), L(2), L(22)),
+      ("O2M", "t", "c03", "NUMBER", N, N, L(22)),
+      ("O2M", "t", "c04", "NUMBER", L(25), L(0), L(22)),
+      ("O2M", "t", "c05", "VARCHAR2", N, N, L(50)),
+      ("O2M", "t", "c06", "CHAR", N, N, L(300)),
+      ("O2M", "t", "c07", "CHAR", N, N, L(10)),
+      ("O2M", "t", "c08", "RAW", N, N, L(16)),
+      ("O2M", "t", "c09", "TIMESTAMP(3)", N, L(3), L(11)),
+      ("O2M", "t", "c10", "DATE", N, N, L(7)),
+      ("O2M", "t", "c11", "CLOB", N, N, L(4000)),
+      ("O2M", "t", "c12", "BLOB", N, N, L(4000)),
+      ("O2M", "t", "c13", "XMLTYPE", N, N, L(0)),
+      ("O2M", "t", "c14", "ROWID", N, N, L(10)),
+      ("O2M", "t", "c15", "UROWID", N, N, L(40)),
+      ("O2M", "t", "c16", "BFILE", N, N, L(530)),
+      ("O2M", "t", "c17", "INTERVAL YEAR(2) TO MONTH", N, N, L(5)),
+      ("O2M", "t", "c18", "FLOAT", N, L(0), L(22)),
+      ("O2M", "t", "c19", "BINARY_DOUBLE", N, N, L(8)),
+      ("O2M", "t", "c20", "NCHAR", N, N, L(12)),
+      ("O2M", "t", "c21", "TIMESTAMP(3) WITH TIME ZONE", N, L(3), L(13)),
+      ("O2M", "t", "c22", "LONG", N, N, L(0)),
+      ("O2T", "t", "c01", "NUMBER", L(4), L(0), L(22)),
+      ("O2T", "t", "c02", "NUMBER", L(12), L(2), L(22)),
+      ("O2T", "t", "c03", "NUMBER", N, N, L(22)),
+      ("O2T", "t", "c04", "VARCHAR2", N, N, L(64)),
+      ("M2O", "t", "c01", "TINYINT", L(3), L(0), L(1)),
+      ("M2O", "t", "c02", "SMALLINT", L(5), L(0), L(2)),
+      ("M2O", "t", "c03", "MEDIUMINT", L(7), L(0), L(3)),
+      ("M2O", "t", "c04", "INT", L(10), L(0), L(4)),
+      ("M2O", "t", "c05", "BIGINT", L(19), L(0), L(8)),
+      ("M2O", "t", "c06", "DECIMAL", L(10), L(2), L(5)),
+      ("M2O", "t", "c07", "TIMESTAMP", N, L(3), L(4)),
+      ("M2O", "t", "c08", "CHAR", N, N, L(5)),
+      ("M2O", "t", "c09", "VARCHAR", N, N, L(200)),
+      ("M2O", "t", "c10", "TINYTEXT", N, N, L(255)),
+      ("M2O", "t", "c11", "TEXT", N, N, L(65535)),
+      ("M2O", "t", "c12", "LONGTEXT", N, N, L(0)),
+      ("M2O", "t", "c13", "BIT", L(8), L(0), L(1)),
+      ("M2O", "t", "c14", "BINARY", L(16), L(0), L(16)),
+      ("M2O", "t", "c15", "VARBINARY", N, N, L(32)),
+      ("M2O", "t", "c16", "DATETIME", N, L(0), L(5)),
+      ("M2O", "t", "c17", "YEAR", N, N, L(1)),
+      ("M2O", "t", "c18", "DOUBLE", N, N, L(8)),
+      ("T2O", "t", "c01", "INT", L(10), L(0), L(4)),
+      ("T2O", "t", "c02", "VARCHAR", N, N, L(64)),
+      ("P2M", "t", "c01", "NUMERIC", L(10), L(2), L(5)),
+      ("P2M", "t", "c02", "NUMERIC", N, N, L(0)),
+      ("P2M", "t", "c03", "MONEY", N, N, L(8)),
+      ("P2M", "t", "c04", "CHARACTER", N, N, L(100)),
+      ("P2M", "t", "c05", "CHARACTER", N, N, L(5000)),
+      ("P2M", "t", "c06", "CHARACTER VARYING", N, N, L(100)),
+      ("P2M", "t", "c07", "CHARACTER VARYING", N, N, L(100000)),
+      ("P2M", "t", "c08", "TEXT", N, N, L(0)),
+      ("P2M", "t", "c09", "BOOLEAN", N, N, L(1)),
+      ("P2M", "t", "c10", "UUID", N, N, L(16)),
+      ("P2M", "t", "c11", "CIDR", N, N, L(19)),
+      ("P2M", "t", "c12", "MACADDR", N, N, L(6)),
+      ("P2M", "t", "c13", "TXID_SNAPSHOT", N, N, L(0)),
+      ("P2M", "t", "c14", "TIMESTAMP WITHOUT TIME ZONE", N, L(3), L(8)),
+      ("P2M", "t", "c15", "BYTEA", N, N, L(0)),
+      ("P2M", "t", "c16", "JSON", N, N, L(0)),
+      ("P2M", "t", "c17", "XML", N, N, L(0)),
+      ("P2M", "t", "c18", "POINT", N, N, L(16)),
+      ("P2T", "t", "c01", "INTEGER", L(10), L(0), L(4)),
+      ("P2T", "t", "c02", "JSON", N, N, L(0)))
+  }
 }
