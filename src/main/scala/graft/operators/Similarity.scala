@@ -122,6 +122,38 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
   }
 
+  /** IVF multi-probe candidate pairs — the default kNN base for
+    * neighborhood operators (q470 LOF): every vector is indexed into its
+    * `nProbe` nearest cells (deterministic centroids, every
+    * `centroidEvery`-th vector), and candidate pairs are cell-mates.
+    * Pair count follows Σ|cell|² ≈ n²·nProbe²/C — the n²/C shape that
+    * replaces brute force; the only cross join is corpus × centroids.
+    * Returns directed (qid, cid) pairs, deduplicated across shared cells.
+    */
+  def ivfCandidatePairs(embeddings: DataFrame, centroidEvery: Int,
+      nProbe: Int): DataFrame = {
+    val emb = embeddings.withColumn("__nrm",
+      scaledDot(col("embedding"), col("embedding")))
+    val cent = emb.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cemb"),
+        col("__nrm").as("cnrm0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("ccid").asc)
+    val asg = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        floor(lit(1000000.0) * scaledDot(col("embedding"), col("cemb")).cast("double") /
+          (sqrt(col("__nrm").cast("double")) * sqrt(col("cnrm0").cast("double"))))
+          .cast("long").as("ccos"),
+        col("ccid"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    asg.select(col("vec_id").as("qid"), col("cell"))
+      .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+  }
+
   /** IVF top-k for one query vector: probe the query's nProbe nearest
     * cells, exact scaled-cosine rank within.
     */

@@ -1978,19 +1978,44 @@ object SignalQueries {
     // global z-scores fail (a point is outlying relative to its OWN
     // neighborhood's density). Three relational passes over one kNN
     // relation — k-distance (max of the 5NN ball), reachability sums,
-    // then the lrd ratio — all ×-scaled integer divisions. The kNN base
-    // is the same broadcast + native scaled-dot pairwise scoring as
-    // q448; at real scale the brute-force pairs swap for the LSH/IVF
-    // candidate generators (q30/q55) with everything downstream
-    // unchanged — LOF only sees the (a, b, dist) relation.
+    // then the lrd ratio — all ×-scaled integer divisions.
+    //
+    // The kNN base is the IVF candidate stream BY DEFAULT (the q55
+    // scheme: deterministic centroids = every 25th vector, each vector
+    // multi-probe-indexed into its top-2 cells, candidate pairs = cell
+    // mates): pair count follows Σ|cell|² — n²/C shape — never the
+    // brute-force n². The oracle restricts to the IDENTICAL candidate
+    // set, so 5NN-within-candidates agrees exactly on both engines.
+    // Exact all-pairs kNN remains available as the witness path
+    // (q204's honest-witness pattern) — LOF downstream only sees the
+    // (qid, cid, dist) relation either way.
     QueryDef.sql(
       "q470_lof",
-      """WITH e AS (SELECT vec_id, i,
+      """WITH cent AS (SELECT vec_id AS ccid, embedding AS cemb
+        |              FROM embeddings WHERE vec_id % 25 = 0),
+        |pe AS (SELECT e.vec_id, c.ccid, i,
+        |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+        |  FROM embeddings e, cent c, generate_series(1, 64) t(i)),
+        |pd AS (SELECT vec_id, ccid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+        |       FROM pe GROUP BY vec_id, ccid),
+        |pc AS (SELECT vec_id, ccid,
+        |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
+        |      / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+        |  FROM pd),
+        |asg AS (SELECT vec_id, ccid AS cell FROM (
+        |    SELECT vec_id, ccid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, ccid) AS rn
+        |    FROM pc) WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |e AS (SELECT vec_id, i,
         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
         |  FROM embeddings, generate_series(1, 64) t(i)),
-        |d0 AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |d0 AS (SELECT c.qid, c.cid,
         |    SUM(a.m * b.m) AS dxy, SUM(a.m * a.m) AS dxx, SUM(b.m * b.m) AS dyy
-        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  FROM cand c JOIN e a ON a.vec_id = c.qid
+        |              JOIN e b ON b.vec_id = c.cid AND a.i = b.i
         |  GROUP BY 1, 2),
         |d AS (SELECT qid, cid, 1000000 - CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
         |    / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS dist
@@ -2014,19 +2039,27 @@ object SignalQueries {
         |ORDER BY lof_ppm DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       // self-norms are computed ONCE per vector (not per pair): the
       // pairwise kernel then runs a single native scaled_dot per pair
-      // instead of three (3× fewer fused loops — the n² term dominates)
+      // instead of three (3× fewer fused loops)
       val emb = Tables(s, dir).embeddings
         .withColumn("nrm",
           graft.operators.Similarity.scaledDot(col("embedding"), col("embedding")))
-      val a = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cnrm"))
-      val d = emb.crossJoin(broadcast(a))
-        .where(col("vec_id") =!= col("cid"))
-        .select(col("vec_id").as("qid"), col("cid"),
+      // IVF multi-probe index (Similarity.ivfCandidatePairs): top-2 cells
+      // per vector against the (tiny) broadcast centroid set; candidate
+      // pairs are cell-mates — the only cross join in the plan is
+      // corpus × centroids (n·C, the q55 assignment shape), never
+      // corpus × corpus (IvfCandidateSpec pins the sub-quadratic count)
+      val candIds = graft.operators.Similarity
+        .ivfCandidatePairs(Tables(s, dir).embeddings, 25, 2)
+      val d = candIds
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm")), "qid")
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("nrm").as("cnrm")), "cid")
+        .select(col("qid"), col("cid"),
           (lit(1000000L) - floor(lit(1000000.0) *
-            graft.operators.Similarity.scaledDot(col("embedding"), col("cv"))
+            graft.operators.Similarity.scaledDot(col("qv"), col("cv"))
               .cast("double") /
-            (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+            (sqrt(col("qnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
             .cast("long")).as("dist"))
       val nb = d.withColumn("rk", row_number()
           .over(Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)))

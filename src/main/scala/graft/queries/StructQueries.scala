@@ -443,7 +443,174 @@ object StructQueries {
       mapped.select("direction", "table_name", "column_name", "data_type", "target_type")
         .orderBy("direction", "table_name", "column_name")
     },
+
+    // assess: constraint + index TYPE-count screens
+    // (GetDatabaseSchemaConstraintTypeCounts / …IndexTypeCounts,
+    // database/assess_migrate.go:56-58) over an information-schema
+    // DataFrame standing in for DBA_CONSTRAINTS/DBA_INDEXES (no live
+    // catalog in the sandbox — the aggregation IS the screen; a real
+    // deployment feeds the same shape via spark.read.jdbc on the DBA
+    // views). One grouped count per (schema, type), both screens in one
+    // result keyed by screen name.
+    QueryDef.sql(
+      "q568_assess_type_counts", {
+        val consValues = assessConstraints
+          .map { case (s, t, c, ty) => s"('$s','$t','$c','$ty')" }.mkString(",\n  ")
+        val idxValues = assessIndexes
+          .map { case (s, t, i, ty, u) => s"('$s','$t','$i','$ty',$u)" }.mkString(",\n  ")
+        s"""WITH cons(owner, table_name, constraint_name, constraint_type) AS (VALUES
+           |  $consValues),
+           |idx(owner, table_name, index_name, index_type, uniqueness) AS (VALUES
+           |  $idxValues)
+           |SELECT * FROM (
+           |  SELECT 'CONSTRAINT' AS screen, owner, constraint_type AS obj_type,
+           |    COUNT(*) AS cnt
+           |  FROM cons GROUP BY 2, 3
+           |  UNION ALL
+           |  SELECT 'INDEX', owner, index_type, COUNT(*) FROM idx GROUP BY 2, 3
+           |  UNION ALL
+           |  SELECT 'INDEX_UNIQUENESS', owner,
+           |    CASE WHEN uniqueness = 1 THEN 'UNIQUE' ELSE 'NONUNIQUE' END, COUNT(*)
+           |  FROM idx GROUP BY 2, 3)
+           |ORDER BY screen, owner, obj_type""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val cons = assessConstraints.toDF("owner", "table_name",
+        "constraint_name", "constraint_type")
+      val idx = assessIndexes.toDF("owner", "table_name", "index_name",
+        "index_type", "uniqueness")
+      cons.groupBy("owner", "constraint_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("CONSTRAINT").as("screen"), col("owner"),
+          col("constraint_type").as("obj_type"), col("cnt"))
+        .unionAll(idx.groupBy("owner", "index_type").agg(count(lit(1)).as("cnt"))
+          .select(lit("INDEX").as("screen"), col("owner"),
+            col("index_type").as("obj_type"), col("cnt")))
+        .unionAll(idx.groupBy(col("owner"),
+            when(col("uniqueness") === 1, "UNIQUE").otherwise("NONUNIQUE").as("u"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("INDEX_UNIQUENESS").as("screen"), col("owner"),
+            col("u").as("obj_type"), col("cnt")))
+        .orderBy("screen", "owner", "obj_type")
+    },
+
+    // assess: partition screens — partition/subpartition type counts and
+    // the over-limit detector (GetDatabaseSchemaPartitionTypeCounts,
+    // …SubPartitionTypeCounts, …PartitionTableCountsOverLimit at
+    // assess_migrate.go:34,53-54) over a DBA_PART_TABLES-shaped frame.
+    QueryDef.sql(
+      "q569_assess_partition_screens", {
+        val partValues = assessPartitions
+          .map { case (s, t, pt, st, n) => s"('$s','$t','$pt','$st',$n)" }
+          .mkString(",\n  ")
+        s"""WITH pt(owner, table_name, partitioning_type, subpartitioning_type, partition_count) AS (VALUES
+           |  $partValues)
+           |SELECT * FROM (
+           |  SELECT 'PARTITION_TYPE' AS screen, owner,
+           |    partitioning_type AS obj_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM pt GROUP BY 2, 3
+           |  UNION ALL
+           |  SELECT 'SUBPARTITION_TYPE', owner, subpartitioning_type, COUNT(*)
+           |  FROM pt WHERE subpartitioning_type <> 'NONE' GROUP BY 2, 3
+           |  UNION ALL
+           |  SELECT 'PARTITIONS_OVER_LIMIT', owner, table_name, partition_count
+           |  FROM pt WHERE partition_count > 100)
+           |ORDER BY screen, owner, obj_type""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val pt = assessPartitions.toDF("owner", "table_name",
+        "partitioning_type", "subpartitioning_type", "partition_count")
+      pt.groupBy("owner", "partitioning_type").agg(count(lit(1)).as("cnt"))
+        .select(lit("PARTITION_TYPE").as("screen"), col("owner"),
+          col("partitioning_type").as("obj_type"), col("cnt"))
+        .unionAll(pt.where(col("subpartitioning_type") =!= "NONE")
+          .groupBy("owner", "subpartitioning_type").agg(count(lit(1)).as("cnt"))
+          .select(lit("SUBPARTITION_TYPE").as("screen"), col("owner"),
+            col("subpartitioning_type").as("obj_type"), col("cnt")))
+        .unionAll(pt.where(col("partition_count") > 100)
+          .select(lit("PARTITIONS_OVER_LIMIT").as("screen"), col("owner"),
+            col("table_name").as("obj_type"),
+            col("partition_count").cast("long").as("cnt")))
+        .orderBy("screen", "owner", "obj_type")
+    },
+
+    // assess: identifier-length over-limit screens across five object
+    // kinds (GetDatabase*NameLengthOverLimit family,
+    // assess_migrate.go:43-48) — the MySQL-64-char compatibility check
+    // run before any Oracle→MySQL migration. One union of per-kind
+    // filters over the synthetic catalog; at scale each screen is a
+    // pushed-down length() filter on a catalog scan.
+    QueryDef.sql(
+      "q570_assess_name_length", {
+        val objValues = assessObjects
+          .map { case (s, k, n) => s"('$s','$k','$n')" }.mkString(",\n  ")
+        s"""WITH obj(owner, obj_kind, obj_name) AS (VALUES
+           |  $objValues)
+           |SELECT owner, obj_kind, obj_name,
+           |  CAST(length(obj_name) AS BIGINT) AS name_len
+           |FROM obj WHERE length(obj_name) > 30
+           |ORDER BY owner, obj_kind, obj_name""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      assessObjects.toDF("owner", "obj_kind", "obj_name")
+        .where(length(col("obj_name")) > 30)
+        .select(col("owner"), col("obj_kind"), col("obj_name"),
+          length(col("obj_name")).cast("long").as("name_len"))
+        .orderBy("owner", "obj_kind", "obj_name")
+    },
   )
+
+  /** Synthetic DBA_CONSTRAINTS rows: (owner, table, constraint, type) —
+    * type ∈ P/C/U/F per BuildInOracleConstraintType*. */
+  private lazy val assessConstraints: Seq[(String, String, String, String)] = {
+    val owners = Seq("APP", "WH")
+    owners.flatMap { o =>
+      (0 until 12).map(i => (o, s"t$i", s"pk_$i", "P")) ++
+        (0 until 8).map(i => (o, s"t$i", s"ck_$i", "C")) ++
+        (0 until 5).map(i => (o, s"t$i", s"uk_$i", "U")) ++
+        (0 until (if (o == "APP") 7 else 3)).map(i => (o, s"t$i", s"fk_$i", "F"))
+    }
+  }
+
+  /** Synthetic DBA_INDEXES rows: (owner, table, index, type, unique01) —
+    * types per BuildInOracleIndexType*. */
+  private lazy val assessIndexes: Seq[(String, String, String, String, Int)] = {
+    val owners = Seq("APP", "WH")
+    owners.flatMap { o =>
+      (0 until 10).map(i => (o, s"t$i", s"ix_n$i", "NORMAL", i % 3 min 1)) ++
+        (0 until 4).map(i => (o, s"t$i", s"ix_b$i", "BITMAP", 0)) ++
+        (0 until (if (o == "APP") 3 else 1))
+          .map(i => (o, s"t$i", s"ix_f$i", "FUNCTION-BASED NORMAL", 0))
+    }
+  }
+
+  /** Synthetic DBA_PART_TABLES rows:
+    * (owner, table, partitioning, subpartitioning, partition_count). */
+  private lazy val assessPartitions: Seq[(String, String, String, String, Int)] =
+    Seq(
+      ("APP", "sales", "RANGE", "HASH", 365),
+      ("APP", "events", "RANGE", "NONE", 96),
+      ("APP", "users", "HASH", "NONE", 16),
+      ("APP", "logs", "RANGE", "LIST", 730),
+      ("WH", "facts", "RANGE", "HASH", 1200),
+      ("WH", "dims", "LIST", "NONE", 8),
+      ("WH", "stage", "HASH", "NONE", 64))
+
+  /** Synthetic object-name rows spanning the five screened kinds. */
+  private lazy val assessObjects: Seq[(String, String, String)] =
+    Seq(
+      ("APP", "TABLE", "orders"),
+      ("APP", "TABLE", "a_table_name_that_is_way_longer_than_thirty_chars"),
+      ("APP", "COLUMN", "ok_col"),
+      ("APP", "COLUMN", "an_extremely_verbose_column_name_over_the_limit"),
+      ("APP", "INDEX", "ix_ok"),
+      ("APP", "INDEX", "ix_on_that_one_table_with_the_many_long_columns"),
+      ("APP", "VIEW", "v_ok"),
+      ("WH", "VIEW", "v_reporting_rollup_with_an_unreasonably_long_name"),
+      ("WH", "SEQUENCE", "seq_ok"),
+      ("WH", "SEQUENCE", "seq_for_the_table_with_the_unreasonably_long_name"),
+      ("WH", "USER", "etl"),
+      ("WH", "USER", "service_account_name_longer_than_thirty_chars"))
 
   /** Shared catalog sample for q567: one row per parameterization branch,
     * (direction, table, column, data_type, precision, scale, length).

@@ -453,7 +453,9 @@ class AtlasInvariantsSpec extends SparkSpec {
       "part" -> t.part.count())
     rows.foreach { r =>
       assert(r.getAs[Long]("n_rows") == counts(r.getAs[String]("tbl")))
-      assert(r.getAs[java.math.BigDecimal]("fingerprint").signum > 0)
+      // r5: fingerprint is emitted mod 2^62 as BIGINT (int64-safe at any
+      // SF — the r4 driver hash narrowed >int64 decimals)
+      assert(r.getAs[Long]("fingerprint") > 0L)
     }
   }
 
