@@ -104,6 +104,14 @@ object Graphs {
       frontier = next
       visited = visited.union(next.select(col("n"), lit(i.toLong).as("hop")))
       i += 1
+      // deep traversals: cut lineage every few supersteps (pageRank /
+      // connectedComponents discipline) — visited grows by union each
+      // hop and the anti-join re-embeds it, so an unchecked 20-hop walk
+      // builds a quadratic plan; both relations are O(|V|) rows
+      if (i % 3 == 0 && i <= maxHops) {
+        frontier = frontier.localCheckpoint(true)
+        visited = visited.localCheckpoint(true)
+      }
     }
     visited
   }

@@ -558,7 +558,77 @@ object StructQueries {
           length(col("obj_name")).cast("long").as("name_len"))
         .orderBy("owner", "obj_kind", "obj_name")
     },
+
+    // assess: schema OBJECT screens — synonym / materialized-view / code
+    // / sequence / db-link inventories and the object-type count rollup
+    // (GetDatabaseSchemaSynonymObject, …MaterializedViewObject,
+    // …CodeObject, …ObjectTypeCounts at assess_migrate.go:36-37,33,52)
+    // over a DBA_OBJECTS-shaped frame. These are the compatibility
+    // inventories a migration assessment prints (synonyms and db-links
+    // have no MySQL equivalent — their presence is the finding).
+    QueryDef.sql(
+      "q571_assess_schema_objects", {
+        val objValues = assessSchemaObjects
+          .map { case (s, ty, n, st) => s"('$s','$ty','$n','$st')" }
+          .mkString(",\n  ")
+        s"""WITH dba(owner, object_type, object_name, status) AS (VALUES
+           |  $objValues)
+           |SELECT * FROM (
+           |  SELECT 'OBJECT_TYPE_COUNTS' AS screen, owner,
+           |    object_type AS detail, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM dba GROUP BY 2, 3
+           |  UNION ALL
+           |  SELECT 'INCOMPATIBLE_OBJECT', owner, object_type || ':' || object_name, 1
+           |  FROM dba WHERE object_type IN ('SYNONYM', 'DATABASE LINK', 'MATERIALIZED VIEW')
+           |  UNION ALL
+           |  SELECT 'INVALID_CODE_OBJECT', owner, object_type || ':' || object_name, 1
+           |  FROM dba WHERE object_type IN ('FUNCTION', 'PROCEDURE', 'PACKAGE', 'TRIGGER')
+           |    AND status = 'INVALID')
+           |ORDER BY screen, owner, detail""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val dba = assessSchemaObjects.toDF("owner", "object_type", "object_name", "status")
+      dba.groupBy("owner", "object_type").agg(count(lit(1)).as("cnt"))
+        .select(lit("OBJECT_TYPE_COUNTS").as("screen"), col("owner"),
+          col("object_type").as("detail"), col("cnt"))
+        .unionAll(dba
+          .where(col("object_type").isin("SYNONYM", "DATABASE LINK", "MATERIALIZED VIEW"))
+          .select(lit("INCOMPATIBLE_OBJECT").as("screen"), col("owner"),
+            concat(col("object_type"), lit(":"), col("object_name")).as("detail"),
+            lit(1L).as("cnt")))
+        .unionAll(dba
+          .where(col("object_type").isin("FUNCTION", "PROCEDURE", "PACKAGE", "TRIGGER") &&
+            col("status") === "INVALID")
+          .select(lit("INVALID_CODE_OBJECT").as("screen"), col("owner"),
+            concat(col("object_type"), lit(":"), col("object_name")).as("detail"),
+            lit(1L).as("cnt")))
+        .orderBy("screen", "owner", "detail")
+    },
   )
+
+  /** Synthetic DBA_OBJECTS rows: (owner, object_type, object_name,
+    * status) spanning the assessed kinds incl. the MySQL-incompatible
+    * ones (synonyms, db-links, mviews) and invalid code objects. */
+  private lazy val assessSchemaObjects: Seq[(String, String, String, String)] =
+    Seq(
+      ("APP", "TABLE", "orders", "VALID"),
+      ("APP", "TABLE", "lineitem", "VALID"),
+      ("APP", "VIEW", "v_orders", "VALID"),
+      ("APP", "SEQUENCE", "seq_orders", "VALID"),
+      ("APP", "SEQUENCE", "seq_events", "VALID"),
+      ("APP", "SYNONYM", "s_orders", "VALID"),
+      ("APP", "SYNONYM", "s_remote_dim", "VALID"),
+      ("APP", "FUNCTION", "f_price", "VALID"),
+      ("APP", "FUNCTION", "f_legacy", "INVALID"),
+      ("APP", "PROCEDURE", "p_load", "VALID"),
+      ("APP", "PACKAGE", "pkg_etl", "INVALID"),
+      ("APP", "TRIGGER", "trg_audit", "VALID"),
+      ("APP", "MATERIALIZED VIEW", "mv_daily", "VALID"),
+      ("WH", "TABLE", "facts", "VALID"),
+      ("WH", "DATABASE LINK", "dl_app", "VALID"),
+      ("WH", "MATERIALIZED VIEW", "mv_rollup", "VALID"),
+      ("WH", "TRIGGER", "trg_refresh", "INVALID"),
+      ("WH", "SEQUENCE", "seq_facts", "VALID"))
 
   /** Synthetic DBA_CONSTRAINTS rows: (owner, table, constraint, type) —
     * type ∈ P/C/U/F per BuildInOracleConstraintType*. */

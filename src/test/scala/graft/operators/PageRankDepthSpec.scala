@@ -50,4 +50,20 @@ class PageRankDepthSpec extends SparkSpec {
     val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === refRanks(20))
   }
+
+  test("bfsHops maxHops=20 on a long path stays bounded and exact") {
+    val s = spark
+    import s.implicits._
+    // 25-node path: hop level = node id, reachable up to the hop cap
+    val path = (0L until 24L).map(i => i -> (i + 1))
+    val e = path.toDF("src", "dst")
+    val deep = Graphs.bfsHops(e, maxHops = 20)
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p => p }.size
+    val shallowSize = planSize(Graphs.bfsHops(e, maxHops = 2))
+    assert(planSize(deep) <= shallowSize * 6,
+      s"bfs(20) plan ${planSize(deep)} nodes vs bfs(2) $shallowSize: lineage accumulating")
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 20L).map(i => i -> i).toMap)
+  }
 }
