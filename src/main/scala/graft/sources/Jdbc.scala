@@ -36,6 +36,27 @@ object Jdbc {
     case (Some(l), Some(u)) => s"$key >= $l AND $key < $u"
   }
 
+  /** Multi-column lexicographic range as a WHERE fragment — the exact
+    * `Range.ToString` contract of `utils/structure/chunk.go:98-190`:
+    * key > lower ⇔ (k1>l1) ∨ (k1=l1 ∧ k2>l2) ∨ …, chunk =
+    * lexGreaterEq(lower) ∧ ¬lexGreaterEq(upper). Values must already be
+    * SQL-rendered literals (quoted strings / numerics) by the caller.
+    */
+  def lexPredicateSql(keys: Seq[String], lower: Seq[String],
+      upper: Seq[String]): String = {
+    require(keys.nonEmpty && keys.length == lower.length && keys.length == upper.length)
+    def ge(bounds: Seq[String]): String = {
+      val strict = keys.indices.map { i =>
+        val prefix = (0 until i).map(j => s"${keys(j)} = ${bounds(j)}")
+        (prefix :+ s"${keys(i)} > ${bounds(i)}").mkString("(", " AND ", ")")
+      }
+      val eq = keys.indices.map(i => s"${keys(i)} = ${bounds(i)}")
+        .mkString("(", " AND ", ")")
+      (strict :+ eq).mkString("(", " OR ", ")")
+    }
+    s"${ge(lower)} AND NOT ${ge(upper)}"
+  }
+
   /** Chunk-parallel federated read: one Spark partition per chunk
     * predicate, each executor issuing `SELECT … WHERE <predicate>` —
     * the reference's parallel chunk fetch without its hand-rolled

@@ -563,6 +563,34 @@ object ScaleCheck {
         f""""median":${(k + 1) / 2},"sec":$tpSec%.2f,""" +
         f""""rows_per_sec":${(2 * n / tpSec).toLong}}""")
     }
+
+    // ---- ivf_candidates: q470's default kNN base at corpus scale ----
+    // Deterministic 16-dim pseudo-embeddings (hash arithmetic per
+    // (id, dim) — no RNG), centroids every 50th vector. Self-validating:
+    // the candidate stream must be (a) non-empty, (b) two or more orders
+    // of magnitude below brute-force n(n−1), (c) bounded per vector by
+    // nProbe² × max cell occupancy — the Σ|cell|² shape that makes LOF /
+    // kNN operators viable at 10⁹ vectors.
+    {
+      val nVec = (millions * 10000L) max 20000L
+      val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), j -> CAST(" +
+          "CAST((id % 997) * j * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")
+          .as("embedding"))
+      val t97 = System.nanoTime()
+      val cand = graft.operators.Similarity.ivfCandidatePairs(emb, 50, 2)
+      val nPairs = cand.count()
+      val maxPer = cand.groupBy("qid").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      val t98 = System.nanoTime()
+      val brute = nVec * (nVec - 1)
+      require(nPairs > 0 && nPairs * 100 < brute,
+        s"ivf candidates must be sub-quadratic: $nPairs vs brute $brute")
+      val ivfSec = (t98 - t97) / 1e9
+      println(f"""{"scenario":"ivf_candidates","vectors":$nVec,"pairs":$nPairs,""" +
+        f""""max_pairs_per_vector":$maxPer,"brute_pairs":$brute,"sec":$ivfSec%.2f,""" +
+        f""""vectors_per_sec":${(nVec / ivfSec).toLong}}""")
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,35 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(residual.isEmpty, s"chunk ranges must stay remote:\n$plan")
   }
 
+  test("lexicographic 2-column chunk predicates partition the table exactly") {
+    // chunks over (l_orderkey, l_linenumber) — the reference's multi-col
+    // Range.ToString contract; bounds picked inside the key space so the
+    // middle chunks exercise the (k1=l1 AND k2>l2) tie arm
+    val keys = Seq("\"l_orderkey\"", "\"l_linenumber\"")
+    val rows = src.select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val n = rows.length
+    val bounds = Seq(rows.head, rows(n / 3), rows(2 * n / 3), rows.last)
+    def lit(b: (Long, Int)) = Seq(b._1.toString, b._2.toString)
+    // first chunk lower-unbounded / last upper-unbounded via sentinels
+    val preds = Seq(
+      Jdbc.lexPredicateSql(keys, Seq("-1", "-1"), lit(bounds(1))),
+      Jdbc.lexPredicateSql(keys, lit(bounds(1)), lit(bounds(2))),
+      Jdbc.lexPredicateSql(keys, lit(bounds(2)),
+        Seq(Long.MaxValue.toString, "2147483647")))
+    val props2 = new Properties()
+    props2.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(url, "LINEITEM_RT", preds.toArray, props2)
+    assert(back.rdd.getNumPartitions == 3)
+    val got = back.select(col("l_orderkey").cast("long"),
+        col("l_linenumber").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    // [lower, upper) chunks must cover every row exactly once: sentinel
+    // lower (-1,-1) < min key and sentinel upper > max key
+    assert(got.length == n, s"${got.length} vs $n — chunks overlap or leak")
+    assert(got.sameElements(rows))
+  }
+
   test("safe-mode write is idempotent under replay and keeps unmatched rows") {
     val s = spark
     import s.implicits._
