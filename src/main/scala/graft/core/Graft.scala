@@ -21,6 +21,10 @@ object Graft {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as raw Long nanos and convert in Tables.events.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the charset-conversion leg (P7: GBK→UTF-8 migration) needs the full
+    // JVM charset registry in encode()/decode(); Spark 4 restricts to a
+    // 7-charset ANSI list unless this is set
+    c.set("spark.sql.legacy.javaCharsets", "true")
     graft.plans.GraftFunctions.register(spark) // native exprs (scaled_dot)
     spark
   }

@@ -68,6 +68,21 @@ object Canonical {
   def garbledReplace(c: Column, replacement: String): Column =
     regexp_replace(c, "�", replacement)
 
+  /** Charset conversion (SURVEY P7 — the reference's ZHS16GBK→AL32UTF8
+    * migration leg, `database/oracle/data_migrate.go:845-1010` +
+    * `BuildInOracleCharset*`): decode `bytes` in the source charset to a
+    * Unicode string via Spark's codegen'd `decode`; `convertCharset`
+    * re-encodes into the target. The JVM charset registry covers the
+    * reference's pairs (GBK, UTF-8, ISO-8859-1, …) so this is a pure
+    * projection — no UDF, whole-stage-codegen'd, charset handle shared
+    * inside the generated code.
+    */
+  def decodeCharset(bytes: Column, fromCharset: String): Column =
+    decode(bytes, fromCharset)
+
+  def convertCharset(bytes: Column, fromCharset: String, toCharset: String): Column =
+    encode(decode(bytes, fromCharset), toCharset)
+
   /** Canonical one-string-per-row rendering of a projection: the compare
     * row string fed to MD5/CRC32 checksums (SURVEY A2-A4). The reference
     * concatenates raw (`StringSplicingSymbol`, data_compare_rule.go:626-650);

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Container-header parsing is REAL: PNG (IHDR), JPEG (SOF marker walk),
   * GIF (logical screen descriptor) and WAV (RIFF fmt/data chunks) are
-  * decoded directly from bytes — no codec library needed, because
-  * dimensions/sample counts live in the container, not the entropy-coded
-  * stream. Only full pixel/sample DECODE remains a clearly-marked stub
-  * (no codec libraries in this container); unknown formats fall back to
-  * deterministic fake features so the pipeline shape stays testable on
-  * text fixtures.
+  * decoded directly from bytes. Full pixel/sample decode is ALSO real
+  * for the JDK-built-in codecs — [[decodeImage]] (javax.imageio:
+  * PNG/GIF/BMP, exact channel sums + Rec.709 luma), [[downsamplePixels]]
+  * (deterministic box-filter resize), [[decodeAudio]]
+  * (javax.sound.sampled: WAV PCM to exact integer stats). Out of scope:
+  * video containers, compressed audio, and JPEG in value-pinned gates
+  * (decoder-version-dependent IDCT) — see SANDBOX.md §3. Unknown formats
+  * fall back to deterministic fake features so the pipeline shape stays
+  * testable on text fixtures.
   *
   * At 100 TB: payload columns stay off the shuffle path (metadata-only
   * projections are pushed to the scan; parquet column pruning skips the
@@ -129,11 +132,140 @@ object Multimodal {
     probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
       .orElse(probeWav(bytes))
 
+  final case class ImageFeatures(
+      doc_id: Long, format: String, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, luma_milli: Long)
+  final case class PixelRow(doc_id: Long, x: Int, y: Int, r: Int, g: Int, b: Int)
+  final case class AudioFeatures(
+      doc_id: Long, channels: Int, sample_rate: Int, n_frames: Long,
+      sum_sq: Long, peak_abs: Long)
+
+  /** REAL pixel decode via the JDK's own `javax.imageio` (PNG/GIF/BMP —
+    * lossless formats only; JPEG decodes too but its values are
+    * decoder-version-dependent, so keep it out of exact gates). One
+    * reader per record off a shared per-partition code path, headless,
+    * no external codec library. Channel sums and the Rec.709 luma are
+    * exact integer arithmetic — engine-independent, oracle-able.
+    * Undecodable payloads are dropped (a 100 TB crawl contains garbage;
+    * the metadata/probe tier already characterized them).
+    */
+  def decodeImage(spark: SparkSession, bin: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          val bytes = Option(rec.content).getOrElse(Array.emptyByteArray)
+          val fmt = probe(bytes).map(_._1).getOrElse("unknown")
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight
+              val luma = (2126L * sr + 7152L * sg + 722L * sb) * 1000L / (10000L * n)
+              Some(ImageFeatures(rec.doc_id, fmt, img.getWidth, img.getHeight,
+                sr, sg, sb, luma))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Deterministic box-filter downsample: each `factor`×`factor` block
+    * averages to one pixel with integer division — bit-exact on any
+    * engine/JVM (unlike Graphics2D interpolation, which is
+    * implementation-defined). The thumbnail tier of a multimodal
+    * pipeline: decode once, emit the reduced pixel grid as ROWS so
+    * downstream operators (dedup, embedding) stay relational.
+    */
+  def downsamplePixels(spark: SparkSession, bin: DataFrame,
+      factor: Int): Dataset[PixelRow] = {
+    import spark.implicits._
+    require(factor >= 1)
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(rec.content).getOrElse(Array.emptyByteArray)))
+            if (img == null) Iterator.empty
+            else {
+              val (ow, oh) = (img.getWidth / factor, img.getHeight / factor)
+              for {
+                by <- Iterator.range(0, oh); bx <- Iterator.range(0, ow)
+              } yield {
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    val p = img.getRGB(bx * factor + dx, by * factor + dy)
+                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val area = factor.toLong * factor
+                PixelRow(rec.doc_id, bx, by, (sr / area).toInt,
+                  (sg / area).toInt, (sb / area).toInt)
+              }
+            }
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+  }
+
+  /** REAL PCM decode via the JDK's `javax.sound.sampled` — WAV frames to
+    * exact integer statistics (sum of squares, peak), no float path, so
+    * the oracle can carry independently-computed expectations.
+    */
+  def decodeAudio(spark: SparkSession, bin: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(
+                Option(rec.content).getOrElse(Array.emptyByteArray)))
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16)
+            val all = ais.readAllBytes()
+            val le = !f.isBigEndian
+            var (sumSq, peak) = (0L, 0L)
+            var i = 0
+            while (i + 1 < all.length) {
+              val s =
+                if (le) ((all(i) & 0xff) | (all(i + 1) << 8)).toShort
+                else ((all(i + 1) & 0xff) | (all(i) << 8)).toShort
+              sumSq += s.toLong * s; peak = peak max math.abs(s.toLong)
+              i += 2
+            }
+            Some(AudioFeatures(rec.doc_id, f.getChannels,
+              f.getSampleRate.toInt,
+              all.length.toLong / f.getFrameSize, sumSq, peak))
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Batched per-partition feature extraction. Recognized containers get
-    * REAL header-parsed dimensions/sample counts; unknown payloads (the
-    * text fixtures) take the deterministic stub path — where a pixel
-    * decoder would plug in, loudly marked. One digest instance per
-    * partition, the same amortization a real codec handle needs.
+    * REAL header-parsed dimensions/sample counts (full pixel/sample
+    * decode lives in [[decodeImage]]/[[decodeAudio]]); unknown payloads
+    * (the text fixtures) take the deterministic fallback. One digest
+    * instance per partition, the same amortization a codec handle needs.
     */
   def decodeFeatures(spark: SparkSession, bin: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

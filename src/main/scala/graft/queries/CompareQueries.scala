@@ -336,5 +336,41 @@ object CompareQueries {
         .where(col("rn") <= 5)
         .orderBy("chunk_id", "rn")
     },
+
+    // Charset conversion (P7, now REAL — not just garbled-replace): the
+    // reference's ZHS16GBK→AL32UTF8 migration leg. Spark decodes the GBK
+    // byte payloads with the codegen'd decode()/encode() builtins
+    // (Canonical.convertCharset — no UDF); the oracle carries the
+    // EXPECTED Unicode text and UTF-8 hex computed independently (Python
+    // gbk/utf-8 codecs at authoring time), so the differential proves
+    // the JVM's GBK table agrees with CPython's byte-for-byte. Payloads
+    // cover pure CJK, mixed CJK/ASCII, and pure-ASCII passthrough.
+    QueryDef.sql(
+      "q572_charset_convert",
+      """WITH src(id, gbk_hex, expected_text, expected_utf8_hex, expected_chars) AS (VALUES
+        |  (1, 'CAFDBEDDBFE2C7A8D2C6', '数据库迁移', 'E695B0E68DAEE5BA93E8BF81E7A7BB', 5),
+        |  (2, 'D0A3D1E9BACDD2BBD6C2', '校验和一致', 'E6A0A1E9AA8CE5928CE4B880E887B4', 5),
+        |  (3, 'D0D4C4DCBBF9D7BC', '性能基准', 'E680A7E883BDE59FBAE58786', 4),
+        |  (4, '4D6978656420D6D0D3A22074657874', 'Mixed 中英 text', '4D6978656420E4B8ADE88BB12074657874', 13),
+        |  (5, '616263313233', 'abc123', '616263313233', 6))
+        |SELECT CAST(id AS BIGINT) AS id, expected_text AS text,
+        |  expected_utf8_hex AS utf8_hex,
+        |  CAST(expected_chars AS BIGINT) AS n_chars
+        |FROM src ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Seq(
+        1L -> "CAFDBEDDBFE2C7A8D2C6",
+        2L -> "D0A3D1E9BACDD2BBD6C2",
+        3L -> "D0D4C4DCBBF9D7BC",
+        4L -> "4D6978656420D6D0D3A22074657874",
+        5L -> "616263313233").toDF("id", "gbk_hex")
+      src.select(col("id"),
+          Canonical.decodeCharset(unhex(col("gbk_hex")), "GBK").as("text"),
+          hex(Canonical.convertCharset(unhex(col("gbk_hex")), "GBK", "UTF-8"))
+            .as("utf8_hex"),
+          length(Canonical.decodeCharset(unhex(col("gbk_hex")), "GBK"))
+            .cast("long").as("n_chars"))
+        .orderBy("id")
+    },
   )
 }

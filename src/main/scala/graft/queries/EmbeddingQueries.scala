@@ -286,6 +286,88 @@ object EmbeddingQueries {
         .orderBy("doc_id")
     },
 
+    // REAL pixel decode (javax.imageio — the JDK ships lossless PNG
+    // decode; no external codec): channel sums + Rec.709 luma over
+    // spec-constructed PNGs with KNOWN pixel values. The oracle carries
+    // expectations computed independently (pure arithmetic on the pixel
+    // constants at authoring time) — a genuine differential over the
+    // whole decode → aggregate path. JPEG stays out of exact gates
+    // (decoder-version-dependent IDCT).
+    QueryDef.sql(
+      "q573_image_decode",
+      """WITH exp(doc_id, format, width, height, sum_r, sum_g, sum_b, luma_milli) AS (VALUES
+        |  (1, 'png', 2, 2, 510, 510, 510, 127500),
+        |  (2, 'png', 4, 2, 720, 480, 640, 67822),
+        |  (3, 'png', 4, 4, 1224, 1704, 824, 96151))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, format,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(sum_b AS BIGINT) AS sum_b,
+        |  CAST(luma_milli AS BIGINT) AS luma_milli
+        |FROM exp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bin = mediaPngs.toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("content"))
+      Multimodal.decodeImage(s, bin).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("luma_milli"))
+        .orderBy("doc_id")
+    },
+
+    // REAL PCM decode (javax.sound.sampled): WAV frames to exact integer
+    // statistics — channels / rate / frame count / Σs² / peak — against
+    // independently computed expectations for known samples
+    // ((1000,−1000),(2000,−2000),(−3000,3000),(0,32767)).
+    QueryDef.sql(
+      "q574_audio_decode",
+      """WITH exp(doc_id, channels, sample_rate, n_frames, sum_sq, peak_abs) AS (VALUES
+        |  (1, 2, 8000, 4, 1101676289, 32767))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(peak_abs AS BIGINT) AS peak_abs
+        |FROM exp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wavHex = "524946463400000057415645666D74201000000001000200401F0000" +
+        "007D0000040010006461746110000000E80318FCD00730F848F4B80B0000FF7F"
+      val bin = Seq(1L -> wavHex).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("content"))
+      Multimodal.decodeAudio(s, bin).toDF()
+        .select(col("doc_id"), col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("sum_sq"), col("peak_abs"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic image resize: box-filter 2× downsample of the 4×4
+    // known-pixel PNG, emitted as relational pixel rows — integer block
+    // means (bit-exact, unlike Graphics2D interpolation), the thumbnail
+    // tier a multimodal pipeline feeds to near-dup/embedding stages.
+    // Oracle = the block means computed independently from the pixel
+    // constants.
+    QueryDef.sql(
+      "q575_image_resize",
+      """WITH exp(doc_id, x, y, r, g, b) AS (VALUES
+        |  (3, 0, 0, 25, 35, 7), (3, 1, 0, 125, 37, 37),
+        |  (3, 0, 1, 27, 175, 37), (3, 1, 1, 127, 177, 123))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g, CAST(b AS BIGINT) AS b
+        |FROM exp ORDER BY doc_id, y, x""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bin = mediaPngs.filter(_._1 == 3L).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("content"))
+      Multimodal.downsamplePixels(s, bin, 2).toDF()
+        .select(col("doc_id"), col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("r").cast("long").as("r"),
+          col("g").cast("long").as("g"), col("b").cast("long").as("b"))
+        .orderBy("doc_id", "y", "x")
+    },
+
     // Matryoshka truncation audit: recall@10 of cosine ranking on the
     // FIRST 16 dims vs the full 64-dim exact ranking, per query vector
     // (every 25th id). One pass scores corpus×queries with BOTH cosines
@@ -545,4 +627,17 @@ object EmbeddingQueries {
         .orderBy("qid", "fused_rank")
     },
   )
+  /** Spec-constructed PNGs with KNOWN pixels (zlib-built at authoring
+    * time): (1) 2×2 primaries+white, (2) 4×2 gradient, (3) 4×4 for the
+    * downsample gate. Pixel constants and expected sums documented in
+    * q573/q575 oracles.
+    */
+  private lazy val mediaPngs: Seq[(Long, String)] = Seq(
+    1L -> ("89504E470D0A1A0A0000000D4948445200000002000000020802000000FDD49A73" +
+      "0000001249444154789C63F8CFC0C000C20CFF8100001FEE05FB0BD9688B0000000049454E44AE426082"),
+    2L -> ("89504E470D0A1A0A0000000D4948445200000004000000020802000000F0CAEA34" +
+      "0000002249444154789C63606060B061D0A86008D8C250C1C050A1615311505151B1A562010041E207310B8B22D60000000049454E44AE426082"),
+    3L -> ("89504E470D0A1A0A0000000D494844520000000400000004080200000026930929" +
+      "0000003D49444154789C6360606030626448616298C6CCC0C0E8C660EC2E97EA6133DD338A81A987C1A4D726ADAF6246FF1606E64B0CA697A3D2AF6C9979950F000A930EA9F931FEAB0000000049454E44AE426082"))
+
 }

@@ -575,7 +575,7 @@ object ScaleCheck {
       val nVec = (millions * 10000L) max 20000L
       val emb = spark.range(nVec).select(col("id").as("vec_id"),
         expr("transform(sequence(1, 16), j -> CAST(" +
-          "CAST((id % 997) * j * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")
+          "CAST((id % 997 + 1) * j * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")
           .as("embedding"))
       val t97 = System.nanoTime()
       val cand = graft.operators.Similarity.ivfCandidatePairs(emb, 50, 2)
