@@ -122,6 +122,58 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
   }
 
+  /** Lloyd's k-means over scaled-integer embeddings, engine-exact: seeds
+    * are every `seedEvery`-th vector (deterministic init), each
+    * iteration reassigns by max scaled cosine (ties → smaller cid) and
+    * recomputes centroids as element-wise integer means (`sum div
+    * count`). All arithmetic is BIGINT, so a SQL oracle unrolling the
+    * same iterations reproduces assignments bit-for-bit — this closes
+    * the "IVF centroids are every-Nth, not k-means" fixture caveat.
+    *
+    * Scale shape: per iteration, elements ⋈ centroid-elements is an
+    * equi-join on the dim index with the (tiny) centroid relation
+    * broadcast — n·C·d work, embarrassingly parallel; the centroid
+    * update is one map-side-combined aggregate over n·d rows. Returns
+    * the final (vec_id, cell) assignment.
+    */
+  def kmeansAssignments(embeddings: DataFrame, seedEvery: Int,
+      iters: Int): DataFrame = {
+    val el = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("x"))
+      .cache()
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      el.join(broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(sum(col("x") * col("c")).as("dxy"),
+          sum(col("x") * col("x")).as("dxx"),
+          sum(col("c") * col("c")).as("dyy"))
+        .select(col("vec_id"), col("cid"),
+          floor(lit(1000000.0) * col("dxy").cast("double") /
+            (sqrt(col("dxx").cast("double")) * sqrt(col("dyy").cast("double"))))
+            .cast("long").as("ccos"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+    }
+
+    var cent = el.where(col("vec_id") % seedEvery === 0)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
+    var it = 0
+    while (it < iters) {
+      val asg = assign(cent)
+      cent = el.join(asg, "vec_id")
+        .groupBy(col("cell").as("cid"), col("i"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+      it += 1
+    }
+    assign(cent)
+  }
+
   /** IVF multi-probe candidate pairs — the default kNN base for
     * neighborhood operators (q470 LOF): every vector is indexed into its
     * `nProbe` nearest cells (deterministic centroids, every

@@ -150,6 +150,52 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") === 0), 10, 25, 2)
     },
 
+    // Real Lloyd k-means for the IVF cell map (closes the r4 caveat
+    // "centroids are every-Nth rather than k-means"): deterministic
+    // seeds (every 25th vector), 2 reassign+recenter iterations with
+    // element-wise integer-mean centroids, final assignment by max
+    // scaled cosine. Everything is BIGINT arithmetic, so the oracle
+    // UNROLLS the identical 3 assignments / 2 centroid updates and
+    // matches bit-for-bit. Scale shape per iteration: elements ⋈
+    // broadcast centroid-elements on the dim index (n·C·d, no corpus
+    // shuffle) + one map-side-combined centroid aggregate.
+    QueryDef.sql(
+      "q576_kmeans_ivf", {
+        val el =
+          """el AS (SELECT vec_id, i,
+            |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+            |  FROM embeddings, generate_series(1, 64) t(i))""".stripMargin
+        def assignSql(name: String, cent: String) =
+          s"""${name}_s AS (SELECT e.vec_id, c.cid,
+             |    SUM(e.x * c.c) AS dxy, SUM(e.x * e.x) AS dxx, SUM(c.c * c.c) AS dyy
+             |  FROM el e JOIN $cent c USING (i) GROUP BY 1, 2),
+             |$name AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+             |        CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+             |          (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) DESC,
+             |        cid) AS rn
+             |    FROM ${name}_s) WHERE rn = 1)""".stripMargin
+        def centSql(name: String, asg: String) =
+          s"""$name AS (SELECT a.cell AS cid, e.i, SUM(e.x) // COUNT(*) AS c
+             |  FROM el e JOIN $asg a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        s"""WITH $el,
+           |c0 AS (SELECT vec_id AS cid, i, x AS c FROM el WHERE vec_id % 25 = 0),
+           |${assignSql("a1", "c0")},
+           |${centSql("c1", "a1")},
+           |${assignSql("a2", "c1")},
+           |${centSql("c2", "a2")},
+           |${assignSql("af", "c2")}
+           |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+           |FROM af GROUP BY cell ORDER BY cell""".stripMargin
+      }) { (s, dir) =>
+      Similarity.kmeansAssignments(Tables(s, dir).embeddings, 25, 2)
+        .groupBy("cell").agg(count(lit(1)).as("n_members"),
+          min("vec_id").as("min_member"), max("vec_id").as("max_member"))
+        .orderBy("cell")
+    },
+
     // Product quantization + ADC: each vector compresses to 8 sub-codes
     // against a deterministic 16-codeword codebook per subspace
     // (training vectors = every 31st id — reproducible without k-means);
