@@ -94,6 +94,63 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(got.sameElements(rows))
   }
 
+  test("end-to-end compare: live JDBC source vs parquet target finds the exact corruption") {
+    // the reference's core scenario (data_compare_task.go): checksum a
+    // live database against a file copy, drill into unequal chunks only
+    import graft.operators.{ChunkPlanner, DataCompare}
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+    val chunks = ChunkPlanner.plan(src, "l_orderkey", nChunks = 4)
+    val live = Jdbc.readChunked(spark, url, "LINEITEM_RT", "\"l_orderkey\"",
+      chunks, props)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_linenumber").cast("int"), col("l_quantity").cast("double"))
+    val cid = graft.operators.ChunkPlanner.chunkIdColumn(col("l_orderkey"), chunks)
+
+    val clean = DataCompare.compareChunks(live, src, cid, cols)
+    assert(clean.where(col("status") =!= "EQUAL").count() == 0,
+      "pristine copy must checksum EQUAL in every chunk")
+
+    // corrupt ONE row in the live database (driver-side UPDATE)
+    val victim = src.orderBy("l_orderkey", "l_partkey", "l_linenumber")
+      .select("l_orderkey", "l_partkey", "l_linenumber").head()
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("UPDATE LINEITEM_RT SET \"l_quantity\" = 12345.0 WHERE " +
+        s""""l_orderkey" = ${victim.getLong(0)} AND "l_partkey" = ${victim.getLong(1)}""" +
+        s""" AND "l_linenumber" = ${victim.getInt(2)}""")
+      st.close()
+    } finally conn.close()
+
+    val live2 = Jdbc.readChunked(spark, url, "LINEITEM_RT", "\"l_orderkey\"",
+      chunks, props)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_linenumber").cast("int"), col("l_quantity").cast("double"))
+    val status = DataCompare.compareChunks(live2, src, cid, cols).cache()
+    val bad = status.where(col("status") =!= "EQUAL")
+    assert(bad.count() == 1, "exactly one chunk must flag after one-row corruption")
+    val diff = DataCompare.rowDiff(live2, src, cols, Some(cid), Some(bad))
+    val diffRows = diff.collect()
+    assert(diffRows.length == 2, // the corrupted row appears from both sides
+      s"rowDiff must isolate the corrupted row pair, got ${diffRows.length}")
+    assert(diffRows.forall(_.getAs[Long]("l_orderkey") == victim.getLong(0)))
+
+    // repair via safe mode from the file copy, re-compare → clean again
+    val fix = src.where(col("l_orderkey") === victim.getLong(0) &&
+      col("l_partkey") === victim.getLong(1) &&
+      col("l_linenumber") === victim.getInt(2))
+    Jdbc.safeModeWrite(spark, url, "LINEITEM_RT", fix,
+      Seq("l_orderkey", "l_partkey", "l_linenumber"), props)
+    val live3 = Jdbc.readChunked(spark, url, "LINEITEM_RT", "\"l_orderkey\"",
+      chunks, props)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_linenumber").cast("int"), col("l_quantity").cast("double"))
+    assert(DataCompare.compareChunks(live3, src, cid, cols)
+      .where(col("status") =!= "EQUAL").count() == 0,
+      "safe-mode repair from the clean copy must restore EQUAL everywhere")
+  }
+
   test("safe-mode write is idempotent under replay and keeps unmatched rows") {
     val s = spark
     import s.implicits._
