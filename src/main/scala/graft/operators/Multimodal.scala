@@ -125,12 +125,52 @@ object Multimodal {
     else None
   }
 
+  /** MP4 / ISO-BMFF: recursive box walk (size + fourcc framing) into
+    * moov → mvhd (timescale + duration → milliseconds) and moov → trak →
+    * tkhd (track width/height as 16.16 fixed point). Pure container
+    * metadata — no codec touches the sample data. n_frames carries the
+    * duration in ms (frame counts live in stbl, beyond header scope).
+    */
+  private def probeMp4(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b.length < 12) return None
+    val ft = new String(b.slice(4, 8), "US-ASCII")
+    if (ft != "ftyp") return None
+
+    def findBox(ty: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz = be32(b, i)
+        if (sz < 8 || i + sz > until) return None
+        if (new String(b.slice(i + 4, i + 8), "US-ASCII") == ty)
+          return Some((i + 8, i + sz))
+        i += sz
+      }
+      None
+    }
+    for {
+      (moovS, moovE) <- findBox("moov", 0, b.length)
+      (mvhdS, _)     <- findBox("mvhd", moovS, moovE)
+      (trakS, trakE) <- findBox("trak", moovS, moovE)
+      (tkhdS, tkhdE) <- findBox("tkhd", trakS, trakE)
+      if b(mvhdS) == 0 && b(tkhdS) == 0 // version-0 layouts only
+      if mvhdS + 20 <= b.length && tkhdE >= tkhdS + 84
+    } yield {
+      val timescale = be32(b, mvhdS + 12).toLong & 0xffffffffL
+      val duration  = be32(b, mvhdS + 16).toLong & 0xffffffffL
+      val w = be32(b, tkhdE - 8) >>> 16 // 16.16 fixed
+      val h = be32(b, tkhdE - 4) >>> 16
+      val ms = if (timescale == 0) 0L else duration * 1000L / timescale
+      ("mp4", w, h, ms)
+    }
+  }
+
   /** Header probe: (format, width, height, n_frames) for recognized
-    * containers; None for anything else.
+    * containers; None for anything else. For mp4 the n_frames slot
+    * carries duration in milliseconds.
     */
   private[operators] def probe(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
     probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
-      .orElse(probeWav(bytes))
+      .orElse(probeWav(bytes)).orElse(probeMp4(bytes))
 
   final case class ImageFeatures(
       doc_id: Long, format: String, width: Int, height: Int,

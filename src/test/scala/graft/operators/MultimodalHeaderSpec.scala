@@ -41,6 +41,19 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(Multimodal.probe(sof2) === Some(("jpeg", 320, 240, 1L)))
   }
 
+  test("MP4 box walk: tkhd dims + mvhd duration (ms in the n_frames slot)") {
+    val mp4 = hex("000000206674797069736F6D0000020069736F6D69736F32617663316D703431" +
+      "000000D86D6F6F760000006C6D766864000000000000000000000000000003E8" +
+      "0000138800010000010000000000000000000000000100000000000000000000" +
+      "0000000000010000000000000000000000000000400000000000000000000000" +
+      "0000000000000000000000000000000000000002000000647472616B0000005C" +
+      "746B686400000003000000000000000000000001000000000000138800000000" +
+      "0000000000000000000000000001000000000000000000000000000000010000" +
+      "000000000000000000000000400000000280000001680000")
+    assert(Multimodal.probe(mp4) === Some(("mp4", 640, 360, 5000L)))
+    assert(Multimodal.probe(mp4.take(40)).isEmpty, "truncated moov must fall back")
+  }
+
   test("malformed inputs fall back instead of throwing") {
     val cases: Seq[Array[Byte]] = Seq(
       Array.emptyByteArray,
