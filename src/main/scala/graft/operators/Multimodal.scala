@@ -125,6 +125,19 @@ object Multimodal {
     else None
   }
 
+  /** WebP (VP8X extended format): RIFF/WEBP container, canvas size as
+    * minus-one 24-bit little-endian fields in the VP8X chunk.
+    */
+  private def probeWebp(b: Array[Byte]): Option[(String, Int, Int, Long)] =
+    if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P' &&
+      b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
+      Some(("webp",
+        1 + ((b(24) & 0xff) | ((b(25) & 0xff) << 8) | ((b(26) & 0xff) << 16)),
+        1 + ((b(27) & 0xff) | ((b(28) & 0xff) << 8) | ((b(29) & 0xff) << 16)),
+        1L))
+    else None
+
   /** MP4 / ISO-BMFF: recursive box walk (size + fourcc framing) into
     * moov → mvhd (timescale + duration → milliseconds) and moov → trak →
     * tkhd (track width/height as 16.16 fixed point). Pure container
@@ -170,7 +183,7 @@ object Multimodal {
     */
   private[operators] def probe(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
     probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
-      .orElse(probeWav(bytes)).orElse(probeMp4(bytes))
+      .orElse(probeWav(bytes)).orElse(probeWebp(bytes)).orElse(probeMp4(bytes))
 
   final case class ImageFeatures(
       doc_id: Long, format: String, width: Int, height: Int,
@@ -319,9 +332,9 @@ object Multimodal {
             case Some((fmt, w, h, frames)) =>
               MediaFeatures(r.doc_id, bytes.length.toLong, hash, fmt, w, h, frames)
             case None =>
-              // STUB fallback: full pixel/sample decode needs a codec
-              // library this container does not ship; deterministic fake
-              // dims keep the pipeline testable on text payloads.
+              // non-media fallback: real decode lives in decodeImage /
+              // decodeAudio (JDK codecs); deterministic fake dims keep
+              // the pipeline testable on text payloads.
               MediaFeatures(r.doc_id, bytes.length.toLong, hash, "unknown",
                 width = (bytes.length % 640) + 1,
                 height = (bytes.length % 480) + 1,

@@ -54,6 +54,12 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(Multimodal.probe(mp4.take(40)).isEmpty, "truncated moov must fall back")
   }
 
+  test("WebP VP8X canvas size (24-bit LE minus-one fields)") {
+    val webp = hex("524946461600000057454250565038580A000000100000001F0300570200")
+    assert(Multimodal.probe(webp) === Some(("webp", 800, 600, 1L)))
+    assert(Multimodal.probe(webp.take(20)).isEmpty)
+  }
+
   test("malformed inputs fall back instead of throwing") {
     val cases: Seq[Array[Byte]] = Seq(
       Array.emptyByteArray,
