@@ -138,40 +138,52 @@ object Similarity {
     */
   def kmeansAssignments(embeddings: DataFrame, seedEvery: Int,
       iters: Int): DataFrame = {
-    val el = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"),
-        floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("x"))
+    // scaled elements as an ARRAY per vector with its norm precomputed:
+    // each corpus×centroid pair then costs ONE zip_with dot (n·C fused
+    // loops) instead of 64 exploded join rows (n·C·d shuffle input) —
+    // the same values, 64× fewer rows through the aggregate
+    val embArr = embeddings.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("xa"))
+      .withColumn("xnrm",
+        expr("aggregate(zip_with(xa, xa, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
       .cache()
 
-    def assign(cent: DataFrame): DataFrame = {
+    def assign(centArr: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      el.join(broadcast(cent), "i")
-        .groupBy("vec_id", "cid")
-        .agg(sum(col("x") * col("c")).as("dxy"),
-          sum(col("x") * col("x")).as("dxx"),
-          sum(col("c") * col("c")).as("dyy"))
+      embArr.crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("cid"),
-          floor(lit(1000000.0) * col("dxy").cast("double") /
-            (sqrt(col("dxx").cast("double")) * sqrt(col("dyy").cast("double"))))
+          floor(lit(1000000.0) *
+            expr("aggregate(zip_with(xa, ca, (a, b) -> a * b), 0L, (s, v) -> s + v)")
+              .cast("double") /
+            (sqrt(col("xnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
             .cast("long").as("ccos"))
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
     }
+    // (cid, ca, cnrm) from element rows — used for updated centroids
+    def toArr(cent: DataFrame): DataFrame =
+      cent.groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("ca"))
+        .withColumn("cnrm",
+          expr("aggregate(zip_with(ca, ca, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
 
-    var cent = el.where(col("vec_id") % seedEvery === 0)
-      .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
+    val el = embArr.select(col("vec_id"), posexplode(col("xa")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+
+    var centArr = embArr.where(col("vec_id") % seedEvery === 0)
+      .select(col("vec_id").as("cid"), col("xa").as("ca"), col("xnrm").as("cnrm"))
     var it = 0
     while (it < iters) {
-      val asg = assign(cent)
-      cent = el.join(asg, "vec_id")
+      val asg = assign(centArr)
+      centArr = toArr(el.join(asg, "vec_id")
         .groupBy(col("cell").as("cid"), col("i"))
-        .agg(expr("sum(x) div count(1)").as("c"))
+        .agg(expr("sum(x) div count(1)").as("c")))
       it += 1
     }
-    assign(cent)
+    assign(centArr)
   }
 
   /** IVF multi-probe candidate pairs — the default kNN base for
