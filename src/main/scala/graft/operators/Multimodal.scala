@@ -125,6 +125,28 @@ object Multimodal {
     else None
   }
 
+  /** FLAC: "fLaC" magic + STREAMINFO metadata block — channels (3 bits),
+    * bits per sample (5 bits) and the 36-bit total-sample count unpack
+    * from the bit-packed 8 bytes at STREAMINFO offset 10. Mapped as
+    * (width=channels, height=bitsPerSample, n_frames=total samples),
+    * matching the WAV convention.
+    */
+  private def probeFlac(b: Array[Byte]): Option[(String, Int, Int, Long)] =
+    if (b.length >= 26 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+      (b(4) & 0x7f) == 0) { // first metadata block must be STREAMINFO
+      val s = 8 + 10 // streaminfo payload + fixed fields before the packed word
+      if (b.length < s + 8) None
+      else {
+        var packed = 0L
+        var i = 0
+        while (i < 8) { packed = (packed << 8) | (b(s + i) & 0xffL); i += 1 }
+        val channels = ((packed >>> 41) & 0x7L).toInt + 1
+        val bits     = ((packed >>> 36) & 0x1fL).toInt + 1
+        val total    = packed & 0xfffffffffL
+        Some(("flac", channels, bits, total))
+      }
+    } else None
+
   /** WebP (VP8X extended format): RIFF/WEBP container, canvas size as
     * minus-one 24-bit little-endian fields in the VP8X chunk.
     */
@@ -183,7 +205,8 @@ object Multimodal {
     */
   private[operators] def probe(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
     probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
-      .orElse(probeWav(bytes)).orElse(probeWebp(bytes)).orElse(probeMp4(bytes))
+      .orElse(probeWav(bytes)).orElse(probeWebp(bytes)).orElse(probeFlac(bytes))
+      .orElse(probeMp4(bytes))
 
   final case class ImageFeatures(
       doc_id: Long, format: String, width: Int, height: Int,

@@ -296,6 +296,7 @@ object EmbeddingQueries {
         |  (2, 'jpeg', 'FFD8FFE000104A46494600010100004800480000FFC000110800F0014003011100021101031101FFD9'),
         |  (3, 'gif',  '47494638396190012C01000000'),
         |  (4, 'wav',  '524946464400000057415645666D7420100000000100020044AC000010B102000400100064617461200000000000000000000000000000000000000000000000000000000000000000000000'),
+        |  (7, 'flac', '664C6143800000221000100000000E00000E0AC442F00001588800000000000000000000000000000000'),
         |  (6, 'webp', '524946461600000057454250565038580A000000100000001F0300570200'),
         |  (5, 'mp4',  '000000206674797069736F6D0000020069736F6D69736F32617663316D703431000000D86D6F6F760000006C6D766864000000000000000000000000000003E8000013880001000001000000000000000000000000010000000000000000000000000000000100000000000000000000000000004000000000000000000000000000000000000000000000000000000000000002000000647472616B0000005C746B6864000000030000000000000000000000010000000000001388000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000280000001680000'))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, format,
@@ -307,6 +308,7 @@ object EmbeddingQueries {
         |    WHEN 'wav'  THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT
         |    WHEN 'mp4'  THEN ('0x' || substr(hx, 481, 4))::BIGINT
         |    WHEN 'webp' THEN 1 + ('0x' || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT
+        |    WHEN 'flac' THEN CAST((('0x' || substr(hx, 37, 16))::BIGINT // 2199023255552) % 8 AS BIGINT) + 1
         |  END AS BIGINT) AS width,
         |  CAST(CASE format
         |    WHEN 'png'  THEN ('0x' || substr(hx, 41, 8))::BIGINT
@@ -315,12 +317,14 @@ object EmbeddingQueries {
         |    WHEN 'wav'  THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::BIGINT
         |    WHEN 'mp4'  THEN ('0x' || substr(hx, 489, 4))::BIGINT
         |    WHEN 'webp' THEN 1 + ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2) || substr(hx, 55, 2))::BIGINT
+        |    WHEN 'flac' THEN CAST((('0x' || substr(hx, 37, 16))::BIGINT // 68719476736) % 32 AS BIGINT) + 1
         |  END AS BIGINT) AS height,
         |CAST(CASE format
         |    WHEN 'wav' THEN (('0x' || substr(hx, 87, 2) || substr(hx, 85, 2) || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT)
         |      // (('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::BIGINT)
         |    WHEN 'mp4' THEN (('0x' || substr(hx, 129, 8))::BIGINT * 1000)
         |      // (('0x' || substr(hx, 121, 8))::BIGINT)
+        |    WHEN 'flac' THEN CAST(('0x' || substr(hx, 37, 16))::BIGINT % 68719476736 AS BIGINT)
         |    ELSE 1 END AS BIGINT) AS n_frames
         |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -335,7 +339,8 @@ object EmbeddingQueries {
           "03E800001388000100000100000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000000000000000000000000000" +
           "0000000000000002000000647472616B0000005C746B686400000003000000000000000000000001000000000000138800000000000000000000000000000000000100000000" +
           "0000000000000000000000010000000000000000000000000000400000000280000001680000"),
-        6L -> "524946461600000057454250565038580A000000100000001F0300570200")
+        6L -> "524946461600000057454250565038580A000000100000001F0300570200",
+        7L -> "664C6143800000221000100000000E00000E0AC442F00001588800000000000000000000000000000000")
       val bin = payloads.toDF("doc_id", "hx")
         .select(col("doc_id"), unhex(col("hx")).as("content"))
       Multimodal.decodeFeatures(s, bin).toDF()

@@ -60,6 +60,13 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(Multimodal.probe(webp.take(20)).isEmpty)
   }
 
+  test("FLAC STREAMINFO: channels/bits/total samples from the packed word") {
+    val flac = hex("664C6143800000221000100000000E00000E0AC442F0000158880000" +
+      "0000000000000000000000000000")
+    assert(Multimodal.probe(flac) === Some(("flac", 2, 16, 88200L)))
+    assert(Multimodal.probe(flac.take(12)).isEmpty)
+  }
+
   test("malformed inputs fall back instead of throwing") {
     val cases: Seq[Array[Byte]] = Seq(
       Array.emptyByteArray,
