@@ -59,6 +59,7 @@ object TaskRunner {
         case "struct_compare" => structCompare(spark, conf)
         case "assess"         => assess(spark, conf)
         case "cdc_apply"      => cdcApply(spark, conf)
+        case "sql_migrate"    => sqlMigrate(spark, conf)
         case m => throw new IllegalArgumentException(s"unknown mode $m")
       }
     } finally spark.stop()
@@ -204,5 +205,34 @@ object TaskRunner {
     }.reduce(_ unionAll _)
     profiled.select("column_name", "bigint_like", "decimal_point", "nulls", "total")
       .write.mode("overwrite").parquet(s"${out(conf)}/scan_profile")
+  }
+
+  /** Custom-SQL migrate (the reference's `sql` verb — user supplies the
+    * SELECT, the engine migrates its result,
+    * `component/cli/command/sql.go:39`): every parquet table under
+    * `srcDir` registers as a temp view, the task's `sql` runs on Spark,
+    * and the result lands canonicalized. `safeMode=true` + `keys` merges
+    * onto an existing target instead of overwriting — identical REPLACE
+    * INTO semantics to stmt_migrate, just with a query source.
+    */
+  def sqlMigrate(spark: SparkSession, conf: Map[String, String]): Unit = {
+    val srcDir = conf("srcDir")
+    new java.io.File(srcDir).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+      }
+    val res = spark.sql(conf("sql"))
+    val dir = out(conf)
+    if (conf.get("safeMode").contains("true")) {
+      val keys = conf("keys").split(",").map(_.trim).toSeq
+      val target = spark.read.parquet(conf("dst"))
+      val merged = Migrate.safeModeApply(target, res, keys).cache()
+      merged.count() // materialize before overwriting the lazily-read target
+      merged.write.mode("overwrite").parquet(s"$dir/applied")
+    } else {
+      res.write.mode("overwrite").parquet(s"$dir/result")
+    }
   }
 }

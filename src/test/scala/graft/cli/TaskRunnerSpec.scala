@@ -116,4 +116,29 @@ class TaskRunnerSpec extends SparkSpec {
     assert(applied(0L) == "EDITED" && !applied.contains(1L) && applied(99L) == "NEW")
     assert(applied.size == 5) // 5 regions - 1 delete + 1 insert
   }
+  test("sql_migrate runs a custom SELECT over the fixture views; safe mode merges") {
+    val dir = s"$tmp/sqlmig"
+    TaskRunner.sqlMigrate(spark, Map(
+      "srcDir" -> sfDir,
+      "sql" -> ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity > 25"),
+      "out" -> dir))
+    val res = spark.read.parquet(s"$dir/result")
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 25).count()
+    assert(res.count() == expected && expected > 0)
+
+    // safe mode: rewrite quantities for 10 rows onto the previous result
+    val dir2 = s"$tmp/sqlmig_safe"
+    TaskRunner.sqlMigrate(spark, Map(
+      "srcDir" -> sfDir,
+      "sql" -> ("SELECT l_orderkey, l_linenumber, CAST(999 AS DECIMAL(12,2)) AS l_quantity " +
+        "FROM lineitem WHERE l_quantity > 25 ORDER BY l_orderkey, l_linenumber LIMIT 10"),
+      "safeMode" -> "true", "keys" -> "l_orderkey,l_linenumber",
+      "dst" -> s"$dir/result", "out" -> dir2))
+    val applied = spark.read.parquet(s"$dir2/applied")
+    assert(applied.count() == expected, "safe mode must not change the row count here")
+    assert(applied.where(org.apache.spark.sql.functions.col("l_quantity") === 999).count() == 10)
+  }
+
 }
