@@ -591,6 +591,50 @@ object ScaleCheck {
         f""""max_pairs_per_vector":$maxPer,"brute_pairs":$brute,"sec":$ivfSec%.2f,""" +
         f""""vectors_per_sec":${(nVec / ivfSec).toLong}}""")
     }
+    // ---- media_decode: JDK-codec pixel decode throughput ----
+    // nMedia copies of the 4×4 known PNG through decodeImage — the
+    // mapPartitions batch path; validates every record decodes to the
+    // same exact channel sums (the q573 constants).
+    {
+      val nMedia = math.max(n / 100, 20000L)
+      val pngHex = "89504E470D0A1A0A0000000D49484452000000040000000408020000002693" +
+        "09290000003D49444154789C6360606030626448616298C6CCC0C0E8C660EC2E97EA" +
+        "6133DD338A81A987C1A4D726ADAF6246FF1606E64B0CA697A3D2AF6C9979950F000A" +
+        "930EA9F931FEAB0000000049454E44AE426082"
+      val media = spark.range(nMedia).select(col("id").as("doc_id"),
+        unhex(lit(pngHex)).as("content"))
+      val t99 = System.nanoTime()
+      val feats = graft.operators.Multimodal.decodeImage(spark, media).toDF()
+      val agg = feats.agg(count(lit(1)), min("sum_r"), max("sum_r"),
+        min("luma_milli"), max("luma_milli")).head()
+      val t100 = System.nanoTime()
+      require(agg.getLong(0) == nMedia && agg.getLong(1) == 1224L &&
+        agg.getLong(2) == 1224L && agg.getLong(3) == 96151L && agg.getLong(4) == 96151L,
+        s"decode drift: $agg")
+      val mdSec = (t100 - t99) / 1e9
+      println(f"""{"scenario":"media_decode","images":$nMedia,"sec":$mdSec%.2f,""" +
+        f""""images_per_sec":${(nMedia / mdSec).toLong}}""")
+    }
+
+    // ---- charset_convert: GBK→UTF-8 conversion throughput ----
+    // n/10 rows of mixed CJK/ASCII GBK bytes through the codegen'd
+    // encode(decode(...)) projection; self-validating via a known row.
+    {
+      val nTxt = math.max(n / 10, 100000L)
+      val gbkHex = "4D6978656420D6D0D3A22074657874" // "Mixed 中英 text"
+      val txt = spark.range(nTxt).select(col("id"), unhex(lit(gbkHex)).as("b"))
+      val t101 = System.nanoTime()
+      val outHex = txt.select(hex(graft.functions.Canonical
+          .convertCharset(col("b"), "GBK", "UTF-8")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("cnt")).collect()
+      val t102 = System.nanoTime()
+      require(outHex.length == 1 &&
+        outHex(0).getString(0) == "4D6978656420E4B8ADE88BB12074657874" &&
+        outHex(0).getLong(1) == nTxt, s"charset drift: ${outHex.toSeq}")
+      val ccSec = (t102 - t101) / 1e9
+      println(f"""{"scenario":"charset_convert","rows":$nTxt,"sec":$ccSec%.2f,""" +
+        f""""rows_per_sec":${(nTxt / ccSec).toLong}}""")
+    }
     spark.stop()
   }
 }
