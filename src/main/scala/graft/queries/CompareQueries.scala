@@ -263,7 +263,39 @@ object CompareQueries {
     // A3/A4: CRC32 chunk checksums with uint32 wraparound — DuckDB has no
     // crc32, so this is a rows-only contract check; exact-value coverage
     // lives in ChecksumSpec (ScalaTest).
-    QueryDef.rowsOnly("q18_compare_crc32") { (s, dir) =>
+    // A3: CRC32 chunk checksums — FULL value oracle as of r5. DuckDB has
+    // no crc32 builtin, so the oracle computes IEEE CRC-32 from first
+    // principles in SQL: a recursive CTE derives the 256-entry
+    // reflected-polynomial table (8 halving rounds per entry, poly
+    // 0xEDB88320), then a second recursion walks every row string one
+    // byte per step (crc' = table[(crc ⊕ byte) & 0xFF] ⊕ (crc >> 8)).
+    // Recursion depth = max row-string length (~60), each step one
+    // 256-row lookup join — exact, engine-independent, and it upgrades
+    // the last checksum from rows-only to value-checked.
+    QueryDef.sql(
+      "q18_compare_crc32",
+      s"""WITH RECURSIVE
+         |lut_it(i, r, c) AS (
+         |  SELECT i, 0, CAST(i AS BIGINT) FROM range(256) t(i)
+         |  UNION ALL
+         |  SELECT i, r + 1,
+         |    CASE WHEN c % 2 = 1 THEN xor(3988292384, c // 2) ELSE c // 2 END
+         |  FROM lut_it WHERE r < 8),
+         |lut(i, v) AS (SELECT i, c FROM lut_it WHERE r = 8),
+         |rows0 AS (SELECT $chunkIdSql AS chunk_id, $rowStrSql AS rowstr FROM lineitem),
+         |walk(chunk_id, hx, len, pos, crc) AS (
+         |  SELECT chunk_id, hex(rowstr::BLOB), octet_length(rowstr::BLOB), 0,
+         |    CAST(4294967295 AS BIGINT)
+         |  FROM rows0
+         |  UNION ALL
+         |  SELECT w.chunk_id, w.hx, w.len, w.pos + 1, xor(l.v, w.crc // 256)
+         |  FROM walk w JOIN lut l
+         |    ON l.i = xor(w.crc % 256, ('0x' || substr(w.hx, w.pos * 2 + 1, 2))::BIGINT)
+         |  WHERE w.pos < w.len)
+         |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(xor(crc, 4294967295)) % 4294967296 AS BIGINT) AS crc32
+         |FROM walk WHERE pos = len
+         |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin) { (s, dir) =>
       val df  = src(s, dir)
       val row = Canonical.rowString(df, Perturb.CompareCols)
       df.groupBy(chunkId(col("l_orderkey")).as("chunk_id"))
