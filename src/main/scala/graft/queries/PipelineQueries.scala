@@ -140,5 +140,129 @@ object PipelineQueries {
         .groupBy("domain")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("domain"))
+    },
+
+    // Canonical-URL dedup — the crawl-pipeline normalizer: strip
+    // fragment, lowercase scheme+authority, drop default ports, drop
+    // utm_* tracking params, SORT the remaining query params, strip the
+    // trailing slash; exact dedup on the canonical form. Each engine
+    // implements the identical rule chain in its own regex/list idiom
+    // (Spark $1 backrefs + HOF filter; DuckDB \1 + list_filter), so the
+    // differential proves the semantics, not shared code. Scale shape:
+    // pure projection + one count aggregate — normalizing 10^11 URLs is
+    // a map-side-combined pass.
+    QueryDef.sql(
+      "q577_url_canonicalize",
+      """WITH src(id, u) AS (VALUES
+        |  (1, 'HTTP://Example.COM:80/a/b/?utm_source=x&id=1#frag'),
+        |  (2, 'http://example.com/a/b?id=1'),
+        |  (3, 'https://Example.com:443/a/'),
+        |  (4, 'https://example.com/a'),
+        |  (5, 'http://example.com/a/b/?id=1&utm_campaign=z'),
+        |  (6, 'http://EXAMPLE.com:80/a/b?id=1'),
+        |  (7, 'https://other.org/x?b=2&a=1'),
+        |  (8, 'https://other.org/x#section'),
+        |  (9, 'https://other.org/x/'),
+        |  (10, 'https://other.org/x?a=1&b=2')),
+        |s1 AS (SELECT id, regexp_replace(u, '#.*$', '') AS u FROM src),
+        |s2 AS (SELECT id,
+        |    lower(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) ||
+        |      substr(u, length(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) + 1) AS u
+        |  FROM s1),
+        |s3 AS (SELECT id,
+        |    regexp_replace(regexp_replace(u, '^(http://[^/:]*):80(/|$)', '\1\2'),
+        |      '^(https://[^/:]*):443(/|$)', '\1\2') AS u
+        |  FROM s2),
+        |s4 AS (SELECT id, regexp_replace(u, '\?.*$', '') AS base,
+        |    regexp_extract(u, '\?(.*)$', 1) AS q FROM s3),
+        |s5 AS (SELECT id, regexp_replace(base, '(://.*[^/])/$', '\1') AS base,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS cq
+        |  FROM s4),
+        |canon AS (SELECT id,
+        |    base || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+        |  FROM s5)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(MIN(id) AS BIGINT) AS keep_id
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Seq(
+        1L -> "HTTP://Example.COM:80/a/b/?utm_source=x&id=1#frag",
+        2L -> "http://example.com/a/b?id=1",
+        3L -> "https://Example.com:443/a/",
+        4L -> "https://example.com/a",
+        5L -> "http://example.com/a/b/?id=1&utm_campaign=z",
+        6L -> "http://EXAMPLE.com:80/a/b?id=1",
+        7L -> "https://other.org/x?b=2&a=1",
+        8L -> "https://other.org/x#section",
+        9L -> "https://other.org/x/",
+        10L -> "https://other.org/x?a=1&b=2").toDF("id", "u")
+      src
+        .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
+        .withColumn("auth", lower(regexp_extract(col("u"), "^([a-zA-Z]+://[^/?]*)", 1)))
+        .withColumn("u", concat(col("auth"), expr("substr(u, length(auth) + 1)")))
+        .withColumn("u", regexp_replace(col("u"), "^(http://[^/:]*):80(/|$)", "$1$2"))
+        .withColumn("u", regexp_replace(col("u"), "^(https://[^/:]*):443(/|$)", "$1$2"))
+        .withColumn("base", regexp_replace(col("u"), "\\?.*$", ""))
+        .withColumn("q", regexp_extract(col("u"), "\\?(.*)$", 1))
+        .withColumn("base", regexp_replace(col("base"), "(://.*[^/])/$", "$1"))
+        .withColumn("cq", array_join(array_sort(
+          expr("filter(split(q, '&'), p -> p NOT LIKE 'utm\\\\_%' AND p <> '')")), "&"))
+        .select(col("id"), concat(col("base"),
+          when(col("cq") =!= "", concat(lit("?"), col("cq"))).otherwise(lit("")))
+          .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min("id").as("keep_id"))
+        .orderBy("canonical_url")
+    },
+
+    // Robots-rule filtering (Google longest-match semantics): each URL
+    // path takes the verdict of the LONGEST matching rule prefix, Allow
+    // winning length ties; no match => allowed. Relationally: a prefix
+    // join (substr equality — and at scale the rules side broadcasts) +
+    // one row_number per path over (prefix length, verdict) — the
+    // crawl-governance operator between fetch and ingest.
+    QueryDef.sql(
+      "q578_robots_filter",
+      """WITH rules(verdict, prefix) AS (VALUES
+        |  ('disallow', '/private'), ('allow', '/private/pub'),
+        |  ('disallow', '/tmp'), ('disallow', '/a/raw'), ('allow', '/a')),
+        |urls(path) AS (VALUES
+        |  ('/private/x'), ('/private/pub/doc'), ('/tmp/scratch'),
+        |  ('/a/page'), ('/a/raw/dump'), ('/open/page'), ('/private'),
+        |  ('/a/rawish')),
+        |m AS (SELECT u.path, r.verdict, r.prefix,
+        |    ROW_NUMBER() OVER (PARTITION BY u.path
+        |      ORDER BY length(r.prefix) DESC,
+        |        CASE WHEN r.verdict = 'allow' THEN 0 ELSE 1 END, r.verdict) AS rn
+        |  FROM urls u JOIN rules r
+        |    ON substr(u.path, 1, length(r.prefix)) = r.prefix)
+        |SELECT u.path,
+        |  coalesce(m.verdict, 'allow') AS verdict,
+        |  coalesce(m.prefix, '') AS matched_prefix
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (path)
+        |ORDER BY path""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rules = Seq(
+        ("disallow", "/private"), ("allow", "/private/pub"),
+        ("disallow", "/tmp"), ("disallow", "/a/raw"), ("allow", "/a"))
+        .toDF("verdict", "prefix")
+      val urls = Seq("/private/x", "/private/pub/doc", "/tmp/scratch",
+        "/a/page", "/a/raw/dump", "/open/page", "/private", "/a/rawish")
+        .toDF("path")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("path")
+        .orderBy(length(col("prefix")).desc,
+          when(col("verdict") === "allow", 0).otherwise(1), col("verdict"))
+      val m = urls.join(broadcast(rules),
+          expr("substr(path, 1, length(prefix)) = prefix"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("path"), col("verdict"), col("prefix"))
+      urls.join(m, Seq("path"), "left_outer")
+        .select(col("path"),
+          coalesce(col("verdict"), lit("allow")).as("verdict"),
+          coalesce(col("prefix"), lit("")).as("matched_prefix"))
+        .orderBy("path")
     })
 }
