@@ -264,5 +264,81 @@ object PipelineQueries {
           coalesce(col("verdict"), lit("allow")).as("verdict"),
           coalesce(col("prefix"), lit("")).as("matched_prefix"))
         .orderBy("path")
+    },
+
+    // The curation WATERFALL — the hygiene chain a training-data
+    // pipeline actually runs, composed end to end with per-stage
+    // survivor counts: train/eval split → language gate (q21's n-gram
+    // heuristic, keep 'en') → quality gate (q22's token/stopword
+    // screens) → exact dedup on the normalized text (keep min doc_id) →
+    // 5-gram decontamination against the eval split (q157). One scan
+    // feeds every stage; each stage is a filter/aggregate over the
+    // previous — at 100 TB the chain is 3 shuffles total (dedup groupBy,
+    // gram join, count rollup), everything else map-side.
+    QueryDef.sql(
+      "q579_curation_waterfall",
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |base AS (SELECT doc_id, nt FROM nrm WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT doc_id, nt FROM nrm WHERE doc_id % 97 = 0),
+         |lang AS (SELECT doc_id, nt FROM base WHERE
+         |  len(regexp_extract_all(nt, '\\b(the|of|and)\\b')) >=
+         |    greatest(len(regexp_extract_all(nt, '\\b(der|die|das|und)\\b')),
+         |             len(regexp_extract_all(nt, '\\b(el|la|los|de)\\b')),
+         |             len(regexp_extract_all(nt, '\\b(le|les|des|une)\\b')))),
+         |qual AS (SELECT doc_id, nt FROM lang
+         |  WHERE len(string_split(nt, ' ')) >= 10
+         |    AND len(regexp_extract_all(nt, '\\b(the|a|of|and|to|in)\\b')) >= 1),
+         |ded AS (SELECT MIN(doc_id) AS doc_id, nt FROM qual GROUP BY nt),
+         |gtr AS (SELECT d.doc_id,
+         |    array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS gram
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM ded) d,
+         |    UNNEST(generate_series(1, len(d.ws) - 4)) AS t(i)),
+         |gev AS (SELECT DISTINCT
+         |    array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS gram
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM ev) e,
+         |    UNNEST(generate_series(1, len(e.ws) - 4)) AS t(i)),
+         |bad AS (SELECT DISTINCT doc_id FROM gtr JOIN gev USING (gram)),
+         |clean AS (SELECT d.doc_id FROM ded d LEFT JOIN bad b USING (doc_id)
+         |          WHERE b.doc_id IS NULL)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'input_train' AS name, (SELECT COUNT(*) FROM base) AS docs
+         |  UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM lang)
+         |  UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM qual)
+         |  UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM ded)
+         |  UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM clean))
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nrm = Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
+      val base = nrm.where(col("doc_id") % 97 =!= 0).cache()
+      val ev = nrm.where(col("doc_id") % 97 === 0)
+      val lang = base.where(
+        expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))") >=
+          greatest(
+            expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))"),
+            expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))"),
+            expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))")))
+      val qual = lang
+        .where(size(split(col("nt"), " ")) >= 10 &&
+          expr("size(regexp_extract_all(nt, '\\\\b(the|a|of|and|to|in)\\\\b', 0))") >= 1)
+      val ded = qual.groupBy("nt").agg(min("doc_id").as("doc_id")).cache()
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("nt"), " ").as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+          .as("gram"))
+      val bad = grams(ded).join(grams(ev).select("gram").distinct(), "gram")
+        .select("doc_id").distinct()
+      val clean = ded.join(bad, Seq("doc_id"), "left_anti")
+      def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("docs"))
+          .select(lit(n).as("stage"), lit(name).as("name"), col("docs"))
+      stage(1, "input_train", base)
+        .unionAll(stage(2, "lang_en", lang))
+        .unionAll(stage(3, "quality", qual))
+        .unionAll(stage(4, "exact_dedup", ded))
+        .unionAll(stage(5, "decontaminated", clean))
+        .orderBy("stage")
     })
 }
