@@ -307,38 +307,10 @@ object PipelineQueries {
          |  UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM ded)
          |  UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM clean))
          |ORDER BY stage""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val nrm = Tables(s, dir).documents
-        .select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
-      val base = nrm.where(col("doc_id") % 97 =!= 0).cache()
-      val ev = nrm.where(col("doc_id") % 97 === 0)
-      val lang = base.where(
-        expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))") >=
-          greatest(
-            expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))"),
-            expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))"),
-            expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))")))
-      val qual = lang
-        .where(size(split(col("nt"), " ")) >= 10 &&
-          expr("size(regexp_extract_all(nt, '\\\\b(the|a|of|and|to|in)\\\\b', 0))") >= 1)
-      val ded = qual.groupBy("nt").agg(min("doc_id").as("doc_id")).cache()
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), split(col("nt"), " ").as("ws"))
-        .where(size(col("ws")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
-          .as("gram"))
-      val bad = grams(ded).join(grams(ev).select("gram").distinct(), "gram")
-        .select("doc_id").distinct()
-      val clean = ded.join(bad, Seq("doc_id"), "left_anti")
-      def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("docs"))
-          .select(lit(n).as("stage"), lit(name).as("name"), col("docs"))
-      stage(1, "input_train", base)
-        .unionAll(stage(2, "lang_en", lang))
-        .unionAll(stage(3, "quality", qual))
-        .unionAll(stage(4, "exact_dedup", ded))
-        .unionAll(stage(5, "decontaminated", clean))
-        .orderBy("stage")
+      val docs = Tables(s, dir).documents
+      val (_, report) = graft.operators.Curate.waterfall(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0))
+      report
     })
 }
