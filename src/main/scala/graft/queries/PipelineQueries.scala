@@ -312,5 +312,54 @@ object PipelineQueries {
         docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0))
       report
+    },
+
+    // WARC record index — the container web corpora actually arrive in:
+    // split a WARC file's text on record boundaries, parse each record's
+    // headers (WARC-Type, WARC-Target-URI, Content-Length) with anchored
+    // regexes, keep the response records. At scale each WARC file is one
+    // task (they are ~1 GB by convention) and the parse is a pure
+    // projection; the output index (uri, offset-ordinal, length) is what
+    // a fetch layer joins against. Both engines parse the SAME synthetic
+    // two-response + one-request WARC assembled from identical literals.
+    QueryDef.sql(
+      "q580_warc_index", {
+        val warc = Seq(
+          "WARC/1.0|WARC-Type: warcinfo|Content-Length: 10",
+          "WARC/1.0|WARC-Type: response|WARC-Target-URI: https://a.example/page1|Content-Length: 120",
+          "WARC/1.0|WARC-Type: request|WARC-Target-URI: https://a.example/page1|Content-Length: 40",
+          "WARC/1.0|WARC-Type: response|WARC-Target-URI: https://b.example/doc|Content-Length: 85")
+          .mkString("")
+        s"""WITH f(body) AS (SELECT replace('$warc', '|', chr(10))),
+           |parts AS (SELECT string_split(body, 'WARC/1.0') AS ps FROM f),
+           |recs AS (SELECT unnest(ps) AS rec,
+           |                generate_subscripts(ps, 1) - 1 AS rec_idx FROM parts),
+           |parsed AS (SELECT rec_idx,
+           |    regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+           |    regexp_extract(rec, 'WARC-Target-URI: ([^\n]+)', 1) AS uri,
+           |    CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS content_length
+           |  FROM recs WHERE rec <> '')
+           |SELECT CAST(rec_idx AS BIGINT) AS rec_idx, warc_type, uri, content_length
+           |FROM parsed WHERE warc_type = 'response'
+           |ORDER BY rec_idx""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val warc = Seq(
+        "WARC/1.0\nWARC-Type: warcinfo\nContent-Length: 10",
+        "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://a.example/page1\nContent-Length: 120",
+        "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://a.example/page1\nContent-Length: 40",
+        "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://b.example/doc\nContent-Length: 85")
+        .mkString("")
+      Seq(warc).toDF("body")
+        .select(posexplode(split(col("body"), "WARC/1\\.0")))
+        .select(col("pos").as("rec_idx"), col("col").as("rec"))
+        .where(col("rec") =!= "")
+        .select(col("rec_idx").cast("long"),
+          regexp_extract(col("rec"), "WARC-Type: ([a-z]+)", 1).as("warc_type"),
+          regexp_extract(col("rec"), "WARC-Target-URI: ([^\\n]+)", 1).as("uri"),
+          regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+            .cast("long").as("content_length"))
+        .where(col("warc_type") === "response")
+        .orderBy("rec_idx")
     })
 }
