@@ -361,5 +361,39 @@ object PipelineQueries {
             .cast("long").as("content_length"))
         .where(col("warc_type") === "response")
         .orderBy("rec_idx")
+    },
+
+    // Per-domain quota sampling — the crawl-balance policy: cap each
+    // domain's contribution at N docs, keeping the LONGEST documents
+    // (ties → smaller doc_id). The standard guard against a single host
+    // flooding the corpus. One window rank per domain partition; at
+    // scale this is the native top-k-per-group shape (q106) — the
+    // exchange carries at most N rows per domain.
+    QueryDef.sql(
+      "q581_domain_quota",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM d)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_kept_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_kept_chars
+        |FROM r WHERE rk <= 20
+        |GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("host"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("domain"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("kept"),
+          min("n_chars").as("min_kept_chars"), max("n_chars").as("max_kept_chars"))
+        .orderBy("domain")
     })
 }
