@@ -395,5 +395,54 @@ object PipelineQueries {
         .agg(count(lit(1)).as("kept"),
           min("n_chars").as("min_kept_chars"), max("n_chars").as("max_kept_chars"))
         .orderBy("domain")
+    },
+
+    // Data-mixture planner — the table a training run starts from: per
+    // source (web/books/code/wiki/chat ≅ doc_id%5 here), available
+    // tokens vs the tokens the target mixture WANTS for a fixed training
+    // budget; the ratio is the sampling rate (<10⁶ ppm = downsample) or
+    // the epoch count (>10⁶ ppm = the source repeats — the upsampling
+    // every under-resourced domain suffers). Exact integer arithmetic:
+    // one aggregate over the corpus + a 5-row broadcast of weights;
+    // planning a 10^13-token mixture costs one combinable pass.
+    QueryDef.sql(
+      "q582_mixture_plan",
+      s"""WITH tok AS (SELECT doc_id % 5 AS source,
+         |    len(string_split($normSql, ' ')) AS n_tok
+         |  FROM documents),
+         |avail AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS avail_tokens
+         |  FROM tok GROUP BY source),
+         |w(source, weight_ppm) AS (VALUES
+         |  (0, 400000), (1, 250000), (2, 200000), (3, 100000), (4, 50000)),
+         |tot AS (SELECT SUM(avail_tokens) AS total FROM avail),
+         |plan AS (SELECT a.source, a.n_docs, a.avail_tokens,
+         |    (CAST(w.weight_ppm AS BIGINT) * tot.total) // 1000000 AS want_tokens
+         |  FROM avail a JOIN w ON a.source = w.source, tot)
+         |SELECT source, n_docs, avail_tokens,
+         |  CAST(want_tokens AS BIGINT) AS want_tokens,
+         |  CAST((want_tokens * 1000000) // avail_tokens AS BIGINT) AS rate_ppm,
+         |  CAST(CASE WHEN want_tokens > avail_tokens
+         |       THEN (want_tokens + avail_tokens - 1) // avail_tokens
+         |       ELSE 1 END AS BIGINT) AS epochs
+         |FROM plan ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = Tables(s, dir).documents
+        .select((col("doc_id") % 5).as("source"),
+          size(split(TextFunctions.normText(col("text")), " ")).cast("long").as("n_tok"))
+      val avail = tok.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tokens"))
+      val w = Seq((0L, 400000L), (1L, 250000L), (2L, 200000L), (3L, 100000L),
+        (4L, 50000L)).toDF("source", "weight_ppm")
+      val tot = avail.agg(sum("avail_tokens").as("total"))
+      avail.join(broadcast(w), "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("avail_tokens"),
+          expr("(weight_ppm * total) div 1000000").as("want_tokens"))
+        .select(col("source"), col("n_docs"), col("avail_tokens"), col("want_tokens"),
+          expr("(want_tokens * 1000000) div avail_tokens").as("rate_ppm"),
+          when(col("want_tokens") > col("avail_tokens"),
+            expr("(want_tokens + avail_tokens - 1) div avail_tokens"))
+            .otherwise(lit(1L)).as("epochs"))
+        .orderBy("source")
     })
 }
