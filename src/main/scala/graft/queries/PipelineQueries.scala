@@ -444,5 +444,40 @@ object PipelineQueries {
             expr("(want_tokens + avail_tokens - 1) div avail_tokens"))
             .otherwise(lit(1L)).as("epochs"))
         .orderBy("source")
+    },
+
+    // Retrieval chunking — overlapping token windows (size 8, stride 6:
+    // 2-token overlap so no boundary sentence is ever cut from both
+    // sides), with the token offset carried so citations can map back
+    // into the source. In-row transform over sequence — chunking 10^9
+    // docs is a pure projection, the explode fans out AFTER the scan.
+    // Sampled to every 25th doc to keep the gate result bounded.
+    QueryDef.sql(
+      "q583_rag_chunking",
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |    (i * 6 + 1) AS tok_offset,
+         |    array_to_string(ws[CAST(i*6+1 AS BIGINT):CAST(i*6+8 AS BIGINT)], ' ') AS chunk_text,
+         |    len(ws[CAST(i*6+1 AS BIGINT):CAST(i*6+8 AS BIGINT)]) AS n_tokens
+         |  FROM d, UNNEST(generate_series(0, (len(ws) - 1) // 6)) AS t(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset, chunk_text,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c WHERE n_tokens > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          split(TextFunctions.normText(col("text")), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST((size(ws) - 1) div 6 AS INT)), i -> struct(" +
+            "CAST(i AS BIGINT) AS chunk_idx, CAST(i*6 + 1 AS BIGINT) AS tok_offset, " +
+            "array_join(slice(ws, i*6 + 1, 8), ' ') AS chunk_text, " +
+            "CAST(size(slice(ws, i*6 + 1, 8)) AS BIGINT) AS n_tokens))")).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.tok_offset"),
+          col("c.chunk_text"), col("c.n_tokens"))
+        .where(col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_idx")
     })
 }

@@ -564,6 +564,59 @@ object ScaleCheck {
         f""""rows_per_sec":${(2 * n / tpSec).toLong}}""")
     }
 
+    // ---- curation_waterfall: the composed hygiene chain at 1M docs ----
+    // Self-validating: the synthetic corpus plants exact proportions —
+    // every 4th doc is German (lang gate drops it), every 10th is a
+    // 3-token stub (quality gate), every 50th duplicates doc id-1
+    // (exact dedup), and every 97th surviving doc shares a 5-gram with
+    // the eval split (decontamination). Expected survivor counts are
+    // computed in closed form and asserted exactly.
+    {
+      val nDocsC = math.max(n / 10, 200000L)
+      // stable text is 9 tokens with the DOC NUMBER at position 5, so
+      // EVERY 5-gram contains the number — decontamination can only hit
+      // the planted eval sources, never via a shared scaffold gram
+      val corpus = spark.range(nDocsC).select(col("id").as("doc_id"),
+        expr(
+          """CASE
+            |  WHEN id % 10 = 3 THEN 'too short doc'
+            |  WHEN id % 4 = 1 THEN
+            |    'der hund und die katze und das haus der baum und die sonne und'
+            |  WHEN id % 50 = 2 THEN
+            |    'the stable of number ' || CAST(id - 1 AS STRING) || ' and corpus words on'
+            |  ELSE
+            |    'the stable of number ' || CAST(id AS STRING) || ' and corpus words on'
+            |END""".stripMargin).as("text"))
+      // eval split: verbatim copies of every 97th SURVIVING doc's text
+      val evalC = spark.range(nDocsC / 97 + 1).select((col("id") * 97).as("src"))
+        .where(col("src") < nDocsC &&
+          col("src") % 10 =!= 3 && col("src") % 4 =!= 1 && col("src") % 50 =!= 2)
+        .select((col("src") + 1000000000L).as("doc_id"),
+          concat(lit("the stable of number "), col("src").cast("string"),
+            lit(" and corpus words on")).as("text"))
+      val cfg = graft.operators.Curate.Config(minTokens = 5)
+      val t103 = System.nanoTime()
+      val (_, report) = graft.operators.Curate.waterfall(corpus, evalC, cfg)
+      val rows = report.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val t104 = System.nanoTime()
+      // closed-form expectations
+      val ids = (0L until nDocsC)
+      val qualKeep = ids.count(i => i % 10 != 3 && i % 4 != 1)
+      val dedKeep  = ids.count(i => i % 10 != 3 && i % 4 != 1 &&
+        !(i % 50 == 2 && (i - 1) % 10 != 3 && (i - 1) % 4 != 1))
+      val evalHits = ids.count(i => i % 97 == 0 &&
+        i % 10 != 3 && i % 4 != 1 && i % 50 != 2)
+      require(rows("input_train") == nDocsC, s"input: ${rows("input_train")}")
+      require(rows("quality") == qualKeep, s"quality: ${rows("quality")} want $qualKeep")
+      require(rows("exact_dedup") == dedKeep, s"dedup: ${rows("exact_dedup")} want $dedKeep")
+      require(rows("decontaminated") == dedKeep - evalHits,
+        s"clean: ${rows("decontaminated")} want ${dedKeep - evalHits}")
+      val cwSec = (t104 - t103) / 1e9
+      println(f"""{"scenario":"curation_waterfall","docs":$nDocsC,""" +
+        f""""survivors":${rows("decontaminated")},"planted_eval_hits":$evalHits,""" +
+        f""""sec":$cwSec%.2f,"docs_per_sec":${(nDocsC / cwSec).toLong}}""")
+    }
+
     // ---- ivf_candidates: q470's default kNN base at corpus scale ----
     // Deterministic 16-dim pseudo-embeddings (hash arithmetic per
     // (id, dim) — no RNG), centroids every 50th vector. Self-validating:
