@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral contracts of the Curate chain beyond q579's differential:
+  * dedup keeps the smallest id and is idempotent, the waterfall is
+  * monotone (each stage only removes), and decontamination removes
+  * exactly the planted overlaps.
+  */
+class CurateSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps the minimum doc_id and is idempotent") {
+    val nrm = Curate.normalize(docsDF(Seq(
+      5L -> "alpha beta gamma", 2L -> "alpha  beta gamma",  // same normalized
+      9L -> "Alpha beta gamma",                             // different (case kept? normText lowercases)
+      7L -> "delta epsilon")))
+    val d1 = Curate.exactDedup(nrm)
+    val got = d1.collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    // normText lowercases + collapses whitespace: 5/2/9 all merge -> keep 2
+    assert(got == Seq(2L, 7L), s"got $got")
+    val d2 = Curate.exactDedup(d1)
+    assert(d2.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(2L, 7L),
+      "second application must be a no-op")
+  }
+
+  test("waterfall stages are monotone and the report matches the kept frame") {
+    val train = docsDF((1L to 40L).map { i =>
+      val txt =
+        if (i % 5 == 0) "kurz"                                // fails quality
+        else if (i % 7 == 0) "der hund und die katze und das haus und der baum"
+        else s"the document of number $i and the words of it go on and on"
+      i -> txt
+    })
+    val eval0 = docsDF(Seq(1000L ->
+      "the document of number 3 and the words of it go on and on"))
+    val (kept, report) = Curate.waterfall(train, eval0)
+    val counts = report.collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("docs")).toMap
+    assert((1 to 4).forall(k => counts(k) >= counts(k + 1)),
+      s"stages must be monotone: $counts")
+    assert(counts(5) == kept.count(), "report tail must equal the kept frame")
+    // doc 3's full text is in the eval split -> decontaminated
+    assert(kept.where(col("doc_id") === 3L).count() == 0,
+      "planted eval overlap must be removed")
+  }
+}
