@@ -384,6 +384,62 @@ object ExtendedQueries {
         .orderBy("component", "doc_id")
     },
 
+    // Dedup savings report — the number a curation run is judged by:
+    // cluster-size histogram over the FULL corpus (LSH components +
+    // singletons) and per-size removable-doc counts (size−1 per
+    // cluster). Composes q68's components with an anti-join for the
+    // untouched docs; the histogram is O(clusters) rows however large
+    // the corpus.
+    QueryDef.sql(
+      "q584_dedup_savings",
+      s"""WITH RECURSIVE ${TextQueries.sigSql},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+         |        UNION SELECT d2, d1 FROM cand),
+         |reach(v, w) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+         |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+         |         FROM reach GROUP BY v),
+         |clus AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+         |singles AS (SELECT COUNT(*) AS n FROM (${TextQueries.nearDupSql}) d
+         |            WHERE doc_id NOT IN (SELECT doc_id FROM comp)),
+         |hist AS (SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM clus GROUP BY sz
+         |         UNION ALL SELECT 1, n FROM singles WHERE n > 0)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n_clusters) * cluster_size AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_clusters) * (cluster_size - 1) AS BIGINT) AS n_removable
+         |FROM hist GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val cand = graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+      val comp = graft.operators.Dedup.connectedComponents(cand).cache()
+      val clus = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      val singles = docs.select("doc_id")
+        .join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        .where(col("n_clusters") > 0)
+      val hist = clus.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .unionAll(singles)
+      hist.groupBy("cluster_size")
+        .agg(sum("n_clusters").as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("n_clusters") * col("cluster_size")).as("n_docs"),
+          (col("n_clusters") * (col("cluster_size") - 1)).as("n_removable"))
+        .orderBy("cluster_size")
+    },
+
     // Funnel analysis: per-user ordered progression view → click →
     // purchase with a 24-hour conversion window per stage, counted by
     // deepest stage reached. Stage timestamps come from conditional
