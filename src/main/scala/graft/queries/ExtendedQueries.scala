@@ -440,6 +440,44 @@ object ExtendedQueries {
         .orderBy("cluster_size")
     },
 
+    // Cross-source content leakage — the split-hygiene matrix: identical
+    // normalized content appearing under TWO different sources (here
+    // source = doc_id % 3 over the near-dup fixture, whose clones land
+    // in a different residue class — guaranteed plants). One fingerprint
+    // aggregate + a self-join on the fingerprint restricted to distinct
+    // source pairs; at scale the duplicate-fingerprint relation is tiny,
+    // so the pair join never touches the corpus again.
+    QueryDef.sql(
+      "q585_source_leakage",
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100001 AS doc_id, text
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |fp AS (SELECT doc_id % 3 AS source,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+         |  FROM docs),
+         |u AS (SELECT DISTINCT source, f FROM fp),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.f
+         |      FROM u a JOIN u b ON a.f = b.f AND a.source < b.source)
+         |SELECT CAST(src_a AS BIGINT) AS src_a, CAST(src_b AS BIGINT) AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val docs = base.select("doc_id", "text").unionAll(
+        base.where(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 100001L).as("doc_id"), col("text")))
+      val fp = docs
+        .select((col("doc_id") % 3).as("source"),
+          md5(graft.functions.TextFunctions.normText(col("text"))).as("f"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.f") === col("b.f") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Funnel analysis: per-user ordered progression view → click →
     // purchase with a 24-hour conversion window per stage, counted by
     // deepest stage reached. Stage timestamps come from conditional
