@@ -430,8 +430,11 @@ object PipelineQueries {
       val tok = Tables(s, dir).documents
         .select((col("doc_id") % 5).as("source"),
           size(split(TextFunctions.normText(col("text")), " ")).cast("long").as("n_tok"))
+      // cache the 5-row per-source aggregate: both the grand total and
+      // the plan join read it — one corpus pass, not two
       val avail = tok.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tokens"))
+        .cache()
       val w = Seq((0L, 400000L), (1L, 250000L), (2L, 200000L), (3L, 100000L),
         (4L, 50000L)).toDF("source", "weight_ppm")
       val tot = avail.agg(sum("avail_tokens").as("total"))

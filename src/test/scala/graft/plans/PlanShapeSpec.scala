@@ -120,6 +120,35 @@ class PlanShapeSpec extends SparkSpec {
       s"no consumer may re-scan + re-tokenize the corpus, got $rawScans raw scans")
   }
 
+  test("q582_mixture_plan broadcasts weights and totals, one corpus pass") {
+    val df = SparkEntry.queries("q582_mixture_plan")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "the 5-row weights and the 1-row total must broadcast")
+    // the per-source aggregate is cached: the grand total and the join
+    // both read the cache, so the corpus parquet is scanned once
+    val cached = df.queryExecution.withCachedData
+    val imrs = cached.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.size
+    val rawScans = cached.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+    assert(imrs >= 2 && rawScans == 0,
+      s"avail must be cached for both consumers: $imrs caches, $rawScans raw scans")
+  }
+
+  test("q579_curation_waterfall reuses the cached normalize pass across stages") {
+    val df = SparkEntry.queries("q579_curation_waterfall")(spark, sfDir)
+    df.collect()
+    val cached = df.queryExecution.withCachedData
+    val imrs = cached.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.size
+    assert(imrs >= 2, s"normalize + dedup relations must be cached, got $imrs cache reads")
+  }
+
   test("q182_bm25 broadcasts the query terms and totals, ends in a top-k") {
     val p = planOf("q182_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not a global sort")
