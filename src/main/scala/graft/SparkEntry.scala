@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.FrontierQueries.all ++
       graft.queries.AppliedQueries.all ++
       graft.queries.SignalQueries.all ++
-      graft.queries.AtlasQueries.all
+      graft.queries.AtlasQueries.all ++
+      graft.queries.StructCompareQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

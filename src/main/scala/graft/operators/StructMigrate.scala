@@ -167,4 +167,271 @@ object StructMigrate {
               col("column_name"), lit(" "), col("src_type")))
           .otherwise(lit("")))
   }
+
+  // --------------------------------------------------------------------------
+  // Full struct-compare surface beyond columns — the reference's 12 Compare*
+  // dimensions (database/processor/struct_compare_table.go:45-1035) as
+  // catalog-DataFrame diffs. Convention matches compareCatalogs: `diff` is the
+  // action that converges the TARGET catalog onto the SOURCE — ADDED = present
+  // in src, missing in dst (emit ADD/CREATE against the target); DROPPED =
+  // present only in dst (emit DROP). All joins are equi-joins keyed on
+  // (table_name, object_name): at catalog scale (millions of tables) each is
+  // one hash-partitioned shuffle with no skew hazard beyond table-name
+  // distribution.
+  // --------------------------------------------------------------------------
+
+  /** Render the column suffix `<type> [CHARACTER SET cs COLLATE coll]
+    * <NULL|NOT NULL> [DEFAULT d] [COMMENT 'c']` the reference builds in
+    * genAlterTableColumnDetail + genTableColumnDefaultCommentMeta
+    * (struct_compare_table.go:1016-1083). Nullable columns render
+    * `DEFAULT NULL` when no default is given (reference semantics; its
+    * "DEFAILT" typo at :1046 is not reproduced).
+    */
+  private def columnSuffix(dt: Column, nullable: Column, default: Column,
+      comment: Column, charset: Column, collation: Column): Column = {
+    val hasCharset = charset.isNotNull && charset =!= "" && charset =!= "UNKNOWN"
+    val typePart = when(hasCharset,
+      concat(dt, lit(" CHARACTER SET "), charset, lit(" COLLATE "), collation))
+      .otherwise(dt)
+    val isNull  = upper(coalesce(nullable, lit("Y"))) === "Y"
+    val hasDef  = default.isNotNull && default =!= ""
+    val hasCom  = comment.isNotNull && comment =!= ""
+    val defPart = when(hasDef, concat(lit(" DEFAULT "), default))
+      .when(isNull, lit(" DEFAULT NULL"))
+      .otherwise(lit(""))
+    val comPart = when(hasCom,
+      concat(lit(" COMMENT '"), regexp_replace(comment, "'", "''"), lit("'"))).otherwise(lit(""))
+    concat(typePart, when(isNull, lit("")).otherwise(lit(" NOT NULL")), defPart, comPart)
+  }
+
+  /** Column-detail diff with the reference's full per-column surface —
+    * datatype, nullability, default, comment, charset/collation
+    * (CompareTableColumnDetail :854-959 + CompareTableColumnCharsetCollation
+    * :188-250). Catalog schema both sides: (table_name, column_name,
+    * data_type, nullable 'Y'/'N', data_default, comment, charset, collation).
+    * MODIFIED when any dimension differs; ALTER text renders the full
+    * suffix so the statement is self-contained.
+    */
+  def compareColumnDetail(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = src.as("s").join(dst.as("d"),
+      col("s.table_name") === col("d.table_name") &&
+        col("s.column_name") === col("d.column_name"), "full_outer")
+    def ne(c: String) =
+      coalesce(col(s"s.$c"), lit("")) =!= coalesce(col(s"d.$c"), lit(""))
+    val suffix = columnSuffix(col("s.data_type"), col("s.nullable"),
+      col("s.data_default"), col("s.comment"), col("s.charset"), col("s.collation"))
+    j.select(
+      coalesce(col("s.table_name"), col("d.table_name")).as("table_name"),
+      coalesce(col("s.column_name"), col("d.column_name")).as("column_name"),
+      col("s.data_type").as("src_type"),
+      col("d.data_type").as("dst_type"),
+      when(col("d.column_name").isNull, "ADDED")
+        .when(col("s.column_name").isNull, "DROPPED")
+        .when(ne("data_type") || ne("nullable") || ne("data_default") ||
+          ne("comment") || ne("charset") || ne("collation"), "MODIFIED")
+        .otherwise("SAME").as("diff"),
+      when(col("d.column_name").isNull,
+        concat(lit("ALTER TABLE "), col("s.table_name"), lit(" ADD COLUMN "),
+          col("s.column_name"), lit(" "), suffix, lit(";")))
+        .when(col("s.column_name").isNull,
+          concat(lit("ALTER TABLE "), col("d.table_name"), lit(" DROP COLUMN "),
+            col("d.column_name"), lit(";")))
+        .when(ne("data_type") || ne("nullable") || ne("data_default") ||
+          ne("comment") || ne("charset") || ne("collation"),
+          concat(lit("ALTER TABLE "), col("s.table_name"), lit(" MODIFY "),
+            col("s.column_name"), lit(" "), suffix, lit(";")))
+        .otherwise(lit("")).as("alter_sql"))
+  }
+
+  /** Index-detail diff (CompareTableIndexDetail :701-852). Catalog schema:
+    * (table_name, index_name, uniqueness 'UNIQUE'/'NONUNIQUE', index_type,
+    * index_columns). A same-name index whose uniqueness/type/columns changed
+    * is CHANGED and renders DROP + CREATE (the reference's deep-value map
+    * compare puts it in both the del and add lists). CREATE text follows the
+    * reference's MySQL-flow ladder: UNIQUE→CREATE UNIQUE INDEX,
+    * BITMAP→CREATE BITMAP INDEX, HASH→USING HASH, else CREATE INDEX.
+    */
+  def compareIndexCatalogs(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = src.as("s").join(dst.as("d"),
+      col("s.table_name") === col("d.table_name") &&
+        col("s.index_name") === col("d.index_name"), "full_outer")
+    val create = {
+      val tbl = col("s.table_name"); val n = col("s.index_name")
+      val cols = col("s.index_columns")
+      when(col("s.uniqueness") === "UNIQUE",
+        concat(lit("CREATE UNIQUE INDEX "), n, lit(" ON "), tbl, lit(" ("), cols, lit(");")))
+        .when(col("s.index_type") === "BITMAP",
+          concat(lit("CREATE BITMAP INDEX "), n, lit(" ON "), tbl, lit(" ("), cols, lit(");")))
+        .when(col("s.index_type") === "HASH",
+          concat(lit("CREATE INDEX "), n, lit(" ON "), tbl, lit(" USING HASH("), cols, lit(");")))
+        .otherwise(
+          concat(lit("CREATE INDEX "), n, lit(" ON "), tbl, lit(" ("), cols, lit(");")))
+    }
+    val drop = concat(lit("ALTER TABLE "), coalesce(col("d.table_name"), col("s.table_name")),
+      lit(" DROP INDEX "), coalesce(col("d.index_name"), col("s.index_name")), lit(";"))
+    def ne(c: String) =
+      coalesce(col(s"s.$c"), lit("")) =!= coalesce(col(s"d.$c"), lit(""))
+    j.select(
+      coalesce(col("s.table_name"), col("d.table_name")).as("table_name"),
+      coalesce(col("s.index_name"), col("d.index_name")).as("index_name"),
+      col("s.uniqueness").as("src_uniqueness"),
+      col("s.index_type").as("src_index_type"),
+      col("s.index_columns").as("src_columns"),
+      col("d.index_columns").as("dst_columns"),
+      when(col("d.index_name").isNull, "ADDED")
+        .when(col("s.index_name").isNull, "DROPPED")
+        .when(ne("uniqueness") || ne("index_type") || ne("index_columns"), "CHANGED")
+        .otherwise("SAME").as("diff"),
+      when(col("d.index_name").isNull, create)
+        .when(col("s.index_name").isNull, drop)
+        .when(ne("uniqueness") || ne("index_type") || ne("index_columns"),
+          concat(drop, lit(" "), create))
+        .otherwise(lit("")).as("alter_sql"))
+  }
+
+  /** Constraint diff across the four families (CompareTablePrimaryConstraint
+    * :344, Unique :456, Foreign :535, Check :622). Catalog schema:
+    * (table_name, cons_name, cons_type 'P'/'U'/'F'/'C', cons_columns,
+    * ref_table, ref_columns, check_expr) — ref_* only for 'F', check_expr
+    * only for 'C'. Keyed (table_name, cons_type, cons_name); additionally
+    * implements the reference's PK rename-skip (:370-401): when the only PK
+    * difference is the constraint NAME (same column list both sides), the
+    * row classifies SAME — MySQL PKs are anonymous, so a rename is a no-op.
+    */
+  def compareConstraintCatalogs(src: DataFrame, dst: DataFrame): DataFrame = {
+    // PK column list per table per side (≤1 PK per table); broadcast-size in
+    // practice but kept as a distributed aggregate — it is O(tables).
+    def pkCols(df: DataFrame, out: String) =
+      df.where(col("cons_type") === "P")
+        .groupBy("table_name").agg(min("cons_columns").as(out))
+    val pkSame = pkCols(src, "src_pk").join(pkCols(dst, "dst_pk"), Seq("table_name"), "inner")
+      .where(col("src_pk") === col("dst_pk"))
+      .select(col("table_name").as("pk_table"), lit(true).as("pk_same"))
+
+    val j = src.as("s").join(dst.as("d"),
+      col("s.table_name") === col("d.table_name") &&
+        col("s.cons_type") === col("d.cons_type") &&
+        col("s.cons_name") === col("d.cons_name"), "full_outer")
+      .join(broadcast(pkSame),
+        coalesce(col("s.table_name"), col("d.table_name")) === col("pk_table") &&
+          coalesce(col("s.cons_type"), col("d.cons_type")) === "P", "left")
+
+    val tblOut  = coalesce(col("s.table_name"), col("d.table_name"))
+    val nameOut = coalesce(col("s.cons_name"), col("d.cons_name"))
+    val typeOut = coalesce(col("s.cons_type"), col("d.cons_type"))
+    val add = when(col("s.cons_type") === "P",
+      concat(lit("ALTER TABLE "), tblOut, lit(" ADD PRIMARY KEY ("), col("s.cons_columns"), lit(");")))
+      .when(col("s.cons_type") === "U",
+        concat(lit("ALTER TABLE "), tblOut, lit(" ADD CONSTRAINT "), nameOut,
+          lit(" UNIQUE ("), col("s.cons_columns"), lit(");")))
+      .when(col("s.cons_type") === "F",
+        concat(lit("ALTER TABLE "), tblOut, lit(" ADD CONSTRAINT "), nameOut,
+          lit(" FOREIGN KEY ("), col("s.cons_columns"), lit(") REFERENCES "),
+          col("s.ref_table"), lit(" ("), col("s.ref_columns"), lit(");")))
+      .otherwise(
+        concat(lit("ALTER TABLE "), tblOut, lit(" ADD CONSTRAINT "), nameOut,
+          lit(" CHECK ("), col("s.check_expr"), lit(");")))
+    val drop = when(col("d.cons_type") === "P",
+      concat(lit("ALTER TABLE "), tblOut, lit(" DROP PRIMARY KEY;")))
+      .when(col("d.cons_type") === "U",
+        concat(lit("ALTER TABLE "), tblOut, lit(" DROP KEY "), nameOut, lit(";")))
+      .when(col("d.cons_type") === "F",
+        concat(lit("ALTER TABLE "), tblOut, lit(" DROP FOREIGN KEY "), nameOut, lit(";")))
+      .otherwise(
+        concat(lit("ALTER TABLE "), tblOut, lit(" DROP CHECK "), nameOut, lit(";")))
+    def ne(c: String) =
+      coalesce(col(s"s.$c"), lit("")) =!= coalesce(col(s"d.$c"), lit(""))
+    val valueChanged = ne("cons_columns") || ne("ref_table") || ne("ref_columns") || ne("check_expr")
+    j.select(
+      tblOut.as("table_name"),
+      typeOut.as("cons_type"),
+      nameOut.as("cons_name"),
+      col("s.cons_columns").as("src_columns"),
+      col("d.cons_columns").as("dst_columns"),
+      when(coalesce(col("pk_same"), lit(false)), "SAME")
+        .when(col("d.cons_name").isNull, "ADDED")
+        .when(col("s.cons_name").isNull, "DROPPED")
+        .when(valueChanged, "CHANGED")
+        .otherwise("SAME").as("diff"),
+      when(coalesce(col("pk_same"), lit(false)), lit(""))
+        .when(col("d.cons_name").isNull, add)
+        .when(col("s.cons_name").isNull, drop)
+        .when(valueChanged, concat(drop, lit(" "), add))
+        .otherwise(lit("")).as("alter_sql"))
+  }
+
+  /** Table-level meta diff — partition-table type (:45), table comment (:93),
+    * table charset/collation (:135), column counts (:252), index counts
+    * (:298) — one output row per differing category. Catalog schema both
+    * sides: (table_name, table_comment, charset, collation, is_partitioned,
+    * n_columns, n_indexes). Count screens are advisory (no ALTER), matching
+    * the reference's "Manual ..." suggests.
+    */
+  def compareTableMeta(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = src.as("s").join(dst.as("d"), Seq("table_name"), "full_outer")
+      .select(col("table_name"),
+        col("s.table_comment").as("sc"), col("d.table_comment").as("dc"),
+        col("s.charset").as("scs"), col("d.charset").as("dcs"),
+        col("s.collation").as("sco"), col("d.collation").as("dco"),
+        col("s.is_partitioned").as("sp"), col("d.is_partitioned").as("dp"),
+        col("s.n_columns").as("snc"), col("d.n_columns").as("dnc"),
+        col("s.n_indexes").as("sni"), col("d.n_indexes").as("dni"))
+    def yn(c: Column) = when(coalesce(c, lit(false)), "YES").otherwise("NO")
+    val partition = j.where(coalesce(col("sp"), lit(false)) =!= coalesce(col("dp"), lit(false)))
+      .select(col("table_name"), lit("PARTITION").as("category"),
+        yn(col("sp")).as("src_value"), yn(col("dp")).as("dst_value"),
+        lit("Manual Create Partition Table").as("suggest"), lit("").as("alter_sql"))
+    val comment = j.where(coalesce(col("sc"), lit("")) =!= coalesce(col("dc"), lit("")))
+      .select(col("table_name"), lit("COMMENT").as("category"),
+        coalesce(col("sc"), lit("")).as("src_value"), coalesce(col("dc"), lit("")).as("dst_value"),
+        lit("Manual Create Table Comment").as("suggest"),
+        concat(lit("ALTER TABLE "), col("table_name"), lit(" COMMENT '"),
+          regexp_replace(coalesce(col("sc"), lit("")), "'", "''"), lit("';")).as("alter_sql"))
+    val charsetCollation = j.where(
+      coalesce(col("scs"), lit("")) =!= coalesce(col("dcs"), lit("")) ||
+        coalesce(col("sco"), lit("")) =!= coalesce(col("dco"), lit("")))
+      .select(col("table_name"), lit("CHARSET_COLLATION").as("category"),
+        concat(lit("CHARSET ["), col("scs"), lit("] COLLATION ["), col("sco"), lit("]")).as("src_value"),
+        concat(lit("CHARSET ["), col("dcs"), lit("] COLLATION ["), col("dco"), lit("]")).as("dst_value"),
+        lit("Manual Create Table Charset Collation").as("suggest"),
+        concat(lit("ALTER TABLE "), col("table_name"), lit(" CHARACTER SET "),
+          col("scs"), lit(" COLLATE "), col("sco"), lit(";")).as("alter_sql"))
+    val colCounts = j.where(coalesce(col("snc"), lit(-1L)) =!= coalesce(col("dnc"), lit(-1L)))
+      .select(col("table_name"), lit("COLUMN_COUNT").as("category"),
+        coalesce(col("snc"), lit(0L)).cast("string").as("src_value"),
+        coalesce(col("dnc"), lit(0L)).cast("string").as("dst_value"),
+        lit("Manual Align Table Column Counts").as("suggest"), lit("").as("alter_sql"))
+    val idxCounts = j.where(coalesce(col("sni"), lit(-1L)) =!= coalesce(col("dni"), lit(-1L)))
+      .select(col("table_name"), lit("INDEX_COUNT").as("category"),
+        coalesce(col("sni"), lit(0L)).cast("string").as("src_value"),
+        coalesce(col("dni"), lit(0L)).cast("string").as("dst_value"),
+        lit("Manual Align Table Index Counts").as("suggest"), lit("").as("alter_sql"))
+    partition.unionAll(comment).unionAll(charsetCollation).unionAll(colCounts).unionAll(idxCounts)
+  }
+
+  /** Partition-detail diff (CompareTablePartitionDetail :961-1014). Catalog
+    * schema: (table_name, partition_name, high_value). Partition DDL varies
+    * too much across dialects to auto-render, so like the reference the
+    * output is advisory only ("Manual Add/Drop Table Partition"); a
+    * same-name partition with a different boundary is CHANGED.
+    */
+  def comparePartitions(src: DataFrame, dst: DataFrame): DataFrame = {
+    val j = src.as("s").join(dst.as("d"),
+      col("s.table_name") === col("d.table_name") &&
+        col("s.partition_name") === col("d.partition_name"), "full_outer")
+    j.select(
+      coalesce(col("s.table_name"), col("d.table_name")).as("table_name"),
+      coalesce(col("s.partition_name"), col("d.partition_name")).as("partition_name"),
+      col("s.high_value").as("src_high_value"),
+      col("d.high_value").as("dst_high_value"),
+      when(col("d.partition_name").isNull, "ADDED")
+        .when(col("s.partition_name").isNull, "DROPPED")
+        .when(coalesce(col("s.high_value"), lit("")) =!= coalesce(col("d.high_value"), lit("")), "CHANGED")
+        .otherwise("SAME").as("diff"),
+      when(col("d.partition_name").isNull, "Manual Add Table Partition")
+        .when(col("s.partition_name").isNull, "Manual Drop Table Partition")
+        .when(coalesce(col("s.high_value"), lit("")) =!= coalesce(col("d.high_value"), lit("")),
+          "Manual Modify Table Partition")
+        .otherwise("").as("suggest"))
+  }
 }
