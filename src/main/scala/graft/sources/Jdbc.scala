@@ -97,12 +97,36 @@ object Jdbc {
     val stage = s"${table}_STAGE"
     val merged = Migrate.safeModeApply(spark.read.jdbc(url, table, props), batch, keys)
     merged.write.mode("overwrite").jdbc(url, stage, props)
+    swapFromStage(url, table, stage, props)
+  }
+
+  /** The DELETE/INSERT swap as ONE transaction: a crash between the two
+    * statements must not leave the live table empty, and readers at
+    * READ_COMMITTED never observe the empty-table window. Rolls back and
+    * rethrows on failure. (The reference reaches the same atomicity with
+    * per-row REPLACE INTO inside a txn, stmt_migrate_row.go:206-303; a
+    * keyed MERGE is the cheaper form on dialects that have it — this
+    * whole-table rewrite is the lowest-common-denominator fallback.)
+    */
+  private[graft] def swapFromStage(url: String, table: String, stage: String,
+      props: Properties): Unit = {
+    // identifiers are interpolated into DDL — refuse anything that could
+    // smuggle statement text
+    Seq(table, stage).foreach { id =>
+      require(id.matches("[A-Za-z0-9_.]+"), s"unsafe table identifier: $id")
+    }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         st.executeUpdate(s"DELETE FROM $table")
         st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
       } finally st.close()
     } finally conn.close()
   }

@@ -178,4 +178,29 @@ class JdbcRoundTripSpec extends SparkSpec {
       .where(col("l_quantity") === 999.0).count()
     assert(touched == 10L, s"batch rows must win: $touched")
   }
+
+  test("safe-mode swap is transactional: a failure mid-swap leaves the target intact") {
+    Jdbc.writeBatched(src.limit(20), url, "LINEITEM_TXN", props,
+      mode = "overwrite")
+    val before = spark.read.jdbc(url, "LINEITEM_TXN", props)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(before.length == 20)
+
+    // stage table does not exist → the INSERT half of the DELETE/INSERT
+    // swap throws AFTER the DELETE ran; the txn must roll the DELETE back
+    val ex = intercept[java.sql.SQLException] {
+      Jdbc.swapFromStage(url, "LINEITEM_TXN", "LINEITEM_NO_SUCH_STAGE", props)
+    }
+    assert(ex != null)
+    val after = spark.read.jdbc(url, "LINEITEM_TXN", props)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(after.sameElements(before),
+      "failed swap must not lose the live table (DELETE must roll back)")
+  }
+
+  test("swap refuses unsafe table identifiers") {
+    intercept[IllegalArgumentException] {
+      Jdbc.swapFromStage(url, "T; DROP TABLE X", "STAGE", props)
+    }
+  }
 }
