@@ -108,17 +108,20 @@ object Multimodal {
   private def probeWav(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    // Long cursor: chunk sizes are unsigned 32-bit, so an Int advance can
+    // wrap to zero (infinite loop) or negative (AIOOBE) on sizes >= 2^31.
+    var i = 12L
     var channels = 0; var bits = 0; var blockAlign = 0; var dataSize = -1L
     while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
-      val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val sz = le32(b, i + 4)
-      if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(b, i + 10)
-        blockAlign = le16(b, i + 20)
-        bits = le16(b, i + 22)
+      val at = i.toInt
+      val id = new String(b.slice(at, at + 4), "US-ASCII")
+      val sz = le32(b, at + 4)
+      if (id == "fmt " && at + 24 <= b.length) {
+        channels = le16(b, at + 10)
+        blockAlign = le16(b, at + 20)
+        bits = le16(b, at + 22)
       } else if (id == "data") dataSize = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     if (channels > 0 && blockAlign > 0 && dataSize >= 0)
       Some(("wav", channels, bits, dataSize / blockAlign))
@@ -175,7 +178,9 @@ object Multimodal {
       var i = from
       while (i + 8 <= until) {
         val sz = be32(b, i)
-        if (sz < 8 || i + sz > until) return None
+        // Long guard: i + sz can overflow Int for sz near 2^31, slipping
+        // past the bounds check and walking to a negative index.
+        if (sz < 8 || i.toLong + sz > until) return None
         if (new String(b.slice(i + 4, i + 8), "US-ASCII") == ty)
           return Some((i + 8, i + sz))
         i += sz
@@ -204,9 +209,15 @@ object Multimodal {
     * carries duration in milliseconds.
     */
   private[operators] def probe(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
-    probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
-      .orElse(probeWav(bytes)).orElse(probeWebp(bytes)).orElse(probeFlac(bytes))
-      .orElse(probeMp4(bytes))
+    try
+      probePng(bytes).orElse(probeJpeg(bytes)).orElse(probeGif(bytes))
+        .orElse(probeWav(bytes)).orElse(probeWebp(bytes)).orElse(probeFlac(bytes))
+        .orElse(probeMp4(bytes))
+    catch {
+      // A malformed container must characterize as unrecognized, not fail
+      // the task — at crawl scale some payloads lie about their framing.
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
 
   final case class ImageFeatures(
       doc_id: Long, format: String, width: Int, height: Int,

@@ -78,4 +78,20 @@ class MultimodalHeaderSpec extends AnyFunSuite {
       gif.take(7))             // GIF magic but no screen descriptor
     cases.foreach(b => assert(Multimodal.probe(b).isEmpty, b.mkString(",")))
   }
+
+  test("WAV chunk size >= 2^31 terminates instead of looping or crashing") {
+    // RIFF/WAVE whose first chunk claims size 0xFFFFFFF8: an Int advance
+    // wraps to 0 (infinite loop); the Long cursor must just walk off the
+    // end and report unrecognized.
+    val riffHuge = hex("52494646" + "44000000" + "57415645" + // RIFF size WAVE
+      "6A756E6B" + "F8FFFFFF" +                                // "junk" sz=4294967288
+      "00" * 24)
+    assert(Multimodal.probe(riffHuge).isEmpty)
+    // same, but the huge chunk appears after a valid fmt (no data chunk
+    // reachable): still terminates, still None
+    val fmtThenHuge = hex("52494646" + "44000000" + "57415645" +
+      "666D7420" + "10000000" + "0100020044AC000010B1020004001000" + // fmt
+      "6A756E6B" + "F8FFFFFF" + "00" * 8)
+    assert(Multimodal.probe(fmtThenHuge).isEmpty)
+  }
 }
