@@ -81,11 +81,19 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query caches OUTSIDE the timed window: each query is
+      // measured cold-cache (its own cache population is inside its own
+      // timing), and storage doesn't accumulate across the suite
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
-    // 2-decimal rounding keeps the line compact (see `headline` scaladoc)
+    // 2-decimal rounding + qNNN-prefix keys keep the line compact: the
+    // driver captures only ~2000 chars of stdout tail, and 73 full names
+    // ≈ 1.9 KB sat one entry away from the truncation that nulled the
+    // r1-r3 benches. The prefix is unique per query (q1, q94, q576, …).
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // leading println guarantees the JSON starts at column 0 even if a

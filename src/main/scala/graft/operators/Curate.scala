@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -27,16 +27,65 @@ object Curate {
   def normalize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFunctions.normText(col("text")).as("nt"))
 
-  /** q21's n-gram language heuristic: keep docs whose English stopword
-    * hits dominate the de/es/fr probes.
+  /** Per-language stopword probes — DATA, not code: a real multilingual
+    * corpus adds a language by adding a row here (or passing its own
+    * table), never by writing a new regex branch. The default rows are
+    * q21's original four probes, so the default gate is bit-identical to
+    * the historical behavior.
     */
-  def langGate(nrm: DataFrame): DataFrame =
-    nrm.where(
-      expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))") >=
-        greatest(
-          expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))"),
-          expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))"),
-          expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))")))
+  val defaultLangProbes: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "fr" -> Seq("le", "les", "des", "une"))
+
+  /** Occurrence count of one language's stopwords. Rendered as a word-
+    * boundary regex (not token equality) because normText keeps
+    * punctuation — "the," must still count.
+    */
+  private def probeCount(words: Seq[String]): Column =
+    expr(s"size(regexp_extract_all(nt, '\\\\b(${words.mkString("|")})\\\\b', 0))")
+      .cast("long")
+
+  /** One score column `s_<lang>` per table row — a pure projection (no
+    * join, no shuffle): the probe table is driver-side metadata compiled
+    * into the row expression, the per-row work is L regex scans.
+    */
+  def langScores(nrm: DataFrame,
+      probes: Seq[(String, Seq[String])] = defaultLangProbes): DataFrame =
+    probes.foldLeft(nrm) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", probeCount(words))
+    }
+
+  /** Keep docs where `keep`'s stopword hits dominate every other probe
+    * in the table (q21's heuristic, generalized to any language set).
+    */
+  def langGate(nrm: DataFrame, keep: String = "en",
+      probes: Seq[(String, Seq[String])] = defaultLangProbes): DataFrame = {
+    require(probes.exists(_._1 == keep), s"unknown language: $keep")
+    val others = probes.collect { case (l, _) if l != keep => col(s"s_$l") }
+    val gate = others match {
+      case Seq()    => lit(true)
+      case Seq(one) => col(s"s_$keep") >= one
+      case many     => col(s"s_$keep") >= greatest(many: _*)
+    }
+    langScores(nrm, probes).where(gate).select(nrm.columns.map(col).toSeq: _*)
+  }
+
+  /** Argmax language label in table order (earlier rows win ties) — the
+    * q21 prediction, generalized to the probe table.
+    */
+  def predLang(scored: DataFrame,
+      probes: Seq[(String, Seq[String])] = defaultLangProbes): Column = {
+    val langs = probes.map(_._1)
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) { case ((l, i), acc) =>
+      val laterMax = langs.drop(i + 1).map(o => col(s"s_$o")) match {
+        case Seq(one) => one
+        case many     => greatest(many: _*)
+      }
+      when(col(s"s_$l") >= laterMax, l).otherwise(acc)
+    }
+  }
 
   /** q22's quality screens: minimum token count + stopword presence. */
   def qualityGate(nrm: DataFrame, cfg: Config = Config()): DataFrame =
@@ -64,7 +113,16 @@ object Curate {
     train.join(bad, Seq("doc_id"), "left_anti")
   }
 
-  /** Full waterfall: returns (surviving docs, per-stage report). */
+  /** Full waterfall: returns (surviving docs, per-stage report).
+    *
+    * Cache contract (the Ranks pattern): `base`/`ded` are cached only for
+    * the duration of the call — both returned frames are materialized
+    * under the caches via eager localCheckpoint, then the caches are
+    * released, so nothing stays pinned in executor storage after the call
+    * returns. (At petabyte scale the same shape lands `clean` in a
+    * parquet sink instead of local blocks — the caller owns that choice;
+    * the library must not leak session-long cache entries either way.)
+    */
   def waterfall(train: DataFrame, eval0: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val base = normalize(train).cache()
@@ -82,6 +140,11 @@ object Curate {
       .unionAll(stage(4, "exact_dedup", ded))
       .unionAll(stage(5, "decontaminated", clean))
       .orderBy("stage")
-    (clean, report)
+    try {
+      (clean.localCheckpoint(true), report.localCheckpoint(true))
+    } finally {
+      base.unpersist(false)
+      ded.unpersist(false)
+    }
   }
 }

@@ -178,12 +178,20 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val asg = assign(centArr)
+      // eager checkpoint per round: C rows of centroid state — keeps each
+      // Lloyd iteration ONE pass (a lazy chain would re-run every prior
+      // assign inside the next) and bounds lineage depth for any `iters`
       centArr = toArr(el.join(asg, "vec_id")
         .groupBy(col("cell").as("cid"), col("i"))
         .agg(expr("sum(x) div count(1)").as("c")))
+        .localCheckpoint(true)
       it += 1
     }
-    assign(centArr)
+    // materialize the final assignment off the cache, then release it —
+    // the (vec_id, cell) map must not pin the scaled corpus in executor
+    // storage after the call (the Ranks cache contract)
+    try assign(centArr).localCheckpoint(true)
+    finally embArr.unpersist(false)
   }
 
   /** IVF multi-probe candidate pairs — the default kNN base for

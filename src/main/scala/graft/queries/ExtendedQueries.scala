@@ -1038,5 +1038,55 @@ object ExtendedQueries {
             .as("chars_per_bpe_ppm"))
         .orderBy("lang")
     },
+
+    // Fuzzy cross-source leakage: q585 catches only identical-fingerprint
+    // leaks; this composes the MinHash-LSH candidate pipeline across
+    // source splits so NEAR-duplicate train/eval leakage is caught too.
+    // The near-dup fixture's perturbed replicas land (doc_id+100000, and
+    // 100000 % 3 = 1) in a DIFFERENT source than their originals, so every
+    // surviving pair is a genuine planted cross-source leak. Scale shape:
+    // banded LSH join (cost follows bucket collisions), Jaccard verify on
+    // the candidate set only, then an O(pairs) rollup — the corpus is
+    // never self-joined.
+    QueryDef.sql(
+      "q592_fuzzy_leakage",
+      s"""WITH ${TextQueries.sigSql},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.d1
+         |  JOIN shd b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2),
+         |ver AS (SELECT c.d1, c.d2,
+         |    CAST(FLOOR(100000.0 * coalesce(i.n_inter, 0) / (na.n + nb.n - coalesce(i.n_inter, 0))) AS BIGINT) AS j
+         |  FROM cand c
+         |  LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |  JOIN sizes na ON na.doc_id = c.d1
+         |  JOIN sizes nb ON nb.doc_id = c.d2),
+         |leak AS (SELECT least(d1 % 3, d2 % 3) AS src_a, greatest(d1 % 3, d2 % 3) AS src_b
+         |  FROM ver WHERE j >= 50000 AND d1 % 3 <> d2 % 3)
+         |SELECT CAST(src_a AS BIGINT) AS src_a, CAST(src_b AS BIGINT) AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_leaks
+         |FROM leak GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val docs = TextQueries.nearDupDocs(Tables(s, dir).documents)
+      val sig  = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sig)
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text")
+        .where(col("jaccard_scaled") >= 50000 && col("d1") % 3 =!= col("d2") % 3)
+        .select(least(col("d1") % 3, col("d2") % 3).as("src_a"),
+          greatest(col("d1") % 3, col("d2") % 3).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_leaks"))
+        .orderBy("src_a", "src_b")
+    },
   )
 }

@@ -94,18 +94,13 @@ object TextQueries {
          |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents
+      // table-driven: the four probes are rows of Curate.defaultLangProbes
+      // (adding a language is data — see q591 for a 5-language table)
+      val nrm = Tables(s, dir).documents
         .select(col("doc_id"), normText(col("text")).as("nt"))
-        .select(col("doc_id"),
-          expr("size(regexp_extract_all(nt, '\\\\b(the|of|and)\\\\b', 0))").cast("long").as("s_en"),
-          expr("size(regexp_extract_all(nt, '\\\\b(der|die|das|und)\\\\b', 0))").cast("long").as("s_de"),
-          expr("size(regexp_extract_all(nt, '\\\\b(el|la|los|de)\\\\b', 0))").cast("long").as("s_es"),
-          expr("size(regexp_extract_all(nt, '\\\\b(le|les|des|une)\\\\b', 0))").cast("long").as("s_fr"))
-        .withColumn("pred_lang",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      val scored = graft.operators.Curate.langScores(nrm)
+      scored.withColumn("pred_lang", graft.operators.Curate.predLang(scored))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "pred_lang")
         .orderBy("doc_id")
     },
 
@@ -299,5 +294,43 @@ object TextQueries {
       Dedup.simhash16(Tables(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")
     },
+
+    // Table-driven language-ID with an ADDED language: both the Spark plan
+    // and the DuckDB oracle are generated from the same probe table
+    // (Curate.defaultLangProbes + Italian), so extending language coverage
+    // is one data row — the form a multilingual corpus needs.
+    QueryDef.sql(
+      "q591_lang_table", {
+        val langs = langProbes5.map(_._1)
+        val scoreSql = langProbes5.map { case (l, ws) =>
+          s"len(regexp_extract_all(nt, '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+        }.mkString(",\n  ")
+        val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+          val later = langs.drop(i + 1).map(o => s"s_$o")
+          val bound = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
+          s"WHEN s_$l >= $bound THEN '$l'"
+        }.mkString("CASE ", "\n       ", s" ELSE '${langs.last}' END")
+        s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+           |sc AS (SELECT doc_id,
+           |  $scoreSql
+           | FROM nrm)
+           |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           |  $caseSql AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val nrm = Tables(s, dir).documents
+        .select(col("doc_id"), normText(col("text")).as("nt"))
+      val scored = graft.operators.Curate.langScores(nrm, langProbes5)
+      scored.withColumn("pred_lang", graft.operators.Curate.predLang(scored, langProbes5))
+        .select(("doc_id" +: langProbes5.map(p => s"s_${p._1}") :+ "pred_lang")
+          .map(col).toSeq: _*)
+        .orderBy("doc_id")
+    },
   )
+
+  /** The default probe table plus Italian — the q591 "add a language is
+    * one data row" demonstration.
+    */
+  private lazy val langProbes5: Seq[(String, Seq[String])] =
+    graft.operators.Curate.defaultLangProbes :+ ("it" -> Seq("il", "di", "che", "non"))
 }

@@ -50,4 +50,16 @@ class CurateSpec extends SparkSpec {
     assert(kept.where(col("doc_id") === 3L).count() == 0,
       "planted eval overlap must be removed")
   }
+
+  test("waterfall releases its caches (library cache contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    val train = docsDF((1L to 10L).map(i =>
+      i -> s"the document of number $i and the words of it go on and on"))
+    val eval0 = docsDF(Seq(99L -> "completely unrelated eval text here"))
+    val (kept, report) = Curate.waterfall(train, eval0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cached relation may outlive the waterfall call")
+    // returned frames stay usable after the caches are gone
+    assert(kept.count() == 10 && report.count() == 5)
+  }
 }

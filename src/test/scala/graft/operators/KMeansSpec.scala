@@ -67,4 +67,12 @@ class KMeansSpec extends SparkSpec {
     assert(bCell != aCell, "cluster B must separate after recentering")
     assert(Seq(6L, 7L, 9L).forall(asg(_) == bCell), "cluster B must stay together")
   }
+
+  test("kmeansAssignments releases its cache (library cache contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    val asg = Similarity.kmeansAssignments(corpus, 10, 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the scaled-embedding cache must not outlive the call")
+    assert(asg.count() == 30)
+  }
 }
