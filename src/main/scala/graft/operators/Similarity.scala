@@ -112,14 +112,19 @@ object Similarity {
   def ivfAssignments(embeddings: DataFrame, centroidEvery: Int, numPlanes: Int = 0): DataFrame = {
     val centroids = embeddings.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    embeddings.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosineScaled(col("embedding"), col("cemb")).as("ccos"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    // one-row centroid array, broadcast: assignment is then a PURE
+    // PROJECTION — the in-row argmin over C struct scores replaces the
+    // former n·C exploded rows through a window exchange (at 1M vectors
+    // × 10k cells that exchange is 10^10 rows; this plan shuffles none).
+    // min of (-ccos, cid) == the window's (ccos DESC, cid ASC) head.
+    val centsArr = centroids
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+    embeddings.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("embedding"),
+        array_min(transform(col("cents"), c =>
+          struct((-cosineScaled(col("embedding"), c.getField("cemb"))).as("negccos"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cell"))
   }
 
   /** Lloyd's k-means over scaled-integer embeddings, engine-exact: seeds
@@ -149,20 +154,29 @@ object Similarity {
         expr("aggregate(zip_with(xa, xa, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
       .cache()
 
-    def assign(centArr: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      embArr.crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("cid"),
-          floor(lit(1000000.0) *
-            expr("aggregate(zip_with(xa, ca, (a, b) -> a * b), 0L, (s, v) -> s + v)")
-              .cast("double") /
-            (sqrt(col("xnrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
-            .cast("long").as("ccos"))
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+    // in-row argmin (r6): the C centroid structs ride as ONE broadcast
+    // array row, so reassignment is a PROJECTION over embArr — the
+    // former window path shuffled n·C scored rows per Lloyd round (at 1M
+    // vectors × 244 cells that exchange alone is 244M rows). min of
+    // (-ccos, cid) == the window's (ccos DESC, cid ASC) head, same
+    // BIGINT arithmetic → assignments stay bit-identical to the oracle.
+    def withCell(centArr: DataFrame): DataFrame = {
+      val centsArr = centArr
+        .agg(collect_list(struct(col("cid"), col("ca"), col("cnrm"))).as("cents"))
+      embArr.crossJoin(broadcast(centsArr))
+        .withColumn("cell",
+          array_min(transform(col("cents"), c =>
+            struct((-floor(lit(1000000.0) *
+                aggregate(zip_with(col("xa"), c.getField("ca"),
+                  (a, b) => a * b), lit(0L), (s, v) => s + v).cast("double") /
+                (sqrt(col("xnrm").cast("double")) *
+                  sqrt(c.getField("cnrm").cast("double"))))
+              .cast("long")).as("negccos"),
+              c.getField("cid").as("cid"))))
+            .getField("cid"))
     }
+    def assign(centArr: DataFrame): DataFrame =
+      withCell(centArr).select(col("vec_id"), col("cell"))
     // (cid, ca, cnrm) from element rows — used for updated centroids
     def toArr(cent: DataFrame): DataFrame =
       cent.groupBy("cid")
@@ -170,20 +184,22 @@ object Similarity {
         .withColumn("cnrm",
           expr("aggregate(zip_with(ca, ca, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
 
-    val el = embArr.select(col("vec_id"), posexplode(col("xa")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
-
     var centArr = embArr.where(col("vec_id") % seedEvery === 0)
       .select(col("vec_id").as("cid"), col("xa").as("ca"), col("xnrm").as("cnrm"))
     var it = 0
     while (it < iters) {
-      val asg = assign(centArr)
+      // centroid update: cell attaches IN the assignment projection, so
+      // the element explode needs no join back to an assignment relation
+      // (the former el ⋈ asg shuffled n·d + n rows per round — 65M rows
+      // at 1M×64-d); the groupBy partials map-combine to C·d per task,
+      // so the only per-round shuffle is O(C·d·partitions) rows.
       // eager checkpoint per round: C rows of centroid state — keeps each
       // Lloyd iteration ONE pass (a lazy chain would re-run every prior
       // assign inside the next) and bounds lineage depth for any `iters`
-      centArr = toArr(el.join(asg, "vec_id")
-        .groupBy(col("cell").as("cid"), col("i"))
-        .agg(expr("sum(x) div count(1)").as("c")))
+      centArr = toArr(withCell(centArr)
+        .select(col("cell"), posexplode(col("xa")))
+        .groupBy(col("cell").as("cid"), (col("pos") + 1).as("i"))
+        .agg(expr("sum(col) div count(1)").as("c")))
         .localCheckpoint(true)
       it += 1
     }
@@ -209,17 +225,23 @@ object Similarity {
     val cent = emb.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("ccid"), col("embedding").as("cemb"),
         col("__nrm").as("cnrm0"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("ccid").asc)
-    val asg = emb.crossJoin(broadcast(cent))
+    // in-row multi-probe (r6): sort the C in-row scores and slice the
+    // nProbe best — the former window path materialized n·C rows into a
+    // vec_id exchange before rn <= nProbe could drop them (240 GB of
+    // shuffle at 1M×10k); here nothing leaves the row until the nProbe
+    // cell ids explode. Sort key (-ccos, ccid) == (ccos DESC, ccid ASC).
+    val centsArr = cent
+      .agg(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))).as("cents"))
+    val asg = emb.crossJoin(broadcast(centsArr))
       .select(col("vec_id"),
-        floor(lit(1000000.0) * scaledDot(col("embedding"), col("cemb")).cast("double") /
-          (sqrt(col("__nrm").cast("double")) * sqrt(col("cnrm0").cast("double"))))
-          .cast("long").as("ccos"),
-        col("ccid"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("rn") <= nProbe)
-      .select(col("vec_id"), col("ccid").as("cell"))
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-floor(lit(1000000.0) *
+              scaledDot(col("embedding"), c.getField("cemb")).cast("double") /
+              (sqrt(col("__nrm").cast("double")) *
+                sqrt(c.getField("cnrm0").cast("double"))))
+            .cast("long")).as("negccos"),
+            c.getField("ccid").as("ccid")))), 1, nProbe)).as("p"))
+      .select(col("vec_id"), col("p.ccid").as("cell"))
     asg.select(col("vec_id").as("qid"), col("cell"))
       .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
       .where(col("qid") =!= col("cid"))

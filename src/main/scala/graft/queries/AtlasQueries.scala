@@ -101,33 +101,40 @@ object AtlasQueries {
 
     // Winnowing copy-detection fingerprints (Schleimer et al. — the
     // MOSS algorithm): hash every 3-gram, slide a 4-gram-wide window,
-    // and select each window's RIGHTMOST minimal hash — the guarantee
-    // is that any shared substring of ≥ 6 tokens shares a fingerprint,
-    // with density 2/(w+1) instead of every gram. Fingerprints that
-    // occur in > 16 docs are dropped (MOSS's common-code suppression —
-    // also what bounds the pair join at corpus scale), then doc pairs
-    // rank by shared fingerprints. Window min is a ROWS frame, the
-    // rightmost-tie selection a max-position join back — all
-    // per-document windows, no quadratic gram comparison.
+    // and keep each window's minimal hash — the guarantee is that any
+    // shared substring of ≥ 6 tokens shares a fingerprint, with density
+    // 2/(w+1) instead of every gram. Fingerprints that occur in > 16
+    // docs are dropped (MOSS's common-code suppression — also what
+    // bounds the pair join at corpus scale), then doc pairs rank by
+    // shared fingerprints. Scale shape (reworked r6): 3-grams build
+    // with codegen'd lead() windows over the token stream — the former
+    // tok⋈tok⋈tok self-joins shuffled the corpus token relation 3×; now
+    // the only corpus-sized shuffle is ONE doc_id exchange that every
+    // window (lead, frame-min, frame-count) reuses. Full-window
+    // detection is count-over-the-same-frame == 4, which fuses into the
+    // min's Window node — no whole-partition count, no max-pos
+    // aggregate+join. (MOSS's rightmost-tie POSITION is not computed:
+    // fingerprints dedupe by hash per doc, so the tie-break never
+    // affects the output set — the former join-back for it was dead
+    // weight.)
     QueryDef.sql(
       "q491_winnowing",
-      s"""WITH $tokSql,
-         |g AS (SELECT a.doc_id, a.pos,
-         |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 8))::BIGINT AS h
-         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-         |mg AS (SELECT doc_id, MAX(pos) AS mp FROM g GROUP BY 1),
-         |wm AS (SELECT g.doc_id, g.pos AS j,
-         |    MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+      s"""WITH ws AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+         |  FROM documents),
+         |ga AS (SELECT doc_id,
+         |    [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 8))::BIGINT
+         |     for i in generate_series(1, len(ws) - 2)] AS gh
+         |  FROM ws WHERE len(ws) >= 3),
+         |g AS (SELECT doc_id, len(gh) AS np, u.pos AS pos, u.h AS h FROM (
+         |  SELECT doc_id, gh,
+         |    unnest(list_transform(gh, (x, i) -> {'pos': i, 'h': x})) AS u
+         |  FROM ga)),
+         |wm AS (SELECT doc_id, pos, np,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
          |  FROM g),
-         |wj AS (SELECT wm.doc_id, wm.j, wm.wmin FROM wm JOIN mg
-         |  ON wm.doc_id = mg.doc_id WHERE wm.j <= mg.mp - 3),
-         |sel AS (SELECT wj.doc_id, wj.wmin AS h, MAX(g.pos) AS sp
-         |  FROM wj JOIN g ON g.doc_id = wj.doc_id
-         |    AND g.pos BETWEEN wj.j AND wj.j + 3 AND g.h = wj.wmin
-         |  GROUP BY 1, 2, wj.j),
-         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |fp AS (SELECT DISTINCT doc_id, wmin AS h FROM wm WHERE pos <= np - 3),
          |rare AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 16),
          |fr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare ON fp.h = rare.h),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
@@ -135,30 +142,25 @@ object AtlasQueries {
          |  GROUP BY 1, 2)
          |SELECT da, db, CAST(shared AS BIGINT) AS shared
          |FROM pairs ORDER BY shared DESC, da, db LIMIT 10""".stripMargin) { (s, dir) =>
-      val tok = tokens(Tables(s, dir)).select("doc_id", "pos", "w")
-      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"),
-        col("w").as("w2"))
-      val t3 = tok.select(col("doc_id").as("d3"), col("pos").as("p3"),
-        col("w").as("w3"))
-      val g = tok
-        .join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
-        .join(t3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+      val wSpec = Window.partitionBy("doc_id").orderBy("pos")
+      val g = tokens(Tables(s, dir)).select("doc_id", "pos", "w")
+        .withColumn("w2", lead("w", 1).over(wSpec))
+        .withColumn("w3", lead("w", 2).over(wSpec))
+        .where(col("w3").isNotNull)
         .select(col("doc_id"), col("pos"),
           expr("CAST(conv(substring(md5(concat(w, ' ', w2, ' ', w3)), 1, 8), 16, 10)" +
             " AS BIGINT)").as("h"))
-      val mg = g.groupBy("doc_id").agg(max("pos").as("mp"))
       val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-      val wj = g.withColumn("wmin", min("h").over(wFrame))
-        .join(mg, "doc_id")
-        .where(col("pos") <= col("mp") - 3)
-        .select(col("doc_id"), col("pos").as("j"), col("wmin"))
-      val sel = wj
-        .join(g.select(col("doc_id"), col("pos").as("gp"), col("h")),
-          Seq("doc_id"))
-        .where(col("gp").between(col("j"), col("j") + 3) && col("h") === col("wmin"))
-        .groupBy("doc_id", "j", "wmin")
-        .agg(max("gp").as("sp"))
-      val fp = sel.select(col("doc_id"), col("wmin").as("h")).distinct()
+      // full 4-gram windows only: the frame count == 4 computes in the
+      // SAME Window node as the frame min (identical spec+frame)
+      // fp feeds three consumers (the rarity aggregate and both pair-join
+      // sides): cache it so the tokenize+window corpus pass runs ONCE —
+      // uncached, each branch re-scans the parquet (4 scans, plan-verified)
+      val fp = g.withColumn("wmin", min("h").over(wFrame))
+        .withColumn("wn", count(lit(1)).over(wFrame))
+        .where(col("wn") === 4)
+        .select(col("doc_id"), col("wmin").as("h")).distinct()
+        .cache()
       val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") <= 16).select("h")
       val fr = fp.join(rare, "h")

@@ -604,7 +604,169 @@ object StructQueries {
             lit(1L).as("cnt")))
         .orderBy("screen", "owner", "detail")
     },
+
+    // assess: synonym-MAPPING + sequence screens — the synonym detail
+    // inventory with its redirect target (GetDatabaseSchemaSynonymObject,
+    // database/oracle/assess_migrate.go:509-510: OWNER, SYNONYM_NAME,
+    // TABLE_OWNER, TABLE_NAME from DBA_SYNONYMS), a cross-schema detector
+    // (a synonym whose target lies OUTSIDE the migrated schema set cannot
+    // be carried over — its presence is the finding), and the sequence
+    // name-length screen with ORDER_FLAG
+    // (GetDatabaseSchemaTableSequenceNameLengthOverLimit,
+    // assess_migrate.go:818-832). q571 counts these object kinds; this
+    // screen emits the per-object DETAIL rows the assess report prints.
+    QueryDef.sql(
+      "q593_assess_synonym_sequence", {
+        val synValues = assessSynonyms
+          .map { case (o, sn, to, tn) => s"('$o','$sn','$to','$tn')" }
+          .mkString(",\n  ")
+        val seqValues = assessSequences
+          .map { case (o, n, f) => s"('$o','$n','$f')" }.mkString(",\n  ")
+        s"""WITH syn(owner, synonym_name, table_owner, table_name) AS (VALUES
+           |  $synValues),
+           |seq(sequence_owner, sequence_name, order_flag) AS (VALUES
+           |  $seqValues)
+           |SELECT * FROM (
+           |  SELECT 'SYNONYM_MAP' AS screen, owner,
+           |    synonym_name || '->' || table_owner || '.' || table_name AS detail,
+           |    CAST(1 AS BIGINT) AS num
+           |  FROM syn
+           |  UNION ALL
+           |  SELECT 'CROSS_SCHEMA_SYNONYM', owner,
+           |    synonym_name || '->' || table_owner || '.' || table_name, 1
+           |  FROM syn WHERE table_owner NOT IN ('APP', 'WH')
+           |  UNION ALL
+           |  SELECT 'SEQUENCE_NAME_OVER_LIMIT', sequence_owner,
+           |    sequence_name || ':' || order_flag, length(sequence_name)
+           |  FROM seq WHERE length(sequence_name) > 30)
+           |ORDER BY screen, owner, detail""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val syn = assessSynonyms.toDF("owner", "synonym_name", "table_owner", "table_name")
+      val seq = assessSequences.toDF("sequence_owner", "sequence_name", "order_flag")
+      val synDetail = concat(col("synonym_name"), lit("->"),
+        col("table_owner"), lit("."), col("table_name")).as("detail")
+      syn.select(lit("SYNONYM_MAP").as("screen"), col("owner"), synDetail,
+          lit(1L).as("num"))
+        .unionAll(syn.where(!col("table_owner").isin("APP", "WH"))
+          .select(lit("CROSS_SCHEMA_SYNONYM").as("screen"), col("owner"),
+            synDetail, lit(1L).as("num")))
+        .unionAll(seq.where(length(col("sequence_name")) > 30)
+          .select(lit("SEQUENCE_NAME_OVER_LIMIT").as("screen"),
+            col("sequence_owner").as("owner"),
+            concat(col("sequence_name"), lit(":"), col("order_flag")).as("detail"),
+            length(col("sequence_name")).cast("long").as("num")))
+        .orderBy("screen", "owner", "detail")
+    },
+
+    // assess: instance/parameter screens — the 4 named V$PARAMETER /
+    // NLS_DATABASE_PARAMETERS picks (GetDatabaseParameters,
+    // database/oracle/assess_migrate.go:123-170: db_block_size,
+    // cluster_database, cluster_database_instances, NLS_CHARACTERSET),
+    // the V$INSTANCE row dump (GetDatabaseInstance, :173-185), and the
+    // top-5 active-session-history samples by session count
+    // (GetDatabaseSessionMaxActiveCount, :219-246 — a genuine
+    // groupBy+top-N over the sample history; ties broken by sample_id
+    // on BOTH engines since ROWNUM under ties is unspecified).
+    QueryDef.sql(
+      "q594_assess_instance_params", {
+        val prmValues = assessParams
+          .map { case (k, v) => s"('$k','$v')" }.mkString(",\n  ")
+        val instValues = assessInstances
+          .map { case (h, n, i, t) => s"('$h','$n',$i,$t)" }.mkString(",\n  ")
+        val sessValues = assessSessHistory
+          .map { case (d, i, sid) => s"($d,$i,$sid)" }.mkString(",\n  ")
+        s"""WITH prm(name, value) AS (VALUES
+           |  $prmValues),
+           |inst(host_name, instance_name, instance_number, thread_number) AS (VALUES
+           |  $instValues),
+           |ash(dbid, instance_number, sample_id) AS (VALUES
+           |  $sessValues)
+           |SELECT * FROM (
+           |  SELECT 'PARAMETER' AS screen, name AS item, value AS val
+           |  FROM prm WHERE name IN ('db_block_size', 'cluster_database',
+           |    'cluster_database_instances', 'NLS_CHARACTERSET')
+           |  UNION ALL
+           |  SELECT 'INSTANCE', instance_name,
+           |    host_name || ':' || instance_number || '/' || thread_number
+           |  FROM inst
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT 'SESSION_TOP' AS screen,
+           |      dbid || '/' || instance_number || '/' || sample_id AS item,
+           |      CAST(COUNT(*) AS VARCHAR) AS val
+           |    FROM ash GROUP BY dbid, instance_number, sample_id
+           |    ORDER BY COUNT(*) DESC, sample_id LIMIT 5))
+           |ORDER BY screen, item""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val prm = assessParams.toDF("name", "value")
+      val inst = assessInstances.toDF("host_name", "instance_name",
+        "instance_number", "thread_number")
+      val ash = assessSessHistory.toDF("dbid", "instance_number", "sample_id")
+      val sessTop = ash.groupBy("dbid", "instance_number", "sample_id")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("sample_id"))
+        .limit(5)
+        .select(lit("SESSION_TOP").as("screen"),
+          concat_ws("/", col("dbid"), col("instance_number"), col("sample_id")).as("item"),
+          col("cnt").cast("string").as("val"))
+      prm.where(col("name").isin("db_block_size", "cluster_database",
+          "cluster_database_instances", "NLS_CHARACTERSET"))
+        .select(lit("PARAMETER").as("screen"), col("name").as("item"),
+          col("value").as("val"))
+        .unionAll(inst.select(lit("INSTANCE").as("screen"),
+          col("instance_name").as("item"),
+          concat(col("host_name"), lit(":"), col("instance_number"),
+            lit("/"), col("thread_number")).as("val")))
+        .unionAll(sessTop)
+        .orderBy("screen", "item")
+    },
   )
+
+  /** Synthetic DBA_SYNONYMS rows: (owner, synonym_name, table_owner,
+    * table_name) — incl. a target outside the migrated {APP, WH} set. */
+  private lazy val assessSynonyms: Seq[(String, String, String, String)] =
+    Seq(
+      ("APP", "s_orders", "APP", "orders"),
+      ("APP", "s_facts", "WH", "facts"),
+      ("APP", "s_remote_dim", "EXT", "dim_region"),
+      ("WH", "s_lineitem", "APP", "lineitem"),
+      ("WH", "s_hr_emp", "HR", "employees"))
+
+  /** Synthetic DBA_SEQUENCES rows: (owner, name, order_flag). */
+  private lazy val assessSequences: Seq[(String, String, String)] =
+    Seq(
+      ("APP", "seq_orders", "N"),
+      ("APP", "seq_events", "Y"),
+      ("APP", "seq_for_the_table_with_the_unreasonably_long_name", "Y"),
+      ("WH", "seq_facts", "N"),
+      ("WH", "sequence_name_len_is_thirty_xx", "N")) // exactly 30 — boundary, excluded
+
+  /** Synthetic V$PARAMETER/NLS kv rows — more than the 4 picked, so the
+    * name filter is exercised. */
+  private lazy val assessParams: Seq[(String, String)] =
+    Seq(
+      ("db_block_size", "8192"),
+      ("cluster_database", "TRUE"),
+      ("cluster_database_instances", "2"),
+      ("NLS_CHARACTERSET", "AL32UTF8"),
+      ("NLS_NCHAR_CHARACTERSET", "AL16UTF16"),
+      ("sga_target", "17179869184"),
+      ("open_cursors", "3000"))
+
+  /** Synthetic V$INSTANCE rows: (host, instance, number, thread#). */
+  private lazy val assessInstances: Seq[(String, String, Int, Int)] =
+    Seq(("dbhost01", "orcl1", 1, 1), ("dbhost02", "orcl2", 2, 2))
+
+  /** Synthetic DBA_HIST_ACTIVE_SESS_HISTORY rows: (dbid, instance_number,
+    * sample_id) — one row per sampled active session, so the session
+    * count is a real groupBy. 8 samples, counts 2..16, incl. a tie. */
+  private lazy val assessSessHistory: Seq[(Long, Int, Long)] =
+    (1 to 8).flatMap { sid =>
+      val n = if (sid == 7) 12 else 2 * sid // sample 6 (12) ties sample 7
+      Seq.fill(n)((141L, 1 + sid % 2, sid.toLong))
+    }
 
   /** Synthetic DBA_OBJECTS rows: (owner, object_type, object_name,
     * status) spanning the assessed kinds incl. the MySQL-incompatible

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1M-vector certification for the iterative/ANN vector path (VERDICT r5
+  * #8): runs `Similarity.kmeansAssignments` and
+  * `Similarity.ivfCandidatePairs` on deterministic 64-dim
+  * pseudo-embeddings at the LSH-dedup corpus scale, measuring wall time
+  * AND actual shuffle-write records (SparkListener) so the "rows shuffled
+  * per round" claim in BASELINE.md is measured, not derived.
+  *
+  * `sbt "runMain graft.tools.VectorScale 1000000"` (vector count arg,
+  * default 1M). Self-validating: k-means must keep every vector assigned
+  * and converge cells ≤ C; IVF candidates must stay ≥ 100× below brute
+  * force. Prints one JSON line per scenario.
+  */
+object VectorScale {
+  def main(args: Array[String]): Unit = {
+    val nVec = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.configure(spark)
+
+    @volatile var shuffleRecords = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) synchronized {
+          shuffleRecords += m.shuffleWriteMetrics.recordsWritten
+        }
+      }
+    })
+    def measure[T](body: => T): (T, Double, Long) = {
+      // listener events are async (no public drain) — settle before and
+      // after so the stage-completion deltas land in the right bucket
+      Thread.sleep(2000); val s0 = shuffleRecords
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      (r, sec, shuffleRecords - s0)
+    }
+
+    // deterministic 64-dim embeddings, no RNG: element (id, j) mixes both
+    // indices so vectors are distinct (unlike a (id % k)-periodic hash)
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), j -> CAST(" +
+        "CAST((id * 1103515245 + j * 2654435761) % 1000003 AS DOUBLE) / 1000003.0" +
+        " AS FLOAT))").as("embedding"))
+
+    // ---- kmeans_1m: 3 Lloyd rounds, C = n/seedEvery centroids ----
+    {
+      val seedEvery = (nVec / 256L).max(1L).toInt
+      val ((nAsg, nCells), sec, shuf) = measure {
+        val asg = graft.operators.Similarity
+          .kmeansAssignments(emb, seedEvery, iters = 3)
+        val r = asg.agg(count(lit(1)), countDistinct(col("cell"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nAsg == nVec, s"every vector must be assigned: $nAsg vs $nVec")
+      require(nCells <= 256, s"cells must not exceed the seed count: $nCells")
+      println(f"""{"scenario":"kmeans_1m","vectors":$nVec,"cells":$nCells,""" +
+        f""""iters":3,"sec":$sec%.2f,"shuffle_records":$shuf,""" +
+        f""""shuffle_per_round":${shuf / 3},"vectors_per_sec":${(nVec / sec).toLong}}""")
+    }
+
+    // ---- ivf_pairs_1m: multi-probe candidate stream at C = n/250 ----
+    {
+      val centroidEvery = (nVec / 4000L).max(1L).toInt
+      val ((nPairs, maxPer), sec, shuf) = measure {
+        val cand = graft.operators.Similarity
+          .ivfCandidatePairs(emb, centroidEvery, nProbe = 2)
+        val r = cand.groupBy("qid").agg(count(lit(1)).as("c"))
+          .agg(sum("c"), max("c")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val brute = nVec * (nVec - 1)
+      require(nPairs > 0 && nPairs * 100 < brute,
+        s"ivf candidates must be sub-quadratic: $nPairs vs brute $brute")
+      println(f"""{"scenario":"ivf_pairs_1m","vectors":$nVec,"pairs":$nPairs,""" +
+        f""""max_pairs_per_vector":$maxPer,"brute_pairs":$brute,"sec":$sec%.2f,""" +
+        f""""shuffle_records":$shuf,"vectors_per_sec":${(nVec / sec).toLong}}""")
+    }
+    spark.stop()
+  }
+}

@@ -139,14 +139,39 @@ class PlanShapeSpec extends SparkSpec {
       s"avail must be cached for both consumers: $imrs caches, $rawScans raw scans")
   }
 
-  test("q579_curation_waterfall reuses the cached normalize pass across stages") {
+  test("q579_curation_waterfall materializes under call-scoped caches, then releases them") {
+    // the normalize + dedup caches are now CALL-scoped (the Ranks
+    // pattern): the waterfall materializes both returned frames under the
+    // caches and unpersists before returning, so the session holds no
+    // cached relation afterwards — the internal reuse is pinned by
+    // CurateSpec's stage-count test, the release contract here
+    spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q579_curation_waterfall")(spark, sfDir)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "waterfall caches must not outlive the call")
+    assert(df.count() == 5, "per-stage report must still produce its 5 rows")
+  }
+
+  test("q491_winnowing grams via one windowed pass: one corpus scan, no token self-joins") {
+    val df = SparkEntry.queries("q491_winnowing")(spark, sfDir)
     df.collect()
     val cached = df.queryExecution.withCachedData
     val imrs = cached.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }.size
-    assert(imrs >= 2, s"normalize + dedup relations must be cached, got $imrs cache reads")
+    val rawScans = cached.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+    assert(imrs >= 3, s"rarity + both pair-join sides must read the cached fingerprints, got $imrs")
+    assert(rawScans == 0,
+      s"no consumer may re-scan + re-tokenize the corpus, got $rawScans raw scans")
+    // 3-grams build from codegen'd lead() windows sharing ONE doc_id
+    // exchange — the former tok⋈tok⋈tok construction shuffled the token
+    // relation 3×; the only joins left in the whole query are on the
+    // (tiny, cached) fingerprint relation, and those broadcast
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).isEmpty,
+      s"gram construction must not shuffle-join the token relation:\n$p")
   }
 
   test("q182_bm25 broadcasts the query terms and totals, ends in a top-k") {
