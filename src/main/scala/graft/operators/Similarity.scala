@@ -24,6 +24,15 @@ object Similarity {
   val Dim = 64
   val Scale = 1000000.0
 
+  /** (score, index) packing for in-row argmin/top-k: `score · 2^21 + idx`
+    * is monotone in (score, idx) while idx < 2^21, so a primitive long
+    * min/min-k replaces a struct comparator. |score| ≤ ~10^6 (scaled
+    * cosine), so the product stays ≤ ~2^43 — no overflow. Bounds the
+    * centroid fan-in at 2^21 cells.
+    */
+  private val IdxFactor = 1L << 21
+  private val IdxMask = (1L << 21) - 1
+
   /** Element scaled to an exact integer: floor(x · 10^6). */
   private def sInt(x: Column): Column =
     floor(x.cast("double") * lit(Scale)).cast("long")
@@ -150,29 +159,34 @@ object Similarity {
     val embArr = embeddings.select(col("vec_id"),
         expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
           .as("xa"))
-      .withColumn("xnrm",
-        expr("aggregate(zip_with(xa, xa, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
+      .withColumn("xnrm", graft.plans.GraftFunctions.longDot(col("xa"), col("xa")))
       .cache()
 
     // in-row argmin (r6): the C centroid structs ride as ONE broadcast
-    // array row, so reassignment is a PROJECTION over embArr — the
-    // former window path shuffled n·C scored rows per Lloyd round (at 1M
-    // vectors × 244 cells that exchange alone is 244M rows). min of
-    // (-ccos, cid) == the window's (ccos DESC, cid ASC) head, same
-    // BIGINT arithmetic → assignments stay bit-identical to the oracle.
+    // array row (cid-ASCENDING, so packed index order == cid order), and
+    // reassignment is a PROJECTION over embArr — the former window path
+    // shuffled n·C scored rows per Lloyd round (at 1M vectors × 244
+    // cells that exchange alone is 244M rows). Each (negccos, idx) packs
+    // into one monotone long, so min packed == the window's (ccos DESC,
+    // cid ASC) head; the per-centroid dot is the native long_dot fused
+    // loop (the interpreted zip_with twin measured 226s for 3 rounds at
+    // 1M×64-d — the lambda overhead WAS the runtime). Packing bounds C
+    // at 2^21 centroids — far above any Lloyd fan-in this engine runs.
     def withCell(centArr: DataFrame): DataFrame = {
       val centsArr = centArr
-        .agg(collect_list(struct(col("cid"), col("ca"), col("cnrm"))).as("cents"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("ca"), col("cnrm"))))
+          .as("cents"))
+      val packed = transform(col("cents"), (c, i) =>
+        (-floor(lit(1000000.0) *
+            graft.plans.GraftFunctions.longDot(col("xa"), c.getField("ca"))
+              .cast("double") /
+            (sqrt(col("xnrm").cast("double")) *
+              sqrt(c.getField("cnrm").cast("double"))))
+          .cast("long")) * lit(IdxFactor) + i.cast("long"))
       embArr.crossJoin(broadcast(centsArr))
         .withColumn("cell",
-          array_min(transform(col("cents"), c =>
-            struct((-floor(lit(1000000.0) *
-                aggregate(zip_with(col("xa"), c.getField("ca"),
-                  (a, b) => a * b), lit(0L), (s, v) => s + v).cast("double") /
-                (sqrt(col("xnrm").cast("double")) *
-                  sqrt(c.getField("cnrm").cast("double"))))
-              .cast("long")).as("negccos"),
-              c.getField("cid").as("cid"))))
+          element_at(col("cents"),
+            array_min(packed).bitwiseAND(lit(IdxMask)).cast("int") + 1)
             .getField("cid"))
     }
     def assign(centArr: DataFrame): DataFrame =
@@ -181,8 +195,7 @@ object Similarity {
     def toArr(cent: DataFrame): DataFrame =
       cent.groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("ca"))
-        .withColumn("cnrm",
-          expr("aggregate(zip_with(ca, ca, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
+        .withColumn("cnrm", graft.plans.GraftFunctions.longDot(col("ca"), col("ca")))
 
     var centArr = embArr.where(col("vec_id") % seedEvery === 0)
       .select(col("vec_id").as("cid"), col("xa").as("ca"), col("xnrm").as("cnrm"))
@@ -225,23 +238,35 @@ object Similarity {
     val cent = emb.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("ccid"), col("embedding").as("cemb"),
         col("__nrm").as("cnrm0"))
-    // in-row multi-probe (r6): sort the C in-row scores and slice the
-    // nProbe best — the former window path materialized n·C rows into a
-    // vec_id exchange before rn <= nProbe could drop them (240 GB of
-    // shuffle at 1M×10k); here nothing leaves the row until the nProbe
-    // cell ids explode. Sort key (-ccos, ccid) == (ccos DESC, ccid ASC).
+    // in-row multi-probe (r6): pack each centroid's (negccos, idx) into
+    // one monotone long and take the native k-smallest — the former
+    // window path materialized n·C rows into a vec_id exchange before
+    // rn <= nProbe could drop them (240 GB of shuffle at 1M×10k), and
+    // the first in-row cut (array_sort over C structs + slice) still
+    // paid O(C log C) boxed struct comparisons per row, which at
+    // 1M×10k-cells was the whole assignment (and OOM'd the 1M
+    // ScaleCheck). min_k_long is one primitive O(C·nProbe) insertion
+    // pass. cents is ccid-ASCENDING (sort_array on the struct sorts by
+    // the leading field), so packed index order == ccid order and the
+    // k smallest packed == (ccos DESC, ccid ASC) head — same cells as
+    // the sort+slice twin, bit for bit. Nothing leaves the row until
+    // the nProbe cell ids explode.
     val centsArr = cent
-      .agg(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))))
+        .as("cents"))
+    val packed = transform(col("cents"), (c, i) =>
+      (-floor(lit(1000000.0) *
+          scaledDot(col("embedding"), c.getField("cemb")).cast("double") /
+          (sqrt(col("__nrm").cast("double")) *
+            sqrt(c.getField("cnrm0").cast("double"))))
+        .cast("long")) * lit(IdxFactor) + i.cast("long"))
     val asg = emb.crossJoin(broadcast(centsArr))
       .select(col("vec_id"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct((-floor(lit(1000000.0) *
-              scaledDot(col("embedding"), c.getField("cemb")).cast("double") /
-              (sqrt(col("__nrm").cast("double")) *
-                sqrt(c.getField("cnrm0").cast("double"))))
-            .cast("long")).as("negccos"),
-            c.getField("ccid").as("ccid")))), 1, nProbe)).as("p"))
-      .select(col("vec_id"), col("p.ccid").as("cell"))
+        explode(transform(
+          graft.plans.GraftFunctions.minKLong(packed, lit(nProbe)),
+          p => element_at(col("cents"),
+              p.bitwiseAND(lit(IdxMask)).cast("int") + 1)
+            .getField("ccid"))).as("cell"))
     asg.select(col("vec_id").as("qid"), col("cell"))
       .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
       .where(col("qid") =!= col("cid"))

@@ -46,6 +46,17 @@ object GraftFunctions {
   /** Native scaled dot product as a Column. */
   def scaledDot(a: Column, b: Column): Column = GraftShims.scaledDotColumn(a, b)
 
+  /** Native dot product of two already-scaled long arrays (the k-means
+    * hot loop — the corpus is floor-scaled ONCE, so no per-element scale).
+    */
+  def longDot(a: Column, b: Column): Column = GraftShims.longDotColumn(a, b)
+
+  /** Native k-smallest selection (ascending) over a long-array Column —
+    * pack (score, index) into one monotone long for in-row top-k by
+    * (score, tie-break) without struct comparators.
+    */
+  def minKLong(a: Column, k: Column): Column = GraftShims.minKLongColumn(a, k)
+
   /** Native popcount-of-AND over two bit-packed long-array sets. */
   def bitmapAndCount(a: Column, b: Column): Column = GraftShims.bitmapAndCountColumn(a, b)
 

@@ -75,6 +75,139 @@ case class ScaledDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product of two ALREADY-SCALED long arrays — the k-means hot
+  * loop ([[graft.operators.Similarity.kmeansAssignments]] pre-floors the
+  * corpus once into ×10^6 BIGINT arrays, so its per-centroid dot needs no
+  * per-element scaling). The declarative twin —
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)` — pays two interpreted
+  * lambda closures and an intermediate array per dot; at 1M vectors × C
+  * centroids × 64 dims per Lloyd round that overhead IS the runtime. One
+  * fused primitive loop, like [[ScaledDotProduct]]; NULL on length
+  * mismatch for the same rewrite-safety reason.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native k-smallest selection over a long array, ascending — the in-row
+  * multi-probe primitive: callers pack (score, index) into one monotone
+  * long (score · 2^21 + index, index < 2^21) so "k smallest packed" IS
+  * "top-k by (score, index)" with no struct comparator. The declarative
+  * twin — `slice(array_sort(arr), 1, k)` — pays O(C log C) boxed
+  * comparisons per row, which at 10^6 rows × 10^4 centroids dominates the
+  * whole assignment; this is one primitive insertion pass bounded by
+  * O(C·k) with an early reject against the current k-th best (O(C) on
+  * sorted-ish data). NULL in, NULL out; k ≥ array size returns the whole
+  * array sorted.
+  */
+case class MinKLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_k_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k0 = b.asInstanceOf[Int]
+    val n = x.numElements()
+    val k = math.min(math.max(k0, 0), n)
+    val buf = new Array[Long](k)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      if (m < k) {
+        var j = m - 1
+        while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
+        buf(j + 1) = v
+        m += 1
+      } else if (k > 0 && v < buf(k - 1)) {
+        var j = k - 2
+        while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
+        buf(j + 1) = v
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xV, kV) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val buf = ctx.freshName("buf")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $xV.numElements();
+         |int $k = java.lang.Math.min(java.lang.Math.max($kV, 0), $n);
+         |long[] $buf = new long[$k];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $xV.getLong($i);
+         |  if ($m < $k) {
+         |    int $j = $m - 1;
+         |    for (; $j >= 0 && $buf[$j] > $v; $j--) $buf[$j + 1] = $buf[$j];
+         |    $buf[$j + 1] = $v;
+         |    $m++;
+         |  } else if ($k > 0 && $v < $buf[$k - 1]) {
+         |    int $j = $k - 2;
+         |    for (; $j >= 0 && $buf[$j] > $v; $j--) $buf[$j + 1] = $buf[$j];
+         |    $buf[$j + 1] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native popcount-of-AND over two long-array bitmaps: |A ∩ B| when sets
   * are densely bit-packed (64 members per word). The declarative twin —
   * `aggregate(zip_with(b1, b2, (x,y) -> bit_count(x & y)), …)` — pays two
@@ -194,6 +327,12 @@ object GraftShims {
 
   def scaledDotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(ScaledDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def longDotColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minKLongColumn(a: Column, k: Column): Column =
+    ExpressionUtils.column(MinKLong(ExpressionUtils.expression(a), ExpressionUtils.expression(k)))
 
   def bitmapAndCountColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(BitmapAndCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
