@@ -72,6 +72,14 @@ object VectorScale {
 
     // ---- ivf_pairs_1m: multi-probe candidate stream at C = n/250 ----
     {
+      // Partition-sizing discipline: this scenario's candidate exchange is
+      // ~10^9 (qid, cid) pairs — at the session default of 32 shuffle
+      // partitions that is ~31M pair keys per task's partial-distinct map,
+      // which overruns local[32]'s ~250 MB-per-task heap share (observed
+      // OOM). 256 partitions ≈ 4M pairs/task — the same "size partitions
+      // to task memory" rule a 100 TB run applies; AQE coalesces the
+      // small stages back down.
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
       val centroidEvery = (nVec / 4000L).max(1L).toInt
       val ((nPairs, maxPer), sec, shuf) = measure {
         val cand = graft.operators.Similarity
