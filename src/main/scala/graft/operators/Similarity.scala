@@ -260,6 +260,14 @@ object Similarity {
           (sqrt(col("__nrm").cast("double")) *
             sqrt(c.getField("cnrm0").cast("double"))))
         .cast("long")) * lit(IdxFactor) + i.cast("long"))
+    // The assignment feeds BOTH sides of the cell self-join, and Spark
+    // plans the two sides as independent subtrees (no ReusedExchange —
+    // the per-side aliases defeat canonicalized reuse), so without a cut
+    // the n·C centroid scoring runs TWICE. The assignment itself is tiny
+    // (nProbe rows/vector, two longs each — 32 MB at 1M vectors):
+    // materialize it once; the self-join then reads the materialized
+    // relation on both sides. Eager like kmeansAssignments' result — the
+    // call-time cost IS the scoring pass.
     val asg = emb.crossJoin(broadcast(centsArr))
       .select(col("vec_id"),
         explode(transform(
@@ -267,6 +275,7 @@ object Similarity {
           p => element_at(col("cents"),
               p.bitwiseAND(lit(IdxMask)).cast("int") + 1)
             .getField("ccid"))).as("cell"))
+      .localCheckpoint(true)
     asg.select(col("vec_id").as("qid"), col("cell"))
       .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
       .where(col("qid") =!= col("cid"))
