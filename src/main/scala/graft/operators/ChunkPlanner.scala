@@ -87,4 +87,51 @@ object ChunkPlanner {
 
   def lexRange(keys: Seq[Column], lower: Seq[Column], upper: Seq[Column]): Column =
     lexGreater(keys, lower, orEqual = true) && !lexGreater(keys, upper, orEqual = true)
+
+  /** Collation-aware equi-depth chunk plan over a STRING key (SURVEY §7.3
+    * hard part 1 — the reference renders NLSSORT(col, 'NLS_SORT=...')
+    * range predicates so chunk boundaries respect the column's collation,
+    * `utils/structure/chunk.go:80-96`, `bucket.go:52-84`).
+    *
+    * Spark-first re-expression: the key is grouped under a real collation
+    * (Spark 4 `collate(k, collation)` — equality and hashing honor it
+    * natively), so rows equal-under-collation can NEVER split across
+    * chunks, which is the property the reference's NLSSORT ranges exist to
+    * guarantee. One count aggregate over the collated key (map-side
+    * combined) reduces the table to its O(NDV) distinct-key relation;
+    * the running-total divider then walks that small relation in collated
+    * order — the same driver-side histogram-bucket merge the reference
+    * runs (`data_compare_divider.go:41-201`), here a window over O(NDV)
+    * rows, not O(rows). Bounds are emitted as the case-folded boundary
+    * text (deterministic on both engines for a case-insensitive collation).
+    *
+    * Returns one row per chunk: chunk_id, lower_bound, upper_bound,
+    * n_rows, n_keys.
+    */
+  def collatedPlan(
+      df: DataFrame,
+      key: String,
+      nChunks: Int,
+      collation: String = "UTF8_LCASE"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .groupBy(expr(s"collate($key, '$collation')").as("kc"))
+      .agg(count(lit(1)).as("cnt"), min(col(key)).as("k_repr"))
+      .select(lower(col("k_repr")).as("kl"), col("cnt"))
+    // The divider walks the distinct-key relation (O(NDV) rows — the
+    // reference's histogram metadata), so the single-partition window is
+    // over sketch-sized data, not the table.
+    val w    = Window.orderBy("kl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot  = Window.partitionBy()
+    grouped
+      .withColumn("cumb", sum("cnt").over(w) - col("cnt"))
+      .withColumn("total", sum("cnt").over(tot))
+      .withColumn("chunk_id", expr(s"CAST((cumb * $nChunks) div total AS INT)"))
+      .groupBy("chunk_id")
+      .agg(
+        min(col("kl")).as("lower_bound"),
+        max(col("kl")).as("upper_bound"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+  }
 }

@@ -52,6 +52,44 @@ object PipelineQueries {
         .orderBy("segment")
     },
 
+    // Collation-aware chunk-range planning (the reference's NLSSORT range
+    // predicates, utils/structure/chunk.go:80-96): equi-depth chunk bounds
+    // over a mixed-case string key computed under a case-insensitive
+    // collation, so case variants of one key can never straddle a chunk
+    // boundary. One collated count aggregate reduces the table to its
+    // O(NDV) distinct-key relation; the running-total divider windows over
+    // that sketch-sized relation only (the reference's driver-side
+    // histogram-bucket merge, data_compare_divider.go:41-201). Oracle
+    // folds case with lower() — identical ordering for ASCII keys.
+    QueryDef.sql(
+      "q595_collated_chunks",
+      """WITH m AS (SELECT CASE WHEN c_custkey % 3 = 0
+        |      THEN lower(c_mktsegment) || '_' || CAST(c_custkey % 50 AS VARCHAR)
+        |    WHEN c_custkey % 3 = 1
+        |      THEN c_mktsegment || '_' || CAST(c_custkey % 50 AS VARCHAR)
+        |    ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        |         || '_' || CAST(c_custkey % 50 AS VARCHAR)
+        |    END AS k
+        |  FROM customer),
+        |g AS (SELECT lower(k) AS kl, COUNT(*) AS cnt FROM m GROUP BY 1),
+        |c AS (SELECT kl, cnt,
+        |    SUM(cnt) OVER (ORDER BY kl ROWS UNBOUNDED PRECEDING) - cnt AS cumb,
+        |    SUM(cnt) OVER () AS total FROM g)
+        |SELECT CAST((cumb * 8) // total AS INT) AS chunk_id,
+        |  min(kl) AS lower_bound, max(kl) AS upper_bound,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.ChunkPlanner
+      val keyed = Tables(s, dir).customer.select(
+        concat(
+          when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+            .when(col("c_custkey") % 3 === 1, col("c_mktsegment"))
+            .otherwise(initcap(lower(col("c_mktsegment")))),
+          lit("_"), (col("c_custkey") % 50).cast("string")).as("k"))
+      ChunkPlanner.collatedPlan(keyed, "k", nChunks = 8)
+        .orderBy("chunk_id")
+    },
+
     // Paragraph-granularity exact dedup: documents are chunked into
     // fixed-width word windows ("paragraphs"), exploded, and counted
     // globally — the repeated-boilerplate screen that runs before

@@ -688,6 +688,38 @@ object ScaleCheck {
       println(f"""{"scenario":"charset_convert","rows":$nTxt,"sec":$ccSec%.2f,""" +
         f""""rows_per_sec":${(nTxt / ccSec).toLong}}""")
     }
+
+    // ---- collated_chunks: collation-aware equi-depth divider at 2n rows ----
+    // 2n rows over 100k case-insensitive keys, each spelled in 3 case
+    // variants. Closed-form validation: chunks cover all rows, the collated
+    // NDV is exact (no case-variant group splits across chunks), bounds are
+    // disjoint. The divider windows over the O(NDV) distinct-key relation
+    // only — the table-sized work is the single count aggregate.
+    {
+      val nKeys = 100000L
+      val t103 = System.nanoTime()
+      val keyed = spark.range(2 * n).select(
+        concat(
+          when(col("id") % 3 === 0, lit("key_"))
+            .when(col("id") % 3 === 1, lit("KEY_"))
+            .otherwise(lit("Key_")),
+          lpad((col("id") % nKeys).cast("string"), 6, "0")).as("k"))
+      val planRows = graft.operators.ChunkPlanner.collatedPlan(keyed, "k", 64).collect()
+      val t104 = System.nanoTime()
+      val rowsSum = planRows.map(_.getAs[Long]("n_rows")).sum
+      val keysSum = planRows.map(_.getAs[Long]("n_keys")).sum
+      val sortedB = planRows.sortBy(_.getAs[Int]("chunk_id"))
+      val disjoint = sortedB.sliding(2).forall {
+        case Array(a, b) => a.getAs[String]("upper_bound") < b.getAs[String]("lower_bound")
+        case _           => true
+      }
+      require(rowsSum == 2 * n && keysSum == nKeys && disjoint,
+        s"collated chunk drift: rows=$rowsSum keys=$keysSum disjoint=$disjoint")
+      val ckSec = (t104 - t103) / 1e9
+      println(f"""{"scenario":"collated_chunks","rows":${2 * n},"ndv":$nKeys,""" +
+        f""""chunks":${planRows.length},"sec":$ckSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / ckSec).toLong}}""")
+    }
     spark.stop()
   }
 }

@@ -52,4 +52,32 @@ class ChunkPlannerSpec extends SparkSpec {
     // all-bounds-equal ⇒ empty range (1=0 case)
     assert(df.where(ChunkPlanner.lexRange(keys, Seq(lit(2), lit(1)), Seq(lit(2), lit(1)))).count() == 0)
   }
+
+  test("collated chunks never split case variants and partition all rows (chunk.go:80-96)") {
+    import spark.implicits._
+    // 26 case-insensitive keys × 3 case variants, skewed counts
+    val rows = for {
+      i <- 0 until 26
+      v <- 0 until 3
+      _ <- 0 to (i % 5)
+    } yield (v match {
+      case 0 => s"key_${('a' + i).toChar}"
+      case 1 => s"KEY_${('A' + i).toChar}"
+      case _ => s"Key_${('a' + i).toChar}"
+    })
+    val df = rows.toDF("k")
+    val plan = ChunkPlanner.collatedPlan(df, "k", nChunks = 4).collect()
+    // covering: chunk row counts sum to the table
+    assert(plan.map(_.getAs[Long]("n_rows")).sum == rows.size)
+    // collation guarantee: distinct collated keys across chunks sum to the
+    // global collated NDV — no case-variant group straddles a boundary
+    assert(plan.map(_.getAs[Long]("n_keys")).sum == 26)
+    // bounds are disjoint and ordered: chunk i's upper < chunk i+1's lower
+    val sorted = plan.sortBy(_.getAs[Int]("chunk_id"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("upper_bound") < b.getAs[String]("lower_bound"))
+      case _ =>
+    }
+  }
 }
