@@ -51,7 +51,9 @@ object Bench {
     // round-4-continuation representatives (LOF kNN, winnowing, 2-pass median)
     "q470_lof", "q491_winnowing", "q492_twopass_median",
     // round-5 additions (Lloyd k-means IVF map, charset conversion leg)
-    "q576_kmeans_ivf", "q572_charset_convert")
+    "q576_kmeans_ivf", "q572_charset_convert",
+    // round-6 representative (collation-aware chunk divider)
+    "q595_collated_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
