@@ -51,4 +51,33 @@ class ChunkPlannerPropertySpec extends SparkSpec {
       assert(fwd >= 0 && fwd < (1L << 32))
     }
   }
+
+  test("property: collated chunks cover rows, preserve collated NDV, keep bounds disjoint") {
+    val genCase = for {
+      base   <- Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+      reps   <- Gen.chooseNum(1, 4)
+      n      <- Gen.chooseNum(2, 9)
+    } yield (base, reps, n)
+    samples(genCase, 10).foreach { case (base, reps, n) =>
+      import spark.implicits._
+      // spell each base key in several case variants, repeated
+      val rows = for {
+        k <- base; r <- 0 until reps
+        v <- Seq(k, k.toUpperCase, k.capitalize)
+      } yield v + "_" + (r % 2)
+      val df = rows.toDF("k")
+      val plan = ChunkPlanner.collatedPlan(df, "k", n).collect()
+      val ndv = rows.map(_.toLowerCase).distinct.size
+      assert(plan.map(_.getAs[Long]("n_rows")).sum == rows.size,
+        s"rows covered (n=$n, base=${base.size})")
+      assert(plan.map(_.getAs[Long]("n_keys")).sum == ndv,
+        s"collated NDV preserved — no case-variant group split (n=$n)")
+      val sorted = plan.sortBy(_.getAs[Int]("chunk_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("upper_bound") < b.getAs[String]("lower_bound"))
+        case _ =>
+      }
+    }
+  }
 }
