@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,7 +44,8 @@ final class PartitionedLogSource extends TableProvider {
     PartitionedLogSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new PartitionedLogTable(properties.get("path"))
+    new PartitionedLogTable(properties.get("path"),
+      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong))
 }
 
 object PartitionedLogSource {
@@ -71,7 +72,8 @@ object PartitionedLogSource {
   }
 }
 
-final class PartitionedLogTable(dir: String) extends Table with SupportsRead {
+final class PartitionedLogTable(dir: String, maxRecords: Option[Long])
+  extends Table with SupportsRead {
   require(dir != null, "path option is required")
   override def name(): String = s"partitioned_log($dir)"
   override def schema(): StructType = PartitionedLogSource.Schema
@@ -82,7 +84,7 @@ final class PartitionedLogTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PartitionedLogSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PartitionedLogStream(dir)
+          new PartitionedLogStream(dir, maxRecords)
         override def description(): String = s"partitioned_log($dir)"
       }
     }
@@ -106,11 +108,49 @@ object LogOffsets {
   }
 }
 
-final class PartitionedLogStream(dir: String) extends MicroBatchStream {
+final class PartitionedLogStream(dir: String, maxRecords: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
   import PartitionedLogSource._
 
-  override def latestOffset(): Offset =
-    LogOffsets(partitionFiles(dir).map { case (p, f) => p -> lineCount(f) }.toMap)
+  private def available(): Map[Int, Long] =
+    partitionFiles(dir).map { case (p, f) => p -> lineCount(f) }.toMap
+
+  override def latestOffset(): Offset = LogOffsets(available())
+
+  /** Bounded micro-batches — the Kafka source's maxOffsetsPerTrigger.
+    * The cap is split across partitions proportionally to their backlog
+    * (largest-remainder rounding, ties to the lower partition id), so a
+    * deep partition cannot starve shallow ones and batch size stays
+    * bounded no matter how far behind the stream starts — the property
+    * that makes catch-up over a large backlog feasible.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecords.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = available()
+    val s     = start.asInstanceOf[LogOffsets].counts
+    limit match {
+      case mr: ReadMaxRows =>
+        val cap     = mr.maxRows()
+        val backlog = avail.map { case (p, eo) => p -> math.max(0L, eo - s.getOrElse(p, 0L)) }
+        val total   = backlog.values.sum
+        if (total <= cap) LogOffsets(avail)
+        else {
+          val base = backlog.map { case (p, b) => p -> cap * b / total }
+          var rem  = cap - base.values.sum
+          val order = backlog.toSeq
+            .map { case (p, b) => (p, cap * b % total) }
+            .sortBy { case (p, frac) => (-frac, p) }
+          val bumped = scala.collection.mutable.Map(base.toSeq: _*)
+          for ((p, _) <- order if rem > 0 && bumped(p) < backlog(p)) {
+            bumped(p) += 1; rem -= 1
+          }
+          LogOffsets(bumped.map { case (p, share) => p -> (s.getOrElse(p, 0L) + share) }.toMap)
+        }
+      case _ => LogOffsets(avail)
+    }
+  }
 
   override def initialOffset(): Offset =
     LogOffsets(partitionFiles(dir).map { case (p, _) => p -> 0L }.toMap)

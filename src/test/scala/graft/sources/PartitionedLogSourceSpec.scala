@@ -86,6 +86,28 @@ class PartitionedLogSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("maxRecordsPerTrigger bounds every micro-batch during catch-up") {
+    val dir  = Files.createTempDirectory("plog_cap").toString
+    val ckpt = Files.createTempDirectory("plog_cap_ckpt").toString
+    append(dir, 0, (0 until 5).map(i => event(0, 100 + i, i)))
+    append(dir, 1, (0 until 3).map(i => event(1, 200 + i, 10 + i)))
+    append(dir, 2, (0 until 4).map(i => event(2, 300 + i, 20 + i)))
+
+    val batchSizes = new ConcurrentLinkedQueue[Integer]()
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("maxRecordsPerTrigger", "5").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count().toInt); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val sizes = batchSizes.toArray(Array.empty[Integer]).map(_.intValue).filter(_ > 0)
+    assert(sizes.sum == 12, s"catch-up must consume the full backlog, got ${sizes.toSeq}")
+    assert(sizes.forall(_ <= 5), s"every batch must respect the cap, got ${sizes.toSeq}")
+    assert(sizes.length >= 3, s"a 12-row backlog at cap 5 needs >= 3 batches, got ${sizes.toSeq}")
+  }
+
   test("offset json round-trips") {
     val o = LogOffsets(Map(2 -> 7L, 0 -> 12L))
     assert(o.json() == """{"0":12,"2":7}""")
