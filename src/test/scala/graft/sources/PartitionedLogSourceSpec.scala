@@ -108,6 +108,33 @@ class PartitionedLogSourceSpec extends SparkSpec {
     assert(sizes.length >= 3, s"a 12-row backlog at cap 5 needs >= 3 batches, got ${sizes.toSeq}")
   }
 
+  test("e2e: DSv2 source -> decode -> resolved-ts flush (pipeline unchanged)") {
+    val dir  = Files.createTempDirectory("plog_e2e").toString
+    val ckpt = Files.createTempDirectory("plog_e2e_ckpt").toString
+    def resolved(p: Int, ts: Long): String =
+      s"""{"schemaName":"s","tableName":"t","queryType":"RESOLVED","commitTs":$ts,""" +
+        s""""partition":$p,"uniqKeys":{},"columns":{},"ddlQuery":""}"""
+    // DML at ts 3,9 then a resolved(5) watermark: only ts=3 may flush
+    append(dir, 0, Seq(event(0, 3, 1), event(0, 9, 2), resolved(0, 5)))
+
+    val flushed = new ConcurrentLinkedQueue[java.lang.Long]()
+    val raw = spark.readStream.format(fmt).option("path", dir).load()
+    val q = graft.streaming.CdcPipeline
+      .resolvedFlushStream(spark, ChangeEvent.decode(spark, raw))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.CdcPipeline.FlushedEvent], _: Long) =>
+        batch.collect().foreach(f => flushed.add(java.lang.Long.valueOf(f.event.commitTs))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(flushed.toArray.map(_.asInstanceOf[java.lang.Long].longValue).toSeq == Seq(3L),
+      "exact watermark: ts=3 flushes at resolved(5), ts=9 stays buffered")
+    // advancing the watermark in a later file append flushes the buffer
+    append(dir, 0, Seq(resolved(0, 10)))
+    q.processAllAvailable(); q.stop()
+    assert(flushed.toArray.map(_.asInstanceOf[java.lang.Long].longValue).toSeq.sorted == Seq(3L, 9L))
+  }
+
   test("offset json round-trips") {
     val o = LogOffsets(Map(2 -> 7L, 0 -> 12L))
     assert(o.json() == """{"0":12,"2":7}""")
