@@ -1,11 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-
 import graft.core.Graft
+import graft.sources.PartitionedLogSource
 
-/** Runnable end-to-end CDC drive: JSON events → decode → resolved-ts
-  * flush (Structured Streaming) → DDL-barrier split → idempotent apply.
+/** Runnable end-to-end CDC drive: per-partition JSON logs → DSv2
+  * partitioned log source (one task per topic partition — the Kafka
+  * consume contract, SANDBOX.md §1) → decode → resolved-ts flush
+  * (Structured Streaming) → DDL-barrier split → idempotent apply.
   * `sbt "runMain graft.streaming.CdcDemo"` prints the flushed stream and
   * the target table state after replaying the same batch twice.
   */
@@ -25,11 +26,18 @@ object CdcDemo {
       """{"schemaName":"db","tableName":"t","queryType":"DELETE","commitTs":7,"partition":1,"uniqKeys":{"id":"k2"},"columns":{"id":"k2"},"ddlQuery":""}""",
       """{"schemaName":"db","tableName":"t","queryType":"RESOLVED","commitTs":9,"partition":0,"uniqKeys":{},"columns":{},"ddlQuery":""}""")
 
-    val input = MemoryStream[String]
-    val events = ChangeEvent.decode(spark, input.toDS().toDF("value"))
+    // stand-in broker: the event's partition field routes it to its
+    // per-partition append-only log, consumed partition-parallel
+    val dir = java.nio.file.Files.createTempDirectory("cdc_demo_log").toString
+    raw.groupBy(l => if (l.contains("\"partition\":1")) 1 else 0).foreach { case (p, lines) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"partition-$p.jsonl"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val rawStream = spark.readStream
+      .format(classOf[PartitionedLogSource].getName).option("path", dir).load()
+    val events = ChangeEvent.decode(spark, rawStream)
     val q = CdcPipeline.resolvedFlushStream(spark, events)
       .writeStream.format("memory").queryName("flushed").outputMode("append").start()
-    input.addData(raw)
     q.processAllAvailable()
     q.stop()
 
