@@ -73,7 +73,11 @@ object Dedup {
   def lshBands(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { bIdx =>
-      val lanes = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
+      // cast defensively: on an INT lane, shiftleft(_, 32) would be a
+      // silent no-op (Java shifts wrap mod the width) and the bucket key
+      // would degrade to a collision-prone plain XOR
+      val lanes = (0 until rowsPerBand)
+        .map(r => col(s"m${bIdx * rowsPerBand + r}").cast("long"))
       // (k0 << 32) ^ k1 packs two 32-bit lanes injectively into one long
       // (shifts don't throw under ANSI). Only exact for rowsPerBand ≤ 2 —
       // more lanes would shift the first out of the word.
@@ -84,16 +88,41 @@ object Dedup {
     bands.reduce(_ unionAll _)
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
-  def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    *
+    * `maxBucket` is the 100 TB safety valve: a degenerate bucket of B
+    * docs (empty pages, shared boilerplate — common in web corpora)
+    * makes the self-join emit B²/2 pairs, the one quadratic bomb in an
+    * otherwise collision-bounded plan. With a cap, oversized buckets
+    * emit hub-star edges instead (min doc_id → each member, B−1 rows):
+    * pair volume turns linear while every member stays connected to the
+    * bucket's cluster, which is exactly what the downstream
+    * connected-components clustering needs — and Jaccard verification
+    * still screens each star edge. Default None preserves the exact
+    * all-pairs semantics.
+    */
+  def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame = {
     // the band union references the signature relation 2·bands times —
     // cache it or the whole shingle→md5→min pipeline recomputes per branch
     val bands = lshBands(sig.cache(), numHashes, rowsPerBand)
-    bands.as("x").join(bands.as("y"),
+    def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    maxBucket match {
+      case None => allPairs(bands).distinct()
+      case Some(cap) =>
+        // one aggregate sizes every bucket and picks its hub; the size
+        // rides back as a column so the split is a filter, not a rescan
+        val stats = bands.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
+        val sized = bands.join(stats, Seq("band", "bucket"))
+        val dense = allPairs(sized.where(col("bsz") <= cap).select("doc_id", "band", "bucket"))
+        val star = sized.where(col("bsz") > cap && col("doc_id") =!= col("hub"))
+          .select(col("hub").as("d1"), col("doc_id").as("d2"))
+        dense.unionAll(star).distinct()
+    }
   }
 
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
