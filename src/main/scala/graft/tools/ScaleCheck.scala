@@ -87,6 +87,38 @@ object ScaleCheck {
       f""""signature_sec":${(t7 - t6) / 1e9}%.2f,"candidates_sec":${(t8 - t7) / 1e9}%.2f,""" +
       f""""sig_docs_per_sec":${(nSig / ((t7 - t6) / 1e9)).toLong}}""")
 
+    // ---- lsh_hot_bucket: the degenerate-bucket valve at nDocs scale ----
+    // 1% of the corpus shares ONE identical text (the boilerplate page):
+    // uncapped, that bucket alone emits (nDocs/100)²/2 pairs per band
+    // (~2×10⁸ at 1M docs); capped, it emits hub-star edges. Closed-form:
+    // capped pairs from the planted bucket = B−1, and the star keeps the
+    // whole block in one connected component.
+    {
+      val hotB = nDocs / 100
+      val hotDocs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(col("id") < hotB, lit("the same boilerplate page text body"))
+          .otherwise(concat_ws(" ",
+            (0 until 12).map(i =>
+              concat(lit(s"u${i}_"), pmod(col("id") * 31 + lit(i), lit(999983)))): _*))
+          .as("text"))
+      val t8b = System.nanoTime()
+      val capped = graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.minhashSignatures(hotDocs, "doc_id", "text"),
+        maxBucket = Some(64))
+      val hotPairs = capped.where(col("d1") < hotB && col("d2") < hotB).count()
+      val allPairs = capped.count()
+      val t8c = System.nanoTime()
+      require(hotPairs == hotB - 1,
+        s"planted bucket must emit exactly B-1 star edges, got $hotPairs vs ${hotB - 1}")
+      require(allPairs < 2L * hotB,
+        s"capped candidate volume must stay linear, got $allPairs")
+      val hbSec = (t8c - t8b) / 1e9
+      println(f"""{"scenario":"lsh_hot_bucket","docs":$nDocs,"bucket_depth":$hotB,""" +
+        f""""uncapped_bucket_pairs":${hotB * (hotB - 1) / 2},"capped_pairs":$allPairs,""" +
+        f""""sec":$hbSec%.2f}""")
+    }
+
     // native top-k-per-group vs the window row_number filter at scale:
     // 1000 groups over 2n rows, k=5, unique ordering key. The native
     // operator's partial phase caps the exchange at k rows per group per
