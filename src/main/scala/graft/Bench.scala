@@ -65,7 +65,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: r6's stdout tail was flooded by WindowExec WARNs,
+    // crowding the JSON line out of the driver's ~2 KB tail capture window
+    spark.sparkContext.setLogLevel("ERROR")
     Graft.configure(spark)
 
     // Warm-up (not timed): JIT + codegen + parquet footers + FS metadata,
@@ -79,29 +81,45 @@ object Bench {
     val names =
       if (benchAll) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
+    // Self-defense against ambient host load (BENCH_r06 read a 2.6x
+    // "regression" that was contention noise): each query runs REPS
+    // times and the per-query MINIMUM is reported — a floor estimate is
+    // robust to one-sided noise, a single sample is not. A query that
+    // throws on every rep is recorded as the explicit marker -1 (never
+    // a timing), so a broken query can't masquerade as a fast one.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query caches OUTSIDE the timed window: each query is
-      // measured cold-cache (its own cache population is inside its own
-      // timing), and storage doesn't accumulate across the suite
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      val samples = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query caches OUTSIDE the timed window: each rep is
+        // measured cold-cache (its own cache population is inside its own
+        // timing), and storage doesn't accumulate across the suite
+        spark.sharedState.cacheManager.clearCache()
+        if (ok) Some(dt) else None
+      }
+      name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
     // 2-decimal rounding + qNNN-prefix keys keep the line compact: the
     // driver captures only ~2000 chars of stdout tail, and 73 full names
     // ≈ 1.9 KB sat one entry away from the truncation that nulled the
-    // r1-r3 benches. The prefix is unique per query (q1, q94, q576, …).
+    // r1-r3 benches. The prefix is unique per query (q1, q94, q576, …)
+    // — guarded below so a future duplicate can't silently drop a key.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val keys = results.map(_._1.takeWhile(_ != '_'))
+    require(keys.size == keys.distinct.size,
+      s"duplicate bench key prefixes: ${keys.diff(keys.distinct).distinct.mkString(",")}")
+    val qs = keys.zip(results.map(_._2)).map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else f2(v))
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     // leading println guarantees the JSON starts at column 0 even if a
     // logger left an unterminated line on stdout
     println()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,21 +112,44 @@ object ChunkPlanner {
       df: DataFrame,
       key: String,
       nChunks: Int,
-      collation: String = "UTF8_LCASE"): DataFrame = {
+      collation: String = "UTF8_LCASE",
+      ndvGuard: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = df
       .groupBy(expr(s"collate($key, '$collation')").as("kc"))
       .agg(count(lit(1)).as("cnt"), min(col(key)).as("k_repr"))
       .select(lower(col("k_repr")).as("kl"), col("cnt"))
-    // The divider walks the distinct-key relation (O(NDV) rows — the
-    // reference's histogram metadata), so the single-partition window is
-    // over sketch-sized data, not the table.
-    val w    = Window.orderBy("kl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot  = Window.partitionBy()
-    grouped
-      .withColumn("cumb", sum("cnt").over(w) - col("cnt"))
-      .withColumn("total", sum("cnt").over(tot))
-      .withColumn("chunk_id", expr(s"CAST((cumb * $nChunks) div total AS INT)"))
+      // Rare case-fold collisions (two collation-distinct groups whose
+      // lower() text coincides, e.g. locale-special casings) merge here so
+      // kl is unique — bounds stay unambiguous and the distributed divider
+      // below is exact (Ranks requires unique order keys).
+      .groupBy("kl").agg(sum("cnt").as("cnt"))
+    // NDV gate (one map-side-combined sketch pass): the reference's usual
+    // chunk keys are PK/UK indexes (database/oracle/data_compare.go:192-244)
+    // where NDV ≈ rows — a single-partition divider window over that
+    // relation would be a full-table one-task sort. Below the guard the
+    // distinct-key relation is sketch-sized (the reference's histogram
+    // metadata) and the exact window is cheapest; above it the divider
+    // switches to the distributed range-shuffle prefix sum (Ranks), where
+    // no task ever holds more than one range partition.
+    val ndv = df.agg(approx_count_distinct(lower(col(key)))).head().getLong(0)
+    val withChunk =
+      if (ndv <= ndvGuard) {
+        val w   = Window.orderBy("kl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        grouped
+          .withColumn("cumb", sum("cnt").over(w) - col("cnt"))
+          .withColumn("total", sum("cnt").over(tot))
+          .withColumn("chunk_id", expr(s"CAST((cumb * $nChunks) div total AS INT)"))
+      } else {
+        val (cum, total0) =
+          Ranks.withRunningTotalAndTotal(grouped, Seq("kl"), col("cnt"), out = "cum")
+        val total = math.max(total0, 1L)
+        cum
+          .withColumn("cumb", col("cum") - col("cnt"))
+          .withColumn("chunk_id", expr(s"CAST((cumb * $nChunks) div ${total}L AS INT)"))
+      }
+    withChunk
       .groupBy("chunk_id")
       .agg(
         min(col("kl")).as("lower_bound"),

@@ -73,7 +73,15 @@ object Ranks {
     * is unique (same caveat as withGlobalRank).
     */
   def withRunningTotal(df: DataFrame, keys: Seq[String], value: Column,
-      out: String = "running", parts: Int = 32): DataFrame = {
+      out: String = "running", parts: Int = 32): DataFrame =
+    withRunningTotalAndTotal(df, keys, value, out, parts)._1
+
+  /** As [[withRunningTotal]], also returning the grand total of `value` —
+    * free metadata from the per-partition sums, saving callers (e.g. the
+    * collated chunk divider) a separate full aggregation.
+    */
+  def withRunningTotalAndTotal(df: DataFrame, keys: Seq[String], value: Column,
+      out: String = "running", parts: Int = 32): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
     val staged = df
@@ -98,7 +106,7 @@ object Ranks {
       .drop("__v", "__pid")
       .localCheckpoint(true) // see withGlobalRankAndTotal: release the cache
     staged.unpersist(false)
-    result
+    (result, sums.values.sum)
   }
 
   /** Distributed EXCLUSIVE prefix minimum of `value` in global `keys`

@@ -752,6 +752,42 @@ object ScaleCheck {
         f""""chunks":${planRows.length},"sec":$ckSec%.2f,""" +
         f""""rows_per_sec":${(2 * n / ckSec).toLong}}""")
     }
+
+    // ---- collated_chunks_unique: the NDV-guard scale path ----
+    // A UNIQUE collated key (NDV = rows, the reference's usual PK/UK chunk
+    // key) at 2n rows. Above the guard the divider must take the
+    // distributed range-shuffle prefix sum — the plan is asserted to
+    // contain NO unpartitioned window (the single-task sort that a naive
+    // divider would plan here). Closed-form validation as above.
+    {
+      val t105 = System.nanoTime()
+      val keyed = spark.range(2 * n).select(
+        concat(
+          when(col("id") % 2 === 0, lit("pk_")).otherwise(lit("PK_")),
+          lpad(col("id").cast("string"), 9, "0")).as("k"))
+      val planDf = graft.operators.ChunkPlanner.collatedPlan(keyed, "k", 64)
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val globalWindows = planDf.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      val planRows = planDf.collect()
+      val t106 = System.nanoTime()
+      val rowsSum = planRows.map(_.getAs[Long]("n_rows")).sum
+      val keysSum = planRows.map(_.getAs[Long]("n_keys")).sum
+      val sortedB = planRows.sortBy(_.getAs[Int]("chunk_id"))
+      val disjoint = sortedB.sliding(2).forall {
+        case Array(a, b) => a.getAs[String]("upper_bound") < b.getAs[String]("lower_bound")
+        case _           => true
+      }
+      require(globalWindows.isEmpty,
+        s"unique-key divider planned an unpartitioned window: $globalWindows")
+      require(rowsSum == 2 * n && keysSum == 2 * n && disjoint,
+        s"unique collated chunk drift: rows=$rowsSum keys=$keysSum disjoint=$disjoint")
+      val cuSec = (t106 - t105) / 1e9
+      println(f"""{"scenario":"collated_chunks_unique","rows":${2 * n},""" +
+        f""""chunks":${planRows.length},"sec":$cuSec%.2f,""" +
+        f""""rows_per_sec":${(2 * n / cuSec).toLong}}""")
+    }
     spark.stop()
   }
 }

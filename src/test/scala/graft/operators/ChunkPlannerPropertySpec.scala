@@ -80,4 +80,40 @@ class ChunkPlannerPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: distributed divider (ndvGuard=0) matches the exact window path") {
+    val genCase = for {
+      base <- Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+      reps <- Gen.chooseNum(1, 4)
+      n    <- Gen.chooseNum(2, 9)
+    } yield (base, reps, n)
+    samples(genCase, 8).foreach { case (base, reps, n) =>
+      import spark.implicits._
+      val rows = for {
+        k <- base; r <- 0 until reps
+        v <- Seq(k, k.toUpperCase, k.capitalize)
+      } yield v + "_" + (r % 2)
+      val df = rows.toDF("k")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Int]("chunk_id"), r.getAs[String]("lower_bound"),
+          r.getAs[String]("upper_bound"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+      val exact = ChunkPlanner.collatedPlan(df, "k", n).collect().map(key).sortBy(_._1)
+      val dist  = ChunkPlanner.collatedPlan(df, "k", n, ndvGuard = 0L).collect().map(key).sortBy(_._1)
+      assert(exact.toSeq == dist.toSeq, s"path divergence (n=$n, base=${base.size})")
+    }
+  }
+
+  test("distributed divider plans no unpartitioned window") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => f"Key_$i%05d").toDF("k")
+    val plan = ChunkPlanner.collatedPlan(df, "k", 8, ndvGuard = 0L)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val global = plan.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "collated divider above the NDV guard must never " +
+      s"plan a single-partition window; found: ${global.mkString(";")}")
+    // and it still partitions the rows exactly once
+    assert(plan.collect().map(_.getAs[Long]("n_rows")).sum == 5000L)
+  }
 }
