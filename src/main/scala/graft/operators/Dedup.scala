@@ -104,24 +104,34 @@ object Dedup {
   def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Option[Int] = None): DataFrame = {
     // the band union references the signature relation 2·bands times —
-    // cache it or the whole shingle→md5→min pipeline recomputes per branch
-    val bands = lshBands(sig.cache(), numHashes, rowsPerBand)
-    def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    maxBucket match {
-      case None => allPairs(bands).distinct()
-      case Some(cap) =>
-        // one aggregate sizes every bucket and picks its hub; the size
-        // rides back as a column so the split is a filter, not a rescan
-        val stats = bands.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
-        val sized = bands.join(stats, Seq("band", "bucket"))
-        val dense = allPairs(sized.where(col("bsz") <= cap).select("doc_id", "band", "bucket"))
-        val star = sized.where(col("bsz") > cap && col("doc_id") =!= col("hub"))
-          .select(col("hub").as("d1"), col("doc_id").as("d2"))
-        dense.unionAll(star).distinct()
+    // cache it or the whole shingle→md5→min pipeline recomputes per branch.
+    // Call-scoped cache contract (the kmeansAssignments pattern): the
+    // result is materialized under the cache by an eager localCheckpoint,
+    // then the cache is released in a finally — library callers outside
+    // Bench/Verify don't leak the shingle→md5→min relation for the session.
+    val cached = sig.cache()
+    try {
+      val bands = lshBands(cached, numHashes, rowsPerBand)
+      def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val pairs = maxBucket match {
+        case None => allPairs(bands).distinct()
+        case Some(cap) =>
+          // one aggregate sizes every bucket and picks its hub; the size
+          // rides back as a column so the split is a filter, not a rescan
+          val stats = bands.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
+          val sized = bands.join(stats, Seq("band", "bucket"))
+          val dense = allPairs(sized.where(col("bsz") <= cap).select("doc_id", "band", "bucket"))
+          val star = sized.where(col("bsz") > cap && col("doc_id") =!= col("hub"))
+            .select(col("hub").as("d1"), col("doc_id").as("d2"))
+          dense.unionAll(star).distinct()
+      }
+      pairs.localCheckpoint(true)
+    } finally {
+      cached.unpersist(false)
     }
   }
 

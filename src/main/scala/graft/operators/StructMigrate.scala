@@ -20,9 +20,12 @@ object StructMigrate {
 
   /** Oracle→MySQL-compatible type mapping as a Column expression over
     * (data_type, data_precision, data_scale). Mirrors the NUMBER ladder
-    * and character/temporal/LOB rules of `database/mapping/oracle.go:64-160`:
-    * NUMBER(p,s>0)→DECIMAL(p,s); NUMBER(p,0): p<3→TINYINT, <5→SMALLINT,
-    * <9→INT, <19→BIGINT, else DECIMAL(p,0); bare NUMBER→DECIMAL(65,30)
+    * and character/temporal/LOB rules of `database/mapping/oracle.go:64-260`:
+    * NUMBER(p,s>0): s<p→DECIMAL(p,min(s,30)) but p=38 widens to 65;
+    * s>=p→DECIMAL(65,min(s,30)); NUMBER(p,s<=0): effective precision
+    * p-s drives the ladder — <3→TINYINT, <5→SMALLINT, <9→INT,
+    * <19→BIGINT, <=38→DECIMAL(p-s,0), else DECIMAL(65,0); bare
+    * NUMBER→DECIMAL(65,30)
     * (MySQL decimal cap 65,30); VARCHAR2(n)→VARCHAR(n); CHAR(n>255)→
     * VARCHAR(n); CLOB→LONGTEXT; BLOB→LONGBLOB; RAW(n)→VARBINARY(n);
     * DATE→DATETIME; TIMESTAMP(s)→DATETIME(min(s,6)); FLOAT/BINARY_DOUBLE→
@@ -31,14 +34,22 @@ object StructMigrate {
   def mapOracleType(dt: Column, p: Column, s: Column): Column = {
     val precision = coalesce(p, lit(-1L))
     val scale     = coalesce(s, lit(0L))
+    // scale<=0 folds |scale| into the integer ladder's effective precision
+    // (oracle.go:131-134: NUMBER(5,-2) holds significant digits ≤ p+|s|)
+    val effP = precision - scale
     when(dt === "NUMBER" && precision === -1L, lit("DECIMAL(65,30)"))
+      // s>=p (NUMBER(3,5)) and p=38 both widen to DECIMAL(65, min(s,30))
+      // (oracle.go:75-127) — integer digits would otherwise be lost
+      .when(dt === "NUMBER" && scale > 0L && (scale >= precision || precision === 38L),
+        concat(lit("DECIMAL(65,"), least(scale, lit(30L)), lit(")")))
       .when(dt === "NUMBER" && scale > 0L,
-        concat(lit("DECIMAL("), least(precision, lit(65L)), lit(","), least(scale, lit(30L)), lit(")")))
-      .when(dt === "NUMBER" && precision < 3L, lit("TINYINT"))
-      .when(dt === "NUMBER" && precision < 5L, lit("SMALLINT"))
-      .when(dt === "NUMBER" && precision < 9L, lit("INT"))
-      .when(dt === "NUMBER" && precision < 19L, lit("BIGINT"))
-      .when(dt === "NUMBER", concat(lit("DECIMAL("), precision, lit(",0)")))
+        concat(lit("DECIMAL("), precision, lit(","), least(scale, lit(30L)), lit(")")))
+      .when(dt === "NUMBER" && effP < 3L, lit("TINYINT"))
+      .when(dt === "NUMBER" && effP < 5L, lit("SMALLINT"))
+      .when(dt === "NUMBER" && effP < 9L, lit("INT"))
+      .when(dt === "NUMBER" && effP < 19L, lit("BIGINT"))
+      .when(dt === "NUMBER" && effP <= 38L, concat(lit("DECIMAL("), effP, lit(",0)")))
+      .when(dt === "NUMBER", lit("DECIMAL(65,0)"))
       .when(dt === "VARCHAR2" || dt === "NVARCHAR2", concat(lit("VARCHAR("), precision, lit(")")))
       .when(dt === "CHAR" && precision > 255L, concat(lit("VARCHAR("), precision, lit(")")))
       .when(dt === "CHAR", concat(lit("CHAR("), precision, lit(")")))

@@ -71,20 +71,32 @@ object TypeMap {
         // NUMBER ladder (oracle.go:64-120): integer tiers for scale 0 with
         // known precision (O2M); O2T sends every NUMBER to DECIMAL for
         // TiDB join-performance parity (O2TNumberDatatypeNameMap comment)
+        // scale<=0 folds |scale| into the effective precision
+        // (oracle.go:131-134); s>=p and p=38 widen to DECIMAL(65,·) so
+        // integer digits aren't lost (oracle.go:75-127)
+        val effP = p - s
         val numberMapped =
           if (direction == "O2T")
             when(p === -1L, lit("DECIMAL(65,30)"))
-              .otherwise(concat(lit("DECIMAL("), least(greatest(p, lit(1L)), lit(65L)),
-                lit(","), least(greatest(s, lit(0L)), lit(30L)), lit(")")))
-          else
-            when(p === -1L, lit("DECIMAL(65,30)"))
+              .when(s > 0L && (s >= p || p === 38L),
+                concat(lit("DECIMAL(65,"), least(s, lit(30L)), lit(")")))
               .when(s > 0L, concat(lit("DECIMAL("), least(p, lit(65L)),
                 lit(","), least(s, lit(30L)), lit(")")))
-              .when(p < 3L, lit("TINYINT"))
-              .when(p < 5L, lit("SMALLINT"))
-              .when(p < 9L, lit("INT"))
-              .when(p < 19L, lit("BIGINT"))
-              .otherwise(concat(lit("DECIMAL("), p, lit(",0)")))
+              .when(effP <= 38L,
+                concat(lit("DECIMAL("), greatest(effP, lit(1L)), lit(",0)")))
+              .otherwise(lit("DECIMAL(65,0)"))
+          else
+            when(p === -1L, lit("DECIMAL(65,30)"))
+              .when(s > 0L && (s >= p || p === 38L),
+                concat(lit("DECIMAL(65,"), least(s, lit(30L)), lit(")")))
+              .when(s > 0L, concat(lit("DECIMAL("), least(p, lit(65L)),
+                lit(","), least(s, lit(30L)), lit(")")))
+              .when(effP < 3L, lit("TINYINT"))
+              .when(effP < 5L, lit("SMALLINT"))
+              .when(effP < 9L, lit("INT"))
+              .when(effP < 19L, lit("BIGINT"))
+              .when(effP <= 38L, concat(lit("DECIMAL("), effP, lit(",0)")))
+              .otherwise(lit("DECIMAL(65,0)"))
         when(src === "NUMBER", numberMapped)
           .when(src.isin("DECIMAL", "DEC", "NUMERIC") && p >= 0L,
             concat(tgt, lit("("), least(p, lit(65L)), lit(","),

@@ -27,6 +27,10 @@ object StructQueries {
     ("t1", "img",     "BLOB",         None,      None),
     ("t1", "med",     "NUMBER",       Some(6L),  Some(0L)),
     ("t1", "name",    "VARCHAR2",     Some(50L), None),
+    ("t1", "negs",    "NUMBER",       Some(2L),  Some(-2L)),  // eff p 4 → SMALLINT
+    ("t1", "negw",    "NUMBER",       Some(38L), Some(-84L)), // eff p 122 → DECIMAL(65,0)
+    ("t1", "pmax",    "NUMBER",       Some(38L), Some(10L)),  // p=38 widens → DECIMAL(65,10)
+    ("t1", "subu",    "NUMBER",       Some(3L),  Some(5L)),   // s>p widens → DECIMAL(65,5)
     ("t1", "ratio",   "FLOAT",        None,      None),
     ("t1", "rawc",    "RAW",          Some(16L), None),
     ("t1", "tiny",    "NUMBER",       Some(2L),  Some(0L)),
@@ -51,12 +55,17 @@ object StructQueries {
   private val mapTypeSql =
     """CASE WHEN data_type = 'NUMBER' AND data_precision IS NULL THEN 'DECIMAL(65,30)'
       |     WHEN data_type = 'NUMBER' AND coalesce(data_scale, 0) > 0
-      |          THEN 'DECIMAL(' || least(data_precision, 65) || ',' || least(coalesce(data_scale,0), 30) || ')'
-      |     WHEN data_type = 'NUMBER' AND data_precision < 3 THEN 'TINYINT'
-      |     WHEN data_type = 'NUMBER' AND data_precision < 5 THEN 'SMALLINT'
-      |     WHEN data_type = 'NUMBER' AND data_precision < 9 THEN 'INT'
-      |     WHEN data_type = 'NUMBER' AND data_precision < 19 THEN 'BIGINT'
-      |     WHEN data_type = 'NUMBER' THEN 'DECIMAL(' || data_precision || ',0)'
+      |          AND (coalesce(data_scale, 0) >= data_precision OR data_precision = 38)
+      |          THEN 'DECIMAL(65,' || least(coalesce(data_scale,0), 30) || ')'
+      |     WHEN data_type = 'NUMBER' AND coalesce(data_scale, 0) > 0
+      |          THEN 'DECIMAL(' || data_precision || ',' || least(coalesce(data_scale,0), 30) || ')'
+      |     WHEN data_type = 'NUMBER' AND data_precision - coalesce(data_scale, 0) < 3 THEN 'TINYINT'
+      |     WHEN data_type = 'NUMBER' AND data_precision - coalesce(data_scale, 0) < 5 THEN 'SMALLINT'
+      |     WHEN data_type = 'NUMBER' AND data_precision - coalesce(data_scale, 0) < 9 THEN 'INT'
+      |     WHEN data_type = 'NUMBER' AND data_precision - coalesce(data_scale, 0) < 19 THEN 'BIGINT'
+      |     WHEN data_type = 'NUMBER' AND data_precision - coalesce(data_scale, 0) <= 38
+      |          THEN 'DECIMAL(' || (data_precision - coalesce(data_scale, 0)) || ',0)'
+      |     WHEN data_type = 'NUMBER' THEN 'DECIMAL(65,0)'
       |     WHEN data_type IN ('VARCHAR2','NVARCHAR2') THEN 'VARCHAR(' || data_precision || ')'
       |     WHEN data_type = 'CHAR' AND data_precision > 255 THEN 'VARCHAR(' || data_precision || ')'
       |     WHEN data_type = 'CHAR' THEN 'CHAR(' || data_precision || ')'
@@ -372,13 +381,20 @@ object StructQueries {
            |    WHEN upper(data_type) = 'NUMBER' THEN
            |      CASE WHEN direction = 'O2T' THEN
            |          CASE WHEN p IS NULL THEN 'DECIMAL(65,30)'
-           |               ELSE 'DECIMAL(' || least(greatest(p,1),65) || ',' || least(greatest(coalesce(s,0),0),30) || ')' END
+           |               WHEN coalesce(s,0) > 0 AND (coalesce(s,0) >= p OR p = 38)
+           |                 THEN 'DECIMAL(65,' || least(s,30) || ')'
+           |               WHEN coalesce(s,0) > 0 THEN 'DECIMAL(' || least(p,65) || ',' || least(s,30) || ')'
+           |               WHEN p - coalesce(s,0) <= 38 THEN 'DECIMAL(' || greatest(p - coalesce(s,0), 1) || ',0)'
+           |               ELSE 'DECIMAL(65,0)' END
            |        ELSE
            |          CASE WHEN p IS NULL THEN 'DECIMAL(65,30)'
+           |               WHEN coalesce(s,0) > 0 AND (coalesce(s,0) >= p OR p = 38)
+           |                 THEN 'DECIMAL(65,' || least(s,30) || ')'
            |               WHEN coalesce(s,0) > 0 THEN 'DECIMAL(' || least(p,65) || ',' || least(s,30) || ')'
-           |               WHEN p < 3 THEN 'TINYINT' WHEN p < 5 THEN 'SMALLINT'
-           |               WHEN p < 9 THEN 'INT' WHEN p < 19 THEN 'BIGINT'
-           |               ELSE 'DECIMAL(' || p || ',0)' END END
+           |               WHEN p - coalesce(s,0) < 3 THEN 'TINYINT' WHEN p - coalesce(s,0) < 5 THEN 'SMALLINT'
+           |               WHEN p - coalesce(s,0) < 9 THEN 'INT' WHEN p - coalesce(s,0) < 19 THEN 'BIGINT'
+           |               WHEN p - coalesce(s,0) <= 38 THEN 'DECIMAL(' || (p - coalesce(s,0)) || ',0)'
+           |               ELSE 'DECIMAL(65,0)' END END
            |    WHEN upper(data_type) IN ('DECIMAL','DEC','NUMERIC') AND p IS NOT NULL
            |      THEN tname || '(' || least(p,65) || ',' || least(coalesce(s,0),30) || ')'
            |    WHEN upper(data_type) IN ('CHAR','CHARACTER','NCHAR') AND coalesce(l,0) > 255 THEN 'VARCHAR(' || l || ')'
@@ -874,10 +890,18 @@ object StructQueries {
       ("O2M", "t", "c20", "NCHAR", N, N, L(12)),
       ("O2M", "t", "c21", "TIMESTAMP(3) WITH TIME ZONE", N, L(3), L(13)),
       ("O2M", "t", "c22", "LONG", N, N, L(0)),
+      // NUMBER ladder edges: negative scale folds into precision; p=38 and
+      // s>p widen to DECIMAL(65,·) (oracle.go:75-134)
+      ("O2M", "t", "c23", "NUMBER", L(2), L(-2), L(22)),
+      ("O2M", "t", "c24", "NUMBER", L(38), L(10), L(22)),
+      ("O2M", "t", "c25", "NUMBER", L(3), L(5), L(22)),
+      ("O2M", "t", "c26", "NUMBER", L(38), L(-84), L(22)),
       ("O2T", "t", "c01", "NUMBER", L(4), L(0), L(22)),
       ("O2T", "t", "c02", "NUMBER", L(12), L(2), L(22)),
       ("O2T", "t", "c03", "NUMBER", N, N, L(22)),
       ("O2T", "t", "c04", "VARCHAR2", N, N, L(64)),
+      ("O2T", "t", "c05", "NUMBER", L(2), L(-2), L(22)),
+      ("O2T", "t", "c06", "NUMBER", L(38), L(35), L(22)),
       ("M2O", "t", "c01", "TINYINT", L(3), L(0), L(1)),
       ("M2O", "t", "c02", "SMALLINT", L(5), L(0), L(2)),
       ("M2O", "t", "c03", "MEDIUMINT", L(7), L(0), L(3)),

@@ -137,10 +137,12 @@ final class PartitionedLogStream(dir: String, maxRecords: Option[Long] = None)
         val total   = backlog.values.sum
         if (total <= cap) LogOffsets(avail)
         else {
-          val base = backlog.map { case (p, b) => p -> cap * b / total }
+          // BigInt intermediate: cap*b overflows Long for very large
+          // maxRecordsPerTrigger × backlog products
+          val base = backlog.map { case (p, b) => p -> (BigInt(cap) * b / total).toLong }
           var rem  = cap - base.values.sum
           val order = backlog.toSeq
-            .map { case (p, b) => (p, cap * b % total) }
+            .map { case (p, b) => (p, (BigInt(cap) * b % total).toLong) }
             .sortBy { case (p, frac) => (-frac, p) }
           val bumped = scala.collection.mutable.Map(base.toSeq: _*)
           for ((p, _) <- order if rem > 0 && bumped(p) < backlog(p)) {
@@ -185,14 +187,20 @@ object LogSliceReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[LogSlice]
     new PartitionReader[InternalRow] {
-      private val src = Source.fromFile(slice.path, "UTF-8")
-      private val it  = src.getLines().zipWithIndex
-        .dropWhile(_._2 < slice.startLine)
-        .takeWhile(_._2 < slice.endLine)
-      private var cur: (String, Int) = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      private val src   = Source.fromFile(slice.path, "UTF-8")
+      private val lines = src.getLines()
+      // Long cursor — zipWithIndex is Int-indexed and would silently wrap
+      // past 2^31 lines while LogOffsets carries Long counts
+      private var lineNo = -1L
+      private var cur: String = _
+      override def next(): Boolean = {
+        while (lineNo + 1 < slice.startLine && lines.hasNext) { lines.next(); lineNo += 1 }
+        if (lineNo + 1 < slice.endLine && lines.hasNext) {
+          cur = lines.next(); lineNo += 1; true
+        } else false
+      }
       override def get(): InternalRow = new GenericInternalRow(
-        Array[Any](slice.partition, cur._2.toLong, UTF8String.fromString(cur._1)))
+        Array[Any](slice.partition, lineNo, UTF8String.fromString(cur)))
       override def close(): Unit = src.close()
     }
   }

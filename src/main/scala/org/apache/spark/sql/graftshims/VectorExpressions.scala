@@ -44,6 +44,9 @@ case class ScaledDotProduct(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // null element ⇒ NULL result, matching the declarative twin where
+      // zip_with's lambda nulls and `acc + null` nulls the aggregate
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += math.floor(x.getFloat(i).toDouble * 1000000.0).toLong *
         math.floor(y.getFloat(i).toDouble * 1000000.0).toLong
       i += 1
@@ -63,10 +66,11 @@ case class ScaledDotProduct(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((long) java.lang.Math.floor(((double) $x.getFloat($i)) * 1000000.0))
          |          * ((long) java.lang.Math.floor(((double) $y.getFloat($i)) * 1000000.0));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -101,6 +105,9 @@ case class LongDotProduct(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // null element ⇒ NULL result (see ScaledDotProduct): getLong on a
+      // null slot would NPE (GenericArrayData) or silently read 0 (unsafe)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -119,9 +126,10 @@ case class LongDotProduct(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -157,20 +165,25 @@ case class MinKLong(left: Expression, right: Expression)
     var m = 0
     var i = 0
     while (i < n) {
-      val v = x.getLong(i)
-      if (m < k) {
-        var j = m - 1
-        while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
-        buf(j + 1) = v
-        m += 1
-      } else if (k > 0 && v < buf(k - 1)) {
-        var j = k - 2
-        while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
-        buf(j + 1) = v
+      // null scores are skipped — the window twin this replaced ordered
+      // nulls last, so they can never be among the k smallest
+      if (!x.isNullAt(i)) {
+        val v = x.getLong(i)
+        if (m < k) {
+          var j = m - 1
+          while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
+          buf(j + 1) = v
+          m += 1
+        } else if (k > 0 && v < buf(k - 1)) {
+          var j = k - 2
+          while (j >= 0 && buf(j) > v) { buf(j + 1) = buf(j); j -= 1 }
+          buf(j + 1) = v
+        }
       }
       i += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      if (m < k) java.util.Arrays.copyOf(buf, m) else buf)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -188,6 +201,7 @@ case class MinKLong(left: Expression, right: Expression)
          |long[] $buf = new long[$k];
          |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xV.isNullAt($i)) continue;
          |  long $v = $xV.getLong($i);
          |  if ($m < $k) {
          |    int $j = $m - 1;
@@ -200,7 +214,8 @@ case class MinKLong(left: Expression, right: Expression)
          |    $buf[$j + 1] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($buf);
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $m < $k ? java.util.Arrays.copyOf($buf, $m) : $buf);
        """.stripMargin
     })
 
@@ -233,6 +248,8 @@ case class BitmapAndCount(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // null word ⇒ NULL result (see ScaledDotProduct)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
       i += 1
     }
@@ -251,9 +268,10 @@ case class BitmapAndCount(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += java.lang.Long.bitCount($x.getLong($i) & $y.getLong($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -282,8 +300,11 @@ case class BitmapBuild(left: Expression, right: Expression)
     var i = 0
     val n = ids.numElements()
     while (i < n) {
-      val id = ids.getInt(i)
-      if (id >= 0 && id < nw * 64) words(id >>> 6) |= (1L << (id & 63))
+      // null ids are absent members — skipped
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i)
+        if (id >= 0 && id < nw * 64) words(id >>> 6) |= (1L << (id & 63))
+      }
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
@@ -299,6 +320,7 @@ case class BitmapBuild(left: Expression, right: Expression)
          |long[] $words = new long[$nwV];
          |int $n = $idsV.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($idsV.isNullAt($i)) continue;
          |  int $id = $idsV.getInt($i);
          |  if ($id >= 0 && $id < $nwV * 64) $words[$id >>> 6] |= (1L << ($id & 63));
          |}

@@ -79,6 +79,38 @@ class TypeMapSpec extends SparkSpec {
     assert(t2 === Map("n1" -> "DECIMAL(4,0)", "n2" -> "DECIMAL(12,2)"))
   }
 
+  test("NUMBER ladder edges: negative scale folds, p=38 / s>p widen to 65") {
+    val s0 = spark
+    import s0.implicits._
+    val cat = Seq(
+      ("t", "e1", "NUMBER", Some(2L), Some(-2L), Some(22L)),  // values ≤ 9900: SMALLINT
+      ("t", "e2", "NUMBER", Some(38L), Some(10L), Some(22L)), // p=38 widens
+      ("t", "e3", "NUMBER", Some(3L), Some(5L), Some(22L)),   // s>p widens
+      ("t", "e4", "NUMBER", Some(38L), Some(35L), Some(22L)), // s capped at 30
+      ("t", "e5", "NUMBER", Some(38L), Some(-84L), Some(22L)) // eff p 122 → cap 65
+    ).toDF("table_name", "column_name", "data_type",
+      "data_precision", "data_scale", "data_length")
+    val o = TypeMap.mapCatalog(cat, "O2M")
+      .select("column_name", "target_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(o === Map(
+      "e1" -> "SMALLINT", "e2" -> "DECIMAL(65,10)", "e3" -> "DECIMAL(65,5)",
+      "e4" -> "DECIMAL(65,30)", "e5" -> "DECIMAL(65,0)"))
+    val t = TypeMap.mapCatalog(cat, "O2T")
+      .select("column_name", "target_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(t === Map(
+      "e1" -> "DECIMAL(4,0)", "e2" -> "DECIMAL(65,10)", "e3" -> "DECIMAL(65,5)",
+      "e4" -> "DECIMAL(65,30)", "e5" -> "DECIMAL(65,0)"))
+    // StructMigrate's expression twin agrees
+    val m = StructMigrate.migrate(cat.drop("data_length"))
+      .select("column_name", "target_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map(
+      "e1" -> "SMALLINT", "e2" -> "DECIMAL(65,10)", "e3" -> "DECIMAL(65,5)",
+      "e4" -> "DECIMAL(65,30)", "e5" -> "DECIMAL(65,0)"))
+  }
+
   test("unmatched source types surface as null target (reference error path)") {
     val s = spark
     import s.implicits._
