@@ -105,8 +105,9 @@ object Jdbc {
     * READ_COMMITTED never observe the empty-table window. Rolls back and
     * rethrows on failure. (The reference reaches the same atomicity with
     * per-row REPLACE INTO inside a txn, stmt_migrate_row.go:206-303; a
-    * keyed MERGE is the cheaper form on dialects that have it — this
-    * whole-table rewrite is the lowest-common-denominator fallback.)
+    * keyed MERGE is the cheaper form on dialects that have it — see
+    * [[safeModeMerge]]; this whole-table rewrite is the
+    * lowest-common-denominator fallback.)
     */
   private[graft] def swapFromStage(url: String, table: String, stage: String,
       props: Properties): Unit = {
@@ -115,13 +116,41 @@ object Jdbc {
     Seq(table, stage).foreach { id =>
       require(id.matches("[A-Za-z0-9_.]+"), s"unsafe table identifier: $id")
     }
+    execInTxn(url, props)(Seq(
+      s"DELETE FROM $table",
+      s"INSERT INTO $table SELECT * FROM $stage"))
+  }
+
+  /** Safe-mode apply via the dialect's native set-based MERGE
+    * ([[SqlDialects.mergeTableSql]]): the batch lands in a STAGE table
+    * executor-parallel (`df.write.jdbc`), then ONE `MERGE INTO target
+    * USING stage` applies it transactionally. Preferred over
+    * [[safeModeWrite]] on merge dialects — the whole-table read-modify-
+    * rewrite disappears; cost follows |batch|, not |table|. Idempotent
+    * under replay like every safe-mode form (stmt_migrate_row.go:206-303).
+    */
+  def safeModeMerge(spark: SparkSession, url: String, schema: String,
+      table: String, batch: DataFrame, keys: Seq[String],
+      dialect: SqlDialect = SqlDialects.derby,
+      props: Properties = new Properties()): Unit = {
+    val stage = s"${table}_STAGE"
+    batch.write.mode("overwrite").jdbc(url, stage, props)
+    execInTxn(url, props)(Seq(
+      SqlDialects.mergeTableSql(dialect, schema, table, stage,
+        batch.columns.toSeq, keys)))
+  }
+
+  /** Run `sqls` on one driver connection as a single transaction; roll
+    * back and rethrow on failure.
+    */
+  private[graft] def execInTxn(url: String, props: Properties)(
+      sqls: Seq[String]): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.executeUpdate(s"DELETE FROM $table")
-        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        sqls.foreach(st.executeUpdate)
         conn.commit()
       } catch {
         case e: Throwable =>

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Rendering fixtures for the table-driven dialect layer — one fixture per
+  * reference translator shape (`processor_translate_mysql.go:27-95`,
+  * `processor_translate_oracle.go:27-103`,
+  * `processor_translate_postgres.go:27-90`) — plus a LIVE execution of the
+  * staged set-based MERGE against embedded Derby.
+  */
+class SqlDialectSpec extends SparkSpec {
+
+  private val cols = Seq("id", "name")
+  private val keys = Seq("id")
+  private val rows = Seq(Seq("1", "'a'"), Seq("2", "'b'"))
+
+  test("mysql: REPLACE INTO safe mode, multi-row VALUES, backtick quoting, hint slot") {
+    assert(SqlDialects.upsertSql(SqlDialects.mysql, "s", "t", cols, keys, rows) ===
+      "REPLACE INTO `s`.`t` (`id`,`name`) VALUES (1,'a'),(2,'b');")
+    assert(SqlDialects.insertSql(SqlDialects.mysql, "s", "t", cols, rows) ===
+      "INSERT INTO `s`.`t` (`id`,`name`) VALUES (1,'a'),(2,'b');")
+    assert(SqlDialects.insertSql(SqlDialects.mysql, "s", "t", cols, rows,
+      hint = "/*+ IGNORE_INDEX(t) */") ===
+      "INSERT /*+ IGNORE_INDEX(t) */ INTO `s`.`t` (`id`,`name`) VALUES (1,'a'),(2,'b');")
+    // the reference's prepared twin: (?,…) group repeated batch times
+    // (GenMYSQLCompatibleDatabasePrepareStmt)
+    assert(SqlDialects.prepareInsertSql(SqlDialects.mysql, "s", "t", cols, 3) ===
+      "INSERT INTO `s`.`t` (`id`,`name`) VALUES (?,?),(?,?),(?,?)")
+    assert(SqlDialects.prepareUpsertSql(SqlDialects.mysql, "s", "t", cols, keys) ===
+      "REPLACE INTO `s`.`t` (`id`,`name`) VALUES (?,?)")
+    // tidb rides the same row
+    assert(SqlDialects.upsertSql(SqlDialects.tidb, "s", "t", cols, keys, rows)
+      .startsWith("REPLACE INTO"))
+  }
+
+  test("oracle: INSERT ALL for multi-row, MERGE over DUAL for safe mode") {
+    assert(SqlDialects.insertSql(SqlDialects.oracle, "S", "T", cols, rows) ===
+      "INSERT ALL\n" +
+        " INTO \"S\".\"T\" (\"id\",\"name\") VALUES (1,'a')\n" +
+        " INTO \"S\".\"T\" (\"id\",\"name\") VALUES (2,'b')\n" +
+        "SELECT * FROM DUAL;")
+    // single row degrades to plain INSERT (processor_translate_oracle.go:100-112)
+    assert(SqlDialects.insertSql(SqlDialects.oracle, "S", "T", cols, rows.take(1)) ===
+      "INSERT INTO \"S\".\"T\" (\"id\",\"name\") VALUES (1,'a');")
+    val merge = SqlDialects.upsertSql(SqlDialects.oracle, "S", "T", cols, keys, rows)
+    assert(merge ===
+      "MERGE INTO \"S\".\"T\" T1\n" +
+        "USING (SELECT 1 AS \"id\",'a' AS \"name\" FROM DUAL" +
+        " UNION SELECT 2 AS \"id\",'b' AS \"name\" FROM DUAL) T2\n" +
+        "ON (T1.\"id\" = T2.\"id\")\n" +
+        "WHEN MATCHED THEN UPDATE SET T1.\"name\" = T2.\"name\"\n" +
+        "WHEN NOT MATCHED THEN INSERT (\"id\",\"name\") VALUES (T2.\"id\",T2.\"name\")")
+    // all-key rows: nothing to update — MATCHED branch must vanish
+    val allKeys = SqlDialects.upsertSql(SqlDialects.oracle, "S", "T",
+      Seq("id"), Seq("id"), Seq(Seq("1")))
+    assert(!allKeys.contains("WHEN MATCHED"))
+    // prepared single-row twin binds through the USING select
+    assert(SqlDialects.prepareUpsertSql(SqlDialects.oracle, "S", "T", cols, keys)
+      .contains("USING (SELECT ? AS \"id\",? AS \"name\" FROM DUAL) T2"))
+  }
+
+  test("postgres: INSERT .. ON CONFLICT (keys) DO UPDATE SET c = excluded.c") {
+    assert(SqlDialects.upsertSql(SqlDialects.postgres, "s", "t", cols, keys, rows) ===
+      "INSERT INTO \"s\".\"t\" (\"id\",\"name\") VALUES (1,'a'),(2,'b') " +
+        "ON CONFLICT (\"id\") DO UPDATE SET \"name\" = excluded.\"name\";")
+    // all columns are keys → DO NOTHING
+    assert(SqlDialects.upsertSql(SqlDialects.postgres, "s", "t",
+      Seq("id"), Seq("id"), Seq(Seq("1"))).endsWith("ON CONFLICT (\"id\") DO NOTHING;"))
+    assert(SqlDialects.prepareUpsertSql(SqlDialects.postgres, "s", "t", cols, keys) ===
+      "INSERT INTO \"s\".\"t\" (\"id\",\"name\") VALUES (?,?) " +
+        "ON CONFLICT (\"id\") DO UPDATE SET \"name\" = excluded.\"name\"")
+  }
+
+  test("keyed DELETE renders IS NULL for null values and carries the limit") {
+    assert(SqlDialects.deleteSql(SqlDialects.postgres, "s", "t",
+      Seq("id", "name"), Seq("1", "NULL"), Some(2)) ===
+      "DELETE FROM \"s\".\"t\" WHERE \"id\" = 1 AND \"name\" IS NULL LIMIT 2;")
+  }
+
+  test("identifier gate refuses quote-smuggling and statement text") {
+    intercept[IllegalArgumentException] {
+      SqlDialects.quoteId(SqlDialects.mysql, "t`; DROP TABLE x; --")
+    }
+    intercept[IllegalArgumentException] {
+      SqlDialects.quoteId(SqlDialects.oracle, "t\" OR \"1\"=\"1")
+    }
+    intercept[IllegalArgumentException] { SqlDialects.quoteId(SqlDialects.mysql, "") }
+  }
+
+  test("derby merge rejects the derived-table source (base tables only)") {
+    intercept[IllegalArgumentException] {
+      SqlDialects.upsertSql(SqlDialects.derby, "APP", "T", cols, keys, rows)
+    }
+  }
+
+  test("generic dialect points single-statement upsert at safeModeWrite") {
+    intercept[IllegalArgumentException] {
+      SqlDialects.upsertSql(SqlDialects.generic, "s", "t", cols, keys, rows)
+    }
+  }
+
+  test("live: staged set-based MERGE applies a batch idempotently on Derby") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_merge")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v")
+    Jdbc.writeBatched(base, url, "MERGE_TGT", props, mode = "overwrite")
+
+    // batch: update id=2, insert id=4
+    val batch = Seq((2L, "b2", 22.0), (4L, "d", 4.0)).toDF("id", "name", "v")
+    Jdbc.safeModeMerge(spark, url, "APP", "MERGE_TGT", batch, Seq("id"),
+      SqlDialects.derby, props)
+    def state() = spark.read.jdbc(url, "MERGE_TGT", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val after1 = state()
+    assert(after1 === Seq((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+
+    // replay the same batch — idempotent
+    Jdbc.safeModeMerge(spark, url, "APP", "MERGE_TGT", batch, Seq("id"),
+      SqlDialects.derby, props)
+    assert(state() === after1, "second apply of the same batch must be a no-op")
+  }
+}
