@@ -404,5 +404,74 @@ object CompareQueries {
             .cast("long").as("n_chars"))
         .orderBy("id")
     },
+
+    // Charset breadth 1/2 (P7): BIG5→UTF-8, the reference's traditional-
+    // Chinese migration charset (`utils/constant/migrate.go:41-46`,
+    // MigrateDataSupportCharset). Same differential contract as q572: the
+    // oracle carries expected text + UTF-8 hex computed independently
+    // (CPython big5/utf-8 codecs at authoring time), proving the JVM's
+    // Big5 table agrees byte-for-byte. Pure projection — codegen'd
+    // decode/encode, no UDF.
+    QueryDef.sql(
+      "q596_charset_big5",
+      """WITH src(id, big5_hex, expected_text, expected_utf8_hex, expected_chars) AS (VALUES
+        |  (1, 'B8EAAEC6AE77BE45B2BE', '資料庫遷移', 'E8B387E69699E5BAABE981B7E7A7BB', 5),
+        |  (2, 'AED5C5E7A94DA440AD50', '校驗和一致', 'E6A0A1E9A997E5928CE4B880E887B4', 5),
+        |  (3, 'AEC4AFE0B0F2B7C7', '效能基準', 'E69588E883BDE59FBAE6BA96', 4),
+        |  (4, '4D6978656420A4A4AD5E2074657874', 'Mixed 中英 text', '4D6978656420E4B8ADE88BB12074657874', 13),
+        |  (5, '616263313233', 'abc123', '616263313233', 6))
+        |SELECT CAST(id AS BIGINT) AS id, expected_text AS text,
+        |  expected_utf8_hex AS utf8_hex,
+        |  CAST(expected_chars AS BIGINT) AS n_chars
+        |FROM src ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Seq(
+        1L -> "B8EAAEC6AE77BE45B2BE",
+        2L -> "AED5C5E7A94DA440AD50",
+        3L -> "AEC4AFE0B0F2B7C7",
+        4L -> "4D6978656420A4A4AD5E2074657874",
+        5L -> "616263313233").toDF("id", "big5_hex")
+      src.select(col("id"),
+          Canonical.decodeCharset(unhex(col("big5_hex")), "Big5").as("text"),
+          hex(Canonical.convertCharset(unhex(col("big5_hex")), "Big5", "UTF-8"))
+            .as("utf8_hex"),
+          length(Canonical.decodeCharset(unhex(col("big5_hex")), "Big5"))
+            .cast("long").as("n_chars"))
+        .orderBy("id")
+    },
+
+    // Charset breadth 2/2 (P7): GB18030→UTF-8 — the mandatory-in-PRC
+    // superset of GBK whose 4-byte sequences reach the supplementary
+    // planes; row 3 carries U+20000 (𠀀, GB18030 bytes 95328236) so the
+    // differential pins the 4-byte decode path, and row 2 the euro sign
+    // (the GBK/GB18030 split point). Same independent-oracle contract as
+    // q572/q596.
+    QueryDef.sql(
+      "q597_charset_gb18030",
+      """WITH src(id, gb_hex, expected_text, expected_utf8_hex, expected_chars) AS (VALUES
+        |  (1, 'CAFDBEDDBFE2C7A8D2C6', '数据库迁移', 'E695B0E68DAEE5BA93E8BF81E7A7BB', 5),
+        |  (2, 'C5B7D4AAA2E3B7FBBAC5', '欧元€符号', 'E6ACA7E58583E282ACE7ACA6E58FB7', 5),
+        |  (3, 'D4F6B2B995328236C6BDC3E6', '增补𠀀平面', 'E5A29EE8A1A5F0A08080E5B9B3E99DA2', 5),
+        |  (4, '4D6978656420D6D0D3A22074657874', 'Mixed 中英 text', '4D6978656420E4B8ADE88BB12074657874', 13),
+        |  (5, '616263313233', 'abc123', '616263313233', 6))
+        |SELECT CAST(id AS BIGINT) AS id, expected_text AS text,
+        |  expected_utf8_hex AS utf8_hex,
+        |  CAST(expected_chars AS BIGINT) AS n_chars
+        |FROM src ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Seq(
+        1L -> "CAFDBEDDBFE2C7A8D2C6",
+        2L -> "C5B7D4AAA2E3B7FBBAC5",
+        3L -> "D4F6B2B995328236C6BDC3E6",
+        4L -> "4D6978656420D6D0D3A22074657874",
+        5L -> "616263313233").toDF("id", "gb_hex")
+      src.select(col("id"),
+          Canonical.decodeCharset(unhex(col("gb_hex")), "GB18030").as("text"),
+          hex(Canonical.convertCharset(unhex(col("gb_hex")), "GB18030", "UTF-8"))
+            .as("utf8_hex"),
+          length(Canonical.decodeCharset(unhex(col("gb_hex")), "GB18030"))
+            .cast("long").as("n_chars"))
+        .orderBy("id")
+    },
   )
 }

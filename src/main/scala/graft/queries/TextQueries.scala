@@ -48,10 +48,11 @@ object TextQueries {
 
   /** Shared oracle CTE: MinHash signatures (8 hashes, 8-char shingles)
     * over the near-dup-seeded corpus — Broder derivation (a + i·b) mod
-    * 2^32 from one md5 per shingle.
+    * 2^32 from one md5 per shingle. [[sigSqlFor]] parameterizes the
+    * corpus (q598/q599 plant a degenerate clone set).
     */
-  private[queries] val sigSql =
-    s"""docs AS ($nearDupSql),
+  private[queries] def sigSqlFor(docsSql: String): String =
+    s"""docs AS ($docsSql),
        |nrm AS (SELECT doc_id, $normSql AS nt FROM docs),
        |sh AS (SELECT doc_id,
        |         unnest([substr(nt, i, 8) for i in generate_series(1, greatest(len(nt) - 7, 1))]) AS sh
@@ -63,6 +64,50 @@ object TextQueries {
        |sig AS (SELECT doc_id,
        |${(0 until 8).map(i => s"  MIN((a + $i * b) % 4294967296) AS m$i").mkString(",\n")}
        |  FROM ab GROUP BY doc_id)""".stripMargin
+
+  private[queries] val sigSql = sigSqlFor(nearDupSql)
+
+  /** Degenerate-bucket fixture for the LSH hot-bucket cap (q598/q599):
+    * the corpus plus 30 verbatim clones of doc 1 — one 31-member bucket
+    * per band, far over the cap of 12. SQL twin + Spark twin.
+    */
+  private val cloneDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT 300001 + i AS doc_id, text FROM documents, generate_series(0, 29) AS t(i)
+      |WHERE doc_id = 1""".stripMargin
+
+  private def cloneDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val clones = base.where(col("doc_id") === 1)
+      .crossJoin(s.range(30).select((col("id") + 300001L).as("cid")))
+      .select(col("cid").as("doc_id"), col("text"))
+    base.unionAll(clones)
+  }
+
+  /** Oracle twin of the capped candidate set
+    * ([[Dedup.minhashCandidates]] with maxBucket): buckets over the cap
+    * contribute hub-star edges (min doc_id → each member), the rest keep
+    * exact all-pairs.
+    */
+  private val cappedCandSql =
+    s"""${sigSqlFor(cloneDocsSql)},
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+       |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+       |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+       |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+       |stats AS (SELECT band, bucket, COUNT(*) AS bsz, MIN(doc_id) AS hub
+       |          FROM bands GROUP BY band, bucket),
+       |sized AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.hub
+       |          FROM bands b JOIN stats s ON b.band = s.band AND b.bucket = s.bucket),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM sized x JOIN sized y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  WHERE x.bsz <= 12
+       |  UNION ALL
+       |  SELECT hub AS d1, doc_id AS d2 FROM sized WHERE bsz > 12 AND doc_id <> hub))""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -224,6 +269,52 @@ object TextQueries {
       Dedup.jaccardVerify(cand, docs, "doc_id", "text")
         .select("d1", "d2", "n_inter", "n_union", "jaccard_scaled")
         .orderBy("d1", "d2")
+    },
+
+    // LSH hot-bucket cap, value-checked end-to-end (the 100 TB safety
+    // valve, spec-pinned in LshBucketCapSpec, here oracle-checked): a
+    // planted 31-clone bucket exceeds cap=12, so it contributes B−1
+    // hub-star edges instead of C(31,2)=465 pairs; every bucket at or
+    // under the cap keeps exact all-pairs. The oracle recomputes the
+    // identical split from the same signatures.
+    QueryDef.sql(
+      "q598_lsh_cap_pairs",
+      s"""WITH $cappedCandSql
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = cloneDocs(s, Tables(s, dir).documents)
+      val sig  = Dedup.minhashSignatures(docs, "doc_id", "text")
+      Dedup.minhashCandidates(sig, maxBucket = Some(12)).orderBy("d1", "d2")
+    },
+
+    // Connected components over the CAPPED candidate graph: hub-star
+    // edges preserve exactly the connectivity the clustering needs — the
+    // 31-clone clique still collapses to one component labeled by its
+    // minimum member. Oracle: recursive-CTE transitive closure over the
+    // same capped edges (the q68 pattern).
+    QueryDef.sql(
+      "q599_lsh_cap_clusters",
+      s"""WITH RECURSIVE $cappedCandSql,
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+         |        UNION SELECT d2, d1 FROM cand),
+         |reach(v, w) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+         |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+         |         FROM reach GROUP BY v)
+         |SELECT c.doc_id, c.component, n.n_members
+         |FROM comp c
+         |JOIN (SELECT component, COUNT(*) AS n_members
+         |      FROM comp GROUP BY component) n USING (component)
+         |ORDER BY c.component, c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = cloneDocs(s, Tables(s, dir).documents)
+      val sig  = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sig, maxBucket = Some(12))
+      val comp = Dedup.connectedComponents(cand)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("n_members"))
+        .orderBy("component", "doc_id")
     },
 
     // SimHash near-dup pairs: Hamming ≤ 3 within top-byte blocks over the
