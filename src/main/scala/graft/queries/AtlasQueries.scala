@@ -463,7 +463,10 @@ object AtlasQueries {
         |FROM pe JOIN e ON pe.pg = e.pg
         |ORDER BY pe.max_err DESC, page LIMIT 10""".stripMargin) { (s, dir) =>
       val k = Tables(s, dir).orders.select(col("o_orderkey").as("key")).distinct()
-      val r = k.withColumn("rn", row_number().over(Window.orderBy("key")))
+      // distributed global rank (Ranks): the key universe scales with the
+      // corpus, so the rank must never be a single-task window; keys are
+      // distinct ⇒ the range-shuffle rank is exact
+      val r = graft.operators.Ranks.withGlobalRank(k, Seq("key"), "rn")
       val p = r.withColumn("pg", expr("(rn - 1) div 256"))
       val e = p.groupBy("pg").agg(min("key").as("lo_k"), max("key").as("hi_k"),
         min("rn").as("lo_r"), max("rn").as("hi_r"), count(lit(1)).as("n"))
@@ -1619,7 +1622,11 @@ object AtlasQueries {
         |FROM b, n ORDER BY bucket""".stripMargin) { (s, dir) =>
       val k = Tables(s, dir).orders.select(col("o_custkey").as("key"))
       val n = k.agg(count(lit(1)).as("n"))
-      val r = k.withColumn("rn", row_number().over(Window.orderBy("key")))
+      // distributed global rank (Ranks) over the row-level corpus — never
+      // a single-task window. Keys repeat, but only the VALUE at each cut
+      // position is consumed (min(key) where rn = cut), and equal keys are
+      // interchangeable under any total order, so the cuts are exact.
+      val r = graft.operators.Ranks.withGlobalRank(k, Seq("key"), "rn")
         .crossJoin(broadcast(n))
       val cuts = r.crossJoin(broadcast(
           s.range(1, 32).select(col("id").as("i"))))

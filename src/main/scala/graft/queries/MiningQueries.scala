@@ -1000,9 +1000,12 @@ object MiningQueries {
       // three times (≈10 MB at sf0.1)
       val shd = docs.select(col("doc_id"),
         explode(array_distinct(shingles(normText(col("text")), 8))).as("sh")).cache()
-      val dict = shd.select("sh").distinct()
-        .withColumn("id", (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("sh")) - 1).cast("int"))
+      // distributed dictionary-ID assignment (Ranks): the shingle universe
+      // scales with the corpus, so the id can never come from a
+      // single-task window; shingles are distinct ⇒ the rank is exact
+      val dict = graft.operators.Ranks
+        .withGlobalRank(shd.select("sh").distinct(), Seq("sh"), "id")
+        .withColumn("id", (col("id") - 1).cast("int"))
       val nw = dict.agg(expr("CAST(max(id) div 64 + 1 AS INT)").as("nw"))
       val bm = shd.join(dict, "sh")
         .groupBy("doc_id").agg(collect_set(col("id")).as("ids"))

@@ -17,6 +17,65 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.explainString(FormattedMode)
   }
 
+  /** Registry queries whose logical plan carries an unpartitioned Window
+    * over a BOUNDED relation — frozen by the round-7 WindowSweep audit.
+    * Every entry's window input is sketch-sized by construction, not
+    * corpus-sized: calendar days/months (q199, q202, q270, q321, q382,
+    * q480, q542...), deciles/quantile grids/buckets (q115, q172, q374,
+    * q408, q454, q498, q525, q556), top-k'd or capped vocabularies
+    * (q223, q242, q262, q290, q449 Huffman alphabet, q463), per-group
+    * summaries bounded by a fixed stratum count (q307, q325 bootstrap
+    * reps, q370, q478), rank-statistic test samples (q333, q342, q388,
+    * q389, q390, q416, q461, q477), small frontier/cut sets (q316, q358,
+    * q421, q422, q526), and the NDV-guarded collated divider's exact path
+    * (q595 — ChunkPlanner.collatedPlan switches to the distributed
+    * prefix-sum divider above the guard). CORPUS-derived ranks must use
+    * Ranks.withGlobalRank instead — the q204/q497/q522 reform this list
+    * pins.
+    */
+  private val boundedGlobalWindowAllowlist: Set[String] = Set(
+    "q115_benford", "q172_ratio_to_report", "q199_stickiness", "q202_acf",
+    "q213_sliding_hll", "q223_vocab_oov", "q227_repair_batches", "q239_slo_burn",
+    "q242_token_ids", "q254_auc", "q262_topk_merge", "q270_seasonal_backtest",
+    "q286_shard_rebalance", "q290_stable_vocab_ids", "q292_backfill_plan",
+    "q305_simhash_radius", "q307_neyman_alloc", "q313_dedup_pr_curve",
+    "q316_interval_overlap", "q321_seasonal_decompose", "q325_bootstrap_ci",
+    "q327_conformal_coverage", "q329_kmeans_1d", "q333_theil_sen",
+    "q337_kaplan_meier", "q338_lorenz_curve", "q340_changepoint",
+    "q342_mann_whitney", "q358_pareto_frontier", "q360_zipf_constancy",
+    "q361_rfm", "q367_kmv_distinct", "q370_apportionment", "q374_abc_analysis",
+    "q376_best_split", "q382_rolling_ols", "q388_runs_test", "q389_ks_test",
+    "q390_wilcoxon", "q397_var_cvar", "q408_quantile_grid", "q416_rbo",
+    "q418_block_maxima", "q420_emd_1d", "q421_knapsack", "q422_ivm_topk",
+    "q428_median_of_means", "q431_rank_aggregation", "q445_isotonic",
+    "q449_huffman", "q454_hdr_histogram", "q461_peeking_bias",
+    "q463_good_turing", "q477_bh_fdr", "q478_propensity_strata",
+    "q480_seasonal_residual_outliers", "q482_tail_dependence",
+    "q488_offline_replay", "q498_lift_chart", "q525_p99_decomposition",
+    "q526_summed_area", "q536_adversarial_validation", "q542_action_log_replay",
+    "q550_scheduling_advisor", "q556_sample_quantile_error",
+    "q565_trace_sampling", "q595_collated_chunks")
+
+  test("sweep: no unpartitioned window outside the bounded allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n =
+        try fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.size
+        catch { case _: Throwable => 0 } // execution errors belong to Verify
+      spark.sharedState.cacheManager.clearCache()
+      if (n > 0) Some(name) else None
+    }.toSet
+    val fresh = offenders -- boundedGlobalWindowAllowlist
+    assert(fresh.isEmpty,
+      s"new unpartitioned-window plans (single-task sort at scale!) — use " +
+        s"Ranks.withGlobalRank or justify + allowlist: ${fresh.toSeq.sorted.mkString(", ")}")
+    // the three reformed corpus-derived sites must stay clean
+    Seq("q204_lsh_audit", "q497_learned_index_audit", "q522_range_boundaries")
+      .foreach(q => assert(!offenders.contains(q), s"$q regressed to a global window"))
+  }
+
   test("q1_agg prunes the lineitem scan to the touched columns") {
     val p = planOf("q1_agg")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
