@@ -55,6 +55,27 @@ object Bench {
     // round-6 representative (collation-aware chunk divider)
     "q595_collated_chunks")
 
+  /** Self-defense against ambient host load (BENCH_r06 read a 2.6×
+    * "regression" that was contention noise): each query runs `reps`
+    * times and the per-query MINIMUM is reported — a floor estimate is
+    * robust to one-sided noise, a single sample is not. A query that
+    * throws on every rep returns the explicit marker -1.0 (never a
+    * timing), so a broken query can't masquerade as a fast one.
+    */
+  private[graft] def measure(spark: SparkSession, reps: Int)(run: () => Unit): Double = {
+    val samples = (1 to reps).flatMap { _ =>
+      val t0 = System.nanoTime()
+      val ok = try { run(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query caches OUTSIDE the timed window: each rep is
+      // measured cold-cache (its own cache population is inside its own
+      // timing), and storage doesn't accumulate across the suite
+      spark.sharedState.cacheManager.clearCache()
+      if (ok) Some(dt) else None
+    }
+    if (samples.nonEmpty) samples.min else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract runs local[32]; SPARK_GRAFT_CPUS only overrides
@@ -81,27 +102,9 @@ object Bench {
     val names =
       if (benchAll) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
-    // Self-defense against ambient host load (BENCH_r06 read a 2.6x
-    // "regression" that was contention noise): each query runs REPS
-    // times and the per-query MINIMUM is reported — a floor estimate is
-    // robust to one-sided noise, a single sample is not. A query that
-    // throws on every rep is recorded as the explicit marker -1 (never
-    // a timing), so a broken query can't masquerade as a fast one.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2).max(1)
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val samples = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release per-query caches OUTSIDE the timed window: each rep is
-        // measured cold-cache (its own cache population is inside its own
-        // timing), and storage doesn't accumulate across the suite
-        spark.sharedState.cacheManager.clearCache()
-        if (ok) Some(dt) else None
-      }
-      name -> (if (samples.nonEmpty) samples.min else -1.0)
-    }
+    val results = names.map(name =>
+      name -> measure(spark, reps)(() => SparkEntry.queries(name)(spark, sfDir).count()))
     // 2-decimal rounding + qNNN-prefix keys keep the line compact: the
     // driver captures only ~2000 chars of stdout tail, and 73 full names
     // ≈ 1.9 KB sat one entry away from the truncation that nulled the

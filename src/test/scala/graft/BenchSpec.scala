@@ -1,0 +1,40 @@
+package graft
+
+import graft.SparkSpec
+
+/** Pins the bench self-defense contract (the BENCH_r06 lesson): failures
+  * are explicit markers, never timings; the reported number is the
+  * per-query minimum over reps; headline key prefixes stay unique.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("a query that throws on every rep returns the -1 marker, not a timing") {
+    val v = Bench.measure(spark, reps = 2)(() => throw new RuntimeException("boom"))
+    assert(v == -1.0)
+  }
+
+  test("a flaky query that succeeds once reports the successful floor") {
+    var calls = 0
+    val v = Bench.measure(spark, reps = 3) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      Thread.sleep(5)
+    }
+    assert(v > 0.0, s"one success out of 3 reps must yield its timing, got $v")
+  }
+
+  test("the minimum over reps is reported") {
+    var calls = 0
+    val v = Bench.measure(spark, reps = 3) { () =>
+      calls += 1
+      Thread.sleep(if (calls == 2) 1L else 60L)
+    }
+    assert(v < 0.05, s"min of (60ms, 1ms, 60ms) must be the floor, got $v")
+  }
+
+  test("headline key prefixes are unique (the JSON key contract)") {
+    val keys = Bench.headline.map(_.takeWhile(_ != '_'))
+    assert(keys.size == keys.distinct.size,
+      s"duplicate prefixes: ${keys.diff(keys.distinct).distinct.mkString(",")}")
+  }
+}
