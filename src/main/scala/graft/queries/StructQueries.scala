@@ -460,6 +460,63 @@ object StructQueries {
         .orderBy("direction", "table_name", "column_name")
     },
 
+    // Dialect-correct SQL rendering (S6 — the reference's per-target
+    // statement translators, processor_translate_{mysql,oracle,postgres}
+    // .go): identifier quoting, REPLACE INTO / MERGE / ON CONFLICT safe
+    // modes, INSERT ALL multi-row, bind-var prepared twins, keyed DELETE.
+    // The oracle carries HAND-WRITTEN expected statement text (authored
+    // against the reference's shapes, live-executed for derby in
+    // SqlDialectSpec), so a rendering drift hash-fails — the q572
+    // independent-expectation contract applied to SQL text.
+    QueryDef.sql(
+      "q600_dialect_render",
+      """WITH r(dialect, form, stmt) AS (VALUES
+        |  ('derby', 'merge_stage', 'MERGE INTO "APP"."T" T1
+        |USING "T_STAGE" T2
+        |ON (T1."id" = T2."id")
+        |WHEN MATCHED THEN UPDATE SET T1."name" = T2."name"
+        |WHEN NOT MATCHED THEN INSERT ("id","name") VALUES (T2."id",T2."name")'),
+        |  ('mysql', 'insert', 'INSERT INTO `s`.`t` (`id`,`name`) VALUES (1,''a''),(2,''b'');'),
+        |  ('mysql', 'prepare_insert', 'INSERT INTO `s`.`t` (`id`,`name`) VALUES (?,?),(?,?),(?,?)'),
+        |  ('mysql', 'replace', 'REPLACE INTO `s`.`t` (`id`,`name`) VALUES (1,''a''),(2,''b'');'),
+        |  ('oracle', 'insert_all', 'INSERT ALL
+        | INTO "S"."T" ("id","name") VALUES (1,''a'')
+        | INTO "S"."T" ("id","name") VALUES (2,''b'')
+        |SELECT * FROM DUAL;'),
+        |  ('oracle', 'merge', 'MERGE INTO "S"."T" T1
+        |USING (SELECT 1 AS "id",''a'' AS "name" FROM DUAL UNION SELECT 2 AS "id",''b'' AS "name" FROM DUAL) T2
+        |ON (T1."id" = T2."id")
+        |WHEN MATCHED THEN UPDATE SET T1."name" = T2."name"
+        |WHEN NOT MATCHED THEN INSERT ("id","name") VALUES (T2."id",T2."name")'),
+        |  ('oracle', 'prepare_merge', 'MERGE INTO "S"."T" T1
+        |USING (SELECT ? AS "id",? AS "name" FROM DUAL) T2
+        |ON (T1."id" = T2."id")
+        |WHEN MATCHED THEN UPDATE SET T1."name" = T2."name"
+        |WHEN NOT MATCHED THEN INSERT ("id","name") VALUES (T2."id",T2."name")'),
+        |  ('postgres', 'delete', 'DELETE FROM "s"."t" WHERE "id" = 1 AND "name" IS NULL LIMIT 2;'),
+        |  ('postgres', 'prepare_upsert', 'INSERT INTO "s"."t" ("id","name") VALUES (?,?) ON CONFLICT ("id") DO UPDATE SET "name" = excluded."name"'),
+        |  ('postgres', 'upsert', 'INSERT INTO "s"."t" ("id","name") VALUES (1,''a''),(2,''b'') ON CONFLICT ("id") DO UPDATE SET "name" = excluded."name";'))
+        |SELECT dialect, form, stmt FROM r ORDER BY dialect, form""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.SqlDialects._
+      val cols = Seq("id", "name")
+      val keys = Seq("id")
+      val rows = Seq(Seq("1", "'a'"), Seq("2", "'b'"))
+      Seq(
+        ("derby", "merge_stage", mergeTableSql(derby, "APP", "T", "T_STAGE", cols, keys)),
+        ("mysql", "insert", insertSql(mysql, "s", "t", cols, rows)),
+        ("mysql", "prepare_insert", prepareInsertSql(mysql, "s", "t", cols, 3)),
+        ("mysql", "replace", upsertSql(mysql, "s", "t", cols, keys, rows)),
+        ("oracle", "insert_all", insertSql(oracle, "S", "T", cols, rows)),
+        ("oracle", "merge", upsertSql(oracle, "S", "T", cols, keys, rows)),
+        ("oracle", "prepare_merge", prepareUpsertSql(oracle, "S", "T", cols, keys)),
+        ("postgres", "delete", deleteSql(postgres, "s", "t", cols, Seq("1", "NULL"), Some(2))),
+        ("postgres", "prepare_upsert", prepareUpsertSql(postgres, "s", "t", cols, keys)),
+        ("postgres", "upsert", upsertSql(postgres, "s", "t", cols, keys, rows)))
+        .toDF("dialect", "form", "stmt")
+        .orderBy("dialect", "form")
+    },
+
     // assess: constraint + index TYPE-count screens
     // (GetDatabaseSchemaConstraintTypeCounts / …IndexTypeCounts,
     // database/assess_migrate.go:56-58) over an information-schema

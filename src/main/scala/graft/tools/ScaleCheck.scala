@@ -95,12 +95,17 @@ object ScaleCheck {
     // whole block in one connected component.
     {
       val hotB = nDocs / 100
+      // non-hot text must be GENUINELY dissimilar: md5-derived words (no
+      // shared shingles across docs). The first draft used consecutive
+      // integers (id*31+i) as words — structurally similar digit strings
+      // whose shingle overlap gave ~4.1M legitimate sub-cap LSH pairs at
+      // 1M docs, swamping the planted bucket's closed form.
       val hotDocs = spark.range(nDocs).select(
         col("id").as("doc_id"),
         when(col("id") < hotB, lit("the same boilerplate page text body"))
           .otherwise(concat_ws(" ",
             (0 until 12).map(i =>
-              concat(lit(s"u${i}_"), pmod(col("id") * 31 + lit(i), lit(999983)))): _*))
+              substring(md5(concat(col("id"), lit(s"_$i"))), 1, 10)): _*))
           .as("text"))
       val t8b = System.nanoTime()
       val capped = graft.operators.Dedup.minhashCandidates(
