@@ -188,19 +188,25 @@ object SqlDialects {
       s"VALUES ${Seq.fill(n)(group).mkString(",")}"
   }
 
-  /** Single-row bind-variable upsert for addBatch/executeBatch loops —
-    * the executable twin of [[upsertSql]] (the reference's per-row
-    * prepared apply, `stmt_migrate_row.go:206-303`).
+  /** Bind-variable upsert for addBatch/executeBatch loops — the
+    * executable twin of [[upsertSql]] (the reference's prepared apply,
+    * `stmt_migrate_row.go:206-303`). `batchRows` repeats the `(?,…)`
+    * group on multi-row dialects (the safe-mode arm of
+    * `GenMYSQLCompatibleDatabasePrepareStmt`); merge/on-conflict forms
+    * stay single-row (one statement per row, batched by the driver).
     */
   def prepareUpsertSql(d: SqlDialect, schema: String, table: String,
-      columns: Seq[String], keys: Seq[String], hint: String = ""): String = {
+      columns: Seq[String], keys: Seq[String], hint: String = "",
+      batchRows: Int = 1): String = {
     require(keys.nonEmpty && keys.forall(columns.contains), s"keys must be columns: $keys")
     val cols  = columns.map(quoteId(d, _)).mkString(",")
     val tgt   = qualified(d, schema, table)
     val group = columns.map(_ => "?").mkString("(", ",", ")")
     d.upsertForm match {
       case "replace" =>
-        s"${verbWithHint("REPLACE", hint)} INTO $tgt ($cols) VALUES $group"
+        val n = if (d.multiRowValues) math.max(batchRows, 1) else 1
+        s"${verbWithHint("REPLACE", hint)} INTO $tgt ($cols) " +
+          s"VALUES ${Seq.fill(n)(group).mkString(",")}"
       case "on_conflict" =>
         val keyCols = keys.map(quoteId(d, _)).mkString(",")
         val nonKeys = columns.filterNot(keys.contains)

@@ -32,6 +32,11 @@ class SqlDialectSpec extends SparkSpec {
       "INSERT INTO `s`.`t` (`id`,`name`) VALUES (?,?),(?,?),(?,?)")
     assert(SqlDialects.prepareUpsertSql(SqlDialects.mysql, "s", "t", cols, keys) ===
       "REPLACE INTO `s`.`t` (`id`,`name`) VALUES (?,?)")
+    // batch bind groups — the safe-mode arm of the reference's
+    // GenMYSQLCompatibleDatabasePrepareStmt
+    assert(SqlDialects.prepareUpsertSql(SqlDialects.mysql, "s", "t", cols, keys,
+      batchRows = 3) ===
+      "REPLACE INTO `s`.`t` (`id`,`name`) VALUES (?,?),(?,?),(?,?)")
     // tidb rides the same row
     assert(SqlDialects.upsertSql(SqlDialects.tidb, "s", "t", cols, keys, rows)
       .startsWith("REPLACE INTO"))
