@@ -57,6 +57,40 @@ object Jdbc {
     s"${ge(lower)} AND NOT ${ge(upper)}"
   }
 
+  /** Oracle-side collated key text — the column half of the reference's
+    * NLSSORT range predicates (`utils/structure/chunk.go:139-144`):
+    * `NLSSORT(CONVERT("col",'dest','from'),'NLS_SORT=x')`, the CONVERT
+    * hop present only when the two ends disagree on charset. Feed the
+    * result into [[lexPredicateSql]] as the key text, paired with
+    * [[nlssortBound]] bound text, to render the reference's full
+    * collation-aware WHERE fragment against a live Oracle (the Spark-side
+    * twin is `ChunkPlanner.collatedPlan`'s collate() grouping).
+    */
+  def nlssortKey(column: String, collation: String,
+      convertCharsets: Option[(String, String)] = None): String = {
+    val base = convertCharsets match {
+      case Some((dest, from)) => s"""CONVERT("$column",'$dest','$from')"""
+      case None               => s""""$column""""
+    }
+    s"NLSSORT($base,'NLS_SORT=$collation')"
+  }
+
+  /** Oracle-side collated bound text (`chunk.go:139-144` bind forms):
+    * DATE bounds wrap in `TO_DATE(v,'YYYY-MM-DD HH24:MI:SS')`, TIMESTAMP
+    * in `TO_TIMESTAMP(v,'YYYY-MM-DD HH24:MI:SS.FF<p>')`, strings pass
+    * through — all under the same `NLS_SORT` as the key side, which is
+    * the invariant that keeps chunk bounds collation-consistent.
+    */
+  def nlssortBound(value: String, collation: String, kind: String = "string",
+      datetimePrecision: Int = 6): String = {
+    val bound = kind match {
+      case "date"      => s"TO_DATE($value,'YYYY-MM-DD HH24:MI:SS')"
+      case "timestamp" => s"TO_TIMESTAMP($value,'YYYY-MM-DD HH24:MI:SS.FF$datetimePrecision')"
+      case _           => value
+    }
+    s"NLSSORT($bound,'NLS_SORT=$collation')"
+  }
+
   /** Chunk-parallel federated read: one Spark partition per chunk
     * predicate, each executor issuing `SELECT … WHERE <predicate>` —
     * the reference's parallel chunk fetch without its hand-rolled

@@ -229,6 +229,42 @@ object SqlDialects {
     }
   }
 
+  /** Datatype-aware literal rendering — the reference's per-type
+    * `columnDataString` build (its processors render strings quoted,
+    * temporals through TO_DATE/TO_TIMESTAMP on Oracle, raw bytes through
+    * the dialect's hex constructor; `chunk.go:139-144` shows the temporal
+    * bind forms). NULL-safe; strings double embedded quotes.
+    */
+  def literal(d: SqlDialect, v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp =>
+      val txt = t.toString // JDBC escape form: yyyy-mm-dd hh:mm:ss.f…
+      d.name match {
+        case "oracle" => s"TO_TIMESTAMP('$txt','YYYY-MM-DD HH24:MI:SS.FF6')"
+        case _        => s"TIMESTAMP '$txt'"
+      }
+    case dt: java.sql.Date =>
+      d.name match {
+        case "oracle" => s"TO_DATE('$dt','YYYY-MM-DD')"
+        case _        => s"DATE '$dt'"
+      }
+    case b: Array[Byte] =>
+      val hx = b.map(x => f"$x%02X").mkString
+      d.name match {
+        case "mysql" | "tidb" => s"x'$hx'"
+        case "postgres"       => s"'\\x$hx'::bytea"
+        case _                => s"HEXTORAW('$hx')" // oracle; derby via CAST upstream
+      }
+    case bool: Boolean =>
+      d.name match {
+        case "postgres" => if (bool) "TRUE" else "FALSE"
+        case _          => if (bool) "1" else "0" // mysql/tidb/oracle tinyint/number form
+      }
+    case n: java.math.BigDecimal => n.toPlainString
+    case other => other.toString // integral / floating types render bare
+  }
+
   /** Keyed DELETE with literal values —
     * `GenPostgresCompatibleDatabaseDeleteStmtSQL`
     * (`processor_translate_postgres.go:67-90`): NULL renders as `IS NULL`,

@@ -108,6 +108,47 @@ class SqlDialectSpec extends SparkSpec {
     }
   }
 
+  test("datatype-aware literals: temporals, bytes, booleans per dialect") {
+    import SqlDialects.literal
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 06:30:00.123456")
+    val dt = java.sql.Date.valueOf("2026-08-15")
+    assert(literal(SqlDialects.oracle, ts) ===
+      "TO_TIMESTAMP('2026-08-15 06:30:00.123456','YYYY-MM-DD HH24:MI:SS.FF6')")
+    assert(literal(SqlDialects.mysql, ts) === "TIMESTAMP '2026-08-15 06:30:00.123456'")
+    assert(literal(SqlDialects.oracle, dt) === "TO_DATE('2026-08-15','YYYY-MM-DD')")
+    assert(literal(SqlDialects.postgres, dt) === "DATE '2026-08-15'")
+    assert(literal(SqlDialects.mysql, Array[Byte](0x0A, -1)) === "x'0AFF'")
+    assert(literal(SqlDialects.postgres, Array[Byte](0x0A, -1)) === "'\\x0AFF'::bytea")
+    assert(literal(SqlDialects.oracle, Array[Byte](0x0A, -1)) === "HEXTORAW('0AFF')")
+    assert(literal(SqlDialects.postgres, true) === "TRUE")
+    assert(literal(SqlDialects.mysql, true) === "1")
+    assert(literal(SqlDialects.mysql, "O'Brien") === "'O''Brien'")
+    assert(literal(SqlDialects.mysql, null) === "NULL")
+    assert(literal(SqlDialects.mysql, new java.math.BigDecimal("12.3400")) === "12.3400")
+    assert(literal(SqlDialects.mysql, 42L) === "42")
+  }
+
+  test("NLSSORT collated range text composes with lexPredicateSql (chunk.go:139-251)") {
+    assert(Jdbc.nlssortKey("C_NAME", "BINARY_CI") ===
+      """NLSSORT("C_NAME",'NLS_SORT=BINARY_CI')""")
+    assert(Jdbc.nlssortKey("C_NAME", "BINARY_CI", Some(("AL32UTF8", "ZHS16GBK"))) ===
+      """NLSSORT(CONVERT("C_NAME",'AL32UTF8','ZHS16GBK'),'NLS_SORT=BINARY_CI')""")
+    assert(Jdbc.nlssortBound("'abc'", "BINARY_CI") ===
+      "NLSSORT('abc','NLS_SORT=BINARY_CI')")
+    assert(Jdbc.nlssortBound("'2026-08-15 00:00:00'", "BINARY_CI", kind = "date") ===
+      "NLSSORT(TO_DATE('2026-08-15 00:00:00','YYYY-MM-DD HH24:MI:SS'),'NLS_SORT=BINARY_CI')")
+    assert(Jdbc.nlssortBound("'2026-08-15 00:00:00.1'", "BINARY_CI",
+      kind = "timestamp", datetimePrecision = 3) ===
+      "NLSSORT(TO_TIMESTAMP('2026-08-15 00:00:00.1','YYYY-MM-DD HH24:MI:SS.FF3'),'NLS_SORT=BINARY_CI')")
+    // the composed chunk fragment: collated 1-column [lower, upper)
+    val key = Seq(Jdbc.nlssortKey("C_NAME", "BINARY_CI"))
+    val frag = Jdbc.lexPredicateSql(key,
+      Seq(Jdbc.nlssortBound("'aaa'", "BINARY_CI")),
+      Seq(Jdbc.nlssortBound("'mmm'", "BINARY_CI")))
+    assert(frag.contains("""NLSSORT("C_NAME",'NLS_SORT=BINARY_CI') > NLSSORT('aaa','NLS_SORT=BINARY_CI')"""))
+    assert(frag.contains("AND NOT"))
+  }
+
   test("live: staged set-based MERGE applies a batch idempotently on Derby") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_merge")
     val url = s"jdbc:derby:$dbDir/db;create=true"
