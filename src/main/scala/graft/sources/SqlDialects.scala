@@ -254,7 +254,8 @@ object SqlDialects {
       d.name match {
         case "mysql" | "tidb" => s"x'$hx'"
         case "postgres"       => s"'\\x$hx'::bytea"
-        case _                => s"HEXTORAW('$hx')" // oracle; derby via CAST upstream
+        case "oracle"         => s"HEXTORAW('$hx')"
+        case _                => s"X'$hx'" // SQL-standard binary literal (derby, generic)
       }
     case bool: Boolean =>
       d.name match {

@@ -120,6 +120,7 @@ class SqlDialectSpec extends SparkSpec {
     assert(literal(SqlDialects.mysql, Array[Byte](0x0A, -1)) === "x'0AFF'")
     assert(literal(SqlDialects.postgres, Array[Byte](0x0A, -1)) === "'\\x0AFF'::bytea")
     assert(literal(SqlDialects.oracle, Array[Byte](0x0A, -1)) === "HEXTORAW('0AFF')")
+    assert(literal(SqlDialects.derby, Array[Byte](0x0A, -1)) === "X'0AFF'")
     assert(literal(SqlDialects.postgres, true) === "TRUE")
     assert(literal(SqlDialects.mysql, true) === "1")
     assert(literal(SqlDialects.mysql, "O'Brien") === "'O''Brien'")
