@@ -135,6 +135,42 @@ object Dedup {
     }
   }
 
+  /** Incremental LSH dedup: candidate pairs for a NEW shard against an
+    * existing corpus whose band-bucket index is already materialized —
+    * the shape that keeps continuous ingestion tractable at 100 TB. The
+    * full-corpus candidate join re-pairs index×index on every run
+    * (O(corpus) work to admit O(shard) rows); here the index side joins
+    * only where a shard bucket probes it, and the one self-join is
+    * shard×shard — total cost follows |shard| + |matched buckets|, never
+    * |corpus|². In production the index side is a bucket-partitioned
+    * table written once per corpus version (`lshBands` output persisted);
+    * the probe is then a co-located join on (band, bucket).
+    *
+    * Exactly equivalent to `minhashCandidates(index ∪ shard)` restricted
+    * to pairs touching the shard (signatures are per-doc), which
+    * DedupSpec/q601 pin. Returns (d1, d2) with d1 < d2 across the union
+    * id space; doc_ids must be disjoint between the two sides.
+    */
+  def incrementalCandidates(indexSig: DataFrame, shardSig: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cachedShard = shardSig.cache()
+    try {
+      val shardBands = lshBands(cachedShard, numHashes, rowsPerBand)
+      val indexBands = lshBands(indexSig, numHashes, rowsPerBand)
+      val probe = shardBands.as("s").join(indexBands.as("i"),
+          col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
+        .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
+          greatest(col("s.doc_id"), col("i.doc_id")).as("d2"))
+      val intra = shardBands.as("x").join(shardBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      probe.unionAll(intra).distinct().localCheckpoint(true)
+    } finally {
+      cachedShard.unpersist(false)
+    }
+  }
+
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
     * join runs only on the candidate set).
     */

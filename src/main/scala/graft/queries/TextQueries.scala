@@ -317,6 +317,43 @@ object TextQueries {
         .orderBy("component", "doc_id")
     },
 
+    // Incremental LSH dedup: a NEW shard (the truncated near-dup
+    // variants, ids ≥ 100000) probes the existing corpus's band-bucket
+    // index — shard-vs-index pairs + shard-internal pairs, NEVER
+    // index×index re-pairing. The continuous-ingestion shape: cost
+    // follows |shard|, not |corpus|. Equivalent to the full-corpus
+    // candidates restricted to pairs touching the shard (signatures are
+    // per-doc) — DedupSpec pins the equivalence; the oracle builds the
+    // same probe/intra split from the same signatures.
+    QueryDef.sql(
+      "q601_incremental_dedup",
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |idx AS (SELECT * FROM bands WHERE doc_id < 100000),
+         |shd AS (SELECT * FROM bands WHERE doc_id >= 100000),
+         |probe AS (SELECT LEAST(s.doc_id, i.doc_id) AS d1, GREATEST(s.doc_id, i.doc_id) AS d2
+         |  FROM shd s JOIN idx i ON s.band = i.band AND s.bucket = i.bucket),
+         |intra AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM shd x JOIN shd y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT DISTINCT d1, d2
+         |FROM (SELECT * FROM probe UNION ALL SELECT * FROM intra)
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val index = base.select("doc_id", "text")
+      val shard = base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      Dedup.incrementalCandidates(
+        Dedup.minhashSignatures(index, "doc_id", "text"),
+        Dedup.minhashSignatures(shard, "doc_id", "text"))
+        .orderBy("d1", "d2")
+    },
+
     // SimHash near-dup pairs: Hamming ≤ 3 within top-byte blocks over the
     // exact-dup-seeded corpus (duplicates ⇒ hamming 0, guaranteed hits).
     QueryDef.sql(

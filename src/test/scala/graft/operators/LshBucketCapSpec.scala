@@ -43,4 +43,31 @@ class LshBucketCapSpec extends SparkSpec {
     val all  = Dedup.minhashCandidates(sigs)
     assert(none.exceptAll(all).count() == 0L && all.exceptAll(none).count() == 0L)
   }
+
+  test("incremental candidates == full candidates restricted to shard-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // index: 3 pairwise-similar doc groups + isolated docs; shard: a new
+    // near-dup of group A (id 1000) and a brand-new isolated doc (2000)
+    val index = Seq(
+      (1L, 7, 7, 3, 4, 5, 6, 7, 8), (2L, 7, 7, 9, 9, 5, 6, 1, 2),
+      (3L, 8, 8, 3, 4, 1, 1, 7, 8), (100L, 20, 21, 22, 23, 24, 25, 26, 27))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val shard = Seq(
+      (1000L, 7, 7, 30, 31, 32, 33, 34, 35), // hits group A's band-0 bucket
+      (1001L, 7, 7, 40, 41, 42, 43, 44, 45), // hits A + 1000 (shard-internal)
+      (2000L, 90, 91, 92, 93, 94, 95, 96, 97))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(Dedup.incrementalCandidates(index, shard))
+    val shardIds = Set(1000L, 1001L, 2000L)
+    val full = pairs(Dedup.minhashCandidates(index.unionAll(shard)))
+      .filter { case (a, b) => shardIds(a) || shardIds(b) }
+    assert(inc == full, s"inc=$inc full=$full")
+    // the shard-internal pair and the probe pairs are both present
+    assert(inc.contains((1000L, 1001L)) && inc.contains((1L, 1000L)))
+    // and nothing pairs the index against itself
+    assert(inc.forall { case (a, b) => shardIds(a) || shardIds(b) })
+  }
 }
