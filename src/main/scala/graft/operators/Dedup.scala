@@ -153,10 +153,15 @@ object Dedup {
     */
   def incrementalCandidates(indexSig: DataFrame, shardSig: DataFrame,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // both band unions reference their signature relation once per band —
+    // cache BOTH sides or the corpus-sized shingle→md5→min pipeline
+    // recomputes per branch (uncached index measured 153 s at 1M docs);
+    // call-scoped like minhashCandidates
     val cachedShard = shardSig.cache()
+    val cachedIndex = indexSig.cache()
     try {
       val shardBands = lshBands(cachedShard, numHashes, rowsPerBand)
-      val indexBands = lshBands(indexSig, numHashes, rowsPerBand)
+      val indexBands = lshBands(cachedIndex, numHashes, rowsPerBand)
       val probe = shardBands.as("s").join(indexBands.as("i"),
           col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
         .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
@@ -168,6 +173,7 @@ object Dedup {
       probe.unionAll(intra).distinct().localCheckpoint(true)
     } finally {
       cachedShard.unpersist(false)
+      cachedIndex.unpersist(false)
     }
   }
 

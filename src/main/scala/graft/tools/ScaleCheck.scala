@@ -124,6 +124,46 @@ object ScaleCheck {
         f""""sec":$hbSec%.2f}""")
     }
 
+    // ---- lsh_incremental: shard-vs-index dedup cost follows the shard ----
+    // 10k new docs (half verbatim clones of index docs, half brand-new
+    // md5-random) probe the 1M-doc index's band buckets. Closed form on
+    // the guaranteed subset: every clone's signature equals its source
+    // cluster's, so it must pair with ALL 8 members of that cluster —
+    // exactly shardHalf×8 cluster-matched probe pairs. No index×index
+    // pair is ever formed (asserted: every pair touches the shard).
+    {
+      val shardHalf = 5000L
+      val clones = spark.range(shardHalf).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(i =>
+            concat(lit(s"w${i}_"), pmod(expr("id div 8") * 31 + lit(i), lit(99991)))): _*)
+          .as("text"))
+      val fresh = spark.range(shardHalf).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(i =>
+            substring(md5(concat(col("id"), lit(s"_n$i"))), 1, 10)): _*).as("text"))
+      val shard = clones.unionAll(fresh)
+      val t8d = System.nanoTime()
+      val inc = graft.operators.Dedup.incrementalCandidates(
+        graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"),
+        graft.operators.Dedup.minhashSignatures(shard, "doc_id", "text"))
+      val nInc = inc.count()
+      val t8e = System.nanoTime()
+      val clusterHits = inc
+        .where(col("d1") < 10000000L && col("d2") >= 10000000L && col("d2") < 20000000L)
+        .where(expr("d1 div 8") === expr("(d2 - 10000000) div 8"))
+        .count()
+      val touchShard = inc.where(col("d2") >= 10000000L).count()
+      require(clusterHits == shardHalf * 8,
+        s"every clone must pair with all 8 source-cluster members: $clusterHits")
+      require(touchShard == nInc, "no index-vs-index pair may be formed")
+      val incSec = (t8e - t8d) / 1e9
+      println(f"""{"scenario":"lsh_incremental","index_docs":$nDocs,"shard_docs":${2 * shardHalf},""" +
+        f""""pairs":$nInc,"cluster_hits":$clusterHits,"sec":$incSec%.2f}""")
+    }
+
     // native top-k-per-group vs the window row_number filter at scale:
     // 1000 groups over 2n rows, k=5, unique ordering key. The native
     // operator's partial phase caps the exchange at k rows per group per
