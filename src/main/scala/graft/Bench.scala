@@ -53,7 +53,9 @@ object Bench {
     // round-5 additions (Lloyd k-means IVF map, charset conversion leg)
     "q576_kmeans_ivf", "q572_charset_convert",
     // round-6 representative (collation-aware chunk divider)
-    "q595_collated_chunks")
+    "q595_collated_chunks",
+    // round-7 representative (incremental shard-vs-index dedup)
+    "q601_incremental_dedup")
 
   /** Self-defense against ambient host load (BENCH_r06 read a 2.6×
     * "regression" that was contention noise): each query runs `reps`
