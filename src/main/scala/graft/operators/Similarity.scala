@@ -254,12 +254,6 @@ object Similarity {
     val centsArr = cent
       .agg(sort_array(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))))
         .as("cents"))
-    val packed = transform(col("cents"), (c, i) =>
-      (-floor(lit(1000000.0) *
-          scaledDot(col("embedding"), c.getField("cemb")).cast("double") /
-          (sqrt(col("__nrm").cast("double")) *
-            sqrt(c.getField("cnrm0").cast("double"))))
-        .cast("long")) * lit(IdxFactor) + i.cast("long"))
     // The assignment feeds BOTH sides of the cell self-join, and Spark
     // plans the two sides as independent subtrees (no ReusedExchange —
     // the per-side aliases defeat canonicalized reuse), so without a cut
@@ -268,7 +262,28 @@ object Similarity {
     // materialize it once; the self-join then reads the materialized
     // relation on both sides. Eager like kmeansAssignments' result — the
     // call-time cost IS the scoring pass.
-    val asg = emb.crossJoin(broadcast(centsArr))
+    val asg = probeAssignments(emb, centsArr, nProbe)
+    asg.select(col("vec_id").as("qid"), col("cell"))
+      .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+  }
+
+  /** In-row multi-probe cell assignment shared by [[ivfCandidatePairs]]
+    * and [[ivfIncrementalPairs]]: each vector's nProbe nearest cells via
+    * packed-long min-k over the broadcast centroid array (see the plan
+    * rationale in ivfCandidatePairs). Input needs (vec_id, embedding,
+    * __nrm); output (vec_id, cell), eagerly materialized.
+    */
+  private def probeAssignments(emb: DataFrame, centsArr: DataFrame,
+      nProbe: Int): DataFrame = {
+    val packed = transform(col("cents"), (c, i) =>
+      (-floor(lit(1000000.0) *
+          scaledDot(col("embedding"), c.getField("cemb")).cast("double") /
+          (sqrt(col("__nrm").cast("double")) *
+            sqrt(c.getField("cnrm0").cast("double"))))
+        .cast("long")) * lit(IdxFactor) + i.cast("long"))
+    emb.crossJoin(broadcast(centsArr))
       .select(col("vec_id"),
         explode(transform(
           graft.plans.GraftFunctions.minKLong(packed, lit(nProbe)),
@@ -276,10 +291,41 @@ object Similarity {
               p.bitwiseAND(lit(IdxMask)).cast("int") + 1)
             .getField("ccid"))).as("cell"))
       .localCheckpoint(true)
-    asg.select(col("vec_id").as("qid"), col("cell"))
-      .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
+  }
+
+  /** Incremental IVF candidates: a NEW shard of vectors probes an
+    * EXISTING corpus's cell index — the vector twin of
+    * [[graft.operators.Dedup.incrementalCandidates]]. Centroids and the
+    * index assignment come from the index corpus alone (in production
+    * the (vec_id, cell) map is the pre-materialized IVF index; here it
+    * rebuilds deterministically), the shard assigns against those same
+    * centroids, and candidates are shard×index cell-mates plus
+    * shard×shard cell-mates — index×index is never re-paired, so admit
+    * cost follows |shard|·nProbe, not Σ|cell|² over the corpus. Returns
+    * directed (qid, cid): qid ∈ shard; cid ∈ index ∪ shard, qid ≠ cid.
+    * vec_ids must be disjoint between the sides.
+    */
+  def ivfIncrementalPairs(indexEmb: DataFrame, shardEmb: DataFrame,
+      centroidEvery: Int, nProbe: Int): DataFrame = {
+    def withNorm(e: DataFrame) = e.withColumn("__nrm",
+      scaledDot(col("embedding"), col("embedding")))
+    val idx = withNorm(indexEmb)
+    val cent = idx.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cemb"),
+        col("__nrm").as("cnrm0"))
+    val centsArr = cent
+      .agg(sort_array(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))))
+        .as("cents"))
+    val idxAsg = probeAssignments(idx, centsArr, nProbe)
+    val shdAsg = probeAssignments(withNorm(shardEmb), centsArr, nProbe)
+    val probe = shdAsg.select(col("vec_id").as("qid"), col("cell"))
+      .join(idxAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
+      .select("qid", "cid")
+    val intra = shdAsg.select(col("vec_id").as("qid"), col("cell"))
+      .join(shdAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
       .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
+    probe.unionAll(intra).distinct()
   }
 
   /** IVF top-k for one query vector: probe the query's nProbe nearest

@@ -54,6 +54,46 @@ object EmbeddingQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Incremental IVF candidates: a NEW vector shard (every 17th≡3
+    // vector re-id'd +100000) probes the EXISTING corpus's cell index —
+    // the vector twin of q601: centroids and the index cell map come
+    // from the index corpus alone, candidates are shard×index +
+    // shard×shard cell-mates, index×index is never re-paired (admit
+    // cost |shard|·nProbe, not Σ|cell|² over the corpus). The oracle
+    // rebuilds the same probe/intra split from the same scaled-integer
+    // cosine assignments (the q55 cell map: centroids every 25th,
+    // nProbe 2, ties ccos DESC then cid).
+    QueryDef.sql(
+      "q602_incremental_ann",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 17 = 3),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |         FROM embeddings WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM corpus e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid, ${cosSql("dxy", "dxx", "dyy")} AS ccos FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn <= 2),
+         |idx AS (SELECT * FROM asg WHERE vec_id < 100000),
+         |shd AS (SELECT * FROM asg WHERE vec_id >= 100000),
+         |pairs AS (
+         |  SELECT s.vec_id AS qid, i.vec_id AS cid FROM shd s JOIN idx i ON s.cell = i.cell
+         |  UNION ALL
+         |  SELECT x.vec_id, y.vec_id FROM shd x JOIN shd y
+         |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+         |SELECT DISTINCT qid, cid FROM pairs ORDER BY qid, cid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val shard = e.where(col("vec_id") % 17 === 3)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Similarity.ivfIncrementalPairs(e, shard, centroidEvery = 25, nProbe = 2)
+        .orderBy("qid", "cid")
+    },
+
     // Brute-force cosine top-k against one query vector — the exact
     // baseline every ANN variant is judged against.
     QueryDef.sql(

@@ -52,4 +52,25 @@ class IvfCandidateSpec extends SparkSpec {
       .findFirstIn(plan).isDefined,
       s"cell-mate join must be an equi-join on cell:\n$plan")
   }
+
+  test("incremental pairs == full pairs restricted to shard queries (same centroids)") {
+    Graft.configure(spark)
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    // shard ids avoid the centroid residue (vec_id % 25 == 0), so the
+    // union corpus picks the IDENTICAL centroid set as the index alone —
+    // the precondition for exact equivalence by restriction
+    val shard = emb.where(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + 100001).as("vec_id"), col("embedding"))
+    val shardNoCent = shard.where(col("vec_id") % 25 =!= 0)
+    val shardIds = shardNoCent.select("vec_id").collect().map(_.getLong(0)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(Similarity.ivfIncrementalPairs(emb, shardNoCent, 25, 2))
+    val full = pairs(Similarity.ivfCandidatePairs(emb.unionAll(shardNoCent), 25, 2))
+      .filter { case (q, _) => shardIds(q) }
+    assert(inc == full,
+      s"inc-only=${(inc -- full).take(5)} full-only=${(full -- inc).take(5)}")
+    // no index-vs-index pair: every qid is a shard vector
+    assert(inc.forall { case (q, _) => shardIds(q) })
+  }
 }
