@@ -54,8 +54,8 @@ object Bench {
     "q576_kmeans_ivf", "q572_charset_convert",
     // round-6 representative (collation-aware chunk divider)
     "q595_collated_chunks",
-    // round-7 representative (incremental shard-vs-index dedup)
-    "q601_incremental_dedup")
+    // round-7 representatives (incremental shard-vs-index dedup/ANN)
+    "q601_incremental_dedup", "q602_incremental_ann")
 
   /** Self-defense against ambient host load (BENCH_r06 read a 2.6×
     * "regression" that was contention noise): each query runs `reps`
