@@ -472,7 +472,7 @@ object StructQueries {
       "q600_dialect_render",
       """WITH r(dialect, form, stmt) AS (VALUES
         |  ('derby', 'merge_stage', 'MERGE INTO "APP"."T" T1
-        |USING "T_STAGE" T2
+        |USING "APP"."T_STAGE" T2
         |ON (T1."id" = T2."id")
         |WHEN MATCHED THEN UPDATE SET T1."name" = T2."name"
         |WHEN NOT MATCHED THEN INSERT ("id","name") VALUES (T2."id",T2."name")'),
@@ -493,7 +493,7 @@ object StructQueries {
         |ON (T1."id" = T2."id")
         |WHEN MATCHED THEN UPDATE SET T1."name" = T2."name"
         |WHEN NOT MATCHED THEN INSERT ("id","name") VALUES (T2."id",T2."name")'),
-        |  ('postgres', 'delete', 'DELETE FROM "s"."t" WHERE "id" = 1 AND "name" IS NULL LIMIT 2;'),
+        |  ('postgres', 'delete', 'DELETE FROM "s"."t" WHERE ctid IN (SELECT ctid FROM "s"."t" WHERE "id" = 1 AND "name" IS NULL LIMIT 2);'),
         |  ('postgres', 'prepare_upsert', 'INSERT INTO "s"."t" ("id","name") VALUES (?,?) ON CONFLICT ("id") DO UPDATE SET "name" = excluded."name"'),
         |  ('postgres', 'upsert', 'INSERT INTO "s"."t" ("id","name") VALUES (1,''a''),(2,''b'') ON CONFLICT ("id") DO UPDATE SET "name" = excluded."name";'))
         |SELECT dialect, form, stmt FROM r ORDER BY dialect, form""".stripMargin) { (s, dir) =>
@@ -503,7 +503,8 @@ object StructQueries {
       val keys = Seq("id")
       val rows = Seq(Seq("1", "'a'"), Seq("2", "'b'"))
       Seq(
-        ("derby", "merge_stage", mergeTableSql(derby, "APP", "T", "T_STAGE", cols, keys)),
+        ("derby", "merge_stage", mergeTableSql(derby, "APP", "T", "T_STAGE", cols, keys,
+          sourceSchema = Some("APP"))),
         ("mysql", "insert", insertSql(mysql, "s", "t", cols, rows)),
         ("mysql", "prepare_insert", prepareInsertSql(mysql, "s", "t", cols, 3)),
         ("mysql", "replace", upsertSql(mysql, "s", "t", cols, keys, rows)),

@@ -167,11 +167,71 @@ object Jdbc {
       table: String, batch: DataFrame, keys: Seq[String],
       dialect: SqlDialect = SqlDialects.derby,
       props: Properties = new Properties()): Unit = {
+    // gate identifiers BEFORE the stage write (the swapFromStage
+    // contract) — both land verbatim in statement text below
+    Seq(schema, table).foreach { id =>
+      require(id.matches("[A-Za-z0-9_]+"), s"unsafe identifier: $id")
+    }
     val stage = s"${table}_STAGE"
-    batch.write.mode("overwrite").jdbc(url, stage, props)
+    // the stage must land in the SAME schema the merge reads it from;
+    // unqualified it would land in the connection's default schema
+    batch.write.mode("overwrite").jdbc(url, s"$schema.$stage", props)
     execInTxn(url, props)(Seq(
       SqlDialects.mergeTableSql(dialect, schema, table, stage,
-        batch.columns.toSeq, keys)))
+        batch.columns.toSeq, keys, sourceSchema = Some(schema))))
+  }
+
+  /** Live bind-var batch execution of a prepared statement — the
+    * reference's addBatch/executeBatch apply loop
+    * (`stmt_migrate_row.go:206-303`): `sql` is a
+    * [[SqlDialects.prepareInsertSql]]/[[SqlDialects.prepareUpsertSql]]
+    * twin, `rows` bind in groups of `rowsPerStmt` (the multi-row VALUES
+    * arm repeats the `(?,…)` group that many times), and the batch
+    * flushes every `batchSize` statements. One transaction: all-or-
+    * nothing like every safe-mode form. Returns the number of rows the
+    * driver reported applied (SUCCESS_NO_INFO entries count as their
+    * group's rows — Derby reports per-statement counts).
+    */
+  def writePrepared(url: String, props: Properties, sql: String,
+      rows: Seq[Seq[Any]], rowsPerStmt: Int = 1, batchSize: Int = 500): Long = {
+    require(rowsPerStmt >= 1 && rows.length % rowsPerStmt == 0,
+      s"rows (${rows.length}) must group evenly into $rowsPerStmt-row statements" +
+        " — render the tail with its own statement (the reference's partial batch)")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.prepareStatement(sql)
+      try {
+        var applied = 0L
+        var pending = 0
+        def flush(): Unit = if (pending > 0) {
+          applied += st.executeBatch().map {
+            case java.sql.Statement.SUCCESS_NO_INFO => rowsPerStmt.toLong
+            case n => n.toLong
+          }.sum
+          pending = 0
+        }
+        rows.grouped(rowsPerStmt).foreach { group =>
+          group.flatten.zipWithIndex.foreach {
+            // typed null: Derby refuses setObject(_, null)/Types.NULL —
+            // ask the statement's parameter metadata for the slot's type
+            case (null, i) =>
+              st.setNull(i + 1, st.getParameterMetaData.getParameterType(i + 1))
+            case (v, i) => st.setObject(i + 1, v)
+          }
+          st.addBatch()
+          pending += 1
+          if (pending >= batchSize) flush()
+        }
+        flush()
+        conn.commit()
+        applied
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** Run `sqls` on one driver connection as a single transaction; roll

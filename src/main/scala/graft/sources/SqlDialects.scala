@@ -152,10 +152,15 @@ object SqlDialects {
     */
   def mergeTableSql(d: SqlDialect, schema: String, table: String,
       sourceTable: String, columns: Seq[String], keys: Seq[String],
-      hint: String = ""): String = {
+      hint: String = "", sourceSchema: Option[String] = None): String = {
     require(d.upsertForm == "merge", s"${d.name}: not a merge dialect")
     require(keys.nonEmpty && keys.forall(columns.contains), s"keys must be columns: $keys")
-    mergeText(d, qualified(d, schema, table), columns, keys, quoteId(d, sourceTable), hint)
+    // qualify the stage like the target: an unqualified source resolves in
+    // the CONNECTION's default schema, which silently diverges from the
+    // schema the stage was written to whenever the two differ
+    val src = sourceSchema.map(qualified(d, _, sourceTable))
+      .getOrElse(quoteId(d, sourceTable))
+    mergeText(d, qualified(d, schema, table), columns, keys, src, hint)
   }
 
   private def mergeText(d: SqlDialect, tgt: String, columns: Seq[String],
@@ -239,7 +244,12 @@ object SqlDialects {
     case null => "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"
     case t: java.sql.Timestamp =>
-      val txt = t.toString // JDBC escape form: yyyy-mm-dd hh:mm:ss.f…
+      // JDBC escape form: yyyy-mm-dd hh:mm:ss.f… — toString emits up to 9
+      // fractional digits; truncate to the 6 the rendered masks declare
+      // (FF6 / engine TIMESTAMP defaults), or Oracle rejects the literal
+      val raw = t.toString
+      val dot = raw.indexOf('.')
+      val txt = if (raw.length - dot - 1 > 6) raw.substring(0, dot + 7) else raw
       d.name match {
         case "oracle" => s"TO_TIMESTAMP('$txt','YYYY-MM-DD HH24:MI:SS.FF6')"
         case _        => s"TIMESTAMP '$txt'"
@@ -270,15 +280,32 @@ object SqlDialects {
     * `GenPostgresCompatibleDatabaseDeleteStmtSQL`
     * (`processor_translate_postgres.go:67-90`): NULL renders as `IS NULL`,
     * and the row-count limit caps multiset over-deletion.
+    *
+    * Deviation (deliberate, like the Oracle MERGE note): the reference
+    * appends `LIMIT n` verbatim for every dialect, but PostgreSQL has no
+    * DELETE … LIMIT — this renderer emits the executable per-dialect
+    * form instead: native LIMIT on mysql/tidb, a ctid subquery on
+    * postgres, a ROWNUM conjunct on oracle; dialects with no row-limited
+    * DELETE at all (derby, generic) refuse the limit.
     */
   def deleteSql(d: SqlDialect, schema: String, table: String, columns: Seq[String],
       values: Seq[String], limit: Option[Int] = None, hint: String = ""): String = {
     require(columns.length == values.length)
+    val tgt = qualified(d, schema, table)
     val conds = columns.zip(values).map {
       case (c, v) if v.equalsIgnoreCase("NULL") => s"${quoteId(d, c)} IS NULL"
       case (c, v)                               => s"${quoteId(d, c)} = $v"
     }.mkString(" AND ")
-    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"${verbWithHint("DELETE", hint)} FROM ${qualified(d, schema, table)} WHERE $conds$lim;"
+    val where = limit match {
+      case None => conds
+      case Some(n) => d.name match {
+        case "mysql" | "tidb" => s"$conds LIMIT $n"
+        case "postgres" => s"ctid IN (SELECT ctid FROM $tgt WHERE $conds LIMIT $n)"
+        case "oracle"   => s"$conds AND ROWNUM <= $n"
+        case other => throw new IllegalArgumentException(
+          s"$other: no row-limited DELETE form")
+      }
+    }
+    s"${verbWithHint("DELETE", hint)} FROM $tgt WHERE $where;"
   }
 }

@@ -203,4 +203,61 @@ class JdbcRoundTripSpec extends SparkSpec {
       Jdbc.swapFromStage(url, "T; DROP TABLE X", "STAGE", props)
     }
   }
+
+  test("prepared bind-var twins execute live: batch INSERT, multi-row groups, keyed DELETE") {
+    // the rendered prepared forms (q600's oracle pins their TEXT) driven
+    // through real addBatch/executeBatch on Derby — the reference's apply
+    // loop (stmt_migrate_row.go:206-303) end-to-end, not just rendered
+    val s = spark
+    import s.implicits._
+    val seed = Seq((0L, "seed", 0.0)).toDF("id", "name", "v")
+    Jdbc.writeBatched(seed, url, "APP.PREP_RT", props, mode = "overwrite")
+
+    val d = SqlDialects.derby
+    val cols = Seq("id", "name", "v")
+    // single-row groups, one flush boundary crossed (batchSize 2 over 5
+    // rows), a NULL bind in the middle (typed via parameter metadata)
+    val ins = SqlDialects.prepareInsertSql(d, "APP", "PREP_RT", cols)
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq(1L, "a", 1.5), Seq(2L, "b", 2.5), Seq(3L, null, 3.5),
+      Seq(4L, "d", 4.5), Seq(5L, "e", 5.5))
+    val applied = Jdbc.writePrepared(url, props, ins, rows, batchSize = 2)
+    assert(applied == 5L, s"driver must report 5 rows applied, got $applied")
+
+    def state() = spark.read.jdbc(url, "APP.PREP_RT", props)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(state() === Seq((0L, Some("seed"), 0.0), (1L, Some("a"), 1.5),
+      (2L, Some("b"), 2.5), (3L, None, 3.5), (4L, Some("d"), 4.5),
+      (5L, Some("e"), 5.5)))
+
+    // multi-row VALUES groups: Derby accepts row-list VALUES, so the
+    // mysql-shaped repeated (?,…) group executes live too
+    val multi = SqlDialects.prepareInsertSql(d.copy(multiRowValues = true),
+      "APP", "PREP_RT", cols, batchRows = 2)
+    val applied2 = Jdbc.writePrepared(url, props, multi,
+      Seq(Seq(6L, "f", 6.5), Seq(7L, "g", 7.5)), rowsPerStmt = 2)
+    assert(applied2 == 2L)
+    assert(state().map(_._1) === (0L to 7L))
+
+    // uneven grouping is refused up front (the caller renders the tail
+    // with its own statement, the reference's partial-batch shape)
+    intercept[IllegalArgumentException] {
+      Jdbc.writePrepared(url, props, multi, Seq(Seq(8L, "h", 8.5)), rowsPerStmt = 2)
+    }
+
+    // keyed DELETE with IS NULL, executed live in a transaction
+    Jdbc.execInTxn(url, props)(Seq(
+      SqlDialects.deleteSql(d, "APP", "PREP_RT",
+        Seq("id", "name"), Seq("3", "NULL")).stripSuffix(";")))
+    assert(state().map(_._1) === Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L))
+
+    // a failing statement mid-batch rolls the whole prepared batch back
+    intercept[java.sql.SQLException] {
+      Jdbc.writePrepared(url, props, ins,
+        Seq(Seq(8L, "h", 8.5), Seq(8L, "dup-pk-if-any-or-type-err", "not-a-double")))
+    }
+    assert(state().map(_._1) === Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L),
+      "failed batch must leave no partial rows")
+  }
 }

@@ -80,10 +80,29 @@ class SqlDialectSpec extends SparkSpec {
         "ON CONFLICT (\"id\") DO UPDATE SET \"name\" = excluded.\"name\"")
   }
 
-  test("keyed DELETE renders IS NULL for null values and carries the limit") {
+  test("keyed DELETE renders IS NULL and an executable per-dialect limit") {
+    // no limit: the plain keyed form, any dialect
+    assert(SqlDialects.deleteSql(SqlDialects.derby, "s", "t",
+      Seq("id", "name"), Seq("1", "NULL")) ===
+      "DELETE FROM \"s\".\"t\" WHERE \"id\" = 1 AND \"name\" IS NULL;")
+    // mysql/tidb: native DELETE … LIMIT
+    assert(SqlDialects.deleteSql(SqlDialects.mysql, "s", "t",
+      Seq("id"), Seq("1"), Some(2)) ===
+      "DELETE FROM `s`.`t` WHERE `id` = 1 LIMIT 2;")
+    // postgres has NO DELETE … LIMIT (the reference emits it anyway) —
+    // the executable equivalent is the ctid subquery
     assert(SqlDialects.deleteSql(SqlDialects.postgres, "s", "t",
       Seq("id", "name"), Seq("1", "NULL"), Some(2)) ===
-      "DELETE FROM \"s\".\"t\" WHERE \"id\" = 1 AND \"name\" IS NULL LIMIT 2;")
+      "DELETE FROM \"s\".\"t\" WHERE ctid IN (SELECT ctid FROM \"s\".\"t\" " +
+        "WHERE \"id\" = 1 AND \"name\" IS NULL LIMIT 2);")
+    // oracle: ROWNUM conjunct
+    assert(SqlDialects.deleteSql(SqlDialects.oracle, "S", "T",
+      Seq("id"), Seq("1"), Some(2)) ===
+      "DELETE FROM \"S\".\"T\" WHERE \"id\" = 1 AND ROWNUM <= 2;")
+    // dialects with no row-limited DELETE refuse the limit outright
+    intercept[IllegalArgumentException] {
+      SqlDialects.deleteSql(SqlDialects.derby, "s", "t", Seq("id"), Seq("1"), Some(2))
+    }
   }
 
   test("identifier gate refuses quote-smuggling and statement text") {
@@ -115,6 +134,13 @@ class SqlDialectSpec extends SparkSpec {
     assert(literal(SqlDialects.oracle, ts) ===
       "TO_TIMESTAMP('2026-08-15 06:30:00.123456','YYYY-MM-DD HH24:MI:SS.FF6')")
     assert(literal(SqlDialects.mysql, ts) === "TIMESTAMP '2026-08-15 06:30:00.123456'")
+    // nanosecond precision truncates to the declared 6 fractional digits
+    // (Timestamp.toString would emit 9 — Oracle's FF6 mask rejects that)
+    val ns = java.sql.Timestamp.valueOf("2026-08-15 06:30:00")
+    ns.setNanos(123456789)
+    assert(literal(SqlDialects.oracle, ns) ===
+      "TO_TIMESTAMP('2026-08-15 06:30:00.123456','YYYY-MM-DD HH24:MI:SS.FF6')")
+    assert(literal(SqlDialects.mysql, ns) === "TIMESTAMP '2026-08-15 06:30:00.123456'")
     assert(literal(SqlDialects.oracle, dt) === "TO_DATE('2026-08-15','YYYY-MM-DD')")
     assert(literal(SqlDialects.postgres, dt) === "DATE '2026-08-15'")
     assert(literal(SqlDialects.mysql, Array[Byte](0x0A, -1)) === "x'0AFF'")
@@ -175,5 +201,19 @@ class SqlDialectSpec extends SparkSpec {
     Jdbc.safeModeMerge(spark, url, "APP", "MERGE_TGT", batch, Seq("id"),
       SqlDialects.derby, props)
     assert(state() === after1, "second apply of the same batch must be a no-op")
+
+    // the stage landed schema-qualified (not in the connection default):
+    // reading it by its qualified name must succeed
+    assert(spark.read.jdbc(url, "APP.MERGE_TGT_STAGE", props).count() == 2)
+
+    // identifier gate fires BEFORE any stage write
+    intercept[IllegalArgumentException] {
+      Jdbc.safeModeMerge(spark, url, "APP", "T; DROP TABLE X", batch, Seq("id"),
+        SqlDialects.derby, props)
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.safeModeMerge(spark, url, "A\"PP", "MERGE_TGT", batch, Seq("id"),
+        SqlDialects.derby, props)
+    }
   }
 }
