@@ -55,7 +55,24 @@ object Bench {
     // round-6 representative (collation-aware chunk divider)
     "q595_collated_chunks",
     // round-7 representatives (incremental shard-vs-index dedup/ANN)
-    "q601_incremental_dedup", "q602_incremental_ann")
+    "q601_incremental_dedup", "q602_incremental_ann",
+    // round-8 representatives (IVF hot-cell cap, incremental CC + pipeline)
+    "q603_ivf_hot_cell", "q604_incremental_cc", "q605_incremental_pipeline")
+
+  /** Rotating cohort: `n` seeded-random NON-headline registry entries
+    * appended to every bench run, so a regression in an off-headline
+    * query surfaces in the artifact instead of hiding until a full
+    * registry sweep. The default seed derives from the sorted
+    * non-headline name list — stable within a round (reproducible reps),
+    * rotating whenever the registry changes (every round adds queries);
+    * SPARK_GRAFT_BENCH_SEED pins it explicitly.
+    */
+  private[graft] def cohort(all: Iterable[String], seed: Option[Long],
+      n: Int = 10): Seq[String] = {
+    val nonHeadline = all.toSeq.filterNot(headline.contains).sorted
+    val s = seed.getOrElse(nonHeadline.map(_.hashCode.toLong).sum)
+    new scala.util.Random(s).shuffle(nonHeadline).take(n)
+  }
 
   /** Self-defense against ambient host load (BENCH_r06 read a 2.6×
     * "regression" that was contention noise): each query runs `reps`
@@ -101,9 +118,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")
+    val coh =
+      if (benchAll) Seq.empty
+      else cohort(SparkEntry.queries.keys,
+        sys.env.get("SPARK_GRAFT_BENCH_SEED").flatMap(_.toLongOption))
     val names =
       if (benchAll) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+      else headline.filter(SparkEntry.queries.contains) ++ coh
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = names.map(name =>
       name -> measure(spark, reps)(() => SparkEntry.queries(name)(spark, sfDir).count()))
@@ -123,8 +144,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // leading println guarantees the JSON starts at column 0 even if a
     // logger left an unterminated line on stdout
+    val cohKeys = coh.map(_.takeWhile(_ != '_'))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"failed":$failed,"cohort":$cohKeys,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

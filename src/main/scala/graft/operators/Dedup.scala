@@ -283,11 +283,71 @@ object Dedup {
         .select(col("v"), col("n.lbl").as("lbl"),
           (col("n.lbl") =!= col("o.lbl")).cast("long").as("__chg"))
         .localCheckpoint()
-      changed = step.agg(sum("__chg")).head().getLong(0)
+      // coalesce: an empty edge list (legal for the incremental meta-CC)
+      // sums to NULL
+      changed = step.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
       labels = step.select("v", "lbl")
       i += 1
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+  }
+
+  /** Incremental cluster maintenance — the missing third of the
+    * continuous-ingestion loop ([[incrementalCandidates]] admits shard
+    * edges; this merges them into EXISTING component labels without
+    * re-running [[connectedComponents]] over the corpus):
+    *
+    *  1. collapse each new edge's endpoints to their current component
+    *     label (new vertices stand for themselves) — a prior component
+    *     is internally connected, so the collapsed graph preserves
+    *     reachability exactly;
+    *  2. run min-label CC on the collapsed graph — it is O(|new edges|)
+    *     vertices, never corpus-sized;
+    *  3. rewrite: old labels remap through the (tiny, broadcast) meta
+    *     labeling; new vertices take their meta label directly.
+    *
+    * Exactly `connectedComponents(old pairs ∪ new pairs)` (old component
+    * ids are the min member id, so the collapsed min IS the union min) —
+    * q604's oracle proves the equivalence end-to-end. Cost: the collapse
+    * and meta-CC follow |newPairs|; the label rewrite is one
+    * broadcast-join pass over the labels relation with no shuffle (in
+    * production, labels partitioned by component rewrite only the
+    * partitions the meta labeling touches). Exact for ANY id order: an
+    * old label is its component's min member, so the collapsed-graph min
+    * is the union component's true min even when a new vertex undercuts
+    * an existing component's label.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val l1 = labels.select(col("doc_id").as("d1"), col("component").as("c1"))
+    val l2 = labels.select(col("doc_id").as("d2"), col("component").as("c2"))
+    // one pass resolves both endpoints and flags never-seen vertices;
+    // eager cut — everything downstream reads this edge-sized relation
+    val e = newPairs
+      .join(l1, Seq("d1"), "left_outer")
+      .join(l2, Seq("d2"), "left_outer")
+      .select(col("d1"), col("d2"),
+        coalesce(col("c1"), col("d1")).as("e1"),
+        coalesce(col("c2"), col("d2")).as("e2"),
+        col("c1").isNull.as("n1"), col("c2").isNull.as("n2"))
+      .localCheckpoint(true)
+    // self-loops = both endpoints already in one component: no-op edges
+    val collapsed = e.where(col("e1") =!= col("e2"))
+      .select(col("e1").as("d1"), col("e2").as("d2"))
+    val newVerts = e.where(col("n1")).select(col("d1").as("v"))
+      .unionAll(e.where(col("n2")).select(col("d2").as("v")))
+      .distinct()
+    val meta = connectedComponents(collapsed, maxIter)
+      .select(col("doc_id").as("mv"), col("component").as("mc"))
+    val updatedOld = labels
+      .join(broadcast(meta), col("component") === col("mv"), "left_outer")
+      .select(col("doc_id"), coalesce(col("mc"), col("component")).as("component"))
+    // a new vertex whose every edge collapsed away cannot exist (ids are
+    // disjoint from old labels), but coalesce keeps the shape total
+    val newLabeled = newVerts
+      .join(broadcast(meta), col("v") === col("mv"), "left_outer")
+      .select(col("v").as("doc_id"), coalesce(col("mc"), col("v")).as("component"))
+    updatedOld.unionAll(newLabeled)
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Blocked by the

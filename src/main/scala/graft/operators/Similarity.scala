@@ -230,9 +230,20 @@ object Similarity {
     * Pair count follows Σ|cell|² ≈ n²·nProbe²/C — the n²/C shape that
     * replaces brute force; the only cross join is corpus × centroids.
     * Returns directed (qid, cid) pairs, deduplicated across shared cells.
+    *
+    * `maxCell` is the vector twin of [[Dedup.minhashCandidates]]'
+    * `maxBucket` — the 100 TB safety valve for a DEGENERATE cell: skewed
+    * embedding distributions crowd one centroid (near-duplicate corpora,
+    * zero-vector sinks), and that cell's self-join alone is |cell|²
+    * pairs. With a cap, oversized cells emit hub-star edges instead
+    * (min vec_id ↔ each member, kept symmetric in the directed pair
+    * convention): volume turns linear while every member stays reachable
+    * from the cell's hub, which is what downstream neighborhood /
+    * clustering consumers need. Default None preserves the exact
+    * cell-mate semantics.
     */
   def ivfCandidatePairs(embeddings: DataFrame, centroidEvery: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, maxCell: Option[Int] = None): DataFrame = {
     val emb = embeddings.withColumn("__nrm",
       scaledDot(col("embedding"), col("embedding")))
     val cent = emb.where(col("vec_id") % centroidEvery === 0)
@@ -263,11 +274,39 @@ object Similarity {
     // relation on both sides. Eager like kmeansAssignments' result — the
     // call-time cost IS the scoring pass.
     val asg = probeAssignments(emb, centsArr, nProbe)
-    asg.select(col("vec_id").as("qid"), col("cell"))
-      .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
-      .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+    cellMatePairs(asg, maxCell)
   }
+
+  /** Directed cell-mate pairs over a materialized (vec_id, cell)
+    * assignment, with the optional hub-star escape for cells above
+    * `maxCell` — shared by [[ivfCandidatePairs]] and the capped arm of
+    * [[ivfIncrementalPairs]]' spec twin. One tiny aggregate sizes every
+    * cell and picks its hub; the size rides back as a column so the
+    * dense/star split is a filter over the already-materialized
+    * assignment, never a rescan of the corpus.
+    */
+  private def cellMatePairs(asg: DataFrame, maxCell: Option[Int]): DataFrame =
+    maxCell match {
+      case None =>
+        asg.select(col("vec_id").as("qid"), col("cell"))
+          .join(asg.select(col("vec_id").as("cid"), col("cell")), "cell")
+          .where(col("qid") =!= col("cid"))
+          .select("qid", "cid").distinct()
+      case Some(cap) =>
+        val stats = asg.groupBy("cell")
+          .agg(count(lit(1)).as("csz"), min("vec_id").as("hub"))
+        val sized = asg.join(stats, Seq("cell"))
+        val dense = sized.where(col("csz") <= cap)
+          .select(col("vec_id").as("qid"), col("cell")).as("x")
+          .join(sized.where(col("csz") <= cap)
+            .select(col("vec_id").as("cid"), col("cell")).as("y"), "cell")
+          .where(col("qid") =!= col("cid"))
+          .select("qid", "cid")
+        val members = sized.where(col("csz") > cap && col("vec_id") =!= col("hub"))
+        val star = members.select(col("hub").as("qid"), col("vec_id").as("cid"))
+          .unionAll(members.select(col("vec_id").as("qid"), col("hub").as("cid")))
+        dense.unionAll(star).distinct()
+    }
 
   /** In-row multi-probe cell assignment shared by [[ivfCandidatePairs]]
     * and [[ivfIncrementalPairs]]: each vector's nProbe nearest cells via
@@ -304,9 +343,17 @@ object Similarity {
     * cost follows |shard|·nProbe, not Σ|cell|² over the corpus. Returns
     * directed (qid, cid): qid ∈ shard; cid ∈ index ∪ shard, qid ≠ cid.
     * vec_ids must be disjoint between the sides.
+    *
+    * `maxCell` caps a degenerate cell exactly like [[ivfCandidatePairs]]:
+    * cell sizes are measured over index ∪ shard (at scale the index
+    * side's counts are one aggregate over the pre-materialized
+    * (vec_id, cell) relation — index metadata, no embedding read), and an
+    * oversized cell emits only its hub-star edges restricted to the
+    * qid-∈-shard convention — identical to the capped full-corpus
+    * candidates restricted to shard queries, which the spec pins.
     */
   def ivfIncrementalPairs(indexEmb: DataFrame, shardEmb: DataFrame,
-      centroidEvery: Int, nProbe: Int): DataFrame = {
+      centroidEvery: Int, nProbe: Int, maxCell: Option[Int] = None): DataFrame = {
     def withNorm(e: DataFrame) = e.withColumn("__nrm",
       scaledDot(col("embedding"), col("embedding")))
     val idx = withNorm(indexEmb)
@@ -318,14 +365,56 @@ object Similarity {
         .as("cents"))
     val idxAsg = probeAssignments(idx, centsArr, nProbe)
     val shdAsg = probeAssignments(withNorm(shardEmb), centsArr, nProbe)
-    val probe = shdAsg.select(col("vec_id").as("qid"), col("cell"))
-      .join(idxAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
-      .select("qid", "cid")
-    val intra = shdAsg.select(col("vec_id").as("qid"), col("cell"))
-      .join(shdAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
-      .where(col("qid") =!= col("cid"))
-      .select("qid", "cid")
-    probe.unionAll(intra).distinct()
+    maxCell match {
+      case None =>
+        val probe = shdAsg.select(col("vec_id").as("qid"), col("cell"))
+          .join(idxAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
+          .select("qid", "cid")
+        val intra = shdAsg.select(col("vec_id").as("qid"), col("cell"))
+          .join(shdAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
+          .where(col("qid") =!= col("cid"))
+          .select("qid", "cid")
+        probe.unionAll(intra).distinct()
+      case Some(cap) =>
+        // cell size + hub over BOTH sides; the hub's side rides along via
+        // the struct min (vec_ids are disjoint, so min struct = min id)
+        val tagged = idxAsg.withColumn("side", lit(0))
+          .unionAll(shdAsg.withColumn("side", lit(1)))
+        // eager cut: stats is O(cells) rows, and leaving it as an
+        // aggregate-over-self-joined-union trips Catalyst's
+        // union-constraint rewrite downstream (key-not-found on the
+        // shared vec_id attribute)
+        val stats = tagged.groupBy("cell")
+          .agg(count(lit(1)).as("csz"),
+            min(struct(col("vec_id"), col("side"))).as("mh"))
+          .select(col("cell"), col("csz"),
+            col("mh.vec_id").as("hub"), col("mh.side").as("hub_side"))
+          .localCheckpoint(true)
+        val denseShd = shdAsg.join(stats.where(col("csz") <= cap), Seq("cell"))
+        val probe = denseShd.select(col("vec_id").as("qid"), col("cell"))
+          .join(idxAsg.select(col("vec_id").as("cid"), col("cell")), "cell")
+          .select("qid", "cid")
+        val intra = denseShd.select(col("vec_id").as("qid"), col("cell"))
+          .join(denseShd.select(col("vec_id").as("cid"), col("cell")), "cell")
+          .where(col("qid") =!= col("cid"))
+          .select("qid", "cid")
+        // oversized: shard member → hub, and (only when the hub itself is
+        // a shard vector) hub → every member — the qid-∈-shard restriction
+        // of the full capped hub-star
+        val over = tagged.join(stats.where(col("csz") > cap), Seq("cell"))
+          .where(col("vec_id") =!= col("hub"))
+        val s1 = over.where(col("side") === 1)
+          .select(col("vec_id").as("qid"), col("hub").as("cid"))
+        val s2 = over.where(col("hub_side") === 1)
+          .select(col("hub").as("qid"), col("vec_id").as("cid"))
+        // eager cut BEFORE their union: star volume is linear by
+        // construction (that is the point of the cap), and unioning the
+        // two aliased self-join branches directly trips Catalyst's
+        // union-constraint rewrite (alias constraints referencing the
+        // projected-away hub/vec_id attributes)
+        val star = s1.localCheckpoint(true).unionAll(s2.localCheckpoint(true))
+        probe.unionAll(intra).unionAll(star).distinct()
+    }
   }
 
   /** IVF top-k for one query vector: probe the query's nProbe nearest

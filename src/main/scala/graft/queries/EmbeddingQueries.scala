@@ -94,6 +94,55 @@ object EmbeddingQueries {
         .orderBy("qid", "cid")
     },
 
+    // IVF hot-cell cap — the vector twin of the LSH maxBucket valve
+    // (q598/q599): 300 clones of vector 0 (ids ≡ 1 mod 25, never
+    // centroids) crowd vec 0's two nearest cells past the cap, so those
+    // cells emit hub-star edges (min-id hub ↔ each member, symmetric in
+    // the directed convention) while every natural cell (max 75 members
+    // across the fixtures) stays on the exact all-pairs path. The oracle
+    // rebuilds the identical dense/star split from the same
+    // scaled-integer assignments — a skewed embedding distribution can
+    // no longer make one crowded cell quadratic.
+    QueryDef.sql(
+      "q603_ivf_hot_cell",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT 200001 + 25 * i AS vec_id, e.embedding
+         |  FROM embeddings e, generate_series(0, 299) t(i) WHERE e.vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |         FROM corpus WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM corpus e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid, ${cosSql("dxy", "dxx", "dyy")} AS ccos FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn <= 2),
+         |stats AS (SELECT cell, COUNT(*) AS csz, MIN(vec_id) AS hub FROM asg GROUP BY cell),
+         |sized AS (SELECT a.vec_id, a.cell, s.csz, s.hub FROM asg a JOIN stats s USING (cell)),
+         |dense AS (SELECT x.vec_id AS qid, y.vec_id AS cid
+         |  FROM sized x JOIN sized y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE x.csz <= 100),
+         |star AS (SELECT hub AS qid, vec_id AS cid FROM sized
+         |    WHERE csz > 100 AND vec_id <> hub
+         |  UNION ALL
+         |  SELECT vec_id, hub FROM sized WHERE csz > 100 AND vec_id <> hub)
+         |SELECT DISTINCT qid, cid
+         |FROM (SELECT * FROM dense UNION ALL SELECT * FROM star)
+         |ORDER BY qid, cid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val clones = s.range(300)
+        .crossJoin(broadcast(e.where(col("vec_id") === 0)
+          .select(col("embedding").as("cemb0"))))
+        .select((lit(200001L) + col("id") * 25).as("vec_id"),
+          col("cemb0").as("embedding"))
+      Similarity.ivfCandidatePairs(e.unionAll(clones), 25, 2, maxCell = Some(100))
+        .orderBy("qid", "cid")
+    },
+
     // Brute-force cosine top-k against one query vector — the exact
     // baseline every ANN variant is judged against.
     QueryDef.sql(

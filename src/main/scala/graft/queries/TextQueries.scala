@@ -354,6 +354,144 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // Incremental cluster maintenance — the third leg of continuous
+    // ingestion (q601 admits candidates; this merges them into the
+    // EXISTING dedup clustering without re-running CC over the corpus):
+    // prior labels = CC over the index's own candidates (documents +
+    // verbatim dups at +200000), a truncated-variant shard (+100000)
+    // admits via incrementalCandidates, and the new edges collapse onto
+    // their endpoints' current component labels — the meta-CC is
+    // O(|shard edges|), the label rewrite one broadcast pass. The oracle
+    // PROVES the headline equivalence (incremental ≡ full CC over
+    // old ∪ new pairs) by computing the full recursive closure over the
+    // union corpus's complete band-collision graph.
+    QueryDef.sql(
+      "q604_incremental_cc", {
+        val uSql =
+          """SELECT doc_id, text FROM documents
+            |UNION ALL
+            |SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0
+            |UNION ALL
+            |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+            |FROM documents WHERE doc_id % 29 = 0""".stripMargin
+        s"""WITH RECURSIVE ${sigSqlFor(uSql)},
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+           |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+           |        UNION SELECT d2, d1 FROM cand),
+           |reach(v, w) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+           |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+           |         FROM reach GROUP BY v)
+           |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val index = base.select("doc_id", "text").unionAll(
+        base.where(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val shard = base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text")
+      val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
+      val newPairs = Dedup.incrementalCandidates(idxSig,
+        Dedup.minhashSignatures(shard, "doc_id", "text"))
+      Dedup.incrementalComponents(labels, newPairs).orderBy("doc_id")
+    },
+
+    // The 100-TB ingestion loop as ONE oracle-checked query: shard →
+    // incremental candidates (q601) → exact Jaccard verification
+    // restricted to those candidates (q27) → incremental cluster merge
+    // (q604) → updated dedup-savings report (q584's shape). Every
+    // cross-document step follows |shard|: the index is probed by band
+    // bucket, verification reads only candidate docs' shingle sets, and
+    // the cluster merge collapses onto existing labels. The oracle
+    // replays the whole loop relationally — candidates split, Jaccard
+    // threshold, recursive closure over (index pairs ∪ verified shard
+    // pairs), histogram with never-paired docs as singletons.
+    QueryDef.sql(
+      "q605_incremental_pipeline",
+      s"""WITH RECURSIVE $sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |idxp AS (SELECT d1, d2 FROM cand WHERE d2 < 100000),
+         |newp AS (SELECT d1, d2 FROM cand WHERE d2 >= 100000),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+         |  FROM newp c
+         |  JOIN shd a ON a.doc_id = c.d1
+         |  JOIN shd b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2),
+         |ver AS (SELECT c.d1, c.d2 FROM newp c
+         |  LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |  JOIN sizes na ON na.doc_id = c.d1
+         |  JOIN sizes nb ON nb.doc_id = c.d2
+         |  WHERE CAST(FLOOR(100000.0 * coalesce(i.n_inter, 0) /
+         |    (na.n + nb.n - coalesce(i.n_inter, 0))) AS BIGINT) >= 50000),
+         |allp AS (SELECT d1, d2 FROM idxp UNION ALL SELECT d1, d2 FROM ver),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM allp
+         |        UNION SELECT d2, d1 FROM allp),
+         |reach(v, w) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+         |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+         |         FROM reach GROUP BY v),
+         |clus AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+         |singles AS (SELECT COUNT(*) AS n FROM docs
+         |            WHERE doc_id NOT IN (SELECT doc_id FROM comp)),
+         |hist AS (SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM clus GROUP BY sz
+         |         UNION ALL SELECT 1, n FROM singles WHERE n > 0)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n_clusters) * cluster_size AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_clusters) * (cluster_size - 1) AS BIGINT) AS n_removable
+         |FROM hist GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val index = base.select("doc_id", "text")
+      val shard = base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      val union = index.unionAll(shard)
+      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text")
+      val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
+      val cand = Dedup.incrementalCandidates(idxSig,
+        Dedup.minhashSignatures(shard, "doc_id", "text"))
+      val verified = Dedup.jaccardVerify(cand, union, "doc_id", "text")
+        .where(col("jaccard_scaled") >= 50000).select("d1", "d2")
+      val updated = Dedup.incrementalComponents(labels, verified)
+      val clus = updated.groupBy("component").agg(count(lit(1)).as("sz"))
+      val singles = union.select("doc_id")
+        .join(updated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        .where(col("n_clusters") > 0)
+      clus.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .unionAll(singles)
+        .groupBy("cluster_size")
+        .agg(sum("n_clusters").as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("n_clusters") * col("cluster_size")).as("n_docs"),
+          (col("n_clusters") * (col("cluster_size") - 1)).as("n_removable"))
+        .orderBy("cluster_size")
+    },
+
     // SimHash near-dup pairs: Hamming ≤ 3 within top-byte blocks over the
     // exact-dup-seeded corpus (duplicates ⇒ hamming 0, guaranteed hits).
     QueryDef.sql(

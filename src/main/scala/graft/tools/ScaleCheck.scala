@@ -162,6 +162,42 @@ object ScaleCheck {
       val incSec = (t8e - t8d) / 1e9
       println(f"""{"scenario":"lsh_incremental","index_docs":$nDocs,"shard_docs":${2 * shardHalf},""" +
         f""""pairs":$nInc,"cluster_hits":$clusterHits,"sec":$incSec%.2f}""")
+
+      // ---- cc_incremental: merge shard edges into EXISTING labels ----
+      // Prior labels = one-time CC over the corpus candidate pairs (the
+      // cost the incremental path never repeats); the shard's admitted
+      // edges then collapse onto those labels — meta-CC is O(|shard
+      // edges|). Closed form: every clone lands in its source cluster's
+      // component (label = the cluster's min id, 8·g), and NO existing
+      // label changes (clone ids all exceed the corpus ids).
+      val t8h = System.nanoTime()
+      val labels = graft.operators.Dedup.connectedComponents(cand)
+        .localCheckpoint(true)
+      val nLabels = labels.count()
+      val t8i = System.nanoTime()
+      val updated = graft.operators.Dedup.incrementalComponents(labels, inc)
+        .localCheckpoint(true)
+      val nUpdated = updated.count()
+      val t8j = System.nanoTime()
+      val badClones = updated
+        .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L &&
+          col("component") =!= expr("((doc_id - 10000000) div 8) * 8"))
+        .count()
+      require(badClones == 0,
+        s"every clone must join its source cluster's component: $badClones wrong")
+      val nClones = updated
+        .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L).count()
+      require(nClones == shardHalf, s"all $shardHalf clones must be labeled: $nClones")
+      val changedOld = updated.as("u")
+        .join(labels.withColumnRenamed("component", "old_c"), Seq("doc_id"))
+        .where(col("component") =!= col("old_c")).count()
+      require(changedOld == 0,
+        s"no existing label may change (clone ids exceed corpus ids): $changedOld")
+      val lblSec = (t8i - t8h) / 1e9
+      val mrgSec = (t8j - t8i) / 1e9
+      println(f"""{"scenario":"cc_incremental","index_labels":$nLabels,""" +
+        f""""shard_edges":$nInc,"updated_labels":$nUpdated,""" +
+        f""""corpus_cc_sec":$lblSec%.2f,"merge_sec":$mrgSec%.2f}""")
     }
 
     // native top-k-per-group vs the window row_number filter at scale:

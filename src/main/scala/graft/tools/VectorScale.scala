@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
 object VectorScale {
   def main(args: Array[String]): Unit = {
     val nVec = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // optional 2nd arg: comma-separated scenario filter (kmeans,pairs,hotcell)
+    val only: Set[String] = args.drop(1).headOption
+      .map(_.split(",").toSet).getOrElse(Set("kmeans", "pairs", "hotcell"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,7 +58,7 @@ object VectorScale {
         " AS FLOAT))").as("embedding"))
 
     // ---- kmeans_1m: 3 Lloyd rounds, C = n/seedEvery centroids ----
-    {
+    if (only("kmeans")) {
       val seedEvery = (nVec / 256L).max(1L).toInt
       val ((nAsg, nCells), sec, shuf) = measure {
         val asg = graft.operators.Similarity
@@ -71,7 +74,7 @@ object VectorScale {
     }
 
     // ---- ivf_pairs_1m: multi-probe candidate stream at C = n/250 ----
-    {
+    if (only("pairs")) {
       // Partition-sizing discipline: this scenario's candidate exchange is
       // ~10^9 (qid, cid) pairs — at the session default of 32 shuffle
       // partitions that is ~31M pair keys per task's partial-distinct map,
@@ -94,6 +97,48 @@ object VectorScale {
       println(f"""{"scenario":"ivf_pairs_1m","vectors":$nVec,"pairs":$nPairs,""" +
         f""""max_pairs_per_vector":$maxPer,"brute_pairs":$brute,"sec":$sec%.2f,""" +
         f""""shuffle_records":$shuf,"vectors_per_sec":${(nVec / sec).toLong}}""")
+    }
+
+    // ---- ivf_hot_cell_1m: the degenerate-cell valve at corpus scale ----
+    // One vector cloned nVec/100 times (10k at 1M — ids ≡ 1 mod
+    // centroidEvery, never centroids) crowds its two nearest cells;
+    // uncapped, those cells alone would emit ≥ blockDepth² directed
+    // pairs (10⁸ at 1M) — the quadratic bomb q598's LSH twin already
+    // closed. Capped, the block contributes only hub-star edges:
+    // clone-clone pairs vanish (the hubs are natural small-id members of
+    // the crowded cells), every clone keeps an edge, and the dense cells
+    // keep their exact all-pairs stream.
+    if (only("hotcell")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      val centroidEvery = (nVec / 4000L).max(1L).toInt
+      val blockDepth = (nVec / 100L).max(1000L)
+      // 7L: the INT literal product 7·1103515245 overflows under ANSI
+      val blockVec = expr("transform(sequence(1, 64), j -> CAST(" +
+        "CAST((7L * 1103515245 + j * 2654435761) % 1000003 AS DOUBLE) / 1000003.0" +
+        " AS FLOAT))")
+      val block = spark.range(blockDepth).select(
+        (lit(nVec) + col("id") * centroidEvery + 1).as("vec_id"),
+        blockVec.as("embedding"))
+      val corpus = emb.unionAll(block)
+      val cap = 8192
+      val ((nPairs, blockInternal, touched), sec, shuf) = measure {
+        val cand = graft.operators.Similarity
+          .ivfCandidatePairs(corpus, centroidEvery, nProbe = 2, maxCell = Some(cap))
+        // one aggregation pass — never cache the ~10⁹-row dense stream
+        val r = cand.agg(
+          count(lit(1)),
+          sum(when(col("qid") > nVec && col("cid") > nVec, 1L).otherwise(0L)),
+          countDistinct(when(col("qid") > nVec, col("qid")))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      require(blockInternal == 0,
+        s"clone-clone pairs must vanish under the cap: $blockInternal")
+      require(touched == blockDepth,
+        s"every clone must keep a hub edge: $touched vs $blockDepth")
+      println(f"""{"scenario":"ivf_hot_cell_1m","vectors":${nVec + blockDepth},""" +
+        f""""cell_depth":$blockDepth,"cap":$cap,"pairs":$nPairs,""" +
+        f""""uncapped_block_pairs":${blockDepth * (blockDepth - 1)},""" +
+        f""""block_internal_pairs":$blockInternal,"sec":$sec%.2f}""")
     }
     spark.stop()
   }

@@ -37,4 +37,21 @@ class BenchSpec extends SparkSpec {
     assert(keys.size == keys.distinct.size,
       s"duplicate prefixes: ${keys.diff(keys.distinct).distinct.mkString(",")}")
   }
+
+  test("rotating cohort: seeded, non-headline, disjoint, registry-keyed") {
+    val all = SparkEntry.queries.keys
+    val c1 = Bench.cohort(all, None)
+    val c2 = Bench.cohort(all, None)
+    assert(c1 == c2, "default seed must be deterministic within a round")
+    assert(c1.size == 10 && c1.distinct.size == 10)
+    assert(c1.forall(!Bench.headline.contains(_)), s"cohort must avoid the headline: $c1")
+    assert(c1.forall(SparkEntry.queries.contains))
+    // explicit seed pins the draw; different seeds rotate it
+    val p1 = Bench.cohort(all, Some(42L))
+    assert(p1 == Bench.cohort(all, Some(42L)))
+    assert(p1 != Bench.cohort(all, Some(43L)), "different seeds must rotate the cohort")
+    // the combined headline+cohort key space stays prefix-unique
+    val keys = (Bench.headline ++ c1).map(_.takeWhile(_ != '_'))
+    assert(keys.size == keys.distinct.size)
+  }
 }

@@ -20,4 +20,37 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comp(20L) == 20L && comp(21L) == 20L)
     assert(comp.size == 10)
   }
+
+  test("incremental merge == full CC over old ∪ new pairs, old labels rewritten") {
+    val s = spark
+    import s.implicits._
+    // prior clustering: {1,2}, {5,6}, {10,11}, isolated pair {20,21}
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L), (20L, 21L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(oldPairs).localCheckpoint()
+    // new edges: bridge TWO existing components (2-5 — rewrites {5,6}'s
+    // label to 1), attach a new vertex to an existing component (30-10),
+    // a brand-new pair (40,41), and a no-op edge inside {20,21}
+    val newPairs = Seq((2L, 5L), (30L, 10L), (40L, 41L), (20L, 21L)).toDF("d1", "d2")
+    val inc = Dedup.incrementalComponents(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldPairs.unionAll(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    // the bridge rewrote the absorbed component's every member
+    assert(inc(5L) == 1L && inc(6L) == 1L)
+    // untouched component kept its label; new vertices labeled
+    assert(inc(20L) == 20L && inc(21L) == 20L)
+    assert(inc(30L) == 10L && inc(40L) == 40L && inc(41L) == 40L)
+  }
+
+  test("incremental merge is exact even when a new vertex undercuts an old label") {
+    val s = spark
+    import s.implicits._
+    val labels = Dedup.connectedComponents(Seq((10L, 11L)).toDF("d1", "d2"))
+      .localCheckpoint()
+    // new vertex 3 < old label 10: the merged component's true min is 3
+    val inc = Dedup.incrementalComponents(labels, Seq((3L, 11L)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(10L -> 3L, 11L -> 3L, 3L -> 3L), inc.toString)
+  }
 }

@@ -53,6 +53,67 @@ class IvfCandidateSpec extends SparkSpec {
       s"cell-mate join must be an equi-join on cell:\n$plan")
   }
 
+  test("maxCell: planted hot cell collapses to hub-star; dense cells keep exact pairs") {
+    Graft.configure(spark)
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    // clone vector 0 into a degenerate block (ids ≡ 1 mod 25 — never
+    // centroids), crowding vec 0's two nearest cells far past the cap
+    val clones = spark.range(300)
+      .crossJoin(broadcast(emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("ce"))))
+      .select((lit(200001L) + col("id") * 25).as("vec_id"), col("ce").as("embedding"))
+    val corpus = emb.unionAll(clones)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Similarity.ivfCandidatePairs(corpus, 25, 2, maxCell = Some(100)))
+    val uncapped = pairs(Similarity.ivfCandidatePairs(corpus, 25, 2))
+
+    // capped ⊆ uncapped, and block-internal volume turns linear: clones
+    // pair only through their cells' hubs, never with each other
+    assert(capped.subsetOf(uncapped))
+    val blockInternal = capped.count { case (q, c) => q > 200000L && c > 200000L }
+    assert(blockInternal == 0, s"clone-clone pairs must vanish under the cap: $blockInternal")
+    assert(uncapped.count { case (q, c) => q > 200000L && c > 200000L } > 300 * 299 / 2,
+      "uncapped, the planted cells ARE quadratic — the scenario is real")
+    // every clone stays reachable (hub-star keeps the cluster connected)
+    val touched = capped.collect { case (q, c) if q > 200000L => q }.toSet
+    assert(touched.size == 300, s"every clone must keep an edge: ${touched.size}")
+    // symmetry survives the star (directed convention: both orientations)
+    assert(capped.forall { case (q, c) => capped((c, q)) })
+
+    // on the natural corpus (max cell 75 across fixtures) the cap is
+    // inert: capped ≡ uncapped exactly
+    assert(pairs(Similarity.ivfCandidatePairs(emb, 25, 2, maxCell = Some(100))) ==
+      pairs(Similarity.ivfCandidatePairs(emb, 25, 2)))
+  }
+
+  test("capped incremental pairs == capped full pairs restricted to shard queries") {
+    Graft.configure(spark)
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    // shard = clone block (degenerate, crowds two cells) + a re-id'd
+    // natural slice (lands in dense cells) — both arms of the split
+    val clones = spark.range(200)
+      .crossJoin(broadcast(emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("ce"))))
+      .select((lit(200001L) + col("id") * 25).as("vec_id"), col("ce").as("embedding"))
+    val slice = emb.where(col("vec_id") % 17 === 3 && (col("vec_id") + 100001) % 25 =!= 0)
+      .select((col("vec_id") + 100001).as("vec_id"), col("embedding"))
+    // cut lineage: both branches derive from `emb`, and re-unioning them
+    // against emb downstream trips Catalyst's union-constraint rewrite
+    val shard = clones.unionAll(slice).localCheckpoint()
+    val shardIds = shard.select("vec_id").collect().map(_.getLong(0)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(Similarity.ivfIncrementalPairs(emb, shard, 25, 2, maxCell = Some(100)))
+    val full = pairs(Similarity.ivfCandidatePairs(emb.unionAll(shard), 25, 2,
+        maxCell = Some(100)))
+      .filter { case (q, _) => shardIds(q) }
+    assert(inc == full,
+      s"inc-only=${(inc -- full).take(5)} full-only=${(full -- inc).take(5)}")
+    assert(inc.forall { case (q, _) => shardIds(q) }, "qid must stay in the shard")
+    assert(inc.nonEmpty)
+  }
+
   test("incremental pairs == full pairs restricted to shard queries (same centroids)") {
     Graft.configure(spark)
     val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
