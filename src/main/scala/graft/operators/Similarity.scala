@@ -354,17 +354,44 @@ object Similarity {
     */
   def ivfIncrementalPairs(indexEmb: DataFrame, shardEmb: DataFrame,
       centroidEvery: Int, nProbe: Int, maxCell: Option[Int] = None): DataFrame = {
-    def withNorm(e: DataFrame) = e.withColumn("__nrm",
-      scaledDot(col("embedding"), col("embedding")))
-    val idx = withNorm(indexEmb)
-    val cent = idx.where(col("vec_id") % centroidEvery === 0)
+    val cents = ivfCentroids(indexEmb, centroidEvery)
+    ivfIncrementalPairsIndexed(ivfIndex(indexEmb, cents, nProbe), cents,
+      shardEmb, nProbe, maxCell)
+  }
+
+  /** Deterministic IVF centroid relation (ccid, cemb, cnrm0) — every
+    * `centroidEvery`-th vector with its scaled self-dot. Tiny (C rows);
+    * in production this is persisted index METADATA alongside the
+    * (vec_id, cell) relation, so a probe never touches corpus
+    * embeddings.
+    */
+  def ivfCentroids(emb: DataFrame, centroidEvery: Int): DataFrame =
+    emb.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("ccid"), col("embedding").as("cemb"),
-        col("__nrm").as("cnrm0"))
-    val centsArr = cent
-      .agg(sort_array(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))))
-        .as("cents"))
-    val idxAsg = probeAssignments(idx, centsArr, nProbe)
-    val shdAsg = probeAssignments(withNorm(shardEmb), centsArr, nProbe)
+        scaledDot(col("embedding"), col("embedding")).as("cnrm0"))
+
+  /** The PERSISTABLE index relation: (vec_id, cell) over the `nProbe`
+    * nearest centroids — exactly what [[ivfIncrementalPairs]] derives
+    * internally, exposed so a corpus writes it once (partitioned by
+    * cell) and every later shard probes the on-disk relation.
+    * MaterializedIvfIndexSpec proves probe-from-disk identity.
+    */
+  def ivfIndex(emb: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame =
+    probeAssignments(
+      emb.withColumn("__nrm", scaledDot(col("embedding"), col("embedding"))),
+      centroids.agg(sort_array(
+        collect_list(struct(col("ccid"), col("cemb"), col("cnrm0")))).as("cents")),
+      nProbe)
+
+  /** [[ivfIncrementalPairs]] against a PRE-MATERIALIZED index: the
+    * (vec_id, cell) relation and the centroid metadata come in as
+    * relations (from disk in production — no index embedding is ever
+    * read); only the shard assigns fresh.
+    */
+  def ivfIncrementalPairsIndexed(indexAsg: DataFrame, centroids: DataFrame,
+      shardEmb: DataFrame, nProbe: Int, maxCell: Option[Int] = None): DataFrame = {
+    val idxAsg = indexAsg
+    val shdAsg = ivfIndex(shardEmb, centroids, nProbe)
     maxCell match {
       case None =>
         val probe = shdAsg.select(col("vec_id").as("qid"), col("cell"))
