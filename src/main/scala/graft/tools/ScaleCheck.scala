@@ -167,9 +167,13 @@ object ScaleCheck {
       // Prior labels = one-time CC over the corpus candidate pairs (the
       // cost the incremental path never repeats); the shard's admitted
       // edges then collapse onto those labels — meta-CC is O(|shard
-      // edges|). Closed form: every clone lands in its source cluster's
-      // component (label = the cluster's min id, 8·g), and NO existing
-      // label changes (clone ids all exceed the corpus ids).
+      // edges|). Closed form: every clone lands in EXACTLY the component
+      // its source cluster's min member (8·g) already carries — not a
+      // recomputed 8·g (cross-cluster LSH collisions merge ~10⁻³ of the
+      // clusters into larger components, observed: 128/5000 clones'
+      // sources) — and NO existing label changes: a clone's signature is
+      // verbatim its cluster's, so its collision set is a subset of the
+      // members' and bridges nothing new.
       val t8h = System.nanoTime()
       val labels = graft.operators.Dedup.connectedComponents(cand)
         .localCheckpoint(true)
@@ -180,9 +184,11 @@ object ScaleCheck {
       val nUpdated = updated.count()
       val t8j = System.nanoTime()
       val badClones = updated
-        .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L &&
-          col("component") =!= expr("((doc_id - 10000000) div 8) * 8"))
-        .count()
+        .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L)
+        .withColumn("src", expr("((doc_id - 10000000) div 8) * 8"))
+        .join(labels.select(col("doc_id").as("src"),
+          col("component").as("src_c")), Seq("src"))
+        .where(col("component") =!= col("src_c")).count()
       require(badClones == 0,
         s"every clone must join its source cluster's component: $badClones wrong")
       val nClones = updated
