@@ -101,17 +101,28 @@ object Dedup {
     * still screens each star edge. Default None preserves the exact
     * all-pairs semantics.
     */
+  /** Call-scoped cache contract (the kmeansAssignments pattern): inputs
+    * not already persisted are cached for the call and released in the
+    * finally, with the result materialized under the cache by an eager
+    * localCheckpoint — library callers don't leak session caches. An
+    * input the CALLER already cached is left alone (both the cache and
+    * its lifetime stay the caller's), which is what lets a composition
+    * like q605 share one signature relation across
+    * [[minhashCandidates]] and [[incrementalCandidates]] instead of
+    * recomputing the shingle→md5→min pipeline per operator.
+    */
+  private def withCallScopedCache[T](dfs: DataFrame*)(body: => T): T = {
+    val mine = dfs.filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    mine.foreach(_.cache())
+    try body finally mine.foreach(_.unpersist(false))
+  }
+
   def minhashCandidates(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None): DataFrame =
     // the band union references the signature relation 2·bands times —
-    // cache it or the whole shingle→md5→min pipeline recomputes per branch.
-    // Call-scoped cache contract (the kmeansAssignments pattern): the
-    // result is materialized under the cache by an eager localCheckpoint,
-    // then the cache is released in a finally — library callers outside
-    // Bench/Verify don't leak the shingle→md5→min relation for the session.
-    val cached = sig.cache()
-    try {
-      val bands = lshBands(cached, numHashes, rowsPerBand)
+    // cache it or the whole shingle→md5→min pipeline recomputes per branch
+    withCallScopedCache(sig) {
+      val bands = lshBands(sig, numHashes, rowsPerBand)
       def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -130,10 +141,7 @@ object Dedup {
           dense.unionAll(star).distinct()
       }
       pairs.localCheckpoint(true)
-    } finally {
-      cached.unpersist(false)
     }
-  }
 
   /** Incremental LSH dedup: candidate pairs for a NEW shard against an
     * existing corpus whose band-bucket index is already materialized —
@@ -152,16 +160,27 @@ object Dedup {
     * id space; doc_ids must be disjoint between the two sides.
     */
   def incrementalCandidates(indexSig: DataFrame, shardSig: DataFrame,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // both band unions reference their signature relation once per band —
-    // cache BOTH sides or the corpus-sized shingle→md5→min pipeline
-    // recomputes per branch (uncached index measured 153 s at 1M docs);
-    // call-scoped like minhashCandidates
-    val cachedShard = shardSig.cache()
-    val cachedIndex = indexSig.cache()
-    try {
-      val shardBands = lshBands(cachedShard, numHashes, rowsPerBand)
-      val indexBands = lshBands(cachedIndex, numHashes, rowsPerBand)
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    // the index band union references its signature relation once per
+    // band — cache it or the corpus-sized shingle→md5→min pipeline
+    // recomputes per branch (uncached index measured 153 s at 1M docs)
+    withCallScopedCache(indexSig) {
+      incrementalCandidatesIndexed(lshBands(indexSig, numHashes, rowsPerBand),
+        shardSig, numHashes, rowsPerBand)
+    }
+
+  /** [[incrementalCandidates]] against a PRE-MATERIALIZED band index —
+    * the LSH twin of
+    * [[graft.operators.Similarity.ivfIncrementalPairsIndexed]]: the
+    * (doc_id, band, bucket) relation comes in as a relation (the
+    * persisted `lshBands` output in production — corpus text is never
+    * re-read), only the shard's signatures compute fresh.
+    * MaterializedIndexSpec proves probe-from-disk candidate identity.
+    */
+  def incrementalCandidatesIndexed(indexBands: DataFrame, shardSig: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    withCallScopedCache(shardSig) {
+      val shardBands = lshBands(shardSig, numHashes, rowsPerBand)
       val probe = shardBands.as("s").join(indexBands.as("i"),
           col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
         .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
@@ -171,11 +190,7 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       probe.unionAll(intra).distinct().localCheckpoint(true)
-    } finally {
-      cachedShard.unpersist(false)
-      cachedIndex.unpersist(false)
     }
-  }
 
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
     * join runs only on the candidate set).

@@ -400,10 +400,15 @@ object TextQueries {
       val shard = base.where(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text"))
-      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text")
+      // caller-held cache: both operators read the SAME signature
+      // relation (their call-scoped management defers to an input the
+      // caller already persisted), so the shingle→md5→min pipeline runs
+      // once across the composition
+      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
       val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
       val newPairs = Dedup.incrementalCandidates(idxSig,
         Dedup.minhashSignatures(shard, "doc_id", "text"))
+      idxSig.unpersist(false)
       Dedup.incrementalComponents(labels, newPairs).orderBy("doc_id")
     },
 
@@ -468,10 +473,13 @@ object TextQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text"))
       val union = index.unionAll(shard)
-      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text")
+      // caller-held cache shared across both candidate operators (q604's
+      // composition note)
+      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
       val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
       val cand = Dedup.incrementalCandidates(idxSig,
         Dedup.minhashSignatures(shard, "doc_id", "text"))
+      idxSig.unpersist(false)
       val verified = Dedup.jaccardVerify(cand, union, "doc_id", "text")
         .where(col("jaccard_scaled") >= 50000).select("d1", "d2")
       val updated = Dedup.incrementalComponents(labels, verified)

@@ -29,19 +29,10 @@ class MaterializedIndexSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("band").parquet(dir)
     val onDisk = spark.read.parquet(dir)
 
-    // probe the on-disk index: shard bands join + shard-internal pairs —
-    // the incrementalCandidates construction over the persisted relation
-    val shardBands = Dedup.lshBands(
-      Dedup.minhashSignatures(shard, "doc_id", "text").cache())
-    val probe = shardBands.as("s").join(onDisk.as("i"),
-        col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
-      .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
-        greatest(col("s.doc_id"), col("i.doc_id")).as("d2"))
-    val intra = shardBands.as("x").join(shardBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    val viaDisk = probe.unionAll(intra).distinct()
+    // probe the on-disk index through the public API — only the shard's
+    // signatures compute fresh
+    val viaDisk = Dedup.incrementalCandidatesIndexed(onDisk,
+        Dedup.minhashSignatures(shard, "doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val inMemory = Dedup.incrementalCandidates(
