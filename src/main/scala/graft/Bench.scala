@@ -56,8 +56,10 @@ object Bench {
     "q595_collated_chunks",
     // round-7 representatives (incremental shard-vs-index dedup/ANN)
     "q601_incremental_dedup", "q602_incremental_ann",
-    // round-8 representatives (IVF hot-cell cap, incremental CC + pipeline)
-    "q603_ivf_hot_cell", "q604_incremental_cc", "q605_incremental_pipeline")
+    // round-8 representatives (IVF hot-cell cap, incremental CC + pipeline,
+    // incremental semantic-dedup admission)
+    "q603_ivf_hot_cell", "q604_incremental_cc", "q605_incremental_pipeline",
+    "q606_incremental_semdedup")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

@@ -483,6 +483,41 @@ object Similarity {
       .select(col("vec_id"), col("cell"), coalesce(col("__rm"), lit(false)).as("removed"))
   }
 
+  /** Incremental SemDeDup — the admission DECISION consumer of the
+    * incremental vector machinery: a NEW shard vector is REMOVED iff
+    * some smaller-id cell-mate (an index vector, or an earlier shard
+    * member) has cosine ≥ `minCosScaled`; exactly
+    * `semDedup(index ∪ shard)` restricted to shard ids (shard ids must
+    * exceed index ids and avoid the centroid residue, the standard
+    * ingestion fixture invariants). Cells come from the INDEX corpus's
+    * centroids — in production the pre-materialized (vec_id, cell) map —
+    * and index×index is never re-paired: admit cost follows
+    * |shard| · cell occupancy. Returns (vec_id, cell, removed) for the
+    * shard.
+    */
+  def semDedupIncremental(indexEmb: DataFrame, shardEmb: DataFrame,
+      centroidEvery: Int, minCosScaled: Long): DataFrame = {
+    val cents = ivfCentroids(indexEmb, centroidEvery)
+    val idxA = ivfIndex(indexEmb, cents, 1)
+      .join(indexEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val shdA = ivfIndex(shardEmb, cents, 1)
+      .join(shardEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // ONE aliased self-join against the unioned x-side (the capped-arm
+    // pattern): unioning the aliased hit branches instead crashes
+    // Catalyst's union-constraint rewrite — even checkpointed, LogicalRDD
+    // origin constraints still reference the projected-away join attrs
+    val xAll = idxA.unionAll(shdA)
+    val removed = shdA.as("y").join(xAll.as("x"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .where(cosineScaled(col("x.embedding"), col("y.embedding")) >= minCosScaled)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("__rm", lit(true))
+    shdA.select("vec_id", "cell")
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__rm"), lit(false)).as("removed"))
+  }
+
   /** Recall@k audit of the LSH ANN against the exact brute force, per
     * query vector: hits = |ANN top-k ∩ exact top-k|, recall in permille.
     *

@@ -146,6 +146,67 @@ object CorpusQueries {
         .orderBy("bin")
     },
 
+    // Incremental SemDeDup — the vector admission DECISION for continuous
+    // ingestion: a shard vector is removed iff some smaller-id cell-mate
+    // (index vector or earlier shard member) clears the cosine
+    // threshold; exactly semDedup(index ∪ shard) restricted to shard
+    // ids, which the oracle computes literally. Cells come from the
+    // index's centroids (the persisted map at scale — shard ids avoid
+    // the centroid residue so the union's centroid set IS the index's);
+    // index×index is never re-paired. Fixture: verbatim clones of every
+    // 37th vector (+100000 — guaranteed removals, their source shares
+    // the cell at cosine 10⁶) plus element-REVERSED copies of every
+    // 17≡3 vector (+200000 — genuinely new content, mostly admitted).
+    QueryDef.sql(
+      "q606_incremental_semdedup",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id % 37 = 0 AND vec_id % 25 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000, list_reverse(embedding) FROM embeddings
+         |  WHERE vec_id % 17 = 3 AND vec_id % 25 <> 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM em WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM em e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid,
+         |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |      (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+         |  FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+         |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE b.vec_id >= 100000),
+         |pp AS (SELECT pr.v1, pr.v2, i,
+         |    CAST(FLOOR(CAST(e1.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pr JOIN em e1 ON e1.vec_id = pr.v1 JOIN em e2 ON e2.vec_id = pr.v2,
+         |       generate_series(1, 64) t(i)),
+         |pdd AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |        FROM pp GROUP BY v1, v2),
+         |rm AS (SELECT DISTINCT v2 AS vec_id FROM pdd
+         |       WHERE CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |         (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) >= 990000)
+         |SELECT a.vec_id, a.cell, (rm.vec_id IS NOT NULL) AS removed
+         |FROM asg a LEFT JOIN rm ON a.vec_id = rm.vec_id
+         |WHERE a.vec_id >= 100000 ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val shard = e.where(col("vec_id") % 37 === 0 && col("vec_id") % 25 =!= 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") % 17 === 3 && col("vec_id") % 25 =!= 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        .localCheckpoint()
+      Similarity.semDedupIncremental(e, shard, 25, 990000L)
+        .orderBy("vec_id")
+    },
+
     // SemDeDup: IVF-cell clustering (deterministic centroids, every 25th
     // vector) + within-cell cosine threshold — a vector is removed iff a
     // smaller-id cell-mate is ≥ 0.99 cosine-similar. The dup fixture

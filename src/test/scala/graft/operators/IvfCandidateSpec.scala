@@ -114,6 +114,26 @@ class IvfCandidateSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("incremental semdedup == full semDedup over the union restricted to shard ids") {
+    Graft.configure(spark)
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    val shard = emb.where(col("vec_id") % 37 === 0 && col("vec_id") % 25 =!= 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 17 === 3 && col("vec_id") % 25 =!= 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val inc = rows(Similarity.semDedupIncremental(emb, shard, 25, 990000L))
+    val full = rows(Similarity.semDedup(emb.unionAll(shard), 25, 990000L))
+      .filter(_._1 >= 100000L)
+    assert(inc == full,
+      s"inc-only=${(inc -- full).take(5)} full-only=${(full -- inc).take(5)}")
+    // the fixture exercises both decisions: clones removed, fresh mostly kept
+    assert(inc.exists(_._3) && inc.exists(!_._3))
+  }
+
   test("incremental pairs == full pairs restricted to shard queries (same centroids)") {
     Graft.configure(spark)
     val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
