@@ -158,15 +158,24 @@ object Dedup {
     * to pairs touching the shard (signatures are per-doc), which
     * DedupSpec/q601 pin. Returns (d1, d2) with d1 < d2 across the union
     * id space; doc_ids must be disjoint between the two sides.
+    *
+    * `maxBucket` caps a degenerate bucket exactly like
+    * [[minhashCandidates]]: bucket sizes are measured over index ∪ shard
+    * (the index side's counts are one aggregate over the persisted band
+    * relation — metadata, no corpus text), and an oversized bucket emits
+    * only its hub-star edges that touch the shard — identical to the
+    * capped full-corpus candidates restricted to shard-touching pairs,
+    * which LshBucketCapSpec pins.
     */
   def incrementalCandidates(indexSig: DataFrame, shardSig: DataFrame,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame =
     // the index band union references its signature relation once per
     // band — cache it or the corpus-sized shingle→md5→min pipeline
     // recomputes per branch (uncached index measured 153 s at 1M docs)
     withCallScopedCache(indexSig) {
       incrementalCandidatesIndexed(lshBands(indexSig, numHashes, rowsPerBand),
-        shardSig, numHashes, rowsPerBand)
+        shardSig, numHashes, rowsPerBand, maxBucket)
     }
 
   /** [[incrementalCandidates]] against a PRE-MATERIALIZED band index —
@@ -178,18 +187,57 @@ object Dedup {
     * MaterializedIndexSpec proves probe-from-disk candidate identity.
     */
   def incrementalCandidatesIndexed(indexBands: DataFrame, shardSig: DataFrame,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame =
     withCallScopedCache(shardSig) {
       val shardBands = lshBands(shardSig, numHashes, rowsPerBand)
-      val probe = shardBands.as("s").join(indexBands.as("i"),
-          col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
-        .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
-          greatest(col("s.doc_id"), col("i.doc_id")).as("d2"))
-      val intra = shardBands.as("x").join(shardBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      probe.unionAll(intra).distinct().localCheckpoint(true)
+      def probeIntra(shd: DataFrame, idx: DataFrame): DataFrame = {
+        val probe = shd.as("s").join(idx.as("i"),
+            col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
+          .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
+            greatest(col("s.doc_id"), col("i.doc_id")).as("d2"))
+        val intra = shd.as("x").join(shd.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        probe.unionAll(intra)
+      }
+      val pairs = maxBucket match {
+        case None => probeIntra(shardBands, indexBands)
+        case Some(cap) =>
+          // bucket size + hub over index ∪ shard — the IVF incremental
+          // arm's recipe (ivfIncrementalPairsIndexed): at scale the index
+          // side's counts are ONE aggregate over the persisted band
+          // relation (index metadata, no corpus text). doc_ids are
+          // disjoint, so min struct(doc_id, side) = the union's min id
+          // with its side riding along for the hub-ownership test.
+          val tagged = indexBands.select("doc_id", "band", "bucket")
+            .withColumn("side", lit(0))
+            .unionAll(shardBands.select("doc_id", "band", "bucket")
+              .withColumn("side", lit(1)))
+          // eager cut: O(buckets) rows, and an aggregate feeding three
+          // aliased joins below would otherwise recompute per branch
+          val stats = tagged.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("bsz"),
+              min(struct(col("doc_id"), col("side"))).as("mh"))
+            .select(col("band"), col("bucket"), col("bsz"),
+              col("mh.doc_id").as("hub"), col("mh.side").as("hub_side"))
+            .localCheckpoint(true)
+          val denseKeys = stats.where(col("bsz") <= cap).select("band", "bucket")
+          val dense = probeIntra(
+            shardBands.join(denseKeys, Seq("band", "bucket")),
+            indexBands.join(denseKeys, Seq("band", "bucket")))
+          // oversized: hub-star restricted to pairs touching the shard —
+          // (hub, member) survives iff the member is a shard doc OR the
+          // hub itself is (then every star edge touches the shard); hub
+          // is the union min, so d1 < d2 holds by construction
+          val star = tagged.join(stats.where(col("bsz") > cap), Seq("band", "bucket"))
+            .where(col("doc_id") =!= col("hub") &&
+              (col("side") === 1 || col("hub_side") === 1))
+            .select(col("hub").as("d1"), col("doc_id").as("d2"))
+          dense.unionAll(star)
+      }
+      pairs.distinct().localCheckpoint(true)
     }
 
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
@@ -352,15 +400,21 @@ object Dedup {
     val newVerts = e.where(col("n1")).select(col("d1").as("v"))
       .unionAll(e.where(col("n2")).select(col("d2").as("v")))
       .distinct()
-    val meta = connectedComponents(collapsed, maxIter)
+    val meta0 = connectedComponents(collapsed, maxIter)
       .select(col("doc_id").as("mv"), col("component").as("mc"))
+    // meta scales with |newPairs| components — broadcast only while it
+    // verifiably fits (the CC labels are already checkpointed, so the
+    // count is a metadata-cheap job); a giant ingest batch falls back to
+    // AQE's own join pick instead of pressuring the driver
+    val meta =
+      if (meta0.count() <= 4000000L) broadcast(meta0) else meta0
     val updatedOld = labels
-      .join(broadcast(meta), col("component") === col("mv"), "left_outer")
+      .join(meta, col("component") === col("mv"), "left_outer")
       .select(col("doc_id"), coalesce(col("mc"), col("component")).as("component"))
     // a new vertex whose every edge collapsed away cannot exist (ids are
     // disjoint from old labels), but coalesce keeps the shape total
     val newLabeled = newVerts
-      .join(broadcast(meta), col("v") === col("mv"), "left_outer")
+      .join(meta, col("v") === col("mv"), "left_outer")
       .select(col("v").as("doc_id"), coalesce(col("mc"), col("v")).as("component"))
     updatedOld.unionAll(newLabeled)
   }

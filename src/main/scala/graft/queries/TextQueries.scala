@@ -354,6 +354,69 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // maxBucket on the INCREMENTAL arm, value-checked end-to-end (the r8
+    // IVF hot-cell recipe on the LSH side): a degenerate bucket SPANNING
+    // index (doc 1 + 15 verbatim clones) and shard (16 more clones) has
+    // 32 members over the union — past cap 12 — so it contributes only
+    // hub-star edges touching the shard (hub = doc 1, the union min:
+    // exactly the 16 shard-clone edges), while every ≤-cap bucket keeps
+    // the exact probe/intra pairs (the truncated %29 near-dups). The
+    // oracle recomputes the identical dense/star split from the union's
+    // signatures with sizes measured over index ∪ shard.
+    QueryDef.sql(
+      "q607_lsh_cap_incremental", {
+        val unionSql =
+          """SELECT doc_id, text FROM documents
+            |UNION ALL
+            |SELECT 300000 + i AS doc_id, text FROM documents, generate_series(1, 15) t(i)
+            |WHERE doc_id = 1
+            |UNION ALL
+            |SELECT 400000 + i AS doc_id, text FROM documents, generate_series(1, 16) u(i)
+            |WHERE doc_id = 1
+            |UNION ALL
+            |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+            |FROM documents WHERE doc_id % 29 = 0""".stripMargin
+        val isShd = (c: String) =>
+          s"($c >= 400000 OR ($c >= 100000 AND $c < 200000))"
+        s"""WITH ${sigSqlFor(unionSql)},
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+           |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+           |stats AS (SELECT band, bucket, COUNT(*) AS bsz, MIN(doc_id) AS hub
+           |          FROM bands GROUP BY band, bucket),
+           |sized AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.hub
+           |          FROM bands b JOIN stats s ON b.band = s.band AND b.bucket = s.bucket)
+           |SELECT DISTINCT d1, d2 FROM (
+           |  SELECT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM sized x JOIN sized y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  WHERE x.bsz <= 12 AND (${isShd("x.doc_id")} OR ${isShd("y.doc_id")})
+           |  UNION ALL
+           |  SELECT hub AS d1, doc_id AS d2 FROM sized
+           |  WHERE bsz > 12 AND doc_id <> hub
+           |    AND (${isShd("doc_id")} OR ${isShd("hub")}))
+           |ORDER BY d1, d2""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val doc1 = base.where(col("doc_id") === 1).select("text")
+      val idxClones = s.range(15).crossJoin(broadcast(doc1))
+        .select((col("id") + 300001L).as("doc_id"), col("text"))
+      val shdClones = s.range(16).crossJoin(broadcast(doc1))
+        .select((col("id") + 400001L).as("doc_id"), col("text"))
+      val index = base.select("doc_id", "text").unionAll(idxClones)
+      val shard = base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+        .unionAll(shdClones)
+      Dedup.incrementalCandidates(
+        Dedup.minhashSignatures(index, "doc_id", "text"),
+        Dedup.minhashSignatures(shard, "doc_id", "text"),
+        maxBucket = Some(12))
+        .orderBy("d1", "d2")
+    },
+
     // Incremental cluster maintenance — the third leg of continuous
     // ingestion (q601 admits candidates; this merges them into the
     // EXISTING dedup clustering without re-running CC over the corpus):

@@ -207,6 +207,12 @@ object Jdbc {
         def flush(): Unit = if (pending > 0) {
           applied += st.executeBatch().map {
             case java.sql.Statement.SUCCESS_NO_INFO => rowsPerStmt.toLong
+            // Derby raises BatchUpdateException on failure, but the JDBC
+            // contract also allows a driver to RETURN this marker — summed
+            // as -3 it would silently corrupt the applied count
+            case java.sql.Statement.EXECUTE_FAILED =>
+              throw new java.sql.SQLException(
+                "batch statement reported EXECUTE_FAILED without raising")
             case n => n.toLong
           }.sum
           pending = 0

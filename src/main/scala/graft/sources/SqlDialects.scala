@@ -249,7 +249,9 @@ object SqlDialects {
       // (FF6 / engine TIMESTAMP defaults), or Oracle rejects the literal
       val raw = t.toString
       val dot = raw.indexOf('.')
-      val txt = if (raw.length - dot - 1 > 6) raw.substring(0, dot + 7) else raw
+      // dot >= 0 guard: Timestamp.toString always emits fractions today,
+      // but a dot-less form would otherwise corrupt the substring below
+      val txt = if (dot >= 0 && raw.length - dot - 1 > 6) raw.substring(0, dot + 7) else raw
       d.name match {
         case "oracle" => s"TO_TIMESTAMP('$txt','YYYY-MM-DD HH24:MI:SS.FF6')"
         case _        => s"TIMESTAMP '$txt'"

@@ -122,6 +122,36 @@ object ScaleCheck {
       println(f"""{"scenario":"lsh_hot_bucket","docs":$nDocs,"bucket_depth":$hotB,""" +
         f""""uncapped_bucket_pairs":${hotB * (hotB - 1) / 2},"capped_pairs":$allPairs,""" +
         f""""sec":$hbSec%.2f}""")
+
+      // ---- lsh_hot_bucket_incremental: the cap valve on the INCREMENTAL
+      // arm, with the degenerate bucket SPANNING index and shard: hotS
+      // shard clones of the same boilerplate probe the planted index
+      // bucket. Uncapped, that one union bucket emits hotB·hotS probe +
+      // hotS²/2 intra pairs (~2.2×10⁷ at 1M docs); capped, exactly hotS
+      // hub-star edges survive — the hub is index doc 0 (the union min),
+      // so only member-∈-shard edges pass the shard-touching restriction.
+      val hotS = 2000L
+      val hotShard = spark.range(hotS).select(
+        (col("id") + 30000000L).as("doc_id"),
+        lit("the same boilerplate page text body").as("text"))
+      val t8f = System.nanoTime()
+      val cappedInc = graft.operators.Dedup.incrementalCandidates(
+        graft.operators.Dedup.minhashSignatures(hotDocs, "doc_id", "text"),
+        graft.operators.Dedup.minhashSignatures(hotShard, "doc_id", "text"),
+        maxBucket = Some(64))
+      val nCapInc = cappedInc.count()
+      val starInc = cappedInc
+        .where(col("d1") === 0L && col("d2") >= 30000000L).count()
+      val t8g = System.nanoTime()
+      require(starInc == hotS,
+        s"spanning bucket must emit exactly one hub edge per shard clone: $starInc vs $hotS")
+      require(nCapInc == hotS,
+        s"capped incremental volume must be exactly the restricted star, got $nCapInc")
+      val hiSec = (t8g - t8f) / 1e9
+      println(f"""{"scenario":"lsh_hot_bucket_incremental","index_docs":$nDocs,""" +
+        f""""shard_docs":$hotS,"union_bucket_depth":${hotB + hotS},""" +
+        f""""uncapped_bucket_pairs":${hotB * hotS + hotS * (hotS - 1) / 2},""" +
+        f""""capped_pairs":$nCapInc,"sec":$hiSec%.2f}""")
     }
 
     // ---- lsh_incremental: shard-vs-index dedup cost follows the shard ----

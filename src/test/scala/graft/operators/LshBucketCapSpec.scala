@@ -70,4 +70,35 @@ class LshBucketCapSpec extends SparkSpec {
     // and nothing pairs the index against itself
     assert(inc.forall { case (a, b) => shardIds(a) || shardIds(b) })
   }
+
+  test("capped incremental == capped full candidates restricted to shard-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // a degenerate bucket SPANNING both sides: 25 index docs + 10 shard
+    // docs share every band value, so the union bucket (35) blows any
+    // cap either side would miss alone; plus a small dense group and an
+    // isolated shard doc
+    val index = ((1L to 25L).map(id => (id, 7, 7, 7, 7, 7, 7, 7, 7)) ++
+      Seq((50L, 1, 2, 3, 4, 5, 6, 70, 80), (51L, 1, 2, 9, 9, 5, 6, 1, 2)))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val shard = ((1000L to 1009L).map(id => (id, 7, 7, 7, 7, 7, 7, 7, 7)) ++
+      Seq((2000L, 1, 2, 30, 31, 32, 33, 34, 35), (3000L, 90, 91, 92, 93, 94, 95, 96, 97)))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val shardIds = (1000L to 1009L).toSet ++ Set(2000L, 3000L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap = 12
+    val inc = pairs(Dedup.incrementalCandidates(index, shard, maxBucket = Some(cap)))
+    val full = pairs(Dedup.minhashCandidates(index.unionAll(shard), maxBucket = Some(cap)))
+      .filter { case (a, b) => shardIds(a) || shardIds(b) }
+    assert(inc == full, s"inc-only=${(inc -- full).take(5)} full-only=${(full -- inc).take(5)}")
+    // the 35-member union bucket collapsed to hub(=1)-star edges touching
+    // the shard: exactly the 10 shard members — not 10·25 probe pairs
+    assert((1000L to 1009L).forall(m => inc.contains((1L, m))))
+    assert(!inc.exists { case (a, b) => a != 1L && a <= 25L && b >= 1000L && b <= 1009L })
+    // the dense (≤ cap) bucket keeps its exact probe pair
+    assert(inc.contains((50L, 2000L)) && inc.contains((51L, 2000L)))
+    // cap ignored ⇒ strictly more pairs (the valve engaged)
+    assert(pairs(Dedup.incrementalCandidates(index, shard)).size > inc.size)
+  }
 }
