@@ -59,7 +59,11 @@ object Bench {
     // round-8 representatives (IVF hot-cell cap, incremental CC + pipeline,
     // incremental semantic-dedup admission)
     "q603_ivf_hot_cell", "q604_incremental_cc", "q605_incremental_pipeline",
-    "q606_incremental_semdedup")
+    "q606_incremental_semdedup",
+    // round-9 representatives (capped LSH incremental arm, capped SemDeDup,
+    // two-shard maintained-index chain, vector ingestion pipeline)
+    "q607_lsh_cap_incremental", "q608_semdedup_capped",
+    "q609_two_shard_ingest", "q610_vector_pipeline")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline
@@ -82,9 +86,17 @@ object Bench {
     * robust to one-sided noise, a single sample is not. A query that
     * throws on every rep returns the explicit marker -1.0 (never a
     * timing), so a broken query can't masquerade as a fast one.
+    *
+    * Heavy entries get one EXTRA rep (the r8 lesson: two rounds of
+    * driver artifacts ran ~2× loaded, and 2 reps defend against a
+    * one-sided spike but not sustained contention — the worst observed
+    * phantom was 11.7× on a multi-second entry): while the floor still
+    * exceeds `heavyCutoff` seconds and the extra budget remains, take
+    * another sample. Cheap entries stay at `reps`.
     */
-  private[graft] def measure(spark: SparkSession, reps: Int)(run: () => Unit): Double = {
-    val samples = (1 to reps).flatMap { _ =>
+  private[graft] def measure(spark: SparkSession, reps: Int,
+      heavyCutoff: Double = 5.0, maxExtra: Int = 1)(run: () => Unit): Double = {
+    def sample(): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -93,6 +105,12 @@ object Bench {
       // timing), and storage doesn't accumulate across the suite
       spark.sharedState.cacheManager.clearCache()
       if (ok) Some(dt) else None
+    }
+    var samples = (1 to reps).flatMap(_ => sample())
+    var extra = 0
+    while (samples.nonEmpty && samples.min > heavyCutoff && extra < maxExtra) {
+      samples = samples ++ sample()
+      extra += 1
     }
     if (samples.nonEmpty) samples.min else -1.0
   }
@@ -144,12 +162,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    // headline-only subtotal: cross-round floor comparisons need no
+    // post-hoc filtering as the rotating cohort changes per round
+    val headlineTotal = results
+      .filter(r => headline.contains(r._1) && r._2 >= 0).map(_._2).sum
+    // 1-minute loadavg stamps the artifact with ambient host pressure —
+    // a loaded run (r7/r8 read ~2×) is adjudicable without a re-run
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // leading println guarantees the JSON starts at column 0 even if a
     // logger left an unterminated line on stdout
     val cohKeys = coh.map(_.takeWhile(_ != '_'))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"failed":$failed,"cohort":$cohKeys,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","headline_total":${f2(headlineTotal)},"load":${f2(load)},"reps":$reps,"failed":$failed,"cohort":$cohKeys,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

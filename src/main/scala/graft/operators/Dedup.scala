@@ -240,6 +240,24 @@ object Dedup {
       pairs.distinct().localCheckpoint(true)
     }
 
+  /** Band-index MAINTENANCE — the fourth leg of continuous ingestion
+    * (admit → verify → merge labels → UPDATE the index): the admitted
+    * shard's band rows append to the persisted band relation. Bands are
+    * per-document, so the appended relation is EXACTLY `lshBands` over
+    * index ∪ shard signatures — probing it with the next shard is
+    * identical to probing a from-scratch rebuild, which
+    * MaterializedIndexSpec proves through a disk round-trip (in
+    * production the append is a partition-local parquet append: new
+    * files land in matched band partitions, existing files are never
+    * rewritten — the spec asserts that too). q609 chains two shards
+    * through the maintained index end-to-end.
+    */
+  def appendBands(indexBands: DataFrame, shardSig: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    indexBands.select("doc_id", "band", "bucket")
+      .unionAll(lshBands(shardSig, numHashes, rowsPerBand)
+        .select("doc_id", "band", "bucket"))
+
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
     * join runs only on the candidate set).
     */
@@ -382,6 +400,23 @@ object Dedup {
     */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val (meta, newLabeled) = labelDelta(labels, newPairs, maxIter)
+    labels
+      .join(meta, col("component") === col("mv"), "left_outer")
+      .select(col("doc_id"), coalesce(col("mc"), col("component")).as("component"))
+      .unionAll(newLabeled)
+  }
+
+  /** The DELTA a shard's admitted edges induce on an existing labeling —
+    * [[incrementalComponents]]' internals, exposed so a production store
+    * can apply them with partition-pruned IO ([[prunedLabelRewrite]]):
+    * `meta` = (mv → mc) for every existing component whose label merges
+    * (tiny — bounded by |newPairs| endpoints), `newLabels` = labels for
+    * never-seen vertices (append-only rows). Both already carry the
+    * broadcast hint when they verifiably fit.
+    */
+  def labelDelta(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, DataFrame) = {
     val l1 = labels.select(col("doc_id").as("d1"), col("component").as("c1"))
     val l2 = labels.select(col("doc_id").as("d2"), col("component").as("c2"))
     // one pass resolves both endpoints and flags never-seen vertices;
@@ -408,15 +443,40 @@ object Dedup {
     // AQE's own join pick instead of pressuring the driver
     val meta =
       if (meta0.count() <= 4000000L) broadcast(meta0) else meta0
-    val updatedOld = labels
-      .join(meta, col("component") === col("mv"), "left_outer")
-      .select(col("doc_id"), coalesce(col("mc"), col("component")).as("component"))
     // a new vertex whose every edge collapsed away cannot exist (ids are
     // disjoint from old labels), but coalesce keeps the shape total
     val newLabeled = newVerts
       .join(meta, col("v") === col("mv"), "left_outer")
       .select(col("v").as("doc_id"), coalesce(col("mc"), col("v")).as("component"))
-    updatedOld.unionAll(newLabeled)
+    (meta, newLabeled)
+  }
+
+  /** The production REWRITE leg over a label store PARTITIONED by
+    * `partCol = pmod(component, nParts)`: only partitions holding a
+    * component the meta labeling touches — as source (mv) OR as merge
+    * target (mc) — are read and rewritten; every other partition's files
+    * are never opened (LabelRewriteSpec proves it via the scan's
+    * PartitionFilters and file counts). Returns the replacement rows
+    * for exactly the affected partitions, partCol re-derived from the
+    * NEW component (a merged row may move partitions — its target is
+    * affected by construction, so dynamic partition overwrite over this
+    * output is closed); `newLabels` from [[labelDelta]] are appended
+    * separately (partition-local append, never an overwrite). The
+    * affected-partition list is collected driver-side — O(|meta|)
+    * components, the same chunk-bounds scale class as every other
+    * driver-held plan artifact.
+    */
+  def prunedLabelRewrite(labels: DataFrame, meta: DataFrame, nParts: Int,
+      partCol: String = "lblpart"): DataFrame = {
+    val parts = meta
+      .select(explode(array(pmod(col("mv"), lit(nParts.toLong)),
+        pmod(col("mc"), lit(nParts.toLong)))).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val newComp = coalesce(col("mc"), col("component"))
+    labels.where(col(partCol).isin(parts: _*))
+      .join(broadcast(meta), col("component") === col("mv"), "left_outer")
+      .select(col("doc_id"), newComp.as("component"),
+        pmod(newComp, lit(nParts.toLong)).as(partCol))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Blocked by the

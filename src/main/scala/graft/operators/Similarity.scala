@@ -383,6 +383,23 @@ object Similarity {
         collect_list(struct(col("ccid"), col("cemb"), col("cnrm0")))).as("cents")),
       nProbe)
 
+  /** IVF index MAINTENANCE — the vector twin of
+    * [[graft.operators.Dedup.appendBands]]: the admitted shard's cell
+    * assignments (against the SAME frozen centroid metadata) append to
+    * the persisted (vec_id, cell) relation. Assignment is per-vector, so
+    * the appended relation is EXACTLY `ivfIndex` over index ∪ shard
+    * with the index's centroids — probing it with the next shard is
+    * identical to probing a from-scratch rebuild, which
+    * MaterializedIvfIndexSpec proves through a disk round-trip (the
+    * production append is a cell-partition-local parquet append; no
+    * existing file is rewritten). q610 runs the full vector ingestion
+    * loop through this append.
+    */
+  def ivfIndexAppend(indexAsg: DataFrame, centroids: DataFrame,
+      shardEmb: DataFrame, nProbe: Int): DataFrame =
+    indexAsg.select("vec_id", "cell")
+      .unionAll(ivfIndex(shardEmb, centroids, nProbe))
+
   /** [[ivfIncrementalPairs]] against a PRE-MATERIALIZED index: the
     * (vec_id, cell) relation and the centroid metadata come in as
     * relations (from disk in production — no index embedding is ever
@@ -470,10 +487,27 @@ object Similarity {
     * Returns per-vector (vec_id, cell, removed). The pairwise step is
     * cell-local — cost follows Σ|cell|², never corpus², and cells are
     * independent tasks; the pruned corpus is the `removed = false` side.
+    *
+    * `maxCell` is this family's 100 TB valve — BOUNDED-PREFIX
+    * verification: each vector verifies against only its cell's `cap`
+    * SMALLEST-id members (the canonical keepers — removal already means
+    * "a smaller id covers you", so the small-id end of the cell is
+    * where the decision lives). For every cell at or under the cap the
+    * prefix IS the full smaller-id set — capped ≡ exact, spec-pinned in
+    * SemDedupCapSpec; an oversized cell does cap·|cell| work instead of
+    * |cell|², exactly linear where near-duplicate corpora crowd one
+    * centroid (the distribution SemDeDup is FOR — there the prefix
+    * holds the keepers and every later near-dup still matches them).
+    * Capped removals are always a SUBSET of exact removals (the x-side
+    * only shrinks): the cap never over-prunes, it can only admit extra
+    * survivors in an oversized mixed cell. The prefix itself comes from
+    * the native bounded-heap top-k-per-group operator — O(cap) state
+    * per cell, no |cell|-row window sort.
     */
-  def semDedup(embeddings: DataFrame, centroidEvery: Int, minCosScaled: Long): DataFrame = {
+  def semDedup(embeddings: DataFrame, centroidEvery: Int, minCosScaled: Long,
+      maxCell: Option[Int] = None): DataFrame = {
     val asg = ivfAssignments(embeddings, centroidEvery)
-    val removed = asg.as("x").join(asg.as("y"),
+    val removed = cellPrefix(asg, maxCell).as("x").join(asg.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .where(cosineScaled(col("x.embedding"), col("y.embedding")) >= minCosScaled)
       .select(col("y.vec_id").as("vec_id")).distinct()
@@ -482,6 +516,19 @@ object Similarity {
       .join(removed, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), coalesce(col("__rm"), lit(false)).as("removed"))
   }
+
+  /** The SemDeDup verification prefix: each cell's `cap` smallest-id
+    * members (everything when uncapped) — the x-side of the removal
+    * join. Shared by [[semDedup]] and [[semDedupIncremental]] so both
+    * arms cap with the same semantics.
+    */
+  private def cellPrefix(asg: DataFrame, maxCell: Option[Int]): DataFrame =
+    maxCell match {
+      case None => asg
+      case Some(cap) =>
+        graft.plans.GraftFunctions.topKPerGroup(
+          asg, Seq("cell"), "vec_id", cap, descending = false)
+    }
 
   /** Incremental SemDeDup — the admission DECISION consumer of the
     * incremental vector machinery: a NEW shard vector is REMOVED iff
@@ -494,9 +541,18 @@ object Similarity {
     * and index×index is never re-paired: admit cost follows
     * |shard| · cell occupancy. Returns (vec_id, cell, removed) for the
     * shard.
+    *
+    * `maxCell` applies [[semDedup]]'s bounded-prefix cap with the prefix
+    * measured over index ∪ shard — identical to
+    * `semDedup(index ∪ shard, cap)` restricted to shard ids
+    * (SemDedupCapSpec pins it); at scale the prefix of a persisted index
+    * cell is itself persistable metadata (cap rows per cell), so an
+    * oversized cell costs cap·|shard∩cell| per ingest, never
+    * |cell|·|shard∩cell|.
     */
   def semDedupIncremental(indexEmb: DataFrame, shardEmb: DataFrame,
-      centroidEvery: Int, minCosScaled: Long): DataFrame = {
+      centroidEvery: Int, minCosScaled: Long,
+      maxCell: Option[Int] = None): DataFrame = {
     val cents = ivfCentroids(indexEmb, centroidEvery)
     val idxA = ivfIndex(indexEmb, cents, 1)
       .join(indexEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -506,7 +562,7 @@ object Similarity {
     // pattern): unioning the aliased hit branches instead crashes
     // Catalyst's union-constraint rewrite — even checkpointed, LogicalRDD
     // origin constraints still reference the projected-away join attrs
-    val xAll = idxA.unionAll(shdA)
+    val xAll = cellPrefix(idxA.unionAll(shdA), maxCell)
     val removed = shdA.as("y").join(xAll.as("x"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .where(cosineScaled(col("x.embedding"), col("y.embedding")) >= minCosScaled)

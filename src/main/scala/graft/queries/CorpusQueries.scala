@@ -207,6 +207,164 @@ object CorpusQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup hot-cell cap, value-checked end-to-end (the q603 recipe on
+    // the REMOVAL decision): 300 clones of vector 0 (ids ≡ 1 mod 25 —
+    // never centroids) crowd vec 0's cell far past cap 100, so members
+    // there verify against the cell's 100 smallest-id PREFIX (cap·|cell|
+    // work) instead of all smaller-id mates (|cell|²); every natural
+    // cell (≤ ~75 members) keeps the exact rule. The prefix holds all
+    // natural members — every clone still matches its source and is
+    // removed. The oracle recomputes the identical bounded-prefix
+    // decision (ROW_NUMBER ≤ cap per cell) from raw embeddings.
+    QueryDef.sql(
+      "q608_semdedup_capped",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT 200001 + 25 * i AS vec_id, e.embedding
+         |  FROM embeddings e, generate_series(0, 299) t(i) WHERE e.vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM em WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM em e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid,
+         |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |      (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+         |  FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |pfx AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS pr
+         |    FROM asg) WHERE pr <= 100),
+         |pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+         |       FROM pfx a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pp AS (SELECT pr.v1, pr.v2, i,
+         |    CAST(FLOOR(CAST(e1.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pr JOIN em e1 ON e1.vec_id = pr.v1 JOIN em e2 ON e2.vec_id = pr.v2,
+         |       generate_series(1, 64) t(i)),
+         |pdd AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |        FROM pp GROUP BY v1, v2),
+         |rm AS (SELECT DISTINCT v2 AS vec_id FROM pdd
+         |       WHERE CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |         (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) >= 990000)
+         |SELECT a.cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM asg a LEFT JOIN rm ON a.vec_id = rm.vec_id
+         |GROUP BY a.cell ORDER BY a.cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val clones = s.range(300)
+        .crossJoin(broadcast(e.where(col("vec_id") === 0)
+          .select(col("embedding").as("cemb0"))))
+        .select((lit(200001L) + col("id") * 25).as("vec_id"),
+          col("cemb0").as("embedding"))
+      Similarity.semDedup(e.unionAll(clones), 25, 990000L, maxCell = Some(100))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
+        .orderBy("cell")
+    },
+
+    // The vector-side ingestion loop as ONE oracle-checked query (q605's
+    // vector twin): shard → CAPPED semantic admission (semDedupIncremental
+    // with the bounded-prefix valve — the planted 300-clone block crowds
+    // vec 0's cell past cap 100) → survivors APPEND to the persisted
+    // (vec_id, cell) index against frozen centroids (ivfIndexAppend) →
+    // per-cell ingestion report, with n_after read from the APPENDED
+    // relation. Every cross-vector step follows |shard|: cells come from
+    // the index's centroid metadata, index×index never re-pairs, the hot
+    // cell does cap·|cell| work. The oracle replays the loop relationally
+    // — assignment, bounded prefix, admission threshold, append counts.
+    QueryDef.sql(
+      "q610_vector_pipeline",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id % 37 = 0 AND vec_id % 25 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000, list_reverse(embedding) FROM embeddings
+         |  WHERE vec_id % 17 = 3 AND vec_id % 25 <> 0
+         |  UNION ALL
+         |  SELECT 300001 + 25 * i AS vec_id, e.embedding
+         |  FROM embeddings e, generate_series(0, 299) t(i) WHERE e.vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM em WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM em e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid,
+         |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |      (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+         |  FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |pfx AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS pr
+         |    FROM asg) WHERE pr <= 100),
+         |pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+         |       FROM pfx a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE b.vec_id >= 100000),
+         |pp AS (SELECT pr.v1, pr.v2, i,
+         |    CAST(FLOOR(CAST(e1.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pr JOIN em e1 ON e1.vec_id = pr.v1 JOIN em e2 ON e2.vec_id = pr.v2,
+         |       generate_series(1, 64) t(i)),
+         |pdd AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |        FROM pp GROUP BY v1, v2),
+         |rm AS (SELECT DISTINCT v2 AS vec_id FROM pdd
+         |       WHERE CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |         (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) >= 990000)
+         |SELECT a.cell,
+         |  CAST(SUM(CASE WHEN a.vec_id < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+         |  CAST(SUM(CASE WHEN a.vec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_shard,
+         |  CAST(SUM(CASE WHEN a.vec_id >= 100000 AND rm.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN a.vec_id < 100000 OR rm.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+         |FROM asg a LEFT JOIN rm ON a.vec_id = rm.vec_id
+         |GROUP BY a.cell ORDER BY a.cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val shard = e.where(col("vec_id") % 37 === 0 && col("vec_id") % 25 =!= 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") % 17 === 3 && col("vec_id") % 25 =!= 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        .unionAll(s.range(300)
+          .crossJoin(broadcast(e.where(col("vec_id") === 0)
+            .select(col("embedding").as("cemb0"))))
+          .select((lit(300001L) + col("id") * 25).as("vec_id"),
+            col("cemb0").as("embedding")))
+        .localCheckpoint()
+      // the persisted index state: centroid metadata + (vec_id, cell) map
+      val cents = Similarity.ivfCentroids(e, 25)
+      val idxMap = Similarity.ivfIndex(e, cents, 1)
+      // CAPPED admission decision for the whole shard
+      val dec = Similarity.semDedupIncremental(e, shard, 25, 990000L,
+        maxCell = Some(100)).localCheckpoint(true)
+      // survivors APPEND to the index against the frozen centroids
+      val survivors = shard.join(dec.where(!col("removed")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      val appended = Similarity.ivfIndexAppend(idxMap, cents, survivors, 1)
+      // ingestion report: n_after comes from the APPENDED relation — the
+      // maintenance leg is value-checked, not assumed
+      val idxCnt = idxMap.groupBy("cell").agg(count(lit(1)).as("n_index"))
+      val shdCnt = dec.groupBy("cell").agg(count(lit(1)).as("n_shard"),
+        sum(when(!col("removed"), 1L).otherwise(0L)).as("n_admitted"))
+      val after = appended.groupBy("cell").agg(count(lit(1)).as("n_after"))
+      idxCnt.join(shdCnt, Seq("cell"), "full_outer")
+        .join(after, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_index"), lit(0L)).as("n_index"),
+          coalesce(col("n_shard"), lit(0L)).as("n_shard"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("cell")
+    },
+
     // SemDeDup: IVF-cell clustering (deterministic centroids, every 25th
     // vector) + within-cell cosine threshold — a vector is removed iff a
     // smaller-id cell-mate is ≥ 0.99 cosine-similar. The dup fixture

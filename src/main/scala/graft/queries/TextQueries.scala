@@ -563,6 +563,79 @@ object TextQueries {
         .orderBy("cluster_size")
     },
 
+    // TWO consecutive shards through the MAINTAINED index — the proof
+    // that index maintenance closes the ingestion loop: shard1 (verbatim
+    // dups, +200000) admits against the persisted band relation, its
+    // bands APPEND (appendBands — at scale a partition-local parquet
+    // append, MaterializedIndexSpec), its edges merge into the labels
+    // (incrementalComponents); shard2 (truncated near-dups, +100000)
+    // then probes the APPENDED index and merges into the UPDATED labels.
+    // The oracle proves the chain end-to-end: the final labeling must
+    // equal the full recursive closure over the THREE-part union
+    // corpus's complete band-collision graph — nothing about the
+    // two-step maintained path may diverge from a one-shot rebuild.
+    QueryDef.sql(
+      "q609_two_shard_ingest", {
+        val uSql =
+          """SELECT doc_id, text FROM documents
+            |UNION ALL
+            |SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0
+            |UNION ALL
+            |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+            |FROM documents WHERE doc_id % 29 = 0""".stripMargin
+        s"""WITH RECURSIVE ${sigSqlFor(uSql)},
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+           |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+           |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+           |        UNION SELECT d2, d1 FROM cand),
+           |reach(v, w) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+           |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+           |         FROM reach GROUP BY v)
+           |SELECT c.doc_id, c.component, n.n_members
+           |FROM comp c
+           |JOIN (SELECT component, COUNT(*) AS n_members
+           |      FROM comp GROUP BY component) n USING (component)
+           |ORDER BY c.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val index = base.select("doc_id", "text")
+      val shard1 = base.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val shard2 = base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      // the persisted state: band index + labels (caller-held sig cache
+      // shares the shingle pipeline across the index's two consumers)
+      val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
+      val bands0 = Dedup.lshBands(idxSig)
+      val labels0 = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
+      // ingest shard1: admit → merge labels → APPEND the index
+      val s1Sig = Dedup.minhashSignatures(shard1, "doc_id", "text").cache()
+      val cand1 = Dedup.incrementalCandidatesIndexed(bands0, s1Sig)
+      // the persisted state between ingests: labels + appended bands both
+      // materialize (in production both are on-disk relations)
+      val labels1 = Dedup.incrementalComponents(labels0, cand1).localCheckpoint(true)
+      val bands1 = Dedup.appendBands(bands0, s1Sig).localCheckpoint(true)
+      idxSig.unpersist(false); s1Sig.unpersist(false)
+      // ingest shard2 against the MAINTAINED index and UPDATED labels
+      val cand2 = Dedup.incrementalCandidatesIndexed(bands1,
+        Dedup.minhashSignatures(shard2, "doc_id", "text"))
+      val labels2 = Dedup.incrementalComponents(labels1, cand2)
+      val sizes = labels2.groupBy("component").agg(count(lit(1)).as("n_members"))
+      labels2.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("n_members"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs: Hamming ≤ 3 within top-byte blocks over the
     // exact-dup-seeded corpus (duplicates ⇒ hamming 0, guaranteed hits).
     QueryDef.sql(

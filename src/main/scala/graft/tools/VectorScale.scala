@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
 object VectorScale {
   def main(args: Array[String]): Unit = {
     val nVec = args.headOption.map(_.toLong).getOrElse(1000000L)
-    // optional 2nd arg: comma-separated scenario filter (kmeans,pairs,hotcell)
+    // optional 2nd arg: comma-separated scenario filter
+    // (kmeans,pairs,hotcell,semdedup)
     val only: Set[String] = args.drop(1).headOption
-      .map(_.split(",").toSet).getOrElse(Set("kmeans", "pairs", "hotcell"))
+      .map(_.split(",").toSet)
+      .getOrElse(Set("kmeans", "pairs", "hotcell", "semdedup"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -139,6 +141,48 @@ object VectorScale {
         f""""cell_depth":$blockDepth,"cap":$cap,"pairs":$nPairs,""" +
         f""""uncapped_block_pairs":${blockDepth * (blockDepth - 1)},""" +
         f""""block_internal_pairs":$blockInternal,"sec":$sec%.2f}""")
+    }
+
+    // ---- semdedup_hot_cell_1m: the bounded-prefix valve on the REMOVAL
+    // decision at corpus scale. One vector cloned nVec/100 times (10k at
+    // 1M) crowds a single cell — near-duplicate corpora crowding one
+    // centroid is exactly the distribution SemDeDup is for, and uncapped
+    // the removal join there alone is ≥ blockDepth²/2 cosine pairs
+    // (5×10⁷ at 1M). Capped, every member verifies against the cell's
+    // `cap` smallest-id members: hot-cell work drops to cap·|cell|, the
+    // prefix holds the natural members (all ids below every clone), and
+    // every clone still matches its source — removed, with zero
+    // over-pruning possible by construction (the x-side only shrinks).
+    if (only("semdedup")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      val centroidEvery = (nVec / 4000L).max(1L).toInt
+      val blockDepth = (nVec / 100L).max(1000L)
+      val blockVec = expr("transform(sequence(1, 64), j -> CAST(" +
+        "CAST((7L * 1103515245 + j * 2654435761) % 1000003 AS DOUBLE) / 1000003.0" +
+        " AS FLOAT))")
+      val block = spark.range(blockDepth).select(
+        (lit(nVec) + col("id") * centroidEvery + 1).as("vec_id"),
+        blockVec.as("embedding"))
+      val corpus = emb.unionAll(block)
+      val cap = 256
+      val ((nRows, cloneRemoved, cloneKept), sec, shuf) = measure {
+        val dec = graft.operators.Similarity
+          .semDedup(corpus, centroidEvery, 999000L, maxCell = Some(cap))
+        val r = dec.agg(
+          count(lit(1)),
+          sum(when(col("vec_id") > nVec && col("removed"), 1L).otherwise(0L)),
+          sum(when(col("vec_id") > nVec && !col("removed"), 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      require(nRows == nVec + blockDepth,
+        s"every vector must carry a decision: $nRows vs ${nVec + blockDepth}")
+      require(cloneRemoved == blockDepth && cloneKept == 0,
+        s"every clone must be removed via the prefix: removed=$cloneRemoved kept=$cloneKept")
+      println(f"""{"scenario":"semdedup_hot_cell_1m","vectors":${nVec + blockDepth},""" +
+        f""""cell_depth":$blockDepth,"cap":$cap,""" +
+        f""""uncapped_block_pairs":${blockDepth * (blockDepth - 1) / 2},""" +
+        f""""capped_block_pairs":${cap.toLong * blockDepth},""" +
+        f""""clones_removed":$cloneRemoved,"sec":$sec%.2f,"shuffle_records":$shuf}""")
     }
     spark.stop()
   }

@@ -32,6 +32,18 @@ class BenchSpec extends SparkSpec {
     assert(v < 0.05, s"min of (60ms, 1ms, 60ms) must be the floor, got $v")
   }
 
+  test("a heavy entry earns one extra sample; cheap entries stay at reps") {
+    var heavyCalls = 0
+    Bench.measure(spark, reps = 2, heavyCutoff = 0.001, maxExtra = 1) { () =>
+      heavyCalls += 1; Thread.sleep(5)
+    }
+    assert(heavyCalls == 3,
+      s"a floor above the cutoff must buy one extra rep, got $heavyCalls calls")
+    var cheapCalls = 0
+    Bench.measure(spark, reps = 2, heavyCutoff = 60.0) { () => cheapCalls += 1 }
+    assert(cheapCalls == 2, s"a cheap entry must stay at reps, got $cheapCalls calls")
+  }
+
   test("headline key prefixes are unique (the JSON key contract)") {
     val keys = Bench.headline.map(_.takeWhile(_ != '_'))
     assert(keys.size == keys.distinct.size,

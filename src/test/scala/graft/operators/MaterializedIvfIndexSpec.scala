@@ -56,4 +56,56 @@ class MaterializedIvfIndexSpec extends SparkSpec {
     assert(cappedDisk != viaDisk,
       "cap 40 must engage on this fixture (cells up to ~60 members)")
   }
+
+  test("appended IVF index == from-scratch rebuild under frozen centroids") {
+    Graft.configure(spark)
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    val shard1 = emb.where(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val shard2 = emb.where(col("vec_id") % 37 === 0 && col("vec_id") % 25 =!= 0)
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_app").toString
+    val cents = Similarity.ivfCentroids(emb, 25)
+    Similarity.ivfIndex(emb, cents, 2)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/asg")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    def files(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/asg")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = files()
+    val diskCents = spark.read.parquet(s"$dir/cents")
+
+    // MAINTENANCE: shard1 admitted → its (vec_id, cell) rows APPEND in
+    // place against the FROZEN centroid metadata; nothing is rewritten
+    Similarity.ivfIndex(shard1, diskCents, 2)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/asg")
+    assert(before.subsetOf(files()),
+      "a cell-partition-local append must leave every existing index file in place")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintainedDisk = spark.read.parquet(s"$dir/asg")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val maintained = pairs(Similarity.ivfIncrementalPairsIndexed(
+      maintainedDisk, diskCents, shard2, 2))
+    // rebuild = assign index ∪ shard1 from scratch against the SAME
+    // frozen centroids (the maintenance contract: centroids never move)
+    val rebuilt = pairs(Similarity.ivfIncrementalPairsIndexed(
+      Similarity.ivfIndex(emb.unionAll(shard1), cents, 2), cents, shard2, 2))
+    assert(maintained == rebuilt,
+      s"maint-only=${(maintained -- rebuilt).take(5)} rebuild-only=${(rebuilt -- maintained).take(5)}")
+    assert(maintained.nonEmpty)
+
+    // the relation-form helper matches the disk path, capped arm included
+    val viaHelper = pairs(Similarity.ivfIncrementalPairsIndexed(
+      Similarity.ivfIndexAppend(Similarity.ivfIndex(emb, cents, 2), cents, shard1, 2),
+      cents, shard2, 2, maxCell = Some(40)))
+    val rebuiltCapped = pairs(Similarity.ivfIncrementalPairsIndexed(
+      Similarity.ivfIndex(emb.unionAll(shard1), cents, 2), cents, shard2, 2,
+      maxCell = Some(40)))
+    assert(viaHelper == rebuiltCapped)
+  }
 }
