@@ -120,6 +120,11 @@ object Bench {
     // the bench contract runs local[32]; SPARK_GRAFT_CPUS only overrides
     // for constrained dev machines
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 1-minute loadavg SAMPLED BEFORE any work: the field records the
+    // AMBIENT pressure the run started under (reading it at print time
+    // would mostly measure the bench's own 32-thread load)
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -166,10 +171,6 @@ object Bench {
     // post-hoc filtering as the rotating cohort changes per round
     val headlineTotal = results
       .filter(r => headline.contains(r._1) && r._2 >= 0).map(_._2).sum
-    // 1-minute loadavg stamps the artifact with ambient host pressure —
-    // a loaded run (r7/r8 read ~2×) is adjudicable without a re-run
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     // leading println guarantees the JSON starts at column 0 even if a
     // logger left an unterminated line on stdout
     val cohKeys = coh.map(_.takeWhile(_ != '_'))
