@@ -68,15 +68,18 @@ object Bench {
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline
     * query surfaces in the artifact instead of hiding until a full
-    * registry sweep. The default seed derives from the sorted
-    * non-headline name list — stable within a round (reproducible reps),
-    * rotating whenever the registry changes (every round adds queries);
+    * registry sweep. The default seed derives from the FULL sorted
+    * registry name list — stable within a round (reproducible reps),
+    * rotating whenever the registry changes in any way (the r9 lesson:
+    * a round whose additions all land in the headline left a
+    * non-headline-only seed unchanged, freezing the cohort);
     * SPARK_GRAFT_BENCH_SEED pins it explicitly.
     */
   private[graft] def cohort(all: Iterable[String], seed: Option[Long],
       n: Int = 10): Seq[String] = {
     val nonHeadline = all.toSeq.filterNot(headline.contains).sorted
-    val s = seed.getOrElse(nonHeadline.map(_.hashCode.toLong).sum)
+    val s = seed.getOrElse(
+      all.toSeq.sorted.map(_.hashCode.toLong).sum + headline.size)
     new scala.util.Random(s).shuffle(nonHeadline).take(n)
   }
 

@@ -561,8 +561,20 @@ object Similarity {
     // ONE aliased self-join against the unioned x-side (the capped-arm
     // pattern): unioning the aliased hit branches instead crashes
     // Catalyst's union-constraint rewrite — even checkpointed, LogicalRDD
-    // origin constraints still reference the projected-away join attrs
-    val xAll = cellPrefix(idxA.unionAll(shdA), maxCell)
+    // origin constraints still reference the projected-away join attrs.
+    // Capped arm only: restrict the prefix input to cells the SHARD
+    // touches first (broadcast semi-join on the shard's tiny cell set) —
+    // cells without a shard member can't witness any decision, and
+    // without the cut the bounded-heap prefix would still stream
+    // cap-per-cell rows for EVERY index cell into its exchange
+    // (decision-identical either way; the uncapped arm's plain join
+    // already prunes untouched cells inside the hash probe)
+    val xAll0 = idxA.unionAll(shdA)
+    val xAll = cellPrefix(
+      if (maxCell.isEmpty) xAll0
+      else xAll0.join(broadcast(shdA.select("cell").distinct()),
+        Seq("cell"), "left_semi"),
+      maxCell)
     val removed = shdA.as("y").join(xAll.as("x"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .where(cosineScaled(col("x.embedding"), col("y.embedding")) >= minCosScaled)
