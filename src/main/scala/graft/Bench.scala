@@ -61,9 +61,11 @@ object Bench {
     "q603_ivf_hot_cell", "q604_incremental_cc", "q605_incremental_pipeline",
     "q606_incremental_semdedup",
     // round-9 representatives (capped LSH incremental arm, capped SemDeDup,
-    // two-shard maintained-index chain, vector ingestion pipeline)
+    // two-shard maintained-index chain, vector ingestion pipeline, and the
+    // pair-cap closures of the degenerate-locality class)
     "q607_lsh_cap_incremental", "q608_semdedup_capped",
-    "q609_two_shard_ingest", "q610_vector_pipeline")
+    "q609_two_shard_ingest", "q610_vector_pipeline",
+    "q611_neardup_capped", "q612_simhash_capped")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

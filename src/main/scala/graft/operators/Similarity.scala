@@ -704,10 +704,30 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: bucket-mates with cosine above a
     * scaled threshold (the dedup-by-embedding path).
+    *
+    * `maxBucket` closes this operator's member of the degenerate-locality
+    * class (identical embeddings all hash to ONE bucket — |bucket|²
+    * pairs exactly on near-duplicate corpora): a bucket over the cap
+    * restricts the pairing's x-side to its hub (min vec_id), so it emits
+    * hub-anchored pairs only — linear, still cosine-VERIFIED, and a
+    * subset of the exact output; buckets at or under the cap keep exact
+    * all-pairs (spec-pinned in SemDedupCapSpec's pair-cap case). The
+    * whole split is ONE aliased join against a witness-restricted
+    * x-side — no unioned self-join branches (the r8 Catalyst lesson).
     */
-  def nearDupPairs(embeddings: DataFrame, minCosScaled: Long, numPlanes: Int = 8): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, minCosScaled: Long, numPlanes: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
     val b = embeddings.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
-    b.as("x").join(b.as("y"),
+    val xSide = maxBucket match {
+      case None => b
+      case Some(cap) =>
+        val stats = b.groupBy("bucket")
+          .agg(count(lit(1)).as("bsz"), min("vec_id").as("hub"))
+        b.join(stats, Seq("bucket"))
+          .where(col("bsz") <= cap || col("vec_id") === col("hub"))
+          .select("vec_id", "embedding", "bucket")
+    }
+    xSide.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         cosineScaled(col("x.embedding"), col("y.embedding")).as("cos_scaled"))

@@ -143,6 +143,55 @@ object EmbeddingQueries {
         .orderBy("qid", "cid")
     },
 
+    // Embedding near-dup pair cap, value-checked end-to-end: 120 clones
+    // of vector 0 crowd its 8-bit LSH bucket past cap 60 (natural
+    // buckets stay ≤ ~30 at every SF), so that bucket pairs only through
+    // its hub — cosine-VERIFIED hub edges, a subset of the exact output
+    // — while every ≤-cap bucket keeps exact all-pairs (the %37 verbatim
+    // dups all land there and survive the 0.999 threshold). The oracle
+    // rebuilds the identical witness-restricted x-side (bsz ≤ cap OR
+    // hub) from the same md5-derived buckets and scaled-integer cosines.
+    QueryDef.sql(
+      "q611_neardup_capped",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 37 = 0
+         |  UNION ALL
+         |  SELECT 200000 + i AS vec_id, e.embedding
+         |  FROM embeddings e, generate_series(1, 120) t(i) WHERE e.vec_id = 0),
+         |$bucketSql,
+         |bkt AS (SELECT em.vec_id, em.embedding, b.bucket
+         |        FROM em JOIN buck b ON em.vec_id = b.vec_id),
+         |stats AS (SELECT bucket, COUNT(*) AS bsz, MIN(vec_id) AS hub
+         |          FROM bkt GROUP BY bucket),
+         |xs AS (SELECT k.vec_id, k.embedding, k.bucket
+         |       FROM bkt k JOIN stats s USING (bucket)
+         |       WHERE s.bsz <= 60 OR k.vec_id = s.hub),
+         |pairs AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
+         |    x.embedding AS e1, y.embedding AS e2
+         |  FROM xs x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |ev2 AS (SELECT v1, v2, i,
+         |    CAST(FLOOR(CAST(e1[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(e2[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM pairs, generate_series(1, 64) t(i)),
+         |d AS (SELECT v1, v2, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |      FROM ev2 GROUP BY v1, v2)
+         |SELECT v1, v2, ${cosSql("dxy", "dxx", "dyy")} AS cos_scaled
+         |FROM d
+         |WHERE ${cosSql("dxy", "dxx", "dyy")} >= 999000
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val clones = s.range(120)
+        .crossJoin(broadcast(e.where(col("vec_id") === 0)
+          .select(col("embedding").as("cemb0"))))
+        .select((lit(200001L) + col("id")).as("vec_id"),
+          col("cemb0").as("embedding"))
+      Similarity.nearDupPairs(dupVectors(e).unionAll(clones), 999000L,
+          maxBucket = Some(60))
+        .orderBy("v1", "v2")
+    },
+
     // Brute-force cosine top-k against one query vector — the exact
     // baseline every ANN variant is judged against.
     QueryDef.sql(

@@ -662,6 +662,51 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // SimHash block cap, value-checked end-to-end: simhash blocks
+    // CONCENTRATE on real text (this corpus already grows a 237-member
+    // natural block at sf0.1), and 200 verbatim clones of doc 1 push its
+    // block past cap 150 — both kinds of oversized block pair only
+    // through their hub (min doc_id), Hamming-VERIFIED, a subset of the
+    // exact output; every ≤-cap block keeps exact all-pairs. The oracle
+    // rebuilds the identical witness-restricted x-side from the same
+    // fingerprints.
+    QueryDef.sql(
+      "q612_simhash_capped",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 300000 + i AS doc_id, text FROM documents, generate_series(1, 200) t(i)
+         |  WHERE doc_id = 1),
+         |nrm AS (SELECT doc_id, $normSql AS nt FROM docs),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM nrm),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, generate_series(0, 15) t(b) GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |blked AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sim),
+         |stats AS (SELECT blk, COUNT(*) AS bsz, MIN(doc_id) AS hub
+         |          FROM blked GROUP BY blk),
+         |xs AS (SELECT k.doc_id, k.simhash, k.blk
+         |       FROM blked k JOIN stats s USING (blk)
+         |       WHERE s.bsz <= 150 OR k.doc_id = s.hub)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM xs x JOIN blked y ON x.blk = y.blk AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir).documents
+      val clones = s.range(200)
+        .crossJoin(broadcast(base.where(col("doc_id") === 1).select(col("text").as("t1"))))
+        .select((lit(300001L) + col("id")).as("doc_id"), col("t1").as("text"))
+      val sim = Dedup.simhash16(base.select("doc_id", "text").unionAll(clones),
+        "doc_id", "text")
+      Dedup.simhashPairs(sim, 3, maxBlock = Some(150))
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+
     // Corpus-cleaning pipeline composition: quality filter → exact-dedup
     // keeper join → per-source stats — the end-to-end shape of a training
     // data preparation job.

@@ -101,4 +101,28 @@ class LshBucketCapSpec extends SparkSpec {
     // cap ignored ⇒ strictly more pairs (the valve engaged)
     assert(pairs(Dedup.incrementalCandidates(index, shard)).size > inc.size)
   }
+
+  test("simhash block cap: oversized block pairs only through its hub, exact under the cap") {
+    val s = spark
+    import s.implicits._
+    // 30 identical fingerprints crowd one block; a 3-member block holds
+    // genuine near fingerprints (hamming 1-2)
+    val sim = ((1L to 30L).map(id => (id, 0x1200L)) ++
+      Seq((100L, 0x3400L), (101L, 0x3401L), (102L, 0x3480L)))
+      .toDF("doc_id", "simhash")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.simhashPairs(sim, 3))
+    val capped = pairs(Dedup.simhashPairs(sim, 3, maxBlock = Some(10)))
+    // crowded block: C(30,2) = 435 exact pairs vs 29 hub-anchored
+    assert(exact.count { case (a, b) => a <= 30 && b <= 30 } == 435)
+    assert(capped.count { case (a, b) => a <= 30 && b <= 30 } == 29)
+    assert((1L to 30L).tail.forall(m => capped((1L, m))), "hub = min doc_id anchors every member")
+    // capped output is a Hamming-verified SUBSET of exact
+    assert(capped.subsetOf(exact))
+    // the small block keeps exact all-pairs under the cap
+    assert(Set((100L, 101L), (100L, 102L), (101L, 102L)).subsetOf(capped))
+    // a generous cap reproduces exact verbatim
+    assert(pairs(Dedup.simhashPairs(sim, 3, maxBlock = Some(30))) == exact)
+  }
 }

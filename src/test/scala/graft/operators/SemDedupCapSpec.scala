@@ -76,6 +76,23 @@ class SemDedupCapSpec extends SparkSpec {
     assert(over == 0L, "the cap must never remove what exact keeps")
   }
 
+  test("near-dup pair cap: oversized bucket pairs only through its hub — verified subset, exact under cap") {
+    // 20 identical one-hot vectors share one LSH bucket; 3 distinct
+    // vectors land elsewhere (and at cosine 0 never pair anyway)
+    val emb = oneHot((1L to 20L).map(id => (id, 5)) ++
+      Seq(100L -> 7, 101L -> 9, 102L -> 11))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(emb, 999000L))
+    val capped = pairs(Similarity.nearDupPairs(emb, 999000L, maxBucket = Some(5)))
+    assert(exact.size == 190, s"C(20,2) exact pairs, got ${exact.size}")
+    assert(capped.size == 19, s"hub-anchored pairs only, got ${capped.size}")
+    assert((2L to 20L).forall(m => capped((1L, m))))
+    assert(capped.subsetOf(exact))
+    // a cap the bucket fits under reproduces exact verbatim
+    assert(pairs(Similarity.nearDupPairs(emb, 999000L, maxBucket = Some(20))) == exact)
+  }
+
   test("capped incremental == capped full semDedup restricted to shard ids") {
     Graft.configure(spark)
     val e = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
