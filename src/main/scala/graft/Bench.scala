@@ -65,7 +65,9 @@ object Bench {
     // pair-cap closures of the degenerate-locality class)
     "q607_lsh_cap_incremental", "q608_semdedup_capped",
     "q609_two_shard_ingest", "q610_vector_pipeline",
-    "q611_neardup_capped", "q612_simhash_capped")
+    "q611_neardup_capped", "q612_simhash_capped",
+    // round-9 curation addition (DSIR importance resampling)
+    "q613_dsir_importance")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

@@ -105,6 +105,55 @@ object Curate {
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
         .as("gram"))
 
+  /** DSIR-style importance score over hashed bigram features — the
+    * "Data Selection for Language Models via Importance Resampling"
+    * shape (Xie et al. 2023, arXiv:2302.03169) re-expressed under the
+    * engine's integer-determinism convention: bigrams hash into
+    * `buckets` md5-derived feature buckets, each bucket carries the
+    * add-one-smoothed scaled frequency RATIO of the target corpus vs
+    * the raw corpus, and a document scores the count-weighted mean of
+    * its feature ratios (10^6 = parity: the doc looks as target-like
+    * as the raw average). The classic formulation sums log-ratios;
+    * ln() is not bit-reproducible across engines, so the score is the
+    * mean of exact integer-scaled ratios — the same ordering signal,
+    * engine-exact (products ride in DECIMAL like q377/q521; quotients
+    * stay small).
+    *
+    * Scale shape: two map-side-combined feature aggregates collapsing
+    * to `buckets` rows, then ONE broadcast join of the tiny weight
+    * table back onto the per-doc feature stream — the corpus is never
+    * shuffled and the weight table is index-card-sized at any corpus
+    * size. Docs with fewer than 2 tokens carry no features and are
+    * absent from the output (they score upstream quality gates, not
+    * importance). Returns (doc_id, n_feats, dsir_scaled).
+    */
+  def dsirScores(docs: DataFrame, target: DataFrame, buckets: Int = 512): DataFrame = {
+    def feats(df: DataFrame) = grams(normalize(df), 2)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long") % buckets).as("f"))
+    // call-scoped cache (the Dedup contract): the raw feature stream
+    // feeds the bucket aggregate AND the per-doc join; the result is
+    // materialized under the cache, nothing stays pinned after return
+    val rawF = feats(docs).cache()
+    try {
+      val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+      val rawCnt = rawF.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tot = rawCnt.agg(sum("cr").as("rtot"))
+        .crossJoin(tgtCnt.agg(sum("ct").as("ttot")))
+      val w = rawCnt.join(tgtCnt, Seq("f"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("f"),
+          expr(s"CAST(1000000 * (coalesce(ct, 0) + 1) AS DECIMAL(38,0))" +
+            s" * (rtot + $buckets)" +
+            s" div (CAST(cr + 1 AS DECIMAL(38,0)) * (ttot + $buckets))").as("w"))
+      rawF.join(broadcast(w), Seq("f"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          expr("sum(w) div count(1)").as("dsir_scaled"))
+        .localCheckpoint(true)
+    } finally rawF.unpersist(false)
+  }
+
   /** Drop training docs sharing any n-gram with the eval corpus (q157). */
   def decontaminate(train: DataFrame, eval0: DataFrame, cfg: Config = Config()): DataFrame = {
     val bad = grams(train, cfg.decontaminateGramLen)

@@ -734,6 +734,49 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // DSIR-style importance scoring (Xie et al. 2023 shape, engine-exact
+    // integer surrogate): hashed-bigram buckets carry add-one-smoothed
+    // target-vs-raw frequency ratios; each doc scores the count-weighted
+    // mean of its feature ratios (10^6 = parity). Target = the corpus's
+    // lexicographically first source (a deterministic quality-proxy
+    // stand-in). Two bucket aggregates + one broadcast weight join —
+    // the corpus never shuffles; the weight table is `buckets` rows at
+    // any corpus size. The oracle rebuilds the identical md5 feature
+    // hashing, HUGEINT-exact ratio, and per-doc mean.
+    QueryDef.sql(
+      "q613_dsir_importance",
+      s"""WITH nrmA AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |nrmT AS (SELECT d.doc_id, ${normSql.replace("text", "d.text")} AS nt
+         |         FROM documents d
+         |         WHERE d.source = (SELECT min(source) FROM documents)),
+         |tA AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmA),
+         |tT AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmT),
+         |gA AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tA),
+         |gT AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tT),
+         |fA AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gA),
+         |fT AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gT),
+         |rawCnt AS (SELECT f, COUNT(*) AS cr FROM fA GROUP BY f),
+         |tgtCnt AS (SELECT f, COUNT(*) AS ct FROM fT GROUP BY f),
+         |tot AS (SELECT (SELECT SUM(cr) FROM rawCnt) AS rtot,
+         |               (SELECT SUM(ct) FROM tgtCnt) AS ttot),
+         |w AS (SELECT r.f,
+         |        (1000000 * (coalesce(t.ct, 0) + 1) * (tot.rtot + 512))
+         |          // ((r.cr + 1) * (tot.ttot + 512)) AS w
+         |      FROM rawCnt r LEFT JOIN tgtCnt t ON r.f = t.f, tot)
+         |SELECT a.doc_id, COUNT(*) AS n_feats,
+         |  CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_scaled
+         |FROM fA a JOIN w ON a.f = w.f
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val minSrc = docs.agg(min("source").as("ms"))
+      val target = docs.join(broadcast(minSrc), col("source") === col("ms"))
+        .select("doc_id", "text")
+      graft.operators.Curate.dsirScores(docs.select("doc_id", "text"), target)
+        .orderBy("doc_id")
+    },
+
     // 16-bit SimHash fingerprints (sign-aggregated token hashes).
     QueryDef.sql(
       "q28_simhash",

@@ -51,6 +51,36 @@ class CurateSpec extends SparkSpec {
       "planted eval overlap must be removed")
   }
 
+  test("dsirScores: exact parity when target == corpus; target-like docs outrank") {
+    val docs = docsDF(Seq(
+      1L -> "aa bb cc dd", 2L -> "ee ff gg hh", 3L -> "aa bb cc"))
+    // target == corpus ⇒ every bucket ratio is exactly 10^6 (same counts,
+    // same totals — integer division of equal products), so every doc
+    // scores exact parity
+    val self = Curate.dsirScores(docs, docs, buckets = 64)
+    assert(self.collect().forall(_.getLong(2) == 1000000L),
+      "self-target must score exactly 10^6 everywhere")
+    // a target concentrated on doc 1's bigrams ranks docs 1/3 above 2
+    val target = docsDF(Seq(10L -> "aa bb cc dd aa bb"))
+    val sc = Curate.dsirScores(docs, target, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sc(1L) > sc(2L) && sc(3L) > sc(2L),
+      s"target-like docs must outrank raw-only docs: $sc")
+    // a sub-2-token doc carries no features and is absent
+    val short = docsDF(Seq(1L -> "aa bb", 2L -> "solo"))
+    assert(Curate.dsirScores(short, short, buckets = 64)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("dsirScores releases its cache (library cache contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = docsDF((1L to 6L).map(i => i -> s"word $i of the corpus text"))
+    val out = Curate.dsirScores(docs, docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cached relation may outlive the dsirScores call")
+    assert(out.count() == 6)
+  }
+
   test("waterfall releases its caches (library cache contract)") {
     spark.sharedState.cacheManager.clearCache()
     val train = docsDF((1L to 10L).map(i =>
