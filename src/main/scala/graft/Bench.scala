@@ -66,8 +66,8 @@ object Bench {
     "q607_lsh_cap_incremental", "q608_semdedup_capped",
     "q609_two_shard_ingest", "q610_vector_pipeline",
     "q611_neardup_capped", "q612_simhash_capped",
-    // round-9 curation addition (DSIR importance resampling)
-    "q613_dsir_importance")
+    // round-9 curation additions (DSIR importance resampling, cluster-balanced sampling)
+    "q613_dsir_importance", "q614_cluster_sample")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

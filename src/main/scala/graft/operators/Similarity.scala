@@ -517,10 +517,26 @@ object Similarity {
       .select(col("vec_id"), col("cell"), coalesce(col("__rm"), lit(false)).as("removed"))
   }
 
+  /** Cluster-balanced diversity sampling — the quota COMPLEMENT of
+    * [[semDedup]]: instead of removing near-duplicates within a cell,
+    * keep a fixed per-cell quota (the `perCell` smallest-id members of
+    * every IVF cell), so every region of embedding space is represented
+    * and no crowded region dominates the sample — the cluster-sampling
+    * shape of diversity-driven data selection. Deterministic (id-prefix
+    * quota, no RNG); one bounded-heap pass (native top-k-per-group)
+    * after the assignment projection — no |cell|-row window sort, no
+    * corpus self-join at all. Returns (vec_id, cell) for the kept
+    * sample.
+    */
+  def clusterSample(embeddings: DataFrame, centroidEvery: Int,
+      perCell: Int): DataFrame =
+    cellPrefix(ivfAssignments(embeddings, centroidEvery), Some(perCell))
+      .select("vec_id", "cell")
+
   /** The SemDeDup verification prefix: each cell's `cap` smallest-id
     * members (everything when uncapped) — the x-side of the removal
-    * join. Shared by [[semDedup]] and [[semDedupIncremental]] so both
-    * arms cap with the same semantics.
+    * join. Shared by [[semDedup]], [[semDedupIncremental]] and
+    * [[clusterSample]] so all three arms bound with the same semantics.
     */
   private def cellPrefix(asg: DataFrame, maxCell: Option[Int]): DataFrame =
     maxCell match {

@@ -365,6 +365,52 @@ object CorpusQueries {
         .orderBy("cell")
     },
 
+    // Cluster-balanced diversity sampling — the quota complement of
+    // SemDeDup: keep the 8 smallest-id members of every IVF cell so no
+    // crowded embedding region dominates the sample (deterministic
+    // id-prefix quota, no RNG). The planted 300-clone block crowds
+    // vec 0's cell, and the quota keeps exactly 8 of its members while
+    // sparse cells keep everything. One bounded-heap top-k-per-group
+    // pass after the assignment projection — no self-join anywhere.
+    // Output: per-cell kept count + kept-id bounds, value-checked.
+    QueryDef.sql(
+      "q614_cluster_sample",
+      s"""WITH em AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT 200001 + 25 * i AS vec_id, e.embedding
+         |  FROM embeddings e, generate_series(0, 299) t(i) WHERE e.vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM em WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM em e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid,
+         |    CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE) /
+         |      (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT) AS ccos
+         |  FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |kept AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS pr
+         |    FROM asg) WHERE pr <= 8)
+         |SELECT cell, COUNT(*) AS n_kept, MIN(vec_id) AS first_id, MAX(vec_id) AS last_id
+         |FROM kept GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val clones = s.range(300)
+        .crossJoin(broadcast(e.where(col("vec_id") === 0)
+          .select(col("embedding").as("cemb0"))))
+        .select((lit(200001L) + col("id") * 25).as("vec_id"),
+          col("cemb0").as("embedding"))
+      Similarity.clusterSample(e.unionAll(clones), 25, 8)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_id"),
+          max("vec_id").as("last_id"))
+        .orderBy("cell")
+    },
+
     // SemDeDup: IVF-cell clustering (deterministic centroids, every 25th
     // vector) + within-cell cosine threshold — a vector is removed iff a
     // smaller-id cell-mate is ≥ 0.99 cosine-similar. The dup fixture
