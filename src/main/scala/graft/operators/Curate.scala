@@ -128,30 +128,145 @@ object Curate {
     * importance). Returns (doc_id, n_feats, dsir_scaled).
     */
   def dsirScores(docs: DataFrame, target: DataFrame, buckets: Int = 512): DataFrame = {
-    def feats(df: DataFrame) = grams(normalize(df), 2)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long") % buckets).as("f"))
     // call-scoped cache (the Dedup contract): the raw feature stream
     // feeds the bucket aggregate AND the per-doc join; the result is
     // materialized under the cache, nothing stays pinned after return
-    val rawF = feats(docs).cache()
+    val rawF = dsirFeats(docs, buckets).cache()
     try {
-      val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
       val rawCnt = rawF.groupBy("f").agg(count(lit(1)).as("cr"))
-      val tot = rawCnt.agg(sum("cr").as("rtot"))
-        .crossJoin(tgtCnt.agg(sum("ct").as("ttot")))
-      val w = rawCnt.join(tgtCnt, Seq("f"), "left_outer")
-        .crossJoin(broadcast(tot))
-        .select(col("f"),
-          expr(s"CAST(1000000 * (coalesce(ct, 0) + 1) AS DECIMAL(38,0))" +
-            s" * (rtot + $buckets)" +
-            s" div (CAST(cr + 1 AS DECIMAL(38,0)) * (ttot + $buckets))").as("w"))
-      rawF.join(broadcast(w), Seq("f"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"),
-          expr("sum(w) div count(1)").as("dsir_scaled"))
-        .localCheckpoint(true)
+      scoreAgainst(rawF, rawCnt, target, buckets)
     } finally rawF.unpersist(false)
+  }
+
+  /** Hashed-bigram feature stream (doc_id, f) — [[dsirScores]]' feature
+    * extraction, shared with the incremental arm.
+    */
+  private def dsirFeats(df: DataFrame, buckets: Int): DataFrame =
+    grams(normalize(df), 2)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long") % buckets).as("f"))
+
+  /** Weight table + per-doc scoring against a given raw bucket-count
+    * relation — the shared back half of [[dsirScores]] and
+    * [[dsirScoresIncremental]].
+    */
+  private def scoreAgainst(docF: DataFrame, rawCnt: DataFrame,
+      target: DataFrame, buckets: Int): DataFrame = {
+    val tgtCnt = dsirFeats(target, buckets).groupBy("f").agg(count(lit(1)).as("ct"))
+    val tot = rawCnt.agg(sum("cr").as("rtot"))
+      .crossJoin(tgtCnt.agg(sum("ct").as("ttot")))
+    val w = rawCnt.join(tgtCnt, Seq("f"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        expr(s"CAST(1000000 * (coalesce(ct, 0) + 1) AS DECIMAL(38,0))" +
+          s" * (rtot + $buckets)" +
+          s" div (CAST(cr + 1 AS DECIMAL(38,0)) * (ttot + $buckets))").as("w"))
+    docF.join(broadcast(w), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(w) div count(1)").as("dsir_scaled"))
+      .localCheckpoint(true)
+  }
+
+  /** Persistable DSIR bucket state — the curation-side analogue of the
+    * dedup band index and the IVF cell map: the raw corpus reduces to
+    * `buckets` rows of (f, cr) feature counts. The state is what a
+    * production pipeline keeps on disk between ingests; it is
+    * metadata-sized at ANY corpus scale (512 rows for the default
+    * config), so the shard-scoring weight table always broadcasts.
+    */
+  def dsirState(docs: DataFrame, buckets: Int = 512): DataFrame =
+    dsirFeats(docs, buckets).groupBy("f").agg(count(lit(1)).as("cr"))
+
+  /** Maintain the bucket state under ingestion: counts are ADDITIVE, so
+    * folding a shard in is one group-sum over (state ∪ shard counts) —
+    * algebraically a from-scratch [[dsirState]] rebuild over
+    * index ∪ shard (DsirIncrementalSpec pins the equality). O(|shard| +
+    * buckets); the state side never rescans the corpus.
+    */
+  def dsirStateMerge(state: DataFrame, shard: DataFrame,
+      buckets: Int = 512): DataFrame =
+    state.unionAll(dsirState(shard, buckets))
+      .groupBy("f").agg(sum("cr").as("cr"))
+
+  /** Score an ingest shard against the MAINTAINED bucket state — the
+    * curation leg of the continuous-ingestion loop (the admission twins
+    * are Dedup.incrementalCandidates / Similarity.semDedupIncremental):
+    * the shard's own counts fold into the state first (importance
+    * ratios are defined against the raw corpus INCLUDING the shard), so
+    * the result is EXACTLY `dsirScores(index ∪ shard, target)`
+    * restricted to shard doc_ids (spec-pinned and q615's oracle), while
+    * reading only the shard, the target, and the `buckets`-row state —
+    * never the index corpus.
+    */
+  def dsirScoresIncremental(state: DataFrame, target: DataFrame,
+      shard: DataFrame, buckets: Int = 512): DataFrame = {
+    val shardF = dsirFeats(shard, buckets).cache()
+    try {
+      val merged = state
+        .unionAll(shardF.groupBy("f").agg(count(lit(1)).cast("long").as("cr")))
+        .groupBy("f").agg(sum("cr").as("cr"))
+      scoreAgainst(shardF, merged, target, buckets)
+    } finally shardF.unpersist(false)
+  }
+
+  /** Persistable vocabulary state — global word counts over the
+    * normalized corpus, VOCAB-grain (bounded by word types, never corpus
+    * size). Like [[dsirState]] and the dedup band index, this is the
+    * relation a production pipeline keeps on disk between ingests.
+    */
+  def vocabState(docs: DataFrame): DataFrame =
+    normalize(docs)
+      .select(explode(split(col("nt"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Maintain the vocabulary under ingestion: counts are additive, so the
+    * fold-in is one group-sum — algebraically a from-scratch
+    * [[vocabState]] rebuild over index ∪ shard (spec-pinned).
+    */
+  def vocabStateMerge(state: DataFrame, shard: DataFrame): DataFrame =
+    state.unionAll(vocabState(shard)).groupBy("w").agg(sum("n").as("n"))
+
+  /** OOV admission of an ingest shard against the MAINTAINED vocabulary —
+    * the tokenizer-fit gate (q223's check) as the ingestion-loop leg:
+    * per shard doc, what fraction of token occurrences falls outside the
+    * corpus top-`vocabK` vocabulary, and does it clear `maxOovPpm`?
+    *
+    * The shard's own counts fold into the state FIRST — the top-K
+    * vocabulary is defined over the corpus including the shard, and a
+    * heavy shard can shift which words make the cut — so the result is
+    * EXACTLY the full recompute over index ∪ shard restricted to shard
+    * doc_ids (spec-pinned and q616's oracle), while reading only the
+    * shard and the vocab-grain state. Shard token traffic aggregates to
+    * (doc, word) grain before the vocab probe (word types join, not
+    * token instances); the global top-K window runs on the VOCAB-grain
+    * merged counts — bounded by construction, the q223 allowlist class.
+    * Exact ppm via BIGINT products; ties break count-desc then word-asc.
+    */
+  def oovAdmit(state: DataFrame, shard: DataFrame, vocabK: Int = 30,
+      maxOovPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardTok = normalize(shard)
+      .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .cache() // call-scoped (the Dedup contract): feeds the fold-in AND the probe
+    try {
+      val merged = state
+        .unionAll(shardTok.groupBy("w").agg(sum("n").as("n")))
+        .groupBy("w").agg(sum("n").as("n"))
+      val vocab = merged
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .where(col("rk") <= vocabK)
+        .select("w").withColumn("in_vocab", lit(true))
+      shardTok.join(broadcast(vocab), Seq("w"), "left_outer")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_tokens"),
+          sum(when(col("in_vocab"), 0L).otherwise(col("n"))).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .withColumn("admitted", col("oov_ppm") <= maxOovPpm)
+        .localCheckpoint(true)
+    } finally shardTok.unpersist(false)
   }
 
   /** Drop training docs sharing any n-gram with the eval corpus (q157). */

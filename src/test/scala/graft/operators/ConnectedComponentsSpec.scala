@@ -21,6 +21,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("deep chain (diameter > maxIter) converges exactly; empty edges OK") {
+    val s = spark
+    import s.implicits._
+    // a 120-vertex path has diameter 119 — far past the default
+    // maxIter=50, so plain per-round propagation CANNOT finish: the
+    // pre-r9 loop silently returned unconverged labels on this graph
+    // (caught by CcBench's 1M chain shape: 13× the true component
+    // count). Path-shortcutting must converge it in O(log 119) rounds
+    // and label every vertex with the true minimum.
+    val pairs = (1L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 120 && comp.values.forall(_ == 1L),
+      s"distinct labels: ${comp.values.toSet}")
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("incremental merge == full CC over old ∪ new pairs, old labels rewritten") {
     val s = spark
     import s.implicits._

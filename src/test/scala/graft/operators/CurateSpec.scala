@@ -72,6 +72,71 @@ class CurateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("dsir incremental: state merge == rebuild; scores == full restriction") {
+    val index = docsDF((1L to 12L).map(i =>
+      i -> s"the corpus document number $i has these ordinary words in it"))
+    val shard = docsDF(Seq(
+      101L -> "the corpus document number 3 has these ordinary words in it",
+      102L -> "entirely novel shard vocabulary arrives with fresh bigrams today",
+      103L -> "the shard mixes corpus words with novel vocabulary here"))
+    val target = docsDF(Seq(500L -> "ordinary words in it the corpus"))
+    val union = index.unionAll(shard)
+    // state maintenance IS the rebuild: fold-in == from-scratch counts
+    val merged = Curate.dsirStateMerge(Curate.dsirState(index, 64), shard, 64)
+    val rebuilt = Curate.dsirState(union, 64)
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merged bucket state must equal a from-scratch rebuild over index ∪ shard")
+    // incremental scoring == the full arm's restriction to shard ids
+    val inc = Curate.dsirScoresIncremental(Curate.dsirState(index, 64), target,
+      shard, 64).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Curate.dsirScores(union, target, 64)
+      .where(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full,
+      s"incremental scores must equal the full restriction: $inc vs $full")
+  }
+
+  test("oovAdmit: vocab merge == rebuild; admission == full restriction; cache released") {
+    val index = docsDF((1L to 10L).map(i =>
+      i -> s"the common corpus words repeat here again and again $i"))
+    val shard = docsDF(Seq(
+      101L -> "the common corpus words repeat here again",
+      102L -> "utterly alien vocabulary zxq wvut qponm lkjih"))
+    val union = index.unionAll(shard)
+    // state maintenance IS the rebuild
+    val merged = Curate.vocabStateMerge(Curate.vocabState(index), shard)
+    val rebuilt = Curate.vocabState(union)
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merged vocab state must equal a from-scratch rebuild over index ∪ shard")
+    // incremental admission == the full recompute's restriction to shard
+    // ids (zero state + union-as-shard IS the full recompute)
+    spark.sharedState.cacheManager.clearCache()
+    val inc = Curate.oovAdmit(Curate.vocabState(index), shard, vocabK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cached relation may outlive the oovAdmit call")
+    val full = Curate.oovAdmit(Curate.vocabState(index.limit(0)), union, vocabK = 8)
+      .where(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(inc == full, s"incremental admission must equal the full restriction: $inc vs $full")
+    // the alien-vocab doc must fail admission; the corpus-like doc passes
+    val verdicts = inc.map(t => t._1 -> t._5).toMap
+    assert(verdicts(101L) && !verdicts(102L), verdicts.toString)
+  }
+
+  test("dsirScoresIncremental releases its cache (library cache contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    val index = docsDF((1L to 6L).map(i => i -> s"word $i of the corpus text"))
+    val shard = docsDF(Seq(11L -> "shard words of the corpus text again"))
+    val out = Curate.dsirScoresIncremental(
+      Curate.dsirState(index), index, shard)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cached relation may outlive the dsirScoresIncremental call")
+    assert(out.count() == 1)
+  }
+
   test("dsirScores releases its cache (library cache contract)") {
     spark.sharedState.cacheManager.clearCache()
     val docs = docsDF((1L to 6L).map(i => i -> s"word $i of the corpus text"))

@@ -54,7 +54,10 @@ class PlanShapeSpec extends SparkSpec {
     "q488_offline_replay", "q498_lift_chart", "q525_p99_decomposition",
     "q526_summed_area", "q536_adversarial_validation", "q542_action_log_replay",
     "q550_scheduling_advisor", "q556_sample_quantile_error",
-    "q565_trace_sampling", "q595_collated_chunks")
+    "q565_trace_sampling", "q595_collated_chunks",
+    // r9 addition: oovAdmit's top-K runs on the VOCAB-grain merged count
+    // state (bounded by word types — the same class as q223)
+    "q616_oov_admit")
 
   test("sweep: no unpartitioned window outside the bounded allowlist") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
