@@ -67,7 +67,9 @@ object Bench {
     "q609_two_shard_ingest", "q610_vector_pipeline",
     "q611_neardup_capped", "q612_simhash_capped",
     // round-9 curation additions (DSIR importance resampling, cluster-balanced sampling)
-    "q613_dsir_importance", "q614_cluster_sample")
+    "q613_dsir_importance", "q614_cluster_sample",
+    // round-9 continuation: incremental curation state (DSIR fold-in, OOV admission)
+    "q615_dsir_incremental", "q616_oov_admit")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

@@ -61,6 +61,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(inc(30L) == 10L && inc(40L) == 40L && inc(41L) == 40L)
   }
 
+  test("deep chain MERGE: 120 components bridged pairwise collapse to one label") {
+    val s = spark
+    import s.implicits._
+    // 120 existing 2-member components; the shard bridges them in a
+    // chain, so the COLLAPSED meta-graph is itself a 120-vertex path —
+    // the meta-CC must survive diameter > maxIter exactly like the
+    // corpus loop (the pre-r9 loop would have silently fragmented this
+    // merge into ~maxIter-deep segments)
+    val oldPairs = (0L until 120L).map(i => (1000 + 2 * i, 1001 + 2 * i)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(oldPairs).localCheckpoint()
+    val bridges = (0L until 119L).map(i => (1001 + 2 * i, 1002 + 2 * i)).toDF("d1", "d2")
+    val inc = Dedup.incrementalComponents(labels, bridges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.size == 240 && inc.values.forall(_ == 1000L),
+      s"all 240 members must merge to component 1000: ${inc.values.toSet}")
+  }
+
   test("incremental merge is exact even when a new vertex undercuts an old label") {
     val s = spark
     import s.implicits._
