@@ -186,7 +186,10 @@ object Curate {
     */
   def dsirStateMerge(state: DataFrame, shard: DataFrame,
       buckets: Int = 512): DataFrame =
-    state.unionAll(dsirState(shard, buckets))
+    // unionByName: the state is a caller-persisted relation whose column
+    // ORDER the library must not assume — both columns are LONG, so a
+    // positional union of a reordered state would bind silently
+    state.select("f", "cr").unionByName(dsirState(shard, buckets))
       .groupBy("f").agg(sum("cr").as("cr"))
 
   /** Score an ingest shard against the MAINTAINED bucket state — the
@@ -203,8 +206,10 @@ object Curate {
       shard: DataFrame, buckets: Int = 512): DataFrame = {
     val shardF = dsirFeats(shard, buckets).cache()
     try {
-      val merged = state
-        .unionAll(shardF.groupBy("f").agg(count(lit(1)).cast("long").as("cr")))
+      // unionByName (the dsirStateMerge note): never bind a persisted
+      // state's same-typed columns positionally
+      val merged = state.select("f", "cr")
+        .unionByName(shardF.groupBy("f").agg(count(lit(1)).cast("long").as("cr")))
         .groupBy("f").agg(sum("cr").as("cr"))
       scoreAgainst(shardF, merged, target, buckets)
     } finally shardF.unpersist(false)
@@ -225,7 +230,8 @@ object Curate {
     * [[vocabState]] rebuild over index ∪ shard (spec-pinned).
     */
   def vocabStateMerge(state: DataFrame, shard: DataFrame): DataFrame =
-    state.unionAll(vocabState(shard)).groupBy("w").agg(sum("n").as("n"))
+    state.select("w", "n").unionByName(vocabState(shard))
+      .groupBy("w").agg(sum("n").as("n"))
 
   /** OOV admission of an ingest shard against the MAINTAINED vocabulary —
     * the tokenizer-fit gate (q223's check) as the ingestion-loop leg:
@@ -251,8 +257,8 @@ object Curate {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
       .cache() // call-scoped (the Dedup contract): feeds the fold-in AND the probe
     try {
-      val merged = state
-        .unionAll(shardTok.groupBy("w").agg(sum("n").as("n")))
+      val merged = state.select("w", "n")
+        .unionByName(shardTok.groupBy("w").agg(sum("n").as("n")))
         .groupBy("w").agg(sum("n").as("n"))
       val vocab = merged
         .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))

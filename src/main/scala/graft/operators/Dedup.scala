@@ -362,12 +362,19 @@ object Dedup {
       .agg(min(col("dst")).as("__mn"))
       .select(col("v"), least(col("v"), col("__mn")).as("lbl"))
       .localCheckpoint()
-    // coalesce: an empty edge list (legal for the incremental meta-CC)
-    // sums to NULL
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    // A NULL sum is legal ONLY for the empty edge list (incremental
+    // meta-CC); a DECIMAL(38,0) overflow also nulls under non-ANSI, and
+    // treating that as 0 would let two overflowed rounds compare equal —
+    // silently returning unconverged labels, the exact failure class the
+    // convergence throw below exists to prevent. Fail loud instead
+    // (unreachable before ~1e19 max-id vertices).
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (!r.isNullAt(0)) r.getDecimal(0)
+      else if (df.isEmpty) java.math.BigDecimal.ZERO
+      else throw new IllegalStateException(
+        "connectedComponents label-sum overflowed DECIMAL(38,0)")
+    }
     var prev = lblSum(labels)
     var changed = true
     var i = 0

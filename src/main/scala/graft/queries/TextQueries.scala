@@ -67,6 +67,41 @@ object TextQueries {
 
   private[queries] val sigSql = sigSqlFor(nearDupSql)
 
+  /** Shared DSIR oracle (q613 full / q615 incremental — the sigSqlFor
+    * pattern): raw corpus parameterized via `rawSql`, target fixed to
+    * the index's lexicographically-first source, `restrict` narrows the
+    * scored docs (the incremental arm's shard-id restriction). One
+    * definition so the two queries can never silently disagree about
+    * the hashing, smoothing, or weight formula they jointly pin.
+    */
+  private def dsirSqlFor(rawSql: String, restrict: String): String =
+    s"""WITH u AS ($rawSql),
+       |nrmA AS (SELECT doc_id, $normSql AS nt FROM u),
+       |nrmT AS (SELECT d.doc_id, ${normSql.replace("text", "d.text")} AS nt
+       |         FROM documents d
+       |         WHERE d.source = (SELECT min(source) FROM documents)),
+       |tA AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmA),
+       |tT AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmT),
+       |gA AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+       |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tA),
+       |gT AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+       |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tT),
+       |fA AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gA),
+       |fT AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gT),
+       |rawCnt AS (SELECT f, COUNT(*) AS cr FROM fA GROUP BY f),
+       |tgtCnt AS (SELECT f, COUNT(*) AS ct FROM fT GROUP BY f),
+       |tot AS (SELECT (SELECT SUM(cr) FROM rawCnt) AS rtot,
+       |               (SELECT SUM(ct) FROM tgtCnt) AS ttot),
+       |w AS (SELECT r.f,
+       |        (1000000 * (coalesce(t.ct, 0) + 1) * (tot.rtot + 512))
+       |          // ((r.cr + 1) * (tot.ttot + 512)) AS w
+       |      FROM rawCnt r LEFT JOIN tgtCnt t ON r.f = t.f, tot)
+       |SELECT a.doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_scaled
+       |FROM fA a JOIN w ON a.f = w.f
+       |$restrict
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   /** Degenerate-bucket fixture for the LSH hot-bucket cap (q598/q599):
     * the corpus plus 30 verbatim clones of doc 1 — one 31-member bucket
     * per band, far over the cap of 12. SQL twin + Spark twin.
@@ -745,30 +780,7 @@ object TextQueries {
     // hashing, HUGEINT-exact ratio, and per-doc mean.
     QueryDef.sql(
       "q613_dsir_importance",
-      s"""WITH nrmA AS (SELECT doc_id, $normSql AS nt FROM documents),
-         |nrmT AS (SELECT d.doc_id, ${normSql.replace("text", "d.text")} AS nt
-         |         FROM documents d
-         |         WHERE d.source = (SELECT min(source) FROM documents)),
-         |tA AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmA),
-         |tT AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmT),
-         |gA AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
-         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tA),
-         |gT AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
-         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tT),
-         |fA AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gA),
-         |fT AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gT),
-         |rawCnt AS (SELECT f, COUNT(*) AS cr FROM fA GROUP BY f),
-         |tgtCnt AS (SELECT f, COUNT(*) AS ct FROM fT GROUP BY f),
-         |tot AS (SELECT (SELECT SUM(cr) FROM rawCnt) AS rtot,
-         |               (SELECT SUM(ct) FROM tgtCnt) AS ttot),
-         |w AS (SELECT r.f,
-         |        (1000000 * (coalesce(t.ct, 0) + 1) * (tot.rtot + 512))
-         |          // ((r.cr + 1) * (tot.ttot + 512)) AS w
-         |      FROM rawCnt r LEFT JOIN tgtCnt t ON r.f = t.f, tot)
-         |SELECT a.doc_id, COUNT(*) AS n_feats,
-         |  CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_scaled
-         |FROM fA a JOIN w ON a.f = w.f
-         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      dsirSqlFor("SELECT doc_id, text FROM documents", "")) { (s, dir) =>
       val docs = Tables(s, dir).documents
       val minSrc = docs.agg(min("source").as("ms"))
       val target = docs.join(broadcast(minSrc), col("source") === col("ms"))
@@ -788,32 +800,7 @@ object TextQueries {
     // match bucket-for-bucket, ratio-for-ratio.
     QueryDef.sql(
       "q615_dsir_incremental",
-      s"""WITH u AS ($nearDupSql),
-         |nrmA AS (SELECT doc_id, $normSql AS nt FROM u),
-         |nrmT AS (SELECT d.doc_id, ${normSql.replace("text", "d.text")} AS nt
-         |         FROM documents d
-         |         WHERE d.source = (SELECT min(source) FROM documents)),
-         |tA AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmA),
-         |tT AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrmT),
-         |gA AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
-         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tA),
-         |gT AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
-         |         for i in generate_series(1, len(tk) - 1)]) AS g FROM tT),
-         |fA AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gA),
-         |fT AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM gT),
-         |rawCnt AS (SELECT f, COUNT(*) AS cr FROM fA GROUP BY f),
-         |tgtCnt AS (SELECT f, COUNT(*) AS ct FROM fT GROUP BY f),
-         |tot AS (SELECT (SELECT SUM(cr) FROM rawCnt) AS rtot,
-         |               (SELECT SUM(ct) FROM tgtCnt) AS ttot),
-         |w AS (SELECT r.f,
-         |        (1000000 * (coalesce(t.ct, 0) + 1) * (tot.rtot + 512))
-         |          // ((r.cr + 1) * (tot.ttot + 512)) AS w
-         |      FROM rawCnt r LEFT JOIN tgtCnt t ON r.f = t.f, tot)
-         |SELECT a.doc_id, COUNT(*) AS n_feats,
-         |  CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_scaled
-         |FROM fA a JOIN w ON a.f = w.f
-         |WHERE a.doc_id >= 100000
-         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      dsirSqlFor(nearDupSql, "WHERE a.doc_id >= 100000")) { (s, dir) =>
       val docs = Tables(s, dir).documents
       val index = docs.select("doc_id", "text")
       val shard = docs.where(col("doc_id") % 29 === 0)

@@ -94,6 +94,12 @@ class CurateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(inc == full,
       s"incremental scores must equal the full restriction: $inc vs $full")
+    // a persisted state may come back with any column ORDER (both columns
+    // are LONG — a positional bind would be silent); results must not move
+    val reordered = Curate.dsirState(index, 64).select("cr", "f")
+    val incR = Curate.dsirScoresIncremental(reordered, target, shard, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incR == full, "a column-reordered state must score identically")
   }
 
   test("oovAdmit: vocab merge == rebuild; admission == full restriction; cache released") {
