@@ -2835,40 +2835,49 @@ object SignalQueries {
     // broadcast centers, the argmax a TakeOrdered(1); nothing pairwise
     // is ever materialized beyond corpus × |centers|.
     QueryDef.sql(
-      "q484_kcenter_coreset",
-      """WITH e AS (SELECT vec_id, i,
-        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
-        |  FROM embeddings, generate_series(1, 64) t(i)),
-        |d0 AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |    SUM(a.m * b.m) AS dxy, SUM(a.m * a.m) AS dxx, SUM(b.m * b.m) AS dyy
-        |  FROM e a JOIN e b ON a.i = b.i GROUP BY 1, 2),
-        |d AS (SELECT qid, cid, 1000000 - CAST(FLOOR(1000000.0 * CAST(dxy AS DOUBLE)
-        |    / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))) AS BIGINT)
-        |    AS dist FROM d0),
-        |m1 AS (SELECT qid, dist AS md FROM d WHERE cid = 0),
-        |s1 AS (SELECT qid, md FROM m1 ORDER BY md DESC, qid LIMIT 1),
-        |m2 AS (SELECT d.qid, MIN(d.dist) AS md FROM d
-        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1) GROUP BY 1),
-        |s2 AS (SELECT qid, md FROM m2
-        |  WHERE qid NOT IN (SELECT qid FROM s1) ORDER BY md DESC, qid LIMIT 1),
-        |m3 AS (SELECT d.qid, MIN(d.dist) AS md FROM d
-        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1 UNION SELECT qid FROM s2)
-        |  GROUP BY 1),
-        |s3 AS (SELECT qid, md FROM m3
-        |  WHERE qid NOT IN (SELECT qid FROM s1 UNION SELECT qid FROM s2)
-        |  ORDER BY md DESC, qid LIMIT 1),
-        |mf AS (SELECT d.qid, MIN(d.dist) AS md FROM d
-        |  WHERE d.cid = 0 OR d.cid IN (SELECT qid FROM s1 UNION SELECT qid FROM s2
-        |    UNION SELECT qid FROM s3) GROUP BY 1),
-        |rad AS (SELECT MAX(md) AS radius FROM mf)
-        |SELECT pick, vec_id, CAST(maximin AS BIGINT) AS maximin,
-        |  (SELECT CAST(radius AS BIGINT) FROM rad) AS radius
-        |FROM (SELECT CAST(0 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
-        |    CAST(0 AS BIGINT) AS maximin
-        |  UNION ALL SELECT 1, qid, md FROM s1
-        |  UNION ALL SELECT 2, qid, md FROM s2
-        |  UNION ALL SELECT 3, qid, md FROM s3) f
-        |ORDER BY pick""".stripMargin) { (s, dir) =>
+      "q484_kcenter_coreset", {
+        // per-center distance CTE: corpus × ONE center (the b side is a
+        // single vector), mirroring the Spark plan's corpus × |centers|
+        // shape. The previous oracle grouped the FULL e×e pairwise join
+        // and relied on the cid filters pushing through — DuckDB
+        // materialized |V|²·64 rows and blew an 80 GB spill budget at
+        // sf0.1; this form is linear by construction.
+        def distTo(name: String, centerCond: String) =
+          s"""$name AS (SELECT a.vec_id AS qid,
+             |    1000000 - CAST(FLOOR(1000000.0 * CAST(SUM(a.m * b.m) AS DOUBLE)
+             |      / (sqrt(CAST(SUM(a.m * a.m) AS DOUBLE))
+             |         * sqrt(CAST(SUM(b.m * b.m) AS DOUBLE)))) AS BIGINT) AS dist
+             |  FROM e a JOIN e b ON a.i = b.i AND $centerCond
+             |  GROUP BY a.vec_id)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, i,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+           |  FROM embeddings, generate_series(1, 64) t(i)),
+           |${distTo("c0", "b.vec_id = 0")},
+           |s1 AS (SELECT qid, dist AS md FROM c0 ORDER BY dist DESC, qid LIMIT 1),
+           |${distTo("c1", "b.vec_id = (SELECT qid FROM s1)")},
+           |m2 AS (SELECT qid, LEAST(c0.dist, c1.dist) AS md
+           |       FROM c0 JOIN c1 USING (qid)),
+           |s2 AS (SELECT qid, md FROM m2
+           |  WHERE qid NOT IN (SELECT qid FROM s1) ORDER BY md DESC, qid LIMIT 1),
+           |${distTo("c2", "b.vec_id = (SELECT qid FROM s2)")},
+           |m3 AS (SELECT qid, LEAST(m2.md, c2.dist) AS md
+           |       FROM m2 JOIN c2 USING (qid)),
+           |s3 AS (SELECT qid, md FROM m3
+           |  WHERE qid NOT IN (SELECT qid FROM s1 UNION SELECT qid FROM s2)
+           |  ORDER BY md DESC, qid LIMIT 1),
+           |${distTo("c3", "b.vec_id = (SELECT qid FROM s3)")},
+           |mf AS (SELECT qid, LEAST(m3.md, c3.dist) AS md
+           |       FROM m3 JOIN c3 USING (qid)),
+           |rad AS (SELECT MAX(md) AS radius FROM mf)
+           |SELECT pick, vec_id, CAST(maximin AS BIGINT) AS maximin,
+           |  (SELECT CAST(radius AS BIGINT) FROM rad) AS radius
+           |FROM (SELECT CAST(0 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+           |    CAST(0 AS BIGINT) AS maximin
+           |  UNION ALL SELECT 1, qid, md FROM s1
+           |  UNION ALL SELECT 2, qid, md FROM s2
+           |  UNION ALL SELECT 3, qid, md FROM s3) f
+           |ORDER BY pick""".stripMargin
+      }) { (s, dir) =>
       import graft.operators.Similarity
       val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       def minDist(centers: org.apache.spark.sql.DataFrame) = emb
