@@ -134,7 +134,8 @@ object Curate {
     val rawF = dsirFeats(docs, buckets).cache()
     try {
       val rawCnt = rawF.groupBy("f").agg(count(lit(1)).as("cr"))
-      scoreAgainst(rawF, rawCnt, target, buckets)
+      val tgtCnt = dsirFeats(target, buckets).groupBy("f").agg(count(lit(1)).as("ct"))
+      scoreAgainst(rawF, rawCnt, tgtCnt, buckets)
     } finally rawF.unpersist(false)
   }
 
@@ -146,13 +147,13 @@ object Curate {
       .select(col("doc_id"),
         (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long") % buckets).as("f"))
 
-  /** Weight table + per-doc scoring against a given raw bucket-count
-    * relation — the shared back half of [[dsirScores]] and
-    * [[dsirScoresIncremental]].
+  /** Weight table + per-doc scoring against given raw/target bucket-count
+    * relations — the shared back half of [[dsirScores]] and
+    * [[dsirScoresIncremental]]. Both count sides arrive as `buckets`-row
+    * relations, so scoring never rescans either corpus.
     */
   private def scoreAgainst(docF: DataFrame, rawCnt: DataFrame,
-      target: DataFrame, buckets: Int): DataFrame = {
-    val tgtCnt = dsirFeats(target, buckets).groupBy("f").agg(count(lit(1)).as("ct"))
+      tgtCnt: DataFrame, buckets: Int): DataFrame = {
     val tot = rawCnt.agg(sum("cr").as("rtot"))
       .crossJoin(tgtCnt.agg(sum("ct").as("ttot")))
     val w = rawCnt.join(tgtCnt, Seq("f"), "left_outer")
@@ -174,44 +175,88 @@ object Curate {
     * production pipeline keeps on disk between ingests; it is
     * metadata-sized at ANY corpus scale (512 rows for the default
     * config), so the shard-scoring weight table always broadcasts.
+    *
+    * The bucket count is STAMPED into the state (constant `nb` column):
+    * the hash-bucket relation is only meaningful at the count it was
+    * built with, and merging/scoring a 512-bucket state at 1024 would
+    * silently produce wrong ratios — every consumer asserts the stamp
+    * in-plan ([[checkedState]]) and fails loud on a mismatch.
     */
   def dsirState(docs: DataFrame, buckets: Int = 512): DataFrame =
     dsirFeats(docs, buckets).groupBy("f").agg(count(lit(1)).as("cr"))
+      .withColumn("nb", lit(buckets.toLong))
+
+  /** Persistable TARGET bucket state — [[dsirState]]'s twin over the
+    * target corpus (f, ct, nb). Persisting BOTH sides is what makes an
+    * ingest scan-free: [[dsirScoresIncremental]] reads (raw state,
+    * target state, shard) and touches neither corpus.
+    */
+  def dsirTargetState(target: DataFrame, buckets: Int = 512): DataFrame =
+    dsirFeats(target, buckets).groupBy("f").agg(count(lit(1)).as("ct"))
+      .withColumn("nb", lit(buckets.toLong))
+
+  /** In-plan stamp check: a state built at a different bucket count
+    * fails the first action LOUD instead of silently shifting every
+    * ratio. States persisted before the stamp existed (no `nb` column)
+    * pass through — the caller owns the invariant there. unionByName
+    * selection throughout: a persisted state's column ORDER is never
+    * positional (both data columns are LONG — a reordered state would
+    * bind silently).
+    */
+  private def checkedState(state: DataFrame, cnt: String, buckets: Int): DataFrame = {
+    val base = state.select(col("f"), col(cnt))
+    if (!state.columns.contains("nb")) base
+    else state.select(
+      when(col("nb") =!= buckets.toLong,
+        raise_error(format_string(
+          s"dsir state stamped buckets=%d, used at buckets=$buckets", col("nb"))))
+        .otherwise(col("f")).as("f"),
+      col(cnt))
+  }
 
   /** Maintain the bucket state under ingestion: counts are ADDITIVE, so
     * folding a shard in is one group-sum over (state ∪ shard counts) —
     * algebraically a from-scratch [[dsirState]] rebuild over
-    * index ∪ shard (DsirIncrementalSpec pins the equality). O(|shard| +
-    * buckets); the state side never rescans the corpus.
+    * index ∪ shard (CurateSpec pins the equality). O(|shard| +
+    * buckets); the state side never rescans the corpus. The `buckets`
+    * argument must match the state's stamp (asserted in-plan).
     */
   def dsirStateMerge(state: DataFrame, shard: DataFrame,
       buckets: Int = 512): DataFrame =
-    // unionByName: the state is a caller-persisted relation whose column
-    // ORDER the library must not assume — both columns are LONG, so a
-    // positional union of a reordered state would bind silently
-    state.select("f", "cr").unionByName(dsirState(shard, buckets))
+    checkedState(state, "cr", buckets)
+      .unionByName(dsirState(shard, buckets).select("f", "cr"))
       .groupBy("f").agg(sum("cr").as("cr"))
+      .withColumn("nb", lit(buckets.toLong))
 
-  /** Score an ingest shard against the MAINTAINED bucket state — the
+  /** [[dsirStateMerge]]'s target-side twin: fold a target-corpus shard
+    * into the persisted target counts (merge ≡ rebuild, spec-pinned).
+    */
+  def dsirTargetStateMerge(state: DataFrame, targetShard: DataFrame,
+      buckets: Int = 512): DataFrame =
+    checkedState(state, "ct", buckets)
+      .unionByName(dsirTargetState(targetShard, buckets).select("f", "ct"))
+      .groupBy("f").agg(sum("ct").as("ct"))
+      .withColumn("nb", lit(buckets.toLong))
+
+  /** Score an ingest shard against the MAINTAINED bucket states — the
     * curation leg of the continuous-ingestion loop (the admission twins
     * are Dedup.incrementalCandidates / Similarity.semDedupIncremental):
-    * the shard's own counts fold into the state first (importance
+    * the shard's own counts fold into the raw state first (importance
     * ratios are defined against the raw corpus INCLUDING the shard), so
     * the result is EXACTLY `dsirScores(index ∪ shard, target)`
     * restricted to shard doc_ids (spec-pinned and q615's oracle), while
-    * reading only the shard, the target, and the `buckets`-row state —
-    * never the index corpus.
+    * reading only the shard and the two `buckets`-row states — NEITHER
+    * corpus is ever rescanned (the target side reads the persisted
+    * [[dsirTargetState]], closing the per-ingest target scan).
     */
-  def dsirScoresIncremental(state: DataFrame, target: DataFrame,
+  def dsirScoresIncremental(state: DataFrame, targetState: DataFrame,
       shard: DataFrame, buckets: Int = 512): DataFrame = {
     val shardF = dsirFeats(shard, buckets).cache()
     try {
-      // unionByName (the dsirStateMerge note): never bind a persisted
-      // state's same-typed columns positionally
-      val merged = state.select("f", "cr")
+      val merged = checkedState(state, "cr", buckets)
         .unionByName(shardF.groupBy("f").agg(count(lit(1)).cast("long").as("cr")))
         .groupBy("f").agg(sum("cr").as("cr"))
-      scoreAgainst(shardF, merged, target, buckets)
+      scoreAgainst(shardF, merged, checkedState(targetState, "ct", buckets), buckets)
     } finally shardF.unpersist(false)
   }
 
@@ -245,34 +290,43 @@ object Curate {
     * doc_ids (spec-pinned and q616's oracle), while reading only the
     * shard and the vocab-grain state. Shard token traffic aggregates to
     * (doc, word) grain before the vocab probe (word types join, not
-    * token instances); the global top-K window runs on the VOCAB-grain
-    * merged counts — bounded by construction, the q223 allowlist class.
-    * Exact ppm via BIGINT products; ties break count-desc then word-asc.
+    * token instances); the global top-K cut is `orderBy().limit()` — a
+    * TakeOrderedAndProject, O(K) heap state per partition — NEVER an
+    * unpartitioned window sort: the merged vocabulary is bounded by word
+    * types, but a web-scale crawl has 10⁸–10⁹ of those and a global
+    * window would sort them all in one task. Exact ppm via BIGINT
+    * products; ties break count-desc then word-asc (TakeOrdered's
+    * ordering key, deterministic because (n, w) is unique per word).
     */
   def oovAdmit(state: DataFrame, shard: DataFrame, vocabK: Int = 30,
       maxOovPpm: Long = 500000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val shardTok = normalize(shard)
       .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
       .cache() // call-scoped (the Dedup contract): feeds the fold-in AND the probe
-    try {
-      val merged = state.select("w", "n")
-        .unionByName(shardTok.groupBy("w").agg(sum("n").as("n")))
-        .groupBy("w").agg(sum("n").as("n"))
-      val vocab = merged
-        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
-        .where(col("rk") <= vocabK)
-        .select("w").withColumn("in_vocab", lit(true))
-      shardTok.join(broadcast(vocab), Seq("w"), "left_outer")
-        .groupBy("doc_id")
-        .agg(sum("n").as("n_tokens"),
-          sum(when(col("in_vocab"), 0L).otherwise(col("n"))).as("n_oov"))
-        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
-        .withColumn("admitted", col("oov_ppm") <= maxOovPpm)
-        .localCheckpoint(true)
-    } finally shardTok.unpersist(false)
+    try oovAdmitPlan(state, shardTok, vocabK, maxOovPpm).localCheckpoint(true)
+    finally shardTok.unpersist(false)
+  }
+
+  /** [[oovAdmit]]'s lazy plan over a pre-aggregated (doc_id, w, n) shard
+    * token relation — split out so PlanShapeSpec can pin the TakeOrdered
+    * vocab cut (the public method's eager checkpoint hides the plan).
+    */
+  private[graft] def oovAdmitPlan(state: DataFrame, shardTok: DataFrame,
+      vocabK: Int, maxOovPpm: Long): DataFrame = {
+    val merged = state.select("w", "n")
+      .unionByName(shardTok.groupBy("w").agg(sum("n").as("n")))
+      .groupBy("w").agg(sum("n").as("n"))
+    val vocab = merged
+      .orderBy(col("n").desc, col("w")).limit(vocabK)
+      .select("w").withColumn("in_vocab", lit(true))
+    shardTok.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("in_vocab"), 0L).otherwise(col("n"))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+      .withColumn("admitted", col("oov_ppm") <= maxOovPpm)
   }
 
   /** Drop training docs sharing any n-gram with the eval corpus (q157). */

@@ -325,13 +325,16 @@ object ProfilingQueries {
         |  CAST(SUM(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE n END) * 1000000
         |       // SUM(n) AS BIGINT) AS oov_ppm
         |FROM sw GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val sw = Tables(s, dir).documents
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      // top-K cut via orderBy().limit() — TakeOrderedAndProject (O(K) per
+      // partition), never an unpartitioned window sort over the vocabulary
+      // (word types are 10⁸–10⁹ on a web-scale crawl). Deterministic: the
+      // ordering key (gn desc, w) is unique per word.
       val vocab = sw.groupBy("w").agg(sum("n").as("gn"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("gn").desc, col("w"))))
-        .where(col("rk") <= 30).select("w").withColumn("in_vocab", lit(true))
+        .orderBy(col("gn").desc, col("w")).limit(30)
+        .select("w").withColumn("in_vocab", lit(true))
       sw.join(broadcast(vocab), Seq("w"), "left")
         .groupBy("source")
         .agg(sum("n").as("n_tokens"),

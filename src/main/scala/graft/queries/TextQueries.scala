@@ -790,14 +790,15 @@ object TextQueries {
     },
 
     // Incremental DSIR — the curation leg of the continuous-ingestion
-    // loop: the raw corpus's hashed-bigram bucket counts are a PERSISTED
-    // 512-row state (Curate.dsirState — the band-index/cell-map analogue
-    // for importance scoring); an ingest shard folds its own counts in
-    // (ratios are defined against raw ∪ shard) and scores WITHOUT
-    // rescanning the index corpus. The oracle proves the headline
-    // equivalence by recomputing full q613-style scores over the union
-    // corpus and restricting to shard ids — the incremental path must
-    // match bucket-for-bucket, ratio-for-ratio.
+    // loop: BOTH corpora's hashed-bigram bucket counts are PERSISTED
+    // 512-row states (Curate.dsirState / dsirTargetState — the
+    // band-index/cell-map analogue for importance scoring); an ingest
+    // shard folds its own counts into the raw side (ratios are defined
+    // against raw ∪ shard) and scores WITHOUT rescanning EITHER corpus.
+    // The oracle proves the headline equivalence by recomputing full
+    // q613-style scores over the union corpus and restricting to shard
+    // ids — the incremental path must match bucket-for-bucket,
+    // ratio-for-ratio.
     QueryDef.sql(
       "q615_dsir_incremental",
       dsirSqlFor(nearDupSql, "WHERE a.doc_id >= 100000")) { (s, dir) =>
@@ -810,8 +811,36 @@ object TextQueries {
       val target = docs.join(broadcast(minSrc), col("source") === col("ms"))
         .select("doc_id", "text")
       graft.operators.Curate.dsirScoresIncremental(
-        graft.operators.Curate.dsirState(index), target, shard)
+        graft.operators.Curate.dsirState(index),
+        graft.operators.Curate.dsirTargetState(target), shard)
         .orderBy("doc_id")
+    },
+
+    // DSIR target-state maintenance — the persisted TARGET bucket counts
+    // folded under ingestion (dsirTargetStateMerge): the Spark side
+    // builds the index target state, merges a target shard in, and must
+    // equal the oracle's from-scratch bucket counts over the union
+    // target corpus — including the buckets=512 stamp every consumer
+    // asserts in-plan. Closes the last per-ingest corpus rescan in the
+    // curation leg (the raw side was already stated; now both are).
+    QueryDef.sql(
+      "q617_dsir_target_state",
+      s"""WITH u AS ($nearDupSql),
+         |nrm AS (SELECT doc_id, $normSql AS nt FROM u),
+         |t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM nrm),
+         |g AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |        for i in generate_series(1, len(tk) - 1)]) AS g FROM t),
+         |f AS (SELECT ('0x' || substr(md5(g), 1, 4))::BIGINT % 512 AS f FROM g)
+         |SELECT f, COUNT(*) AS ct, CAST(512 AS BIGINT) AS nb
+         |FROM f GROUP BY f ORDER BY f""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val index = docs.select("doc_id", "text")
+      val shard = docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      graft.operators.Curate.dsirTargetStateMerge(
+        graft.operators.Curate.dsirTargetState(index), shard)
+        .orderBy("f")
     },
 
     // Incremental OOV admission — the tokenizer-fit gate (q223's check)

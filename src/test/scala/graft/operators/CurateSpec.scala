@@ -86,8 +86,16 @@ class CurateSpec extends SparkSpec {
     val rebuilt = Curate.dsirState(union, 64)
     assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
       "merged bucket state must equal a from-scratch rebuild over index ∪ shard")
-    // incremental scoring == the full arm's restriction to shard ids
-    val inc = Curate.dsirScoresIncremental(Curate.dsirState(index, 64), target,
+    // target-side state maintenance IS the rebuild too
+    val tMerged = Curate.dsirTargetStateMerge(Curate.dsirTargetState(index, 64),
+      shard, 64)
+    val tRebuilt = Curate.dsirTargetState(union, 64)
+    assert(tMerged.exceptAll(tRebuilt).isEmpty && tRebuilt.exceptAll(tMerged).isEmpty,
+      "merged target state must equal a from-scratch rebuild over index ∪ shard")
+    // incremental scoring == the full arm's restriction to shard ids —
+    // reading only the two states and the shard, never either corpus
+    val inc = Curate.dsirScoresIncremental(Curate.dsirState(index, 64),
+      Curate.dsirTargetState(target, 64),
       shard, 64).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val full = Curate.dsirScores(union, target, 64)
       .where(col("doc_id") >= 100L)
@@ -97,9 +105,32 @@ class CurateSpec extends SparkSpec {
     // a persisted state may come back with any column ORDER (both columns
     // are LONG — a positional bind would be silent); results must not move
     val reordered = Curate.dsirState(index, 64).select("cr", "f")
-    val incR = Curate.dsirScoresIncremental(reordered, target, shard, 64)
+    val incR = Curate.dsirScoresIncremental(reordered,
+      Curate.dsirTargetState(target, 64), shard, 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(incR == full, "a column-reordered state must score identically")
+  }
+
+  test("dsir states are bucket-stamped; a mismatched count fails loud") {
+    val index = docsDF((1L to 6L).map(i => i -> s"word $i of the corpus text"))
+    val shard = docsDF(Seq(11L -> "shard words of the corpus text again"))
+    val st = Curate.dsirState(index, 64)
+    assert(st.select("nb").distinct().collect().map(_.getLong(0)).toSeq == Seq(64L),
+      "state must carry its bucket-count stamp")
+    // state built at 64, merged/scored at 128: the hash-bucket relation
+    // no longer matches — must throw at the first action, never return
+    // silently-wrong ratios (the r9 ADVICE failure mode)
+    val ex1 = intercept[Exception] {
+      Curate.dsirStateMerge(st, shard, 128).collect()
+    }
+    assert(ex1.getMessage.contains("buckets"), ex1.getMessage)
+    val ex2 = intercept[Exception] {
+      Curate.dsirScoresIncremental(st, Curate.dsirTargetState(index, 128),
+        shard, 64).collect()
+    }
+    assert(ex2.getMessage.contains("buckets"), ex2.getMessage)
+    // matched stamps pass
+    assert(Curate.dsirStateMerge(st, shard, 64).count() > 0)
   }
 
   test("oovAdmit: vocab merge == rebuild; admission == full restriction; cache released") {
@@ -137,7 +168,7 @@ class CurateSpec extends SparkSpec {
     val index = docsDF((1L to 6L).map(i => i -> s"word $i of the corpus text"))
     val shard = docsDF(Seq(11L -> "shard words of the corpus text again"))
     val out = Curate.dsirScoresIncremental(
-      Curate.dsirState(index), index, shard)
+      Curate.dsirState(index), Curate.dsirTargetState(index), shard)
     assert(spark.sharedState.cacheManager.isEmpty,
       "no cached relation may outlive the dsirScoresIncremental call")
     assert(out.count() == 1)

@@ -35,7 +35,7 @@ class PlanShapeSpec extends SparkSpec {
     */
   private val boundedGlobalWindowAllowlist: Set[String] = Set(
     "q115_benford", "q172_ratio_to_report", "q199_stickiness", "q202_acf",
-    "q213_sliding_hll", "q223_vocab_oov", "q227_repair_batches", "q239_slo_burn",
+    "q213_sliding_hll", "q227_repair_batches", "q239_slo_burn",
     "q242_token_ids", "q254_auc", "q262_topk_merge", "q270_seasonal_backtest",
     "q286_shard_rebalance", "q290_stable_vocab_ids", "q292_backfill_plan",
     "q305_simhash_radius", "q307_neyman_alloc", "q313_dedup_pr_curve",
@@ -54,10 +54,11 @@ class PlanShapeSpec extends SparkSpec {
     "q488_offline_replay", "q498_lift_chart", "q525_p99_decomposition",
     "q526_summed_area", "q536_adversarial_validation", "q542_action_log_replay",
     "q550_scheduling_advisor", "q556_sample_quantile_error",
-    "q565_trace_sampling", "q595_collated_chunks",
-    // r9 addition: oovAdmit's top-K runs on the VOCAB-grain merged count
-    // state (bounded by word types — the same class as q223)
-    "q616_oov_admit")
+    "q565_trace_sampling", "q595_collated_chunks")
+    // r10: q223/q616 left this list — their vocab top-K cut is now
+    // orderBy().limit() (TakeOrderedAndProject, O(K) per partition), so
+    // no word-type-grain global sort survives anywhere in the registry;
+    // the vocab-takeordered test below pins the reformed shape.
 
   test("sweep: no unpartitioned window outside the bounded allowlist") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -77,6 +78,30 @@ class PlanShapeSpec extends SparkSpec {
     // the three reformed corpus-derived sites must stay clean
     Seq("q204_lsh_audit", "q497_learned_index_audit", "q522_range_boundaries")
       .foreach(q => assert(!offenders.contains(q), s"$q regressed to a global window"))
+  }
+
+  test("q223/q616 vocab top-K runs as TakeOrdered, never a global window sort") {
+    // q223's plan is visible through the registry
+    val p223 = planOf("q223_vocab_oov")
+    assert(p223.contains("TakeOrderedAndProject"),
+      s"q223's vocab cut must plan as TakeOrderedAndProject:\n$p223")
+    assert(!p223.contains("Window"),
+      s"q223 must not carry any window (the vocab sort was the r9 weak mark):\n$p223")
+    // q616 eagerly checkpoints, which hides its internals from planOf —
+    // pin the pre-checkpoint plan builder the public operator materializes
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("the word w"), pmod(col("id"), lit(7))).as("text"))
+    val tok = graft.operators.Curate.normalize(docs)
+      .select(col("doc_id"), explode(split(col("nt"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val plan = graft.operators.Curate.oovAdmitPlan(
+      graft.operators.Curate.vocabState(docs), tok, 5, 500000L)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"oovAdmit's vocab cut must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"),
+      s"oovAdmit must not carry any window:\n$plan")
   }
 
   test("q1_agg prunes the lineitem scan to the touched columns") {
