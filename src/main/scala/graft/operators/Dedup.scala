@@ -260,9 +260,28 @@ object Dedup {
 
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
     * join runs only on the candidate set).
+    *
+    * `maxShingles` is the last unbounded-per-row valve in the dedup
+    * family: each candidate doc's DISTINCT shingle set rides through two
+    * joins as ONE in-row array, so a single pathological document (a
+    * 10 MB page → ~10⁷ shingles) would pin ~10⁷ array elements in every
+    * row it pairs with — executor OOM risk on a real crawl. With a cap,
+    * a doc keeps only its K md5-SMALLEST distinct shingles (ties by the
+    * shingle itself — total order, engine-reproducible): docs at or
+    * under the cap verify EXACTLY (the bottom-K of a ≤K set is the set,
+    * spec-pinned); an oversized doc verifies its bottom-K sketch, so
+    * the reported jaccard is the Jaccard of the two bottom-K sets — the
+    * bottom-k-sketch estimate of the true similarity (md5 is a uniform
+    * permutation of the shingle space, so the K smallest are a uniform
+    * sample; the estimate concentrates around the true value at rate
+    * O(1/√K)). Bounded approximation semantics in exchange for a hard
+    * per-row memory bound — q618's oracle recomputes the identical
+    * bottom-K relation from raw text. Default None keeps the exact
+    * semantics (q27).
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, shingleLen: Int = 8): DataFrame = {
+      textCol: String, shingleLen: Int = 8,
+      maxShingles: Option[Int] = None): DataFrame = {
     // Only documents that appear in some candidate pair need their shingle
     // sets — restrict with a broadcast semi-join on the candidate id set,
     // so verification cost follows |candidates|, not corpus size.
@@ -276,10 +295,23 @@ object Dedup {
     val candIds = candidates.select(col("d1").as(idCol))
       .unionAll(candidates.select(col("d2").as(idCol)))
       .distinct()
+    val fullSet = array_distinct(shingles(normText(col(textCol)), shingleLen))
+    val shsExpr = maxShingles match {
+      case None => fullSet
+      case Some(k) =>
+        // bottom-K by (md5, shingle): array_sort on the struct orders by
+        // the leading hash field, slice keeps K, transform unwraps — all
+        // in-row, so at most K elements ever leave the projection. For a
+        // ≤K set the slice is the whole set (order is irrelevant to the
+        // set ops below) — capped ≡ exact there.
+        transform(
+          slice(array_sort(transform(fullSet, s => struct(md5(s).as("h"), s.as("s")))),
+            1, k),
+          x => x.getField("s"))
+    }
     val sets = docs
       .join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol).as("doc_id"),
-        array_distinct(shingles(normText(col(textCol)), shingleLen)).as("shs"))
+      .select(col(idCol).as("doc_id"), shsExpr.as("shs"))
     // Both joins below shuffle the IDENTICAL `sets` subplan hash-partitioned
     // on doc_id — keeping the plan byte-identical (same aliases, join
     // conditions instead of per-side renames) lets Spark reuse the first
@@ -394,6 +426,15 @@ object Dedup {
       // extra |V|-sized join. Labels are component-internal vertex ids
       // and `least` only decreases, so the fixpoint test (no decrease ⇒
       // propagation alone found nothing ⇒ edge-consistent) is unchanged.
+      // Skew bound: the join keys on `lbl`, and as a giant component
+      // converges most rows share ONE label value — the probe side of
+      // that key funnels into a single task per round. The build side
+      // (pv) is unique-keyed, so this is exactly the shape AQE's
+      // skew-join split handles (replicate the one matching build row
+      // across the split probe partitions); with AQE on (the engine
+      // default) the hot partition splits at runtime, and the round
+      // count is already O(log diameter), so the residual skew cost is
+      // bounded — no salting layer needed on top.
       val step = if (i < 2) prop.localCheckpoint() else {
         // checkpoint the propagation once, THEN self-join it — without
         // the cut the shortcut would recompute the propagation per side

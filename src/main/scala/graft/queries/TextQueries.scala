@@ -102,6 +102,25 @@ object TextQueries {
        |$restrict
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** Oversized-document fixture for the jaccardVerify shingle cap
+    * (q618): the near-dup corpus plus two giant documents — the sorted
+    * concatenation of docs 1-100 and of docs 5-100 (near-dups of each
+    * other, thousands of distinct shingles each, far over any per-row
+    * cap). SQL twin here; the Spark twin builds the same concatenation
+    * with array_sort(collect_list(struct(doc_id, text))).
+    */
+  private val bigDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+      |FROM documents WHERE doc_id % 29 = 0
+      |UNION ALL
+      |SELECT 500001 AS doc_id,
+      |  (SELECT string_agg(text, ' ' ORDER BY doc_id) FROM documents WHERE doc_id BETWEEN 1 AND 100) AS text
+      |UNION ALL
+      |SELECT 500002 AS doc_id,
+      |  (SELECT string_agg(text, ' ' ORDER BY doc_id) FROM documents WHERE doc_id BETWEEN 5 AND 100) AS text""".stripMargin
+
   /** Degenerate-bucket fixture for the LSH hot-bucket cap (q598/q599):
     * the corpus plus 30 verbatim clones of doc 1 — one 31-member bucket
     * per band, far over the cap of 12. SQL twin + Spark twin.
@@ -841,6 +860,66 @@ object TextQueries {
       graft.operators.Curate.dsirTargetStateMerge(
         graft.operators.Curate.dsirTargetState(index), shard)
         .orderBy("f")
+    },
+
+    // Bounded-shingle Jaccard verification — jaccardVerify's maxShingles
+    // valve, value-checked end-to-end: two planted giant documents (the
+    // sorted concatenation of docs 1-100, and of docs 5-100 — thousands
+    // of distinct shingles, far over the 400 cap) verify on their
+    // bottom-400 md5-smallest shingle sets, while every ordinary doc
+    // (≤ ~570 distinct shingles, most under 407 chars) keeps its exact
+    // set where it fits the cap. The planted pair is appended to the
+    // LSH candidates explicitly so the cap is exercised at every SF
+    // regardless of band collisions. The oracle rebuilds the identical
+    // bottom-K relation (row_number over md5(sh), sh) from raw text.
+    QueryDef.sql(
+      "q618_jaccard_capped",
+      s"""WITH ${sigSqlFor(bigDocsSql)},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  UNION SELECT 500001, 500002),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |ranked AS (SELECT doc_id, sh,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rk
+         |  FROM shd),
+         |kept AS (SELECT doc_id, sh FROM ranked WHERE rk <= 400),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN kept a ON a.doc_id = c.d1
+         |  JOIN kept b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2)
+         |SELECT c.d1, c.d2, coalesce(i.n_inter, 0) AS n_inter,
+         |  na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
+         |  CAST(FLOOR(100000.0 * coalesce(i.n_inter, 0) / (na.n + nb.n - coalesce(i.n_inter, 0))) AS BIGINT) AS jaccard_scaled
+         |FROM cand c
+         |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |JOIN sizes na ON na.doc_id = c.d1
+         |JOIN sizes nb ON nb.doc_id = c.d2
+         |ORDER BY c.d1, c.d2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      def bigDoc(id: Long, from: Long, to: Long) =
+        docs.where(col("doc_id").between(from, to))
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, text)))," +
+            " x -> x.text), ' ')").as("text"))
+          .select(lit(id).as("doc_id"), col("text"))
+      val u = nearDupDocs(docs)
+        .unionAll(bigDoc(500001L, 1L, 100L))
+        .unionAll(bigDoc(500002L, 5L, 100L))
+      val sig  = Dedup.minhashSignatures(u, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sig)
+        .unionAll(Seq((500001L, 500002L)).toDF("d1", "d2"))
+        .distinct()
+      Dedup.jaccardVerify(cand, u, "doc_id", "text", maxShingles = Some(400))
+        .select("d1", "d2", "n_inter", "n_union", "jaccard_scaled")
+        .orderBy("d1", "d2")
     },
 
     // Incremental OOV admission — the tokenizer-fit gate (q223's check)
