@@ -644,6 +644,67 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Recall@k audit of the IVF probe path against the exact brute force,
+    * per query vector — [[annRecall]]'s twin for the engine's DEFAULT kNN
+    * base (the q121 audit covered only the 8-plane LSH path; the IVF
+    * multi-probe family had cost certifications but no recall-vs-exact
+    * measurement until this). A query's candidate set is every corpus
+    * vector whose HOME cell (nProbe=1 assignment) is among the query's
+    * `nProbe` nearest centroids — exactly [[ivfTopK]]'s probe semantics.
+    *
+    * Scale shape: identical to [[annRecall]] — the exact ground truth
+    * needs one corpus × queries pass, so that single native-scaled-dot
+    * pass feeds BOTH rankings through the bounded-heap top-k-per-group
+    * operator (no per-query global sort); cell assignment is the in-row
+    * packed-argmin projection over the broadcast centroid array, and the
+    * query probe-cell sets ride as one tiny broadcast array column.
+    */
+  def ivfRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.graftshims.TopKApi
+    val centsArr = ivfCentroids(embeddings, centroidEvery)
+      .agg(sort_array(collect_list(struct(col("ccid"), col("cemb"), col("cnrm0"))))
+        .as("cents"))
+    // home cell of every corpus vector (the nProbe=1 assignment)
+    val asg = probeAssignments(
+      embeddings.withColumn("__nrm", scaledDot(col("embedding"), col("embedding"))),
+      centsArr, 1)
+    // each query's nProbe probe cells as ONE in-row array (packed min-k
+    // over the broadcast centroid array — the probeAssignments recipe,
+    // kept un-exploded so it can broadcast with the query row)
+    val packedQ = transform(col("cents"), (c, i) =>
+      (-floor(lit(1000000.0) *
+          scaledDot(col("qv"), c.getField("cemb")).cast("double") /
+          (sqrt(scaledDot(col("qv"), col("qv")).cast("double")) *
+            sqrt(c.getField("cnrm0").cast("double"))))
+        .cast("long")) * lit(IdxFactor) + i.cast("long"))
+    val qp = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("qid"), col("qv"),
+        transform(graft.plans.GraftFunctions.minKLong(packedQ, lit(nProbe)),
+          p => element_at(col("cents"),
+              p.bitwiseAND(lit(IdxMask)).cast("int") + 1)
+            .getField("ccid")).as("qcells"))
+    val scored = embeddings.join(asg, Seq("vec_id"))
+      .crossJoin(broadcast(qp))
+      .select(col("qid"), col("vec_id"),
+        cosineScaled(col("embedding"), col("qv")).as("cs"),
+        array_contains(col("qcells"), col("cell")).as("in_probe"))
+      // the annRecall ordering pack: (cos, ¬vec_id) in one long
+      .withColumn("ord", col("cs") * lit(4294967296L) + (lit(4294967295L) - col("vec_id")))
+    val grouped = TopKApi.topKPerGroup(scored, Seq("qid", "in_probe"), "ord", k)
+    val bf = TopKApi.topKPerGroup(grouped, Seq("qid"), "ord", k)
+      .select(col("qid"), col("vec_id"))
+    val ann = grouped.where(col("in_probe"))
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val hits = bf.join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qp.select(col("qid")).join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_permille", expr(s"CAST(hits * 1000 div $k AS BIGINT)"))
+      .orderBy("qid")
+  }
+
   /** Product-quantization codes: the vector splits into `m` subvectors of
     * `d` dims; each maps to the nearest (scaled-integer L2²) of `k`
     * codewords in that subspace, ties to the smaller code. The codebook is

@@ -23,7 +23,7 @@ object VectorScale {
     // (kmeans,pairs,hotcell,semdedup)
     val only: Set[String] = args.drop(1).headOption
       .map(_.split(",").toSet)
-      .getOrElse(Set("kmeans", "pairs", "hotcell", "semdedup"))
+      .getOrElse(Set("kmeans", "pairs", "hotcell", "semdedup", "recall"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -183,6 +183,33 @@ object VectorScale {
         f""""uncapped_block_pairs":${blockDepth * (blockDepth - 1) / 2},""" +
         f""""capped_block_pairs":${cap.toLong * blockDepth},""" +
         f""""clones_removed":$cloneRemoved,"sec":$sec%.2f,"shuffle_records":$shuf}""")
+    }
+    // ---- ivf_recall_1m: recall@10 of the IVF probe path vs exact, at
+    // corpus scale — the audit that justifies nProbe (the sf-fixture q619
+    // measures 4 queries; this measures 100 over 1M vectors). The exact
+    // ground truth is one corpus × 100-query native-scaled-dot pass
+    // feeding both rankings through the bounded-heap top-k operator.
+    if (only("recall")) {
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      val centroidEvery = (nVec / 1000L).max(1L).toInt
+      val queries = emb.where(col("vec_id") % (nVec / 100L).max(1L) === 0)
+      for (nProbe <- Seq(2, 8)) {
+        val (stats, sec, _) = measure {
+          val r = graft.operators.Similarity
+            .ivfRecall(emb, queries, 10, centroidEvery, nProbe)
+          r.agg(count(lit(1)), sum("hits"),
+            floor(avg(col("recall_permille"))).cast("long")).head()
+        }
+        val (nQ, hits, meanRecall) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        require(nQ == 100, s"expected 100 audited queries, got $nQ")
+        // probing MORE cells can only add candidates — recall must be
+        // high at nProbe=8 over 1000 cells (every query's own cell is
+        // probed: the query vector itself is always a hit)
+        require(hits > 0 && meanRecall > 0, "recall audit must be non-trivial")
+        println(f"""{"scenario":"ivf_recall_1m","vectors":$nVec,"queries":$nQ,""" +
+          f""""cells":${nVec / centroidEvery},"n_probe":$nProbe,"k":10,""" +
+          f""""mean_recall_permille":$meanRecall,"sec":$sec%.2f}""")
+      }
     }
     spark.stop()
   }
