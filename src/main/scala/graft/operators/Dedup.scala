@@ -582,6 +582,64 @@ object Dedup {
     * aliased join against the witness-restricted x-side, no unioned
     * self-join branches.
     */
+  /** Near-dup pairs over a MULTI-LANE fingerprint (perceptual image
+    * hashes, or any 64-bit signature emitted as 16-bit lanes): candidates
+    * are docs agreeing on ANY lane, verified by exact Hamming distance
+    * Σ bit_count(lane_x ⊕ lane_y) ≤ `maxDist`.
+    *
+    * Pigeonhole exactness: with L lanes, a pair at distance d < L has at
+    * most d touched lanes, so at least one lane matches exactly — for
+    * `maxDist < laneCols.size` the banded candidates provably contain
+    * EVERY qualifying pair (unlike [[simhashPairs]]' top-byte block,
+    * which is probabilistic). That is the multi-index Hamming trick
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing") — the same band-decomposition LSH uses, made exact by
+    * the distance bound. Pair cost follows lane collisions, never n².
+    *
+    * `maxBand` is this operator's degenerate-locality valve (the
+    * [[minhashCandidates]] recipe): exact duplicates share ALL lanes, so
+    * a web corpus's boilerplate image lands B docs in one (lane, value)
+    * bucket — B²/2 candidate pairs uncapped. A bucket over the cap emits
+    * hub-star candidates only (min doc_id → member), still
+    * Hamming-verified — capped output ⊆ exact, no over-emission.
+    */
+  def bandedHammingPairs(sig: DataFrame, idCol: String, laneCols: Seq[String],
+      maxDist: Int = 3, maxBand: Option[Int] = None): DataFrame =
+    withCallScopedCache(sig) {
+      val bands = laneCols.zipWithIndex.map { case (c, i) =>
+        sig.select(col(idCol).as("doc_id"), lit(i).as("band"),
+          col(c).cast("long").as("bucket"))
+      }.reduce(_ unionAll _)
+      def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val cand = (maxBand match {
+        case None => allPairs(bands)
+        case Some(cap) =>
+          val stats = bands.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
+          val sized = bands.join(stats, Seq("band", "bucket"))
+          val dense = allPairs(
+            sized.where(col("bsz") <= cap).select("doc_id", "band", "bucket"))
+          val star = sized.where(col("bsz") > cap && col("doc_id") =!= col("hub"))
+            .select(col("hub").as("d1"), col("doc_id").as("d2"))
+          dense.unionAll(star)
+      }).distinct().localCheckpoint(true)
+      // verification joins mirror jaccardVerify's ReusedExchange shape:
+      // both sides shuffle the identical lane subplan on doc_id. Pair
+      // columns resolve through cand(...) — a lane literally named "d1"
+      // (the image dHash lanes) would otherwise make the bare name
+      // ambiguous after the joins.
+      val a = sig.as("a")
+      val b = sig.as("b")
+      val ham = laneCols.map(c => expr(s"bit_count(a.$c ^ b.$c)")).reduce(_ + _)
+      cand.join(a, col(s"a.$idCol") === cand("d1"))
+        .join(b, col(s"b.$idCol") === cand("d2"))
+        .select(cand("d1"), cand("d2"), ham.cast("long").as("hamming"))
+        .where(col("hamming") <= maxDist)
+    }
+
   def simhashPairs(sim: DataFrame, maxDist: Int = 3,
       maxBlock: Option[Int] = None): DataFrame = {
     val blocked = sim.withColumn("blk", expr("simhash div 256"))

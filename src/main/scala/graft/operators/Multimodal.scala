@@ -348,6 +348,120 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(
+      doc_id: Long, width: Int, height: Int,
+      d0: Long, d1: Long, d2: Long, d3: Long,
+      a0: Long, a1: Long, a2: Long, a3: Long)
+
+  /** Perceptual image fingerprints — dHash (gradient) and aHash (mean)
+    * over the REAL JDK decode, all integer arithmetic so a SQL oracle
+    * recomputes every bit from the pixel values:
+    *
+    *  - gray = r + g + b per pixel (0..765 — no lossy luma division);
+    *  - dHash: a 9×8 grid of cell means (floor-division boundaries
+    *    `gx·W div 9`, cell mean = sum div count); bit (gy·8+gx) is set
+    *    iff cell(gx,gy) > cell(gx+1,gy) — 64 bits of horizontal
+    *    gradient signs, the classic difference hash;
+    *  - aHash: an 8×8 grid of cell means, global mean m = Σcells div 64;
+    *    bit (ay·8+ax) set iff cell > m.
+    *
+    * Both hashes are emitted as FOUR 16-bit lanes (`d0..d3`/`a0..a3`,
+    * lane l = bits 16l..16l+15, bit i of a lane weighted 2^i) — the
+    * minhash-signature convention: lanes are non-negative everywhere
+    * (no sign-bit hazards in either engine), band-blockable directly,
+    * and Hamming distance is Σ bit_count(xor(lane)) per lane. Global
+    * brightness shifts leave both hashes unchanged (all cells move
+    * together; both comparators are relative) — the invariance that
+    * makes these PERCEPTUAL rather than cryptographic. Undecodable or
+    * sub-grid (<9×8) payloads are dropped, like [[decodeImage]].
+    *
+    * At 100 TB: a pure mapPartitions projection (decode amortized per
+    * partition, no shuffle); downstream near-dup blocking joins on the
+    * 16-bit lanes ([[graft.operators.Dedup.bandedHammingPairs]]), so
+    * pair cost follows band collisions, never corpus².
+    */
+  def imageHashes(spark: SparkSession, bin: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Option(rec.content).getOrElse(Array.emptyByteArray)))
+            if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              def cellMean(gx: Int, gy: Int, gw: Int, gh: Int): Long = {
+                val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+                val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
+                var s = 0L; var n = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = img.getRGB(x, y)
+                    s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                s / n
+              }
+              val dc = Array.tabulate(9, 8)((gx, gy) => cellMean(gx, gy, 9, 8))
+              val dbits = Array.tabulate(64) { b =>
+                val gx = b % 8; val gy = b / 8
+                if (dc(gx)(gy) > dc(gx + 1)(gy)) 1L else 0L
+              }
+              val ac = Array.tabulate(8, 8)((ax, ay) => cellMean(ax, ay, 8, 8))
+              val am = ac.flatten.sum / 64
+              val abits = Array.tabulate(64) { b =>
+                if (ac(b % 8)(b / 8) > am) 1L else 0L
+              }
+              def lane(bits: Array[Long], l: Int): Long =
+                (0 until 16).map(i => bits(l * 16 + i) << i).sum
+              Some(ImageHash(rec.doc_id, w, h,
+                lane(dbits, 0), lane(dbits, 1), lane(dbits, 2), lane(dbits, 3),
+                lane(abits, 0), lane(abits, 1), lane(abits, 2), lane(abits, 3)))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Deterministic PNG encode of a formula-defined grayscale image —
+    * the fixture side of the image-dedup differential (the fixtures
+    * carry no media, SANDBOX.md §3): pixel (x,y) gets r=g=b=`gv(x,y)`,
+    * encoded through the JDK's own lossless PNG writer, so the decode →
+    * hash path downstream runs the REAL codec end-to-end while an
+    * oracle recomputes the expected pixels from the same formula.
+    */
+  def encodePng(spark: SparkSession, ids: DataFrame,
+      gv: (Long, Int, Int) => Int, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    val enc = ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = gv(id, x, y) & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }
+    enc.toDF("doc_id", "content")
+  }
+
   /** Batched per-partition feature extraction. Recognized containers get
     * REAL header-parsed dimensions/sample counts (full pixel/sample
     * decode lives in [[decodeImage]]/[[decodeAudio]]); unknown payloads

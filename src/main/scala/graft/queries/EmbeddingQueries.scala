@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Embedding similarity search + multimodal plumbing (training-data
   * pipeline ops). Float math runs on ×10^6 floor-scaled integers so the
@@ -401,6 +401,56 @@ object EmbeddingQueries {
       Similarity.annRecall(e, e.where(col("vec_id") % 125 === 0), 10)
     },
 
+    // IVF recall audit — q121's twin for the engine's DEFAULT kNN base
+    // (the IVF probe path had cost certifications but no recall-vs-exact
+    // measurement): recall@10 of the 2-of-(every-25th) cell probe against
+    // the exact ranking, per query vector. One corpus×queries exact pass
+    // feeds both rankings (native bounded-heap top-k per group); the
+    // oracle recomputes cell assignment, probe cells, and both rankings
+    // relationally.
+    QueryDef.sql(
+      "q619_ivf_recall",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |              FROM embeddings WHERE vec_id % 25 = 0),
+         |pe AS (SELECT e.vec_id, c.cid, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(c.cemb[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, cent c, generate_series(1, 64) t(i)),
+         |pd AS (SELECT vec_id, cid, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM pe GROUP BY vec_id, cid),
+         |pc AS (SELECT vec_id, cid, ${cosSql("dxy", "dxx", "dyy")} AS ccos FROM pd),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM pc) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 125 = 0),
+         |qprobe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, p.cid, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY p.ccos DESC, p.cid) AS rn
+         |    FROM qs q JOIN pc p ON p.vec_id = q.qid) WHERE rn <= 2),
+         |fe AS (SELECT q.qid, e.vec_id, i,
+         |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+         |  FROM embeddings e, qs q, generate_series(1, 64) t(i)),
+         |fd AS (SELECT qid, vec_id, SUM(x*y) AS dxy, SUM(x*x) AS dxx, SUM(y*y) AS dyy
+         |       FROM fe GROUP BY qid, vec_id),
+         |c AS (SELECT qid, vec_id, ${cosSql("dxy", "dxx", "dyy")} AS cs FROM fd),
+         |bf AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |    FROM c) WHERE rn <= 10),
+         |annc AS (SELECT c.qid, c.vec_id, c.cs
+         |  FROM c JOIN asg a ON a.vec_id = c.vec_id
+         |  JOIN qprobe qp ON qp.qid = c.qid AND a.cell = qp.cid),
+         |ann AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |    FROM annc) WHERE rn <= 10),
+         |h AS (SELECT bf.qid, count(*) AS hits FROM bf
+         |      JOIN ann ON bf.qid = ann.qid AND bf.vec_id = ann.vec_id GROUP BY bf.qid)
+         |SELECT qs.qid, coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) * 1000 // 10 AS BIGINT) AS recall_permille
+         |FROM qs LEFT JOIN h ON qs.qid = h.qid ORDER BY qs.qid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfRecall(e, e.where(col("vec_id") % 125 === 0), 10, 25, 2)
+    },
+
     // Multimodal plumbing: opaque binary payloads + typed metadata; the
     // decode step is a deterministic stub (see Multimodal.decodeFeatures)
     // running through the real mapPartitions batch path.
@@ -568,6 +618,107 @@ object EmbeddingQueries {
           col("y").cast("long").as("y"), col("r").cast("long").as("r"),
           col("g").cast("long").as("g"), col("b").cast("long").as("b"))
         .orderBy("doc_id", "y", "x")
+    },
+
+    // Perceptual image hashes (dHash gradient + aHash mean, 16-bit
+    // lanes) over the REAL JDK codec path: the Spark side ENCODES
+    // formula-defined 72×64 PNGs (deterministic grayscale per pixel),
+    // decodes them back through javax.imageio, and hashes with exact
+    // integer cell means; the oracle recomputes every cell mean, bit,
+    // and lane from the same pixel formula — a genuine differential
+    // over encode → decode → grid → hash. The fixture plants 6 groups
+    // of 4 variants: base, +1 global brightness (hash-INVARIANT — the
+    // perceptual property, both comparators are relative), one block
+    // perturbed (small dHash distance), and different content.
+    QueryDef.sql(
+      "q620_image_hash",
+      s"""WITH ${imageLanesSql("SELECT doc_id, doc_id AS eid FROM documents WHERE doc_id BETWEEN 1 AND 24")}
+         |SELECT p.doc_id, CAST(72 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+         |  d0, d1, d2, d3, a0, a1, a2, a3
+         |FROM par p JOIN dl USING (doc_id) JOIN al USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val bin = Multimodal.encodePng(s, ids, imageGv, 72, 64)
+      Multimodal.imageHashes(s, bin).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("d0"), col("d1"), col("d2"), col("d3"),
+          col("a0"), col("a1"), col("a2"), col("a3"))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual near-dup pairs: banded Hamming over the dHash lanes.
+    // With 4 lanes and maxDist=3 the band join is pigeonhole-EXACT
+    // (any pair within distance 3 leaves one lane untouched), so the
+    // oracle is simply the all-pairs Hamming filter over the recomputed
+    // lanes — brightness twins land at distance 0, the block-perturbed
+    // variant within the gradient bits its block touches.
+    QueryDef.sql(
+      "q621_image_neardup",
+      s"""WITH ${imageLanesSql("SELECT doc_id, doc_id AS eid FROM documents WHERE doc_id BETWEEN 1 AND 24")}
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(bit_count(xor(x.d0, y.d0)) + bit_count(xor(x.d1, y.d1))
+         |     + bit_count(xor(x.d2, y.d2)) + bit_count(xor(x.d3, y.d3)) AS BIGINT) AS hamming
+         |FROM dl x JOIN dl y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.d0, y.d0)) + bit_count(xor(x.d1, y.d1))
+         |    + bit_count(xor(x.d2, y.d2)) + bit_count(xor(x.d3, y.d3)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val hashes = Multimodal.imageHashes(s,
+        Multimodal.encodePng(s, ids, imageGv, 72, 64)).toDF()
+      Dedup.bandedHammingPairs(hashes, "doc_id", Seq("d0", "d1", "d2", "d3"),
+          maxDist = 3)
+        .orderBy("d1", "d2")
+    },
+
+    // The degenerate-band valve on image dedup, value-checked end-to-end
+    // (the q598 recipe for the perceptual family): 8 verbatim clones of
+    // image 1 join the corpus — with image 1's brightness twin that is a
+    // 10-member bucket in EVERY lane, over cap=6, so the clone bucket
+    // contributes hub-star candidates only (hub = min id 1) while every
+    // band at or under the cap keeps exact all-pairs; Hamming still
+    // verifies each emitted pair. The oracle rebuilds the capped band
+    // semantics (sizes, hubs, star restriction) from the same lanes.
+    QueryDef.sql(
+      "q622_image_dedup_capped",
+      s"""WITH ${imageLanesSql(
+        """SELECT doc_id, doc_id AS eid FROM documents WHERE doc_id BETWEEN 1 AND 24
+          |  UNION ALL SELECT 40 + i AS doc_id, 1 AS eid FROM generate_series(1, 8) t(i)""".stripMargin)},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, d0 AS bkey FROM dl
+         |  UNION ALL SELECT doc_id, 1, d1 FROM dl
+         |  UNION ALL SELECT doc_id, 2, d2 FROM dl
+         |  UNION ALL SELECT doc_id, 3, d3 FROM dl),
+         |stats AS (SELECT band, bkey, COUNT(*) AS bsz, MIN(doc_id) AS hub
+         |  FROM bands GROUP BY 1, 2),
+         |sized AS (SELECT b.doc_id, b.band, b.bkey, s.bsz, s.hub
+         |  FROM bands b JOIN stats s ON s.band = b.band AND s.bkey = b.bkey),
+         |dense AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sized x JOIN sized y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |  WHERE x.bsz <= 6),
+         |star AS (SELECT hub AS d1, doc_id AS d2 FROM sized
+         |  WHERE bsz > 6 AND doc_id <> hub),
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT * FROM dense UNION ALL SELECT * FROM star)),
+         |ham AS (SELECT c.d1, c.d2,
+         |    CAST(bit_count(xor(x.d0, y.d0)) + bit_count(xor(x.d1, y.d1))
+         |       + bit_count(xor(x.d2, y.d2)) + bit_count(xor(x.d3, y.d3)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN dl x ON x.doc_id = c.d1 JOIN dl y ON y.doc_id = c.d2)
+         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+        .unionAll((41L to 48L).toDF("doc_id"))
+      val hashes = Multimodal.imageHashes(s,
+        Multimodal.encodePng(s, ids, imageGv, 72, 64)).toDF()
+      Dedup.bandedHammingPairs(hashes, "doc_id", Seq("d0", "d1", "d2", "d3"),
+          maxDist = 3, maxBand = Some(6))
+        .orderBy("d1", "d2")
     },
 
     // Matryoshka truncation audit: recall@10 of cosine ranking on the
@@ -834,6 +985,66 @@ object EmbeddingQueries {
     * downsample gate. Pixel constants and expected sums documented in
     * q573/q575 oracles.
     */
+  /** One 16-bit lane sum per hash (lane l = bits 16l..16l+15). */
+  private def laneSql(prefix: String): String =
+    (0 until 4).map(l =>
+      s"CAST(SUM(CASE WHEN b // 16 = $l THEN bit * CAST(pow(2.0, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS $prefix$l")
+      .mkString(",\n    ")
+
+  /** Shared oracle CTE chain for the perceptual-image family
+    * (q620/q621/q622): formula-defined 72×64 grayscale pixels →
+    * dHash/aHash cell means → bits → 16-bit lanes. `idsSql` must emit
+    * (doc_id, eid) — eid is the content identity (clone fixtures map
+    * several doc_ids onto one image). The pixel formula is the SQL twin
+    * of [[imageGv]]; the grids divide 72/64 exactly except aHash
+    * columns (9-px cells via the same floor-division boundaries the
+    * Spark hasher uses).
+    */
+  private def imageLanesSql(idsSql: String): String =
+    s"""par AS (SELECT doc_id, CAST((eid - 1) // 4 AS BIGINT) AS s,
+       |    CAST((eid - 1) % 4 AS BIGINT) AS v
+       |  FROM ($idsSql)),
+       |px AS (SELECT doc_id, x, y,
+       |    3 * (CASE
+       |      WHEN v = 3 THEN (((s + 500) * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250)
+       |      WHEN v = 2 AND x // 8 = 2 AND y // 8 = 3
+       |        THEN ((((s * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250) + 125) % 250)
+       |      ELSE (((s * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250)
+       |        + (CASE WHEN v = 1 THEN 1 ELSE 0 END))
+       |    END) AS gray
+       |  FROM par, generate_series(0, 71) tx(x), generate_series(0, 63) ty(y)),
+       |dcell AS (SELECT doc_id, x // 8 AS gx, y // 8 AS gy, SUM(gray) // COUNT(*) AS c
+       |  FROM px GROUP BY 1, 2, 3),
+       |dbit AS (SELECT l.doc_id, l.gy * 8 + l.gx AS b,
+       |    CASE WHEN l.c > r.c THEN 1 ELSE 0 END AS bit
+       |  FROM dcell l JOIN dcell r ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |acell AS (SELECT doc_id, x // 9 AS ax, y // 8 AS ay, SUM(gray) // COUNT(*) AS c
+       |  FROM px GROUP BY 1, 2, 3),
+       |amean AS (SELECT doc_id, SUM(c) // 64 AS m FROM acell GROUP BY 1),
+       |abit AS (SELECT a.doc_id, a.ay * 8 + a.ax AS b,
+       |    CASE WHEN a.c > m.m THEN 1 ELSE 0 END AS bit
+       |  FROM acell a JOIN amean m USING (doc_id)),
+       |dl AS (SELECT doc_id, ${laneSql("d")} FROM dbit GROUP BY doc_id),
+       |al AS (SELECT doc_id, ${laneSql("a")} FROM abit GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[imageLanesSql]]'s pixel formula: grayscale value of
+    * pixel (x,y) for doc `id` — 8×8 blocks, 6 groups of 4 variants
+    * (base / +1 brightness / one perturbed block / different content);
+    * ids ≥ 41 clone image 1 (the q622 degenerate-band fixture).
+    */
+  private val imageGv: (Long, Int, Int) => Int = (id, x, y) => {
+    val eid = if (id >= 41) 1L else id
+    val s0 = (eid - 1) / 4; val v = (eid - 1) % 4
+    val bx = x / 8L; val by = y / 8L
+    def base(s: Long): Long = (s * 1103515245L + bx * 2654435761L + by * 977L) % 250L
+    val g =
+      if (v == 3) base(s0 + 500)
+      else if (v == 2 && bx == 2 && by == 3) (base(s0) + 125) % 250
+      else base(s0) + (if (v == 1) 1 else 0)
+    g.toInt
+  }
+
   private lazy val mediaPngs: Seq[(Long, String)] = Seq(
     1L -> ("89504E470D0A1A0A0000000D4948445200000002000000020802000000FDD49A73" +
       "0000001249444154789C63F8CFC0C000C20CFF8100001FEE05FB0BD9688B0000000049454E44AE426082"),
