@@ -69,7 +69,11 @@ object Bench {
     // round-9 curation additions (DSIR importance resampling, cluster-balanced sampling)
     "q613_dsir_importance", "q614_cluster_sample",
     // round-9 continuation: incremental curation state (DSIR fold-in, OOV admission)
-    "q615_dsir_incremental", "q616_oov_admit")
+    "q615_dsir_incremental", "q616_oov_admit",
+    // round-10 representatives (DSIR target state, capped Jaccard verify,
+    // IVF recall audit, perceptual image dedup + its capped arm)
+    "q617_dsir_target_state", "q618_jaccard_capped", "q619_ivf_recall",
+    "q620_image_hash", "q621_image_neardup", "q622_image_dedup_capped")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

@@ -498,10 +498,20 @@ object Dedup {
   /** The DELTA a shard's admitted edges induce on an existing labeling —
     * [[incrementalComponents]]' internals, exposed so a production store
     * can apply them with partition-pruned IO ([[prunedLabelRewrite]]):
-    * `meta` = (mv → mc) for every existing component whose label merges
-    * (tiny — bounded by |newPairs| endpoints), `newLabels` = labels for
-    * never-seen vertices (append-only rows). Both already carry the
-    * broadcast hint when they verifiably fit.
+    * `meta` = (mv → mc) restricted to EXISTING components the edges
+    * touch (tiny — bounded by |newPairs| endpoints), `newLabels` =
+    * labels for never-seen vertices (append-only rows). Both already
+    * carry the broadcast hint when they verifiably fit.
+    *
+    * The old-component restriction on `meta` is load-bearing for the
+    * pruned rewrite: the collapsed meta-CC also labels every NEW vertex
+    * (they stand for themselves), and keeping those identity-ish rows in
+    * `meta` would smear the affected-partition list across pmod of every
+    * shard id — on a realistic ingest (thousands of new docs) that is
+    * ALL partitions, silently turning the pruned overwrite into a full
+    * rewrite (caught by the r10 IngestRehearsal; the earlier spec only
+    * planted two new vertices). New-vertex labels flow exclusively
+    * through `newLabels`, which appends — no rewrite needed.
     */
   def labelDelta(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 50): (DataFrame, DataFrame) = {
@@ -523,18 +533,25 @@ object Dedup {
     val newVerts = e.where(col("n1")).select(col("d1").as("v"))
       .unionAll(e.where(col("n2")).select(col("d2").as("v")))
       .distinct()
-    val meta0 = connectedComponents(collapsed, maxIter)
-      .select(col("doc_id").as("mv"), col("component").as("mc"))
+    val oldComps = e.where(!col("n1")).select(col("e1").as("oc"))
+      .unionAll(e.where(!col("n2")).select(col("e2").as("oc")))
+      .distinct()
     // meta scales with |newPairs| components — broadcast only while it
     // verifiably fits (the CC labels are already checkpointed, so the
     // count is a metadata-cheap job); a giant ingest batch falls back to
     // AQE's own join pick instead of pressuring the driver
-    val meta =
-      if (meta0.count() <= 4000000L) broadcast(meta0) else meta0
-    // a new vertex whose every edge collapsed away cannot exist (ids are
+    val metaAll0 = connectedComponents(collapsed, maxIter)
+      .select(col("doc_id").as("mv"), col("component").as("mc"))
+    val fits = metaAll0.count() <= 4000000L
+    val metaAll = if (fits) broadcast(metaAll0) else metaAll0
+    val metaOld = metaAll0.join(oldComps, col("mv") === col("oc"), "left_semi")
+    val meta = if (fits) broadcast(metaOld) else metaOld
+    // new vertices take their label from the UNRESTRICTED meta-CC (their
+    // rows are exactly what the old-component restriction drops); a new
+    // vertex whose every edge collapsed away cannot exist (ids are
     // disjoint from old labels), but coalesce keeps the shape total
     val newLabeled = newVerts
-      .join(meta, col("v") === col("mv"), "left_outer")
+      .join(metaAll, col("v") === col("mv"), "left_outer")
       .select(col("v").as("doc_id"), coalesce(col("mc"), col("v")).as("component"))
     (meta, newLabeled)
   }
