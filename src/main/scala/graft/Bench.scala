@@ -73,7 +73,10 @@ object Bench {
     // round-10 representatives (DSIR target state, capped Jaccard verify,
     // IVF recall audit, perceptual image dedup + its capped arm)
     "q617_dsir_target_state", "q618_jaccard_capped", "q619_ivf_recall",
-    "q620_image_hash", "q621_image_neardup", "q622_image_dedup_capped")
+    "q620_image_hash", "q621_image_neardup", "q622_image_dedup_capped",
+    "q623_audio_frames", "q624_audio_fingerprint", "q625_audio_neardup",
+    "q626_video_frame_sample", "q627_video_neardup",
+    "q628_media_dedup_pipeline")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

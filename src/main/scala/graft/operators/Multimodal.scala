@@ -462,6 +462,312 @@ object Multimodal {
     enc.toDF("doc_id", "content")
   }
 
+  final case class VideoFrameHash(
+      doc_id: Long, frame_idx: Int, n_frames: Int,
+      d0: Long, d1: Long, d2: Long, d3: Long)
+
+  /** dHash lanes of one decoded frame — the 9×8 gradient grid of
+    * [[imageHashes]] factored for per-frame reuse (same floor-division
+    * boundaries, same integer cell means, same bit/lane layout).
+    */
+  private def dhashLanes(img: java.awt.image.BufferedImage): Option[Array[Long]] =
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      def cellMean(gx: Int, gy: Int): Long = {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        s / n
+      }
+      val c = Array.tabulate(9, 8)((gx, gy) => cellMean(gx, gy))
+      val bits = Array.tabulate(64) { b =>
+        val gx = b % 8; val gy = b / 8
+        if (c(gx)(gy) > c(gx + 1)(gy)) 1L else 0L
+      }
+      Some(Array.tabulate(4)(l => (0 until 16).map(i => bits(l * 16 + i) << i).sum))
+    }
+
+  /** Video frame sampling over the REAL JDK animated-GIF codec: every
+    * `every`-th stored frame (0, every, 2·every, …) decodes through
+    * `javax.imageio`'s GIF reader and emits its dHash lanes — the
+    * keyframe tier a video near-dup pipeline compares. Clips are
+    * full-frame GIFs (the writer below emits them; delta-coded
+    * animations are out of scope like the other exotic containers,
+    * SANDBOX.md §3); undecodable or sub-grid payloads drop.
+    *
+    * At 100 TB: one mapPartitions projection (reader instantiated per
+    * record but codec classes load once per executor); only the
+    * sampled frames decode — seek cost follows `every`, not clip
+    * length. Downstream, clip signatures (sampled-frame lanes pivoted
+    * wide) ride [[graft.operators.Dedup.bandedHammingPairs]]: with s
+    * sampled frames the clip has 4s 16-bit lanes, pigeonhole-exact for
+    * maxDist < 4s.
+    */
+  def videoFrameSample(spark: SparkSession, bin: DataFrame,
+      every: Int): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          try {
+            val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(
+                Option(rec.content).getOrElse(Array.emptyByteArray))))
+            val n = rdr.getNumImages(true)
+            val out = (0 until n by every).flatMap { f =>
+              dhashLanes(rdr.read(f)).map(l =>
+                VideoFrameHash(rec.doc_id, f, n, l(0), l(1), l(2), l(3)))
+            }
+            rdr.dispose()
+            out
+          } catch { case _: Exception => Seq.empty }
+        }
+      }
+  }
+
+  /** Clip signature: sampled-frame dHash lanes pivoted wide — one row
+    * per clip with 4·|sampleIdxs| lane columns (`l0..`), ready for
+    * [[graft.operators.Dedup.bandedHammingPairs]]. Clips missing ANY
+    * of the sampled frames drop (a signature must cover the same
+    * positions to be comparable). Pure groupBy/pivot relational logic
+    * — one shuffle on doc_id, no UDFs.
+    */
+  def clipLanes(frameHashes: DataFrame, sampleIdxs: Seq[Int]): DataFrame = {
+    val laneExprs = sampleIdxs.zipWithIndex.flatMap { case (fi, s) =>
+      Seq("d0", "d1", "d2", "d3").zipWithIndex.map { case (d, j) =>
+        max(when(col("frame_idx") === fi, col(d))).as(s"l${s * 4 + j}")
+      }
+    }
+    val present = count(when(col("frame_idx").isin(sampleIdxs: _*),
+      lit(1))).as("np")
+    frameHashes.groupBy("doc_id")
+      .agg(present, laneExprs: _*)
+      .where(col("np") === sampleIdxs.size)
+      .drop("np")
+  }
+
+  /** Deterministic grayscale animated-GIF encode of a formula-defined
+    * clip — [[encodePng]]'s video twin: frame f's pixel (x,y) gets
+    * gray `gv(id, f, x, y)`, written as full frames through the JDK's
+    * own GIF sequence writer (lossless for 256-level gray, probed),
+    * so the frame-sample path downstream runs the real codec.
+    */
+  def encodeGifAnim(spark: SparkSession, ids: DataFrame,
+      gv: (Long, Int, Int, Int) => Int, w: Int, h: Int,
+      frames: Int): DataFrame = {
+    import spark.implicits._
+    val enc = ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < frames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster().setSample(x, y, 0, gv(id, f, x, y) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          (id, baos.toByteArray)
+        }
+      }
+    enc.toDF("doc_id", "content")
+  }
+
+  final case class AudioFrame(
+      doc_id: Long, frame: Int, energy: Long, zc: Long, peak: Long)
+
+  final case class AudioHash(
+      doc_id: Long, n_samples: Long, f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Shared 16-bit mono PCM decode through the REAL JDK codec
+    * (`javax.sound.sampled`) — the sample array every audio feature
+    * below derives from. Returns None for undecodable payloads, and
+    * for multi-channel or non-16-bit streams (the canonical corpus
+    * tier is mono 16-bit; transcode happens upstream of this engine).
+    */
+  private def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          Option(bytes).getOrElse(Array.emptyByteArray)))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val all = ais.readAllBytes()
+        val le = !f.isBigEndian
+        val n = all.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            (if (le) ((all(2 * i) & 0xff) | (all(2 * i + 1) << 8)).toShort
+             else ((all(2 * i + 1) & 0xff) | (all(2 * i) << 8)).toShort).toInt
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Frame-level audio features over the real PCM decode — the audio
+    * analogue of [[downsamplePixels]]: the clip is cut into `frames`
+    * equal windows by the same floor-division boundaries the image
+    * grids use (frame f = samples [f·n div frames, (f+1)·n div
+    * frames)), and each window emits exact integer statistics:
+    *
+    *  - energy: Σ s² over the window (long, no float path);
+    *  - zc: zero crossings — count of interior sample pairs (i−1, i)
+    *    whose signs differ (0 counts as non-negative), the classic
+    *    voiced/unvoiced and silence discriminator;
+    *  - peak: max |s|, the clipping/silence gate.
+    *
+    * Clips shorter than `frames` samples drop (no window would own a
+    * sample), like [[imageHashes]]'s sub-grid drop. At 100 TB this is
+    * a pure mapPartitions projection — decode amortizes per partition
+    * and nothing shuffles; downstream silence-trim / quality gates
+    * filter on the frame rows before any payload moves again.
+    */
+  def audioFrames(spark: SparkSession, bin: DataFrame,
+      frames: Int): Dataset[AudioFrame] = {
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          pcmSamples(rec.content) match {
+            case Some(s) if s.length >= frames =>
+              val n = s.length
+              (0 until frames).iterator.map { f =>
+                val lo = f.toLong * n / frames
+                val hi = (f + 1).toLong * n / frames
+                var (e, z, p) = (0L, 0L, 0L)
+                var i = lo.toInt
+                while (i < hi) {
+                  val v = s(i).toLong
+                  e += v * v
+                  p = p max math.abs(v)
+                  if (i > lo && ((s(i - 1) < 0) != (s(i) < 0))) z += 1
+                  i += 1
+                }
+                AudioFrame(rec.doc_id, f, e, z, p)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Perceptual audio fingerprint — the [[imageHashes]] recipe on the
+    * time axis: 65 equal windows (floor-division boundaries) yield 65
+    * exact frame energies e₀..e₆₄; bit b (0..63) is set iff
+    * e(b) > e(b+1) — 64 bits of temporal energy-gradient signs, the
+    * energy-delta hash. Emitted as FOUR 16-bit lanes (`f0..f3`, the
+    * minhash-lane convention: non-negative in any engine,
+    * band-blockable, Hamming = Σ per-lane bit_count(xor)).
+    *
+    * Uniform integer gain g scales EVERY window energy by exactly g²,
+    * so the relative comparator — and therefore the fingerprint — is
+    * unchanged: gain-normalized copies (the dominant audio near-dup
+    * class) land at Hamming distance 0. Undecodable, multi-channel, or
+    * sub-65-sample payloads drop.
+    *
+    * At 100 TB: one shuffle-free mapPartitions projection; near-dup
+    * blocking joins the 16-bit lanes through
+    * [[graft.operators.Dedup.bandedHammingPairs]] (pigeonhole-exact at
+    * maxDist < 4, hub-star valve on degenerate buckets), so pair cost
+    * follows band collisions, never corpus².
+    */
+  def audioFingerprint(spark: SparkSession,
+      bin: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    val windows = 65
+    bin.select(col("doc_id").cast("long"), col("content")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          pcmSamples(rec.content) match {
+            case Some(s) if s.length >= windows =>
+              val n = s.length
+              val e = Array.tabulate(windows) { f =>
+                val lo = f.toLong * n / windows
+                val hi = (f + 1).toLong * n / windows
+                var acc = 0L
+                var i = lo.toInt
+                while (i < hi) { acc += s(i).toLong * s(i); i += 1 }
+                acc
+              }
+              val bits = Array.tabulate(64)(b => if (e(b) > e(b + 1)) 1L else 0L)
+              def lane(l: Int): Long =
+                (0 until 16).map(i => bits(l * 16 + i) << i).sum
+              Some(AudioHash(rec.doc_id, n.toLong,
+                lane(0), lane(1), lane(2), lane(3)))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV encode of a formula-defined
+    * waveform — [[encodePng]]'s audio twin (the fixtures carry no
+    * media, SANDBOX.md §3): sample i of doc `id` is `sv(id, i)`
+    * (clamped to short), written as a canonical 44-byte RIFF/WAVE
+    * header + little-endian data chunk, so the decode → feature path
+    * downstream runs the REAL `javax.sound.sampled` codec end-to-end
+    * while an oracle recomputes expected samples from the formula.
+    */
+  def encodeWav(spark: SparkSession, ids: DataFrame,
+      sv: (Long, Int) => Int, sampleRate: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    val enc = ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val dataSize = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(sampleRate).putInt(sampleRate * 2)
+            .putShort(2).putShort(16) // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < n) {
+            bb.putShort((sv(id, i) max Short.MinValue.toInt
+              min Short.MaxValue.toInt).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }
+    enc.toDF("doc_id", "content")
+  }
+
   /** Batched per-partition feature extraction. Recognized containers get
     * REAL header-parsed dimensions/sample counts (full pixel/sample
     * decode lives in [[decodeImage]]/[[decodeAudio]]); unknown payloads

@@ -721,6 +721,211 @@ object EmbeddingQueries {
         .orderBy("d1", "d2")
     },
 
+    // Frame-level audio features over the REAL JDK PCM path: the Spark
+    // side ENCODES formula-defined 6500-sample 16-bit mono WAVs,
+    // decodes them back through javax.sound.sampled, and emits exact
+    // per-window integer statistics (energy Σs², zero crossings, peak);
+    // the oracle recomputes every sample, window sum, sign change, and
+    // max from the same formula — a genuine differential over
+    // encode → decode → window → aggregate, q573/q620's audio twin.
+    QueryDef.sql(
+      "q623_audio_frames",
+      s"""WITH ${audioSamplesSql("SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 12")},
+         |agg AS (SELECT doc_id, i // 100 AS frame,
+         |    SUM(smp * smp) AS energy, MAX(ABS(smp)) AS peak
+         |  FROM asm GROUP BY 1, 2),
+         |azc AS (SELECT a.doc_id, a.i // 100 AS frame,
+         |    SUM(CASE WHEN (p.smp < 0) <> (a.smp < 0) THEN 1 ELSE 0 END) AS zc
+         |  FROM asm a JOIN asm p ON p.doc_id = a.doc_id AND p.i = a.i - 1
+         |  WHERE a.i % 100 <> 0 GROUP BY 1, 2)
+         |SELECT g.doc_id, CAST(g.frame AS BIGINT) AS frame,
+         |  CAST(g.energy AS BIGINT) AS energy, CAST(z.zc AS BIGINT) AS zc,
+         |  CAST(g.peak AS BIGINT) AS peak
+         |FROM agg g JOIN azc z ON z.doc_id = g.doc_id AND z.frame = g.frame
+         |ORDER BY g.doc_id, g.frame""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 12)).select("doc_id")
+      val bin = Multimodal.encodeWav(s, ids, audioSv, 8000, 6500)
+      Multimodal.audioFrames(s, bin, 65).toDF()
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          col("energy"), col("zc"), col("peak"))
+        .orderBy("doc_id", "frame")
+    },
+
+    // Perceptual audio fingerprints (energy-delta hash, 16-bit lanes)
+    // over the same real codec path: 65 exact window energies, bit b =
+    // [e(b) > e(b+1)], q620's audio twin. The fixture plants 6 groups
+    // of 4 variants: base, ×2 gain (fingerprint-INVARIANT — every
+    // energy scales by exactly 4, the comparator is relative), one
+    // window perturbed (small Hamming distance), different content.
+    QueryDef.sql(
+      "q624_audio_fingerprint",
+      s"""WITH ${audioLanesSql("SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 24")}
+         |SELECT doc_id, CAST(6500 AS BIGINT) AS n_samples, f0, f1, f2, f3
+         |FROM fl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val bin = Multimodal.encodeWav(s, ids, audioSv, 8000, 6500)
+      Multimodal.audioFingerprint(s, bin).toDF()
+        .select(col("doc_id"), col("n_samples"),
+          col("f0"), col("f1"), col("f2"), col("f3"))
+        .orderBy("doc_id")
+    },
+
+    // Audio near-dup pairs: banded Hamming over the fingerprint lanes —
+    // the SAME capped blocking operator the image and simhash families
+    // ride (4 lanes, maxDist=3 ⇒ pigeonhole-EXACT), so the oracle is
+    // the all-pairs Hamming filter over the recomputed lanes. Gain
+    // twins land at distance 0; the perturbed-window variant within
+    // the two gradient bits its window touches.
+    QueryDef.sql(
+      "q625_audio_neardup",
+      s"""WITH ${audioLanesSql("SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 24")}
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(bit_count(xor(x.f0, y.f0)) + bit_count(xor(x.f1, y.f1))
+         |     + bit_count(xor(x.f2, y.f2)) + bit_count(xor(x.f3, y.f3)) AS BIGINT) AS hamming
+         |FROM fl x JOIN fl y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.f0, y.f0)) + bit_count(xor(x.f1, y.f1))
+         |    + bit_count(xor(x.f2, y.f2)) + bit_count(xor(x.f3, y.f3)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val hashes = Multimodal.audioFingerprint(s,
+        Multimodal.encodeWav(s, ids, audioSv, 8000, 6500)).toDF()
+      Dedup.bandedHammingPairs(hashes, "doc_id", Seq("f0", "f1", "f2", "f3"),
+          maxDist = 3)
+        .orderBy("d1", "d2")
+    },
+
+    // Video frame sampling over the REAL JDK animated-GIF codec: the
+    // Spark side ENCODES formula-defined 12-frame 72×64 grayscale
+    // clips through the JDK's own GIF sequence writer (lossless for
+    // 256-level gray, probed), decodes every 5th frame back through
+    // the real reader, and emits per-frame dHash lanes; the oracle
+    // recomputes every sampled frame's cell means, bits, and lanes
+    // from the same pixel formula — q620's video twin, covering the
+    // codec's multi-frame path end-to-end.
+    QueryDef.sql(
+      "q626_video_frame_sample",
+      s"""WITH ${videoLanesSql("SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 24")}
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(12 AS BIGINT) AS n_frames, d0, d1, d2, d3
+         |FROM vl ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val bin = Multimodal.encodeGifAnim(s, ids, videoGv, 72, 64, 12)
+      Multimodal.videoFrameSample(s, bin, 5).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("d0"), col("d1"), col("d2"), col("d3"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Clip near-dup: sampled-frame lanes pivot wide (3 frames × 4
+    // lanes = 12 clip lanes) and ride the SAME bandedHammingPairs
+    // operator — pigeonhole-exact at maxDist=3 < 12 lanes, so the
+    // oracle is the all-pairs Hamming filter over the pivoted lanes.
+    // Brightness twins land at distance 0; the frame-5-perturbed
+    // variant within the gradient bits its block touches; clips
+    // missing a sampled position drop from the signature relation.
+    QueryDef.sql(
+      "q627_video_neardup",
+      s"""WITH ${videoLanesSql("SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 24")},
+         |vw AS (SELECT doc_id,
+         |    MAX(CASE WHEN f = 0 THEN d0 END) AS l0, MAX(CASE WHEN f = 0 THEN d1 END) AS l1,
+         |    MAX(CASE WHEN f = 0 THEN d2 END) AS l2, MAX(CASE WHEN f = 0 THEN d3 END) AS l3,
+         |    MAX(CASE WHEN f = 5 THEN d0 END) AS l4, MAX(CASE WHEN f = 5 THEN d1 END) AS l5,
+         |    MAX(CASE WHEN f = 5 THEN d2 END) AS l6, MAX(CASE WHEN f = 5 THEN d3 END) AS l7,
+         |    MAX(CASE WHEN f = 10 THEN d0 END) AS l8, MAX(CASE WHEN f = 10 THEN d1 END) AS l9,
+         |    MAX(CASE WHEN f = 10 THEN d2 END) AS l10, MAX(CASE WHEN f = 10 THEN d3 END) AS l11
+         |  FROM vl GROUP BY doc_id),
+         |hm AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |    -- bit_count is TINYINT in DuckDB; 12 terms can pass 127
+         |    CAST(CAST(bit_count(xor(x.l0, y.l0)) AS BIGINT) + bit_count(xor(x.l1, y.l1))
+         |       + bit_count(xor(x.l2, y.l2)) + bit_count(xor(x.l3, y.l3))
+         |       + bit_count(xor(x.l4, y.l4)) + bit_count(xor(x.l5, y.l5))
+         |       + bit_count(xor(x.l6, y.l6)) + bit_count(xor(x.l7, y.l7))
+         |       + bit_count(xor(x.l8, y.l8)) + bit_count(xor(x.l9, y.l9))
+         |       + bit_count(xor(x.l10, y.l10)) + bit_count(xor(x.l11, y.l11)) AS BIGINT) AS hamming
+         |  FROM vw x JOIN vw y ON x.doc_id < y.doc_id)
+         |SELECT d1, d2, hamming FROM hm WHERE hamming <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val fh = Multimodal.videoFrameSample(s,
+        Multimodal.encodeGifAnim(s, ids, videoGv, 72, 64, 12), 5).toDF()
+      val sig = Multimodal.clipLanes(fh, Seq(0, 5, 10))
+      Dedup.bandedHammingPairs(sig, "doc_id", (0 until 12).map(i => s"l$i"),
+          maxDist = 3)
+        .orderBy("d1", "d2")
+    },
+
+    // Composed perceptual dedup pipeline — the media analogue of q605's
+    // text loop: encode → real-codec decode → dHash → capped banded
+    // Hamming pairs → connected components → canonical keeper per
+    // cluster (min id) + cluster size. The q622 clone fixture rides the
+    // hub-star valve (the 8 verbatim clones land in ONE component via
+    // their hub edges alone), brightness twins merge with their base,
+    // and the oracle recomputes lanes, capped band semantics, Hamming
+    // verification, AND the transitive closure (recursive CTE) from the
+    // pixel formula — the whole pipeline differentially checked.
+    QueryDef.sql(
+      "q628_media_dedup_pipeline",
+      s"""WITH RECURSIVE ${imageLanesSql(
+        """SELECT doc_id, doc_id AS eid FROM documents WHERE doc_id BETWEEN 1 AND 24
+          |  UNION ALL SELECT 40 + i AS doc_id, 1 AS eid FROM generate_series(1, 8) t(i)""".stripMargin)},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, d0 AS bkey FROM dl
+         |  UNION ALL SELECT doc_id, 1, d1 FROM dl
+         |  UNION ALL SELECT doc_id, 2, d2 FROM dl
+         |  UNION ALL SELECT doc_id, 3, d3 FROM dl),
+         |stats AS (SELECT band, bkey, COUNT(*) AS bsz, MIN(doc_id) AS hub
+         |  FROM bands GROUP BY 1, 2),
+         |sized AS (SELECT b.doc_id, b.band, b.bkey, s.bsz, s.hub
+         |  FROM bands b JOIN stats s ON s.band = b.band AND s.bkey = b.bkey),
+         |dense AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sized x JOIN sized y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |  WHERE x.bsz <= 6),
+         |star AS (SELECT hub AS d1, doc_id AS d2 FROM sized
+         |  WHERE bsz > 6 AND doc_id <> hub),
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT * FROM dense UNION ALL SELECT * FROM star)),
+         |vp AS (SELECT c.d1, c.d2
+         |  FROM cand c JOIN dl x ON x.doc_id = c.d1 JOIN dl y ON y.doc_id = c.d2
+         |  WHERE bit_count(xor(x.d0, y.d0)) + bit_count(xor(x.d1, y.d1))
+         |      + bit_count(xor(x.d2, y.d2)) + bit_count(xor(x.d3, y.d3)) <= 3),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM vp
+         |        UNION SELECT d2, d1 FROM vp),
+         |reach(v, w) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.w = s.src),
+         |comp AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS component
+         |         FROM reach GROUP BY v)
+         |SELECT c.doc_id, c.component, n.n_members,
+         |  c.doc_id = c.component AS keep
+         |FROM comp c
+         |JOIN (SELECT component, COUNT(*) AS n_members
+         |      FROM comp GROUP BY component) n USING (component)
+         |ORDER BY c.component, c.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+        .unionAll((41L to 48L).toDF("doc_id"))
+      val hashes = Multimodal.imageHashes(s,
+        Multimodal.encodePng(s, ids, imageGv, 72, 64)).toDF()
+      val pairs = Dedup.bandedHammingPairs(hashes, "doc_id",
+          Seq("d0", "d1", "d2", "d3"), maxDist = 3, maxBand = Some(6))
+        .select("d1", "d2")
+      val comp = Dedup.connectedComponents(pairs)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("n_members"),
+          (col("doc_id") === col("component")).as("keep"))
+        .orderBy("component", "doc_id")
+    },
+
     // Matryoshka truncation audit: recall@10 of cosine ranking on the
     // FIRST 16 dims vs the full 64-dim exact ranking, per query vector
     // (every 25th id). One pass scores corpus×queries with BOTH cosines
@@ -1006,11 +1211,11 @@ object EmbeddingQueries {
        |  FROM ($idsSql)),
        |px AS (SELECT doc_id, x, y,
        |    3 * (CASE
-       |      WHEN v = 3 THEN (((s + 500) * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250)
+       |      WHEN v = 3 THEN (((((s + 7) * 72 + (x // 8) * 8 + (y // 8) + 1) * ((s + 7) * 72 + (x // 8) * 8 + (y // 8) + 1) * 48271 + ((s + 7) * 72 + (x // 8) * 8 + (y // 8) + 1) * 427799) % 1000003) % 250)
        |      WHEN v = 2 AND x // 8 = 2 AND y // 8 = 3
-       |        THEN ((((s * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250) + 125) % 250)
-       |      ELSE (((s * 1103515245 + (x // 8) * 2654435761 + (y // 8) * 977) % 250)
-       |        + (CASE WHEN v = 1 THEN 1 ELSE 0 END))
+       |        THEN ((((((s * 72 + (x // 8) * 8 + (y // 8) + 1) * (s * 72 + (x // 8) * 8 + (y // 8) + 1) * 48271 + (s * 72 + (x // 8) * 8 + (y // 8) + 1) * 427799) % 1000003) % 250) + 125) % 250)
+       |      ELSE ((((((s * 72 + (x // 8) * 8 + (y // 8) + 1) * (s * 72 + (x // 8) * 8 + (y // 8) + 1) * 48271 + (s * 72 + (x // 8) * 8 + (y // 8) + 1) * 427799) % 1000003) % 250)
+       |        + (CASE WHEN v = 1 THEN 1 ELSE 0 END)))
        |    END) AS gray
        |  FROM par, generate_series(0, 71) tx(x), generate_series(0, 63) ty(y)),
        |dcell AS (SELECT doc_id, x // 8 AS gx, y // 8 AS gy, SUM(gray) // COUNT(*) AS c
@@ -1037,10 +1242,126 @@ object EmbeddingQueries {
     val eid = if (id >= 41) 1L else id
     val s0 = (eid - 1) / 4; val v = (eid - 1) % 4
     val bx = x / 8L; val by = y / 8L
-    def base(s: Long): Long = (s * 1103515245L + bx * 2654435761L + by * 977L) % 250L
+    // per-block value from a QUADRATICALLY mixed (seed, block) index —
+    // the original additive form had two degeneracies this replaces:
+    // the v3 seed shift was ≡ 0 mod 250 (so "different content" was
+    // pixel-identical to base), and any affine index map makes distinct
+    // seeds windows of one low-discrepancy sequence (accidental
+    // cross-group near-collisions). Fixture structure re-validated:
+    // only intra-group pairs at Hamming ≤ 3, cross-group mean ≈ 32.
+    def base(s: Long): Long = {
+      val idx = s * 72L + bx * 8L + by + 1L
+      ((idx * idx * 48271L + idx * 427799L) % 1000003L) % 250L
+    }
     val g =
-      if (v == 3) base(s0 + 500)
+      if (v == 3) base(s0 + 7)
       else if (v == 2 && bx == 2 && by == 3) (base(s0) + 125) % 250
+      else base(s0) + (if (v == 1) 1 else 0)
+    g.toInt
+  }
+
+  /** Shared oracle CTE prefix for the audio family (q623/q624/q625):
+    * formula-defined 6500-sample waveforms as (doc_id, i, smp) rows.
+    * The sample formula is the SQL twin of [[audioSv]]; `idsSql` must
+    * emit doc_id. 100-sample blocks align exactly with the 65
+    * floor-division fingerprint windows at n=6500.
+    */
+  private def audioSamplesSql(idsSql: String): String =
+    s"""apar AS (SELECT doc_id, CAST((doc_id - 1) // 4 AS BIGINT) AS s,
+       |    CAST((doc_id - 1) % 4 AS BIGINT) AS v
+       |  FROM ($idsSql)),
+       |asm AS (SELECT doc_id, i,
+       |    ((i * 977) % 2001 - 1000)
+       |    * (CASE
+       |        WHEN v = 3 THEN 1 + ((((s + 7) * 64 + (i // 100) + 1) * 2654435761) % 1000003) % 12
+       |        WHEN v = 2 AND i // 100 = 17 THEN 13
+       |        ELSE 1 + (((s * 64 + (i // 100) + 1) * 2654435761) % 1000003) % 12
+       |      END)
+       |    * (CASE WHEN v = 1 THEN 2 ELSE 1 END) AS smp
+       |  FROM apar, generate_series(0, 6499) ti(i))""".stripMargin
+
+  /** Audio-lane oracle chain: [[audioSamplesSql]] → 65 window energies
+    * → energy-delta bits → 16-bit lanes (f0..f3), mirroring
+    * [[imageLanesSql]]'s dHash leg on the time axis.
+    */
+  private def audioLanesSql(idsSql: String): String =
+    s"""${audioSamplesSql(idsSql)},
+       |aen AS (SELECT doc_id, i // 100 AS fr, SUM(smp * smp) AS e
+       |  FROM asm GROUP BY 1, 2),
+       |fbit AS (SELECT l.doc_id, l.fr AS b,
+       |    CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+       |  FROM aen l JOIN aen r ON r.doc_id = l.doc_id AND r.fr = l.fr + 1
+       |  WHERE l.fr < 64),
+       |fl AS (SELECT doc_id, ${laneSql("f")} FROM fbit GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[audioSamplesSql]]'s formula: sample i of doc `id`
+    * — a seed-independent ±1000 carrier `u(i)` amplitude-modulated per
+    * 100-sample window (amplitude 1..12 from a multiplicatively MIXED
+    * (seed, window) hash — an additive seed term would shift every
+    * window's amplitude by the same constant and leave the
+    * energy-gradient hash nearly seed-blind). 6 groups of 4 variants:
+    * base / ×2 gain (max |s| 26 000, no clipping, invariance exact) /
+    * window 17 forced to amplitude 13 / different content (seed+7).
+    */
+  private val audioSv: (Long, Int) => Int = (id, i) => {
+    val s = (id - 1) / 4; val v = (id - 1) % 4
+    val u = (i.toLong * 977L) % 2001L - 1000L
+    def amp(ss: Long): Long =
+      1L + (((ss * 64L + (i / 100).toLong + 1L) * 2654435761L) % 1000003L) % 12L
+    val a =
+      if (v == 3) amp(s + 7)
+      else if (v == 2 && i / 100 == 17) 13L
+      else amp(s)
+    (u * a * (if (v == 1) 2L else 1L)).toInt
+  }
+
+  /** Shared oracle CTE chain for the video family (q626/q627):
+    * formula-defined 72×64 grayscale frames at the sampled positions
+    * (0, 5, 10 of 12) → dHash cell means → bits → 16-bit lanes. The
+    * pixel formula is the SQL twin of [[videoGv]]; only sampled frames
+    * are materialized (the Spark side decodes only those too).
+    */
+  private def videoLanesSql(idsSql: String): String =
+    s"""vpar AS (SELECT doc_id, CAST((doc_id - 1) // 4 AS BIGINT) AS s,
+       |    CAST((doc_id - 1) % 4 AS BIGINT) AS v
+       |  FROM ($idsSql)),
+       |vpx AS (SELECT doc_id, f, x, y,
+       |    3 * (CASE
+       |      WHEN v = 3 THEN (((s + 7) * 1103515245 + f * 69069 + (x // 8) * (2654435761 + (s + 7) * 101) + (y // 8) * 977) % 250)
+       |      WHEN v = 2 AND f = 5 AND x // 8 = 2 AND y // 8 = 3
+       |        THEN (((s * 1103515245 + f * 69069 + (x // 8) * (2654435761 + s * 101) + (y // 8) * 977) % 250 + 125) % 250)
+       |      ELSE ((s * 1103515245 + f * 69069 + (x // 8) * (2654435761 + s * 101) + (y // 8) * 977) % 250
+       |        + (CASE WHEN v = 1 THEN 1 ELSE 0 END))
+       |    END) AS gray
+       |  FROM vpar, (VALUES (0), (5), (10)) tf(f),
+       |    generate_series(0, 71) tx(x), generate_series(0, 63) ty(y)),
+       |vcell AS (SELECT doc_id, f, x // 8 AS gx, y // 8 AS gy, SUM(gray) // COUNT(*) AS c
+       |  FROM vpx GROUP BY 1, 2, 3, 4),
+       |vbit AS (SELECT l.doc_id, l.f, l.gy * 8 + l.gx AS b,
+       |    CASE WHEN l.c > r.c THEN 1 ELSE 0 END AS bit
+       |  FROM vcell l JOIN vcell r ON r.doc_id = l.doc_id AND r.f = l.f
+       |    AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |vl AS (SELECT doc_id, f, ${laneSql("d")} FROM vbit GROUP BY doc_id, f)""".stripMargin
+
+  /** Spark twin of [[videoLanesSql]]'s pixel formula: gray value of
+    * frame f's pixel (x,y) for doc `id` — 8×8 blocks with a per-frame
+    * term, 6 groups of 4 variants (base / +1 brightness on every frame
+    * / frame 5's block (2,3) perturbed / different content).
+    */
+  private val videoGv: (Long, Int, Int, Int) => Int = (id, f, x, y) => {
+    val s0 = (id - 1) / 4; val v = (id - 1) % 4
+    val bx = x / 8L; val by = y / 8L
+    // the seed multiplies the block coordinate too — a pure additive
+    // seed would shift every block by the same constant mod 250 (and
+    // 500·1103515245 ≡ 0 mod 250 exactly), leaving the gradient hash
+    // unchanged: "different content" must actually differ per block
+    def base(s: Long): Long =
+      (s * 1103515245L + f.toLong * 69069L + bx * (2654435761L + s * 101L) +
+        by * 977L) % 250L
+    val g =
+      if (v == 3) base(s0 + 7)
+      else if (v == 2 && f == 5 && bx == 2 && by == 3) (base(s0) + 125) % 250
       else base(s0) + (if (v == 1) 1 else 0)
     g.toInt
   }

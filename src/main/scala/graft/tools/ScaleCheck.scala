@@ -154,6 +154,38 @@ object ScaleCheck {
         f""""capped_pairs":$nCapInc,"sec":$hiSec%.2f}""")
     }
 
+    // ---- banded_hamming: the perceptual families' blocking operator at
+    // nDocs scale. Lanes are md5-derived (uniform over 2^16, so buckets
+    // birthday-collide to ~nDocs/65536 deep — the REAL dense-band cost
+    // profile; every accidental candidate verifies to distance ≫ 3 and
+    // drops, P[≤3 of 64 random bits] ≈ 6e-14). Planted: the nDocs/100
+    // SMALLEST ids share one hash — a 10k-deep bucket in EVERY band,
+    // over cap ⇒ hub-star from doc 0, each edge verifying at distance 0.
+    // Closed form: output == exactly the B−1 hub edges.
+    {
+      val hotH = nDocs / 100
+      val lanes = (0 until 4).map(l =>
+        when(col("id") < hotH, lit(l + 1L)).otherwise(
+          expr(s"conv(substring(md5(concat(id, '_l$l')), 1, 4), 16, 10)")
+            .cast("long")).as(s"h$l"))
+      val hashes = spark.range(nDocs).select(col("id").as("doc_id") +: lanes: _*)
+      val t8h = System.nanoTime()
+      val pairs = graft.operators.Dedup.bandedHammingPairs(
+        hashes, "doc_id", (0 until 4).map(l => s"h$l"),
+        maxDist = 3, maxBand = Some(64))
+      val nPairs = pairs.count()
+      val nStar = pairs.where(col("d1") === 0L && col("d2") < hotH).count()
+      val t8i = System.nanoTime()
+      require(nStar == hotH - 1,
+        s"planted hash bucket must emit exactly B-1 hub edges, got $nStar vs ${hotH - 1}")
+      require(nPairs == hotH - 1,
+        s"random lanes must contribute zero verified pairs, got $nPairs total")
+      val bhSec = (t8i - t8h) / 1e9
+      println(f"""{"scenario":"banded_hamming","docs":$nDocs,"bucket_depth":$hotH,""" +
+        f""""uncapped_bucket_pairs":${4 * (hotH * (hotH - 1) / 2)},"verified_pairs":$nPairs,""" +
+        f""""sec":$bhSec%.2f}""")
+    }
+
     // ---- lsh_incremental: shard-vs-index dedup cost follows the shard ----
     // 10k new docs (half verbatim clones of index docs, half brand-new
     // md5-random) probe the 1M-doc index's band buckets. Closed form on
