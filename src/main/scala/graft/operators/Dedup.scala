@@ -657,6 +657,82 @@ object Dedup {
         .where(col("hamming") <= maxDist)
     }
 
+  /** Incremental banded-Hamming dedup — the perceptual families'
+    * [[incrementalCandidatesIndexed]]: a media shard's hash lanes probe
+    * the PERSISTED hash relation (for image/audio/video hashes the
+    * lane row IS the index — id + four 16-bit lanes, ~40 bytes/doc, and
+    * maintenance is a plain row append: the relation is per-document,
+    * so append ≡ rebuild holds trivially, unlike the LSH band
+    * decomposition). Emits exactly the capped full run
+    * ([[bandedHammingPairs]] over index ∪ shard) RESTRICTED to pairs
+    * touching the shard: dense buckets (union size ≤ cap) contribute
+    * probe (shard×index) + intra (shard×shard) pairs; oversized buckets
+    * contribute hub-star edges (hub = union min id) only where the
+    * member or the hub is a shard doc. Every emitted pair still
+    * verifies exact Hamming ≤ maxDist over the union lanes.
+    *
+    * At 100 TB: cost follows the shard — the index side contributes
+    * one metadata-sized aggregate (bucket stats over the persisted
+    * relation) and the probe join; the corpus' media payloads are
+    * never re-read.
+    */
+  def bandedHammingIncremental(indexSig: DataFrame, shardSig: DataFrame,
+      idCol: String, laneCols: Seq[String],
+      maxDist: Int = 3, maxBand: Option[Int] = None): DataFrame =
+    withCallScopedCache(indexSig) {
+      withCallScopedCache(shardSig) {
+        def bandsOf(sig: DataFrame): DataFrame = laneCols.zipWithIndex.map {
+          case (c, i) =>
+            sig.select(col(idCol).as("doc_id"), lit(i).as("band"),
+              col(c).cast("long").as("bucket"))
+        }.reduce(_ unionAll _)
+        val idxBands = bandsOf(indexSig)
+        val shdBands = bandsOf(shardSig)
+        def probeIntra(shd: DataFrame, idx: DataFrame): DataFrame = {
+          val probe = shd.as("s").join(idx.as("i"),
+              col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
+            .select(least(col("s.doc_id"), col("i.doc_id")).as("d1"),
+              greatest(col("s.doc_id"), col("i.doc_id")).as("d2"))
+          val intra = shd.as("x").join(shd.as("y"),
+              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          probe.unionAll(intra)
+        }
+        val pairs = maxBand match {
+          case None => probeIntra(shdBands, idxBands)
+          case Some(cap) =>
+            val tagged = idxBands.withColumn("side", lit(0))
+              .unionAll(shdBands.withColumn("side", lit(1)))
+            val stats = tagged.groupBy("band", "bucket")
+              .agg(count(lit(1)).as("bsz"),
+                min(struct(col("doc_id"), col("side"))).as("mh"))
+              .select(col("band"), col("bucket"), col("bsz"),
+                col("mh.doc_id").as("hub"), col("mh.side").as("hub_side"))
+              .localCheckpoint(true)
+            val denseKeys = stats.where(col("bsz") <= cap).select("band", "bucket")
+            val dense = probeIntra(
+              shdBands.join(denseKeys, Seq("band", "bucket")),
+              idxBands.join(denseKeys, Seq("band", "bucket")))
+            val star = tagged.join(stats.where(col("bsz") > cap), Seq("band", "bucket"))
+              .where(col("doc_id") =!= col("hub") &&
+                (col("side") === 1 || col("hub_side") === 1))
+              .select(col("hub").as("d1"), col("doc_id").as("d2"))
+            dense.unionAll(star)
+        }
+        val cand = pairs.distinct().localCheckpoint(true)
+        val sigAll = indexSig.select(col(idCol) +: laneCols.map(col): _*)
+          .unionAll(shardSig.select(col(idCol) +: laneCols.map(col): _*))
+        val a = sigAll.as("a")
+        val b = sigAll.as("b")
+        val ham = laneCols.map(c => expr(s"bit_count(a.$c ^ b.$c)")).reduce(_ + _)
+        cand.join(a, col(s"a.$idCol") === cand("d1"))
+          .join(b, col(s"b.$idCol") === cand("d2"))
+          .select(cand("d1"), cand("d2"), ham.cast("long").as("hamming"))
+          .where(col("hamming") <= maxDist)
+      }
+    }
+
   def simhashPairs(sim: DataFrame, maxDist: Int = 3,
       maxBlock: Option[Int] = None): DataFrame = {
     val blocked = sim.withColumn("blk", expr("simhash div 256"))

@@ -926,6 +926,65 @@ object EmbeddingQueries {
         .orderBy("component", "doc_id")
     },
 
+    // Incremental perceptual dedup: a media shard (one NEW image group
+    // + 4 fresh clones of index image 1) probes the persisted hash
+    // relation — the q607 recipe for the banded-Hamming families. Cap 5
+    // puts the clone-spanning union bucket (index twins 1/2 + 4 shard
+    // clones) over cap in every lane ⇒ hub-star restricted to
+    // shard-touching edges; the new group's buckets stay dense (intra
+    // pairs). The oracle rebuilds the capped union semantics (sizes,
+    // union-min hubs with side, dense/star restriction) and re-verifies
+    // Hamming from the same pixel formula.
+    QueryDef.sql(
+      "q629_media_dedup_incremental",
+      s"""WITH ${imageLanesSql(
+        """SELECT doc_id, doc_id AS eid FROM documents WHERE doc_id BETWEEN 1 AND 28
+          |  UNION ALL SELECT 40 + i AS doc_id, 1 AS eid FROM generate_series(1, 4) t(i)""".stripMargin)},
+         |sides AS (SELECT doc_id, CASE WHEN doc_id >= 25 THEN 1 ELSE 0 END AS side FROM dl),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, d0 AS bkey FROM dl
+         |  UNION ALL SELECT doc_id, 1, d1 FROM dl
+         |  UNION ALL SELECT doc_id, 2, d2 FROM dl
+         |  UNION ALL SELECT doc_id, 3, d3 FROM dl),
+         |tag AS (SELECT b.doc_id, b.band, b.bkey, s.side
+         |  FROM bands b JOIN sides s USING (doc_id)),
+         |stats AS (SELECT band, bkey, COUNT(*) AS bsz, MIN(doc_id) AS hub
+         |  FROM tag GROUP BY 1, 2),
+         |hubs AS (SELECT st.band, st.bkey, st.bsz, st.hub, t.side AS hub_side
+         |  FROM stats st JOIN tag t
+         |    ON t.band = st.band AND t.bkey = st.bkey AND t.doc_id = st.hub),
+         |dense AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM tag x JOIN tag y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |  JOIN hubs h ON h.band = x.band AND h.bkey = x.bkey
+         |  WHERE h.bsz <= 5 AND (x.side = 1 OR y.side = 1)),
+         |star AS (SELECT h.hub AS d1, t.doc_id AS d2
+         |  FROM tag t JOIN hubs h ON h.band = t.band AND h.bkey = t.bkey
+         |  WHERE h.bsz > 5 AND t.doc_id <> h.hub
+         |    AND (t.side = 1 OR h.hub_side = 1)),
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT * FROM dense UNION ALL SELECT * FROM star)),
+         |hm AS (SELECT c.d1, c.d2,
+         |    CAST(bit_count(xor(x.d0, y.d0)) + bit_count(xor(x.d1, y.d1))
+         |       + bit_count(xor(x.d2, y.d2)) + bit_count(xor(x.d3, y.d3)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN dl x ON x.doc_id = c.d1 JOIN dl y ON y.doc_id = c.d2)
+         |SELECT d1, d2, hamming FROM hm WHERE hamming <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idxIds = Tables(s, dir).documents
+        .where(col("doc_id").between(1, 24)).select("doc_id")
+      val shdIds = Tables(s, dir).documents
+        .where(col("doc_id").between(25, 28)).select("doc_id")
+        .unionAll((41L to 44L).toDF("doc_id"))
+      val idx = Multimodal.imageHashes(s,
+        Multimodal.encodePng(s, idxIds, imageGv, 72, 64)).toDF()
+      val shd = Multimodal.imageHashes(s,
+        Multimodal.encodePng(s, shdIds, imageGv, 72, 64)).toDF()
+      Dedup.bandedHammingIncremental(idx, shd, "doc_id",
+          Seq("d0", "d1", "d2", "d3"), maxDist = 3, maxBand = Some(5))
+        .orderBy("d1", "d2")
+    },
+
     // Matryoshka truncation audit: recall@10 of cosine ranking on the
     // FIRST 16 dims vs the full 64-dim exact ranking, per query vector
     // (every 25th id). One pass scores corpus×queries with BOTH cosines

@@ -82,4 +82,43 @@ class ImageHashSpec extends SparkSpec {
       assert(capped.toSet.subsetOf(want.toSet), "capped output must never over-emit")
     }
   }
+
+  test("property: bandedHammingIncremental == capped full run restricted to shard-touching pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (cap <- Seq(3, 64)) {
+      // index 1..20, shard 21..30; a deep planted bucket spans both
+      // sides (ids 1..6 and 21..24 share identical lanes — over cap 3
+      // in every band), the rest cluster around a second base
+      val deep = Array.fill(4)(rnd.nextInt(65536).toLong)
+      val base = Array.fill(4)(rnd.nextInt(65536).toLong)
+      def mk(i: Long): (Long, Long, Long, Long, Long) = {
+        val lanes =
+          if (i <= 6 || (i >= 21 && i <= 24)) deep.clone()
+          else {
+            val l = base.clone()
+            (0 until rnd.nextInt(4)).foreach { _ =>
+              val b = rnd.nextInt(64); l(b / 16) ^= (1L << (b % 16))
+            }
+            l
+          }
+        (i, lanes(0), lanes(1), lanes(2), lanes(3))
+      }
+      val rows = (1L to 30L).map(mk)
+      val idx = rows.filter(_._1 <= 20).toDF("doc_id", "d0", "d1", "d2", "d3")
+      val shd = rows.filter(_._1 > 20).toDF("doc_id", "d0", "d1", "d2", "d3")
+      val all = rows.toDF("doc_id", "d0", "d1", "d2", "d3")
+      val lanes = Seq("d0", "d1", "d2", "d3")
+      val inc = Dedup.bandedHammingIncremental(idx, shd, "doc_id", lanes,
+          maxDist = 3, maxBand = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val full = Dedup.bandedHammingPairs(all, "doc_id", lanes,
+          maxDist = 3, maxBand = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(p => p._1 > 20 || p._2 > 20).sorted.toSeq
+      assert(inc == full,
+        s"incremental must equal the capped full restriction (cap=$cap):\n$inc\n$full")
+    }
+  }
 }
