@@ -38,8 +38,16 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 8, numHashes: Int = 8): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sig = graft.plans.GraftFunctions.minhashSignature(
-      shingles(normText(col(textCol)), shingleLen), numHashes)
+    // fused text-form expression: normText evaluates ONCE per row as the
+    // direct child. The previous array-form child
+    // (minhashSignature(shingles(normText(..)))) carried normText inside
+    // the transform lambda — re-evaluated per shingle position on
+    // evaluation paths without subexpression elimination (pushed-down
+    // join-key filters, RDD materialization), i.e. QUADRATIC in doc
+    // length: one 30 KB doc cost ~10 s per such evaluation and q618's
+    // candidate step ran 33 s at sf0.1 (now ~1 s).
+    val sig = graft.plans.GraftFunctions.minhashText(
+      normText(col(textCol)), shingleLen, numHashes)
     docs.repartition(n, col(idCol))
       .select(col(idCol).as("doc_id") +:
         (0 until numHashes).map(i => element_at(sig, i + 1).as(s"m$i")): _*)
@@ -122,7 +130,17 @@ object Dedup {
     // the band union references the signature relation 2·bands times —
     // cache it or the whole shingle→md5→min pipeline recomputes per branch
     withCallScopedCache(sig) {
-      val bands = lshBands(sig, numHashes, rowsPerBand)
+      // materialize the (metadata-sized) band relation BEFORE the
+      // self-join: planning a join whose keys are expression-derived
+      // pushes an isnotnull(key) filter below the projection, INLINING
+      // the full shingle→minhash pipeline into the Filter — evaluated
+      // 2× there + 1× in the projection, per row, per branch, per join
+      // side, and filter-context evaluation of the HOF subtree is ~100×
+      // a projection-context pass (measured: two 30 KB docs, 0.16 s
+      // projected vs 44.5 s filtered; q618's candidate step 33 s → ~1 s
+      // with the barrier). An ExistingRDD barrier leaves planning
+      // nothing to inline.
+      val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint(true)
       def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -174,7 +192,13 @@ object Dedup {
     // band — cache it or the corpus-sized shingle→md5→min pipeline
     // recomputes per branch (uncached index measured 153 s at 1M docs)
     withCallScopedCache(indexSig) {
-      incrementalCandidatesIndexed(lshBands(indexSig, numHashes, rowsPerBand),
+      // same expression-barrier as minhashCandidates: the index bands
+      // feed joins keyed on the expression-derived bucket — checkpoint
+      // the metadata-sized relation so no minhash expression reaches
+      // join planning (the persisted-index production path is already a
+      // plain scan; this aligns the in-memory convenience arm with it)
+      incrementalCandidatesIndexed(
+        lshBands(indexSig, numHashes, rowsPerBand).localCheckpoint(true),
         shardSig, numHashes, rowsPerBand, maxBucket)
     }
 
@@ -190,7 +214,11 @@ object Dedup {
       numHashes: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Option[Int] = None): DataFrame =
     withCallScopedCache(shardSig) {
+      // shard bands hit three joins keyed on the expression-derived
+      // bucket — checkpoint (shard-sized) for the same filter-inlining
+      // barrier as minhashCandidates
       val shardBands = lshBands(shardSig, numHashes, rowsPerBand)
+        .localCheckpoint(true)
       def probeIntra(shd: DataFrame, idx: DataFrame): DataFrame = {
         val probe = shd.as("s").join(idx.as("i"),
             col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
@@ -295,7 +323,14 @@ object Dedup {
     val candIds = candidates.select(col("d1").as(idCol))
       .unionAll(candidates.select(col("d2").as(idCol)))
       .distinct()
-    val fullSet = array_distinct(shingles(normText(col(textCol)), shingleLen))
+    // shingle over a PRE-PROJECTED normalized-text ATTRIBUTE: with
+    // normText inlined into the transform lambda it re-evaluates per
+    // shingle position on non-CSE evaluation paths (quadratic in doc
+    // length — see minhashSignatures). The attribute is referenced both
+    // in the lambda and in sequence(length(..)), so CollapseProject
+    // keeps the two-step projection (multi-referenced non-cheap
+    // producer) and the regexp runs once per row.
+    val fullSet = array_distinct(shingles(col("__nt"), shingleLen))
     val shsExpr = maxShingles match {
       case None => fullSet
       case Some(k) =>
@@ -303,15 +338,21 @@ object Dedup {
         // the leading hash field, slice keeps K, transform unwraps — all
         // in-row, so at most K elements ever leave the projection. For a
         // ≤K set the slice is the whole set (order is irrelevant to the
-        // set ops below) — capped ≡ exact there.
-        transform(
-          slice(array_sort(transform(fullSet, s => struct(md5(s).as("h"), s.as("s")))),
-            1, k),
-          x => x.getField("s"))
+        // set ops below) — capped ≡ exact there, so the md5+sort work is
+        // GATED on size > K: a corpus where only pathological docs
+        // exceed the cap pays the hash only for those (ungated, md5 of
+        // every shingle of every candidate doc dominated the verify —
+        // 24.2 s vs the exact arm's 3.3 s at sf0.1).
+        when(size(fullSet) <= k, fullSet).otherwise(
+          transform(
+            slice(array_sort(transform(fullSet, s => struct(md5(s).as("h"), s.as("s")))),
+              1, k),
+            x => x.getField("s")))
     }
     val sets = docs
       .join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol).as("doc_id"), shsExpr.as("shs"))
+      .select(col(idCol).as("doc_id"), normText(col(textCol)).as("__nt"))
+      .select(col("doc_id"), shsExpr.as("shs"))
     // Both joins below shuffle the IDENTICAL `sets` subplan hash-partitioned
     // on doc_id — keeping the plan byte-identical (same aliases, join
     // conditions instead of per-side renames) lets Spark reuse the first

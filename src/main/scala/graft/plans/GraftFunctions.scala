@@ -67,6 +67,15 @@ object GraftFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     GraftShims.minhashColumn(shingles, numHashes)
 
+  /** Native k-way MinHash signature straight from normalized TEXT —
+    * fused shingle→md5→min loop, no shingle array, text evaluated once
+    * per row (the array form's `transform` lambda re-evaluates whatever
+    * expression produces the text per shingle position on evaluation
+    * paths without subexpression elimination — quadratic in doc length).
+    */
+  def minhashText(text: Column, shingleLen: Int, numHashes: Int): Column =
+    GraftShims.minhashTextColumn(text, shingleLen, numHashes)
+
   /** Native 16-bit SimHash fingerprint of a token-array Column. */
   def simhash16(tokens: Column): Column = GraftShims.simhashColumn(tokens)
 

@@ -36,6 +36,42 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native MinHash signature straight from the (already-normalized) TEXT:
+  * the k-shingle loop is fused into the expression — one codepoint
+  * window per position, md5 per window, k Broder minima — so the text
+  * is evaluated ONCE per row and no shingle array ever materializes.
+  *
+  * This exists because the declarative child shape
+  * `transform(sequence(...), i -> substr(normText(text), i, k))` embeds
+  * the normalization INSIDE the lambda: evaluation paths that don't
+  * subexpression-eliminate (pushed-down filters, RDD materialization)
+  * re-run the regexp normalization PER SHINGLE POSITION — quadratic in
+  * document length (measured ~10 s for ONE 30 KB document). Semantics
+  * are bit-identical to MinHashSignature over the shingle array: same
+  * windows (SQL substr = codepoint-based, as UTF8String.substringSQL),
+  * same md5 bytes, same (a + i·b) mod 2^32 derivation, and duplicate
+  * shingles cannot change a minimum.
+  */
+case class MinHashFromText(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash_text"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.computeText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      shingleLen, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graftshims.MinHashImpl.computeText($x, $shingleLen, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashImpl {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -64,6 +100,38 @@ object MinHashImpl {
           if (h < mins(j)) mins(j) = h
           j += 1
         }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Fused text → shingle-window → md5 → k-minima loop. Windows are
+    * codepoint-based like SQL substr: `substringSQL(i, i+len-1)` for
+    * 1-based i in [1, max(numChars-len+1, 1)] — including the short-text
+    * case where the single window is the whole string, matching
+    * `sequence(1, greatest(length(t)-k+1, 1))`.
+    */
+  def computeText(text: org.apache.spark.unsafe.types.UTF8String,
+      len: Int, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = digest.get()
+    val n = text.numChars()
+    val last = math.max(n - len + 1, 1)
+    var i = 1
+    while (i <= last) {
+      // substringSQL(pos, length) is 1-based and clamps at the end —
+      // exactly Column.substr(i, len) on the normalized string
+      val sh = text.substringSQL(i, len)
+      md.reset()
+      val d = md.digest(sh.getBytes)
+      val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val b = (((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) | ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) | 1L
+      var j = 0
+      while (j < k) {
+        val h = (a + j * b) % Mod
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
       i += 1
     }

@@ -365,6 +365,9 @@ object GraftShims {
   def minhashColumn(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
 
+  def minhashTextColumn(text: Column, shingleLen: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashFromText(ExpressionUtils.expression(text), shingleLen, numHashes))
+
   def simhashColumn(tokens: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(tokens)))
 
