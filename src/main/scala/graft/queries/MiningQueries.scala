@@ -998,8 +998,12 @@ object MiningQueries {
       // shd feeds both the dictionary and the per-doc id sets — cache the
       // one shingle explode instead of recomputing the regex+explode tree
       // three times (≈10 MB at sf0.1)
-      val shd = docs.select(col("doc_id"),
-        explode(array_distinct(shingles(normText(col("text")), 8))).as("sh")).cache()
+      // shingle over a pre-projected normalized-text ATTRIBUTE — normText
+      // inside the transform lambda re-evaluates per shingle position on
+      // non-CSE paths (the cache build is one), quadratic in doc length
+      val shd = docs.select(col("doc_id"), normText(col("text")).as("__nt"))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("__nt"), 8))).as("sh")).cache()
       // distributed dictionary-ID assignment (Ranks): the shingle universe
       // scales with the corpus, so the id can never come from a
       // single-task window; shingles are distinct ⇒ the rank is exact

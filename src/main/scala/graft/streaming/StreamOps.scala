@@ -118,8 +118,12 @@ object StreamOps {
     // on one primitive — xxhash64 of the lane array — instead of a
     // per-row joined string (the codebase's band-key convention, see
     // Dedup.lshBands)
-    val sig = graft.plans.GraftFunctions.minhashSignature(
-      shingles(normText(col(textCol)), shingleLen), bandLanes)
+    // fused text-form minhash: normText evaluates once per row as the
+    // direct child (the array form's transform lambda re-evaluates it
+    // per shingle position on non-CSE paths — quadratic in doc length,
+    // see Dedup.minhashSignatures)
+    val sig = graft.plans.GraftFunctions.minhashText(
+      normText(col(textCol)), shingleLen, bandLanes)
     dedupWithinWatermark(
       docs.withColumn("__band", xxhash64(sig)), tsCol, delay, Seq("__band"))
       .drop("__band")

@@ -22,8 +22,9 @@ object ProfileQ204 {
       d0.where(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text")))
-    val shd = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(normText(col("text")), 8))).as("sh"))
+    val shd = docs.select(col("doc_id"), normText(col("text")).as("__nt"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("__nt"), 8))).as("sh"))
     time("shd")(shd.count())
     val dict = shd.select("sh").distinct()
       .withColumn("id", row_number().over(org.apache.spark.sql.expressions.Window
