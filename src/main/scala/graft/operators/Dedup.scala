@@ -776,7 +776,13 @@ object Dedup {
 
   def simhashPairs(sim: DataFrame, maxDist: Int = 3,
       maxBlock: Option[Int] = None): DataFrame = {
+    // same expression barrier as the band relations: if `sim` arrives as
+    // a lazy plan (native simhash over normalized text), the block join
+    // pushes isnotnull(blk) below the projection and inlines the whole
+    // fingerprint pipeline into the Filter, per side — the checkpointed
+    // relation is metadata-sized (doc_id, simhash, blk)
     val blocked = sim.withColumn("blk", expr("simhash div 256"))
+      .localCheckpoint(true)
     val xSide = maxBlock match {
       case None => blocked
       case Some(cap) =>
