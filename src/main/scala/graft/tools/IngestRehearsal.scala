@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
@@ -14,9 +14,10 @@ import graft.operators.{Curate, Dedup, Similarity}
   *  1. persists ALL the pipeline state as parquet — the LSH band index
   *     (partitioned by band), the IVF cell map + frozen centroid
   *     metadata (cell map partitioned by cell), the dedup labels
-  *     (partitioned by pmod(component, P)), and the DSIR raw/target +
-  *     vocabulary curation states — plus the corpus text/embedding
-  *     stores themselves;
+  *     (partitioned by pmod(component, P)), the DSIR raw/target +
+  *     vocabulary curation states, and the perceptual media-hash index
+  *     (the banded-Hamming lane relation) — plus the corpus
+  *     text/embedding stores themselves;
   *  2. ingests TWO consecutive shards end-to-end where every step reads
   *     ONLY the on-disk state and the shard (candidate-restricted text
   *     lookups go to the corpus store; no index×index re-pairing, no
@@ -24,10 +25,17 @@ import graft.operators.{Curate, Dedup, Similarity}
   *     index → bottom-K Jaccard verify → labelDelta → PRUNED dynamic
   *     partition overwrite + newLabels append → band append; IVF probe →
   *     cell-map append; DSIR/vocab incremental scoring + state fold-in;
+  *     media shard lanes probe the persisted hash index
+  *     (bandedHammingIncremental) → plain row append;
   *  3. asserts the final on-disk world EQUALS the one-shot rebuild over
   *     corpus ∪ shard1 ∪ shard2 — labels map-identical, shard-2 DSIR
   *     scores and OOV admissions identical to the full-recompute
-  *     restriction, cell map and every curation state set-identical;
+  *     restriction, cell map and every curation state set-identical,
+  *     and the ACCUMULATED incremental media pairs equal to the one-shot
+  *     capped banded-Hamming run over the union (the media fixture keeps
+  *     every state-spanning bucket on a FIXED side of the cap, so the
+  *     per-ingest shard-touching restrictions compose to exactly the
+  *     full run);
   *  4. asserts the IO shape at file level: band/cell appends leave every
   *     pre-existing file untouched, the label rewrite's scan carries
   *     PartitionFilters and provably never lists untouched partitions'
@@ -58,6 +66,9 @@ object IngestRehearsal {
   private val MaxShingles = 32  // jaccardVerify bottom-K valve
   private val JacMin = 20000L   // clone pairs 100000, bridges ~33000, md5 noise ~0
   private val NProbe = 2
+  private val MediaCap = 50     // banded-Hamming hot-bucket valve (TRIPPED here)
+  private val MaxHam = 3        // < 4 lanes, so banding is pigeonhole-exact
+  private val MediaLanes = (0 until 4).map(l => s"h$l")
 
   final case class Dirs(base: String) {
     val docs = s"$base/docs"
@@ -66,6 +77,7 @@ object IngestRehearsal {
     val labels = s"$base/labels"
     val cents = s"$base/cents"
     val cells = s"$base/cells"
+    val hashes = s"$base/hashes"
     def dsir(v: Int) = s"$base/dsir_v$v"
     def dsirTgt(v: Int) = s"$base/dsir_tgt_v$v"
     def vocab(v: Int) = s"$base/vocab_v$v"
@@ -138,6 +150,62 @@ object IngestRehearsal {
       expr(s"CASE WHEN id % 4 = 0 THEN ${embOf(s"(id * 17) % $nVec")} " +
         s"ELSE ${embOf(s"id + ${100000000L * k}")} END").as("embedding"))
 
+  /** Perceptual-hash fixture (4 × 64-bit lanes, [[MaxHam]]-exact banding).
+    * Three content classes, all md5/integer-deterministic:
+    *  - BOILERPLATE (corpus ids < nDocs/50; shard ids ≡ 99 mod 100):
+    *    constant lanes l+1 — ONE bucket over [[MediaCap]] from the corpus
+    *    build onward (hub = media 0, the union minimum at every state);
+    *  - clone groups: structurally disjoint lane values (gid+2)·16+l —
+    *    any two DISTINCT groups differ in ≥ 1 bit on EVERY lane, so
+    *    cross-group Hamming ≥ 4 > [[MaxHam]] and verification drops every
+    *    cross-group candidate deterministically, while same-group pairs
+    *    sit at distance 0;
+    *  - noise: 32-bit md5 lanes (unique content; birthday candidates
+    *    verify-drop at ~48 expected differing bits over 3 lanes).
+    * The cap-composition invariant the final check rests on: every bucket
+    * that SPANS ingest states stays on one side of the cap at every state
+    * — boilerplate is over from the corpus build (nDocs/50 ≥ 80 > 50),
+    * corpus groups cloned by shards stay ≤ 4+2·ceil(nShard/1600) ≪ 50 —
+    * and fresh in-shard groups live entirely inside one state, where
+    * inc ≡ full holds per bucket regardless of the cap side.
+    */
+  private def noiseLane(key: String, l: Int): Column =
+    expr(s"CAST(conv(substring(md5(concat('$key', id, '_$l')), 1, 8), 16, 10) AS LONG)")
+
+  private def groupLane(gid: Column, l: Int): Column =
+    (gid + lit(2L)) * lit(16L) + lit(l.toLong)
+
+  private def corpusMedia(spark: SparkSession, nMedia: Long): DataFrame = {
+    val lanes = (0 until 4).map { l =>
+      when(col("id") < nMedia / 50, lit(l + 1L))
+        .when(col("id") % 7 === 6, noiseLane("mc", l))
+        .otherwise(groupLane(expr("id div 4"), l))
+        .as(s"h$l")
+    }
+    spark.range(nMedia).select(col("id").as("media_id") +: lanes: _*)
+  }
+
+  /** Shard k media: boilerplate joins the over-cap bucket (hub-star edges
+    * restricted to shard members compose across ingests); ids ≡ 1 mod 100
+    * clone one of 16 designated corpus groups just above the boilerplate
+    * range (≤ 1 + nShard/1600 clones per group per shard — the buckets
+    * stay far under the cap at every state); other odd ids form 12 fresh
+    * in-shard groups (over the cap at 1M — the shard-side star arm — and
+    * dense at spec scale, both composing exactly); the rest is noise.
+    */
+  private def shardMedia(spark: SparkSession, k: Int, nDocs: Long, nShard: Long): DataFrame = {
+    val cloneGid = lit(nDocs / 50 / 4 + 1) + expr("id div 100") % 16
+    val freshGid = lit(30000000L * k) + expr("id div 2") % 12
+    val lanes = (0 until 4).map { l =>
+      when(col("id") % 100 === 99, lit(l + 1L))
+        .when(col("id") % 100 === 1, groupLane(cloneGid, l))
+        .when(col("id") % 2 === 1, groupLane(freshGid, l))
+        .otherwise(noiseLane(s"ms$k", l))
+        .as(s"h$l")
+    }
+    spark.range(nShard).select((lit(100000000L * k) + col("id")).as("media_id") +: lanes: _*)
+  }
+
   // ---- helpers ----
 
   private def parquetFiles(dir: String): Set[String] = {
@@ -190,6 +258,10 @@ object IngestRehearsal {
     val centroidEvery = (nDocs / 1000L).max(1L).toInt
 
     // ---- one-time state build (corpus-sized, paid once) ----
+    // accumulated media near-dup pairs: build-time pairs ∪ each ingest's
+    // incremental pairs — the final check proves this union IS the
+    // one-shot capped run over the union index
+    var mediaPairs: DataFrame = null
     val (_, buildSec) = timed {
       docs.write.mode("overwrite").parquet(dirs.docs)
       emb.write.mode("overwrite").parquet(dirs.emb)
@@ -210,6 +282,10 @@ object IngestRehearsal {
       Curate.dsirTargetState(target).write.mode("overwrite").parquet(dirs.dsirTgt(0))
       Curate.vocabState(spark.read.parquet(dirs.docs))
         .write.mode("overwrite").parquet(dirs.vocab(0))
+      corpusMedia(spark, nDocs).write.mode("overwrite").parquet(dirs.hashes)
+      mediaPairs = Dedup.bandedHammingPairs(spark.read.parquet(dirs.hashes),
+          "media_id", MediaLanes, maxDist = MaxHam, maxBand = Some(MediaCap))
+        .localCheckpoint(true)
     }
     println(f"""{"scenario":"rehearsal_build","docs":$nDocs,"vectors":$nDocs,""" +
       f""""label_parts":$P,"sec":$buildSec%.2f}""")
@@ -331,13 +407,35 @@ object IngestRehearsal {
         Curate.vocabStateMerge(vst, shard).write.mode("overwrite").parquet(dirs.vocab(k))
         (sc, ov)
       }
+
+      // 6. media: the shard's perceptual hash lanes probe the PERSISTED
+      //    hash index (index side contributes one metadata-sized bucket
+      //    aggregate + the probe join — media payloads are never re-read),
+      //    then the lanes append as plain rows (the lane row IS the
+      //    index, so append ≡ rebuild by construction)
+      val (nMediaPairs, mediaSec) = timed {
+        val shLanes = shardMedia(spark, k, nDocs, nShard).localCheckpoint(true)
+        val inc = Dedup.bandedHammingIncremental(
+            spark.read.parquet(dirs.hashes), shLanes,
+            "media_id", MediaLanes, maxDist = MaxHam, maxBand = Some(MediaCap))
+          .localCheckpoint(true)
+        val hashesBefore = parquetFiles(dirs.hashes)
+        shLanes.write.mode("append").parquet(dirs.hashes)
+        require(hashesBefore.subsetOf(parquetFiles(dirs.hashes)),
+          "hash-index append must leave existing index files in place")
+        mediaPairs = mediaPairs.unionAll(inc).localCheckpoint(true)
+        inc.count()
+      }
+      require(nMediaPairs > 0, "media shard must admit near-dup pairs")
+
       val (nMerges, nNew, nUntouched) = mergeStats
       println(f"""{"scenario":"rehearsal_ingest","shard":$k,"docs":$nShard,""" +
         f""""edges":${edges.count()},"component_merges":$nMerges,"new_labels":$nNew,""" +
         f""""untouched_parts":$nUntouched,"vec_candidates":$nVecCand,""" +
+        f""""media_pairs":$nMediaPairs,""" +
         f""""admit_sec":$admitSec%.2f,"label_sec":$labelSec%.2f,""" +
         f""""append_sec":$appendSec%.2f,"probe_sec":$probeSec%.2f,""" +
-        f""""curate_sec":$curateSec%.2f}""")
+        f""""curate_sec":$curateSec%.2f,"media_sec":$mediaSec%.2f}""")
       require(nMerges > 0, "fixture must exercise real component merges")
       require(nNew > 0, "fixture must append new-vertex labels")
       (scores, oov)
@@ -384,6 +482,28 @@ object IngestRehearsal {
       require(sameSet(spark.read.parquet(dirs.bands).select("doc_id", "band", "bucket"),
           Dedup.lshBands(Dedup.minhashSignatures(union, "doc_id", "text"))),
         "band index != rebuild")
+
+      // media: the accumulated incremental pairs equal the one-shot
+      // capped banded-Hamming run over the union index (every
+      // state-spanning bucket sits on a fixed side of the cap, so the
+      // shard-touching restrictions compose to exactly the full run),
+      // and the hash index equals the rebuild
+      val unionMedia = corpusMedia(spark, nDocs)
+        .unionAll(shardMedia(spark, 1, nDocs, nShard))
+        .unionAll(shardMedia(spark, 2, nDocs, nShard))
+        .localCheckpoint(true)
+      val fullMedia = Dedup.bandedHammingPairs(unionMedia, "media_id",
+        MediaLanes, maxDist = MaxHam, maxBand = Some(MediaCap))
+      require(sameSet(mediaPairs, fullMedia),
+        "accumulated media pairs != one-shot capped run")
+      // boilerplate hub-star closed form: media 0 (the union-min hub of
+      // the one over-cap spanning bucket) pairs with every other
+      // boilerplate item and nothing else
+      val nBoil = nDocs / 50 + 2 * (nShard / 100)
+      require(mediaPairs.where(col("d1") === 0L).count() == nBoil - 1,
+        "boilerplate hub-star count mismatch")
+      require(sameSet(spark.read.parquet(dirs.hashes), unionMedia),
+        "hash index != rebuild")
     }
     println(f"""{"scenario":"rehearsal_check","docs":${nDocs + 2 * nShard},""" +
       f""""match":true,"rebuild_check_sec":$checkSec%.2f}""")

@@ -12,7 +12,7 @@ import graft.SparkSpec
   */
 class IngestRehearsalSpec extends SparkSpec {
 
-  test("two-shard disk-backed ingestion == one-shot rebuild (all four state relations)") {
+  test("two-shard disk-backed ingestion == one-shot rebuild (all five state relations)") {
     val dir = java.nio.file.Files.createTempDirectory("ingest_rehearsal_spec").toString
     graft.tools.IngestRehearsal.run(spark, nDocs = 4000L, nShard = 400L, dir)
   }
