@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -797,5 +798,82 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .where(col("hamming") <= maxDist)
+  }
+
+  /** ExactSubstr-style duplicated spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): a word
+    * position is DUPLICATED when the n-gram opening there occurs at
+    * least `minCount` times anywhere in the corpus (including within one
+    * document); overlapping/adjacent duplicated n-gram intervals
+    * [i, i+n-1] merge into per-document MAXIMAL spans — the
+    * word-resolution analog of the paper's repeated-substring intervals
+    * (spans shorter than n words are invisible; that is the standard
+    * n-gram-seeded approximation of the suffix-array method).
+    *
+    * Returns (doc_id, span_start, span_end), 1-based inclusive word
+    * positions, each span ≥ n words.
+    *
+    * 100 TB shape: the gram relation is corpus-TOKEN-sized — the honest
+    * ExactSubstr cost (the suffix array it approximates is also
+    * corpus-sized). Every step is linear: the occurrence count is one
+    * map-side-combined aggregation; the duplicated-position filter is a
+    * left-semi join on the gram key (a boilerplate gram repeated 10⁷
+    * times skews exactly one join key — AQE's skew-join split applies,
+    * and no pair blowup exists anywhere since positions never join
+    * positions); the island merge runs inside per-DOCUMENT windows
+    * (bounded by document length, the q357 gaps-and-islands class,
+    * never a global window).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+    val sp = ws.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("gram"))
+    val hot = sp.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("gram")
+    val dup = sp.join(hot, Seq("gram"), "left_semi").select("doc_id", "i")
+    // gaps-and-islands at n-gram reach: a new island starts when this
+    // interval [i, i+n-1] neither overlaps nor touches the running
+    // maximal end (prevMax(i) + n - 1) of the ones before it
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val prevMax = max(col("i")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup.withColumn("f",
+        when(prevMax.isNull || col("i") > prevMax + n, lit(1)).otherwise(lit(0)))
+      .withColumn("g", sum(col("f")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("i").as("span_start"), (max(col("i")) + (n - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Removes every [[duplicateSpans]] occurrence from the text (ALL
+    * copies, the ExactSubstr policy — near-total-dup documents collapse
+    * toward empty and a length filter downstream drops them). Returns
+    * every input document: (doc_id, n_tokens, n_removed, cleaned_text)
+    * with cleaned_text the surviving words in order.
+    *
+    * The covered test is a per-document range join (words × that doc's
+    * few maximal spans — spans are disjoint after the merge, so the
+    * left join cannot duplicate a word row); reconstruction is one
+    * per-document aggregation of (position, word) pairs, sorted in-row.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minCount)
+    val words = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"), col("col").as("wd"))
+    words.as("w")
+      .join(spans.as("s"),
+        col("w.doc_id") === col("s.doc_id") &&
+          col("w.j").between(col("s.span_start"), col("s.span_end")), "left_outer")
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("s.span_start").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("s.span_start").isNull,
+              struct(col("w.j").as("j"), col("w.wd").as("wd"))))),
+          x => x.getField("wd")), " ").as("cleaned_text"))
   }
 }

@@ -922,6 +922,62 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // ExactSubstr duplicated spans (Lee et al. 2022): per-document
+    // MAXIMAL duplicated regions — every position whose 8-gram repeats
+    // anywhere in the corpus, with overlapping/adjacent 8-gram intervals
+    // merged per doc (gaps-and-islands inside per-document windows).
+    // q118 counts the duplicated grams; this emits the span intervals
+    // the scrubbing pass removes.
+    QueryDef.sql(
+      "q630_dup_spans",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |sp AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+        |hot AS (SELECT gram FROM sp GROUP BY gram HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, i FROM sp WHERE gram IN (SELECT gram FROM hot)),
+        |fl AS (SELECT doc_id, i,
+        |    CASE WHEN i > coalesce(max(i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 8 THEN 1 ELSE 0 END AS f
+        |  FROM d),
+        |isl0 AS (SELECT doc_id, i, sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM fl)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, CAST(max(i)+7 AS BIGINT) AS span_end
+        |FROM isl0 GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The scrubbing pass over q630's spans: every duplicated-span
+    // occurrence removed (ALL copies — the ExactSubstr policy), with the
+    // cleaned text reconstructed in word order; docs untouched by dedup
+    // are filtered out to keep the dump span-grain.
+    QueryDef.sql(
+      "q631_dup_span_scrub",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w8 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+        |sp AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w8)),
+        |hot AS (SELECT gram FROM sp GROUP BY gram HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, i FROM sp WHERE gram IN (SELECT gram FROM hot)),
+        |fl AS (SELECT doc_id, i,
+        |    CASE WHEN i > coalesce(max(i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 8 THEN 1 ELSE 0 END AS f
+        |  FROM d),
+        |isl0 AS (SELECT doc_id, i, sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM fl),
+        |isl AS (SELECT doc_id, min(i) AS s, max(i)+7 AS e FROM isl0 GROUP BY doc_id, grp),
+        |wd AS (SELECT doc_id, j, ws[j] AS wd
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM w)),
+        |mk AS (SELECT wd.doc_id, wd.j, wd.wd, isl.s
+        |       FROM wd LEFT JOIN isl ON isl.doc_id = wd.doc_id AND wd.j BETWEEN isl.s AND isl.e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(list(wd ORDER BY j) FILTER (WHERE s IS NULL), ' '), '') AS cleaned_text
+        |FROM mk GROUP BY doc_id HAVING n_removed > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.scrubDuplicateSpans(Tables(s, dir).documents, "doc_id", "text")
+        .where(col("n_removed") > 0)
+        .orderBy("doc_id")
+    },
+
     // Incremental OOV admission — the tokenizer-fit gate (q223's check)
     // as an ingestion-loop leg: the corpus vocabulary is a PERSISTED
     // vocab-grain count state; an ingest shard folds its counts in (the
