@@ -824,19 +824,26 @@ object Dedup {
     * (bounded by document length, the q357 gaps-and-islands class,
     * never a global window).
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minCount: Long = 2): DataFrame = {
+  /** (doc_id, i, gram): every 1-based n-gram start of every document with
+    * at least n words — the corpus-token-sized relation all the
+    * duplicated-span operators share.
+    */
+  private def gramPositions(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .where(size(col("ws")) >= n)
-    val sp = ws.select(col("doc_id"), posexplode(expr(
+    ws.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("gram"))
-    val hot = sp.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount).select("gram")
-    val dup = sp.join(hot, Seq("gram"), "left_semi").select("doc_id", "i")
-    // gaps-and-islands at n-gram reach: a new island starts when this
-    // interval [i, i+n-1] neither overlaps nor touches the running
-    // maximal end (prevMax(i) + n - 1) of the ones before it
+  }
+
+  /** Merges duplicated n-gram starts (doc_id, i) into per-document
+    * MAXIMAL spans. Gaps-and-islands at n-gram reach: a new island
+    * starts when the interval [i, i+n-1] neither overlaps nor touches
+    * the running maximal end (prevMax(i) + n - 1) of the ones before it.
+    * Per-DOCUMENT windows only — bounded by document length.
+    */
+  private def spanIslands(dup: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val prevMax = max(col("i")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     dup.withColumn("f",
@@ -845,6 +852,15 @@ object Dedup {
       .groupBy(col("doc_id"), col("g"))
       .agg(min("i").as("span_start"), (max(col("i")) + (n - 1)).as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val sp = gramPositions(docs, idCol, textCol, n)
+    val hot = sp.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("gram")
+    val dup = sp.join(hot, Seq("gram"), "left_semi").select("doc_id", "i")
+    spanIslands(dup, n)
   }
 
   /** Removes every [[duplicateSpans]] occurrence from the text (ALL
@@ -875,5 +891,94 @@ object Dedup {
             when(col("s.span_start").isNull,
               struct(col("w.j").as("j"), col("w.wd").as("wd"))))),
           x => x.getField("wd")), " ").as("cleaned_text"))
+  }
+
+  /** Persisted state for INCREMENTAL [[duplicateSpans]] (minCount = 2
+    * semantics): per distinct n-gram its corpus occurrence count, plus —
+    * for count-1 grams only — the one (doc, position) holding it:
+    * (gram, cnt, one_doc, one_pos). The single-occurrence columns are
+    * what makes ingestion exact: when a shard brings a second copy of a
+    * previously-unique gram, that row names the OLD document whose spans
+    * must be re-derived.
+    *
+    * The state is corpus-TOKEN-sized — the suffix-array-scale index the
+    * ExactSubstr method inherently needs. At 100 TB, persist it BUCKETED
+    * on `gram` (bucketBy at write; the BucketedJoinSpec pattern): every
+    * per-ingest probe below joins on the gram key, and a bucketed state
+    * side co-locates without re-shuffling the index — the ingest then
+    * shuffles only shard-sized relations.
+    */
+  def dupSpanState(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    gramPositions(docs, idCol, textCol, n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("i"))).as("occ"))
+      .select(col("gram"), col("cnt"),
+        when(col("cnt") === 1, col("occ.doc_id")).as("one_doc"),
+        when(col("cnt") === 1, col("occ.i")).as("one_pos"))
+
+  /** Folds a shard into the gram state; merge ≡ rebuild over
+    * corpus ∪ shard: counts are additive, and a union count of 1 means
+    * exactly one side holds the gram (its single occurrence carries
+    * over verbatim).
+    */
+  def dupSpanStateMerge(state: DataFrame, shard: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val s = dupSpanState(shard, idCol, textCol, n)
+    val ucnt = coalesce(col("a.cnt"), lit(0L)) + coalesce(col("b.cnt"), lit(0L))
+    state.as("a").join(s.as("b"), col("a.gram") === col("b.gram"), "full_outer")
+      .select(coalesce(col("a.gram"), col("b.gram")).as("gram"), ucnt.as("cnt"),
+        when(ucnt === 1, coalesce(col("a.one_doc"), col("b.one_doc"))).as("one_doc"),
+        when(ucnt === 1, coalesce(col("a.one_pos"), col("b.one_pos"))).as("one_pos"))
+  }
+
+  /** Incremental ExactSubstr: spans after ingesting `shard`, for exactly
+    * the AFFECTED documents — the shard itself plus every old document
+    * owning a gram the shard transitions from unique to duplicated.
+    * Equals [[duplicateSpans]] over corpus ∪ shard RESTRICTED to those
+    * documents; every other document's spans are provably unchanged
+    * (gram counts only grow, so a document's duplicated-position set
+    * changes iff it holds a transitioned gram — and the count-1 state
+    * rows name those holders exhaustively).
+    *
+    * Reads: the shard, the persisted state, and the affected OLD
+    * documents' text from the corpus store (a semi-join-restricted
+    * lookup — the corpus is never rescanned). The subtle case this
+    * handles exactly: a newly-duplicated position adjacent to an old
+    * span EXTENDS it — affected docs re-derive their islands from ALL
+    * their duplicated positions (old and new) against union counts.
+    */
+  def dupSpansIncremental(state: DataFrame, corpusDocs: DataFrame,
+      shard: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val shardSp = gramPositions(shard, idCol, textCol, n).localCheckpoint(true)
+    val shardCnt = shardSp.groupBy("gram").agg(count(lit(1)).as("scnt"))
+      .localCheckpoint(true)
+    // the shard's gram set drives two probes into the token-sized state;
+    // broadcast it while it verifiably fits so the state is only ever
+    // SCANNED (column-pruned), never shuffled — a giant ingest batch
+    // falls back to AQE's own join pick (the meta-CC bound's recipe)
+    val shardKeys0 = shardCnt.select("gram")
+    val shardKeys =
+      if (shardCnt.count() <= 4000000L) broadcast(shardKeys0) else shardKeys0
+    // union-duplicated grams, decomposed so no term joins the full state:
+    // already-duplicated (cnt >= 2, a filter-only scan), transitioned
+    // (cnt = 1 AND in the shard), and shard-internal repeats
+    val dupGrams = state.where(col("cnt") >= 2).select("gram")
+      .unionAll(state.where(col("cnt") === 1)
+        .join(shardKeys, Seq("gram"), "left_semi").select("gram"))
+      .unionAll(shardCnt.where(col("scnt") >= 2).select("gram"))
+    // old docs holding a gram the shard just duplicated
+    val affectedOld = state.where(col("cnt") === 1)
+      .join(shardKeys, Seq("gram"), "left_semi")
+      .select(col("one_doc").as("doc_id")).distinct()
+    val oldSp = gramPositions(
+      corpusDocs.join(affectedOld,
+        corpusDocs(idCol) === affectedOld("doc_id"), "left_semi"),
+      idCol, textCol, n)
+    val dup = oldSp.unionAll(shardSp)
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select("doc_id", "i")
+    spanIslands(dup, n)
   }
 }

@@ -978,6 +978,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental ExactSubstr — q630 as an ingestion-loop leg: the
+    // corpus gram counts (with count-1 grams' single occurrence) are a
+    // PERSISTED state; a shard ingest re-derives spans for exactly the
+    // affected docs — the shard plus old docs whose unique gram the
+    // shard duplicates (including span EXTENSIONS, since affected docs
+    // re-island all their duplicated positions against union counts).
+    // The oracle recomputes spans over the union from raw text and
+    // restricts to the independently-derived affected-doc set.
+    QueryDef.sql(
+      "q632_dup_spans_incremental",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |shard AS (SELECT doc_id + 100000 AS doc_id, substring(text, 21) AS text
+        |          FROM documents WHERE doc_id % 29 = 0),
+        |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM shard),
+        |wU AS (SELECT doc_id, string_split(text, ' ') AS ws FROM u
+        |       WHERE len(string_split(text, ' ')) >= 8),
+        |spU AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+        |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM wU)),
+        |hotU AS (SELECT gram FROM spU GROUP BY gram HAVING count(*) >= 2),
+        |singles AS (SELECT gram, min(doc_id) AS d FROM spU WHERE doc_id < 100000
+        |            GROUP BY gram HAVING count(*) = 1),
+        |aff AS (SELECT doc_id FROM shard
+        |        UNION SELECT d FROM singles
+        |        WHERE gram IN (SELECT gram FROM spU WHERE doc_id >= 100000)),
+        |dU AS (SELECT doc_id, i FROM spU
+        |       WHERE gram IN (SELECT gram FROM hotU)
+        |         AND doc_id IN (SELECT doc_id FROM aff)),
+        |fl AS (SELECT doc_id, i,
+        |    CASE WHEN i > coalesce(max(i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 8 THEN 1 ELSE 0 END AS f
+        |  FROM dU),
+        |isl0 AS (SELECT doc_id, i, sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM fl)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, CAST(max(i)+7 AS BIGINT) AS span_end
+        |FROM isl0 GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val corpus = docs.select("doc_id", "text")
+      val shard = docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      Dedup.dupSpansIncremental(
+          Dedup.dupSpanState(corpus, "doc_id", "text"), corpus, shard,
+          "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    },
+
     // Incremental OOV admission — the tokenizer-fit gate (q223's check)
     // as an ingestion-loop leg: the corpus vocabulary is a PERSISTED
     // vocab-grain count state; an ingest shard folds its counts in (the

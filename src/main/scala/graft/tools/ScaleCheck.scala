@@ -937,6 +937,88 @@ object ScaleCheck {
         f""""chunks":${planRows.length},"sec":$cuSec%.2f,""" +
         f""""rows_per_sec":${(2 * n / cuSec).toLong}}""")
     }
+
+    // ---- dup_spans: ExactSubstr duplicated-span dedup at corpus-token
+    // scale. nDocs/10 docs (24 words each, otherwise md5-unique) share a
+    // planted 12-word run — its five interior 8-grams each occur
+    // nDocs/10 times, the HOT-GRAM skew key the semi-join must absorb —
+    // and nDocs/1000 docs are full 24-word clones. Closed form: one
+    // (5,16) span per run-carrier, one (1,24) span per clone, removal
+    // mass 12·carriers + 24·clones; everything else is md5-unique and
+    // must contribute nothing.
+    {
+      val nDocsS = math.max(n / 10, 100000L)
+      // filler words are STRUCTURALLY unique per (doc, position) — an
+      // md5-truncated filler breaks the closed form at this scale:
+      // boundary grams carrying exactly ONE filler word collide between
+      // carrier pairs at 16^-8 × ~5×10⁹ pairs ≈ 4 expected span
+      // extensions per run (observed: exactly 4)
+      def u(from: Int, to: Int) =
+        s"array_join(transform(sequence($from, $to), j -> " +
+          s"concat(id, 'x', j)), ' ')"
+      val run = (1 to 12).map(i => s"P$i").mkString(" ")
+      val boiler = (1 to 24).map(i => s"B$i").mkString(" ")
+      val docsS = spark.range(nDocsS).select(col("id").as("doc_id"),
+        expr(s"""CASE WHEN id % 1000 = 13 THEN '$boiler'
+          WHEN id % 10 = 7 THEN concat(${u(1, 4)}, ' $run ', ${u(17, 24)})
+          ELSE ${u(1, 24)} END""").as("text"))
+      val nCarrier = nDocsS / 10
+      val nClone = nDocsS / 1000
+      val t110 = System.nanoTime()
+      val spans = graft.operators.Dedup.duplicateSpans(docsS, "doc_id", "text")
+        .cache()
+      val nSpans = spans.count()
+      val nRun = spans.where(col("span_start") === 5 && col("span_end") === 16).count()
+      val nFull = spans.where(col("span_start") === 1 && col("span_end") === 24).count()
+      val t111 = System.nanoTime()
+      require(nRun == nCarrier, s"run-carrier spans: $nRun vs $nCarrier")
+      require(nFull == nClone, s"full-clone spans: $nFull vs $nClone")
+      require(nSpans == nCarrier + nClone,
+        s"md5-unique filler must contribute no spans: $nSpans")
+      val removed = graft.operators.Dedup
+        .scrubDuplicateSpans(docsS, "doc_id", "text")
+        .agg(sum("n_removed")).head().getLong(0)
+      val t112 = System.nanoTime()
+      require(removed == 12 * nCarrier + 24 * nClone,
+        s"removal mass: $removed vs ${12 * nCarrier + 24 * nClone}")
+      spans.unpersist()
+      val dsSec = (t111 - t110) / 1e9
+      val scSec = (t112 - t111) / 1e9
+      println(f"""{"scenario":"dup_spans","docs":$nDocsS,"grams":${nDocsS * 17},""" +
+        f""""hot_gram_occurrences":$nCarrier,"spans":$nSpans,""" +
+        f""""span_sec":$dsSec%.2f,"scrub_sec":$scSec%.2f}""")
+
+      // incremental arm: the gram state persists to parquet once; a
+      // nDocsS/100 shard of verbatim clones of FILLER docs (ids ≡ 1
+      // mod 10 — never run-carriers or boilerplate) transitions all 17
+      // grams of each cloned old doc, so the incremental output is the
+      // closed form: whole-doc (1,24) spans for every shard doc AND
+      // every cloned old doc — derived from the shard, the state, and
+      // the semi-join-restricted old-doc lookups only, never a corpus
+      // text rescan.
+      val nShardS = math.max(nDocsS / 100, 1000L)
+      val stDir = java.nio.file.Files.createTempDirectory("dupspan_state").toString
+      val t113 = System.nanoTime()
+      graft.operators.Dedup.dupSpanState(docsS, "doc_id", "text")
+        .write.mode("overwrite").parquet(stDir)
+      val t114 = System.nanoTime()
+      val shardS = spark.range(nShardS).select(
+        (col("id") + 100000000L).as("doc_id"),
+        expr("array_join(transform(sequence(1, 24), j -> " +
+          "concat(id * 10 + 1, 'x', j)), ' ')").as("text"))
+      val incS = graft.operators.Dedup.dupSpansIncremental(
+        spark.read.parquet(stDir), docsS, shardS, "doc_id", "text").cache()
+      val nIncS = incS.count()
+      val nWhole = incS.where(col("span_start") === 1 && col("span_end") === 24).count()
+      val nOldAff = incS.where(col("doc_id") < 100000000L).count()
+      val t115 = System.nanoTime()
+      require(nIncS == 2 * nShardS && nWhole == nIncS && nOldAff == nShardS,
+        s"incremental closed form: spans=$nIncS whole=$nWhole old=$nOldAff vs ${2 * nShardS}/$nShardS")
+      incS.unpersist()
+      println(f"""{"scenario":"dup_spans_incremental","index_docs":$nDocsS,""" +
+        f""""shard_docs":$nShardS,"transitioned_old_docs":$nOldAff,""" +
+        f""""state_sec":${(t114 - t113) / 1e9}%.2f,"inc_sec":${(t115 - t114) / 1e9}%.2f}""")
+    }
     spark.stop()
   }
 }

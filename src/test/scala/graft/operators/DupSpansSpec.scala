@@ -71,4 +71,48 @@ class DupSpansSpec extends SparkSpec {
     assert(byId(7L) === ((7L, 16L, 16L, "")))
     assert(byId(10L) === ((10L, 3L, 0L, "c1 c2 c3")))
   }
+
+  test("dupSpanState merge == rebuild; incremental == full restriction") {
+    import spark.implicits._
+    val shard = Seq(
+      // clones doc 4 (previously span-free): transitions its t-grams
+      doc(101L, (1 to 9).map(i => s"t$i")),
+      // duplicates doc 1's boundary gram w4 S1..S7: doc 1's span must
+      // EXTEND from [5,16] to [4,16]
+      doc(102L, Seq("w4") ++ (1 to 7).map(i => s"S$i")),
+      // fresh unique text: affected (it is the shard) but span-free
+      doc(103L, (1 to 9).map(i => s"f$i"))
+    ).toDF("doc_id", "text")
+    val union = docs.unionAll(shard)
+
+    // state maintenance: fold-in equals the from-scratch state
+    val merged = Dedup.dupSpanStateMerge(
+      Dedup.dupSpanState(docs, "doc_id", "text"), shard, "doc_id", "text")
+    val rebuilt = Dedup.dupSpanState(union, "doc_id", "text")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
+
+    // incremental output equals the full rebuild restricted to affected
+    // docs (shard + old holders of transitioned grams: docs 1 and 4)
+    val inc = Dedup.dupSpansIncremental(
+      Dedup.dupSpanState(docs, "doc_id", "text"), docs, shard, "doc_id", "text")
+    val affected = Seq(1L, 4L, 101L, 102L, 103L)
+    val fullAff = Dedup.duplicateSpans(union, "doc_id", "text")
+      .where(col("doc_id").isin(affected: _*))
+    assert(inc.exceptAll(fullAff).isEmpty && fullAff.exceptAll(inc).isEmpty)
+
+    val byDoc = inc.orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(byDoc === Seq(
+      (1L, 4L, 16L),    // extension across the newly-duplicated boundary gram
+      (4L, 1L, 9L), (101L, 1L, 9L),
+      (102L, 1L, 8L)))  // doc 103 is span-free
+
+    // and every UNAFFECTED document's spans are bitwise unchanged, so
+    // old-spans-for-unaffected ∪ incremental == the full-union world
+    val world = Dedup.duplicateSpans(docs, "doc_id", "text")
+      .where(!col("doc_id").isin(affected: _*))
+      .unionAll(inc)
+    val full = Dedup.duplicateSpans(union, "doc_id", "text")
+    assert(world.exceptAll(full).isEmpty && full.exceptAll(world).isEmpty)
+  }
 }
