@@ -76,7 +76,9 @@ object Bench {
     "q620_image_hash", "q621_image_neardup", "q622_image_dedup_capped",
     "q623_audio_frames", "q624_audio_fingerprint", "q625_audio_neardup",
     "q626_video_frame_sample", "q627_video_neardup",
-    "q628_media_dedup_pipeline", "q629_media_dedup_incremental")
+    "q628_media_dedup_pipeline", "q629_media_dedup_incremental",
+    // round-10 third session: ExactSubstr duplicated-span family
+    "q630_dup_spans", "q631_dup_span_scrub", "q632_dup_spans_incremental")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline
