@@ -78,7 +78,9 @@ object Bench {
     "q626_video_frame_sample", "q627_video_neardup",
     "q628_media_dedup_pipeline", "q629_media_dedup_incremental",
     // round-10 third session: ExactSubstr duplicated-span family
-    "q630_dup_spans", "q631_dup_span_scrub", "q632_dup_spans_incremental")
+    "q630_dup_spans", "q631_dup_span_scrub", "q632_dup_spans_incremental",
+    // round-10 fourth session: Aho-Corasick blocklist tagging
+    "q633_blocklist_counts", "q635_blocklist_filter")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

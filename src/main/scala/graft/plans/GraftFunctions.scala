@@ -84,4 +84,23 @@ object GraftFunctions {
     */
   def pqEncode(emb: Column, codebook: Array[Long], m: Int, k: Int, d: Int): Column =
     GraftShims.pqEncodeColumn(emb, codebook, m, k, d)
+
+  /** Native Aho-Corasick multi-pattern counts: ONE pass per row over the
+    * text computes, for every dictionary term simultaneously, both the
+    * overlapping (end-position) and the greedy leftmost non-overlapping
+    * (replace-semantics) occurrence counts, as a SPARSE
+    * array<struct(idx int, olap int, disj int)> — one entry per matched
+    * term, ascending by index into `terms`. O(text + matches)
+    * independent of |dict| — vs |dict| LIKE passes.
+    */
+  def acCounts(text: Column, terms: Seq[String]): Column =
+    GraftShims.acCountsColumn(text, terms)
+
+  /** Native Aho-Corasick scrub: one pass, leftmost-longest
+    * non-overlapping span selection (FlashText's rule), cleaned text as
+    * the byte-splice, as struct(cleaned string, spans array<struct(start,
+    * len, idx)>) with 0-based byte offsets.
+    */
+  def acScrub(text: Column, terms: Seq[String]): Column =
+    GraftShims.acScrubColumn(text, terms)
 }

@@ -2273,5 +2273,160 @@ object CurationQueries {
         .select(col("tier"), col("n_parts"), col("n_lines"),
           expr("n_lines * 1000000 div tf").as("line_share_ppm"))
         .orderBy("tier")
+    },
+
+    // Multi-pattern blocklist tagging (round 10): the C4/Dolma-style
+    // keyword tagger — a corpus-derived dictionary (top-24 tokens of
+    // length >= 5, ties by term) compiled ONCE into a frozen byte-level
+    // Aho-Corasick automaton that rides the plan as a reference object;
+    // each document is ONE O(len + matches) codegen pass counting every
+    // term simultaneously, vs |dict| LIKE scans of the corpus. n_disj is
+    // the greedy leftmost non-overlapping count — exactly what
+    // left-to-right replace() consumes, which is the oracle's formula.
+    QueryDef.sql(
+      "q633_blocklist_counts",
+      """WITH toks AS (SELECT lower(t.tok) AS term FROM documents d,
+        |   unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+        |   WHERE length(t.tok) >= 5),
+        |dict AS (SELECT term FROM
+        |  (SELECT term, count(*) AS c FROM toks GROUP BY term ORDER BY c DESC, term LIMIT 24)),
+        |occ AS (SELECT d.doc_id, t.term,
+        |   (length(lower(d.text)) - length(replace(lower(d.text), t.term, ''))) // length(t.term) AS n
+        | FROM documents d CROSS JOIN dict t)
+        |SELECT doc_id, term, CAST(n AS BIGINT) AS n_disj
+        |FROM occ WHERE n > 0 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val dict = graft.operators.Blocklist.topTermDictionary(docs, "text", 24, 5)
+      graft.operators.Blocklist.matchCounts(docs, "doc_id", "text", dict)
+        .select("doc_id", "term", "n_disj")
+        .orderBy("doc_id", "term")
+    },
+
+    // The OVERLAPPING count semantic of the same single pass, proven
+    // against a position-by-position oracle on a doc subset (the oracle
+    // is O(len·|dict|) per doc — Spark's pass stays O(len + matches)).
+    // A planted self-overlapping term ('aba' against an appended
+    // 'abab...' tail) makes olap > disj real on fixture data: 'ab'×m
+    // contains m-1 overlapping 'aba's but only ceil((m-1)/2) disjoint
+    // ones. The dictionary derives from the ORIGINAL text so the planted
+    // tail cannot perturb the top-K cut.
+    QueryDef.sql(
+      "q634_blocklist_overlap",
+      """WITH toks AS (SELECT lower(t.tok) AS term FROM documents d,
+        |   unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+        |   WHERE length(t.tok) >= 5),
+        |dict AS (SELECT term FROM
+        |  (SELECT term, count(*) AS c FROM toks GROUP BY term ORDER BY c DESC, term LIMIT 24)
+        |  UNION SELECT 'aba'),
+        |md AS (SELECT doc_id, lower(text || ' ' || repeat('ab', CAST(doc_id % 4 AS INT) + 1)) AS lt
+        |       FROM documents WHERE doc_id % 37 = 0),
+        |occ AS (SELECT m.doc_id, t.term,
+        |   len(list_filter(range(1, length(m.lt) - length(t.term) + 2),
+        |       i -> substr(m.lt, CAST(i AS INT), CAST(length(t.term) AS INT)) = t.term)) AS n_olap,
+        |   (length(m.lt) - length(replace(m.lt, t.term, ''))) // length(t.term) AS n_disj
+        | FROM md m CROSS JOIN dict t)
+        |SELECT doc_id, term, CAST(n_olap AS BIGINT) AS n_olap, CAST(n_disj AS BIGINT) AS n_disj
+        |FROM occ WHERE n_olap > 0 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val dict0 = graft.operators.Blocklist.topTermDictionary(docs, "text", 24, 5)
+      val dict = (dict0 :+ "aba").distinct.sorted
+      val mod = docs.where(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('ab', CAST(doc_id % 4 AS INT) + 1)")).as("text"))
+      graft.operators.Blocklist.matchCounts(mod, "doc_id", "text", dict)
+        .orderBy("doc_id", "term")
+    },
+
+    // The blocklist GATE: per-document verdict at a hits-density
+    // threshold (hits per 10k chars, integer-exact div) — the form a
+    // curation waterfall composes. Every document appears, zero-hit docs
+    // pass with zeros; threshold 900 splits the fixture corpus near its
+    // median so both verdicts are populated at every SF.
+    QueryDef.sql(
+      "q635_blocklist_filter",
+      """WITH toks AS (SELECT lower(t.tok) AS term FROM documents d,
+        |   unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+        |   WHERE length(t.tok) >= 5),
+        |dict AS (SELECT term FROM
+        |  (SELECT term, count(*) AS c FROM toks GROUP BY term ORDER BY c DESC, term LIMIT 24)),
+        |base AS (SELECT d.doc_id, length(d.text) AS n_chars, lower(d.text) AS lt FROM documents d),
+        |hit AS (SELECT b.doc_id, t.term,
+        |   (length(b.lt) - length(replace(b.lt, t.term, ''))) // length(t.term) AS n
+        | FROM base b CROSS JOIN dict t),
+        |agg AS (SELECT doc_id, sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS n_terms,
+        |        sum(n) AS n_hits FROM hit GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+        |  CAST(a.n_terms AS BIGINT) AS n_terms, CAST(a.n_hits AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN b.n_chars > 0 THEN (10000 * a.n_hits) // b.n_chars ELSE 0 END AS BIGINT) AS hits_per_10k,
+        |  CAST(CASE WHEN (CASE WHEN b.n_chars > 0 THEN (10000 * a.n_hits) // b.n_chars ELSE 0 END) <= 900
+        |       THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM base b JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val dict = graft.operators.Blocklist.topTermDictionary(docs, "text", 24, 5)
+      graft.operators.Blocklist.summary(docs, "doc_id", "text", dict, maxPer10k = 900)
+        .orderBy("doc_id")
+    },
+
+    // The blocklist REDACTION pass: leftmost-longest non-overlapping
+    // span removal (FlashText's rule) in one automaton pass; the oracle
+    // REPLAYS the greedy policy with a recursive CTE + LATERAL argmin
+    // over the candidate-match relation and splices the survivors with
+    // windowed segments. The 'ab'/'aba' planted pair forces the
+    // longest-at-same-start preference on the appended 'abab…' tails.
+    QueryDef.sql(
+      "q636_blocklist_scrub",
+      """WITH RECURSIVE toks AS (SELECT lower(t.tok) AS term FROM documents d,
+        |   unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+        |   WHERE length(t.tok) >= 5),
+        |dict AS (SELECT term FROM
+        |  (SELECT term, count(*) AS c FROM toks GROUP BY term ORDER BY c DESC, term LIMIT 24)
+        |  UNION SELECT 'ab' UNION SELECT 'aba'),
+        |md AS (SELECT doc_id, lower(text || ' ' || repeat('ab', CAST(doc_id % 4 AS INT) + 1)) AS lt
+        |       FROM documents WHERE doc_id % 37 = 0),
+        |cand AS (SELECT m.doc_id, CAST(s.start AS BIGINT) AS start, length(t.term) AS len
+        |  FROM md m CROSS JOIN dict t,
+        |  unnest(list_filter(range(1, length(m.lt) - length(t.term) + 2),
+        |      i -> substr(m.lt, CAST(i AS INT), CAST(length(t.term) AS INT)) = t.term)) AS s(start)),
+        |sel AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS sel_start, CAST(0 AS BIGINT) AS sel_len,
+        |         CAST(0 AS BIGINT) AS last_end
+        |  FROM md
+        |  UNION ALL
+        |  SELECT s.doc_id, b.start, b.len, b.start + b.len - 1
+        |  FROM sel s JOIN LATERAL (
+        |    SELECT c.start, CAST(c.len AS BIGINT) AS len FROM cand c
+        |    WHERE c.doc_id = s.doc_id AND c.start > s.last_end
+        |    ORDER BY c.start ASC, c.len DESC LIMIT 1) b ON true),
+        |spans AS (SELECT doc_id, sel_start, sel_len FROM sel WHERE sel_len > 0),
+        |seg AS (SELECT m.doc_id, m.lt, s.sel_start, s.sel_len,
+        |    coalesce(lag(s.sel_start + s.sel_len) OVER (PARTITION BY s.doc_id ORDER BY s.sel_start), 1) AS seg_from
+        |  FROM md m JOIN spans s ON s.doc_id = m.doc_id),
+        |pieces AS (
+        |  SELECT doc_id, sel_start AS ord,
+        |    substr(lt, CAST(seg_from AS INT), CAST(sel_start - seg_from AS INT)) AS piece
+        |  FROM seg
+        |  UNION ALL
+        |  SELECT m.doc_id, CAST(length(m.lt) + 1 AS BIGINT),
+        |    substr(m.lt, CAST(coalesce(mx.tail_from, 1) AS INT)) AS piece
+        |  FROM md m LEFT JOIN
+        |    (SELECT doc_id, max(sel_start + sel_len) AS tail_from FROM spans GROUP BY doc_id) mx
+        |    ON mx.doc_id = m.doc_id),
+        |cl AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned FROM pieces GROUP BY doc_id)
+        |SELECT m.doc_id, c.cleaned,
+        |  CAST(coalesce(ns.n, 0) AS BIGINT) AS n_spans,
+        |  CAST(length(m.lt) - length(c.cleaned) AS BIGINT) AS n_removed
+        |FROM md m JOIN cl c ON c.doc_id = m.doc_id
+        |LEFT JOIN (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id) ns ON ns.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val dict0 = graft.operators.Blocklist.topTermDictionary(docs, "text", 24, 5)
+      val dict = (dict0 ++ Seq("ab", "aba")).distinct.sorted
+      val mod = docs.where(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('ab', CAST(doc_id % 4 AS INT) + 1)")).as("text"))
+      graft.operators.Blocklist.scrub(mod, "doc_id", "text", dict)
+        .orderBy("doc_id")
     })
 }

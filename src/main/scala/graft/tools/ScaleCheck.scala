@@ -12,6 +12,17 @@ import graft.operators.{DataCompare, ProgressCounters}
   * as Perturb). `sbt "runMain graft.tools.ScaleCheck [millions]"`.
   */
 object ScaleCheck {
+
+  /** Driver GC nudge between scenario blocks. localCheckpoint blocks of
+    * out-of-scope relations are dropped by the ContextCleaner only after
+    * a driver GC collects the RDD handle — across a 40-scenario battery
+    * in ONE 8g JVM the earlier scenarios' checkpoint blocks otherwise
+    * pile up in storage memory until a later cache unroll OOMs (observed
+    * twice at cc_incremental after the r10 additions; a production
+    * cluster never sees this shape — each job is its own application).
+    */
+  private def settle(): Unit = System.gc()
+
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toInt).getOrElse(10)
     val n = millions * 1000000L
@@ -87,6 +98,7 @@ object ScaleCheck {
       f""""signature_sec":${(t7 - t6) / 1e9}%.2f,"candidates_sec":${(t8 - t7) / 1e9}%.2f,""" +
       f""""sig_docs_per_sec":${(nSig / ((t7 - t6) / 1e9)).toLong}}""")
 
+    settle();
     // ---- lsh_hot_bucket: the degenerate-bucket valve at nDocs scale ----
     // 1% of the corpus shares ONE identical text (the boilerplate page):
     // uncapped, that bucket alone emits (nDocs/100)²/2 pairs per band
@@ -154,6 +166,7 @@ object ScaleCheck {
         f""""capped_pairs":$nCapInc,"sec":$hiSec%.2f}""")
     }
 
+    settle();
     // ---- banded_hamming: the perceptual families' blocking operator at
     // nDocs scale. Lanes are md5-derived (uniform over 2^16, so buckets
     // birthday-collide to ~nDocs/65536 deep — the REAL dense-band cost
@@ -186,6 +199,7 @@ object ScaleCheck {
         f""""sec":$bhSec%.2f}""")
     }
 
+    settle();
     // ---- lsh_incremental: shard-vs-index dedup cost follows the shard ----
     // 10k new docs (half verbatim clones of index docs, half brand-new
     // md5-random) probe the 1M-doc index's band buckets. Closed form on
@@ -225,6 +239,7 @@ object ScaleCheck {
       println(f"""{"scenario":"lsh_incremental","index_docs":$nDocs,"shard_docs":${2 * shardHalf},""" +
         f""""pairs":$nInc,"cluster_hits":$clusterHits,"sec":$incSec%.2f}""")
 
+      settle();
       // ---- cc_incremental: merge shard edges into EXISTING labels ----
       // Prior labels = one-time CC over the corpus candidate pairs (the
       // cost the incremental path never repeats); the shard's admitted
@@ -745,6 +760,7 @@ object ScaleCheck {
         f""""rows_per_sec":${(2 * n / tpSec).toLong}}""")
     }
 
+    settle();
     // ---- curation_waterfall: the composed hygiene chain at 1M docs ----
     // Self-validating: the synthetic corpus plants exact proportions —
     // every 4th doc is German (lang gate drops it), every 10th is a
@@ -938,6 +954,7 @@ object ScaleCheck {
         f""""rows_per_sec":${(2 * n / cuSec).toLong}}""")
     }
 
+    settle();
     // ---- dup_spans: ExactSubstr duplicated-span dedup at corpus-token
     // scale. nDocs/10 docs (24 words each, otherwise md5-unique) share a
     // planted 12-word run — its five interior 8-grams each occur
@@ -1018,6 +1035,56 @@ object ScaleCheck {
       println(f"""{"scenario":"dup_spans_incremental","index_docs":$nDocsS,""" +
         f""""shard_docs":$nShardS,"transitioned_old_docs":$nOldAff,""" +
         f""""state_sec":${(t114 - t113) / 1e9}%.2f,"inc_sec":${(t115 - t114) / 1e9}%.2f}""")
+    }
+
+    settle();
+    // ---- blocklist: multi-pattern Aho-Corasick tagging at corpus scale.
+    // nDocs/10 docs × a 10,001-term dictionary (the naive twin is 10,001
+    // LIKE scans of the corpus): each doc plants term blk{id%K}w
+    // (id%5)+1 times plus a self-overlapping 'ab'×((id%4)+1) tail for
+    // the 'aba' term; filler words are structurally unique and share no
+    // letters with any term. Closed forms per term (K | 5·gcd ⇒ each
+    // term's docs share one id%5 residue) and for the overlap-vs-
+    // disjoint split of 'aba'. The tagging pass is ONE codegen
+    // projection — the only shuffle is the term rollup.
+    {
+      val nDocsB = math.max(n / 10, 100000L)
+      val kTerms = 10000
+      val docsB = spark.range(nDocsB).select(col("id").as("doc_id"),
+        expr(s"""concat(
+          array_join(transform(sequence(1, 12), j -> concat('f', id, 'q', j)), ' '),
+          ' ', repeat(concat('blk', id % $kTerms, 'w '), CAST(id % 5 AS INT) + 1),
+          repeat('ab', CAST(id % 4 AS INT) + 1))""").as("text"))
+      val dictB = (0 until kTerms).map(t => s"blk${t}w") :+ "aba"
+      val t120 = System.nanoTime()
+      val perTerm = graft.operators.Blocklist
+        .matchCounts(docsB, "doc_id", "text", dictB)
+        .groupBy("term")
+        .agg(sum("n_olap").as("olap"), sum("n_disj").as("disj")).cache()
+      val nTermsHit = perTerm.count()
+      val t121 = System.nanoTime()
+      require(nTermsHit == kTerms + 1, s"terms hit: $nTermsHit vs ${kTerms + 1}")
+      val expB = spark.range(nDocsB).select((col("id") % kTerms).as("tnum"),
+          ((col("id") % 5) + 1).as("cnt"))
+        .groupBy("tnum").agg(sum("cnt").as("want"))
+      val badPlanted = perTerm.where(col("term") =!= "aba")
+        .select(regexp_extract(col("term"), "blk(\\d+)w", 1).cast("long").as("tnum"),
+          col("olap"), col("disj"))
+        .join(expB, "tnum")
+        .where(col("olap") =!= col("want") || col("disj") =!= col("want"))
+        .count()
+      require(badPlanted == 0, s"planted-term mismatches: $badPlanted")
+      val abaRow = perTerm.where(col("term") === "aba").head()
+      val abaExp = spark.range(nDocsB).agg(
+        sum(col("id") % 4).as("eo"),
+        sum(expr("(id % 4 + 1) div 2")).as("ed")).head()
+      require(abaRow.getAs[Long]("olap") == abaExp.getAs[Long]("eo") &&
+        abaRow.getAs[Long]("disj") == abaExp.getAs[Long]("ed"),
+        s"aba closed form: (${abaRow.getAs[Long]("olap")},${abaRow.getAs[Long]("disj")})" +
+          s" vs (${abaExp.getAs[Long]("eo")},${abaExp.getAs[Long]("ed")})")
+      perTerm.unpersist()
+      println(f"""{"scenario":"blocklist","docs":$nDocsB,"dict_terms":${kTerms + 1},""" +
+        f""""terms_hit":$nTermsHit,"tag_sec":${(t121 - t120) / 1e9}%.2f}""")
     }
     spark.stop()
   }

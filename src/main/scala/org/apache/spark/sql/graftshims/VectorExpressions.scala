@@ -373,4 +373,10 @@ object GraftShims {
 
   def pqEncodeColumn(emb: Column, codebook: Array[Long], m: Int, k: Int, d: Int): Column =
     ExpressionUtils.column(PQEncode(ExpressionUtils.expression(emb), codebook, m, k, d))
+
+  def acCountsColumn(text: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(AhoCorasickCounts(ExpressionUtils.expression(text), terms))
+
+  def acScrubColumn(text: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(AhoCorasickScrub(ExpressionUtils.expression(text), terms))
 }
