@@ -80,7 +80,7 @@ object Bench {
     // round-10 third session: ExactSubstr duplicated-span family
     "q630_dup_spans", "q631_dup_span_scrub", "q632_dup_spans_incremental",
     // round-10 fourth session: Aho-Corasick blocklist tagging
-    "q633_blocklist_counts", "q635_blocklist_filter")
+    "q633_blocklist_counts", "q635_blocklist_filter", "q637_blocklist_delta")
 
   /** Rotating cohort: `n` seeded-random NON-headline registry entries
     * appended to every bench run, so a regression in an off-headline

@@ -74,6 +74,72 @@ object Blocklist {
       .withColumn("pass", (col("hits_per_10k") <= maxPer10k).cast("int"))
   }
 
+  /** Character-g-gram postings over the lowercased text — the persisted
+    * index that makes DICTIONARY GROWTH incremental: adding a term never
+    * rescans the corpus (see [[termDeltaCounts]]). One row per distinct
+    * (gram, doc) — built by a row-local decomposition, so shard append ≡
+    * rebuild by construction; at 100 TB the relation is written
+    * `bucketBy(gram)` so term probes co-locate without a shuffle.
+    */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      g: Int = 4): DataFrame = {
+    // guard: sequence(1, 0) would DESCEND ([1, 0]) — a doc shorter than g
+    // has no gram and must contribute no postings rows
+    docs
+      .select(col(idCol),
+        explode(expr(
+          s"CASE WHEN length(lower($textCol)) >= $g THEN " +
+          s"transform(sequence(1, length(lower($textCol)) - ${g - 1}), " +
+          s"i -> substr(lower($textCol), i, $g)) " +
+          s"ELSE array() END")).as("gram"))
+      .distinct()
+  }
+
+  /** Exact match counts for NEWLY ADDED dictionary terms without a
+    * corpus rescan: each term's candidate documents are those whose
+    * postings contain ALL of the term's g-grams (a containment-complete
+    * prefilter — a document containing the term as a substring contains
+    * every one of its g-grams), and only those documents' text is read
+    * for the exact automaton verify. Result ≡ `matchCounts(docs, terms)`
+    * restricted to the new terms — the spec and oracle pin that
+    * equality. Terms must be ≥ g chars (shorter terms have no g-gram
+    * witness; grow them through the full-scan path instead).
+    *
+    * Scale shape: the probe is |term grams| posting lookups + a
+    * candidate-sized semi-join into the corpus — cost follows the new
+    * term's selectivity, not the corpus.
+    */
+  def termDeltaCounts(postings: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, newTerms: Seq[String], g: Int = 4): DataFrame = {
+    require(newTerms.forall(_.length >= g),
+      s"termDeltaCounts: every term needs a $g-gram witness")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termGrams = newTerms
+      .flatMap(t => t.sliding(g).toSeq.distinct.map(t -> _))
+      .toDF("term", "gram")
+    val nGrams = newTerms.map(t => t -> t.sliding(g).toSeq.distinct.size).toMap
+    val need = newTerms.map(t => (t, nGrams(t))).toDF("term", "need")
+    val allGrams = newTerms.flatMap(_.sliding(g)).distinct
+    val cand = postings
+      // literal In() filter BEFORE the join so a parquet-backed postings
+      // store can skip row groups / dictionary pages — the join alone
+      // would scan the whole index; the delta-term list is small by the
+      // use case, so the literal list is bounded
+      .where(col("gram").isin(allGrams: _*))
+      .join(broadcast(termGrams), "gram")
+      .groupBy("term", idCol).agg(count(lit(1)).as("have"))
+      .join(broadcast(need), "term")
+      .where(col("have") === col("need"))
+      .select(col("term"), col(idCol))
+    val candDocs = docs.join(cand.select(idCol).distinct(), Seq(idCol), "left_semi")
+    // exact verify on the candidate subset only — sound because a hit on
+    // term t implies candidacy FOR t (contains-all-grams ⊇ contains-term),
+    // so restricting the scan to the candidate union loses nothing
+    matchCounts(candDocs, idCol, textCol, newTerms)
+      .select(col(idCol), col("term"), col("n_olap"), col("n_disj"))
+  }
+
   /** Redaction pass: remove every blocklisted span under the
     * leftmost-longest non-overlapping policy (FlashText's rule — at equal
     * starts the longest term wins; a selected span suppresses overlapping

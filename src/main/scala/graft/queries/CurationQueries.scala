@@ -2428,5 +2428,42 @@ object CurationQueries {
             expr("repeat('ab', CAST(doc_id % 4 AS INT) + 1)")).as("text"))
       graft.operators.Blocklist.scrub(mod, "doc_id", "text", dict)
         .orderBy("doc_id")
+    },
+
+    // DICTIONARY GROWTH as an ingestion-loop leg: adding terms to the
+    // blocklist re-tags only candidate documents — those whose persisted
+    // character-4-gram postings contain ALL of the new term's grams (a
+    // containment-complete prefilter) — then verifies exactly on that
+    // subset; the corpus is never rescanned. The new terms are the TWO
+    // RAREST eligible tokens (deterministic ties) — the fixture
+    // vocabulary is small, and rare terms are exactly the delta case
+    // that rewards index selectivity. The oracle recomputes both count
+    // semantics over the FULL corpus from raw text — equality proves the
+    // index path loses nothing and over-claims nothing.
+    QueryDef.sql(
+      "q637_blocklist_delta",
+      """WITH toks AS (SELECT lower(t.tok) AS term FROM documents d,
+        |   unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+        |   WHERE length(t.tok) >= 5),
+        |nt AS (SELECT term FROM
+        |  (SELECT term, count(*) AS c FROM toks GROUP BY term ORDER BY c ASC, term ASC LIMIT 2)),
+        |occ AS (SELECT d.doc_id, t.term,
+        |   len(list_filter(range(1, length(lower(d.text)) - length(t.term) + 2),
+        |       i -> substr(lower(d.text), CAST(i AS INT), CAST(length(t.term) AS INT)) = t.term)) AS n_olap,
+        |   (length(lower(d.text)) - length(replace(lower(d.text), t.term, ''))) // length(t.term) AS n_disj
+        | FROM documents d CROSS JOIN nt t)
+        |SELECT doc_id, term, CAST(n_olap AS BIGINT) AS n_olap, CAST(n_disj AS BIGINT) AS n_disj
+        |FROM occ WHERE n_olap > 0 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val newTerms = docs
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .where(length(col("term")) >= 5)
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").asc, col("term").asc)
+        .limit(2).collect().map(_.getString(0)).toSeq
+      val postings = graft.operators.Blocklist.gramPostings(docs, "doc_id", "text")
+      graft.operators.Blocklist
+        .termDeltaCounts(postings, docs, "doc_id", "text", newTerms)
+        .orderBy("doc_id", "term")
     })
 }

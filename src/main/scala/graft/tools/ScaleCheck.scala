@@ -1085,6 +1085,56 @@ object ScaleCheck {
       perTerm.unpersist()
       println(f"""{"scenario":"blocklist","docs":$nDocsB,"dict_terms":${kTerms + 1},""" +
         f""""terms_hit":$nTermsHit,"tag_sec":${(t121 - t120) / 1e9}%.2f}""")
+
+      // Head-to-head vs the naive per-term plan at a REALISTIC small
+      // dictionary (24 terms): the naive tagger is one `contains` branch
+      // per term — O(len·|dict|) string scans per row, the shape every
+      // rule engine ships first. Totals must agree exactly (disjoint
+      // counts via the replace()-length identity, the oracle formula);
+      // the artifact records both times plus the 10k-term AC time above,
+      // whose flatness vs dictionary size is the actual scale argument.
+      val dict24 = (0 until 24).map(t => s"blk${t * (kTerms / 24)}w")
+      val t122 = System.nanoTime()
+      val acHits = graft.operators.Blocklist
+        .matchCounts(docsB, "doc_id", "text", dict24)
+        .agg(sum("n_disj")).head().getLong(0)
+      val t123 = System.nanoTime()
+      val naiveHits = docsB.select(
+        dict24.zipWithIndex.map { case (t, i) =>
+          ((length(col("text")) - length(replace(col("text"), lit(t), lit(""))))
+            / t.length).cast("long").as(s"c$i")
+        }: _*)
+        .agg(sum(expr((0 until 24).map(i => s"c$i").mkString("+")))).head().getLong(0)
+      val t124 = System.nanoTime()
+      require(acHits == naiveHits, s"AC vs naive totals: $acHits vs $naiveHits")
+      println(f"""{"scenario":"blocklist_naive_twin","docs":$nDocsB,"dict_terms":24,""" +
+        f""""hits":$acHits,"ac_sec":${(t123 - t122) / 1e9}%.2f,""" +
+        f""""naive_sec":${(t124 - t123) / 1e9}%.2f}""")
+
+      // Dictionary-growth leg: the char-4-gram postings persist ONCE
+      // (corpus-token-sized — the honest index cost, like dup_spans'
+      // gram relation), then adding term blk77w re-tags via the index:
+      // its gram 'k77w' can only arise from id exactly 77 (filler/tail
+      // share no letters with terms), so candidates are EXACTLY the
+      // nDocsB/K planted docs, each carrying (77%5)+1 = 3 occurrences —
+      // probe cost follows the term's selectivity, never the corpus.
+      val pstDir = java.nio.file.Files.createTempDirectory("blk_postings").toString
+      val t125 = System.nanoTime()
+      graft.operators.Blocklist.gramPostings(docsB, "doc_id", "text")
+        .write.mode("overwrite").parquet(pstDir)
+      val t126 = System.nanoTime()
+      val delta = graft.operators.Blocklist.termDeltaCounts(
+        spark.read.parquet(pstDir), docsB, "doc_id", "text", Seq("blk77w")).cache()
+      val nDelta = delta.count()
+      val deltaHits = delta.agg(sum("n_disj")).head().getLong(0)
+      val t127 = System.nanoTime()
+      val wantDocs = nDocsB / kTerms
+      require(nDelta == wantDocs && deltaHits == 3 * wantDocs,
+        s"delta closed form: $nDelta docs/$deltaHits hits vs $wantDocs/${3 * wantDocs}")
+      delta.unpersist()
+      println(f"""{"scenario":"blocklist_delta_term","docs":$nDocsB,""" +
+        f""""postings_sec":${(t126 - t125) / 1e9}%.2f,"affected_docs":$nDelta,""" +
+        f""""probe_sec":${(t127 - t126) / 1e9}%.2f}""")
     }
     spark.stop()
   }

@@ -170,6 +170,43 @@ class AhoCorasickSpec extends SparkSpec {
     assert(c2 == "urs" && s2 == Seq((1, 3, 1)))
   }
 
+  test("termDeltaCounts ≡ full matchCounts restriction (randomized), postings append ≡ rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(63701L)
+    val abcd = "abcd"
+    def randStr(n: Int) = (0 until n).map(_ => abcd(rnd.nextInt(4))).mkString
+    (1 to 5).foreach { _ =>
+      val docs = (0L until 30L).map(i => i -> randStr(8 + rnd.nextInt(30))).toDF("doc_id", "text")
+      val terms = Iterator.continually(randStr(4 + rnd.nextInt(3)))
+        .distinct.take(3).toSeq
+      val postings = Blocklist.gramPostings(docs, "doc_id", "text")
+      val got = Blocklist.termDeltaCounts(postings, docs, "doc_id", "text", terms)
+        .orderBy("doc_id", "term").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = Blocklist.matchCounts(docs, "doc_id", "text", terms)
+        .orderBy("doc_id", "term").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"delta path must equal the full scan for $terms")
+    }
+    // candidate-but-no-match: term 'abcdab' has grams abcd/bcda/cdab; doc 1
+    // carries all three SCATTERED (prefilter admits it) but never the
+    // contiguous term — the exact verify must emit only doc 2
+    val tricky = Seq((1L, "abcd bcda cdab"), (2L, "zabcdabz")).toDF("doc_id", "text")
+    val p2 = Blocklist.gramPostings(tricky, "doc_id", "text")
+    val d2 = Blocklist.termDeltaCounts(p2, tricky, "doc_id", "text", Seq("abcdab"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(d2 == Seq(2L), "scattered-gram doc must be dropped by the exact verify")
+    // a doc shorter than g contributes NO postings (sequence(1,0) would
+    // otherwise descend and fabricate windows)
+    val short = Seq((9L, "abc")).toDF("doc_id", "text")
+    assert(Blocklist.gramPostings(short, "doc_id", "text").count() == 0L)
+    // postings append ≡ rebuild (row-local decomposition)
+    val shard = Seq((10L, "ddda abc")).toDF("doc_id", "text")
+    val appended = p2.unionByName(Blocklist.gramPostings(shard, "doc_id", "text"))
+    val rebuilt = Blocklist.gramPostings(tricky.unionByName(shard), "doc_id", "text")
+    assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty)
+  }
+
   test("matchCounts + summary integer parity on a directed corpus") {
     import spark.implicits._
     val docs = Seq(
