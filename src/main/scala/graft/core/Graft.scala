@@ -18,6 +18,14 @@ object Graft {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // r10 (guide §3.1): let AQE rewrite a sort-merge join to a shuffled
+    // HASH join when every post-shuffle build partition is verifiably
+    // small (runtime sizes, not estimates — the OOM-safe variant of
+    // preferSortMergeJoin=false): drops both sort legs from the many
+    // dimension- and metadata-grain joins. 64m matches the advisory
+    // partition size; override for clusters with tighter task memory.
+    c.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as raw Long nanos and convert in Tables.events.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -141,7 +141,24 @@ object Dedup {
       // projected vs 44.5 s filtered; q618's candidate step 33 s → ~1 s
       // with the barrier). An ExistingRDD barrier leaves planning
       // nothing to inline.
-      val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint(true)
+      minhashCandidatesBanded(
+        lshBands(sig, numHashes, rowsPerBand).localCheckpoint(true), maxBucket)
+    }
+
+  /** [[minhashCandidates]] over a PRE-MATERIALIZED band relation — the
+    * full-corpus twin of [[incrementalCandidatesIndexed]]: a composition
+    * that also probes the same index (q604/q605/q609's shape: corpus CC
+    * from the full pair set, THEN a shard admission against the same
+    * bands) builds `lshBands(sig).localCheckpoint(true)` ONCE and feeds
+    * both operators, instead of each operator re-materializing the
+    * corpus-sized band pass internally. Identical output to
+    * [[minhashCandidates]] (it IS its back half — DedupSpec pins the
+    * equality); `bands` must already be materialized (the expression
+    * barrier is the caller's job when bands come from a lazy plan — from
+    * disk in production it is already a plain scan).
+    */
+  def minhashCandidatesBanded(bands: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
       def allPairs(b: DataFrame) = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -160,7 +177,7 @@ object Dedup {
           dense.unionAll(star).distinct()
       }
       pairs.localCheckpoint(true)
-    }
+  }
 
   /** Incremental LSH dedup: candidate pairs for a NEW shard against an
     * existing corpus whose band-bucket index is already materialized —
@@ -430,12 +447,6 @@ object Dedup {
       .repartition(nPart, col("src"))
       .dropDuplicates(Seq("src", "dst"))
       .localCheckpoint()
-    // initialization folds in round 1: every vertex appears as src in the
-    // symmetric edge list, so min(self, neighbors) is one aggregate
-    var labels = sym.groupBy(col("src").as("v"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("v"), least(col("v"), col("__mn")).as("lbl"))
-      .localCheckpoint()
     // A NULL sum is legal ONLY for the empty edge list (incremental
     // meta-CC); a DECIMAL(38,0) overflow also nulls under non-ANSI, and
     // treating that as 0 would let two overflowed rounds compare equal —
@@ -449,7 +460,23 @@ object Dedup {
       else throw new IllegalStateException(
         "connectedComponents label-sum overflowed DECIMAL(38,0)")
     }
-    var prev = lblSum(labels)
+    // LAZY checkpoint fused with the convergence sum: the sum aggregate is
+    // the checkpoint's FIRST action, so it materializes the round relation
+    // (truncating lineage exactly like the former eager form) and computes
+    // Σlbl in ONE job instead of two. Every round of this loop is a full
+    // cluster barrier at 100 TB — the r10 JobProf measured the composed
+    // pipelines at ~100 sequential jobs with per-job fixed cost dominating
+    // sf0.1 wall-clock (q605 = 103 jobs / 11.5 s), and each dropped
+    // barrier is one fewer synchronous driver round-trip at any scale.
+    def matSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val c = df.localCheckpoint(false)
+      (c, lblSum(c))
+    }
+    // initialization folds in round 1: every vertex appears as src in the
+    // symmetric edge list, so min(self, neighbors) is one aggregate
+    var (labels, prev) = matSum(sym.groupBy(col("src").as("v"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("v"), least(col("v"), col("__mn")).as("lbl")))
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -465,7 +492,10 @@ object Dedup {
       // per round and any graph converges in O(log diameter) rounds
       // (CcBench: the 1M-vertex chain-of-64 graph drops 46.7 s → ~8 s).
       // Rounds 1-2 stay plain so the common shallow case never pays the
-      // extra |V|-sized join. Labels are component-internal vertex ids
+      // extra |V|-sized join. (r10 measured the onset: delaying doubling
+      // to round 4 just moves which round pays the join on the sf0.1
+      // LSH graphs — q68 57→58 jobs, q604 unchanged — so the r9 onset
+      // stands.) Labels are component-internal vertex ids
       // and `least` only decreases, so the fixpoint test (no decrease ⇒
       // propagation alone found nothing ⇒ edge-consistent) is unchanged.
       // Skew bound: the join keys on `lbl`, and as a giant component
@@ -477,16 +507,15 @@ object Dedup {
       // default) the hot partition splits at runtime, and the round
       // count is already O(log diameter), so the residual skew cost is
       // bounded — no salting layer needed on top.
-      val step = if (i < 2) prop.localCheckpoint() else {
+      val (step, cur) = if (i < 2) matSum(prop) else {
         // checkpoint the propagation once, THEN self-join it — without
         // the cut the shortcut would recompute the propagation per side
+        // (eager here: the relation feeds BOTH sides of the self-join)
         val propC = prop.localCheckpoint()
         val p = propC.select(col("v").as("pv"), col("lbl").as("plbl"))
-        propC.join(p, col("lbl") === col("pv"), "left_outer")
-          .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+        matSum(propC.join(p, col("lbl") === col("pv"), "left_outer")
+          .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")))
       }
-      val cur = lblSum(step)
       changed = cur.compareTo(prev) != 0
       prev = cur
       labels = step

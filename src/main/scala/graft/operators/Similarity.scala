@@ -570,7 +570,26 @@ object Similarity {
       centroidEvery: Int, minCosScaled: Long,
       maxCell: Option[Int] = None): DataFrame = {
     val cents = ivfCentroids(indexEmb, centroidEvery)
-    val idxA = ivfIndex(indexEmb, cents, 1)
+    semDedupIncrementalIndexed(ivfIndex(indexEmb, cents, 1), cents,
+      indexEmb, shardEmb, minCosScaled, maxCell)
+  }
+
+  /** [[semDedupIncremental]] against a PRE-MATERIALIZED (vec_id, cell)
+    * index relation and its centroid metadata — the admission twin of
+    * [[ivfIncrementalPairsIndexed]]: a composition that also appends to
+    * the same index (q610's ingestion loop) scores the corpus against
+    * the centroids ONCE and feeds both the admission decision and the
+    * maintenance append, instead of each operator re-running the
+    * corpus × centroids assignment pass internally (at 100 TB that pass
+    * is the expensive leg; from disk in production it is already a plain
+    * scan). Identical output to [[semDedupIncremental]] — it IS its back
+    * half (SemDedupCapSpec pins the arm).
+    */
+  def semDedupIncrementalIndexed(indexAsg: DataFrame, centroids: DataFrame,
+      indexEmb: DataFrame, shardEmb: DataFrame, minCosScaled: Long,
+      maxCell: Option[Int] = None): DataFrame = {
+    val cents = centroids
+    val idxA = indexAsg.select("vec_id", "cell")
       .join(indexEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val shdA = ivfIndex(shardEmb, cents, 1)
       .join(shardEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))

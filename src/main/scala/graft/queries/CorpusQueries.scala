@@ -340,11 +340,14 @@ object CorpusQueries {
             col("cemb0").as("embedding")))
         .localCheckpoint()
       // the persisted index state: centroid metadata + (vec_id, cell) map
+      // — scored ONCE (r10): the admission decision and the maintenance
+      // append both read this relation instead of each re-running the
+      // corpus × centroids assignment pass
       val cents = Similarity.ivfCentroids(e, 25)
       val idxMap = Similarity.ivfIndex(e, cents, 1)
       // CAPPED admission decision for the whole shard
-      val dec = Similarity.semDedupIncremental(e, shard, 25, 990000L,
-        maxCell = Some(100)).localCheckpoint(true)
+      val dec = Similarity.semDedupIncrementalIndexed(idxMap, cents, e,
+        shard, 990000L, maxCell = Some(100)).localCheckpoint(true)
       // survivors APPEND to the index against the frozen centroids
       val survivors = shard.join(dec.where(!col("removed")).select("vec_id"),
         Seq("vec_id"), "left_semi")

@@ -520,10 +520,15 @@ object TextQueries {
       // caller-held cache: both operators read the SAME signature
       // relation (their call-scoped management defers to an input the
       // caller already persisted), so the shingle→md5→min pipeline runs
-      // once across the composition
+      // once across the composition — and the BAND relation materializes
+      // once too (r10 optimization): minhashCandidatesBanded and the
+      // indexed shard probe share one lshBands pass instead of each
+      // operator re-deriving the corpus-sized band relation internally
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
-      val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
-      val newPairs = Dedup.incrementalCandidates(idxSig,
+      val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidatesBanded(bands0))
+      val newPairs = Dedup.incrementalCandidatesIndexed(bands0,
         Dedup.minhashSignatures(shard, "doc_id", "text"))
       idxSig.unpersist(false)
       Dedup.incrementalComponents(labels, newPairs).orderBy("doc_id")
@@ -590,11 +595,13 @@ object TextQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text"))
       val union = index.unionAll(shard)
-      // caller-held cache shared across both candidate operators (q604's
-      // composition note)
+      // caller-held cache shared across both candidate operators, and ONE
+      // shared band materialization (q604's composition note)
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
-      val labels = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
-      val cand = Dedup.incrementalCandidates(idxSig,
+      val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidatesBanded(bands0))
+      val cand = Dedup.incrementalCandidatesIndexed(bands0,
         Dedup.minhashSignatures(shard, "doc_id", "text"))
       idxSig.unpersist(false)
       val verified = Dedup.jaccardVerify(cand, union, "doc_id", "text")
@@ -668,10 +675,13 @@ object TextQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text"))
       // the persisted state: band index + labels (caller-held sig cache
-      // shares the shingle pipeline across the index's two consumers)
+      // shares the shingle pipeline across the index's two consumers, and
+      // the corpus band relation materializes ONCE for the full pairing
+      // and both shard probes)
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
-      val bands0 = Dedup.lshBands(idxSig)
-      val labels0 = Dedup.connectedComponents(Dedup.minhashCandidates(idxSig))
+      val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
+      val labels0 = Dedup.connectedComponents(
+        Dedup.minhashCandidatesBanded(bands0))
       // ingest shard1: admit → merge labels → APPEND the index
       val s1Sig = Dedup.minhashSignatures(shard1, "doc_id", "text").cache()
       val cand1 = Dedup.incrementalCandidatesIndexed(bands0, s1Sig)

@@ -44,6 +44,18 @@ class LshBucketCapSpec extends SparkSpec {
     assert(none.exceptAll(all).count() == 0L && all.exceptAll(none).count() == 0L)
   }
 
+  test("pre-banded candidates == signature-level candidates (capped and not)") {
+    // the r10 shared-band-relation path (q604/q605/q609 build lshBands once
+    // and feed both the full pairing and the shard probe)
+    val bands = Dedup.lshBands(sigs).localCheckpoint(true)
+    for (cap <- Seq(None, Some(10))) {
+      val banded = Dedup.minhashCandidatesBanded(bands, cap)
+      val direct = Dedup.minhashCandidates(sigs, maxBucket = cap)
+      assert(banded.exceptAll(direct).count() == 0L &&
+        direct.exceptAll(banded).count() == 0L)
+    }
+  }
+
   test("incremental candidates == full candidates restricted to shard-touching pairs") {
     val s = spark
     import s.implicits._

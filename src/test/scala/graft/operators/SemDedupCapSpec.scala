@@ -116,5 +116,17 @@ class SemDedupCapSpec extends SparkSpec {
     assert(inc == full,
       s"inc-only=${(inc.toSet -- full.toSet).take(3)} full-only=${(full.toSet -- inc.toSet).take(3)}")
     assert(inc.nonEmpty)
+
+    // the r10 shared-index arm (q610 scores the corpus once and feeds the
+    // decision AND the append): pre-materialized (vec_id, cell) + centroid
+    // metadata must reproduce the internal-assignment path verbatim
+    val cents = Similarity.ivfCentroids(e, 25)
+    val idxMap = Similarity.ivfIndex(e, cents, 1)
+    val viaIndex = m(Similarity.semDedupIncrementalIndexed(
+      idxMap, cents, e, shard, 990000L, cap))
+    assert(viaIndex == inc)
+    val viaIndexUncapped = m(Similarity.semDedupIncrementalIndexed(
+      idxMap, cents, e, shard, 990000L, None))
+    assert(viaIndexUncapped == m(Similarity.semDedupIncremental(e, shard, 25, 990000L, None)))
   }
 }
