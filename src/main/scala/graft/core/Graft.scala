@@ -37,6 +37,45 @@ object Graft {
     spark
   }
 
+  /** Materialize `df` hash-partitioned on `key` with the partitioning
+    * PRESERVED through the lineage cut — the building block of every
+    * iterative operator (CC rounds, PageRank supersteps, BFS hops): the
+    * relation is shaped ONCE and every same-key consumer across all
+    * iterations reads the checkpoint exchange-free. A localCheckpoint
+    * compiled under AQE captures UnknownPartitioning (the AQE plan is
+    * per-stage; the RDD's partitioning never reaches the LogicalRDD), so
+    * consumers silently RE-EXCHANGE the relation every iteration —
+    * tools/PartProbe, r10.
+    *
+    * Two passes, so the partition count stays SCALE-ADAPTIVE (guide §2 —
+    * a constant tuned for either local mode or the cluster is wrong at
+    * the other end):
+    *  1. materialize `df` under AQE — runtime coalescing sizes the
+    *     result from actual bytes (1 partition at spec scale, thousands
+    *     at 100 TB);
+    *  2. re-shuffle the MATERIALIZED rows to hashpartitioning(key, p) at
+    *     exactly that count, with only this checkpoint compiled AQE-off
+    *     so the LogicalRDD keeps the partitioning — honored even by
+    *     consumers that run WITH AQE on.
+    * Pass 2 re-exchanges the relation once from memory — metadata-grain
+    * here (edges/labels/ranks, never payloads) and bought back many
+    * times over by the per-iteration exchanges it removes. A hot key
+    * costs partition imbalance bounded by that key's rows (iteration
+    * joins keep full AQE, including skew split on their other inputs).
+    */
+  def partitionedCheckpoint(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.localCheckpoint()
+    // floor 2: a 1→1-partition shuffle is elided by planning, leaving the
+    // checkpoint with UnknownPartitioning — exactly the defect this
+    // helper removes (observed: the spec's control case)
+    val p = math.max(2, staged.rdd.getNumPartitions)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try staged.repartition(p, key).localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   def local(cores: Int = 32): SparkSession = configure(
     SparkSession.builder()
       .master(s"local[$cores]")

@@ -441,12 +441,28 @@ object Dedup {
     * fixpoint.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(nPart, col("src"))
-      .dropDuplicates(Seq("src", "dst"))
-      .localCheckpoint()
+    // sym is checkpointed partitioning-preserving (r10,
+    // Graft.partitionedCheckpoint): under a plain AQE-compiled checkpoint
+    // the LogicalRDD reports UnknownPartitioning — the probe
+    // (tools/PartProbe) shows every round's propagation join then
+    // RE-EXCHANGES the edge-sized sym relation, i.e. the "partitioned
+    // once, reused every round" design had been silently broken since
+    // AQE became the engine default. With the partitioning preserved,
+    // every consumer — the init aggregate and each round's join — reads
+    // sym exchange-free even though the rounds themselves run WITH AQE
+    // on (PartProbe's mixed case; plans/r10/cc_round_after.txt shows the
+    // round join's sym side as a bare Sort over the ExistingRDD, and a
+    // hot src key costs partition imbalance bounded by that key's
+    // distinct neighbors — the pre-AQE behavior this loop always had;
+    // round-side AQE skew splitting on the lbl key stays active).
+    // countless repartition: AQE sizes the construction shuffle from
+    // actual bytes (coalescing fires only without a pinned count), and
+    // partitionedCheckpoint stamps that scale-adaptive count
+    val sym = graft.core.Graft.partitionedCheckpoint(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst")), col("src"))
     // A NULL sum is legal ONLY for the empty edge list (incremental
     // meta-CC); a DECIMAL(38,0) overflow also nulls under non-ANSI, and
     // treating that as 0 would let two overflowed rounds compare equal —

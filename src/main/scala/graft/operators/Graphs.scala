@@ -21,7 +21,20 @@ object Graphs {
     * aggregate) — no driver collect.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // The edge relation feeds every superstep's join plus the degree and
+    // node-set aggregates. r10: when the lineage-cut discipline below
+    // will split the loop into SEPARATE jobs (iters > 3), materialize e
+    // ONCE, hash-partitioned on src with the partitioning preserved
+    // (Graft.partitionedCheckpoint) — a lazy e is re-DERIVED from the
+    // base tables by every post-cut segment (a full scan per 3
+    // supersteps at scale), and a plain AQE-compiled checkpoint would be
+    // re-EXCHANGED by every superstep (UnknownPartitioning; the
+    // connectedComponents finding, tools/PartProbe). For iters ≤ 3 the
+    // whole loop is ONE job in which ReusedExchange already dedups the
+    // e subtree — a checkpoint there only adds two driver barriers
+    // (measured on q128: ~+1 s at sf0.1 for zero plan benefit).
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (iters > 3) graft.core.Graft.partitionedCheckpoint(e0, col("src")) else e0
     val nodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val params = nodes.agg(count(lit(1)).as("nn"))
@@ -76,7 +89,10 @@ object Graphs {
     * node set if it needs them).
     */
   def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // no .distinct() here — bfsHopsFrom dedups (and now checkpoints) the
+    // edge list itself; MIN(src) is insensitive to duplicates (r10: the
+    // double distinct cost one redundant exchange per call)
+    val e = edges.select(col("src"), col("dst"))
     val root = e.agg(min(col("src")).as("root"))
       // an empty edge list gives a single NULL MIN row — drop it so the
       // contract ((n, hop) for reached nodes only) holds for empty graphs
@@ -92,7 +108,18 @@ object Graphs {
     * semi-join).
     */
   def bfsHopsFrom(edges: DataFrame, roots: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // r10: materialize the deduped edge list once, hash-partitioned on
+    // src with the partitioning preserved (Graft.partitionedCheckpoint) —
+    // every hop's semi-join re-embedded the lazy plan before, so each
+    // 3-hop lineage segment re-derived the edges from the base tables (a
+    // full scan per segment at scale) and re-exchanged them per hop; now
+    // each hop's e-side join leg is exchange-free (only the frontier
+    // shuffles). dropDuplicates AFTER the src repartition replaces
+    // .distinct() so the dedup aggregate rides the same single exchange
+    // (hashpartitioning(src) clusters equal (src,dst) rows).
+    val e = graft.core.Graft.partitionedCheckpoint(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).dropDuplicates(Seq("src", "dst")), col("src"))
     var visited = broadcast(roots.select(col("n")).distinct())
       .select(col("n"), lit(0L).as("hop"))
     var frontier = visited.select("n")
