@@ -338,8 +338,11 @@ object Dedup {
     // (36M rows at sf0.1's 134k-pair clusters) and shuffles it twice;
     // this shape joins 2 small set-tables to the pair list and does the
     // set work row-local.
-    val candIds = candidates.select(col("d1").as(idCol))
-      .unionAll(candidates.select(col("d2").as(idCol)))
+    // one explode pass, not a two-branch union — the union scanned the
+    // candidate plan twice (and candidates are often an unmaterialized
+    // band-join pipeline; the CC symmetrization fix, r10)
+    val candIds = candidates
+      .select(explode(array(col("d1"), col("d2"))).as(idCol))
       .distinct()
     // shingle over a PRE-PROJECTED normalized-text ATTRIBUTE: with
     // normText inlined into the transform lambda it re-evaluates per
@@ -457,10 +460,17 @@ object Dedup {
     // round-side AQE skew splitting on the lbl key stays active).
     // countless repartition: AQE sizes the construction shuffle from
     // actual bytes (coalescing fires only without a pinned count), and
-    // partitionedCheckpoint stamps that scale-adaptive count
+    // partitionedCheckpoint stamps that scale-adaptive count.
+    // Symmetrization is ONE explode pass, not a two-branch union: the
+    // union scanned the `pairs` plan twice, and when the caller hands an
+    // unmaterialized verify pipeline (q68: candidates + Jaccard; q628:
+    // PNG decode + dHash + Hamming) the whole pipeline executed twice
+    // inside the sym job (r10 JobProf finding on q628).
     val sym = graft.core.Graft.partitionedCheckpoint(
-      pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      pairs.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("src"))
         .dropDuplicates(Seq("src", "dst")), col("src"))
     // A NULL sum is legal ONLY for the empty edge list (incremental

@@ -35,7 +35,10 @@ object Graphs {
     // (measured on q128: ~+1 s at sf0.1 for zero plan benefit).
     val e0 = edges.select(col("src"), col("dst"))
     val e = if (iters > 3) graft.core.Graft.partitionedCheckpoint(e0, col("src")) else e0
-    val nodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n"))).distinct()
+    // one explode pass, not a two-branch union: the union scanned the
+    // edge plan twice inside the node-set aggregate (r10, the CC
+    // symmetrization finding)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("n")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val params = nodes.agg(count(lit(1)).as("nn"))
     var r = nodes.crossJoin(broadcast(params))
@@ -89,16 +92,28 @@ object Graphs {
     * node set if it needs them).
     */
   def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
-    // no .distinct() here — bfsHopsFrom dedups (and now checkpoints) the
-    // edge list itself; MIN(src) is insensitive to duplicates (r10: the
-    // double distinct cost one redundant exchange per call)
-    val e = edges.select(col("src"), col("dst"))
+    // prepare (dedup + partitioned checkpoint) FIRST, so the root MIN
+    // aggregate reads the materialized edge list instead of re-deriving
+    // it from the base tables (r10: the root agg was one extra full
+    // edge derivation per call)
+    val e = prepEdges(edges)
     val root = e.agg(min(col("src")).as("root"))
       // an empty edge list gives a single NULL MIN row — drop it so the
       // contract ((n, hop) for reached nodes only) holds for empty graphs
       .where(col("root").isNotNull)
-    bfsHopsFrom(e, root.select(col("root").as("n")), maxHops)
+    bfsFromPrepared(e, root.select(col("root").as("n")), maxHops)
   }
+
+  /** Deduped, src-hash-partitioned, checkpoint-materialized edge list —
+    * the shape every BFS hop consumes exchange-free
+    * (Graft.partitionedCheckpoint; dropDuplicates AFTER the src
+    * repartition so the dedup aggregate rides the same single exchange:
+    * hashpartitioning(src) clusters equal (src,dst) rows).
+    */
+  private def prepEdges(edges: DataFrame): DataFrame =
+    graft.core.Graft.partitionedCheckpoint(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).dropDuplicates(Seq("src", "dst")), col("src"))
 
   /** [[bfsHops]] generalized to caller-supplied seed nodes `roots(n)` —
     * needed when several traversals must share ONE root (e.g. q466's
@@ -107,19 +122,16 @@ object Graphs {
     * frame is expected to be tiny (it is broadcast into every superstep's
     * semi-join).
     */
-  def bfsHopsFrom(edges: DataFrame, roots: DataFrame, maxHops: Int): DataFrame = {
-    // r10: materialize the deduped edge list once, hash-partitioned on
-    // src with the partitioning preserved (Graft.partitionedCheckpoint) —
+  def bfsHopsFrom(edges: DataFrame, roots: DataFrame, maxHops: Int): DataFrame =
+    // r10: materialize the deduped edge list once ([[prepEdges]]) —
     // every hop's semi-join re-embedded the lazy plan before, so each
     // 3-hop lineage segment re-derived the edges from the base tables (a
     // full scan per segment at scale) and re-exchanged them per hop; now
     // each hop's e-side join leg is exchange-free (only the frontier
-    // shuffles). dropDuplicates AFTER the src repartition replaces
-    // .distinct() so the dedup aggregate rides the same single exchange
-    // (hashpartitioning(src) clusters equal (src,dst) rows).
-    val e = graft.core.Graft.partitionedCheckpoint(
-      edges.select(col("src"), col("dst"))
-        .repartition(col("src")).dropDuplicates(Seq("src", "dst")), col("src"))
+    // shuffles).
+    bfsFromPrepared(prepEdges(edges), roots, maxHops)
+
+  private def bfsFromPrepared(e: DataFrame, roots: DataFrame, maxHops: Int): DataFrame = {
     var visited = broadcast(roots.select(col("n")).distinct())
       .select(col("n"), lit(0L).as("hop"))
     var frontier = visited.select("n")

@@ -920,13 +920,23 @@ object TextQueries {
           .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, text)))," +
             " x -> x.text), ' ')").as("text"))
           .select(lit(id).as("doc_id"), col("text"))
+      // r10: materialize the union (incl. the two planted giant-doc
+      // aggregates) and the candidate pairs ONCE — downstream,
+      // jaccardVerify references the candidate relation three times
+      // (candIds under both set-side semi-joins + the pair join) and the
+      // doc relation twice more; without the cuts those references
+      // compile into CONCURRENT broadcast-build jobs that each re-derive
+      // the whole giant-doc + minhash + candidate pipeline (JobProf: four
+      // parallel ~3.4 s jobs inside one q618 run).
       val u = nearDupDocs(docs)
         .unionAll(bigDoc(500001L, 1L, 100L))
         .unionAll(bigDoc(500002L, 5L, 100L))
+        .localCheckpoint(true)
       val sig  = Dedup.minhashSignatures(u, "doc_id", "text")
       val cand = Dedup.minhashCandidates(sig)
         .unionAll(Seq((500001L, 500002L)).toDF("d1", "d2"))
         .distinct()
+        .localCheckpoint(true)
       Dedup.jaccardVerify(cand, u, "doc_id", "text", maxShingles = Some(400))
         .select("d1", "d2", "n_inter", "n_union", "jaccard_scaled")
         .orderBy("d1", "d2")
