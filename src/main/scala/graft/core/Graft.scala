@@ -70,11 +70,23 @@ object Graft {
     // checkpoint with UnknownPartitioning — exactly the defect this
     // helper removes (observed: the spec's control case)
     val p = math.max(2, staged.rdd.getNumPartitions)
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try staged.repartition(p, key).localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // the AQE flip is session-global, and compositions overlap
+    // independent legs on threads (core.Par, guide §2.6): the lock keeps
+    // two concurrent flips from saving each other's flipped value and
+    // leaving AQE off for the session. A leg that merely COMPILES a plan
+    // during another leg's off-window can lose AQE coalescing for that
+    // one intermediate — benign (plan shape of an eager checkpoint, never
+    // results; the stamped checkpoint itself always compiles under its
+    // own thread's flip).
+    aqeFlipLock.synchronized {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try staged.repartition(p, key).localCheckpoint()
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
   }
+
+  private val aqeFlipLock = new Object
 
   def local(cores: Int = 32): SparkSession = configure(
     SparkSession.builder()

@@ -526,10 +526,13 @@ object TextQueries {
       // operator re-deriving the corpus-sized band relation internally
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
       val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
-      val labels = Dedup.connectedComponents(
-        Dedup.minhashCandidatesBanded(bands0))
-      val newPairs = Dedup.incrementalCandidatesIndexed(bands0,
-        Dedup.minhashSignatures(shard, "doc_id", "text"))
+      // corpus CC ∥ shard probe — independent until the merge (core.Par,
+      // guide §2.6; q605's composition note)
+      val (labels, newPairs) = graft.core.Par.two(
+        Dedup.connectedComponents(Dedup.minhashCandidatesBanded(bands0))) {
+        Dedup.incrementalCandidatesIndexed(bands0,
+          Dedup.minhashSignatures(shard, "doc_id", "text"))
+      }
       idxSig.unpersist(false)
       Dedup.incrementalComponents(labels, newPairs).orderBy("doc_id")
     },
@@ -599,13 +602,22 @@ object TextQueries {
       // shared band materialization (q604's composition note)
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
       val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
-      val labels = Dedup.connectedComponents(
-        Dedup.minhashCandidatesBanded(bands0))
-      val cand = Dedup.incrementalCandidatesIndexed(bands0,
-        Dedup.minhashSignatures(shard, "doc_id", "text"))
+      // corpus CC and the shard probe/verify are data-independent until
+      // the cluster merge — overlap them (core.Par, guide §2.6): both
+      // legs are chains of small sequential jobs whose barriers leave
+      // executors idle, and FIFO scheduling backfills one leg's idle
+      // capacity with the other's tasks. The verify leg materializes its
+      // edges inside the branch so the overlap covers the expensive
+      // intersect work, not just the candidate probe.
+      val (labels, verified) = graft.core.Par.two(
+        Dedup.connectedComponents(Dedup.minhashCandidatesBanded(bands0))) {
+        val cand = Dedup.incrementalCandidatesIndexed(bands0,
+          Dedup.minhashSignatures(shard, "doc_id", "text"))
+        Dedup.jaccardVerify(cand, union, "doc_id", "text")
+          .where(col("jaccard_scaled") >= 50000).select("d1", "d2")
+          .localCheckpoint(true)
+      }
       idxSig.unpersist(false)
-      val verified = Dedup.jaccardVerify(cand, union, "doc_id", "text")
-        .where(col("jaccard_scaled") >= 50000).select("d1", "d2")
       val updated = Dedup.incrementalComponents(labels, verified)
       val clus = updated.groupBy("component").agg(count(lit(1)).as("sz"))
       val singles = union.select("doc_id")
@@ -680,19 +692,24 @@ object TextQueries {
       // and both shard probes)
       val idxSig = Dedup.minhashSignatures(index, "doc_id", "text").cache()
       val bands0 = Dedup.lshBands(idxSig).localCheckpoint(true)
-      val labels0 = Dedup.connectedComponents(
-        Dedup.minhashCandidatesBanded(bands0))
-      // ingest shard1: admit → merge labels → APPEND the index
       val s1Sig = Dedup.minhashSignatures(shard1, "doc_id", "text").cache()
-      val cand1 = Dedup.incrementalCandidatesIndexed(bands0, s1Sig)
-      // the persisted state between ingests: labels + appended bands both
-      // materialize (in production both are on-disk relations)
-      val labels1 = Dedup.incrementalComponents(labels0, cand1).localCheckpoint(true)
-      val bands1 = Dedup.appendBands(bands0, s1Sig).localCheckpoint(true)
+      // corpus CC ∥ (shard1 admit + index APPEND) — independent until the
+      // first merge (core.Par, guide §2.6): the persisted state between
+      // ingests (labels + appended bands) materializes as before, in
+      // production both are on-disk relations
+      val (labels0, (cand1, bands1)) = graft.core.Par.two(
+        Dedup.connectedComponents(Dedup.minhashCandidatesBanded(bands0))) {
+        (Dedup.incrementalCandidatesIndexed(bands0, s1Sig),
+          Dedup.appendBands(bands0, s1Sig).localCheckpoint(true))
+      }
       idxSig.unpersist(false); s1Sig.unpersist(false)
-      // ingest shard2 against the MAINTAINED index and UPDATED labels
-      val cand2 = Dedup.incrementalCandidatesIndexed(bands1,
-        Dedup.minhashSignatures(shard2, "doc_id", "text"))
+      // shard1's label merge ∥ shard2's probe of the MAINTAINED index —
+      // the merge needs (labels0, cand1), the probe needs bands1 only
+      val (labels1, cand2) = graft.core.Par.two(
+        Dedup.incrementalComponents(labels0, cand1).localCheckpoint(true)) {
+        Dedup.incrementalCandidatesIndexed(bands1,
+          Dedup.minhashSignatures(shard2, "doc_id", "text"))
+      }
       val labels2 = Dedup.incrementalComponents(labels1, cand2)
       val sizes = labels2.groupBy("component").agg(count(lit(1)).as("n_members"))
       labels2.join(sizes, Seq("component"))
