@@ -84,13 +84,21 @@ object Blocklist {
   def gramPostings(docs: DataFrame, idCol: String, textCol: String,
       g: Int = 4): DataFrame = {
     // guard: sequence(1, 0) would DESCEND ([1, 0]) — a doc shorter than g
-    // has no gram and must contribute no postings rows
+    // has no gram and must contribute no postings rows.
+    // gram over a PRE-PROJECTED lowercased attribute: with lower($textCol)
+    // inlined into the transform lambda it re-evaluates per gram position
+    // on non-CSE evaluation paths — O(len²) chars per document (the
+    // minhash/jaccardVerify lambda-quadratic class, r10). The attribute
+    // is multi-referenced (guard, sequence bound, lambda), so
+    // CollapseProject keeps the two-step projection and lower() runs
+    // once per row.
     docs
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
       .select(col(idCol),
         explode(expr(
-          s"CASE WHEN length(lower($textCol)) >= $g THEN " +
-          s"transform(sequence(1, length(lower($textCol)) - ${g - 1}), " +
-          s"i -> substr(lower($textCol), i, $g)) " +
+          s"CASE WHEN length(__lt) >= $g THEN " +
+          s"transform(sequence(1, length(__lt) - ${g - 1}), " +
+          s"i -> substr(__lt, i, $g)) " +
           s"ELSE array() END")).as("gram"))
       .distinct()
   }
