@@ -18,14 +18,19 @@ object Graft {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // r10 (guide §3.1): let AQE rewrite a sort-merge join to a shuffled
-    // HASH join when every post-shuffle build partition is verifiably
-    // small (runtime sizes, not estimates — the OOM-safe variant of
-    // preferSortMergeJoin=false): drops both sort legs from the many
-    // dimension- and metadata-grain joins. 64m matches the advisory
-    // partition size; override for clusters with tighter task memory.
+    // r10 (guide §3.1): AQE can rewrite a sort-merge join to a shuffled
+    // HASH join when every post-shuffle build partition is under this
+    // threshold of SHUFFLE bytes. Default OFF (Spark's own default): the
+    // closing session's ScaleCheck re-cert OOMed in
+    // ShuffledHashJoinExec.buildHashedRelation with the mid-round 64m
+    // default — the threshold bounds compressed shuffle bytes, not the
+    // built hash map (several × larger), and with 32 concurrent tasks
+    // sharing local execution memory a 64m build partition does NOT
+    // verifiably fit. The local A/B had measured the rewrite as noise
+    // anyway; clusters with generous per-task memory can opt in via
+    // SPARK_GRAFT_SHJ_THRESHOLD.
     c.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as raw Long nanos and convert in Tables.events.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
