@@ -116,6 +116,18 @@ object Bench {
     */
   private[graft] def measure(spark: SparkSession, reps: Int,
       heavyCutoff: Double = 5.0, maxExtra: Int = 1)(run: () => Unit): Double = {
+    val samples = measureSamples(spark, reps, heavyCutoff, maxExtra)(run)
+    if (samples.nonEmpty) samples.min else -1.0
+  }
+
+  /** [[measure]]'s raw samples (empty = every rep threw) — kept separate
+    * so the JSON line can carry an ambient-inflation diagnostic (r10: a
+    * loaded driver run read 66 phantom regressions that only an 8-core
+    * control run could adjudicate; the `spread` field makes a spiked run
+    * self-evident from the artifact alone).
+    */
+  private[graft] def measureSamples(spark: SparkSession, reps: Int,
+      heavyCutoff: Double = 5.0, maxExtra: Int = 1)(run: () => Unit): Seq[Double] = {
     def sample(): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case _: Throwable => false }
@@ -132,7 +144,7 @@ object Bench {
       samples = samples ++ sample()
       extra += 1
     }
-    if (samples.nonEmpty) samples.min else -1.0
+    samples
   }
 
   def main(args: Array[String]): Unit = {
@@ -171,8 +183,35 @@ object Bench {
       if (benchAll) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains) ++ coh
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2).max(1)
-    val results = names.map(name =>
-      name -> measure(spark, reps)(() => SparkEntry.queries(name)(spark, sfDir).count()))
+    val sampled = names.map(name =>
+      name -> measureSamples(spark, reps)(() => SparkEntry.queries(name)(spark, sfDir).count()))
+    // Noop-sink TWIN entries (guide §1.4, additions-only — the count()
+    // methodology and every r1-r10 floor stay untouched): count() lets
+    // Catalyst prune un-filtered projection tails out of the timed plan
+    // (q27's per-pair intersect work reads ~0.5 s under count() vs ~11 s
+    // computed — the r10 Baseline finding), so the projection-tail
+    // flagship operators get one extra timed entry each whose action is
+    // `write.format("noop")` — every column of every row computes. Twin
+    // keys (q27t/q618t) are new `queries` entries; they are NOT in
+    // `headline`, so headline_total remains cross-round comparable.
+    val twins = Seq(
+      "q27t_ngram_jaccard_noop" -> "q27_ngram_jaccard",
+      "q618t_jaccard_capped_noop" -> "q618_jaccard_capped")
+    val twinSampled = twins.map { case (twin, base) =>
+      twin -> measureSamples(spark, reps)(() =>
+        SparkEntry.queries(base)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+    }
+    val results = (sampled ++ twinSampled).map { case (n, ss) =>
+      n -> (if (ss.nonEmpty) ss.min else -1.0)
+    }
+    // ambient-inflation diagnostic: Σ mean(samples) / Σ min(samples) over
+    // successful entries — ~1.0x on an idle host, >>1 when reps were
+    // spiked by external load (r10's unusable headline geomean)
+    val okSamples = (sampled ++ twinSampled).map(_._2).filter(_.nonEmpty)
+    val spread =
+      if (okSamples.isEmpty) 1.0
+      else okSamples.map(s => s.sum / s.size).sum / okSamples.map(_.min).sum
     // 2-decimal rounding + qNNN-prefix keys keep the line compact: the
     // driver captures only ~2000 chars of stdout tail, and 73 full names
     // ≈ 1.9 KB sat one entry away from the truncation that nulled the
@@ -196,7 +235,7 @@ object Bench {
     val cohKeys = coh.map(_.takeWhile(_ != '_'))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","headline_total":${f2(headlineTotal)},"load":${f2(load)},"reps":$reps,"failed":$failed,"cohort":$cohKeys,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","headline_total":${f2(headlineTotal)},"load":${f2(load)},"spread":${f2(spread)},"reps":$reps,"failed":$failed,"cohort":$cohKeys,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

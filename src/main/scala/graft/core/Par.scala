@@ -38,9 +38,14 @@ object Par {
         case t: Throwable =>
           // even on failure, no work escapes the composition: wait for
           // the forked leg (its Spark jobs would otherwise race the
-          // caller's cleanup — e.g. the bench's per-rep cache clear)
+          // caller's cleanup — e.g. the bench's per-rep cache clear).
+          // On interruption the await is abandoned (the forked leg may
+          // still be running) — restore the interrupt flag so the
+          // caller's cancellation signal survives the rethrow.
           try Await.ready(fa, Duration.Inf)
-          catch { case _: InterruptedException => () }
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          // if the forked leg ALSO failed, don't drop its exception
+          fa.value.foreach(_.failed.foreach(ft => if (ft ne t) t.addSuppressed(ft)))
           throw t
       }
     (Await.result(fa, Duration.Inf), rb)

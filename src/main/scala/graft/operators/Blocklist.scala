@@ -92,13 +92,16 @@ object Blocklist {
     // is multi-referenced (guard, sequence bound, lambda), so
     // CollapseProject keeps the two-step projection and lower() runs
     // once per row.
+    // operator-derived internal name (not a plain "__lt"): a caller whose
+    // idCol collides would silently shadow the pre-projection
+    require(idCol != "__graft_gram_lt", "idCol collides with the internal column")
     docs
-      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol), lower(col(textCol)).as("__graft_gram_lt"))
       .select(col(idCol),
         explode(expr(
-          s"CASE WHEN length(__lt) >= $g THEN " +
-          s"transform(sequence(1, length(__lt) - ${g - 1}), " +
-          s"i -> substr(__lt, i, $g)) " +
+          s"CASE WHEN length(__graft_gram_lt) >= $g THEN " +
+          s"transform(sequence(1, length(__graft_gram_lt) - ${g - 1}), " +
+          s"i -> substr(__graft_gram_lt, i, $g)) " +
           s"ELSE array() END")).as("gram"))
       .distinct()
   }

@@ -60,6 +60,13 @@ object GraftFunctions {
   /** Native popcount-of-AND over two bit-packed long-array sets. */
   def bitmapAndCount(a: Column, b: Column): Column = GraftShims.bitmapAndCountColumn(a, b)
 
+  /** Native sorted-merge |A ∩ B| over two SORTED-DISTINCT string arrays —
+    * exactly `size(array_intersect(a, b))` on such inputs, minus the
+    * per-pair hash-set build (the Jaccard verify hot loop).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShims.sortedIntersectCountColumn(a, b)
+
   /** Native dense-bitmap builder from an int-id array (nWords 64-bit words). */
   def bitmapBuild(ids: Column, nWords: Column): Column = GraftShims.bitmapBuildColumn(ids, nWords)
 

@@ -45,6 +45,18 @@ object JaccardProf {
     time("joins + array_intersect")(
       joined.select(size(array_intersect(col("s1"), col("s2"))).as("ni"))
         .agg(sum(col("ni"))).head().getLong(0))
+    // r11 A/B arm: sets pre-sorted once per doc, per-pair native merge
+    val setsS = u.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), normText(col("text")).as("__nt"))
+      .select(col("doc_id"), array_sort(array_distinct(shingles(col("__nt"), 8))).as("shs"))
+    val aS = setsS.as("a"); val bS = setsS.as("b")
+    val joinedS = cand.join(aS, col("a.doc_id") === col("d1"))
+      .join(bS, col("b.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), col("a.shs").as("s1"), col("b.shs").as("s2"))
+    time("joins + sorted-merge native")(
+      joinedS.select(graft.plans.GraftFunctions
+          .sortedIntersectCount(col("s1"), col("s2")).as("ni"))
+        .agg(sum(col("ni"))).head().getLong(0))
     time("full jaccardVerify")(
       Dedup.jaccardVerify(cand, u, "doc_id", "text").count())
     spark.stop()

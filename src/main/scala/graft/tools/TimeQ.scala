@@ -23,11 +23,15 @@ object TimeQ {
     Graft.configure(spark)
     val t = graft.core.Tables(spark, sfDir)
     Seq(t.lineitem, t.documents, t.embeddings).foreach(_.count())
+    // SPARK_GRAFT_NOOP=1: time the noop sink (guide §1.4 — every column of
+    // every row computes) instead of the bench's count() action
+    val noop = sys.env.get("SPARK_GRAFT_NOOP").exists(_ == "1")
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        if (noop) fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        else fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         dt

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for the embedding hot loop: the ×10^6
   * floor-scaled integer dot product of two float vectors (see
@@ -332,6 +332,91 @@ case class BitmapBuild(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native sorted-merge intersection count over two string arrays that are
+  * each SORTED ASCENDING with DISTINCT elements (array_sort order: nulls
+  * last) — exactly `size(array_intersect(a, b))` on such inputs, without
+  * the per-call hash-set build array_intersect pays. The dedup family's
+  * Jaccard verification evaluates one intersection per candidate PAIR
+  * (|pairs| ≫ |docs|), so the per-pair constant dominates the verify
+  * stage; a two-pointer merge is one linear pass of binary UTF8
+  * comparisons with zero allocation, while ArrayIntersect builds and
+  * probes an OpenHashSet of UTF8Strings per row. The per-document sort
+  * moves to the (once-per-doc) set projection, where it amortizes over
+  * every pair the doc appears in. NULL input array ⇒ NULL (matching
+  * array_intersect); a null ELEMENT matches only a null element
+  * (array_intersect's SQL-set semantics), and sorted-nulls-last keeps the
+  * merge correct. SortedIntersectSpec pins equality with the builtin.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < nx && j < ny) {
+      // nulls sort last (array_sort), and null == null is one shared
+      // element under array_intersect's set semantics
+      val xn = x.isNullAt(i)
+      val yn = y.isNullAt(j)
+      if (xn && yn) { acc += 1; i += 1; j += 1 }
+      else if (xn) j += 1 // x exhausted its non-nulls; y's value is smaller
+      else if (yn) i += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { acc += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val xn = ctx.freshName("xn")
+      val yn = ctx.freshName("yn")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  boolean $xn = $x.isNullAt($i);
+         |  boolean $yn = $y.isNullAt($j);
+         |  if ($xn && $yn) { $acc++; $i++; $j++; }
+         |  else if ($xn) { $j++; }
+         |  else if ($yn) { $i++; }
+         |  else {
+         |    int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |    if ($c == 0) { $acc++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; }
+         |    else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** private[sql] access points used by graft.plans.GraftFunctions. */
 object GraftShims {
 
@@ -361,6 +446,9 @@ object GraftShims {
 
   def bitmapBuildColumn(ids: Column, nWords: Column): Column =
     ExpressionUtils.column(BitmapBuild(ExpressionUtils.expression(ids), ExpressionUtils.expression(nWords)))
+
+  def sortedIntersectCountColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def minhashColumn(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes))
