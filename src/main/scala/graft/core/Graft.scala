@@ -91,6 +91,36 @@ object Graft {
     }
   }
 
+  /** Checkpoint a plan whose FINAL shuffle is keyed the way consumers
+    * need (the CC round's groupBy(v)), compiled with AQE off and the
+    * shuffle count pinned to exactly `p` — the plan's own exchange
+    * doubles as the partitioning stamp, so unlike
+    * [[partitionedCheckpoint]] no second pass re-shuffles the
+    * materialized rows, and map-side partial aggregation stays BELOW the
+    * exchange (an explicit repartition(p, key) before a groupBy would
+    * hoist the partial agg above it and shuffle pre-aggregation rows).
+    * `p` comes from an already-stamped sibling relation (the CC loop
+    * passes sym's count), so the count stays scale-adaptive — AQE sized
+    * the sibling from actual bytes. Trade-off (same as
+    * [[partitionedCheckpoint]] pass 2): this one compiled-off query
+    * skips AQE coalescing/skew handling; callers use it for plans whose
+    * per-key volume is already collapsed by a partial aggregate.
+    */
+  def stampedCheckpoint(df: DataFrame, p: Int, eager: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    aqeFlipLock.synchronized {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      val spWas = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try df.localCheckpoint(eager)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set("spark.sql.shuffle.partitions", spWas)
+      }
+    }
+  }
+
   private val aqeFlipLock = new Object
 
   def local(cores: Int = 32): SparkSession = configure(

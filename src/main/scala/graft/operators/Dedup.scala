@@ -235,8 +235,22 @@ object Dedup {
       // shard bands hit three joins keyed on the expression-derived
       // bucket — checkpoint (shard-sized) for the same filter-inlining
       // barrier as minhashCandidates
-      val shardBands = lshBands(shardSig, numHashes, rowsPerBand)
-        .localCheckpoint(true)
+      incrementalCandidatesBandedBoth(indexBands,
+        lshBands(shardSig, numHashes, rowsPerBand).localCheckpoint(true),
+        maxBucket)
+    }
+
+  /** [[incrementalCandidatesIndexed]] with the SHARD side's band relation
+    * ALSO pre-materialized — for compositions that maintain the band
+    * index (q609's shape: the same shard bands feed BOTH the probe and
+    * the index append via [[appendBandsPre]]), so the shard band pass
+    * materializes once per ingest instead of once per consumer. It IS
+    * the back half of [[incrementalCandidatesIndexed]] (which delegates
+    * here — identity is by construction, and the maintained-index oracle
+    * q609 checks it end-to-end).
+    */
+  def incrementalCandidatesBandedBoth(indexBands: DataFrame, shardBands: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
       def probeIntra(shd: DataFrame, idx: DataFrame): DataFrame = {
         val probe = shd.as("s").join(idx.as("i"),
             col("s.band") === col("i.band") && col("s.bucket") === col("i.bucket"))
@@ -300,9 +314,17 @@ object Dedup {
     */
   def appendBands(indexBands: DataFrame, shardSig: DataFrame,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    appendBandsPre(indexBands, lshBands(shardSig, numHashes, rowsPerBand))
+
+  /** [[appendBands]] over an ALREADY-DERIVED shard band relation — the
+    * maintenance leg for compositions that materialize the shard bands
+    * once and feed both the probe ([[incrementalCandidatesBandedBoth]])
+    * and the append (q609). Identical rows by construction
+    * ([[appendBands]] delegates here).
+    */
+  def appendBandsPre(indexBands: DataFrame, shardBands: DataFrame): DataFrame =
     indexBands.select("doc_id", "band", "bucket")
-      .unionAll(lshBands(shardSig, numHashes, rowsPerBand)
-        .select("doc_id", "band", "bucket"))
+      .unionAll(shardBands.select("doc_id", "band", "bucket"))
 
   /** Exact shingle-Jaccard verification of candidate pairs (the expensive
     * join runs only on the candidate set).
@@ -370,10 +392,18 @@ object Dedup {
               1, k),
             x => x.getField("s")))
     }
+    // the set is stored SORTED (one array_sort per doc): the per-PAIR
+    // intersection below then runs as a native two-pointer merge
+    // (sorted_intersect_count) instead of array_intersect's per-pair
+    // hash-set build — the verify cost is |pairs| × intersect, so the
+    // per-pair constant dominates and the per-doc sort amortizes over
+    // every pair the doc appears in (r11; SortedIntersectSpec pins the
+    // count equality with the builtin). Set semantics are unchanged —
+    // only the in-row element order differs, and no caller reads `shs`.
     val sets = docs
       .join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol).as("doc_id"), normText(col(textCol)).as("__nt"))
-      .select(col("doc_id"), shsExpr.as("shs"))
+      .select(col("doc_id"), array_sort(shsExpr).as("shs"))
     // Both joins below shuffle the IDENTICAL `sets` subplan hash-partitioned
     // on doc_id — keeping the plan byte-identical (same aliases, join
     // conditions instead of per-side renames) lets Spark reuse the first
@@ -385,7 +415,8 @@ object Dedup {
       .join(a, col("a.doc_id") === col("d1"))
       .join(b, col("b.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), col("a.shs").as("s1"), col("b.shs").as("s2"))
-      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n_inter",
+        graft.plans.GraftFunctions.sortedIntersectCount(col("s1"), col("s2")))
       .select(col("d1"), col("d2"), col("n_inter"),
         (size(col("s1")) + size(col("s2")) - col("n_inter")).as("n_union"),
         floor(lit(100000.0) * col("n_inter") / (size(col("s1")) + size(col("s2")) - col("n_inter")))
@@ -498,9 +529,30 @@ object Dedup {
       val c = df.localCheckpoint(false)
       (c, lblSum(c))
     }
+    // r11: the LABELS side of the round join rides exchange-free too.
+    // sym is stamped hash(src, p); a label relation checkpointed the
+    // plain way reports UnknownPartitioning, so every round RE-EXCHANGED
+    // the |V|-sized labels onto the join key. Init and plain-round
+    // outputs end in a v-keyed aggregate, so compiling just their
+    // checkpoint with AQE off and the shuffle count pinned to sym's own
+    // p (Graft.stampedCheckpoint) makes the plan's one exchange double
+    // as the stamp: the round join then reads BOTH sides exchange-free
+    // and a plain round's only exchange is the unavoidable propagation
+    // groupBy (partial-agg-collapsed map-side). Doubling rounds keep the
+    // unstamped path: their output comes off the lbl-keyed self-join,
+    // where a stamp would cost an extra v-exchange and the AQE-off
+    // compile would drop skew-split exactly where converging labels
+    // funnel (the round-join comment below).
+    val symP = sym.rdd.getNumPartitions
+    def matSumStamped(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val c = graft.core.Graft.stampedCheckpoint(df, symP)
+      (c, lblSum(c))
+    }
     // initialization folds in round 1: every vertex appears as src in the
     // symmetric edge list, so min(self, neighbors) is one aggregate
-    var (labels, prev) = matSum(sym.groupBy(col("src").as("v"))
+    // (exchange-FREE: the groupBy rides sym's stamped partitioning, and
+    // the alias-aware aggregate output carries hash(v, p) into the stamp)
+    var (labels, prev) = matSumStamped(sym.groupBy(col("src").as("v"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("v"), least(col("v"), col("__mn")).as("lbl")))
     var changed = true
@@ -533,7 +585,7 @@ object Dedup {
       // default) the hot partition splits at runtime, and the round
       // count is already O(log diameter), so the residual skew cost is
       // bounded — no salting layer needed on top.
-      val (step, cur) = if (i < 2) matSum(prop) else {
+      val (step, cur) = if (i < 2) matSumStamped(prop) else {
         // checkpoint the propagation once, THEN self-join it — without
         // the cut the shortcut would recompute the propagation per side
         // (eager here: the relation feeds BOTH sides of the self-join)
@@ -615,7 +667,12 @@ object Dedup {
     val l1 = labels.select(col("doc_id").as("d1"), col("component").as("c1"))
     val l2 = labels.select(col("doc_id").as("d2"), col("component").as("c2"))
     // one pass resolves both endpoints and flags never-seen vertices;
-    // eager cut — everything downstream reads this edge-sized relation
+    // LAZY cut (r11, the matSum recipe): everything downstream reads this
+    // edge-sized relation, and its FIRST action — the meta-CC's sym
+    // materialization below, which references it exactly once — doubles
+    // as the materialization job, so the standalone checkpoint barrier
+    // disappears. Later consumers (newVerts' two-branch union, oldComps)
+    // read the persisted partitions.
     val e = newPairs
       .join(l1, Seq("d1"), "left_outer")
       .join(l2, Seq("d2"), "left_outer")
@@ -623,7 +680,7 @@ object Dedup {
         coalesce(col("c1"), col("d1")).as("e1"),
         coalesce(col("c2"), col("d2")).as("e2"),
         col("c1").isNull.as("n1"), col("c2").isNull.as("n2"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // self-loops = both endpoints already in one component: no-op edges
     val collapsed = e.where(col("e1") =!= col("e2"))
       .select(col("e1").as("d1"), col("e2").as("d2"))

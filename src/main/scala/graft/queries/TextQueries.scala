@@ -696,11 +696,15 @@ object TextQueries {
       // corpus CC ∥ (shard1 admit + index APPEND) — independent until the
       // first merge (core.Par, guide §2.6): the persisted state between
       // ingests (labels + appended bands) materializes as before, in
-      // production both are on-disk relations
+      // production both are on-disk relations. r11: shard1's band
+      // relation materializes ONCE and feeds both the probe and the
+      // append (before, incrementalCandidatesIndexed and appendBands
+      // each derived it internally — one shard band pass per consumer).
       val (labels0, (cand1, bands1)) = graft.core.Par.two(
         Dedup.connectedComponents(Dedup.minhashCandidatesBanded(bands0))) {
-        (Dedup.incrementalCandidatesIndexed(bands0, s1Sig),
-          Dedup.appendBands(bands0, s1Sig).localCheckpoint(true))
+        val sb1 = Dedup.lshBands(s1Sig).localCheckpoint(true)
+        (Dedup.incrementalCandidatesBandedBoth(bands0, sb1),
+          Dedup.appendBandsPre(bands0, sb1).localCheckpoint(true))
       }
       idxSig.unpersist(false); s1Sig.unpersist(false)
       // shard1's label merge ∥ shard2's probe of the MAINTAINED index —
@@ -1054,9 +1058,18 @@ object TextQueries {
       val shard = docs.where(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, 21)").as("text"))
+      // r11: materialize the gram state ONCE — it stands in for the
+      // PERSISTED state of a real ingest (a disk relation, one scan per
+      // reference), but as a lazy plan its three references inside
+      // dupSpansIncremental (already-duplicated filter, transitioned
+      // semi-join, affected-docs lookup) each re-derived the full
+      // corpus-token-sized scan+explode+aggregate: the before-plan shows
+      // SIX parquet scans of documents and FIVE gram aggregates with
+      // zero ReusedExchange (the branches' pruned columns differ, so the
+      // exchanges never canonicalize equal) — plans/r11/q632_*_before.
       Dedup.dupSpansIncremental(
-          Dedup.dupSpanState(corpus, "doc_id", "text"), corpus, shard,
-          "doc_id", "text")
+          Dedup.dupSpanState(corpus, "doc_id", "text").localCheckpoint(true),
+          corpus, shard, "doc_id", "text")
         .orderBy("doc_id", "span_start")
     },
 

@@ -51,6 +51,19 @@ object PartProbe {
       .unionAll(lbl)
       .groupBy("v").agg(min("lbl").as("lbl"))
       .explain("formatted")
+
+    // r11: labels stamped too (Graft.stampedCheckpoint at sym's count) —
+    // the round join must read BOTH sides exchange-free, leaving the
+    // propagation groupBy as the round's single Exchange.
+    println("=== cc round plan (sym AND labels exchange-free, r11) ===")
+    val p3 = sym3.rdd.getNumPartitions
+    val lblS = Graft.stampedCheckpoint(
+      sym3.groupBy(col("src").as("v")).agg(min("dst").as("lbl")), p3)
+    sym3.join(lblS, sym3("src") === lblS("v"))
+      .select(col("dst").as("v"), col("lbl"))
+      .unionAll(lblS)
+      .groupBy("v").agg(min("lbl").as("lbl"))
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -68,6 +68,42 @@ class PartitionedCheckpointSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("stampedCheckpoint: v-keyed round output joins back exchange-free (single-Exchange round)") {
+    // the r11 CC-round shape: sym stamped on src, labels stamped on v at
+    // the SAME count — the round's only exchange is the propagation
+    // groupBy, with the partial aggregate below it
+    val base = spark.range(10000)
+      .select((col("id") % 97).as("src"), col("id").as("dst"))
+    val sym = Graft.partitionedCheckpoint(
+      base.repartition(col("src")).dropDuplicates(Seq("src", "dst")), col("src"))
+    val p = sym.rdd.getNumPartitions
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // init: groupBy rides sym's stamp — compiled stamped, ZERO exchanges
+    val init = Graft.stampedCheckpoint(
+      sym.groupBy(col("src").as("v")).agg(min("dst").as("lbl")), p)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "flags must be restored after stampedCheckpoint")
+    assert(init.rdd.getNumPartitions == p)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def round(lbl: org.apache.spark.sql.DataFrame) =
+        sym.join(lbl, sym("src") === lbl("v"))
+          .select(col("dst").as("v"), col("lbl"))
+          .unionAll(lbl)
+          .groupBy("v").agg(min("lbl").as("lbl"))
+      assert(exchanges(round(init)) == 1,
+        "stamped labels: the round's single exchange is the groupBy")
+      // and the stamped ROUND OUTPUT itself feeds the next round
+      // exchange-free too (the loop invariant)
+      val next = Graft.stampedCheckpoint(round(init), p)
+      assert(exchanges(round(next)) == 1)
+      // row identity vs the unstamped computation
+      val got = next.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = round(init).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("partitionedCheckpoint preserves rows exactly") {
     val base = spark.range(5000)
       .select((col("id") % 37).as("src"), (col("id") % 211).as("dst"))

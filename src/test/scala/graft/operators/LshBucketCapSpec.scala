@@ -114,6 +114,32 @@ class LshBucketCapSpec extends SparkSpec {
     assert(pairs(Dedup.incrementalCandidates(index, shard)).size > inc.size)
   }
 
+  test("pre-banded-both-sides probe and pre-banded append == the signature-level paths") {
+    val s = spark
+    import s.implicits._
+    // the r11 shared shard-band path (q609 materializes the shard bands
+    // once and feeds both the probe and the index append)
+    val index = Seq(
+      (1L, 7, 7, 3, 4, 5, 6, 7, 8), (2L, 7, 7, 9, 9, 5, 6, 1, 2),
+      (100L, 20, 21, 22, 23, 24, 25, 26, 27))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val shard = Seq(
+      (1000L, 7, 7, 30, 31, 32, 33, 34, 35),
+      (2000L, 90, 91, 92, 93, 94, 95, 96, 97))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val idxBands = Dedup.lshBands(index).localCheckpoint(true)
+    val shdBands = Dedup.lshBands(shard).localCheckpoint(true)
+    for (cap <- Seq(None, Some(2))) {
+      val both = Dedup.incrementalCandidatesBandedBoth(idxBands, shdBands, cap)
+      val sigLevel = Dedup.incrementalCandidatesIndexed(idxBands, shard, maxBucket = cap)
+      assert(both.exceptAll(sigLevel).count() == 0L &&
+        sigLevel.exceptAll(both).count() == 0L, s"cap=$cap")
+    }
+    val pre = Dedup.appendBandsPre(idxBands, shdBands)
+    val sig = Dedup.appendBands(idxBands, shard)
+    assert(pre.exceptAll(sig).count() == 0L && sig.exceptAll(pre).count() == 0L)
+  }
+
   test("simhash block cap: oversized block pairs only through its hub, exact under the cap") {
     val s = spark
     import s.implicits._
