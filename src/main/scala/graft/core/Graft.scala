@@ -86,7 +86,17 @@ object Graft {
     aqeFlipLock.synchronized {
       val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try staged.repartition(p, key).localCheckpoint()
+      // LAZY pass 2 (r11): the stamp's LogicalRDD partitioning is fixed at
+      // COMPILE time (here, AQE-off), not at materialization — so the
+      // first consumer action doubles as the stamp's materialization job
+      // and one driver barrier per iterative-operator invocation
+      // disappears (CC's init aggregate, bfsHops' root MIN, pageRank's
+      // first lineage cut). The staged pass stays eager: it must run to
+      // learn the scale-adaptive count p. A first action referencing the
+      // stamp twice merely risks computing a partition twice FROM THE
+      // MATERIALIZED staged rows (deterministic hash repartition) — no
+      // correctness exposure.
+      try staged.repartition(p, key).localCheckpoint(false)
       finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
   }

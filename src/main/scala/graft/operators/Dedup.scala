@@ -373,7 +373,15 @@ object Dedup {
     // in the lambda and in sequence(length(..)), so CollapseProject
     // keeps the two-step projection (multi-referenced non-cheap
     // producer) and the regexp runs once per row.
-    val fullSet = array_distinct(shingles(col("__nt"), shingleLen))
+    // fused native set build: sorted_shingle_set ==
+    // array_sort(array_distinct(shingles(__nt, len))) in ONE pass (no
+    // transform lambda, no intermediate array, no per-element hash-set;
+    // char offsets computed once instead of a substr walk per window) —
+    // the verify builds one set per candidate doc PER JOIN SIDE (the
+    // sets exchange does not reuse across the two pair joins, probed
+    // r11), so the per-doc constant is the 2×-paid cost here.
+    // SortedShingleSetSpec pins equality with the declarative chain.
+    val fullSet = graft.plans.GraftFunctions.sortedShingleSet(col("__nt"), shingleLen)
     val shsExpr = maxShingles match {
       case None => fullSet
       case Some(k) =>
@@ -387,23 +395,26 @@ object Dedup {
         // every shingle of every candidate doc dominated the verify —
         // 24.2 s vs the exact arm's 3.3 s at sf0.1).
         when(size(fullSet) <= k, fullSet).otherwise(
-          transform(
+          // re-sort the bottom-K slice (it is ordered by md5, not by
+          // shingle) so every emitted set is sorted for the native merge
+          array_sort(transform(
             slice(array_sort(transform(fullSet, s => struct(md5(s).as("h"), s.as("s")))),
               1, k),
-            x => x.getField("s")))
+            x => x.getField("s"))))
     }
-    // the set is stored SORTED (one array_sort per doc): the per-PAIR
-    // intersection below then runs as a native two-pointer merge
-    // (sorted_intersect_count) instead of array_intersect's per-pair
-    // hash-set build — the verify cost is |pairs| × intersect, so the
-    // per-pair constant dominates and the per-doc sort amortizes over
-    // every pair the doc appears in (r11; SortedIntersectSpec pins the
-    // count equality with the builtin). Set semantics are unchanged —
-    // only the in-row element order differs, and no caller reads `shs`.
+    // the set is stored SORTED (native build above; the capped arm
+    // re-sorts its slice): the per-PAIR intersection below then runs as
+    // a native two-pointer merge (sorted_intersect_count) instead of
+    // array_intersect's per-pair hash-set build — the verify cost is
+    // |pairs| × intersect, so the per-pair constant dominates and the
+    // per-doc sort amortizes over every pair the doc appears in (r11;
+    // SortedIntersectSpec pins the count equality with the builtin).
+    // Set semantics are unchanged — only the in-row element order
+    // differs, and no caller reads `shs`.
     val sets = docs
       .join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol).as("doc_id"), normText(col(textCol)).as("__nt"))
-      .select(col("doc_id"), array_sort(shsExpr).as("shs"))
+      .select(col("doc_id"), shsExpr.as("shs"))
     // Both joins below shuffle the IDENTICAL `sets` subplan hash-partitioned
     // on doc_id — keeping the plan byte-identical (same aliases, join
     // conditions instead of per-side renames) lets Spark reuse the first
@@ -474,7 +485,16 @@ object Dedup {
     * ~1e38) strictly decreases iff any label changed; equal sums ⇒
     * fixpoint.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsCounted(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the VERTEX COUNT of the labeling, for
+    * free: the convergence aggregate already scans every label row each
+    * round, so the count rides the same job — callers that would
+    * otherwise run a separate count() barrier to size a broadcast
+    * (labelDelta's meta-fit gate) fuse it away (r11).
+    */
+  def connectedComponentsCounted(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Long) = {
     // sym is checkpointed partitioning-preserving (r10,
     // Graft.partitionedCheckpoint): under a plain AQE-compiled checkpoint
     // the LogicalRDD reports UnknownPartitioning — the probe
@@ -510,10 +530,14 @@ object Dedup {
     // silently returning unconverged labels, the exact failure class the
     // convergence throw below exists to prevent. Fail loud instead
     // (unreachable before ~1e19 max-id vertices).
-    def lblSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-      if (!r.isNullAt(0)) r.getDecimal(0)
-      else if (df.isEmpty) java.math.BigDecimal.ZERO
+    // the count rides the sum's job (r11): an all-NULL lbl column cannot
+    // occur (labels are vertex ids), so sum NULL with count > 0 is the
+    // overflow case — fail loud as before
+    def lblSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)")), count(lit(1))).head()
+      val n = r.getLong(1)
+      if (!r.isNullAt(0)) (r.getDecimal(0), n)
+      else if (n == 0) (java.math.BigDecimal.ZERO, 0L)
       else throw new IllegalStateException(
         "connectedComponents label-sum overflowed DECIMAL(38,0)")
     }
@@ -525,7 +549,7 @@ object Dedup {
     // pipelines at ~100 sequential jobs with per-job fixed cost dominating
     // sf0.1 wall-clock (q605 = 103 jobs / 11.5 s), and each dropped
     // barrier is one fewer synchronous driver round-trip at any scale.
-    def matSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    def matSum(df: DataFrame): (DataFrame, (java.math.BigDecimal, Long)) = {
       val c = df.localCheckpoint(false)
       (c, lblSum(c))
     }
@@ -544,7 +568,7 @@ object Dedup {
     // compile would drop skew-split exactly where converging labels
     // funnel (the round-join comment below).
     val symP = sym.rdd.getNumPartitions
-    def matSumStamped(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    def matSumStamped(df: DataFrame): (DataFrame, (java.math.BigDecimal, Long)) = {
       val c = graft.core.Graft.stampedCheckpoint(df, symP)
       (c, lblSum(c))
     }
@@ -552,7 +576,7 @@ object Dedup {
     // symmetric edge list, so min(self, neighbors) is one aggregate
     // (exchange-FREE: the groupBy rides sym's stamped partitioning, and
     // the alias-aware aggregate output carries hash(v, p) into the stamp)
-    var (labels, prev) = matSumStamped(sym.groupBy(col("src").as("v"))
+    var (labels, (prev, nVerts)) = matSumStamped(sym.groupBy(col("src").as("v"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("v"), least(col("v"), col("__mn")).as("lbl")))
     var changed = true
@@ -585,7 +609,7 @@ object Dedup {
       // default) the hot partition splits at runtime, and the round
       // count is already O(log diameter), so the residual skew cost is
       // bounded — no salting layer needed on top.
-      val (step, cur) = if (i < 2) matSumStamped(prop) else {
+      val (step, (cur, _)) = if (i < 2) matSumStamped(prop) else {
         // checkpoint the propagation once, THEN self-join it — without
         // the cut the shortcut would recompute the propagation per side
         // (eager here: the relation feeds BOTH sides of the self-join)
@@ -607,7 +631,9 @@ object Dedup {
     if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+    // the vertex set is fixed across rounds, so the init count IS the
+    // labeling's row count
+    (labels.select(col("v").as("doc_id"), col("lbl").as("component")), nVerts)
   }
 
   /** Incremental cluster maintenance — the missing third of the
@@ -691,12 +717,13 @@ object Dedup {
       .unionAll(e.where(!col("n2")).select(col("e2").as("oc")))
       .distinct()
     // meta scales with |newPairs| components — broadcast only while it
-    // verifiably fits (the CC labels are already checkpointed, so the
-    // count is a metadata-cheap job); a giant ingest batch falls back to
-    // AQE's own join pick instead of pressuring the driver
-    val metaAll0 = connectedComponents(collapsed, maxIter)
-      .select(col("doc_id").as("mv"), col("component").as("mc"))
-    val fits = metaAll0.count() <= 4000000L
+    // verifiably fits; the size gate rides the meta-CC's own convergence
+    // aggregate (connectedComponentsCounted, r11) instead of a separate
+    // count() barrier; a giant ingest batch falls back to AQE's own join
+    // pick instead of pressuring the driver
+    val (metaCc, nMeta) = connectedComponentsCounted(collapsed, maxIter)
+    val metaAll0 = metaCc.select(col("doc_id").as("mv"), col("component").as("mc"))
+    val fits = nMeta <= 4000000L
     val metaAll = if (fits) broadcast(metaAll0) else metaAll0
     val metaOld = metaAll0.join(oldComps, col("mv") === col("oc"), "left_semi")
     val meta = if (fits) broadcast(metaOld) else metaOld

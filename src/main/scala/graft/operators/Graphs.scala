@@ -65,20 +65,49 @@ object Graphs {
     r
   }
 
-  /** Triangle count over a canonically oriented edge list `edges(u, v)`
-    * with u < v: the closed-triplet triple self-join e(a,b) ⋈ e(b,c) ⋈
-    * e(a,c), which materializes each triangle exactly once (no post-dedup,
-    * the join output cardinality IS the count). Cost follows wedges
-    * (Σ deg²), never |V|²; the edge subtree appears three times in one
-    * plan and dedups via ReusedExchange. Returns one row (n_triangles).
+  /** Triangle count over a DISTINCT edge list `edges(u, v)`, u < v.
+    *
+    * Degree-oriented wedge counting (r11, guide §2.2/§3): every edge is
+    * re-oriented from its lower-rank to its higher-rank endpoint under
+    * rank(x) = (degree(x), x) — a total order — and wedges are generated
+    * only from each vertex's OUT-neighbors, closing against the oriented
+    * edge list. Each triangle is counted exactly once, from its minimum-
+    * rank vertex (the join output cardinality IS the count, no
+    * post-dedup). The wedge intermediate is Σ outdeg² where the oriented
+    * outdeg is O(√E) for any graph — the id-oriented triple self-join
+    * this replaces let one high-id hub vertex own Σ indeg·outdeg wedges
+    * (the skew blowup at web scale). The oriented relation is
+    * materialized once (it feeds both wedge sides and the closing join);
+    * the input is materialized too so the degree aggregate and the
+    * orientation join don't re-derive the caller's (often join+aggregate)
+    * edge pipeline. Returns one row (n_triangles).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
-    val e1 = e.select(col("u").as("a"), col("v").as("b"))
-    val e2 = e.select(col("u").as("b2"), col("v").as("c"))
-    val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+        // the out-endpoint's degree rides along: the wedge pair ordering
+        // below needs rank(b) = (deg(b), b) without re-joining degrees
+        when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint(true)
+    // fully renamed branches: a self-join referencing the parent's own
+    // column names lets attribute deduplication collapse the equi-key
+    // into a tautology, degenerating the join to a nested-loop cross
+    // (PlanShapeSpec pins the equi shape)
+    val w1 = o.select(col("a").as("a1"), col("b").as("b1"), col("db").as("db1"))
+    val w2 = o.select(col("a").as("a2"), col("b").as("c2"), col("db").as("dc2"))
+    val o3 = o.select(col("a").as("b3"), col("b").as("c3"))
+    w1.join(w2, col("a1") === col("a2") &&
+        (col("db1") < col("dc2") || (col("db1") === col("dc2") && col("b1") < col("c2"))))
+      .join(o3, col("b1") === col("b3") && col("c2") === col("c3"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -86,6 +86,13 @@ object GraftFunctions {
   /** Native 16-bit SimHash fingerprint of a token-array Column. */
   def simhash16(tokens: Column): Column = GraftShims.simhashColumn(tokens)
 
+  /** Native sorted-distinct character-shingle set from normalized text —
+    * exactly `array_sort(array_distinct(shingles(nt, len)))` in one
+    * fused pass (the Jaccard verify's per-document set build).
+    */
+  def sortedShingleSet(text: Column, shingleLen: Int): Column =
+    GraftShims.sortedShingleSetColumn(text, shingleLen)
+
   /** Native PQ encoder (fused loop nest over a flattened (m,k,d)-major
     * codebook); the declarative HOF twin is Similarity.pqCodesDeclarative.
     */

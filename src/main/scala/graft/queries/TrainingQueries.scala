@@ -130,10 +130,13 @@ object TrainingQueries {
          |  CAST((SELECT COUNT(*) FROM p e1
          |        JOIN p e2 ON e1.v = e2.u
          |        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
-      // The edge aggregate appears four times in ONE plan; Spark's
-      // ReusedExchange dedups the shuffle, so no cache (which would
-      // leak pinned blocks past the query) is needed.
-      val e = partEdges(Tables(s, dir))
+      // r11 (measured): the WHOLE q159 floor is the partEdges derivation
+      // (lineitem self-join + groupBy, 2.1 s at sf0.1; the wedge joins
+      // over the ~3.9k screened edges add nothing) — and the lazy edge
+      // plan re-embedded under every reference paid the final aggregate
+      // per branch. Materialize the sparse screened edge list ONCE; the
+      // count and the (degree-oriented) triangle count read it back.
+      val e = partEdges(Tables(s, dir)).localCheckpoint(true)
       val cnt = e.agg(count(lit(1)).as("n_edges"))
       cnt.crossJoin(broadcast(Graphs.triangleCount(e)))
         .select(col("n_edges"), col("n_triangles"))

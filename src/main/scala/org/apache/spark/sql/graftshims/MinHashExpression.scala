@@ -72,6 +72,38 @@ case class MinHashFromText(child: Expression, shingleLen: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native sorted-distinct character-shingle set straight from the
+  * (already-normalized) text — exactly
+  * `array_sort(array_distinct(shingles(nt, len)))` fused into one pass:
+  * char byte-offsets computed once (the declarative chain's substr walks
+  * the string per window), windows sliced by byte range, sorted with the
+  * binary UTF8 ordering array_sort uses, adjacent-deduped. The Jaccard
+  * verify builds one such set per candidate document (and the broadcast
+  * non-reuse makes it build PER JOIN SIDE — see jaccardVerify), so the
+  * per-document constant is paid 2× per verify; this removes the
+  * transform-lambda invocation, the intermediate shingle array, and
+  * array_distinct's per-element hash-set pass. SortedShingleSetSpec pins
+  * equality with the declarative chain on the real corpus fixture.
+  */
+case class SortedShingleSet(child: Expression, shingleLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sorted_shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.sortedShingleSet(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graftshims.MinHashImpl.sortedShingleSet($x, $shingleLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashImpl {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -136,5 +168,50 @@ object MinHashImpl {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Sorted-distinct codepoint-window shingle set; windows match
+    * [[computeText]] (1-based i in [1, max(numChars-len+1, 1)], clamped
+    * at the end — the short-text case yields the single whole-string
+    * window). Byte offsets of every char boundary are computed in ONE
+    * pass, so each window is an O(window bytes) slice instead of an
+    * O(position) substr walk.
+    */
+  def sortedShingleSet(text: org.apache.spark.unsafe.types.UTF8String,
+      len: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = text.numChars()
+    // offs(i) = byte offset of char i (offs(n) = total bytes)
+    val offs = new Array[Int](n + 1)
+    var c = 0
+    var b = 0
+    while (c < n) {
+      offs(c) = b
+      b += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(n) = bytes.length
+    val last = math.max(n - len + 1, 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](last)
+    var i = 0
+    while (i < last) {
+      val from = offs(i)
+      val until = offs(math.min(i + len, n))
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+    // adjacent dedup in place
+    var m = 0
+    var j = 0
+    while (j < last) {
+      if (m == 0 || !out(j).equals(out(m - 1))) { out(m) = out(j); m += 1 }
+      j += 1
+    }
+    new GenericArrayData(
+      if (m == last) out.asInstanceOf[Array[Any]]
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m).asInstanceOf[Array[Any]])
   }
 }

@@ -456,6 +456,9 @@ object GraftShims {
   def minhashTextColumn(text: Column, shingleLen: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashFromText(ExpressionUtils.expression(text), shingleLen, numHashes))
 
+  def sortedShingleSetColumn(text: Column, shingleLen: Int): Column =
+    ExpressionUtils.column(SortedShingleSet(ExpressionUtils.expression(text), shingleLen))
+
   def simhashColumn(tokens: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(tokens)))
 

@@ -168,10 +168,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"correlated-MIN must stay one catalog pass, got $exchanges exchanges")
   }
 
-  test("q159_triangles reuses the edge aggregate across the triple self-join") {
-    val p = planOf("q159_triangles")
-    assert(p.contains("ReusedExchange"),
-      "the edge subtree appears 4x in one plan and must dedup via ReusedExchange")
+  test("q159_triangles derives the edge list once and orients wedges (r11 shape)") {
+    // FINAL adaptive plan only — explainString also prints the Initial
+    // Plan, which would double-count every operator
+    val p = planOf("q159_triangles").split("== Initial Plan ==")(0)
+    // r11: the screened edge list is MATERIALIZED once (a localCheckpoint
+    // ExistingRDD) — the lineitem self-join + groupBy must not re-embed
+    // per reference (it was the whole q159 floor; the old ReusedExchange
+    // pin only deduped the shuffle, not the per-branch final aggregates)
+    assert(!p.contains("Scan parquet"),
+      "the edge pipeline must be materialized once — no parquet scan may " +
+        "appear under the count/triangle branches")
+    // and the triangle count is the degree-ORIENTED wedge join: the wedge
+    // and closing joins must be EQUI joins (a self-join that references
+    // the parent's own column names lets attribute dedup collapse the
+    // equi-key and degenerate to a nested-loop cross); only the final
+    // 1x1 count cross join may be non-equi
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the final 1x1 count cross join may be non-equi")
   }
 
   test("q157_ngram_decontaminate joins gram hashes, never a cross product") {
