@@ -149,14 +149,33 @@ object MinHashImpl {
     val mins = Array.fill(k)(Long.MaxValue)
     val md = digest.get()
     val n = text.numChars()
+    // Char byte-offsets computed in ONE pass (r11): the previous
+    // per-window substringSQL(i, len) walks the string from byte 0 to
+    // find char i on EVERY call — O(position) each, quadratic in
+    // document length overall (a single 40 KB planted giant doc cost
+    // ~2 s of pure char-walking inside q618's candidate job). Windows
+    // are byte slices over the offset table — identical bytes to
+    // substringSQL's 1-based clamped windows, so the md5 stream and the
+    // signature are bit-for-bit unchanged (spec + oracles pin it).
+    val bytes = text.getBytes
+    val offs = new Array[Int](n + 1)
+    var c = 0
+    var bo = 0
+    while (c < n) {
+      offs(c) = bo
+      bo += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(bo))
+      c += 1
+    }
+    offs(n) = bytes.length
     val last = math.max(n - len + 1, 1)
-    var i = 1
-    while (i <= last) {
-      // substringSQL(pos, length) is 1-based and clamps at the end —
-      // exactly Column.substr(i, len) on the normalized string
-      val sh = text.substringSQL(i, len)
+    var i = 0
+    while (i < last) {
+      val from = offs(i)
+      val until = offs(math.min(i + len, n))
       md.reset()
-      val d = md.digest(sh.getBytes)
+      md.update(bytes, from, until - from)
+      val d = md.digest()
       val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       val b = (((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) | ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) | 1L
       var j = 0
